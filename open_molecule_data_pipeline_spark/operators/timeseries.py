@@ -1,0 +1,169 @@
+"""Event-time operators over the events table: tumbling/sliding windows,
+sessionization, as-of enrichment.
+
+These are the batch twins of the streaming jobs in ``streaming/`` — the same
+``F.window`` expressions run under ``readStream`` with a watermark. The
+reference's closest analog is its checkpointed page batching (SURVEY.md §2A
+B1/B2); true event-time semantics are new surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import lsum, s_lsum
+from .asof import asof_join
+
+# --------------------------------------------------------------------------
+# Tumbling window: F.window == time_bucket. Map-side partial aggregation
+# means each hour bucket ships one row per partition to the shuffle.
+# --------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       {s_lsum('value', 100)} AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+"""
+
+
+@register("ts_tumbling_hour", oracle=_TUMBLING_ORACLE, tags=("timeseries", "window"), bench=True)
+def ts_tumbling_hour(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), lsum("value", 100).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding window (1h window, 30m slide): each event lands in 2 windows.
+# The oracle expands the window membership explicitly via unnest.
+# --------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+SELECT window_start, count(*) AS n, {s_lsum('value', 100)} AS sum_value
+FROM (
+  SELECT unnest([
+           time_bucket(INTERVAL '30 minutes', ts),
+           time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+         ]) AS window_start,
+         value
+  FROM events
+) t
+GROUP BY window_start
+"""
+
+
+@register("ts_sliding_halfhour", oracle=_SLIDING_ORACLE, tags=("timeseries", "window"))
+def ts_sliding_halfhour(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), lsum("value", 100).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session. Interval arithmetic
+# (timestamp - timestamp) is exact microseconds in both engines — epoch
+# seconds would truncate sub-second gaps differently.
+# --------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+SELECT user_id,
+       cast(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+) t
+GROUP BY user_id
+"""
+
+
+@register("ts_sessionization", oracle=_SESSION_ORACLE, tags=("timeseries", "session"), bench=True)
+def ts_sessionization(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_s.alias("new_s"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join: enrich each event with the customer's latest order at event
+# time. Spark side uses the union+window construction (operators/asof.py);
+# the oracle is a correlated LATERAL lookup with identical tie-breaking.
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+       s.o_orderkey AS last_orderkey,
+       round(s.o_totalprice, 2) AS last_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+  LIMIT 1
+) s ON true
+"""
+
+
+@register("ts_asof_latest_order", oracle=_ASOF_ORACLE, tags=("timeseries", "asof"), bench=True)
+def ts_asof_latest_order(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        # orders use ms timestamps, events use ns->us NTZ; align types for
+        # the union inside asof_join.
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        left=e,
+        right=o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    )

@@ -1,0 +1,62 @@
+"""Central registry of named queries with their DuckDB oracle twins.
+
+Every operator the engine claims is registered here via :func:`register`,
+giving one source of truth for ``__spark_entry__.queries()`` /
+``oracle_sql()``, the pytest parity suite, and ``bench.py``.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # ANSI SQL for DuckDB; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_QUERY_MODULES = (
+    "open_molecule_data_pipeline_spark.operators.relational",
+    "open_molecule_data_pipeline_spark.operators.scalar_funcs",
+    "open_molecule_data_pipeline_spark.operators.windows",
+    "open_molecule_data_pipeline_spark.operators.timeseries",
+    "open_molecule_data_pipeline_spark.operators.dedup",
+    "open_molecule_data_pipeline_spark.operators.similarity",
+    "open_molecule_data_pipeline_spark.operators.text",
+    "open_molecule_data_pipeline_spark.operators.multimodal",
+    "open_molecule_data_pipeline_spark.operators.ingest_demo",
+)
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(name, fn, oracle, tuple(tags), bench)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (idempotent) and return the registry."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return QUERIES

@@ -1,0 +1,95 @@
+"""Local replica of the driver's Spark-vs-DuckDB oracle comparison.
+
+Runs the Spark query and the oracle SQL on the same parquet tables, sorts
+columns by name, canonicalizes every cell to a string, sorts rows, and
+asserts exact equality — a strictly-harder check than an order-insensitive
+value hash, so passing here should imply passing the driver's gate.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"  # pandas represents nullable numerics as NaN
+        return repr(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if isinstance(v, pd.Timestamp) and pd.isna(v):
+            return "<null>"
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if pd.isna(v):
+        return "<null>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    try:
+        import numpy as np
+
+        if isinstance(v, np.bool_):
+            return "true" if v else "false"
+        if isinstance(v, np.floating):
+            return _cell(float(v))
+        if isinstance(v, np.integer):
+            return str(int(v))
+    except ImportError:  # pragma: no cover
+        pass
+    return str(v)
+
+
+def canon(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    df = df[sorted(df.columns)]
+    rows = [tuple(_cell(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows)
+
+
+def assert_parity(spark_df, oracle_sql: str, sf_dir: str, name: str = "?") -> None:
+    spark_pd = spark_df.toPandas()
+    oracle_pd = run_oracle(oracle_sql, sf_dir)
+    assert sorted(spark_pd.columns) == sorted(oracle_pd.columns), (
+        f"{name}: column names differ: spark={sorted(spark_pd.columns)} "
+        f"oracle={sorted(oracle_pd.columns)}"
+    )
+    s, o = canon(spark_pd), canon(oracle_pd)
+    assert len(s) == len(o), f"{name}: row count {len(s)} vs oracle {len(o)}"
+    if s != o:
+        diffs = [(a, b) for a, b in zip(s, o) if a != b][:5]
+        raise AssertionError(
+            f"{name}: values differ; first diffs (spark vs oracle): {diffs}"
+        )

@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+# Small scale factor by default so the whole suite stays fast; set
+# SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the driver-scale check.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from open_molecule_data_pipeline_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    spark = get_spark(
+        app_name="omdp-tests", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
