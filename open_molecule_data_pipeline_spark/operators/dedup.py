@@ -1,1 +1,386 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Deduplication ladder for a training-data pipeline, cheapest to richest:
+
+1. exact        — hash-groupBy on md5(text): shuffles 16-byte keys, not
+                  document bodies (at 100 TB the difference is the job).
+2. MinHash+LSH  — shingle -> K minhashes -> banded buckets -> candidate
+                  pairs -> exact-Jaccard verify. Candidate generation is an
+                  equi-join on (band_id, band_key), so cost tracks the
+                  number of *colliding* docs, never all-pairs.
+3. SimHash      — 16-bit majority signature per doc (Hamming-bucketable).
+4. n-gram Jaccard — exact pairwise verification within small blocks.
+5. embedding cosine — near-dup by semantic similarity (see similarity.py
+                  for the search-flavored variants).
+
+All signatures are computed with md5 over shingles — deterministic,
+engine-portable (hex-string min == lexicographic min in both Spark and
+DuckDB), and entirely inside whole-stage codegen: the per-doc signature
+pipeline is map-only (array lambdas, no explode, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# exact dedup on content hash
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, tags=("dedup",), bench=True)
+def dedup_exact(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures. Shingles = word 3-grams; K hash functions realized as
+# md5 over a per-function salt; signature k = min hex digest (lexicographic
+# == numeric min of the uniform hash).
+# --------------------------------------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # 2 hashes per band
+
+_SHINGLES_SPARK = (
+    "filter(transform(sequence(0, size(toks) - 3),"
+    " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])), s -> s is not null)"
+)
+
+_SHINGLES_DUCK = (
+    "list_filter(list_transform(range(len(toks) - 2),"
+    " i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), s -> s is not null)"
+)
+
+
+def _sig_spark(k: int) -> str:
+    return f"array_min(transform(shingles, s -> md5(concat('{k}|', s))))"
+
+
+def _sig_duck(k: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{k}|' || s)))"
+
+
+def _minhash_sig_df(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sigs = (
+        d.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .select(
+            "doc_id",
+            *[F.expr(_sig_spark(k)).alias(f"sig_{k}") for k in range(N_HASHES)],
+        )
+    )
+    return sigs
+
+
+_SIG_DUCK_CTE = f"""
+  SELECT doc_id,
+         {', '.join(f'{_sig_duck(k)} AS sig_{k}' for k in range(N_HASHES))}
+  FROM (
+    SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
+  ) s
+"""
+
+_MINHASH_SIG_ORACLE = f"""
+WITH sigs AS ({_SIG_DUCK_CTE})
+SELECT doc_id,
+       {', '.join(f'md5(sig_{2 * b} || sig_{2 * b + 1}) AS band_{b}' for b in range(N_BANDS))}
+FROM sigs
+"""
+
+
+@register("dedup_minhash_signature", oracle=_MINHASH_SIG_ORACLE, tags=("dedup", "minhash"))
+def dedup_minhash_signature(spark, sf_dir):
+    sigs = _minhash_sig_df(spark, sf_dir)
+    return sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))).alias(
+                f"band_{b}"
+            )
+            for b in range(N_BANDS)
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH candidate pairs + exact-Jaccard verification. Unpivot bands, equi-join
+# on (band_id, band_key), dedupe pairs, then re-join the distinct-shingle
+# sets to score Jaccard exactly.
+# --------------------------------------------------------------------------
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH sigs AS ({_SIG_DUCK_CTE}),
+bands AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT doc_id,
+           unnest([{', '.join(str(b) for b in range(N_BANDS))}]) AS band_id,
+           unnest([{', '.join(f'md5(sig_{2 * b} || sig_{2 * b + 1})' for b in range(N_BANDS))}]) AS band_key
+    FROM sigs
+  ) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS shingle_set
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+)
+SELECT c.doc_a, c.doc_b,
+       round(cast(len(list_intersect(x.shingle_set, y.shingle_set)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shingle_set, y.shingle_set))), 6)
+         AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    sigs = _minhash_sig_df(spark, sf_dir)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_entries).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = (
+        table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shingle_set"))
+    )
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.shingle_set"), F.col("y.shingle_set")))
+    union = F.size(
+        F.array_distinct(F.concat(F.col("x.shingle_set"), F.col("y.shingle_set")))
+    )
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: 16-bit majority signature over word hashes. The word hash is the
+# first 4 hex nibbles of md5, decoded portably (strpos into a hex alphabet —
+# no engine-specific hex casts). One explode + one groupBy per doc.
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+_HEXVAL_DUCK = "(strpos('0123456789abcdef', {d}) - 1)"
+_HEXVAL_SPARK = "(instr('0123456789abcdef', {d}) - 1)"
+
+
+def _word_hash(expr_tpl: str, hash_expr: str) -> str:
+    """16-bit int from the first 4 hex chars of an md5 hex digest."""
+    nibbles = [
+        expr_tpl.format(d=f"substr({hash_expr}, {i + 1}, 1)") for i in range(4)
+    ]
+    return " + ".join(
+        f"{nib} * {16 ** (3 - i)}" for i, nib in enumerate(nibbles)
+    )
+
+
+_SIMHASH_ORACLE = f"""
+SELECT doc_id,
+       cast({' + '.join(
+           f"(CASE WHEN 2 * sum((wh // {1 << j}) % 2) > count(*) THEN {1 << j} ELSE 0 END)"
+           for j in range(_SIMHASH_BITS)
+       )} AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id, {_word_hash(_HEXVAL_DUCK, 'h')} AS wh
+  FROM (
+    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+    FROM documents
+  ) t
+) w
+GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def dedup_simhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    hashed = words.select(
+        "doc_id",
+        F.expr(_word_hash(_HEXVAL_SPARK, "md5(word)")).alias("wh"),
+    )
+    bit_cols = [
+        F.when(
+            2 * F.sum(F.expr(f"(wh div {1 << j}) % 2")) > F.count(F.lit(1)),
+            1 << j,
+        )
+        .otherwise(0)
+        .alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    agged = hashed.groupBy("doc_id").agg(*bit_cols)
+    total = sum((F.col(f"b{j}") for j in range(1, _SIMHASH_BITS)), F.col("b0"))
+    return agged.select("doc_id", total.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard within (lang, source) blocks — the blocked-pairs
+# verifier usable standalone when a partition key bounds the block size.
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, lang, source, list_distinct({_SHINGLES_DUCK}) AS shingle_set
+  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(cast(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))), 6)
+         AS jaccard
+FROM sh a
+JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE cast(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) >= 0.05
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup", "jaccard"))
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shingle_set"),
+        )
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingle_set"), F.col("b.shingle_set")))
+    union = F.size(
+        F.array_distinct(F.concat(F.col("a.shingle_set"), F.col("b.shingle_set")))
+    )
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.05)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs, blocked by label. Dot products run in
+# double (float32 upcast first) in both engines so the scores agree bit-wise
+# after rounding.
+# --------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.3
+
+_EMB_PAIRS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cos
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cos
+FROM p WHERE cos >= {_COS_THRESHOLD}
+"""
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_PAIRS_ORACLE, tags=("dedup", "embedding"))
+def dedup_embedding_cosine(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    dot_ab = F.expr(_DOT.format(a="a.embedding", b="b.embedding"))
+    norm_a = F.sqrt(F.expr(_DOT.format(a="a.embedding", b="a.embedding")))
+    norm_b = F.sqrt(F.expr(_DOT.format(a="b.embedding", b="b.embedding")))
+    cos = dot_ab / (norm_a * norm_b)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= _COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,1 +1,204 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity search over the embeddings table.
+
+- Brute-force cosine top-k: broadcast the (small) query set against the
+  candidate corpus; the per-pair dot product is a JVM higher-order-function
+  expression (``aggregate(zip_with(...))``) — no Python, no shuffle except
+  the final per-query top-k window.
+- LSH-bucketed ANN: 8 deterministic random-hyperplane signs bucket the
+  corpus; candidates are an equi-join on the bucket id. At 100 TB the
+  bucket join replaces the q x N cross product with q x (N / 2^8)-ish,
+  and the bucket table can be written out partitioned by bucket for reuse.
+
+The hyperplanes are +-1 vectors derived from md5 at module import (seeded,
+no RNG state), embedded as literals in both the Spark plan and the oracle
+SQL so the two engines score identical planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+DIM = 64
+N_PLANES = 8
+K = 5
+N_QUERIES = 10  # queries are vec_id < N_QUERIES
+
+
+def _planes() -> list[list[int]]:
+    """Deterministic +-1 hyperplanes from md5(plane|dim) parity."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            digest = hashlib.md5(f"plane{p}|{i}".encode()).hexdigest()
+            row.append(1 if int(digest[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+PLANES = _planes()
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _plane_sql_array(p: int) -> str:
+    return "[" + ", ".join(f"{v}.0" for v in PLANES[p]) + "]"
+
+
+def _plane_spark_array(p: int) -> str:
+    return "array(" + ", ".join(f"{v}.0D" for v in PLANES[p]) + ")"
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+           AS cos
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= {K}
+"""
+
+
+@register("sim_topk_bruteforce", oracle=_TOPK_ORACLE, tags=("similarity",), bench=True)
+def sim_topk_bruteforce(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    qq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    cc = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (qq * cc)).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH bucket assignment (sign of dot with each hyperplane -> 8-bit bucket)
+# --------------------------------------------------------------------------
+
+_BUCKET_DUCK = " + ".join(
+    f"(CASE WHEN list_dot_product(e, {_plane_sql_array(p)}) >= 0"
+    f" THEN {1 << p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+
+_BUCKETS_ORACLE = f"""
+SELECT vec_id, cast({_BUCKET_DUCK} AS INTEGER) AS bucket
+FROM (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+) v
+"""
+
+
+def _bucket_col() -> F.Column:
+    terms = None
+    for p in range(N_PLANES):
+        dot = F.expr(_DOT.format(a="embedding", b=_plane_spark_array(p)))
+        term = F.when(dot >= 0, 1 << p).otherwise(0)
+        terms = term if terms is None else terms + term
+    return terms.cast("int")
+
+
+@register("sim_lsh_buckets", oracle=_BUCKETS_ORACLE, tags=("similarity", "lsh"))
+def sim_lsh_buckets(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", _bucket_col().alias("bucket"))
+
+
+# --------------------------------------------------------------------------
+# ANN: per-query top-3 restricted to the query's bucket. Approximate by
+# construction but fully deterministic, so it still gets an exact oracle.
+# --------------------------------------------------------------------------
+
+_ANN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, e, cast({_BUCKET_DUCK} AS INTEGER) AS bucket
+  FROM (
+    SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+    FROM embeddings
+  ) raw
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+           AS cos
+  FROM v q JOIN v c
+    ON q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= 3
+"""
+
+
+@register("sim_ann_lsh_topk", oracle=_ANN_ORACLE, tags=("similarity", "lsh"))
+def sim_ann_lsh_topk(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_col().alias("bucket")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cb"),
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    qq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    cc = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("cb") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", (dot / (qq * cc)).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )

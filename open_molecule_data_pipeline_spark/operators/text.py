@@ -1,1 +1,230 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis operators over the documents table: token statistics, word
+frequency, quality scoring, stopword language ID, document fingerprints.
+
+These are LLM-training-pipeline operators the reference only planned
+(reference ``docs/system-plan.md:24-27``). Everything is built-in array/
+string expressions — tokenization, shingling and hashing all run inside
+whole-stage codegen with zero Python UDFs, so per-row cost is JVM-only and
+the ops are embarrassingly parallel (no shuffle except the final
+aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Shared fragments: tokens / distinct word list, kept textually parallel
+# between the Spark expressions and the DuckDB oracle.
+_tokens_spark = lambda: F.split(F.col("text"), " ")  # lazy: needs an active session
+_TOKENS_DUCK = "string_split(text, ' ')"
+
+
+def _in_set(var: str, words: tuple[str, ...]) -> str:
+    """Lambda-safe membership test (DuckDB lambdas dislike IN lists)."""
+    return " or ".join(f"{var} = '{w}'" for w in words)
+
+
+# --------------------------------------------------------------------------
+# token statistics
+# --------------------------------------------------------------------------
+
+_TOKEN_ORACLE = f"""
+SELECT doc_id, lang,
+       cast(len({_TOKENS_DUCK}) AS INTEGER) AS n_tokens,
+       cast(length(replace(text, ' ', '')) AS INTEGER) AS n_letters,
+       round(cast(length(replace(text, ' ', '')) AS DOUBLE)
+             / len({_TOKENS_DUCK}), 6) AS avg_token_len
+FROM documents
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_ORACLE, tags=("text",))
+def text_token_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens_spark())
+    n_letters = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_letters.alias("n_letters"),
+        F.round(n_letters.cast("double") / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus word frequency, top 20 — explode + count + deterministic top-k.
+# At scale: the explode output is wide but the partial aggregation collapses
+# it map-side; the final top-k sorts only the distinct vocabulary.
+# --------------------------------------------------------------------------
+
+_FREQ_ORACLE = f"""
+SELECT word, n FROM (
+  SELECT word, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+  FROM (SELECT unnest({_TOKENS_DUCK}) AS word FROM documents) t
+  GROUP BY word
+) r WHERE rn <= 20
+"""
+
+
+@register("text_word_freq_top20", oracle=_FREQ_ORACLE, tags=("text",), bench=True)
+def text_word_freq_top20(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens_spark()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), "word")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("word", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# quality score: stopword ratio + length signals, the standard cheap
+# pretraining-data heuristics. Pure array lambdas, no explode.
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(0.5 * stop_ratio
+             + 0.3 * least(cast(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.2 * least(avg_len / 10.0, 1.0), 6) AS quality
+FROM (
+  SELECT doc_id,
+         cast(len(list_filter({_TOKENS_DUCK}, w -> {_in_set('w', STOPWORDS)}))
+              AS DOUBLE) / len({_TOKENS_DUCK}) AS stop_ratio,
+         len({_TOKENS_DUCK}) AS n_tokens,
+         cast(length(replace(text, ' ', '')) AS DOUBLE)
+           / len({_TOKENS_DUCK}) AS avg_len
+  FROM documents
+) t
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text",), bench=True)
+def text_quality_score(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens_spark()
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    n_tokens = F.size(toks)
+    stop_ratio = n_stop.cast("double") / n_tokens
+    avg_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    quality = (
+        0.5 * stop_ratio
+        + 0.3 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + 0.2 * F.least(avg_len / 10.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stopword-profile language ID. A real system uses char-n-gram profiles
+# (see functions/langid.py for that variant, rows-only); this one is the
+# SQL-expressible marker-word scorer so the oracle can confirm it exactly.
+# --------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "das"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "les", "une"),
+}
+
+_score_duck = {
+    lang: f"len(list_filter({_TOKENS_DUCK}, w -> {_in_set('w', words)}))"
+    for lang, words in _MARKERS.items()
+}
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE
+         WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         WHEN de >= es AND de >= fr THEN 'de'
+         WHEN es >= fr THEN 'es'
+         ELSE 'fr'
+       END AS lang_pred,
+       cast(en AS INTEGER) AS en_score,
+       cast(de AS INTEGER) AS de_score,
+       cast(es AS INTEGER) AS es_score,
+       cast(fr AS INTEGER) AS fr_score
+FROM (
+  SELECT doc_id, lang,
+         {_score_duck['en']} AS en,
+         {_score_duck['de']} AS de,
+         {_score_duck['es']} AS es,
+         {_score_duck['fr']} AS fr
+  FROM documents
+) t
+"""
+
+
+@register("text_langid_stopword", oracle=_LANGID_ORACLE, tags=("text", "langid"))
+def text_langid_stopword(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens_spark()
+
+    def score(words):
+        return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score(_MARKERS["en"]).alias("en_score"),
+        score(_MARKERS["de"]).alias("de_score"),
+        score(_MARKERS["es"]).alias("es_score"),
+        score(_MARKERS["fr"]).alias("fr_score"),
+    )
+    en, de, es, fr = (F.col(c) for c in ("en_score", "de_score", "es_score", "fr_score"))
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", "lang", pred.alias("lang_pred"),
+        "en_score", "de_score", "es_score", "fr_score",
+    )
+
+
+# --------------------------------------------------------------------------
+# content-defined fingerprint: md5 over the sorted distinct vocabulary.
+# Word-order-insensitive, so trivially reordered copies collapse — the
+# cheap tier of the dedup ladder (see operators/dedup.py for MinHash).
+# --------------------------------------------------------------------------
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(text), ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE, tags=("text", "dedup"))
+def text_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.sort_array(F.array_distinct(F.split(F.lower("text"), " ")))
+            )
+        ).alias("fingerprint"),
+    )
