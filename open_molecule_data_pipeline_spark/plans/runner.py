@@ -1,0 +1,192 @@
+"""Ingestion job runner: config -> per-source DataFrame pipelines -> NDJSON.
+
+Parity with the reference's ``run_ingestion`` (reference ``ingestion/
+runner.py:388-433``): two phases (``download`` mirrors archives, ``parse``
+converts cached archives to NDJSON — X5), a connector registry keyed by
+source type (X2), skip-completed checkpoints (X4), per-source summaries and
+a Markdown report (K3/A1/A2).
+
+Concurrency: the reference used a thread pool because each source parsed
+single-threaded (``runner.py:409-430``). Under Spark one source already
+fans out across the cluster, so sources run sequentially by default; a
+thread pool (``concurrency > 1``) submits concurrent Spark jobs, which the
+scheduler interleaves — useful when sources are small or I/O-bound.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from pathlib import Path
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sinks.ndjson import write_ndjson
+from ..sinks.report import (
+    SourceSummary,
+    summarize_directory,
+    write_report,
+)
+from ..sources import download as dl
+from ..sources.http_api import HttpSourceConfig, chemspider_config, fetch_to_dataframe
+from ..sources.manifest import read_manifest
+from ..sources.sdf import read_sdf_records
+from ..sources.smiles_table import read_smiles_table
+from .checkpoint import Checkpoint, CheckpointManager
+from .config import IngestionJobConfig, SourceDefinition
+
+ConnectorFn = Callable[[SparkSession, SourceDefinition, dict[str, Any]], DataFrame]
+
+
+def _build_sdf(spark: SparkSession, sdef: SourceDefinition, ctx) -> DataFrame:
+    opts = sdef.options
+    return read_sdf_records(
+        spark,
+        opts["paths"],
+        source=sdef.name,
+        identifier_tag=opts.get("identifier_tag", "PUBCHEM_COMPOUND_CID"),
+        smiles_tag=opts.get("smiles_tag", "PUBCHEM_OPENEYE_ISO_SMILES"),
+        metadata_tags=opts.get("metadata_tags"),
+    )
+
+
+def _build_smiles_table(spark: SparkSession, sdef: SourceDefinition, ctx) -> DataFrame:
+    opts = sdef.options
+    return read_smiles_table(
+        spark,
+        opts["paths"],
+        source=sdef.name,
+        delimiter=opts.get("delimiter", "\t"),
+        smiles_column=opts.get("smiles_column", 0),
+        identifier_column=opts.get("identifier_column", 1),
+    )
+
+
+def _build_http(spark: SparkSession, sdef: SourceDefinition, ctx) -> DataFrame:
+    opts = dict(sdef.options)
+    fetcher = ctx.get("fetchers", {}).get(sdef.name)
+    max_pages = opts.pop("max_pages", None)
+    if sdef.type == "chemspider":
+        cfg = chemspider_config(name=sdef.name, **opts)
+    else:
+        cfg = HttpSourceConfig(name=sdef.name, **opts)
+    kwargs = {"max_pages": max_pages}
+    if fetcher is not None:
+        kwargs["fetcher"] = fetcher
+    return fetch_to_dataframe(spark, cfg, **kwargs)
+
+
+CONNECTOR_REGISTRY: dict[str, ConnectorFn] = {
+    "sdf": _build_sdf,
+    "smiles_table": _build_smiles_table,
+    "http": _build_http,
+    "chemspider": _build_http,
+}
+
+
+def _run_source_parse(
+    spark: SparkSession,
+    config: IngestionJobConfig,
+    sdef: SourceDefinition,
+    checkpoints: CheckpointManager,
+    ctx: dict[str, Any],
+) -> SourceSummary:
+    out_dir = str(Path(config.output_dir) / sdef.name)
+    summary = SourceSummary(name=sdef.name, type=sdef.type)
+    if checkpoints.is_completed(sdef.name):
+        cp = checkpoints.load(sdef.name)
+        summary.completed = True
+        summary.total_batches = cp.batch_index
+        summary.records_written = int(cp.cursor.get("records_written", 0))
+        summary.output = summarize_directory(out_dir, ("*.json*",))
+        return summary
+
+    df = CONNECTOR_REGISTRY[sdef.type](spark, sdef, ctx)
+    write_ndjson(
+        df, out_dir, batch_size=config.batch_size, compress=config.compress_output
+    )
+    # Count from the written output (ground truth, also validates the files).
+    written = spark.read.json(out_dir)
+    records = written.count()
+    out = summarize_directory(out_dir, ("*.json*",))
+    checkpoints.store(
+        sdef.name,
+        Checkpoint(
+            cursor={"records_written": records},
+            batch_index=out.file_count,
+            completed=True,
+        ),
+    )
+    summary.completed = True
+    summary.total_batches = out.file_count
+    summary.records_written = records
+    summary.output = out
+    return summary
+
+
+def _run_source_download(
+    spark: SparkSession,
+    config: IngestionJobConfig,
+    sdef: SourceDefinition,
+    checkpoints: CheckpointManager,
+    ctx: dict[str, Any],
+) -> SourceSummary:
+    opts = sdef.options
+    summary = SourceSummary(name=sdef.name, type=sdef.type)
+    dest = str(Path(opts.get("download_dir", Path(config.output_dir) / "raw")) / sdef.name)
+    if checkpoints.is_completed(sdef.name):
+        summary.completed = True
+        summary.downloads = summarize_directory(dest)
+        return summary
+    manifest = opts.get("manifest")
+    if not manifest:
+        # Parity with the reference's warning for connectors without
+        # download support (runner.py:217-222).
+        summary.extra["warning"] = "source has no manifest; download skipped"
+        return summary
+    entries = read_manifest(manifest, preserve_path=opts.get("preserve_path", False))
+    runner = ctx.get("downloaders", {}).get(sdef.name, dl._default_runner)
+    dl.mirror_urls(spark, entries, dest, runner=runner)
+    checkpoints.store(sdef.name, Checkpoint(completed=True))
+    summary.completed = True
+    summary.downloads = summarize_directory(dest)
+    return summary
+
+
+def run_ingestion(
+    spark: SparkSession,
+    config: IngestionJobConfig,
+    *,
+    mode: str = "parse",
+    context: dict[str, Any] | None = None,
+) -> list[SourceSummary]:
+    """Execute all sources; returns summaries and writes the report.
+
+    ``context`` carries dependency-injected test seams: ``fetchers`` (per-
+    source HTTP fetcher) and ``downloaders`` (per-source aria2 runner) —
+    the same injection points the reference exposes via client factories.
+    """
+    if mode not in ("parse", "download"):
+        raise ValueError(f"unknown mode: {mode}")
+    ctx = context or {}
+    Path(config.output_dir).mkdir(parents=True, exist_ok=True)
+    checkpoints = CheckpointManager(
+        Path(config.checkpoint_dir) / f"ingestion-{mode}"
+    )
+    run_one = _run_source_parse if mode == "parse" else _run_source_download
+
+    summaries: list[SourceSummary] = []
+    if config.concurrency <= 1 or len(config.sources) <= 1:
+        for sdef in config.sources:
+            summaries.append(run_one(spark, config, sdef, checkpoints, ctx))
+    else:
+        with ThreadPoolExecutor(max_workers=config.concurrency) as pool:
+            futures = {
+                pool.submit(run_one, spark, config, sdef, checkpoints, ctx): sdef
+                for sdef in config.sources
+            }
+            for fut in as_completed(futures):
+                summaries.append(fut.result())
+    summaries.sort(key=lambda s: s.name)
+    write_report(summaries, Path(config.output_dir) / "raw-data-report.md")
+    return summaries

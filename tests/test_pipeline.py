@@ -1,0 +1,237 @@
+"""End-to-end ingestion pipeline tests — mirrors the reference's runner
+suite (download mode, parse mode, idempotent restart, report contents)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import subprocess
+from pathlib import Path
+
+import pytest
+import yaml
+
+from open_molecule_data_pipeline_spark.plans.checkpoint import (
+    Checkpoint,
+    CheckpointManager,
+)
+from open_molecule_data_pipeline_spark.plans.config import load_config
+from open_molecule_data_pipeline_spark.plans.runner import run_ingestion
+from open_molecule_data_pipeline_spark.sinks.report import human_bytes
+from open_molecule_data_pipeline_spark.sources.download import (
+    Aria2Options,
+    build_aria2_argv,
+    download,
+)
+
+from .test_sources import _write_sdf
+
+
+@pytest.fixture()
+def job_config(tmp_path):
+    sdf_dir = tmp_path / "raw" / "pubchem"
+    sdf_dir.mkdir(parents=True)
+    _write_sdf(
+        sdf_dir / "chunk_a.sdf.gz",
+        [("1", "C", "methane"), ("2", "CC", "ethane"), ("3", "CCC", "propane")],
+    )
+    zinc_dir = tmp_path / "raw" / "zinc"
+    zinc_dir.mkdir(parents=True)
+    (zinc_dir / "AAAA.txt").write_text("C\tZINC01\nCC\tZINC02\n")
+    cfg = {
+        "job": {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "batch_size": 2,
+            "concurrency": 1,
+            "compress_output": True,
+            "sources": [
+                {
+                    "type": "sdf",
+                    "name": "pubchem",
+                    "options": {"paths": str(sdf_dir / "*.sdf.gz")},
+                },
+                {
+                    "type": "smiles_table",
+                    "name": "zinc",
+                    "options": {"paths": str(zinc_dir / "*.txt")},
+                },
+            ],
+        }
+    }
+    path = tmp_path / "job.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return path
+
+
+def test_config_validation(tmp_path, job_config):
+    cfg = load_config(job_config)
+    assert cfg.batch_size == 2
+    assert [s.name for s in cfg.sources] == ["pubchem", "zinc"]
+
+    bad = yaml.safe_load(job_config.read_text())
+    bad["job"]["sources"].append(dict(bad["job"]["sources"][0]))
+    p = tmp_path / "dup.yaml"
+    p.write_text(yaml.safe_dump(bad))
+    with pytest.raises(Exception, match="duplicate"):
+        load_config(p)
+
+    bad2 = yaml.safe_load(job_config.read_text())
+    bad2["job"]["sources"][0]["type"] = "nonsense"
+    p2 = tmp_path / "bad.yaml"
+    p2.write_text(yaml.safe_dump(bad2))
+    with pytest.raises(Exception):
+        load_config(p2)
+
+
+def test_parse_mode_end_to_end(spark, job_config):
+    cfg = load_config(job_config)
+    summaries = run_ingestion(spark, cfg, mode="parse")
+    by_name = {s.name: s for s in summaries}
+    assert by_name["pubchem"].records_written == 3
+    assert by_name["zinc"].records_written == 2
+    assert by_name["pubchem"].completed
+
+    # gzip NDJSON with batch_size=2 -> at least 2 files for pubchem
+    out = Path(cfg.output_dir) / "pubchem"
+    files = sorted(out.glob("*.json.gz"))
+    assert files, "expected gzip ndjson output"
+    records = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            records += [json.loads(line) for line in fh if line.strip()]
+    assert sorted(r["identifier"] for r in records) == ["CID1", "CID2", "CID3"]
+    assert all(r["source"] == "pubchem" for r in records)
+    assert records[0]["metadata"]["PUBCHEM_IUPAC_NAME"]
+
+    # checkpoint marked completed
+    ckpt = CheckpointManager(Path(cfg.checkpoint_dir) / "ingestion-parse")
+    assert ckpt.is_completed("pubchem") and ckpt.is_completed("zinc")
+
+    # report rendered with the summary table
+    report = (Path(cfg.output_dir) / "raw-data-report.md").read_text()
+    assert "| pubchem | sdf | yes |" in report
+    assert "| zinc | smiles_table | yes |" in report
+
+    # idempotent restart: completed sources are skipped, outputs untouched
+    mtimes = {f: f.stat().st_mtime_ns for f in files}
+    summaries2 = run_ingestion(spark, cfg, mode="parse")
+    assert {s.name: s.completed for s in summaries2} == {
+        "pubchem": True,
+        "zinc": True,
+    }
+    assert {f: f.stat().st_mtime_ns for f in files} == mtimes
+
+
+def test_parse_mode_concurrent(spark, job_config):
+    cfg = load_config(job_config).model_copy(update={"concurrency": 2})
+    summaries = run_ingestion(spark, cfg, mode="parse")
+    assert [s.name for s in summaries] == ["pubchem", "zinc"]
+    assert all(s.completed for s in summaries)
+
+
+def test_download_mode_with_fake_runner(spark, tmp_path, job_config):
+    manifest = tmp_path / "links.txt"
+    manifest.write_text("https://host/a/one.sdf.gz\nhttps://host/a/two.sdf.gz\n")
+    cfg = load_config(job_config)
+    cfg.sources[0].options["manifest"] = str(manifest)
+    cfg.sources[0].options["download_dir"] = str(tmp_path / "mirror")
+
+    def fake_runner(argv):
+        # aria2 writes --dir/--out; emulate it
+        d = next(a.split("=", 1)[1] for a in argv if a.startswith("--dir="))
+        o = next(a.split("=", 1)[1] for a in argv if a.startswith("--out="))
+        Path(d).mkdir(parents=True, exist_ok=True)
+        (Path(d) / o).write_bytes(b"data")
+        return subprocess.CompletedProcess(argv, 0, "", "")
+
+    # Patch the module-level default the distributed path closes over.
+    import open_molecule_data_pipeline_spark.plans.runner as runner_mod
+
+    summaries = run_ingestion(
+        spark,
+        cfg,
+        mode="download",
+        context={"downloaders": {"pubchem": fake_runner}},
+    )
+    by_name = {s.name: s for s in summaries}
+    assert by_name["pubchem"].completed
+    mirrored = sorted(
+        p.name for p in (tmp_path / "mirror" / "pubchem").rglob("*") if p.is_file()
+    )
+    assert mirrored == ["one.sdf.gz", "two.sdf.gz"]
+    # zinc has no manifest -> warning, not completed (reference runner.py:217-222)
+    assert not by_name["zinc"].completed
+    assert "warning" in by_name["zinc"].extra
+    del runner_mod
+
+
+def test_aria2_argv_contract(tmp_path):
+    argv = build_aria2_argv(
+        "https://h/x.gz",
+        tmp_path / "x.gz",
+        options=Aria2Options(max_connections_per_server=4, split=8),
+        checksum=("md5", "abc"),
+        username="u",
+        password="p",
+    )
+    assert argv[0] == "aria2c"
+    assert "--continue=true" in argv
+    assert "--max-connection-per-server=4" in argv
+    assert "--split=8" in argv
+    assert "--checksum=md5=abc" in argv
+    assert "--check-integrity=true" in argv
+    assert "--http-user=u" in argv and "--http-passwd=p" in argv
+    assert argv[-1] == "https://h/x.gz"
+
+
+def test_download_skip_existing(tmp_path):
+    target = tmp_path / "x.gz"
+    target.write_bytes(b"nonempty")
+    calls = []
+
+    def runner(argv):
+        calls.append(argv)
+        return subprocess.CompletedProcess(argv, 0, "", "")
+
+    assert download("https://h/x.gz", target, runner=runner) is False
+    assert calls == []
+    # zero-length file is NOT skipped (resume semantics, reference aria2.py:81)
+    empty = tmp_path / "y.gz"
+    empty.write_bytes(b"")
+    assert download("https://h/y.gz", empty, runner=runner) is True
+    assert len(calls) == 1
+
+
+def test_download_failure_raises(tmp_path):
+    def runner(argv):
+        return subprocess.CompletedProcess(argv, 22, "", "404")
+
+    with pytest.raises(RuntimeError, match="aria2c failed"):
+        download("https://h/z.gz", tmp_path / "z.gz", runner=runner)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    mgr = CheckpointManager(tmp_path / "ck")
+    assert mgr.load("src") is None
+    cp = Checkpoint(cursor={"file_index": 1}, batch_index=3, completed=False)
+    mgr.store("src", cp)
+    loaded = mgr.load("src")
+    assert loaded == cp
+    assert not mgr.is_completed("src")
+    mgr.store("src", Checkpoint(completed=True))
+    assert mgr.is_completed("src")
+
+
+def test_human_bytes():
+    assert human_bytes(512) == "512 B"
+    assert human_bytes(1536) == "1.5 KiB"
+    assert human_bytes(3 * 1024**2) == "3.0 MiB"
+
+
+def test_cli_ingest(job_config, capsys):
+    from open_molecule_data_pipeline_spark.plans import cli
+
+    assert cli.main(["ingest", "--config", str(job_config)]) == 0
+    out = capsys.readouterr().out
+    assert "pubchem: completed=True" in out

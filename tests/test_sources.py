@@ -1,0 +1,255 @@
+"""Source connector tests — same fixtures/technique as the reference's unit
+suite (synthetic gzip SDF, TSV tranches, manifests, fake HTTP fetchers)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from open_molecule_data_pipeline_spark.sources.http_api import (
+    HttpSourceConfig,
+    chemspider_config,
+    extract_json_path,
+    fetch_pages,
+    fetch_to_dataframe,
+)
+from open_molecule_data_pipeline_spark.sources.manifest import (
+    checksum_sidecar_url,
+    parse_checksum_sidecar,
+    read_manifest,
+    read_manifest_df,
+)
+from open_molecule_data_pipeline_spark.sources.sdf import (
+    parse_sdf_block,
+    read_sdf,
+    read_sdf_records,
+)
+from open_molecule_data_pipeline_spark.sources.smiles_table import read_smiles_table
+
+SDF_RECORD = """PubChem
+  -OEChem-
+
+  0  0  0  0  0  0  0  0  0
+M  END
+>  <PUBCHEM_COMPOUND_CID>
+CID{cid}
+
+>  <PUBCHEM_OPENEYE_ISO_SMILES>
+{smiles}
+
+>  <PUBCHEM_IUPAC_NAME>
+{name}
+
+$$$$
+"""
+
+
+def _write_sdf(path, records, compress=True):
+    body = "".join(
+        SDF_RECORD.format(cid=cid, smiles=smi, name=name)
+        for cid, smi, name in records
+    )
+    data = body.encode()
+    if compress:
+        path.write_bytes(gzip.compress(data))
+    else:
+        path.write_bytes(data)
+    return path
+
+
+def test_parse_sdf_block_multiline_value():
+    block = (
+        "header\nM  END\n"
+        "> <TAG_A>\nline1\nline2\n\n"
+        ">  <TAG_B>  (extra)\nvalue\n"
+    )
+    props = parse_sdf_block(block)
+    assert props == {"TAG_A": "line1\nline2", "TAG_B": "value"}
+
+
+def test_read_sdf_gzip(spark, tmp_path):
+    _write_sdf(
+        tmp_path / "chunk_a.sdf.gz",
+        [("1", "C", "methane"), ("2", "CC", "ethane"), ("3", "CCC", "propane")],
+    )
+    parsed = read_sdf(spark, str(tmp_path / "chunk_a.sdf.gz"))
+    rows = parsed.collect()
+    assert len(rows) == 3
+    by_cid = {r.props["PUBCHEM_COMPOUND_CID"]: r.props for r in rows}
+    assert by_cid["CID2"]["PUBCHEM_OPENEYE_ISO_SMILES"] == "CC"
+    assert by_cid["CID3"]["PUBCHEM_IUPAC_NAME"] == "propane"
+    assert all(r.source_file.endswith("chunk_a.sdf.gz") for r in rows)
+
+
+def test_read_sdf_records_normalization(spark, tmp_path):
+    _write_sdf(tmp_path / "a.sdf.gz", [("1", "C", "methane"), ("2", "CC", "")])
+    df = read_sdf_records(spark, str(tmp_path / "a.sdf.gz"), source="pubchem")
+    rows = {r.identifier: r for r in df.collect()}
+    assert set(rows) == {"CID1", "CID2"}
+    assert rows["CID1"].smiles == "C"
+    assert rows["CID1"].source == "pubchem"
+    assert rows["CID1"].metadata == {"PUBCHEM_IUPAC_NAME": "methane"}
+    # empty metadata values are dropped (reference pubchem.py:234)
+    assert rows["CID2"].metadata == {}
+
+
+def test_read_sdf_records_chembl_tags(spark, tmp_path):
+    body = (
+        "mol\nM  END\n> <ChEMBL_ID>\nCHEMBL25\n\n"
+        "> <CANONICAL_SMILES>\nCC(=O)Oc1ccccc1C(=O)O\n\n$$$$\n"
+    )
+    (tmp_path / "chembl.sdf").write_bytes(body.encode())
+    df = read_sdf_records(
+        spark,
+        str(tmp_path / "chembl.sdf"),
+        source="chembl",
+        identifier_tag="ChEMBL_ID",
+        smiles_tag="CANONICAL_SMILES",
+    )
+    row = df.collect()[0]
+    assert row.identifier == "CHEMBL25"
+    assert row.smiles.startswith("CC(=O)")
+
+
+def test_smiles_table_mapping_and_malformed(spark, tmp_path):
+    content = "C\tZINC01\textra1\nCC\tZINC02\n\nBADLINE\n\tZINC03\nCCC\tZINC04\n"
+    (tmp_path / "AAAA.txt").write_text(content)
+    df = read_smiles_table(spark, str(tmp_path / "AAAA.txt"), source="zinc")
+    rows = {r.identifier: r for r in df.collect()}
+    # BADLINE (1 col), blank line, and empty-smiles line are all skipped
+    assert set(rows) == {"ZINC01", "ZINC02", "ZINC04"}
+    assert rows["ZINC01"].smiles == "C"
+    assert rows["ZINC01"].metadata["column_2"] == "extra1"
+    assert rows["ZINC01"].metadata["source_file"].endswith("AAAA.txt")
+    assert "column_2" not in rows["ZINC02"].metadata
+
+
+def test_smiles_table_gzip_and_columns(spark, tmp_path):
+    (tmp_path / "B.txt.gz").write_bytes(gzip.compress(b"ZINC9 CCO\n"))
+    df = read_smiles_table(
+        spark,
+        str(tmp_path / "B.txt.gz"),
+        source="zinc",
+        delimiter=None,
+        smiles_column=1,
+        identifier_column=0,
+    )
+    row = df.collect()[0]
+    assert (row.identifier, row.smiles) == ("ZINC9", "CCO")
+
+
+def test_manifest_parsing(tmp_path):
+    (tmp_path / "links.txt").write_text(
+        "# comment\n\n"
+        "https://host/path/Compound_001.sdf.gz md5sum-ignored\n"
+        "https://host/2D/AA/AAAA.txt\n"
+    )
+    flat = read_manifest(tmp_path / "links.txt")
+    assert [e["relative_path"] for e in flat] == ["Compound_001.sdf.gz", "AAAA.txt"]
+    deep = read_manifest(tmp_path / "links.txt", preserve_path=True)
+    assert deep[1]["relative_path"] == "2D/AA/AAAA.txt"
+
+
+def test_manifest_empty_raises(tmp_path):
+    (tmp_path / "empty.txt").write_text("# only comments\n\n")
+    with pytest.raises(ValueError):
+        read_manifest(tmp_path / "empty.txt")
+
+
+def test_manifest_df(spark, tmp_path):
+    (tmp_path / "links.txt").write_text(
+        "# c\nhttps://host/a/b.sdf.gz\nhttps://host/c/d.txt token\n"
+    )
+    rows = read_manifest_df(spark, str(tmp_path / "links.txt")).collect()
+    assert [r.relative_path for r in rows] == ["b.sdf.gz", "d.txt"]
+    deep = read_manifest_df(
+        spark, str(tmp_path / "links.txt"), preserve_path=True
+    ).collect()
+    assert deep[0].relative_path == "a/b.sdf.gz"
+
+
+def test_checksum_sidecar():
+    assert checksum_sidecar_url("https://h/x.sdf.gz") == "https://h/x.sdf.gz.md5"
+    assert parse_checksum_sidecar("abc123  x.sdf.gz\n") == "abc123"
+    assert parse_checksum_sidecar("") is None
+
+
+def test_extract_json_path():
+    payload = {"a": {"b": [1]}, "next": None}
+    assert extract_json_path(payload, ["a", "b"]) == [1]
+    assert extract_json_path(payload, ["a", "missing"]) is None
+
+
+def _paged_fetcher(pages):
+    """Fake fetcher emulating a cursor-paginated API."""
+    def fetch(url):
+        if "token=" in url:
+            token = url.split("token=")[1].split("&")[0]
+            idx = int(token)
+        else:
+            idx = 0
+        return pages[idx]
+
+    return fetch
+
+
+def test_http_fetch_pages_cursor_chain():
+    pages = [
+        {"results": [{"csid": 1, "smiles": "C", "formula": "CH4"}], "next": "1"},
+        {"results": [{"csid": 2, "smiles": "CC", "inchi_key": "K2"}], "next": None},
+    ]
+    cfg = chemspider_config()
+    out = list(fetch_pages(cfg, fetcher=_paged_fetcher(pages)))
+    assert len(out) == 2
+    (recs1, cur1), (recs2, cur2) = out
+    assert recs1[0][1] == "1" and cur1 == {"token": "1"}
+    assert recs2[0][2] == "CC" and cur2 is None
+    # metadata whitelist from the chemspider preset
+    assert recs1[0][3] == {"formula": "CH4"}
+
+
+def test_http_to_dataframe(spark):
+    pages = [
+        {"records": [{"id": "a", "smiles": "C", "x": 1}], "next": {"cursor": "n"}},
+        {"records": [{"id": "b", "smiles": "N", "x": ""}], "next": None},
+    ]
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        return pages[len(calls) - 1]
+
+    cfg = HttpSourceConfig(name="api", base_url="https://h", endpoint="recs")
+    df = fetch_to_dataframe(spark, cfg, fetcher=fetch)
+    rows = {r.identifier: r for r in df.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].metadata == {"x": "1"}
+    assert rows["b"].metadata == {}  # empty values dropped
+    assert "cursor=n" in calls[1]
+
+
+def test_http_retry_backoff(monkeypatch):
+    cfg = HttpSourceConfig(
+        name="api", base_url="https://h", endpoint="r", backoff_base=0.0
+    )
+    attempts = []
+
+    def flaky(url):
+        attempts.append(url)
+        if len(attempts) < 3:
+            raise ConnectionError("boom")
+        return {"records": [], "next": None}
+
+    out = list(fetch_pages(cfg, fetcher=flaky))
+    assert len(attempts) == 3 and out[0][0] == []
+
+
+def test_http_json_roundtrip_types():
+    # identifiers/smiles str()-coerced like the reference (common.py:190-196)
+    cfg = HttpSourceConfig(name="api", base_url="https://h", endpoint="r")
+    page = {"records": [{"id": 7, "smiles": 42, "z": {"deep": 1}}], "next": None}
+    (recs, _), = fetch_pages(cfg, fetcher=lambda url: page)
+    assert recs[0][1] == "7" and recs[0][2] == "42"
+    assert json.loads(recs[0][3]["z"].replace("'", '"')) == {"deep": 1}
