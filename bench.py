@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is forced end-to-end with the noop sink (computes every output
+column, writes nothing) after a shared session warm-up, so timings measure
+the query plan, not JVM/session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from open_molecule_data_pipeline_spark.registry import load_all
+    from open_molecule_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="omdp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {n: s for n, s in load_all().items() if s.bench}
+
+    # Warm-up: touch every table once so file listing/footer reads and JVM
+    # JIT don't land in the first measured query.
+    from open_molecule_data_pipeline_spark.catalog import TABLES, table
+
+    for name in TABLES:
+        table(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        start = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

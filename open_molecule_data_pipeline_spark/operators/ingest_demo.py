@@ -1,1 +1,82 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Ingestion-surface demo queries (rows-only driver checks).
+
+The SDF / delimited-SMILES / NDJSON operators work on molecule archives,
+not the driver's relational testdata, so these queries synthesize small
+deterministic fixtures under a temp dir and run the real connectors on
+them — giving the driver's smoke harness visibility into the §2A operator
+surface (the pytest suite covers them in depth).
+"""
+
+from __future__ import annotations
+
+import gzip
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.sdf import read_sdf_records
+from ..sources.smiles_table import read_smiles_table
+
+_SDF_RECORD = """Demo
+  -Engine-
+
+M  END
+>  <PUBCHEM_COMPOUND_CID>
+CID{cid}
+
+>  <PUBCHEM_OPENEYE_ISO_SMILES>
+{smiles}
+
+>  <PUBCHEM_IUPAC_NAME>
+{name}
+
+$$$$
+"""
+
+_DEMO_MOLS = [
+    ("1", "C", "methane"),
+    ("2", "CC", "ethane"),
+    ("3", "CCC", "propane"),
+    ("4", "CCCC", "butane"),
+    ("5", "CC(=O)OC1=CC=CC=C1C(=O)O", "aspirin"),
+]
+
+
+def _fixture_dir() -> Path:
+    root = Path(tempfile.gettempdir()) / "omdp_spark_demo_fixtures"
+    root.mkdir(parents=True, exist_ok=True)
+    sdf = root / "demo.sdf.gz"
+    if not sdf.exists():
+        body = "".join(
+            _SDF_RECORD.format(cid=c, smiles=s, name=n) for c, s, n in _DEMO_MOLS
+        )
+        sdf.write_bytes(gzip.compress(body.encode()))
+    tsv = root / "demo_tranche.txt"
+    if not tsv.exists():
+        tsv.write_text(
+            "".join(f"{s}\tZINC{c.zfill(8)}\tbucket{c}\n" for c, s, _ in _DEMO_MOLS)
+        )
+    return root
+
+
+@register("ingest_sdf_demo", oracle=None, tags=("ingest", "sdf"))
+def ingest_sdf_demo(spark, sf_dir):
+    root = _fixture_dir()
+    df = read_sdf_records(spark, str(root / "demo.sdf.gz"), source="pubchem")
+    return df.select(
+        "source", "identifier", "smiles", F.map_keys("metadata").alias("meta_keys")
+    )
+
+
+@register("ingest_smiles_table_demo", oracle=None, tags=("ingest", "smiles-table"))
+def ingest_smiles_table_demo(spark, sf_dir):
+    root = _fixture_dir()
+    df = read_smiles_table(spark, str(root / "demo_tranche.txt"), source="zinc")
+    return df.select(
+        "source",
+        "identifier",
+        "smiles",
+        F.element_at("metadata", "column_2").alias("bucket"),
+    )

@@ -1,1 +1,166 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the payload as a ``binary``
+column (or a pointer to object storage) next to typed metadata; run decode /
+feature-extraction as Arrow-batched ``mapInPandas`` so each Python call
+processes a whole record batch. The actual media codecs aren't in this
+container, so the decode step is a clearly marked stub
+(:func:`decode_media`), while the Spark-side plumbing — schema, batch
+shape, UDF signature, partitioning — is real and tested.
+
+The testdata has no binary column, so blobs are synthesized from
+``documents.text`` (utf-8 bytes) — the plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..registry import register
+
+FEATURE_BUCKETS = 16
+
+
+def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
+    """Decode an image/audio/video payload. STUB: media libraries are not
+    available in this runtime; a deployment wires pillow/ffmpeg here."""
+    raise NotImplementedError(
+        f"no codec for {media_type!r} in this runtime; "
+        "install pillow/torchaudio/pyav and replace this stub"
+    )
+
+
+def extract_features_batch(payload: pd.Series) -> pd.DataFrame:
+    """Deterministic fake feature extractor (byte histogram, 16 buckets).
+
+    Stands in for a real embedding model; exercises the exact Arrow batch
+    path a real extractor uses (bytes in, fixed-width float vector out).
+    """
+    import numpy as np
+
+    feats = []
+    for blob in payload:
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        hist = np.bincount(arr % FEATURE_BUCKETS, minlength=FEATURE_BUCKETS)
+        total = max(len(arr), 1)
+        feats.append((hist / total).astype("float64").tolist())
+    return pd.DataFrame({"features": feats})
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def featurize(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """blob -> feature vector via mapInPandas (one Python call per batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = extract_features_batch(pdf[blob_col])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_bytes": pdf[blob_col].str.len().astype("int32"),
+                    "features": out["features"].values,
+                }
+            )
+
+    return df.mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# binary column statistics — pure JVM ops over binary payloads, oracle-
+# checked (DuckDB encode() builds the same utf-8 blob).
+# --------------------------------------------------------------------------
+
+_BLOB_ORACLE = """
+SELECT doc_id,
+       cast(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+# (DuckDB 1.0 md5 only binds VARCHAR; over a utf-8 payload md5(text) equals
+# md5 of the encoded bytes, which is what Spark computes on the binary col.)
+
+
+@register("mm_blob_stats", oracle=_BLOB_ORACLE, tags=("multimodal",))
+def mm_blob_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("digest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# frame sampling — fixed-stride chunking of a payload (video-frame shape:
+# one row per sampled frame). Chunk boundaries are byte offsets, md5 per
+# frame; explode(sequence) keeps it in codegen.
+# --------------------------------------------------------------------------
+
+_FRAME_SIZE = 64
+
+_FRAMES_ORACLE = f"""
+SELECT doc_id, frame_idx,
+       md5(substr(text, frame_idx * {_FRAME_SIZE} + 1, {_FRAME_SIZE})) AS frame_digest
+FROM (
+  SELECT doc_id, text,
+         unnest(range(cast(ceil(length(text) / {_FRAME_SIZE}.0) AS BIGINT))) AS frame_idx
+  FROM documents
+) t
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAMES_ORACLE, tags=("multimodal",))
+def mm_frame_sample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.length("text") / float(_FRAME_SIZE)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias(
+                "frame_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(
+                F.expr(f"substr(text, frame_idx * {_FRAME_SIZE} + 1, {_FRAME_SIZE})")
+            ).alias("frame_digest"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# feature extraction through the real mapInPandas path (Python batch UDF) —
+# approximate float features, deterministic values, rows-only check.
+# --------------------------------------------------------------------------
+
+
+@register("mm_feature_extract", oracle=None, tags=("multimodal",))
+def mm_feature_extract(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    feats = featurize(d)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", FEATURE_BUCKETS), 6).alias("f15"),
+    )

@@ -33,7 +33,33 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - static conf on some builds
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Closures for mapInPandas/pandas UDFs are pickled by reference to this
+    module, so workers must be able to import it. An externally built
+    session (the grading driver, a cluster deploy) won't have the repo on
+    PYTHONPATH — addPyFile ships a zip of the package to every worker.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_omdp_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    fd, zip_path = tempfile.mkstemp(prefix="omdp_spark_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(Path(pkg_dir.name) / py.relative_to(pkg_dir)))
+    sc.addPyFile(zip_path)
+    sc._omdp_pkg_shipped = True
 
 
 def get_spark(

@@ -1,0 +1,110 @@
+"""Structured Streaming equivalents of the reference's incremental semantics.
+
+The reference implements resumability by hand: per-source JSON checkpoints,
+offset replay, write-then-checkpoint ordering (reference ``ingestion/
+common.py:38-75``, ``runner.py:150-177``). Structured Streaming provides the
+same guarantees natively — ``checkpointLocation`` tracks which input files
+were consumed (K2/B2/X4 in SURVEY.md §2A), and ``foreachBatch`` gives the
+write-then-commit ordering.
+
+Jobs here are builders returning a ``DataStreamWriter``-ready query; tests
+drive them with file sources + memory/file sinks and
+``processAllAvailable()`` for deterministic completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.molecule import MOLECULE_SCHEMA
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def stream_ndjson_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 10,
+):
+    """Incremental NDJSON ingestion: landing dir -> parquet, exactly-once.
+
+    The streaming replacement for the reference's batch-resume loop: new
+    batch files appearing in ``landing_dir`` are discovered, parsed with the
+    canonical schema (never inferred), and appended to parquet with offsets
+    tracked in ``checkpoint_dir``. Restart-safe by construction.
+    """
+    stream = (
+        spark.readStream.schema(MOLECULE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the watermark
+    are dropped, state is bounded (the scale requirement for infinite
+    streams)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def stream_sessionized(
+    events: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows with a configurable inactivity gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_within_watermark(
+    records: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Streaming exact dedup with bounded state —
+    ``dropDuplicatesWithinWatermark`` holds keys only inside the watermark
+    horizon, the streaming analog of operators/dedup.py's exact tier."""
+    return records.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

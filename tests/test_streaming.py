@@ -1,0 +1,162 @@
+"""Structured Streaming tests: file-stream ingestion with checkpoint resume,
+watermarked windows, session windows, streaming dedup."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+
+from open_molecule_data_pipeline_spark.streaming.jobs import (
+    EVENT_SCHEMA,
+    stream_dedup_within_watermark,
+    stream_ndjson_ingest,
+    stream_sessionized,
+    stream_windowed_counts,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _event_rows(spec):
+    """spec: list of (event_id, minutes_offset, user_id, event_type, value)."""
+    return [
+        (eid, T0 + timedelta(minutes=m), uid, et, val)
+        for eid, m, uid, et, val in spec
+    ]
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if stream_df.isStreaming else "append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_ndjson_ingest_stream_resume(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def write_batch(path, records):
+        with open(path, "w") as fh:
+            for r in records:
+                fh.write(json.dumps(r) + "\n")
+
+    write_batch(
+        landing / "b1.jsonl",
+        [
+            {"source": "s", "identifier": "a", "smiles": "C", "metadata": {}},
+            {"source": "s", "identifier": "b", "smiles": "CC", "metadata": {}},
+        ],
+    )
+    writer = stream_ndjson_ingest(spark, str(landing), str(out), str(ckpt))
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(str(out)).count() == 2
+
+    # second batch arrives; restart consumes ONLY the new file (checkpoint
+    # offsets = the reference's resume cursor, common.py:38-43)
+    write_batch(
+        landing / "b2.jsonl",
+        [{"source": "s", "identifier": "c", "smiles": "N", "metadata": {}}],
+    )
+    q2 = stream_ndjson_ingest(spark, str(landing), str(out), str(ckpt)).start()
+    q2.processAllAvailable()
+    q2.stop()
+    df = spark.read.parquet(str(out))
+    assert df.count() == 3
+    assert {r.identifier for r in df.collect()} == {"a", "b", "c"}
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    """Parquet-backed bounded stream of events."""
+
+    def make(spec):
+        src = tmp_path / "events_src"
+        spark.createDataFrame(_event_rows(spec), schema=EVENT_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(str(src))
+        return spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+
+    return make
+
+
+def test_windowed_counts(spark, event_stream):
+    stream = event_stream(
+        [
+            (1, 0, 1, "click", 1.0),
+            (2, 2, 1, "click", 2.0),
+            (3, 7, 2, "view", 3.0),
+        ]
+    )
+    agg = stream_windowed_counts(stream, watermark="1 minute", window="5 minutes")
+    # append mode only emits closed windows; use update-capable sink via
+    # complete mode on a fresh writer instead
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    # the first 5-minute window [00:00,00:05) closes once the watermark
+    # passes; with a bounded source the final window may stay open, so we
+    # assert on what appended
+    closed = {(r.window_start.minute, r.event_type): r.n for r in rows}
+    assert closed.get((0, "click")) == 2
+
+
+def test_sessionization_stream(spark, event_stream):
+    stream = event_stream(
+        [
+            (1, 0, 1, "click", 1.0),
+            (2, 5, 1, "click", 1.0),   # same session (gap 5m < 30m)
+            (3, 60, 1, "click", 1.0),  # new session
+            (4, 300, 1, "click", 1.0), # closes previous sessions via watermark
+        ]
+    )
+    agg = stream_sessionized(stream, watermark="1 minute", gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sessions ORDER BY session_start").collect()
+    assert [r.n_events for r in rows] == [2, 1]
+    assert rows[0].session_start.minute == 0
+
+
+def test_stream_dedup(spark, event_stream):
+    stream = event_stream(
+        [
+            (1, 0, 1, "click", 1.0),
+            (1, 1, 1, "click", 1.0),  # duplicate event_id within watermark
+            (2, 2, 1, "view", 2.0),
+        ]
+    )
+    deduped = stream_dedup_within_watermark(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT event_id FROM deduped").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
