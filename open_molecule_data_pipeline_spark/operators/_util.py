@@ -49,3 +49,19 @@ def s_lavg(expr: str, scale: int) -> str:
 
 def rounded(col: Column, digits: int = 6) -> Column:
     return F.round(col, digits)
+
+
+def spread(df, *keys):
+    """Repartition a coarsely-partitioned input before per-row-heavy compute.
+
+    Small dimension tables often arrive as one parquet file = one partition;
+    a shuffle-free projection chain (e.g. per-doc MinHash signatures) then
+    runs on a single core no matter how wide the cluster is. One cheap
+    round-robin/hash shuffle up front buys full parallelism for the
+    expensive map stage. At 100 TB inputs are naturally multi-file, but the
+    guard is still correct: repartition only widens, never narrows work.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)

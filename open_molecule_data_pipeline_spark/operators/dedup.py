@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._util import spread
 
 # --------------------------------------------------------------------------
 # exact dedup on content hash
@@ -46,9 +47,11 @@ def dedup_exact(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# MinHash signatures. Shingles = word 3-grams; K hash functions realized as
-# md5 over a per-function salt; signature k = min hex digest (lexicographic
-# == numeric min of the uniform hash).
+# MinHash signatures. Shingles = word 3-grams. The K=8 hash functions are
+# the 8 disjoint 16-bit chunks of ONE md5 per shingle ("one-permutation"
+# style): 8x fewer digest computations than salted per-function hashing,
+# identical LSH semantics. Signature k = lexicographic min of chunk k
+# (hex-string min == numeric min of the uniform hash).
 # --------------------------------------------------------------------------
 
 N_HASHES = 8
@@ -66,19 +69,20 @@ _SHINGLES_DUCK = (
 
 
 def _sig_spark(k: int) -> str:
-    return f"array_min(transform(shingles, s -> md5(concat('{k}|', s))))"
+    return f"array_min(transform(hs, h -> substr(h, {4 * k + 1}, 4)))"
 
 
 def _sig_duck(k: int) -> str:
-    return f"list_min(list_transform(shingles, s -> md5('{k}|' || s)))"
+    return f"list_min(list_transform(hs, h -> substr(h, {4 * k + 1}, 4)))"
 
 
 def _minhash_sig_df(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     sigs = (
         d.withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
         .withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .withColumn("hs", F.expr("transform(shingles, s -> md5(s))"))
         .select(
             "doc_id",
             *[F.expr(_sig_spark(k)).alias(f"sig_{k}") for k in range(N_HASHES)],
@@ -91,9 +95,12 @@ _SIG_DUCK_CTE = f"""
   SELECT doc_id,
          {', '.join(f'{_sig_duck(k)} AS sig_{k}' for k in range(N_HASHES))}
   FROM (
-    SELECT doc_id, {_SHINGLES_DUCK} AS shingles
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-    WHERE len(toks) >= 3
+    SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs
+    FROM (
+      SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ) s0
   ) s
 """
 
@@ -190,7 +197,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         .distinct()
     )
     sh = (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"), "doc_id")
         .withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shingle_set"))
@@ -253,7 +260,7 @@ GROUP BY doc_id
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
 def dedup_simhash(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     hashed = words.select(
         "doc_id",
@@ -297,7 +304,7 @@ WHERE cast(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup", "jaccard"))
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     sh = (
         d.withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
@@ -363,7 +370,7 @@ _DOT = (
 
 @register("dedup_embedding_cosine", oracle=_EMB_PAIRS_ORACLE, tags=("dedup", "embedding"))
 def dedup_embedding_cosine(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     a = e.alias("a")
     b = e.alias("b")
     dot_ab = F.expr(_DOT.format(a="a.embedding", b="b.embedding"))

@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from ..catalog import table
 from ..registry import register
+from ._util import spread
 
 FEATURE_BUCKETS = 16
 
@@ -96,7 +97,7 @@ FROM documents
 
 @register("mm_blob_stats", oracle=_BLOB_ORACLE, tags=("multimodal",))
 def mm_blob_stats(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     blob = F.col("text").cast("binary")
     return d.select(
         "doc_id",
@@ -126,7 +127,7 @@ FROM (
 
 @register("mm_frame_sample", oracle=_FRAMES_ORACLE, tags=("multimodal",))
 def mm_frame_sample(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     n_frames = F.ceil(F.length("text") / float(_FRAME_SIZE)).cast("long")
     return (
         d.select(
@@ -154,7 +155,7 @@ def mm_frame_sample(spark, sf_dir):
 
 @register("mm_feature_extract", oracle=None, tags=("multimodal",))
 def mm_feature_extract(spark, sf_dir):
-    d = table(spark, sf_dir, "documents").select(
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
     feats = featurize(d)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._util import spread
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -46,7 +47,7 @@ FROM documents
 
 @register("text_token_stats", oracle=_TOKEN_ORACLE, tags=("text",))
 def text_token_stats(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     n_tokens = F.size(_tokens_spark())
     n_letters = F.length(F.regexp_replace("text", " ", ""))
     return d.select(
@@ -76,7 +77,7 @@ SELECT word, n FROM (
 
 @register("text_word_freq_top20", oracle=_FREQ_ORACLE, tags=("text",), bench=True)
 def text_word_freq_top20(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     counts = (
         d.select(F.explode(_tokens_spark()).alias("word"))
         .groupBy("word")
@@ -115,7 +116,7 @@ FROM (
 
 @register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text",), bench=True)
 def text_quality_score(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens_spark()
     n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
     n_tokens = F.size(toks)
@@ -176,7 +177,7 @@ FROM (
 
 @register("text_langid_stopword", oracle=_LANGID_ORACLE, tags=("text", "langid"))
 def text_langid_stopword(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens_spark()
 
     def score(words):
@@ -219,7 +220,7 @@ FROM documents
 
 @register("text_fingerprint", oracle=_FP_ORACLE, tags=("text", "dedup"))
 def text_fingerprint(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         F.md5(
