@@ -1,0 +1,168 @@
+"""Coverage extensions: analytic windows, ordered string aggregation,
+unpivot, map functions, seeded sampling, null-handling functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import lsum, s_lsum
+
+# --------------------------------------------------------------------------
+# lead / first_value / last_value / percent_rank / cume_dist over a unique
+# ordering (deterministic across engines).
+# --------------------------------------------------------------------------
+
+_ANALYTIC_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS last_price,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_analytic_misc", oracle=_ANALYTIC_ORACLE, tags=("window", "analytic"))
+def window_analytic_misc(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ordered string aggregation (collect_list + sort + join == ordered
+# string_agg) — deterministic because the list is sorted post-collect.
+# --------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(c_name)), ',') AS names,
+       count(*) AS n
+FROM customer
+WHERE c_acctbal > 9000
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_collect_strings", oracle=_COLLECT_ORACLE, tags=("agg", "collect"))
+def agg_collect_strings(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# unpivot (stack): wide measures -> long (metric, value) rows.
+# --------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT event_id, 'value' AS metric, value AS metric_value
+FROM events WHERE event_id % 20 = 0
+UNION ALL
+SELECT event_id, 'kvalue' AS metric,
+       cast(json_extract_string(props, '$.k') AS DOUBLE) AS metric_value
+FROM events WHERE event_id % 20 = 0
+"""
+
+
+@register("func_unpivot_stack", oracle=_UNPIVOT_ORACLE, tags=("functions", "unpivot"))
+def func_unpivot_stack(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    return e.select(
+        "event_id",
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("double").alias("kvalue"),
+    ).selectExpr(
+        "event_id",
+        "stack(2, 'value', value, 'kvalue', kvalue) AS (metric, metric_value)",
+    )
+
+
+# --------------------------------------------------------------------------
+# map functions — build/inspect/filter a map column. The oracle states the
+# expected outputs directly from the base columns, so Spark's map semantics
+# are what's actually under test.
+# --------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT doc_id,
+       'lang,source' AS keys,
+       source AS source_val,
+       2 AS n_entries,
+       1 AS n_after_filter
+FROM documents
+"""
+
+
+@register("func_map_ops", oracle=_MAP_ORACLE, tags=("functions", "map"))
+def func_map_ops(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    filtered = F.map_filter(m, lambda k, v: k != F.lit("lang"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys"),
+        F.element_at(m, "source").alias("source_val"),
+        F.size(m).alias("n_entries"),
+        F.size(filtered).alias("n_after_filter"),
+    )
+
+
+# --------------------------------------------------------------------------
+# seeded sampling — deterministic for a fixed seed within Spark, but not
+# reproducible by another engine: rows-only check by design.
+# --------------------------------------------------------------------------
+
+
+@register("func_sample_seeded", oracle=None, tags=("functions", "sample"))
+def func_sample_seeded(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    return l.sample(fraction=0.01, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# --------------------------------------------------------------------------
+# null-handling: nullif / coalesce / null-aware aggregation.
+# --------------------------------------------------------------------------
+
+_NULLS_ORACLE = f"""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(nullif(l_discount, 0.0)) AS n_discounted,
+       {s_lsum('coalesce(nullif(l_discount, 0.0), -1.0)', 100)} AS coalesced_sum
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("func_null_ops", oracle=_NULLS_ORACLE, tags=("functions", "null"))
+def func_null_ops(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    nz = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nz).alias("n_discounted"),
+        lsum(F.coalesce(nz, F.lit(-1.0)), 100).alias("coalesced_sum"),
+    )
