@@ -67,6 +67,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
@@ -82,5 +83,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
     for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
         builder = builder.config(key, value)
     return tune_session(builder.getOrCreate())

@@ -15,12 +15,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from open_molecule_data_pipeline_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    warehouse = tmp_path_factory.mktemp("spark_warehouse")
     spark = get_spark(
-        app_name="omdp-tests", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name="omdp-tests",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_confs={"spark.sql.warehouse.dir": str(warehouse)},
     )
     yield spark
     spark.stop()

