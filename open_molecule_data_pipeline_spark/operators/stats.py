@@ -1,0 +1,77 @@
+"""Statistical aggregates + the Pandas grouped-map (UDAF-shaped) surface.
+
+``agg_stats_moments`` covers stddev/variance/covariance/correlation.
+``groupedmap_minmax_norm`` runs a real ``applyInPandas`` grouped-map — the
+engine's custom-UDAF escape hatch — and is still oracle-checked because
+min-max normalization has an exact SQL twin (window min/max). That makes it
+a verified template for per-group Python logic (model scoring, curve
+fitting) rather than a rows-only demo.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT c_mktsegment,
+       round(stddev_samp(c_acctbal), 4) AS std_bal,
+       round(var_samp(c_acctbal), 4) AS var_bal,
+       round(covar_samp(c_acctbal, cast(c_nationkey AS DOUBLE)), 4) AS covar_bn,
+       round(corr(c_acctbal, cast(c_nationkey AS DOUBLE)), 6) AS corr_bn
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_stats_moments", oracle=_STATS_ORACLE, tags=("agg", "stats"))
+def agg_stats_moments(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    nk = F.col("c_nationkey").cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        F.round(F.covar_samp(F.col("c_acctbal"), nk), 4).alias("covar_bn"),
+        F.round(F.corr(F.col("c_acctbal"), nk), 6).alias("corr_bn"),
+    )
+
+
+# --------------------------------------------------------------------------
+# applyInPandas grouped-map with an exact SQL oracle.
+# --------------------------------------------------------------------------
+
+_MINMAX_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(CASE WHEN mx = mn THEN 0.5
+                  ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS price_norm
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+         max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+  FROM orders
+) t
+"""
+
+
+@register("groupedmap_minmax_norm", oracle=_MINMAX_ORACLE, tags=("udaf", "pandas"))
+def groupedmap_minmax_norm(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        if mx == mn:
+            pdf["price_norm"] = 0.5
+        else:
+            pdf["price_norm"] = ((pdf["o_totalprice"] - mn) / (mx - mn)).round(6)
+        return pdf[["o_custkey", "o_orderkey", "price_norm"]]
+
+    return o.groupBy("o_custkey").applyInPandas(
+        norm, schema="o_custkey long, o_orderkey long, price_norm double"
+    )

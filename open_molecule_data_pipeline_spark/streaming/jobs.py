@@ -96,6 +96,41 @@ def stream_sessionized(
     )
 
 
+def stream_running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total maintained across micro-batches.
+
+    This is the escape hatch for operators Structured Streaming lacks
+    (custom sessionization, decaying counters, online sketches): state is an
+    explicit per-key tuple the function updates batch-by-batch, stored in
+    the state store with the same exactly-once guarantees as built-ins.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_dedup_within_watermark(
     records: DataFrame,
     *,

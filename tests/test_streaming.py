@@ -160,3 +160,59 @@ def test_stream_dedup(spark, event_stream):
     q.stop()
     rows = spark.sql("SELECT event_id FROM deduped").collect()
     assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches."""
+    import json as _json
+
+    from open_molecule_data_pipeline_spark.streaming.jobs import (
+        stream_running_user_totals,
+    )
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as fh:
+            for eid, minute, uid, et, val in rows:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+                            "user_id": uid,
+                            "event_type": et,
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+
+    write_batch("b1.jsonl", [(1, 0, 1, "click", 1.5), (2, 1, 1, "view", 2.5)])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stream_running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    q.processAllAvailable()
+    write_batch("b2.jsonl", [(3, 2, 1, "click", 6.0), (4, 3, 2, "view", 1.0)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM running_totals ORDER BY user_id, n_events"
+    ).collect()
+    # user 1 appears twice (update mode): first n=2, then n=3 with carried state
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[1] == (3, 10.0)
+    assert latest[2] == (1, 1.0)
