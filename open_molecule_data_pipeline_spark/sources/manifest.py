@@ -27,6 +27,12 @@ def parse_manifest_lines(lines: list[str], *, preserve_path: bool = False) -> li
         url = stripped.split()[0]
         path = urlparse(url).path
         rel = path.lstrip("/") if preserve_path else Path(path).name
+        if not rel:
+            # trailing-slash / pathless URL: a deterministic surrogate name
+            # instead of silently targeting the destination root
+            import hashlib
+
+            rel = hashlib.md5(url.encode()).hexdigest()[:12]
         entries.append({"url": url, "relative_path": rel})
     if not entries:
         raise ValueError("manifest contains no URLs")

@@ -54,7 +54,11 @@ def parse_sdf_block(block: str) -> dict[str, str]:
             props[tag] = "\n".join(buf).strip()
         tag, buf = None, []
 
-    for line in block.splitlines():
+    # split on \n only (with \r tolerance): the reference iterates file
+    # lines (universal newlines) and Spark's lineSep scan splits on \n —
+    # str.splitlines() would additionally split on \x85/  etc.
+    for line in block.split("\n"):
+        line = line.rstrip("\r")
         stripped = line.strip()
         if stripped.startswith(">"):
             flush()

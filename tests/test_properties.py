@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the parsing-heavy code paths —
+rigor the reference's example-based suite lacks (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_molecule_data_pipeline_spark.sinks.report import human_bytes
+from open_molecule_data_pipeline_spark.sources.http_api import extract_json_path
+from open_molecule_data_pipeline_spark.sources.manifest import parse_manifest_lines
+from open_molecule_data_pipeline_spark.sources.sdf import parse_sdf_block
+
+_tag = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="_"),
+    min_size=1,
+    max_size=20,
+)
+_value_line = st.text(
+    alphabet=st.characters(blacklist_characters="\n>", blacklist_categories=("Cs",)),
+    min_size=0,
+    max_size=40,
+).map(lambda s: s.strip())
+
+
+@given(st.dictionaries(_tag, st.lists(_value_line, min_size=1, max_size=3), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_sdf_block_roundtrip(props):
+    """Rendering a property dict as an SDF block and parsing it back yields
+    the same tags with newline-joined, stripped values."""
+    lines = ["header", "M  END"]
+    for tag, values in props.items():
+        lines.append(f">  <{tag}>")
+        lines.extend(values)
+        lines.append("")
+    parsed = parse_sdf_block("\n".join(lines))
+    expected = {t: "\n".join(v).strip() for t, v in props.items()}
+    assert parsed == expected
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.just(""),
+            st.just("   "),
+            st.from_regex(r"#[ -~]{0,30}", fullmatch=True),
+            st.from_regex(r"https://h/[a-z0-9/]{1,30}(\.gz)?( [ -~]{0,10})?", fullmatch=True),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_manifest_parsing_properties(lines):
+    urls = [
+        line.strip().split()[0]
+        for line in lines
+        if line.strip() and not line.strip().startswith("#")
+    ]
+    if not urls:
+        try:
+            parse_manifest_lines(lines)
+            raise AssertionError("expected ValueError on empty manifest")
+        except ValueError:
+            return
+    entries = parse_manifest_lines(lines)
+    assert [e["url"] for e in entries] == urls
+    assert all(e["relative_path"] for e in entries)
+
+
+@given(
+    st.recursive(
+        st.one_of(st.none(), st.integers(), st.text(max_size=5)),
+        lambda child: st.dictionaries(st.text(max_size=5), child, max_size=4),
+        max_leaves=20,
+    ),
+    st.lists(st.text(max_size=5), max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_extract_json_path_never_raises(payload, path):
+    result = extract_json_path(payload, path)
+    # walking manually must agree
+    cur = payload
+    for key in path:
+        if isinstance(cur, dict) and key in cur:
+            cur = cur[key]
+        else:
+            cur = None
+            break
+    assert result == cur
+
+
+@given(st.integers(min_value=0, max_value=2**50))
+@settings(max_examples=300, deadline=None)
+def test_human_bytes_total_function(n):
+    s = human_bytes(n)
+    assert any(s.endswith(u) for u in ("B", "KiB", "MiB", "GiB", "TiB"))
