@@ -101,3 +101,33 @@ def with_canonical_smiles(df: DataFrame, col: str = "smiles") -> DataFrame:
         return s.map(one)
 
     return df.withColumn("canonical_smiles", _canon(F.col(col)))
+
+
+def ngram_fingerprint(col_name: str, *, n: int = 3, bits: int = 256) -> Column:
+    """Hash-folded character-n-gram fingerprint of a SMILES column.
+
+    RDKit-free stand-in for Morgan fingerprints (the reference plans real
+    chemistry descriptors, ``docs/system-plan.md:24-25``): every character
+    n-gram sets one of ``bits`` positions via a crc32-folded hash. Output is
+    a sorted array of set bit positions (sparse form) — pure codegen
+    expressions, usable for Tanimoto similarity joins at scale.
+    """
+    # sequence(1, 0) DESCENDS in Spark (it never returns empty), so strings
+    # shorter than n would produce phantom grams — keep only exact-n grams.
+    grams = F.expr(
+        f"filter(transform(sequence(1, greatest(length({col_name}) - {n - 1}, 1)),"
+        f" i -> substr({col_name}, i, {n})), g -> length(g) = {n})"
+    )
+    hashed = F.transform(
+        grams, lambda g: F.pmod(F.crc32(g.cast("binary")), F.lit(bits)).cast("int")
+    )
+    return F.sort_array(F.array_distinct(hashed))
+
+
+def tanimoto(a: Column, b: Column) -> Column:
+    """Tanimoto (Jaccard) similarity of two sparse bit-position arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )

@@ -167,3 +167,44 @@ def ts_asof_latest_order(spark, sf_dir):
         F.col("o_orderkey").alias("last_orderkey"),
         F.round("o_totalprice", 2).alias("last_totalprice"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: per-user stage timestamps via conditional aggregation,
+# conversion = ordered stage progression. One pass, one shuffle on user_id.
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+SELECT user_id,
+       (t_signup IS NOT NULL) AS has_signup,
+       (t_purchase IS NOT NULL) AS has_purchase,
+       (t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_signup < t_purchase) AS converted
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+) t
+"""
+
+
+@register("ts_funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("timeseries", "funnel"))
+def ts_funnel_conversion(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    t_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    t_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    staged = e.groupBy("user_id").agg(
+        t_signup.alias("t_signup"), t_purchase.alias("t_purchase")
+    )
+    return staged.select(
+        "user_id",
+        F.col("t_signup").isNotNull().alias("has_signup"),
+        F.col("t_purchase").isNotNull().alias("has_purchase"),
+        (
+            F.col("t_signup").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_signup") < F.col("t_purchase"))
+        ).alias("converted"),
+    )

@@ -1,0 +1,64 @@
+"""Chemistry-adjacent functions: fingerprints, Tanimoto, RDKit gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_molecule_data_pipeline_spark.functions.molecule import (
+    ngram_fingerprint,
+    rdkit_available,
+    tanimoto,
+    with_canonical_smiles,
+)
+
+
+@pytest.fixture()
+def mols(spark):
+    rows = [
+        ("CID1", "CC(=O)OC1=CC=CC=C1C(=O)O"),  # aspirin
+        ("CID2", "CC(=O)OC1=CC=CC=C1C(=O)O"),  # identical
+        ("CID3", "CC(=O)NC1=CC=C(O)C=C1"),     # paracetamol (related)
+        ("CID4", "C"),                          # methane (unrelated)
+    ]
+    return spark.createDataFrame(rows, "identifier string, smiles string")
+
+
+def test_ngram_fingerprint_properties(mols):
+    df = mols.withColumn("fp", ngram_fingerprint("smiles"))
+    rows = {r.identifier: r.fp for r in df.collect()}
+    assert rows["CID1"] == rows["CID2"]  # deterministic
+    assert rows["CID1"] != rows["CID3"]
+    assert rows["CID1"] == sorted(set(rows["CID1"]))  # sorted distinct
+    assert all(0 <= b < 256 for b in rows["CID1"])
+    # methane ("C") is shorter than the n-gram size -> empty fingerprint
+    assert rows["CID4"] == []
+
+
+def test_tanimoto_similarity_ordering(mols):
+    fp = mols.withColumn("fp", ngram_fingerprint("smiles"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(b, F.col("a.identifier") < F.col("b.identifier"))
+        .select(
+            F.col("a.identifier").alias("ida"),
+            F.col("b.identifier").alias("idb"),
+            tanimoto(F.col("a.fp"), F.col("b.fp")).alias("sim"),
+        )
+        .collect()
+    )
+    sims = {(r.ida, r.idb): r.sim for r in pairs}
+    assert sims[("CID1", "CID2")] == 1.0  # identical molecules
+    # related molecule is more similar than the unrelated one
+    assert sims[("CID1", "CID3")] > sims[("CID1", "CID4")]
+    assert sims[("CID1", "CID4")] == 0.0  # empty fingerprint -> 0, not NaN
+
+
+def test_rdkit_gating(mols):
+    if rdkit_available():  # pragma: no cover - not in this image
+        out = with_canonical_smiles(mols)
+        assert "canonical_smiles" in out.columns
+    else:
+        with pytest.raises(NotImplementedError, match="RDKit"):
+            with_canonical_smiles(mols)
