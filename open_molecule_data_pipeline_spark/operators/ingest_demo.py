@@ -80,3 +80,42 @@ def ingest_smiles_table_demo(spark, sf_dir):
         "smiles",
         F.element_at("metadata", "column_2").alias("bucket"),
     )
+
+
+_HTTP_PAGES = [
+    {
+        "results": [
+            {"csid": 101, "smiles": "CCO", "inchi_key": "LFQSCWFLJHTTHZ", "formula": "C2H6O"},
+            {"csid": 102, "smiles": "CCN", "inchi_key": "QUSNBJAOOMFDIB", "formula": "C2H7N"},
+        ],
+        "next": "1",
+    },
+    {
+        "results": [
+            {"csid": 103, "smiles": "CCC", "inchi_key": "ATUOYWHBWRKTHZ", "formula": "C3H8"}
+        ],
+        "next": None,
+    },
+]
+
+
+def _demo_fetcher(url: str):
+    """Deterministic in-memory ChemSpider-shaped API (cursor chain of 2 pages)."""
+    idx = 0
+    if "token=" in url:
+        idx = int(url.split("token=")[1].split("&")[0])
+    return _HTTP_PAGES[idx]
+
+
+@register("ingest_http_demo", oracle=None, tags=("ingest", "http"))
+def ingest_http_demo(spark, sf_dir):
+    from ..sources.http_api import chemspider_config, fetch_to_dataframe
+
+    cfg = chemspider_config(name="chemspider")
+    df = fetch_to_dataframe(spark, cfg, fetcher=_demo_fetcher)
+    return df.select(
+        "source",
+        "identifier",
+        "smiles",
+        F.element_at("metadata", "formula").alias("formula"),
+    )

@@ -235,3 +235,39 @@ def test_cli_ingest(job_config, capsys):
     assert cli.main(["ingest", "--config", str(job_config)]) == 0
     out = capsys.readouterr().out
     assert "pubchem: completed=True" in out
+
+
+def test_http_source_through_runner(spark, tmp_path):
+    """chemspider-type source flows through the full runner (X2 registry +
+    K1 sink) with an injected fetcher."""
+    import yaml as _yaml
+
+    from open_molecule_data_pipeline_spark.plans.config import load_config
+
+    pages = [
+        {"results": [{"csid": 1, "smiles": "C", "formula": "CH4"}], "next": "1"},
+        {"results": [{"csid": 2, "smiles": "CC", "formula": "C2H6"}], "next": None},
+    ]
+
+    def fetcher(url):
+        idx = int(url.split("token=")[1].split("&")[0]) if "token=" in url else 0
+        return pages[idx]
+
+    cfg_dict = {
+        "job": {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "batch_size": 10,
+            "sources": [{"type": "chemspider", "name": "csp", "options": {}}],
+        }
+    }
+    p = tmp_path / "job.yaml"
+    p.write_text(_yaml.safe_dump(cfg_dict))
+    summaries = run_ingestion(
+        spark, load_config(p), mode="parse", context={"fetchers": {"csp": fetcher}}
+    )
+    assert summaries[0].records_written == 2
+    out = spark.read.json(str(tmp_path / "out" / "csp"))
+    rows = {r.identifier: r for r in out.collect()}
+    assert rows["1"].smiles == "C"
+    assert rows["2"].metadata["formula"] == "C2H6"
