@@ -27,18 +27,18 @@ PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def _bigrams(col: Column) -> Column:
-    """All character bigrams of a lowercased string, as an array."""
-    s = F.lower(col)
+def _bigrams(col_name: str) -> Column:
+    """All character bigrams of a lowercased string column, as an array."""
+    lowered = f"lower({col_name})"
     return F.expr(
-        f"transform(sequence(1, greatest(length({'lower(text)'}) - 1, 0)),"
-        " i -> substr(lower(text), i, 2))"
+        f"filter(transform(sequence(1, greatest(length({lowered}) - 1, 1)),"
+        f" i -> substr({lowered}, i, 2)), g -> length(g) = 2)"
     )
 
 
 def score_languages(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append per-language bigram-hit counts and an argmax prediction."""
-    grams = _bigrams(F.col(text_col)).alias("__grams")
+    grams = _bigrams(text_col).alias("__grams")
     scored = df.withColumn("__grams", grams)
     for lang, profile in PROFILES.items():
         hits = F.size(

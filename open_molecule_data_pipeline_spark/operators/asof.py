@@ -33,24 +33,29 @@ def asof_join(
     """
     lcols = left.columns
     tb = right_tiebreak or right_on
+    rtypes = dict(right.dtypes)
+
+    # Values are carried as ONE struct per right row: the struct itself is
+    # non-null even when individual value columns are null, so
+    # last(ignorenulls) skips only the left-row placeholders — a right row
+    # with a legitimately-null value still wins over older rows, and all
+    # value columns always come from the same right row.
+    vals_type = ", ".join(f"`{c}`: {rtypes[c]}" for c in value_cols)
 
     r = right.select(
         F.col(right_on).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         F.col(tb).alias("__tb"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vals"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
     )
     l = left.select(
         F.col(left_on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(dict(right.dtypes)[tb]).alias("__tb"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(rtypes[tb]).alias("__tb"),
+        F.lit(None).cast(f"struct<{vals_type}>").alias("__vals"),
         *lcols,
     )
     # Order: time, then right-before-left at equal time (<= semantics), then
@@ -63,9 +68,8 @@ def asof_join(
     filled = r.unionByName(l).select(
         *lcols,
         F.col("__side"),
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last("__vals", ignorenulls=True).over(w).alias("__filled"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__filled.{c}").alias(c) for c in value_cols]
+    )

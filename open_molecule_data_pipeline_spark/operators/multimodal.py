@@ -127,7 +127,11 @@ FROM (
 
 @register("mm_frame_sample", oracle=_FRAMES_ORACLE, tags=("multimodal",))
 def mm_frame_sample(spark, sf_dir):
-    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    # empty/null text would hit Spark's descending sequence(0,-1) (it never
+    # returns empty) and emit phantom frames; the oracle's range(0) is empty
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").filter(
+        F.length("text") > 0
+    )
     n_frames = F.ceil(F.length("text") / float(_FRAME_SIZE)).cast("long")
     return (
         d.select(

@@ -484,7 +484,9 @@ def setop_except(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     orderers = o.select(F.col("o_custkey").alias("c_custkey"))
-    return rich.exceptAll(orderers).distinct()
+    # subtract == EXCEPT DISTINCT; exceptAll().distinct() would keep values
+    # whose left multiplicity merely exceeds the right's.
+    return rich.subtract(orderers)
 
 
 _INTERSECT_ORACLE = """

@@ -102,12 +102,17 @@ def _run_source_parse(
         return summary
 
     df = CONNECTOR_REGISTRY[sdef.type](spark, sdef, ctx)
+    # Observation counts the rows in the SAME pass that writes them — no
+    # second read over the (possibly huge, gzip) output just for a count.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(f"ingest_{sdef.name}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("records"))
     write_ndjson(
         df, out_dir, batch_size=config.batch_size, compress=config.compress_output
     )
-    # Count from the written output (ground truth, also validates the files).
-    written = spark.read.json(out_dir)
-    records = written.count()
+    records = int(obs.get["records"])
     out = summarize_directory(out_dir, ("*.json*",))
     checkpoints.store(
         sdef.name,

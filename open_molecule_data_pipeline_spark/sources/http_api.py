@@ -21,7 +21,7 @@ import time
 import urllib.parse
 import urllib.request
 from collections.abc import Callable, Iterator, Mapping
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,7 +76,10 @@ def chemspider_config(name: str = "chemspider", **overrides) -> HttpSourceConfig
         smiles_field="smiles",
         metadata_fields=["inchi_key", "formula"],
     )
+    valid = {f.name for f in fields(HttpSourceConfig)}
     for k, v in overrides.items():
+        if k not in valid:
+            raise TypeError(f"unknown chemspider option: {k!r}")
         setattr(cfg, k, v)
     return cfg
 
@@ -114,8 +117,14 @@ def _build_url(cfg: HttpSourceConfig, cursor: Mapping[str, Any] | None) -> str:
 
 def _parse_records(cfg: HttpSourceConfig, payload: Mapping[str, Any]) -> list[tuple]:
     items = extract_json_path(payload, cfg.records_path) or []
+    if not isinstance(items, list):
+        return []
     rows = []
     for item in items:
+        if not isinstance(item, Mapping):
+            # skip malformed entries rather than abort the run (parity with
+            # the reference's isinstance guard, common.py:188)
+            continue
         identifier = item.get(cfg.identifier_field)
         smiles = item.get(cfg.smiles_field)
         meta_keys = (
@@ -173,11 +182,33 @@ def fetch_to_dataframe(
     *,
     fetcher: Fetcher = _default_fetcher,
     max_pages: int | None = None,
+    rows_per_chunk: int = 50_000,
 ) -> DataFrame:
-    """Drain the cursor chain into one canonical-record DataFrame."""
-    rows: list[tuple] = []
+    """Drain the cursor chain into one canonical-record DataFrame.
+
+    Pages are flushed into DataFrame chunks as they arrive and unioned, so
+    driver memory holds at most ``rows_per_chunk`` raw rows at a time (a
+    long cursor chain never accumulates the whole dataset driver-side).
+    """
+    chunks: list[DataFrame] = []
+    buf: list[tuple] = []
+
+    def flush() -> None:
+        nonlocal buf
+        if buf:
+            chunks.append(spark.createDataFrame(buf, schema=MOLECULE_SCHEMA))
+            buf = []
+
     for i, (records, _cursor) in enumerate(fetch_pages(cfg, fetcher=fetcher)):
-        rows.extend(records)
+        buf.extend(records)
+        if len(buf) >= rows_per_chunk:
+            flush()
         if max_pages is not None and i + 1 >= max_pages:
             break
-    return spark.createDataFrame(rows, schema=MOLECULE_SCHEMA)
+    flush()
+    if not chunks:
+        return spark.createDataFrame([], schema=MOLECULE_SCHEMA)
+    out = chunks[0]
+    for chunk in chunks[1:]:
+        out = out.unionByName(chunk)
+    return out

@@ -50,10 +50,17 @@ def read_manifest_df(
     """DataFrame flavor: filter comments/blanks, split first token."""
     url = F.split(F.trim("value"), r"\s+")[0]
     rel = (
-        F.regexp_replace(F.regexp_replace(url, r"^[a-z]+://[^/]+/", ""), r"\?.*$", "")
+        F.regexp_replace(
+            F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+/", ""),
+            r"\?.*$",
+            "",
+        )
         if preserve_path
         else F.regexp_extract(url, r"([^/?]+)(?:\?.*)?$", 1)
     )
+    # same surrogate-name fallback as parse_manifest_lines: a pathless /
+    # trailing-slash URL must not resolve to the destination root
+    rel = F.coalesce(F.nullif(rel, F.lit("")), F.substring(F.md5(url), 1, 12))
     return (
         spark.read.text(path)
         .filter((F.trim("value") != "") & ~F.trim("value").startswith("#"))

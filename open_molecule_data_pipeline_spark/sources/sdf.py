@@ -27,7 +27,12 @@ from pyspark.sql import types as T
 
 from ..functions.molecule import normalize_records
 
-RECORD_SEPARATOR = "\n$$$$\n"
+# Bare "$$$$" (no surrounding newlines): tolerant of CRLF files and of a
+# final record whose "$$$$" lacks a trailing newline — the same inputs the
+# reference's per-line `strip() == "$$$$"` check accepted (sdf.py:52). The
+# leftover newlines around the delimiter land as blank lines the parser
+# already skips; "$$$$" cannot occur inside a well-formed record.
+RECORD_SEPARATOR = "$$$$"
 
 _PARSED_SCHEMA = T.StructType(
     [

@@ -72,3 +72,19 @@ def test_asof_matches_pandas_merge_asof(spark, seed):
         expected["payload"].astype("float64"),
         check_names=False,
     )
+
+
+def test_asof_null_values_from_latest_row(spark):
+    """A matching right row with a NULL value column must still win over
+    older non-null rows (last-row semantics, not last-non-null-value)."""
+    left = spark.createDataFrame([(1, 1, 3)], "lid long, k long, t long")
+    right = spark.createDataFrame(
+        [(10, 1, 1, 5.0), (11, 1, 2, None)],
+        "rid long, rk long, rt long, payload double",
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="rk", left_time="t",
+        right_time="rt", value_cols=["rid", "payload"], right_tiebreak="rid",
+    ).collect()[0]
+    assert out.rid == 11          # latest matching row
+    assert out.payload is None    # its value, even though null

@@ -253,3 +253,49 @@ def test_http_json_roundtrip_types():
     (recs, _), = fetch_pages(cfg, fetcher=lambda url: page)
     assert recs[0][1] == "7" and recs[0][2] == "42"
     assert json.loads(recs[0][3]["z"].replace("'", '"')) == {"deep": 1}
+
+
+def test_read_sdf_crlf_and_no_trailing_newline(spark, tmp_path):
+    """CRLF line endings and a final record without trailing newline parse
+    identically to the tolerant reference splitter."""
+    body = (
+        "mol\r\nM  END\r\n>  <PUBCHEM_COMPOUND_CID>\r\nCID1\r\n\r\n"
+        ">  <PUBCHEM_OPENEYE_ISO_SMILES>\r\nC\r\n\r\n$$$$\r\n"
+        "mol\r\nM  END\r\n>  <PUBCHEM_COMPOUND_CID>\r\nCID2\r\n\r\n"
+        ">  <PUBCHEM_OPENEYE_ISO_SMILES>\r\nCC\r\n\r\n$$$$"  # no trailing newline
+    )
+    (tmp_path / "crlf.sdf").write_bytes(body.encode())
+    df = read_sdf_records(spark, str(tmp_path / "crlf.sdf"), source="pubchem")
+    rows = {r.identifier: r.smiles for r in df.collect()}
+    assert rows == {"CID1": "C", "CID2": "CC"}
+
+
+def test_http_parse_records_skips_malformed():
+    cfg = HttpSourceConfig(name="api", base_url="https://h", endpoint="r")
+    page = {
+        "records": [None, "junk", {"id": "ok", "smiles": "C"}],
+        "next": None,
+    }
+    (recs, _), = fetch_pages(cfg, fetcher=lambda url: page)
+    assert [r[1] for r in recs] == ["ok"]
+    # records_path resolving to a non-list is tolerated too
+    (recs2, _), = fetch_pages(
+        cfg, fetcher=lambda url: {"records": {"not": "a list"}, "next": None}
+    )
+    assert recs2 == []
+
+
+def test_chemspider_config_rejects_unknown_option():
+    with pytest.raises(TypeError, match="cursor_params"):
+        chemspider_config(cursor_params="token")
+
+
+def test_manifest_df_trailing_slash_surrogate(spark, tmp_path):
+    (tmp_path / "links.txt").write_text("https://host/\nHTTPS://host/A/b.gz\n")
+    rows = read_manifest_df(spark, str(tmp_path / "links.txt")).collect()
+    assert rows[0].relative_path and "/" not in rows[0].relative_path
+    assert rows[1].relative_path == "b.gz"
+    deep = read_manifest_df(
+        spark, str(tmp_path / "links.txt"), preserve_path=True
+    ).collect()
+    assert deep[1].relative_path == "A/b.gz"  # uppercase scheme stripped
