@@ -166,3 +166,25 @@ def func_null_ops(spark, sf_dir):
         F.count(nz).alias("n_discounted"),
         lsum(F.coalesce(nz, F.lit(-1.0)), 100).alias("coalesced_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# posexplode — positional explode of an array slice (oracle pairs unnest
+# with generate_subscripts).
+# --------------------------------------------------------------------------
+
+_POSEXPLODE_ORACLE = """
+SELECT vec_id,
+       generate_subscripts(sl, 1) - 1 AS pos,
+       round(cast(unnest(sl) AS DOUBLE), 6) AS val
+FROM (SELECT vec_id, embedding[1:4] AS sl FROM embeddings) t
+"""
+
+
+@register("func_posexplode_slice", oracle=_POSEXPLODE_ORACLE, tags=("functions", "explode"))
+def func_posexplode_slice(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "v"))
+        .select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
+    )

@@ -28,7 +28,36 @@ def main(argv: list[str] | None = None) -> int:
     ):
         p = sub.add_parser(cmd, help=help_)
         p.add_argument("--config", required=True, help="job YAML path")
+    ps = sub.add_parser(
+        "stream",
+        help="incrementally ingest NDJSON batch files from a landing dir "
+        "(Structured Streaming checkpoint = resumable, exactly-once)",
+    )
+    ps.add_argument("--landing", required=True, help="landing directory to watch")
+    ps.add_argument("--output", required=True, help="parquet output directory")
+    ps.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
+    ps.add_argument(
+        "--continuous",
+        action="store_true",
+        help="keep running (default: drain available files and exit)",
+    )
     args = parser.parse_args(argv)
+
+    if args.command == "stream":
+        from ..streaming.jobs import stream_ndjson_ingest
+
+        spark = get_spark(app_name="omdp-stream")
+        writer = stream_ndjson_ingest(
+            spark, args.landing, args.output, args.checkpoint
+        )
+        if args.continuous:
+            query = writer.start()
+            query.awaitTermination()  # pragma: no cover - interactive mode
+        else:
+            query = writer.trigger(availableNow=True).start()
+            query.awaitTermination()
+        print(f"stream: drained {args.landing} -> {args.output}")
+        return 0
 
     config = load_config(args.config)
     spark = get_spark(app_name=f"omdp-{args.command}")

@@ -96,6 +96,43 @@ def stream_sessionized(
     )
 
 
+def stream_ndjson_foreach_batch(
+    spark: SparkSession,
+    landing_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    batch_size: int = 1000,
+    compress: bool = True,
+):
+    """Landing dir -> gzip NDJSON batches via ``foreachBatch``.
+
+    Exactly the reference's write-then-checkpoint ordering (reference
+    ``runner.py:150-177``): each micro-batch is written by our reference-
+    parity sink, and only then does the engine commit the batch's offsets.
+    A crash between write and commit replays the batch into a new file —
+    at-least-once into uniquely-named files, deduplicable on read.
+    """
+    from ..sinks.ndjson import write_ndjson
+
+    stream = spark.readStream.schema(MOLECULE_SCHEMA).json(landing_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_ndjson(
+            batch_df,
+            f"{output_dir.rstrip('/')}/batch-{batch_id:06d}",
+            batch_size=batch_size,
+            compress=compress,
+            mode="overwrite",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def stream_running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count + value total maintained across micro-batches.

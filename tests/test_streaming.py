@@ -216,3 +216,53 @@ def test_stateful_running_totals(spark, tmp_path):
         latest[r.user_id] = (r.n_events, r.total_value)
     assert latest[1] == (3, 10.0)
     assert latest[2] == (1, 1.0)
+
+
+def test_foreach_batch_ndjson_sink(spark, tmp_path):
+    """foreachBatch drives the reference-parity gzip NDJSON sink with
+    write-then-commit ordering."""
+    import gzip as _gzip
+
+    from open_molecule_data_pipeline_spark.streaming.jobs import (
+        stream_ndjson_foreach_batch,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b1.jsonl").write_text(
+        json.dumps({"source": "s", "identifier": "a", "smiles": "C", "metadata": {}})
+        + "\n"
+    )
+    writer = stream_ndjson_foreach_batch(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    files = sorted((tmp_path / "out").rglob("*.json.gz"))
+    assert files
+    with _gzip.open(files[0], "rt") as fh:
+        rec = json.loads(fh.readline())
+    assert rec["identifier"] == "a" and rec["source"] == "s"
+
+
+def test_cli_stream_drains_and_resumes(spark, tmp_path, capsys):
+    from open_molecule_data_pipeline_spark.plans import cli
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b1.jsonl").write_text(
+        json.dumps({"source": "s", "identifier": "a", "smiles": "C", "metadata": {}})
+        + "\n"
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    assert cli.main(["stream", "--landing", str(landing), "--output", out,
+                     "--checkpoint", ck]) == 0
+    assert spark.read.parquet(out).count() == 1
+    # new file arrives; second drain picks up ONLY the new one
+    (landing / "b2.jsonl").write_text(
+        json.dumps({"source": "s", "identifier": "b", "smiles": "N", "metadata": {}})
+        + "\n"
+    )
+    assert cli.main(["stream", "--landing", str(landing), "--output", out,
+                     "--checkpoint", ck]) == 0
+    assert spark.read.parquet(out).count() == 2
