@@ -131,3 +131,69 @@ def tanimoto(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
+
+
+# Atom symbols ordered so two-letter symbols match before their one-letter
+# prefixes (Cl before C, Br before B); approximate monoisotopic-ish masses.
+_ATOM_MASSES = (
+    ("Cl", 35.45),
+    ("Br", 79.90),
+    ("Si", 28.09),
+    ("C", 12.011),
+    ("N", 14.007),
+    ("O", 15.999),
+    ("S", 32.06),
+    ("P", 30.974),
+    ("F", 18.998),
+    ("I", 126.90),
+)
+
+
+def smiles_descriptors(df: DataFrame, col: str = "smiles") -> DataFrame:
+    """Append heuristic structure descriptors computed from SMILES text.
+
+    RDKit-free approximations (real descriptors are the gated RDKit path,
+    :func:`with_canonical_smiles`): per-element atom counts via regex, an
+    approximate molecular weight from those counts, ring count from SMILES
+    ring-closure digit pairs, and Lipinski-style flags. Deterministic, pure
+    codegen — usable as a 100 TB pre-filter before exact chemistry.
+    """
+    # two-letter symbols are stripped first so their one-letter prefixes
+    # (C in Cl, B in Br) aren't double-counted
+    rest = F.regexp_replace(F.col(col), "Cl|Br|Si", "")
+
+    def occurrences(src: Column, pat: str) -> Column:
+        return (F.length(src) - F.length(F.regexp_replace(src, pat, ""))) / len(pat)
+
+    counts: dict[str, Column] = {}
+    for sym, _mass in _ATOM_MASSES:
+        if len(sym) == 2:
+            counts[sym] = occurrences(F.col(col), sym).cast("int")
+        else:
+            # upper = aliphatic, lower = aromatic spelling of the same atom
+            counts[sym] = (
+                occurrences(rest, sym) + occurrences(rest, sym.lower())
+            ).cast("int")
+
+    mw = None
+    for sym, mass in _ATOM_MASSES:
+        term = counts[sym].cast("double") * mass
+        mw = term if mw is None else mw + term
+    ring_count = (
+        (F.length(F.col(col)) - F.length(F.regexp_replace(F.col(col), r"[0-9]", "")))
+        / 2
+    ).cast("int")
+    heavy_atoms = None
+    for sym, _mass in _ATOM_MASSES:
+        heavy_atoms = counts[sym] if heavy_atoms is None else heavy_atoms + counts[sym]
+
+    return (
+        df.withColumn("n_C", counts["C"])
+        .withColumn("n_N", counts["N"])
+        .withColumn("n_O", counts["O"])
+        .withColumn("heavy_atoms", heavy_atoms)
+        .withColumn("approx_mw", F.round(mw, 2))
+        .withColumn("ring_count", ring_count)
+        .withColumn("lipinski_mw_ok", F.round(mw, 2) <= F.lit(500.0))
+        .withColumn("druglike_size", heavy_atoms.between(3, 50))
+    )

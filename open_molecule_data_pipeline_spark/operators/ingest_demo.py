@@ -119,3 +119,26 @@ def ingest_http_demo(spark, sf_dir):
         "smiles",
         F.element_at("metadata", "formula").alias("formula"),
     )
+
+
+@register("molecule_descriptors_demo", oracle=None, tags=("chemistry",))
+def molecule_descriptors_demo(spark, sf_dir):
+    """Heuristic SMILES descriptors + fingerprint over the demo molecules
+    (rows-only: chemistry heuristics have no relational oracle)."""
+    from ..functions.molecule import ngram_fingerprint, smiles_descriptors
+
+    root = _fixture_dir()
+    df = read_sdf_records(spark, str(root / "demo.sdf.gz"), source="pubchem")
+    described = smiles_descriptors(df)
+    return described.select(
+        "identifier",
+        "smiles",
+        "n_C",
+        "n_N",
+        "n_O",
+        "heavy_atoms",
+        "approx_mw",
+        "ring_count",
+        "lipinski_mw_ok",
+        F.size(ngram_fingerprint("smiles")).alias("fp_bits_set"),
+    )

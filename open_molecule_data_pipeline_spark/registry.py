@@ -60,8 +60,19 @@ def register(
     return deco
 
 
+LOAD_ERRORS: dict[str, str] = {}
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry.
+
+    A module that fails to import (missing optional dep, environment skew)
+    costs only its own queries, not the whole driver contract; failures are
+    recorded in ``LOAD_ERRORS`` for inspection.
+    """
     for mod in _QUERY_MODULES:
-        importlib.import_module(mod)
+        try:
+            importlib.import_module(mod)
+        except Exception as exc:  # pragma: no cover - env-dependent
+            LOAD_ERRORS[mod] = repr(exc)
     return QUERIES

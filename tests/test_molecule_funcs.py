@@ -62,3 +62,26 @@ def test_rdkit_gating(mols):
     else:
         with pytest.raises(NotImplementedError, match="RDKit"):
             with_canonical_smiles(mols)
+
+
+def test_smiles_descriptors(mols):
+    from open_molecule_data_pipeline_spark.functions.molecule import (
+        smiles_descriptors,
+    )
+
+    out = {r.identifier: r for r in smiles_descriptors(mols).collect()}
+    aspirin = out["CID1"]
+    # aspirin C9H8O4: 9 carbons, 4 oxygens, 1 ring (one ring-closure pair)
+    assert aspirin.n_C == 9
+    assert aspirin.n_O == 4
+    assert aspirin.n_N == 0
+    assert aspirin.ring_count == 1
+    assert aspirin.heavy_atoms == 13
+    # 9*12.011 + 4*15.999 = 172.1 (heavy atoms only; H excluded by design)
+    assert abs(aspirin.approx_mw - (9 * 12.011 + 4 * 15.999)) < 0.01
+    assert aspirin.lipinski_mw_ok and aspirin.druglike_size
+    methane = out["CID4"]
+    assert methane.n_C == 1 and methane.heavy_atoms == 1
+    assert not methane.druglike_size  # below the size floor
+    paracetamol = out["CID3"]
+    assert paracetamol.n_N == 1 and paracetamol.n_C == 8
