@@ -18,16 +18,28 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from open_molecule_data_pipeline_spark.registry import load_all  # noqa: E402
+from open_molecule_data_pipeline_spark.session import tune_session  # noqa: E402
+
+
+def _tuned(fn: Callable) -> Callable:
+    """Apply runtime confs + ship the package zip to executor workers before
+    any query runs — the driver's externally built session has neither."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_session(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
     specs = load_all()
-    return specs["agg_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    return _tuned(specs["agg_pricing_summary"].fn)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in load_all().items()}
+    return {name: _tuned(spec.fn) for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -93,6 +93,9 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def read_sdf(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """Parse SDF file(s) into ``(props map<string,string>, source_file)``."""
+    from ..session import tune_session
+
+    tune_session(spark)  # ships the package to executor Python workers
     raw = (
         spark.read.option("lineSep", RECORD_SEPARATOR)
         .text(paths)
