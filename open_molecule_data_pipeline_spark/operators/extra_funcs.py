@@ -188,3 +188,31 @@ def func_posexplode_slice(spark, sf_dir):
         e.select("vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "v"))
         .select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
     )
+
+
+# --------------------------------------------------------------------------
+# recursive CTE (Spark 4 WITH RECURSIVE): generate a month spine covering
+# the order history, then left-join monthly order counts onto it — months
+# with zero orders still appear. One SQL text serves both engines.
+# --------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+)
+SELECT m AS month_start, count(o_orderkey) AS n_orders
+FROM months
+LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+"""
+
+
+@register("recursive_month_spine", oracle=_RECURSIVE_SQL, tags=("recursive", "cte"))
+def recursive_month_spine(spark, sf_dir):
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_SQL)
