@@ -61,7 +61,11 @@ def spread(df, *keys):
     expensive map stage. At 100 TB inputs are naturally multi-file, but the
     guard is still correct: repartition only widens, never narrows work.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
+    try:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        # Spark Connect has no sparkContext/rdd: fall back to a fixed width
+        n = 32
     return df.repartition(n, *keys) if keys else df.repartition(n)

@@ -1,0 +1,82 @@
+"""Iterative graph operators: connected components for dedup clustering.
+
+Near-duplicate pairs (MinHash LSH output) form a graph whose connected
+components are the duplicate clusters; the canonical representative is the
+minimum doc_id in each component. Implementation is distributed min-label
+propagation — a driver-side loop of joins, each iteration one shuffle,
+converging in O(component diameter) rounds (small for dedup graphs).
+``localCheckpoint`` truncates lineage so the loop doesn't stack plans.
+
+The oracle computes the same fixpoint with a recursive CTE (transitive
+closure + min over reachable nodes) — an exact check for an iterative
+algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .dedup import _MINHASH_PAIRS_ORACLE, dedup_minhash_lsh_pairs
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """(node, component) where component = min node id reachable."""
+    undirected = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    nodes = undirected.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            undirected.join(labels, undirected.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "__changed"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_rep
+FROM reach GROUP BY src
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("dedup", "graph"))
+def dedup_clusters(spark, sf_dir):
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )

@@ -34,6 +34,9 @@ from ..sources.sdf import read_sdf_records
 from ..sources.smiles_table import read_smiles_table
 from .checkpoint import Checkpoint, CheckpointManager
 from .config import IngestionJobConfig, SourceDefinition
+from .logging_utils import get_logger
+
+logger = get_logger("omdp.ingestion")
 
 ConnectorFn = Callable[[SparkSession, SourceDefinition, dict[str, Any]], DataFrame]
 
@@ -94,6 +97,7 @@ def _run_source_parse(
     out_dir = str(Path(config.output_dir) / sdef.name)
     summary = SourceSummary(name=sdef.name, type=sdef.type)
     if checkpoints.is_completed(sdef.name):
+        logger.info("source.skipped_completed", source=sdef.name)
         cp = checkpoints.load(sdef.name)
         summary.completed = True
         summary.total_batches = cp.batch_index
@@ -126,6 +130,12 @@ def _run_source_parse(
     summary.total_batches = out.file_count
     summary.records_written = records
     summary.output = out
+    logger.info(
+        "source.parsed",
+        source=sdef.name,
+        records=records,
+        batches=out.file_count,
+    )
     return summary
 
 
@@ -148,6 +158,7 @@ def _run_source_download(
         # Parity with the reference's warning for connectors without
         # download support (runner.py:217-222).
         summary.extra["warning"] = "source has no manifest; download skipped"
+        logger.warning("source.download_unsupported", source=sdef.name)
         return summary
     entries = read_manifest(manifest, preserve_path=opts.get("preserve_path", False))
     runner = ctx.get("downloaders", {}).get(sdef.name, dl._default_runner)

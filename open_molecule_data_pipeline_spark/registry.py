@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.stats",
     "open_molecule_data_pipeline_spark.operators.mllib_lsh",
     "open_molecule_data_pipeline_spark.operators.cdc",
+    "open_molecule_data_pipeline_spark.operators.graph",
     "open_molecule_data_pipeline_spark.operators.windows",
     "open_molecule_data_pipeline_spark.operators.timeseries",
     "open_molecule_data_pipeline_spark.operators.dedup",

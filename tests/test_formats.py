@@ -73,3 +73,30 @@ def test_langid_ngram(spark, sf_dir):
     assert len(rows) == 50
     assert all(r.lang_pred_ngram in ("en", "de", "es", "fr") for r in rows)
     assert all(r.score_en >= 0 for r in rows)
+
+
+def test_connected_components_unit(spark):
+    from open_molecule_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    comps = {
+        r.node: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_structured_logging_shim(caplog):
+    import logging
+
+    from open_molecule_data_pipeline_spark.plans.logging_utils import get_logger
+
+    log = get_logger("omdp.test")
+    with caplog.at_level(logging.INFO, logger="omdp.test"):
+        log.info("source.parsed", source="pubchem", records=3)
+    assert "source.parsed" in caplog.text
+    assert "records=3" in caplog.text and "source='pubchem'" in caplog.text
