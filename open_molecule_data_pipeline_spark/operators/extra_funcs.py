@@ -216,3 +216,29 @@ def recursive_month_spine(spark, sf_dir):
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_RECURSIVE_SQL)
+
+
+# --------------------------------------------------------------------------
+# regexp_extract_all — list outputs joined to a stable string form.
+# --------------------------------------------------------------------------
+
+_REGEXPALL_ORACLE = """
+SELECT p_partkey,
+       array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
+       array_to_string(regexp_extract_all(p_brand, '[0-9]+'), ',') AS brand_digits,
+       cast(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER) AS n_words
+FROM part
+"""
+
+
+@register("func_regexp_extract_all", oracle=_REGEXPALL_ORACLE, tags=("functions", "regex"))
+def func_regexp_extract_all(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    words = F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")
+    digits = F.expr("regexp_extract_all(p_brand, '[0-9]+', 0)")
+    return p.select(
+        "p_partkey",
+        F.array_join(words, ",").alias("words"),
+        F.array_join(digits, ",").alias("brand_digits"),
+        F.size(words).alias("n_words"),
+    )
