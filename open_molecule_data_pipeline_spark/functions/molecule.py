@@ -158,9 +158,13 @@ def smiles_descriptors(df: DataFrame, col: str = "smiles") -> DataFrame:
     ring-closure digit pairs, and Lipinski-style flags. Deterministic, pure
     codegen — usable as a 100 TB pre-filter before exact chemistry.
     """
-    # two-letter symbols are stripped first so their one-letter prefixes
-    # (C in Cl, B in Br) aren't double-counted
-    rest = F.regexp_replace(F.col(col), "Cl|Br|Si", "")
+    # Bracket expressions ([NH3+], [13C], [Na+]) carry charges, H counts and
+    # isotopes whose digits/letters would corrupt naive counting — strip
+    # them first (their atoms are excluded from the heuristic counts; the
+    # exact path is the RDKit UDF). Then strip two-letter symbols so their
+    # one-letter prefixes (C in Cl, B in Br) aren't double-counted.
+    base = F.regexp_replace(F.col(col), r"\[[^\]]*\]", "")
+    rest = F.regexp_replace(base, "Cl|Br|Si", "")
 
     def occurrences(src: Column, pat: str) -> Column:
         return (F.length(src) - F.length(F.regexp_replace(src, pat, ""))) / len(pat)
@@ -168,7 +172,7 @@ def smiles_descriptors(df: DataFrame, col: str = "smiles") -> DataFrame:
     counts: dict[str, Column] = {}
     for sym, _mass in _ATOM_MASSES:
         if len(sym) == 2:
-            counts[sym] = occurrences(F.col(col), sym).cast("int")
+            counts[sym] = occurrences(base, sym).cast("int")
         else:
             # upper = aliphatic, lower = aromatic spelling of the same atom
             counts[sym] = (
@@ -179,10 +183,14 @@ def smiles_descriptors(df: DataFrame, col: str = "smiles") -> DataFrame:
     for sym, mass in _ATOM_MASSES:
         term = counts[sym].cast("double") * mass
         mw = term if mw is None else mw + term
-    ring_count = (
-        (F.length(F.col(col)) - F.length(F.regexp_replace(F.col(col), r"[0-9]", "")))
-        / 2
-    ).cast("int")
+    # ring closures: each ring contributes two markers — either single
+    # digits or %nn two-digit forms (counted separately, then paired)
+    no_pct = F.regexp_replace(base, r"%[0-9][0-9]", "")
+    pct_markers = (F.length(base) - F.length(no_pct)) / 3
+    digit_markers = F.length(no_pct) - F.length(
+        F.regexp_replace(no_pct, r"[0-9]", "")
+    )
+    ring_count = ((digit_markers + pct_markers) / 2).cast("int")
     heavy_atoms = None
     for sym, _mass in _ATOM_MASSES:
         heavy_atoms = counts[sym] if heavy_atoms is None else heavy_atoms + counts[sym]

@@ -66,6 +66,8 @@ def spread(df, *keys):
         if df.rdd.getNumPartitions() >= n:
             return df
     except Exception:
-        # Spark Connect has no sparkContext/rdd: fall back to a fixed width
-        n = 32
+        # Spark Connect exposes no sparkContext/rdd, so neither the target
+        # width nor the current width is knowable here — skip rather than
+        # risk narrowing an already-wide input with a blind repartition.
+        return df
     return df.repartition(n, *keys) if keys else df.repartition(n)

@@ -242,3 +242,17 @@ def func_regexp_extract_all(spark, sf_dir):
         F.array_join(digits, ",").alias("brand_digits"),
         F.size(words).alias("n_words"),
     )
+
+
+# --------------------------------------------------------------------------
+# sketch quantiles — approximate by design (GK sketch), rows-only check.
+# --------------------------------------------------------------------------
+
+
+@register("func_approx_percentile", oracle=None, tags=("functions", "approx"))
+def func_approx_percentile(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_approx"),
+    )

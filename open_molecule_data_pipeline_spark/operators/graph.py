@@ -25,12 +25,18 @@ def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
 ) -> DataFrame:
     """(node, component) where component = min node id reachable."""
-    undirected = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # Checkpoint the edge set once: every iteration joins against it, and
+    # without this the edges' upstream lineage (for dedup_clusters: the full
+    # MinHash-LSH pipeline) would recompute per iteration.
+    undirected = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
     nodes = undirected.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             undirected.join(labels, undirected.b == labels.node)
@@ -53,6 +59,11 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations (component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -79,4 +90,49 @@ def dedup_clusters(spark, sf_dir):
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end dedup application: drop every cluster member except the
+# canonical representative — the composite of the whole ladder
+# (shingle -> MinHash -> LSH pairs -> components -> filtered corpus).
+# --------------------------------------------------------------------------
+
+_APPLY_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+clusters AS (
+  SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM clusters c
+  WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_rep
+)
+"""
+
+
+@register("dedup_apply_clusters", oracle=_APPLY_ORACLE, tags=("dedup", "graph"))
+def dedup_apply_clusters(spark, sf_dir):
+    from ..catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
     )

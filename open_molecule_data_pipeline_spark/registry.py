@@ -72,9 +72,17 @@ def load_all() -> dict[str, QuerySpec]:
     costs only its own queries, not the whole driver contract; failures are
     recorded in ``LOAD_ERRORS`` for inspection.
     """
+    import warnings
+
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
         except Exception as exc:  # pragma: no cover - env-dependent
             LOAD_ERRORS[mod] = repr(exc)
+            warnings.warn(
+                f"query module {mod} failed to import; its queries are "
+                f"missing from the contract: {exc!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return QUERIES

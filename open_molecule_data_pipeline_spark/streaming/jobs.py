@@ -110,8 +110,9 @@ def stream_ndjson_foreach_batch(
     Exactly the reference's write-then-checkpoint ordering (reference
     ``runner.py:150-177``): each micro-batch is written by our reference-
     parity sink, and only then does the engine commit the batch's offsets.
-    A crash between write and commit replays the batch into a new file —
-    at-least-once into uniquely-named files, deduplicable on read.
+    ``batch_id`` is stable across crash replays and each batch overwrites
+    its own ``batch-<id>`` directory, so a replayed batch replaces its
+    previous partial output — effectively-once per batch directory.
     """
     from ..sinks.ndjson import write_ndjson
 

@@ -21,21 +21,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-RECORD = """synthetic molecule
-  -Engine-
-
-M  END
->  <PUBCHEM_COMPOUND_CID>
-CID{i}
-
->  <PUBCHEM_OPENEYE_ISO_SMILES>
-{smiles}
-
->  <PUBCHEM_IUPAC_NAME>
-compound-{i}
-
-$$$$
-"""
+from open_molecule_data_pipeline_spark.operators.ingest_demo import (  # noqa: E402
+    _SDF_RECORD as RECORD_TEMPLATE,
+)
 
 ALPHABET = ["C", "CC", "CCO", "c1ccccc1", "CC(=O)O", "CCN(CC)CC", "CC(C)O"]
 
@@ -50,7 +38,7 @@ def main() -> None:
         per_file = n_records // n_files
         for f in range(n_files):
             body = "".join(
-                RECORD.format(i=f * per_file + i, smiles=ALPHABET[i % len(ALPHABET)])
+                RECORD_TEMPLATE.format(cid=f * per_file + i, smiles=ALPHABET[i % len(ALPHABET)], name=f"compound-{f * per_file + i}")
                 for i in range(per_file)
             )
             (raw / f"chunk_{f:02d}.sdf.gz").write_bytes(gzip.compress(body.encode()))

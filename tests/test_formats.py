@@ -93,10 +93,16 @@ def test_connected_components_unit(spark):
 def test_structured_logging_shim(caplog):
     import logging
 
-    from open_molecule_data_pipeline_spark.plans.logging_utils import get_logger
+    from open_molecule_data_pipeline_spark.plans.logging_utils import (
+        _StdlibShim,
+        get_logger,
+    )
 
-    log = get_logger("omdp.test")
+    # pin the shim's format directly (get_logger may return structlog when
+    # it is installed, which bypasses caplog)
+    log = _StdlibShim(logging.getLogger("omdp.test"))
     with caplog.at_level(logging.INFO, logger="omdp.test"):
         log.info("source.parsed", source="pubchem", records=3)
     assert "source.parsed" in caplog.text
     assert "records=3" in caplog.text and "source='pubchem'" in caplog.text
+    assert get_logger("omdp.any") is not None
