@@ -30,6 +30,7 @@ QUERIES: dict[str, QuerySpec] = {}
 _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.relational",
     "open_molecule_data_pipeline_spark.operators.tpch_extra",
+    "open_molecule_data_pipeline_spark.operators.tpch_extra2",
     "open_molecule_data_pipeline_spark.operators.scalar_funcs",
     "open_molecule_data_pipeline_spark.operators.extra_funcs",
     "open_molecule_data_pipeline_spark.operators.setops_extra",
