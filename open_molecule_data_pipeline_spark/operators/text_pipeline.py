@@ -1,0 +1,191 @@
+"""Training-data pipeline operators over the documents table: deterministic
+dataset splitting, sequence packing, repetition scoring, and TF-IDF feature
+extraction.
+
+These are the LLM-corpus ops that sit downstream of dedup/quality filtering
+in a 100 TB pipeline:
+- the split must be a pure function of the record key (no sampling state to
+  coordinate across executors) → md5-bucket on doc_id;
+- packing assigns docs to fixed-token-budget bins from a running token
+  total (one window, one shuffle; bin boundaries are exact integers);
+- repetition ratio is the distinct-token share — a cheap boilerplate
+  signal computed entirely JVM-side;
+- TF-IDF ranks within-doc terms against corpus document frequency; the
+  only irrational step (ln) is rounded to 6 digits *before* ranking so the
+  cross-engine ordering cannot flip on a last-ulp difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# Deterministic train/eval split: last md5 hex nibble of the key gives 16
+# uniform buckets; '0'..'c' (12/16 = 75%) → train. Lexicographic compare on
+# one lowercase hex char is portable across engines.
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 32, 1) < 'd'
+            THEN 'train' ELSE 'eval' END AS split,
+       lang,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 32, 1) < 'd'
+              THEN 'train' ELSE 'eval' END, lang
+"""
+
+
+@register("text_train_eval_split", oracle=_SPLIT_ORACLE, tags=("text", "split"))
+def text_train_eval_split(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    split = F.when(nibble < "d", "train").otherwise("eval")
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign docs (in doc_id order) to contiguous bins of
+# ~2048 tokens by the running token total's start offset. All integers
+# until one division by a double constant — identical on both sides.
+# The global ordered window is the one inherently serial step; at 100 TB
+# you'd pack per shard (partitionBy a shard key) — the per-shard plan is
+# this same window with a partition clause.
+# --------------------------------------------------------------------------
+
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, cast(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT doc_id, n_tok,
+         cast(floor((sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                    / cast(2048 AS DOUBLE)) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT bin, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_tok) AS BIGINT) AS bin_tokens,
+       cast(min(doc_id) AS BIGINT) AS first_doc
+FROM packed
+GROUP BY bin
+"""
+
+
+@register("text_sequence_packing", oracle=_PACK_ORACLE, tags=("text", "packing", "window"))
+def text_sequence_packing(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(2048.0)).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition ratio: 1 - distinct_tokens/total_tokens, a boilerplate /
+# degenerate-text signal. Small-int division with an identical expression
+# tree; round(6) for safety at the comparison boundary.
+# --------------------------------------------------------------------------
+
+_REP_ORACLE = """
+SELECT doc_id,
+       cast(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+       cast(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+       round(1 - cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / cast(len(string_split(text, ' ')) AS DOUBLE), 6) AS rep_ratio
+FROM documents
+"""
+
+
+@register("text_repetition_ratio", oracle=_REP_ORACLE, tags=("text", "quality"))
+def text_repetition_ratio(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            1 - n_distinct.cast("double") / n_tok.cast("double"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document. tf and df are exact counts; idf = ln(N/df)
+# is the one libm step, so the score is rounded to 6 digits BEFORE the
+# ranking window — equal-to-6-digits scores tie and the term string breaks
+# the tie, making the top-3 identical across engines.
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, cast(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, cast(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term
+), n AS (
+  SELECT cast(count(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(cast(n.n_docs AS DOUBLE) / cast(df.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, cast(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("text_tfidf_topterms", oracle=_TFIDF_ORACLE, tags=("text", "tfidf", "window"))
+def text_tfidf_topterms(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rn")
+    )

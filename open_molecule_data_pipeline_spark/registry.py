@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.dedup",
     "open_molecule_data_pipeline_spark.operators.similarity",
     "open_molecule_data_pipeline_spark.operators.text",
+    "open_molecule_data_pipeline_spark.operators.text_pipeline",
     "open_molecule_data_pipeline_spark.operators.multimodal",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
