@@ -202,3 +202,109 @@ def sim_ann_lsh_topk(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: a sampled coarse quantizer (every 37th vector serves as a
+# centroid — deterministic, no k-means RNG/iteration state to reproduce
+# cross-engine), assignment of every vector to its nearest centroid, and a
+# probe of the query's nprobe=2 nearest cells. At 100 TB the assignment is
+# the classic IVF build cost (N x n_centroids dots with the centroid set
+# broadcast, no shuffle), the inverted lists are a partitioned write, and
+# the probe join touches ~nprobe/n_centroids of the corpus instead of all
+# of it. Centroid ranking orders by the ROUNDED cosine (+ centroid id) so
+# a last-ulp libm difference cannot flip which cells are probed.
+# --------------------------------------------------------------------------
+
+CENTROID_STRIDE = 37
+NPROBE = 2
+
+_IVF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, e AS cent_e FROM v
+  WHERE vec_id % {CENTROID_STRIDE} = 1
+),
+cd AS (
+  SELECT v.vec_id, cent.cent_id,
+         round(list_dot_product(v.e, cent.cent_e)
+           / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.cent_e, cent.cent_e))), 6)
+           AS ccos,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_dot_product(v.e, cent.cent_e)
+             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.cent_e, cent.cent_e))), 6) DESC,
+             cent.cent_id
+         ) AS crn
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cent_id FROM cd WHERE crn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cent_id FROM cd
+  WHERE crn <= {NPROBE} AND vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+           AS cos
+  FROM probe p
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN v c ON c.vec_id = a.vec_id AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= 3
+"""
+
+
+@register("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"))
+def sim_ivf_topk(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e")
+    )
+    cdot = F.expr(_DOT.format(a="embedding", b="cent_e"))
+    vv = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    kk = F.sqrt(F.expr(_DOT.format(a="cent_e", b="cent_e")))
+    ccos = F.round(cdot / (vv * kk), 6)
+    wc = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
+    cd = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cent_id", ccos.alias("ccos"))
+        .withColumn("crn", F.row_number().over(wc))
+    )
+    assign = cd.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("cent_id"),
+    )
+    probe = cd.filter((F.col("crn") <= NPROBE) & (F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id"),
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    qq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    cc = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
+    scored = (
+        assign.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (qq * cc)).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )

@@ -181,3 +181,37 @@ def stream_dedup_within_watermark(
     return records.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_click_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each click to an
+    impression by the same user within ``max_delay``.
+
+    Both sides carry a watermark and the join condition bounds the event
+    times against each other, so Spark can expire buffered state on both
+    sides — without the time bound a stream-stream join buffers forever,
+    which is the 100 TB failure mode this signature prevents.
+    """
+    imp = impressions.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("imp_id"),
+        F.col("user_id").alias("imp_user"),
+        F.col("ts").alias("imp_ts"),
+    )
+    clk = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("clk_id"),
+        F.col("user_id").alias("clk_user"),
+        F.col("ts").alias("clk_ts"),
+    )
+    return imp.join(
+        clk,
+        F.expr(
+            "imp_user = clk_user AND clk_ts >= imp_ts "
+            f"AND clk_ts <= imp_ts + INTERVAL {max_delay}"
+        ),
+    )

@@ -266,3 +266,38 @@ def test_cli_stream_drains_and_resumes(spark, tmp_path, capsys):
     assert cli.main(["stream", "--landing", str(landing), "--output", out,
                      "--checkpoint", ck]) == 0
     assert spark.read.parquet(out).count() == 2
+
+
+def test_stream_stream_join_attribution(spark, event_stream, tmp_path):
+    from open_molecule_data_pipeline_spark.streaming.jobs import (
+        stream_click_attribution,
+    )
+
+    # impressions at minute 0 and 50; clicks at minutes 5, 20, 55.
+    # with a 30-minute attribution window: click@5 and click@20 attribute
+    # to imp@0, click@55 to imp@50.
+    imp = event_stream([(10, 0, 1, "imp", 0.0), (11, 50, 1, "imp", 0.0)])
+
+    src2 = tmp_path / "clicks_src"
+    spark.createDataFrame(
+        _event_rows([(20, 5, 1, "click", 1.0), (21, 20, 1, "click", 1.0),
+                     (22, 55, 1, "click", 1.0)]),
+        schema=EVENT_SCHEMA,
+    ).write.mode("overwrite").parquet(str(src2))
+    clk = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src2))
+
+    joined = stream_click_attribution(imp, clk, watermark="1 minute",
+                                      max_delay="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pairs = {
+        (r.imp_id, r.clk_id)
+        for r in spark.sql("SELECT imp_id, clk_id FROM attrib").collect()
+    }
+    assert pairs == {(10, 20), (10, 21), (11, 22)}
