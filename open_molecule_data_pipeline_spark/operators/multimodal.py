@@ -169,3 +169,50 @@ def mm_feature_extract(spark, sf_dir):
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", FEATURE_BUCKETS), 6).alias("f15"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio-style framing: fixed-size overlapping byte windows (64-byte frame,
+# 32-byte hop) over the payload — the chunk layout a feature extractor
+# consumes. Pure JVM (sequence + posexplode-free offset math + substring on
+# binary); one output row per frame. The oracle frames the same utf-8 text
+# as VARCHAR (testdata text is ASCII, so byte and char offsets coincide,
+# and DuckDB's md5 binds VARCHAR only).
+# --------------------------------------------------------------------------
+
+FRAME_BYTES = 64
+FRAME_HOP = 32
+
+_FRAMES_BYTES_ORACLE = f"""
+SELECT doc_id,
+       cast(off // {FRAME_HOP} AS INTEGER) AS frame_idx,
+       cast(length(substring(text, off + 1, {FRAME_BYTES})) AS INTEGER) AS frame_len,
+       md5(substring(text, off + 1, {FRAME_BYTES})) AS frame_digest
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(cast(length(text) AS BIGINT) - {FRAME_BYTES}, 0), {FRAME_HOP})) AS off
+  FROM documents
+) framed
+"""
+
+
+@register("mm_audio_frames", oracle=_FRAMES_BYTES_ORACLE, tags=("multimodal", "framing"))
+def mm_audio_frames(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    n = F.octet_length(blob).cast("bigint")
+    offsets = F.sequence(
+        F.lit(0).cast("bigint"),
+        F.greatest(n - FRAME_BYTES, F.lit(0).cast("bigint")),
+        F.lit(FRAME_HOP).cast("bigint"),
+    )
+    framed = d.select(
+        "doc_id", blob.alias("blob"), F.explode(offsets).alias("off")
+    )
+    frame = F.expr(f"substring(blob, off + 1, {FRAME_BYTES})")
+    return framed.select(
+        "doc_id",
+        (F.col("off") / FRAME_HOP).cast("int").alias("frame_idx"),
+        F.octet_length(frame).alias("frame_len"),
+        F.md5(frame).alias("frame_digest"),
+    )

@@ -189,3 +189,55 @@ def text_tfidf_topterms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "tfidf", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Composite quality filter: the keep/drop gate a corpus pipeline applies
+# after dedup — language allowlist, token-count band, repetition cap, mean
+# word length band. One JVM-side pass; the first failing rule (fixed CASE
+# order) becomes the drop reason, so the decision is auditable.
+# --------------------------------------------------------------------------
+
+_FILTER_ORACLE = """
+WITH sig AS (
+  SELECT doc_id, lang,
+         cast(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+         cast(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+         cast(length(text) AS INTEGER) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN lang NOT IN ('en', 'es', 'fr') THEN 'lang'
+         WHEN n_tok < 20 OR n_tok > 1000 THEN 'length'
+         WHEN 1 - cast(n_distinct AS DOUBLE) / cast(n_tok AS DOUBLE) > 0.9 THEN 'repetition'
+         WHEN cast(n_chars AS DOUBLE) / cast(n_tok AS DOUBLE) < 2.0
+           OR cast(n_chars AS DOUBLE) / cast(n_tok AS DOUBLE) > 12.0 THEN 'word_len'
+         ELSE 'keep'
+       END AS verdict,
+       n_tok
+FROM sig
+"""
+
+
+@register("text_quality_filter", oracle=_FILTER_ORACLE, tags=("text", "quality", "filter"))
+def text_quality_filter(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+    rep = 1 - F.col("n_distinct").cast("double") / F.col("n_tok").cast("double")
+    wlen = F.col("n_chars").cast("double") / F.col("n_tok").cast("double")
+    verdict = (
+        F.when(~F.col("lang").isin("en", "es", "fr"), "lang")
+        .when((F.col("n_tok") < 20) | (F.col("n_tok") > 1000), "length")
+        .when(rep > 0.9, "repetition")
+        .when((wlen < 2.0) | (wlen > 12.0), "word_len")
+        .otherwise("keep")
+    )
+    return sig.select("doc_id", verdict.alias("verdict"), "n_tok")
