@@ -78,3 +78,49 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     out = buf.getvalue()
     assert "WholeStageCodegen" in out
     assert "Found" in out  # "Found N WholeStageCodegen subtrees"
+
+
+def test_volume_shipping_broadcasts_all_dims(spark, sf_dir):
+    # Q7: customer/supplier/nation x2 all broadcast; lineitem-orders is the
+    # only join allowed to shuffle at scale.
+    plan = _plan(spark, sf_dir, "join_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_correlated_min_uses_window_not_self_join(spark, sf_dir):
+    # Q2 shape: one window over p_type, no join of part against itself.
+    plan = _plan(spark, sf_dir, "subquery_min_price_part")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_waiting_suppliers_single_lineitem_pass(spark, sf_dir):
+    # Q21 rewrite: per-order aggregate instead of two lineitem self-joins —
+    # lineitem (big side) is scanned twice but re-joined on the already
+    # shuffled orderkey; supplier stays broadcast.
+    plan = _plan(spark, sf_dir, "join_waiting_suppliers")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_no_python_and_partial_aggs(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_topterms")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
+    # IVF: the centroid cross product and the probe join must broadcast the
+    # small side; the corpus must never be broadcast.
+    plan = _plan(spark, sf_dir, "sim_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_audio_frames_stays_jvm(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mm_audio_frames")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # explode(sequence) is a JVM generator
