@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.cdc",
     "open_molecule_data_pipeline_spark.operators.graph",
     "open_molecule_data_pipeline_spark.operators.windows",
+    "open_molecule_data_pipeline_spark.operators.windows_extra",
     "open_molecule_data_pipeline_spark.operators.timeseries",
     "open_molecule_data_pipeline_spark.operators.dedup",
     "open_molecule_data_pipeline_spark.operators.similarity",
