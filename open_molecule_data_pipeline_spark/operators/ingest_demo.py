@@ -142,3 +142,34 @@ def molecule_descriptors_demo(spark, sf_dir):
         "lipinski_mw_ok",
         F.size(ngram_fingerprint("smiles")).alias("fp_bits_set"),
     )
+
+
+@register("ingest_http_pyds_demo", oracle=None, tags=("ingest", "http", "datasource"))
+def ingest_http_pyds_demo(spark, sf_dir):
+    """Spark 4 Python Data Source flavor of the HTTP connector — same
+    surface as ``ingest_http_demo`` but read via
+    ``spark.read.format("omdp_http")`` with one partition per source, so
+    sources fetch in parallel on executors (rows-only: ingestion demo)."""
+    from ..sources.http_api import HttpSourceConfig
+    from ..sources.python_datasource import read_http_datasource
+
+    cfgs = [
+        HttpSourceConfig(name="api_a", base_url="https://h", endpoint="recs"),
+        HttpSourceConfig(name="api_b", base_url="https://h", endpoint="recs"),
+    ]
+    pages = {
+        "api_a": [
+            {"records": [{"id": "a1", "smiles": "C", "w": 1}], "next": "t1"},
+            {"records": [{"id": "a2", "smiles": "CO"}], "next": None},
+        ],
+        "api_b": [
+            {"records": [{"id": "b1", "smiles": "N"}], "next": None},
+        ],
+    }
+    df = read_http_datasource(spark, cfgs, pages=pages)
+    return df.select(
+        "source",
+        "identifier",
+        "smiles",
+        F.element_at("metadata", "w").alias("w"),
+    )

@@ -299,3 +299,30 @@ def test_manifest_df_trailing_slash_surrogate(spark, tmp_path):
         spark, str(tmp_path / "links.txt"), preserve_path=True
     ).collect()
     assert deep[1].relative_path == "A/b.gz"  # uppercase scheme stripped
+
+
+def test_python_datasource_http(spark):
+    """Spark 4 Python Data Source flavor: two sources -> two partitions,
+    cursor chains replayed from canned pages on the executors."""
+    from open_molecule_data_pipeline_spark.sources.python_datasource import (
+        read_http_datasource,
+    )
+
+    cfg_a = HttpSourceConfig(name="src_a", base_url="https://h", endpoint="recs")
+    cfg_b = HttpSourceConfig(name="src_b", base_url="https://h", endpoint="recs")
+    pages = {
+        "src_a": [
+            {"records": [{"id": "a1", "smiles": "C", "x": 1}], "next": "t2"},
+            {"records": [{"id": "a2", "smiles": "CC"}], "next": None},
+        ],
+        "src_b": [
+            {"records": [{"id": "b1", "smiles": "O"}], "next": None},
+        ],
+    }
+    df = read_http_datasource(spark, [cfg_a, cfg_b], pages=pages)
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r.identifier: r for r in df.collect()}
+    assert set(rows) == {"a1", "a2", "b1"}
+    assert rows["a1"].source == "src_a"
+    assert rows["a1"].metadata == {"x": "1"}
+    assert rows["b1"].source == "src_b"
