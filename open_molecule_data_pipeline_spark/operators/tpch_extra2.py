@@ -416,3 +416,47 @@ def agg_important_part_value(spark, sf_dir):
         per_part.join(F.broadcast(total), F.col("part_value") > F.col("__threshold"))
         .select("l_partkey", "part_value")
     )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: nested-IN semi-join chain — suppliers whose shipped PROMO
+# volume in a year clears a threshold. No partsupp table, so the inner
+# correlated availqty check becomes the HAVING threshold on the shipped
+# aggregate; the IN chain (supplier <- qualifying suppkeys <- part-filtered
+# lineitem) keeps Q20's shape. Spark plans the IN as a left-semi join on
+# the pre-aggregated (small) key set.
+# --------------------------------------------------------------------------
+
+_Q20_ORACLE = f"""
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_suppkey
+  HAVING {s_lsum('l.l_quantity', 100)} > 400
+)
+"""
+
+
+@register("join_promo_stock_suppliers", oracle=_Q20_ORACLE, tags=("join", "subquery"))
+def join_promo_stock_suppliers(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    qualifying = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(lsum("l_quantity", 100).alias("__qty"))
+        .filter(F.col("__qty") > 400)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
