@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from ._util import s_lsum
+from ._util import lsum, s_lsum
 
 _EXCEPT_ALL_ORACLE = """
 SELECT l_suppkey FROM lineitem WHERE l_quantity > 40
@@ -91,4 +91,45 @@ def agg_salted_skew(spark, sf_dir):
     return partial.groupBy("l_returnflag").agg(
         (F.sum("__sq") / 100.0).alias("sum_qty"),
         F.sum("__n").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted join — the skew-mitigation template for joins: the big (skewed)
+# side gets a deterministic salt, the small side is replicated once per
+# salt value, and the join key becomes (key, salt) so one hot key spreads
+# across N reducers instead of serializing one. Bit-identical to the
+# unsalted join (the oracle proves it). AQE's skew-join split handles
+# moderate skew automatically; this is the explicit pattern for the
+# pathological key that still overflows a single split.
+# --------------------------------------------------------------------------
+
+_SALTED_JOIN_ORACLE = f"""
+SELECT c.c_mktsegment, {s_lsum('l.l_extendedprice', 100)} AS revenue,
+       cast(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_JOIN_ORACLE, tags=("join", "skew"))
+def join_salted_skew(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").withColumn(
+        "__salt", F.pmod(F.col("l_linenumber"), F.lit(_N_SALTS))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    o_rep = o.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1)))
+    )
+    return (
+        l.join(o_rep, (l.l_orderkey == o_rep.o_orderkey) & (l["__salt"] == o_rep["__salt"]))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            lsum("l_extendedprice", 100).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
