@@ -271,3 +271,26 @@ def test_http_source_through_runner(spark, tmp_path):
     rows = {r.identifier: r for r in out.collect()}
     assert rows["1"].smiles == "C"
     assert rows["2"].metadata["formula"] == "C2H6"
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from open_molecule_data_pipeline_spark.plans.compact import (
+        compact_parquet,
+        plan_file_count,
+    )
+
+    target = tmp_path / "ds"
+    df = spark.range(0, 10000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(40).write.parquet(str(target))
+    n_before = len(list(target.rglob("*.parquet")))
+    assert n_before >= 40
+
+    stats = compact_parquet(spark, target, target_bytes=10**9)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1
+
+    back = spark.read.parquet(str(target))
+    assert back.count() == 10000
+    assert back.selectExpr("sum(id) AS s").collect()[0].s == sum(range(10000))
+    assert plan_file_count(0) == 1
+    assert plan_file_count(300 * 1024 * 1024, 128 * 1024 * 1024) == 3
