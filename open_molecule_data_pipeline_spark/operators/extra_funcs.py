@@ -256,3 +256,31 @@ def func_approx_percentile(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_approx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Correlated LATERAL subquery join (Spark 4 / DuckDB share the syntax):
+# latest order per customer as a per-row dependent subquery — the
+# non-window formulation of top-1-per-group. Catalyst decorrelates it into
+# a join + aggregate, so it scales like the window variant; one SQL text
+# serves both engines. Tie-broken on (o_orderdate, o_orderkey) DESC.
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey AS last_orderkey,
+       t.o_orderdate AS last_orderdate, t.o_totalprice AS last_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+) t
+WHERE c.c_custkey < 500
+"""
+
+
+@register("join_lateral_latest_order", oracle=_LATERAL_SQL, tags=("join", "lateral"))
+def join_lateral_latest_order(spark, sf_dir):
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
