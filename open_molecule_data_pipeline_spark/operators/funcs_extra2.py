@@ -197,3 +197,55 @@ def func_trig_math(spark, sf_dir):
         ),
         F.round(F.radians(F.col("p_size").cast("double")), 6).alias("size_rad"),
     )
+
+
+# --------------------------------------------------------------------------
+# Boolean aggregates + conditional count — order-insensitive by
+# construction, so no float precautions needed. DuckDB count_if returns
+# HUGEINT-ish → cast; Spark count_if returns bigint.
+# --------------------------------------------------------------------------
+
+_BOOLAGG_ORACLE = """
+SELECT c_mktsegment,
+       cast(count_if(c_acctbal > 5000) AS BIGINT) AS n_high,
+       bool_and(c_acctbal > -1000) AS all_above_floor,
+       bool_or(c_acctbal > 9900) AS any_near_cap,
+       cast(count(*) AS BIGINT) AS n_total
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_boolean_flags", oracle=_BOOLAGG_ORACLE, tags=("agg", "boolean"))
+def agg_boolean_flags(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count_if(F.col("c_acctbal") > 5000).alias("n_high"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9900).alias("any_near_cap"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-style string formatting: Spark format_string and DuckDB printf share
+# the printf dialect for %s/%d with width/zero-pad flags.
+# --------------------------------------------------------------------------
+
+_FMT_ORACLE = """
+SELECT p_partkey,
+       printf('%s#%05d', p_brand, p_partkey) AS brand_tag,
+       printf('%-8s|%4d', p_type, p_size) AS type_cell
+FROM part
+WHERE p_partkey <= 1000
+"""
+
+
+@register("func_format_strings", oracle=_FMT_ORACLE, tags=("functions", "string"))
+def func_format_strings(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    return p.select(
+        "p_partkey",
+        F.format_string("%s#%05d", "p_brand", "p_partkey").alias("brand_tag"),
+        F.format_string("%-8s|%4d", "p_type", "p_size").alias("type_cell"),
+    )
