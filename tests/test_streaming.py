@@ -301,3 +301,42 @@ def test_stream_stream_join_attribution(spark, event_stream, tmp_path):
         for r in spark.sql("SELECT imp_id, clk_id FROM attrib").collect()
     }
     assert pairs == {(10, 20), (10, 21), (11, 22)}
+
+
+def test_incremental_materialized_view(spark, tmp_path):
+    """foreachBatch merge-upsert keeps a keyed parquet aggregate equal to
+    the full recompute after multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from open_molecule_data_pipeline_spark.streaming.jobs import (
+        stream_incremental_user_totals,
+    )
+
+    src = tmp_path / "events_src"
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+
+    batch1 = [(1, 0, 1, "click", 1.0), (2, 1, 2, "view", 2.0)]
+    batch2 = [(3, 2, 1, "click", 3.0), (4, 3, 3, "view", 4.0)]
+
+    spark.createDataFrame(_event_rows(batch1), schema=EVENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    writer = stream_incremental_user_totals(spark, stream, str(state), str(ckpt))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    spark.createDataFrame(_event_rows(batch2), schema=EVENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    writer = stream_incremental_user_totals(spark, stream, str(state), str(ckpt))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.read.parquet(str(state)).collect()
+    }
+    assert got == {1: (2, 4.0), 2: (1, 2.0), 3: (1, 4.0)}
