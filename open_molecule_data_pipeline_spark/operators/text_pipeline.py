@@ -241,3 +241,59 @@ def text_quality_filter(spark, sf_dir):
         .otherwise("keep")
     )
     return sig.select("doc_id", verdict.alias("verdict"), "n_tok")
+
+
+# --------------------------------------------------------------------------
+# Bigram frequency: adjacent-token pairs per language, top-10 each — the
+# n-gram language-model statistic. Pairs are built JVM-side by zipping the
+# token array with itself shifted one (transform over indexes); ranking is
+# on exact counts with a full tie-break.
+# --------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+), pairs AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM toks WHERE len(ts) >= 2
+), counted AS (
+  SELECT lang, bigram, cast(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY lang, bigram
+)
+SELECT lang, bigram, n, cast(rn AS INTEGER) AS rn FROM (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+  FROM counted
+) t WHERE rn <= 10
+"""
+
+
+@register("text_bigram_top10", oracle=_BIGRAM_ORACLE, tags=("text", "ngram", "window"))
+def text_bigram_top10(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    # element_at is 1-based; sequence(1, n-1) is safe because n >= 2 here
+    # (Spark's sequence DESCENDS when stop < start — the length filter
+    # guards it, playbook rule).
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "bigram", "n", "rn")
+    )

@@ -208,3 +208,49 @@ def ts_funnel_conversion(spark, sf_dir):
             & (F.col("t_signup") < F.col("t_purchase"))
         ).alias("converted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rate-anomaly scoring: hourly event counts z-scored against the trailing
+# 6-hour window (excluding the current hour). Counts are exact ints; the
+# trailing mean/std accumulate over an identically-ordered 6-row frame in
+# both engines, and the z-score is rounded to 6 digits to absorb last-ulp
+# accumulation differences. At 100 TB this is one keyed shuffle (the
+# hourly pre-aggregate) + one ordered window per key.
+# --------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), scored AS (
+  SELECT event_type, hr, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sigma,
+         count(*) OVER w AS n_window
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hr, n,
+       round(CASE WHEN n_window >= 3 AND sigma > 0
+                  THEN (n - mu) / sigma END, 6) AS zscore
+FROM scored
+"""
+
+
+@register("ts_rate_anomaly", oracle=_ANOMALY_ORACLE, tags=("timeseries", "window"))
+def ts_rate_anomaly(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("hr").rowsBetween(-6, -1)
+    mu = F.avg("n").over(w)
+    sigma = F.stddev_samp("n").over(w)
+    n_window = F.count(F.lit(1)).over(w)
+    z = F.when((n_window >= 3) & (sigma > 0), (F.col("n") - mu) / sigma)
+    return hourly.select(
+        "event_type", "hr", "n", F.round(z, 6).alias("zscore")
+    )
