@@ -1,0 +1,438 @@
+"""Third batch of relational/analytic coverage: regression aggregates,
+median + deterministic mode, nth_value, COUNT(DISTINCT) OVER emulation,
+encode/hash scalar functions, relational division, deterministic hash
+sampling, column profiling, train/eval decontamination, z-order layout
+keys, and class-rebalance weights.
+
+Everything here is JVM-side built-ins (no Python UDFs); every query has a
+DuckDB oracle twin. Cross-engine hazards handled per ``_util`` rules:
+integer-width casts (DuckDB TINYINT/UINTEGER/HUGEINT vs Spark INT/BIGINT),
+round() on double ratios, full tie-breakers on every row_number ORDER BY.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import spread
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregates (regr_* family). Slope/intercept/r2 are
+# ratios of co-moments; double-sum accumulation drift across engines is
+# ~1e-11 relative, absorbed by round(4)/round(6).
+# --------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       cast(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_regression_funcs", oracle=_REGR_ORACLE, tags=("agg", "stats"))
+def agg_regression_funcs(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Median (exact interpolated percentile) + mode computed deterministically:
+# built-in mode() breaks frequency ties arbitrarily in both engines, so the
+# mode is derived via count + row_number with a value tie-breaker instead.
+# --------------------------------------------------------------------------
+
+_MEDIAN_MODE_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, median(l_quantity) AS median_qty
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_returnflag, mode_qty,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, mode_qty ASC) AS rn
+  FROM c
+)
+SELECT m.l_returnflag, m.median_qty, r.mode_qty
+FROM m JOIN r ON m.l_returnflag = r.l_returnflag AND r.rn = 1
+"""
+
+
+@register("agg_median_mode", oracle=_MEDIAN_MODE_ORACLE, tags=("agg", "stats"))
+def agg_median_mode(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    med = l.groupBy("l_returnflag").agg(F.median("l_quantity").alias("median_qty"))
+    counts = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(mode, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_qty"
+    )
+
+
+# --------------------------------------------------------------------------
+# nth_value over an explicit full-partition ROWS frame (default frames stop
+# at CURRENT ROW in both engines, which would make row N see < N rows).
+# --------------------------------------------------------------------------
+
+_NTH_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       nth_value(o_totalprice, 3) OVER w AS third_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_nth_value", oracle=_NTH_ORACLE, tags=("window",))
+def window_nth_value(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# COUNT(DISTINCT) OVER — Spark rejects DISTINCT in window aggregates, so
+# this is the standard dense_rank-then-max emulation (exact, two window
+# passes over the same partitioning = one shuffle).
+# --------------------------------------------------------------------------
+
+_NDV_OVER_ORACLE = """
+SELECT o_orderkey, o_custkey, cast(max(dr) OVER (PARTITION BY o_custkey) AS INTEGER) AS n_priorities
+FROM (
+  SELECT o_orderkey, o_custkey,
+         dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS dr
+  FROM orders
+) t
+"""
+
+
+@register("window_count_distinct_over", oracle=_NDV_OVER_ORACLE, tags=("window",))
+def window_count_distinct_over(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w2 = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_orderkey", "o_custkey", F.dense_rank().over(w1).alias("dr")
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_custkey",
+        F.max("dr").over(w2).alias("n_priorities"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Encoding / hashing scalar family: sha-256, hex, base64, popcount, ascii.
+# DuckDB sha256/hex/to_base64∘encode are byte-identical to Spark's
+# sha2(_,256)/hex/base64; bit_count widths differ (TINYINT vs INT) → cast.
+# --------------------------------------------------------------------------
+
+_ENCODE_ORACLE = """
+SELECT c_custkey,
+       sha256(c_name) AS sha,
+       hex(c_name) AS hexed,
+       to_base64(encode(c_name)) AS b64,
+       cast(bit_count(c_custkey) AS INTEGER) AS bits,
+       cast(ascii(c_mktsegment) AS INTEGER) AS first_cp
+FROM customer
+"""
+
+
+@register("func_encode_hash", oracle=_ENCODE_ORACLE, tags=("scalar",))
+def func_encode_hash(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("sha"),
+        F.hex(F.col("c_name")).alias("hexed"),
+        F.base64(F.col("c_name").cast("binary")).alias("b64"),
+        F.bit_count("c_custkey").alias("bits"),
+        F.ascii("c_mktsegment").alias("first_cp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational division: customers whose orders span EVERY priority class.
+# The "divisor" cardinality is a 1-row aggregate → broadcast cross join.
+# --------------------------------------------------------------------------
+
+_DIVISION_ORACLE = """
+SELECT o_custkey
+FROM orders
+GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority) =
+       (SELECT count(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
+@register("join_relational_division", oracle=_DIVISION_ORACLE, tags=("join", "agg"))
+def join_relational_division(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    total = o.agg(F.countDistinct("o_orderpriority").alias("np"))
+    per = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("k")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("k") == F.col("np"))
+        .select("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic pseudo-random sampling: top-5 orders per market segment by
+# md5(orderkey). Same template as seeded subsampling of a training corpus,
+# but reproducible across engines (unlike rand()) so it stays
+# oracle-checked. One shuffle (window partition); dim side broadcast.
+# --------------------------------------------------------------------------
+
+_HASH_SAMPLE_ORACLE = """
+SELECT c_mktsegment, o_orderkey, cast(rn AS INTEGER) AS rn
+FROM (
+  SELECT c_mktsegment, o_orderkey,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY md5(cast(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rn <= 5
+"""
+
+
+@register("sample_hash_topk_per_group", oracle=_HASH_SAMPLE_ORACLE, tags=("sample", "training"))
+def sample_hash_topk_per_group(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        j.select("c_mktsegment", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Column profiling (data-quality summary): one row per profiled column with
+# row/non-null/distinct counts and lexicographic min/max. The per-column
+# aggregates are independent single-pass scans unioned together; at scale
+# each is a map-side-combined agg over the same cached scan.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority")
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{col}' AS column_name,
+       cast(count(*) AS BIGINT) AS n_rows,
+       cast(count({col}) AS BIGINT) AS n_nonnull,
+       cast(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       min({col}) AS min_val,
+       max({col}) AS max_val
+FROM orders"""
+    for col in _PROFILE_COLS
+)
+
+
+@register("profile_column_summary", oracle=_PROFILE_ORACLE, tags=("profile", "agg"))
+def profile_column_summary(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    parts = [
+        o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+        ).select(F.lit(col).alias("column_name"), "*")
+        for col in _PROFILE_COLS
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+# --------------------------------------------------------------------------
+# Train/eval decontamination: word-8-gram overlap of each eval document
+# against the distinct 8-gram set of the train split (same md5-nibble split
+# as text_train_eval_split). At 100 TB the train-gram side is a hashed
+# shuffle join (or a Bloom-filter pre-pass to cut the eval explode);
+# here the exact join is the oracle-checkable ground truth.
+# --------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(toks) - 7),
+                i -> array_to_string(toks[i+1:i+8], ' ')))) AS g
+  FROM toks
+  WHERE len(toks) >= 8
+), marked AS (
+  SELECT doc_id, g,
+         CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 32, 1) < 'd'
+              THEN 'train' ELSE 'eval' END AS split
+  FROM grams
+), train_g AS (
+  SELECT DISTINCT g FROM marked WHERE split = 'train'
+), ev AS (
+  SELECT doc_id, g FROM marked WHERE split = 'eval'
+)
+SELECT ev.doc_id,
+       cast(count(*) AS BIGINT) AS n_grams,
+       cast(count(train_g.g) AS BIGINT) AS n_hit,
+       round(cast(count(train_g.g) AS DOUBLE) / count(*), 6) AS contamination
+FROM ev LEFT JOIN train_g ON ev.g = train_g.g
+GROUP BY ev.doc_id
+"""
+
+_GRAMS_SPARK = (
+    "filter(transform(sequence(0, size(toks) - 8),"
+    " i -> concat_ws(' ', slice(toks, i + 1, 8))), s -> s is not null)"
+)
+
+
+@register("text_decontamination_overlap", oracle=_DECON_ORACLE, tags=("text", "training", "dedup"))
+def text_decontamination_overlap(spark, sf_dir):
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    grams = (
+        d.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_GRAMS_SPARK))).alias("g"),
+        )
+    )
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    grams = grams.withColumn(
+        "split", F.when(nibble < "d", "train").otherwise("eval")
+    )
+    train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    ev = grams.filter(F.col("split") == "eval").select("doc_id", "g")
+    hit = train_g.withColumn("hit", F.lit(1))
+    return (
+        ev.join(hit, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout key: bit-interleave two 8-bit dimensions into one
+# clustering key. Writing sorted/range-partitioned by zval co-locates rows
+# close in BOTH dimensions → multi-dimensional data skipping on scan. Pure
+# integer bit math, unrolled 8 bits, identical in both engines.
+# --------------------------------------------------------------------------
+
+
+def _z_spark(xc: str, yc: str) -> str:
+    terms = []
+    for k in range(8):
+        terms.append(f"shiftleft(shiftright({xc}, {k}) & 1, {2 * k + 1})")
+        terms.append(f"shiftleft(shiftright({yc}, {k}) & 1, {2 * k})")
+    return " + ".join(terms)
+
+
+def _z_duck(xc: str, yc: str) -> str:
+    terms = []
+    for k in range(8):
+        terms.append(f"((({xc} >> {k}) & 1) << {2 * k + 1})")
+        terms.append(f"((({yc} >> {k}) & 1) << {2 * k})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+SELECT o_orderkey, x, y, cast({_z_duck('x', 'y')} AS BIGINT) AS zval
+FROM (
+  SELECT o_orderkey,
+         o_custkey % 256 AS x,
+         cast(day(o_orderdate) AS BIGINT) AS y
+  FROM orders
+) t
+"""
+
+
+@register("layout_zorder_key", oracle=_ZORDER_ORACLE, tags=("layout", "scalar"))
+def layout_zorder_key(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        F.dayofmonth("o_orderdate").cast("long").alias("y"),
+    )
+    return base.select(
+        "o_orderkey", "x", "y", F.expr(_z_spark("x", "y")).alias("zval")
+    )
+
+
+# --------------------------------------------------------------------------
+# Class-rebalance weights: inverse-frequency sampling weight per language
+# so an equal-probability draw over weighted docs is class-balanced — the
+# standard rebalancing step before corpus mixing. All-integer counts until
+# one double division.
+# --------------------------------------------------------------------------
+
+_REBALANCE_ORACLE = """
+WITH c AS (
+  SELECT lang, cast(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), t AS (
+  SELECT cast(sum(n_docs) AS BIGINT) AS total, cast(count(*) AS BIGINT) AS k FROM c
+)
+SELECT lang, n_docs, round(total / (k * n_docs), 6) AS weight
+FROM c, t
+"""
+
+
+@register("agg_class_rebalance_weights", oracle=_REBALANCE_ORACLE, tags=("agg", "training"))
+def agg_class_rebalance_weights(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("total") / (F.col("k") * F.col("n_docs")), 6).alias("weight"),
+    )
