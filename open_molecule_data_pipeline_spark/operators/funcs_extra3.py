@@ -406,6 +406,102 @@ def layout_zorder_key(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# String scalar family #2: translate / split_part / repeat / reverse / lpad
+# / overlay. DuckDB lacks overlay(), so the oracle spells out the exact
+# substring algebra Spark's overlay implements — same result, two dialects.
+# --------------------------------------------------------------------------
+
+_STRING2_ORACLE = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       split_part(p_type, ' ', 1) AS type_head,
+       repeat(p_brand, 2) AS brand2,
+       reverse(p_name) AS rev_name,
+       lpad(cast(p_partkey AS VARCHAR), 10, '0') AS key_pad,
+       substr(p_name, 1, 1) || 'XX' || substr(p_name, 4) AS overlaid
+FROM part
+"""
+
+
+@register("func_string_extra2", oracle=_STRING2_ORACLE, tags=("scalar", "string"))
+def func_string_extra2(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.reverse("p_name").alias("rev_name"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
+        F.overlay("p_name", F.lit("XX"), F.lit(2), F.lit(2)).alias("overlaid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Calendar-edge functions: month end, ISO week, quarter, day-of-year,
+# Monday-start week truncation. DATE results cast to TIMESTAMP (pandas
+# dtype parity rule); integer widths pinned to Spark's INT.
+# --------------------------------------------------------------------------
+
+_DATE_EDGES_ORACLE = """
+SELECT o_orderkey,
+       cast(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       cast(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       cast(quarter(o_orderdate) AS INTEGER) AS qtr,
+       cast(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       date_trunc('week', o_orderdate) AS week_start
+FROM orders
+"""
+
+
+@register("func_date_edges", oracle=_DATE_EDGES_ORACLE, tags=("scalar", "date"))
+def func_date_edges(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_trunc("week", F.col("o_orderdate")).alias("week_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array membership/layout family: sort, position, contains, flatten,
+# distinct-count. Spark array_position returns 0 for a miss where DuckDB
+# list_position returns NULL → coalesce on the oracle side.
+# --------------------------------------------------------------------------
+
+_ARRAY_SET_ORACLE = """
+SELECT doc_id,
+       list_sort(toks[1:5]) AS first5_sorted,
+       cast(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
+       list_contains(toks, 'data') AS has_data,
+       flatten([toks[1:2], toks[3:4]]) AS flat4,
+       cast(len(list_distinct(toks)) AS INTEGER) AS n_uniq
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+"""
+
+
+@register("func_array_membership", oracle=_ARRAY_SET_ORACLE, tags=("scalar", "array"))
+def func_array_membership(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.sort_array(F.slice("toks", 1, 5)).alias("first5_sorted"),
+        F.array_position("toks", "the").alias("pos_the"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.flatten(
+            F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))
+        ).alias("flat4"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Class-rebalance weights: inverse-frequency sampling weight per language
 # so an equal-probability draw over weighted docs is class-balanced — the
 # standard rebalancing step before corpus mixing. All-integer counts until

@@ -94,3 +94,34 @@ def test_extract_json_path_never_raises(payload, path):
 def test_human_bytes_total_function(n):
     s = human_bytes(n)
     assert any(s.endswith(u) for u in ("B", "KiB", "MiB", "GiB", "TiB"))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_zorder_interleave_invertible(pairs):
+    """The Morton key emitted by the layout_zorder_key SQL fragment must be
+    a true bit-interleave: deinterleaving recovers (x, y) exactly, and the
+    key stays within 16 bits — run through DuckDB so the tested text is the
+    same dialect the oracle uses."""
+    import duckdb
+
+    from open_molecule_data_pipeline_spark.operators.funcs_extra3 import _z_duck
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pairs)
+    rows = con.execute(f"SELECT x, y, {_z_duck('x', 'y')} FROM pts").fetchall()
+    for x, y, z in rows:
+        assert 0 <= z < 1 << 16
+        rx = sum(((z >> (2 * k + 1)) & 1) << k for k in range(8))
+        ry = sum(((z >> (2 * k)) & 1) << k for k in range(8))
+        assert (rx, ry) == (x, y)
