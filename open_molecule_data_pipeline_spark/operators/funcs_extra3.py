@@ -532,3 +532,67 @@ def agg_class_rebalance_weights(spark, sf_dir):
         "n_docs",
         F.round(F.col("total") / (F.col("k") * F.col("n_docs")), 6).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type co-occurrence (market-basket shape): distinct (user, type)
+# pairs self-joined per user with e1 < e2 so each unordered pair counts
+# once. The distinct projection shrinks the join input to |users| x |types|
+# before the self-join — at scale that pre-aggregation is what keeps the
+# pair explosion bounded.
+# --------------------------------------------------------------------------
+
+_COOCCUR_ORACLE = """
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS e1, b.event_type AS e2,
+       cast(count(*) AS BIGINT) AS n_users
+FROM ue a JOIN ue b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+@register("join_event_cooccurrence", oracle=_COOCCUR_ORACLE, tags=("join", "events"))
+def join_event_cooccurrence(spark, sf_dir):
+    ue = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ue.alias("a")
+    b = ue.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("e1"),
+            F.col("b.event_type").alias("e2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Bernoulli sampling with per-class rates: an md5 nibble is a
+# uniform 1/16 draw, so a lexicographic threshold gives lang-dependent keep
+# probabilities (en: 8/16, others: 4/16) with zero RNG state — the
+# reproducible corpus-mixing primitive (same row set on every run/engine).
+# --------------------------------------------------------------------------
+
+_BERNOULLI_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 1) <
+      CASE WHEN lang = 'en' THEN '8' ELSE '4' END
+"""
+
+
+@register("sample_bernoulli_hash", oracle=_BERNOULLI_ORACLE, tags=("sample", "training"))
+def sample_bernoulli_hash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    thresh = F.when(F.col("lang") == "en", "8").otherwise("4")
+    return d.filter(nibble < thresh).select("doc_id", "lang")

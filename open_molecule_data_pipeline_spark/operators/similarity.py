@@ -308,3 +308,57 @@ def sim_ivf_topk(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@3 of the IVF index against the brute-force
+# ground truth, per query. This is the metric that decides nprobe /
+# n_centroids trade-offs at scale; both sides are compositions of the two
+# queries above (Spark: reuse the DataFrame builders; oracle: their SQL
+# texts as derived tables), so the eval inherits their determinism rules.
+# --------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH ivf AS ({_IVF_ORACLE}),
+br AS ({_TOPK_ORACLE}),
+br3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM br
+  ) t WHERE rn <= 3
+)
+SELECT br3.query_id,
+       cast(count(ivf.neighbor_id) AS BIGINT) AS n_hit,
+       round(count(ivf.neighbor_id) / cast(3 AS DOUBLE), 6) AS recall
+FROM br3 LEFT JOIN ivf
+  ON br3.query_id = ivf.query_id AND br3.neighbor_id = ivf.neighbor_id
+GROUP BY br3.query_id
+"""
+
+
+@register("sim_ivf_recall", oracle=_RECALL_ORACLE, tags=("similarity", "ivf", "eval"))
+def sim_ivf_recall(spark, sf_dir):
+    ivf = sim_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    brute = sim_topk_bruteforce(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    br3 = (
+        brute.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    joined = br3.join(
+        ivf,
+        (br3.query_id == ivf.query_id)
+        & (br3.neighbor_id == ivf.ivf_neighbor),
+        "left",
+    ).select(br3.query_id, "ivf_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count("ivf_neighbor").alias("n_hit"),
+        F.round(
+            F.count("ivf_neighbor") / F.lit(3).cast("double"), 6
+        ).alias("recall"),
+    )
