@@ -596,3 +596,29 @@ def sample_bernoulli_hash(spark, sf_dir):
     nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     thresh = F.when(F.col("lang") == "en", "8").otherwise("4")
     return d.filter(nibble < thresh).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Variant type (Spark 4): parse_json into a VARIANT, extract typed fields
+# with variant_get. The oracle reads the same JSON with DuckDB's
+# json_extract — the semi-structured column pattern where the open type
+# lives in storage and typing happens at query time.
+# --------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       cast(json_extract(props, '$.k') AS INTEGER) AS k_val,
+       cast(json_extract(props, '$.missing') AS INTEGER) AS missing_val
+FROM events
+"""
+
+
+@register("func_variant_json", oracle=_VARIANT_ORACLE, tags=("scalar", "json", "variant"))
+def func_variant_json(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_val"),
+    )

@@ -173,3 +173,30 @@ def ingest_http_pyds_demo(spark, sf_dir):
         "smiles",
         F.element_at("metadata", "w").alias("w"),
     )
+
+
+@register("ingest_sdf_udtf_demo", oracle=None, tags=("ingest", "sdf", "udtf"))
+def ingest_sdf_udtf_demo(spark, sf_dir):
+    """Spark 4 Python UDTF flavor of the SDF property explosion: one input
+    row per ``$$$$`` block, LATERAL-joined to a table function that yields a
+    (tag, value) row per property — the row-multiplying shape that scalar
+    UDFs can't express (ref ``sdf.py:21-44`` semantics; the batch path in
+    ``sources/sdf.py`` stays the Arrow-based production route)."""
+    from pyspark.sql.functions import udtf
+
+    from ..sources.sdf import parse_sdf_block
+
+    @udtf(returnType="tag: string, value: string")
+    class SdfTags:
+        def eval(self, block: str):
+            if block and block.strip():
+                for tag, value in sorted(parse_sdf_block(block).items()):
+                    yield tag, value
+
+    root = _fixture_dir()
+    spark.udtf.register("sdf_tags", SdfTags)
+    blocks = spark.read.option("lineSep", "$$$$").text(str(root / "demo.sdf.gz"))
+    blocks.createOrReplaceTempView("sdf_blocks")
+    return spark.sql(
+        "SELECT t.tag, t.value FROM sdf_blocks, LATERAL sdf_tags(value) t"
+    )
