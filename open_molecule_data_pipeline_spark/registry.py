@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.funcs_extra2",
     "open_molecule_data_pipeline_spark.operators.funcs_extra3",
     "open_molecule_data_pipeline_spark.operators.ml_extra",
+    "open_molecule_data_pipeline_spark.operators.semantics_extra",
     "open_molecule_data_pipeline_spark.operators.setops_extra",
     "open_molecule_data_pipeline_spark.operators.stats",
     "open_molecule_data_pipeline_spark.operators.mllib_lsh",
