@@ -124,3 +124,22 @@ def test_audio_frames_stays_jvm(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Generate" in plan  # explode(sequence) is a JVM generator
+
+
+def test_plan_lint_registry_wide(spark, sf_dir):
+    """Every registered query's physical plan, linted for the two shapes
+    that do not survive scale: row-at-a-time Python UDFs (BatchEvalPython)
+    and un-broadcast Cartesian products. Arrow-batched Python
+    (MapInPandas / FlatMapGroupsInPandas / UDTF) is allowed — that is the
+    sanctioned escape hatch."""
+    offenders: list[str] = []
+    for name, spec in sorted(SPECS.items()):
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # BatchEvalPythonUDTF is the (batched) UDTF node, not a row-wise UDF
+        plan = plan.replace("BatchEvalPythonUDTF", "PythonUDTF")
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{name}: row-wise Python UDF")
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+    assert not offenders, offenders
