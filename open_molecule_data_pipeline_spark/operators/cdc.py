@@ -9,6 +9,7 @@ profile as a real MERGE's find-touched-files phase, minus transactionality
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -98,4 +99,113 @@ def ts_retention_daily(spark, sf_dir):
             F.count(F.lit(1)).alias("active_users"),
             F.count(F.col("b.user_id")).alias("retained_next_day"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Full-outer table diff (data reconciliation): classify every key of two
+# table versions as added / removed / changed / unchanged. The "new
+# version" is derived deterministically from orders by md5-nibble (drop
+# '0'-keys, bump '1'-key prices, append '2'-keys under shifted ids) so
+# both engines reconcile identical inputs. One full-outer shuffle join on
+# the key — the canonical snapshot-vs-snapshot audit at any scale.
+# --------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH v2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN substr(md5(cast(o_orderkey AS VARCHAR)), 1, 1) = '1'
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE substr(md5(cast(o_orderkey AS VARCHAR)), 1, 1) <> '0'
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+  FROM orders
+  WHERE substr(md5(cast(o_orderkey AS VARCHAR)), 1, 1) = '2'
+)
+SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       cast(count(*) AS BIGINT) AS n
+FROM orders a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("cdc_table_diff", oracle=_DIFF_ORACLE, tags=("cdc", "join"))
+def cdc_table_diff(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    v2 = (
+        o.filter(nib != "0")
+        .withColumn(
+            "o_totalprice",
+            F.when(nib == "1", F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.filter(nib == "2").withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    a, b = o.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full")
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval construction from a change log: compress each user's event
+# stream to type-change rows (lag comparison), then derive
+# [valid_from, valid_to) with lead — open intervals get NULL valid_to.
+# Two windows over the same (user_id, ts) partitioning = one shuffle.
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH chg AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), compressed AS (
+  SELECT user_id, event_type, ts, event_id FROM chg
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM compressed
+"""
+
+
+@register("cdc_scd2_intervals", oracle=_SCD2_ORACLE, tags=("cdc", "window"))
+def cdc_scd2_intervals(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    compressed = chg.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    return compressed.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
     )
