@@ -136,3 +136,90 @@ def dedup_apply_clusters(spark, sf_dir):
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank, 3 unrolled power iterations, on the nation same-region clique
+# graph (a -> b when both share a region, a != b). The Spark side runs the
+# canonical iterative join-agg loop (rank/deg join edges, sum by dst); the
+# oracle unrolls the identical recurrence as chained CTEs, so an iterative
+# distributed algorithm gets an exact cross-engine check. Per-node in-sums
+# span <= 24 terms; round(6) absorbs summation-order ulp drift.
+# --------------------------------------------------------------------------
+
+N_PR_ITERS = 3
+DAMPING = 0.85
+
+
+def _pr_oracle() -> str:
+    base = """
+WITH edges AS (
+  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+), deg AS (
+  SELECT src, cast(count(*) AS DOUBLE) AS d FROM edges GROUP BY src
+), nodes AS (
+  SELECT n_nationkey AS node FROM nation
+), nn AS (
+  SELECT cast(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes, nn
+)"""
+    prev = "r0"
+    for i in range(1, N_PR_ITERS + 1):
+        base += f""", r{i} AS (
+  SELECT nodes.node,
+         (1 - {DAMPING}) / nn.n
+         + {DAMPING} * coalesce(sum_in.s, 0.0) AS rank
+  FROM nodes
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / deg.d) AS s
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) sum_in ON sum_in.node = nodes.node
+)"""
+        prev = f"r{i}"
+    base += f"""
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+    return base
+
+
+@register("graph_pagerank_3iter", oracle=_pr_oracle(), tags=("graph", "iterative"))
+def graph_pagerank_3iter(spark, sf_dir):
+    from ..catalog import table
+
+    n = table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"), F.col("b.n_nationkey").alias("dst")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    n_nodes = float(nodes.count())
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(N_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("d")).alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1 - DAMPING) / n_nodes)
+                + F.lit(DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
