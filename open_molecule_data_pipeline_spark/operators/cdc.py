@@ -133,7 +133,7 @@ GROUP BY 1
 """
 
 
-@register("cdc_table_diff", oracle=_DIFF_ORACLE, tags=("cdc", "join"))
+@register("cdc_table_diff", oracle=_DIFF_ORACLE, tags=("cdc", "join"), bench=True)
 def cdc_table_diff(spark, sf_dir):
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"

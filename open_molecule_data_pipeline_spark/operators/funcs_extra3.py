@@ -326,7 +326,7 @@ _GRAMS_SPARK = (
 )
 
 
-@register("text_decontamination_overlap", oracle=_DECON_ORACLE, tags=("text", "training", "dedup"))
+@register("text_decontamination_overlap", oracle=_DECON_ORACLE, tags=("text", "training", "dedup"), bench=True)
 def text_decontamination_overlap(spark, sf_dir):
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     grams = (

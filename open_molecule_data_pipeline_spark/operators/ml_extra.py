@@ -60,7 +60,7 @@ GROUP BY cid
 """
 
 
-@register("ml_kmeans_assign", oracle=_KMEANS_ORACLE, tags=("ml", "similarity"))
+@register("ml_kmeans_assign", oracle=_KMEANS_ORACLE, tags=("ml", "similarity"), bench=True)
 def ml_kmeans_assign(spark, sf_dir):
     v = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").alias("e")
