@@ -622,3 +622,66 @@ def func_variant_json(spark, sf_dir):
         F.try_variant_get(v, "$.k", "int").alias("k_val"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# min_by / max_by argmin-argmax aggregates. Both engines break ordering
+# ties arbitrarily, so the ordering value is made unique by packing the
+# 2-decimal balance and the key into one bigint (exact integer math).
+# --------------------------------------------------------------------------
+
+_MINMAXBY_ORACLE = """
+SELECT c_mktsegment,
+       max_by(c_name, cast(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest,
+       min_by(c_name, cast(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_min_max_by", oracle=_MINMAXBY_ORACLE, tags=("agg",))
+def agg_min_max_by(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    packed = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 1000000
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", packed).alias("richest"),
+        F.min_by("c_name", packed).alias("poorest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IGNORE NULLS forward fill: carry the last observed 'click' value forward
+# over each user's event stream — the standard sparse-to-dense gap fill.
+# Frame pinned to UNBOUNDED PRECEDING..CURRENT ROW with a full tie-breaker.
+# --------------------------------------------------------------------------
+
+_FFILL_ORACLE = """
+SELECT event_id, user_id,
+       last_value(click_val IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'click' THEN value END AS click_val
+  FROM events
+) t
+"""
+
+
+@register("window_forward_fill", oracle=_FFILL_ORACLE, tags=("window", "null"))
+def window_forward_fill(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(click_val, ignorenulls=True).over(w).alias("filled"),
+    )
