@@ -44,3 +44,12 @@ def test_contract_shapes():
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
+
+
+def test_no_registry_load_errors():
+    """A module that fails to import silently drops its queries from the
+    driver contract — that must never pass CI."""
+    from open_molecule_data_pipeline_spark import registry
+
+    registry.load_all()
+    assert registry.LOAD_ERRORS == {}
