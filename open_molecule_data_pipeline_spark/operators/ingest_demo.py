@@ -1,4 +1,9 @@
-"""Ingestion-surface demo queries (rows-only driver checks).
+"""Ingestion-surface demo queries with VALUES-literal oracles.
+
+The fixtures are fixed, so every demo's expected output is a deterministic
+literal — each oracle is a DuckDB ``VALUES`` table mirroring the golden rows
+the pytest suite asserts, upgrading the driver check from rows-only to full
+row/schema/hash parity.
 
 The SDF / delimited-SMILES / NDJSON operators work on molecule archives,
 not the driver's relational testdata, so these queries synthesize small
@@ -61,16 +66,45 @@ def _fixture_dir() -> Path:
     return root
 
 
-@register("ingest_sdf_demo", oracle=None, tags=("ingest", "sdf"))
+_SDF_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('pubchem', 'CID1', 'C', 'PUBCHEM_IUPAC_NAME'),
+  ('pubchem', 'CID2', 'CC', 'PUBCHEM_IUPAC_NAME'),
+  ('pubchem', 'CID3', 'CCC', 'PUBCHEM_IUPAC_NAME'),
+  ('pubchem', 'CID4', 'CCCC', 'PUBCHEM_IUPAC_NAME'),
+  ('pubchem', 'CID5', 'CC(=O)OC1=CC=CC=C1C(=O)O', 'PUBCHEM_IUPAC_NAME')
+) t(source, identifier, smiles, meta_keys)
+"""
+
+
+@register("ingest_sdf_demo", oracle=_SDF_DEMO_ORACLE, tags=("ingest", "sdf"))
 def ingest_sdf_demo(spark, sf_dir):
     root = _fixture_dir()
     df = read_sdf_records(spark, str(root / "demo.sdf.gz"), source="pubchem")
     return df.select(
-        "source", "identifier", "smiles", F.map_keys("metadata").alias("meta_keys")
+        "source",
+        "identifier",
+        "smiles",
+        F.array_join(F.array_sort(F.map_keys("metadata")), ",").alias("meta_keys"),
     )
 
 
-@register("ingest_smiles_table_demo", oracle=None, tags=("ingest", "smiles-table"))
+_SMILES_TABLE_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('zinc', 'ZINC00000001', 'C', 'bucket1'),
+  ('zinc', 'ZINC00000002', 'CC', 'bucket2'),
+  ('zinc', 'ZINC00000003', 'CCC', 'bucket3'),
+  ('zinc', 'ZINC00000004', 'CCCC', 'bucket4'),
+  ('zinc', 'ZINC00000005', 'CC(=O)OC1=CC=CC=C1C(=O)O', 'bucket5')
+) t(source, identifier, smiles, bucket)
+"""
+
+
+@register(
+    "ingest_smiles_table_demo",
+    oracle=_SMILES_TABLE_DEMO_ORACLE,
+    tags=("ingest", "smiles-table"),
+)
 def ingest_smiles_table_demo(spark, sf_dir):
     root = _fixture_dir()
     df = read_smiles_table(spark, str(root / "demo_tranche.txt"), source="zinc")
@@ -107,7 +141,16 @@ def _demo_fetcher(url: str):
     return _HTTP_PAGES[idx]
 
 
-@register("ingest_http_demo", oracle=None, tags=("ingest", "http"))
+_HTTP_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('chemspider', '101', 'CCO', 'C2H6O'),
+  ('chemspider', '102', 'CCN', 'C2H7N'),
+  ('chemspider', '103', 'CCC', 'C3H8')
+) t(source, identifier, smiles, formula)
+"""
+
+
+@register("ingest_http_demo", oracle=_HTTP_DEMO_ORACLE, tags=("ingest", "http"))
 def ingest_http_demo(spark, sf_dir):
     from ..sources.http_api import chemspider_config, fetch_to_dataframe
 
@@ -121,10 +164,31 @@ def ingest_http_demo(spark, sf_dir):
     )
 
 
-@register("molecule_descriptors_demo", oracle=None, tags=("chemistry",))
+_DESCRIPTORS_DEMO_ORACLE = """
+SELECT identifier, smiles,
+       cast(n_C AS INTEGER) AS n_C,
+       cast(n_N AS INTEGER) AS n_N,
+       cast(n_O AS INTEGER) AS n_O,
+       cast(heavy_atoms AS INTEGER) AS heavy_atoms,
+       cast(approx_mw AS DOUBLE) AS approx_mw,
+       cast(ring_count AS INTEGER) AS ring_count,
+       lipinski_mw_ok,
+       cast(fp_bits_set AS INTEGER) AS fp_bits_set
+FROM (VALUES
+  ('CID1', 'C', 1, 0, 0, 1, 12.01, 0, TRUE, 0),
+  ('CID2', 'CC', 2, 0, 0, 2, 24.02, 0, TRUE, 0),
+  ('CID3', 'CCC', 3, 0, 0, 3, 36.03, 0, TRUE, 1),
+  ('CID4', 'CCCC', 4, 0, 0, 4, 48.04, 0, TRUE, 1),
+  ('CID5', 'CC(=O)OC1=CC=CC=C1C(=O)O', 9, 0, 4, 13, 172.1, 1, TRUE, 14)
+) t(identifier, smiles, n_C, n_N, n_O, heavy_atoms, approx_mw, ring_count,
+    lipinski_mw_ok, fp_bits_set)
+"""
+
+
+@register("molecule_descriptors_demo", oracle=_DESCRIPTORS_DEMO_ORACLE, tags=("chemistry",))
 def molecule_descriptors_demo(spark, sf_dir):
-    """Heuristic SMILES descriptors + fingerprint over the demo molecules
-    (rows-only: chemistry heuristics have no relational oracle)."""
+    """Heuristic SMILES descriptors + fingerprint over the demo molecules;
+    the fixture is fixed so the expected descriptor values are literals."""
     from ..functions.molecule import ngram_fingerprint, smiles_descriptors
 
     root = _fixture_dir()
@@ -144,7 +208,20 @@ def molecule_descriptors_demo(spark, sf_dir):
     )
 
 
-@register("ingest_http_pyds_demo", oracle=None, tags=("ingest", "http", "datasource"))
+_HTTP_PYDS_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('api_a', 'a1', 'C', '1'),
+  ('api_a', 'a2', 'CO', NULL),
+  ('api_b', 'b1', 'N', NULL)
+) t(source, identifier, smiles, w)
+"""
+
+
+@register(
+    "ingest_http_pyds_demo",
+    oracle=_HTTP_PYDS_DEMO_ORACLE,
+    tags=("ingest", "http", "datasource"),
+)
 def ingest_http_pyds_demo(spark, sf_dir):
     """Spark 4 Python Data Source flavor of the HTTP connector — same
     surface as ``ingest_http_demo`` but read via
@@ -175,7 +252,25 @@ def ingest_http_pyds_demo(spark, sf_dir):
     )
 
 
-@register("ingest_sdf_udtf_demo", oracle=None, tags=("ingest", "sdf", "udtf"))
+_SDF_UDTF_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('PUBCHEM_COMPOUND_CID', 'CID1'), ('PUBCHEM_IUPAC_NAME', 'methane'),
+  ('PUBCHEM_OPENEYE_ISO_SMILES', 'C'),
+  ('PUBCHEM_COMPOUND_CID', 'CID2'), ('PUBCHEM_IUPAC_NAME', 'ethane'),
+  ('PUBCHEM_OPENEYE_ISO_SMILES', 'CC'),
+  ('PUBCHEM_COMPOUND_CID', 'CID3'), ('PUBCHEM_IUPAC_NAME', 'propane'),
+  ('PUBCHEM_OPENEYE_ISO_SMILES', 'CCC'),
+  ('PUBCHEM_COMPOUND_CID', 'CID4'), ('PUBCHEM_IUPAC_NAME', 'butane'),
+  ('PUBCHEM_OPENEYE_ISO_SMILES', 'CCCC'),
+  ('PUBCHEM_COMPOUND_CID', 'CID5'), ('PUBCHEM_IUPAC_NAME', 'aspirin'),
+  ('PUBCHEM_OPENEYE_ISO_SMILES', 'CC(=O)OC1=CC=CC=C1C(=O)O')
+) t(tag, value)
+"""
+
+
+@register(
+    "ingest_sdf_udtf_demo", oracle=_SDF_UDTF_DEMO_ORACLE, tags=("ingest", "sdf", "udtf")
+)
 def ingest_sdf_udtf_demo(spark, sf_dir):
     """Spark 4 Python UDTF flavor of the SDF property explosion: one input
     row per ``$$$$`` block, LATERAL-joined to a table function that yields a

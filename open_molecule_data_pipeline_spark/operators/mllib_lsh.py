@@ -2,8 +2,10 @@
 
 The hand-rolled LSH in ``dedup.py``/``similarity.py`` is oracle-checkable;
 these MLlib estimators are the library-grade alternative with
-``approxSimilarityJoin``/``approxNearestNeighbors`` — registered rows-only
-(MLlib's internal hash seeds aren't reproducible in SQL).
+``approxSimilarityJoin``/``approxNearestNeighbors``. MLlib's internal hash
+seeds aren't reproducible in SQL, so these stay OUT of the driver contract
+(``contract=False``; the pytest suite runs them rows-only) — the
+oracle-checked LSH path is the hand-rolled one.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ def _doc_vectors(spark, sf_dir):
     return cv.transform(tokens).select("doc_id", "features")
 
 
-@register("mllib_minhash_pairs", oracle=None, tags=("dedup", "mllib"))
+@register("mllib_minhash_pairs", oracle=None, tags=("dedup", "mllib"), contract=False)
 def mllib_minhash_pairs(spark, sf_dir):
     from pyspark.ml.feature import MinHashLSH
 
@@ -46,7 +48,7 @@ def mllib_minhash_pairs(spark, sf_dir):
     )
 
 
-@register("mllib_brp_neighbors", oracle=None, tags=("similarity", "mllib"))
+@register("mllib_brp_neighbors", oracle=None, tags=("similarity", "mllib"), contract=False)
 def mllib_brp_neighbors(spark, sf_dir):
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector

