@@ -51,6 +51,59 @@ def rounded(col: Column, digits: int = 6) -> Column:
     return F.round(col, digits)
 
 
+def two_pass_global_window(df, order_cols, value_col=None, out_col="__running"):
+    """Scale-safe global running total / row number.
+
+    A ``Window.orderBy(...)`` with no ``partitionBy`` funnels every row
+    through ONE task — correct at test scale, dead at 100 TB. The standard
+    two-pass form: range-partition on the ordering key, compute the window
+    *within* each range partition, then add each partition's prefix offset
+    (the offsets live in a partition-count-sized side table, computed with a
+    window over at most ``spark.sql.shuffle.partitions`` rows and broadcast
+    back). Range partitions are contiguous in the sort order, so
+    ``partition prefix + local running value == global running value``
+    regardless of where the sampled boundaries land.
+
+    ``order_cols`` must be a total order (include a tie-breaker).
+    ``value_col=None`` -> global ``row_number`` in ``out_col``; otherwise the
+    inclusive running ``sum(value_col)``.
+    """
+    from pyspark.sql import Window as W
+
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    if value_col is None:
+        local = F.row_number().over(W.partitionBy("__pid").orderBy(*order_cols))
+        per_pid = F.count(F.lit(1))
+    else:
+        local = F.sum(value_col).over(local_w)
+        per_pid = F.sum(value_col)
+    with_local = ranged.withColumn("__local", local)
+    # offsets: one row per range partition — a global window over a
+    # bounded-cardinality table is the sanctioned exception to the
+    # no-partitionless-window rule (see tests/test_plans_perf.py).
+    offsets_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(per_pid.alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(offsets_w), F.lit(0)).alias("__offset"),
+        )
+    )
+    return (
+        with_local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__offset") + F.col("__local"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
 def spread(df, *keys):
     """Repartition a coarsely-partitioned input before per-row-heavy compute.
 

@@ -281,86 +281,137 @@ def dedup_simhash(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# exact n-gram Jaccard within (lang, source) blocks — the blocked-pairs
-# verifier usable standalone when a partition key bounds the block size.
+# exact n-gram Jaccard verification over LSH candidate pairs. Blocking on
+# raw (lang, source) alone is quadratic in the block size — unbounded at
+# 100 TB (VERDICT r1). The candidate generator is therefore the banded
+# MinHash bucket join (same signatures as dedup_minhash_lsh_pairs)
+# *restricted* to same-(lang, source) collisions: block key =
+# (lang, source, band_id, band_key), whose cardinality tracks collisions,
+# never raw partition sizes.
 # --------------------------------------------------------------------------
 
+_JACCARD_SIG_CTE = f"""
+  SELECT doc_id, lang, source,
+         {', '.join(f'{_sig_duck(k)} AS sig_{k}' for k in range(N_HASHES))}
+  FROM (
+    SELECT doc_id, lang, source, list_transform(shingles, s -> md5(s)) AS hs
+    FROM (
+      SELECT doc_id, lang, source, {_SHINGLES_DUCK} AS shingles
+      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ) s0
+  ) s
+"""
+
 _JACCARD_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id, lang, source, list_distinct({_SHINGLES_DUCK}) AS shingle_set
-  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
+WITH sigs AS ({_JACCARD_SIG_CTE}),
+bands AS (
+  SELECT doc_id, lang, source, band_id, band_key FROM (
+    SELECT doc_id, lang, source,
+           unnest([{', '.join(str(b) for b in range(N_BANDS))}]) AS band_id,
+           unnest([{', '.join(f'md5(sig_{2 * b} || sig_{2 * b + 1})' for b in range(N_BANDS))}]) AS band_key
+    FROM sigs
+  ) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS shingle_set
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   WHERE len(toks) >= 3
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(cast(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))), 6)
-         AS jaccard
-FROM sh a
-JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE cast(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) >= 0.05
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+FROM (
+  SELECT c.doc_a, c.doc_b,
+         cast(len(list_intersect(x.shingle_set, y.shingle_set)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.shingle_set, y.shingle_set))) AS jac
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+) scored
+WHERE jac >= 0.05
 """
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup", "jaccard"))
 def dedup_ngram_jaccard(spark, sf_dir):
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    sh = (
-        d.withColumn("toks", F.split("text", " "))
-        .filter(F.size("toks") >= 3)
+    base = d.withColumn("toks", F.split("text", " ")).filter(F.size("toks") >= 3)
+    sigs = (
+        base.withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .withColumn("hs", F.expr("transform(shingles, s -> md5(s))"))
         .select(
             "doc_id",
             "lang",
             "source",
-            F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shingle_set"),
+            *[F.expr(_sig_spark(k)).alias(f"sig_{k}") for k in range(N_HASHES)],
         )
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingle_set"), F.col("b.shingle_set")))
-    union = F.size(
-        F.array_distinct(F.concat(F.col("a.shingle_set"), F.col("b.shingle_set")))
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    jac = inter.cast("double") / union
-    return (
+    bands = sigs.select(
+        "doc_id", "lang", "source", F.explode(band_entries).alias("b")
+    ).select("doc_id", "lang", "source", "b.band_id", "b.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = base.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shingle_set")
+    )
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.shingle_set"), F.col("y.shingle_set")))
+    union = F.size(
+        F.array_distinct(F.concat(F.col("x.shingle_set"), F.col("y.shingle_set")))
+    )
+    jac = inter.cast("double") / union
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
         .filter(jac >= 0.05)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
 # --------------------------------------------------------------------------
-# embedding-cosine near-dup pairs, blocked by label. Dot products run in
-# double (float32 upcast first) in both engines so the scores agree bit-wise
-# after rounding.
+# embedding-cosine near-dup pairs over hyperplane-LSH candidates. Blocking
+# by label alone is quadratic in the label's population (VERDICT r1); the
+# candidate generator is a banded random-hyperplane join instead — the 8
+# deterministic planes shared with similarity.py, split into 2 bands of 4
+# sign bits. A pair is a candidate iff it agrees on all 4 signs of either
+# band within the same label; the exact cosine (double upcast, bit-identical
+# in both engines) then verifies candidates against the threshold.
+# Block key (label, band_id, band_key) cardinality tracks collisions.
 # --------------------------------------------------------------------------
 
 _COS_THRESHOLD = 0.3
-
-_EMB_PAIRS_ORACLE = f"""
-WITH v AS (
-  SELECT vec_id, label, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
-  FROM embeddings
-),
-p AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         list_dot_product(a.e, b.e)
-           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-           AS cos
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT vec_a, vec_b, round(cos, 6) AS cos
-FROM p WHERE cos >= {_COS_THRESHOLD}
-"""
+_EMB_BANDS = 2
+_PLANES_PER_BAND = 4
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -368,26 +419,100 @@ _DOT = (
 )
 
 
-@register("dedup_embedding_cosine", oracle=_EMB_PAIRS_ORACLE, tags=("dedup", "embedding"))
+def _emb_band_duck(band: int) -> str:
+    from .similarity import _plane_sql_array
+
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_plane_sql_array(band * _PLANES_PER_BAND + j)}) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(_PLANES_PER_BAND)
+    )
+
+
+def _emb_band_col(band: int) -> F.Column:
+    from .similarity import _plane_spark_array
+
+    terms = None
+    for j in range(_PLANES_PER_BAND):
+        p = band * _PLANES_PER_BAND + j
+        dot = F.expr(_DOT.format(a="embedding", b=_plane_spark_array(p)))
+        term = F.when(dot >= 0, 1 << j).otherwise(0)
+        terms = term if terms is None else terms + term
+    return terms.cast("int")
+
+
+def _emb_pairs_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, label, band_id, band_key FROM (
+    SELECT vec_id, label,
+           unnest([{', '.join(str(b) for b in range(_EMB_BANDS))}]) AS band_id,
+           unnest([{', '.join(f'cast({_emb_band_duck(b)} AS INTEGER)' for b in range(_EMB_BANDS))}]) AS band_key
+    FROM v
+  ) u
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.label = b.label AND a.band_id = b.band_id
+   AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.vec_a, c.vec_b,
+         list_dot_product(x.e, y.e)
+           / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+           AS cos
+  FROM cand c
+  JOIN v x ON x.vec_id = c.vec_a
+  JOIN v y ON y.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cos
+FROM p WHERE cos >= {_COS_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_cosine", oracle=_emb_pairs_oracle(), tags=("dedup", "embedding")
+)
 def dedup_embedding_cosine(spark, sf_dir):
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    a = e.alias("a")
-    b = e.alias("b")
-    dot_ab = F.expr(_DOT.format(a="a.embedding", b="b.embedding"))
-    norm_a = F.sqrt(F.expr(_DOT.format(a="a.embedding", b="a.embedding")))
-    norm_b = F.sqrt(F.expr(_DOT.format(a="b.embedding", b="b.embedding")))
-    cos = dot_ab / (norm_a * norm_b)
-    return (
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"), _emb_band_col(b).alias("band_key")
+            )
+            for b in range(_EMB_BANDS)
+        ]
+    )
+    bands = e.select("vec_id", "label", F.explode(band_entries).alias("b")).select(
+        "vec_id", "label", "b.band_id", "b.band_key"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= _COS_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = e.select(F.col("vec_id").alias("x_id"), F.col("embedding").alias("xe"))
+    y = e.select(F.col("vec_id").alias("y_id"), F.col("embedding").alias("ye"))
+    dot_xy = F.expr(_DOT.format(a="xe", b="ye"))
+    norm_x = F.sqrt(F.expr(_DOT.format(a="xe", b="xe")))
+    norm_y = F.sqrt(F.expr(_DOT.format(a="ye", b="ye")))
+    cos = dot_xy / (norm_x * norm_y)
+    return (
+        cand.join(x, F.col("vec_a") == F.col("x_id"))
+        .join(y, F.col("vec_b") == F.col("y_id"))
+        .filter(cos >= _COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )

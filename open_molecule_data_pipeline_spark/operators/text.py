@@ -83,12 +83,9 @@ def text_word_freq_top20(spark, sf_dir):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.orderBy(F.col("n").desc(), "word")
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("word", "n")
-    )
+    # global top-k as orderBy().limit() -> TakeOrderedAndProject (per-partition
+    # heaps + bounded merge), never a partitionless Window over the vocabulary
+    return counts.orderBy(F.col("n").desc(), "word").limit(20)
 
 
 # --------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._util import two_pass_global_window
 
 # --------------------------------------------------------------------------
 # Deterministic train/eval split: last md5 hex nibble of the key gives 16
@@ -85,12 +86,14 @@ def text_sequence_packing(spark, sf_dir):
     toks = d.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = toks.withColumn(
+    # scale-safe global running total: range-partition on doc_id, local
+    # window per partition, broadcast prefix offsets (operators/_util.py) —
+    # no partitionless Window node, so no single-task funnel at 100 TB.
+    packed = two_pass_global_window(
+        toks, ["doc_id"], value_col="n_tok", out_col="__cum"
+    ).withColumn(
         "bin",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(2048.0)).cast(
-            "bigint"
-        ),
+        F.floor((F.col("__cum") - F.col("n_tok")) / F.lit(2048.0)).cast("bigint"),
     )
     return packed.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._util import two_pass_global_window
 
 # --------------------------------------------------------------------------
 
@@ -162,21 +163,35 @@ def window_range_trailing_30d(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# ntile over a single global ordering — fine at test scale; at 100 TB this
-# becomes repartitionByRange + per-range offsets (documented limitation).
+# ntile over a single global ordering — implemented scale-safe: global rank
+# via the two-pass range-partition form (per-partition row_number + broadcast
+# prefix offsets, operators/_util.py), then the ntile bucket formula applied
+# to (rank, total). No partitionless Window node anywhere in the plan, so no
+# single-task funnel at 100 TB. Oracle stays DuckDB's native ntile.
 # --------------------------------------------------------------------------
 
 _NTILE_ORACLE = """
 SELECT c_custkey, c_acctbal,
-       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+       cast(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
 FROM customer
+"""
+
+_NTILE_EXPR = """
+CASE WHEN __rn <= (__n % 4) * ((__n div 4) + 1)
+     THEN cast((__rn - 1) div ((__n div 4) + 1) + 1 AS INT)
+     ELSE cast((__n % 4) + ((__rn - 1 - (__n % 4) * ((__n div 4) + 1))
+                            div greatest(__n div 4, 1)) + 1 AS INT)
+END
 """
 
 
 @register("window_ntile_quartiles", oracle=_NTILE_ORACLE, tags=("window", "ntile"))
 def window_ntile_quartiles(spark, sf_dir):
-    c = table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = two_pass_global_window(c, ["c_acctbal", "c_custkey"], out_col="__rn")
+    total = c.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn("quartile", F.expr(_NTILE_EXPR))
+        .select("c_custkey", "c_acctbal", "quartile")
     )

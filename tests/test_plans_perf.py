@@ -126,6 +126,67 @@ def test_audio_frames_stays_jvm(spark, sf_dir):
     assert "Generate" in plan  # explode(sequence) is a JVM generator
 
 
+def test_no_low_cardinality_block_joins(spark, sf_dir):
+    """VERDICT r1 #3: a shuffle join whose every key is a low-cardinality
+    blocking column (lang/source/label) is block-quadratic — at 100 TB one
+    (lang=en, source=web) block is O(n^2). Candidate generation must always
+    include a high-cardinality component (LSH band key, doc id, hash).
+    Broadcast joins are exempt: a broadcastable side is small by definition,
+    so the product is bounded."""
+    import re
+
+    low_card = {"lang", "source", "label", "l_returnflag", "o_orderstatus"}
+    join_re = re.compile(
+        r"(?:SortMergeJoin|ShuffledHashJoin)(?:\(skew=true\))? \[([^\]]*)\], \[([^\]]*)\]"
+    )
+    offenders: list[str] = []
+    for name, spec in sorted(SPECS.items()):
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for m in join_re.finditer(plan):
+            for side in (m.group(1), m.group(2)):
+                keys = {re.sub(r"#\d+L?$", "", k.strip()) for k in side.split(",") if k.strip()}
+                if keys and keys <= low_card:
+                    offenders.append(f"{name}: shuffle join keyed only on {sorted(keys)}")
+    assert not offenders, offenders
+
+
+def test_no_partitionless_windows_in_source():
+    """VERDICT r1 #4: a window spec that begins with orderBy (no
+    partitionBy) funnels the whole input through one task. The only
+    sanctioned sites are in operators/_util.py, where the window runs over a
+    bounded-cardinality offsets table (<= shuffle partitions rows); global
+    top-k must use orderBy().limit() -> TakeOrderedAndProject instead."""
+    import re
+    from pathlib import Path
+
+    ops = Path(__file__).resolve().parent.parent / "open_molecule_data_pipeline_spark"
+    pattern = re.compile(r"\b(?:W|Window)\.orderBy\(")
+    offenders = []
+    for path in sorted(ops.rglob("*.py")):
+        if path.name == "_util.py":
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if pattern.search(line):
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
+
+
+def test_ntile_and_packing_plans_have_no_global_window(spark, sf_dir):
+    """The two-pass rewrites must not contain a partitionless Window node:
+    every Window in the plan either partitions by __pid or runs over the
+    bounded offsets table (whose input is an aggregate, not the raw scan)."""
+    for name in ("window_ntile_quartiles", "text_sequence_packing"):
+        plan = _plan(spark, sf_dir, name)
+        assert "rangepartitioning" in plan.lower(), name  # two-pass first stage
+        assert "__pid" in plan, name  # partition-local windows
+
+
+def test_word_freq_topk_uses_bounded_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_word_freq_top20")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_plan_lint_registry_wide(spark, sf_dir):
     """Every registered query's physical plan, linted for the two shapes
     that do not survive scale: row-at-a-time Python UDFs (BatchEvalPython)
