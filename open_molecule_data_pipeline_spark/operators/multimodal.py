@@ -28,12 +28,82 @@ from ._util import spread
 FEATURE_BUCKETS = 16
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """Decode an image/audio/video payload. STUB: media libraries are not
-    available in this runtime; a deployment wires pillow/ffmpeg here."""
+def encode_wav_pcm16(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Build a canonical RIFF/WAVE container around 16-bit PCM samples."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<IHHIIHH",
+        16,  # fmt chunk size (PCM)
+        1,  # audio format: PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,  # byte rate
+        block_align,
+        16,  # bits per sample
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + 16 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM-16 payload: pure byte arithmetic, no codec
+    library. Walks the chunk list (tolerates extra chunks like LIST/fact),
+    returns header fields plus the int16 sample array."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding: format={audio_format} bits={bits}")
+    frames = np.frombuffer(data, dtype="<i2")
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits_per_sample": bits,
+        "n_samples": len(frames) // n_channels,
+        "frames": frames,
+    }
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Decode a media payload. WAV/RIFF PCM decodes natively
+    (:func:`decode_wav`); image/video codecs are not in this runtime and
+    stay gated — a deployment wires pillow/pyav behind the same signature."""
+    if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return decode_wav(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this runtime; "
-        "install pillow/torchaudio/pyav and replace this stub"
+        "install pillow/pyav for image/video decode"
     )
 
 
@@ -184,6 +254,84 @@ def mm_feature_extract(spark, sf_dir):
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", FEATURE_BUCKETS), 6).alias("f15"),
     )
+
+
+# --------------------------------------------------------------------------
+# WAV round-trip through the real decode path. Each doc_id gets a
+# deterministic PCM-16 signal (closed-form samples, no RNG), encoded into a
+# real RIFF/WAVE container and decoded back by decode_media inside one
+# Arrow-batched mapInPandas stage. The output is integer header fields +
+# exact integer sample stats, so the oracle recomputes them from the same
+# closed form — full hash parity across an encode+parse of real bytes.
+# --------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+_WAV_ORACLE = f"""
+SELECT doc_id,
+       cast({_WAV_RATE} AS INTEGER) AS sample_rate,
+       cast(count(*) AS BIGINT) AS n_samples,
+       cast(min(samp) AS BIGINT) AS min_s,
+       cast(max(samp) AS BIGINT) AS max_s,
+       cast(sum(samp) AS BIGINT) AS sum_s
+FROM (
+  SELECT doc_id, ((doc_id * 31 + i * 7) % 65536) - 32768 AS samp
+  FROM (SELECT doc_id, unnest(range(50 + doc_id % 50)) AS i FROM documents) g
+) s
+GROUP BY doc_id
+"""
+
+
+@register("mm_wav_decode", oracle=_WAV_ORACLE, tags=("multimodal", "audio"))
+def mm_wav_decode(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("min_s", T.LongType()),
+            T.StructField("max_s", T.LongType()),
+            T.StructField("sum_s", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                n = 50 + doc_id % 50
+                idx = np.arange(n, dtype=np.int64)
+                samples = ((doc_id * 31 + idx * 7) % 65536) - 32768
+                blob = encode_wav_pcm16(samples, sample_rate=_WAV_RATE)
+                dec = decode_media(bytes(blob), "audio/wav")
+                frames = dec["frames"].astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        dec["sample_rate"],
+                        dec["n_samples"],
+                        int(frames.min()),
+                        int(frames.max()),
+                        int(frames.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "min_s",
+                    "max_s",
+                    "sum_s",
+                ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
 
 
 # --------------------------------------------------------------------------

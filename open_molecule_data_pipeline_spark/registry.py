@@ -91,7 +91,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     # multimodal
     "mm_blob_stats",
     "mm_feature_extract",
-    "mm_audio_frames",
+    "mm_wav_decode",
     # UDF surface / chemistry / streaming-batch twin
     "groupedmap_minmax_norm",
     "chem_canonical_smiles",
@@ -135,6 +135,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.text",
     "open_molecule_data_pipeline_spark.operators.text_pipeline",
     "open_molecule_data_pipeline_spark.operators.multimodal",
+    "open_molecule_data_pipeline_spark.operators.chemistry",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
 

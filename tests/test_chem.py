@@ -1,0 +1,149 @@
+"""Canonical-SMILES subset engine: invariance, idempotence, error paths.
+
+The core property: every spelling of the same molecular graph must map to
+ONE canonical string. Beyond hand-written equivalent spellings, a random
+re-speller walks the parsed graph from random starts with random neighbor
+orders and random ring-closure numbering — hundreds of distinct spellings
+per molecule, all of which must collapse.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from open_molecule_data_pipeline_spark.functions.chem import (
+    SmilesError,
+    canonical_smiles,
+    parse_smiles,
+    try_canonical_smiles,
+)
+
+EQUIVALENT_GROUPS = [
+    ["CCO", "OCC", "C(O)C", "C(C)O"],
+    ["Cc1ccccc1", "c1ccccc1C", "c1ccc(C)cc1", "c1cc(C)ccc1"],
+    ["CC(N)O", "CC(O)N", "OC(C)N", "NC(C)O", "C(C)(N)O"],
+    ["C1=CC=CC=C1", "C=1C=CC=CC=1"],
+    [
+        "CC(=O)OC1=CC=CC=C1C(=O)O",
+        "OC(=O)C1=CC=CC=C1OC(C)=O",
+        "C1=CC=C(C(=C1)C(=O)O)OC(=O)C",
+    ],
+    ["[NH4+].[Cl-]", "[Cl-].[NH4+]"],
+    ["N#Cc1ccccc1", "c1ccccc1C#N"],
+    ["C/C=C/C", "CC=CC"],  # directional bonds strip to single
+    ["[C@H](N)(C)O", "[CH](N)(C)O"],  # tetrahedral marks strip
+    ["ClCCBr", "BrCCCl"],
+    ["C1CC1", "C2CC2", "C%10CC%10"],
+]
+
+DISTINCT = ["CCO", "CCN", "CCC", "c1ccccc1", "C1CCCCC1", "CC(=O)O", "CCOC", "CC=O"]
+
+
+@pytest.mark.parametrize("group", EQUIVALENT_GROUPS)
+def test_equivalent_spellings_collapse(group):
+    assert len({canonical_smiles(s) for s in group}) == 1
+
+
+def test_distinct_molecules_stay_distinct():
+    outs = [canonical_smiles(s) for s in DISTINCT]
+    assert len(set(outs)) == len(DISTINCT)
+
+
+def test_idempotent():
+    for s in DISTINCT + [g[0] for g in EQUIVALENT_GROUPS]:
+        c = canonical_smiles(s)
+        assert canonical_smiles(c) == c, s
+
+
+def _random_spelling(smiles: str, rng: random.Random) -> str:
+    """Render a random but equivalent spelling of the parsed graph.
+
+    Pass 1 walks the graph with random starts/neighbor orders, recording
+    tree children and ring-closure digits on BOTH endpoints; pass 2 renders
+    the string from that structure (same shape as the production writer,
+    but randomized instead of rank-ordered).
+    """
+    atoms, bonds = parse_smiles(smiles)
+    n = len(atoms)
+    visited: set[int] = set()
+    used: set[tuple[int, int]] = set()
+    children: dict[int, list[int]] = {i: [] for i in range(n)}
+    closures: dict[int, list[tuple[int, str]]] = {i: [] for i in range(n)}
+    digits = iter(rng.sample(range(1, 31), 30))
+
+    def walk(u: int) -> None:
+        visited.add(u)
+        nbrs = list(atoms[u].neighbors)
+        rng.shuffle(nbrs)
+        for v in nbrs:
+            edge = (u, v) if u < v else (v, u)
+            if edge in used:
+                continue
+            used.add(edge)
+            if v in visited:
+                num = next(digits)
+                closures[u].append((num, bonds[edge]))
+                closures[v].append((num, bonds[edge]))
+            else:
+                children[u].append(v)
+                walk(v)
+
+    order = list(range(n))
+    rng.shuffle(order)
+    roots = [seed for seed in order if seed not in visited and (walk(seed) or True)]
+
+    def render(u: int) -> str:
+        out = [atoms[u].label]
+        for num, sym in closures[u]:
+            b = "" if sym in "-:" else sym
+            out.append(b + (str(num) if num <= 9 else f"%{num:02d}"))
+        subs = []
+        for v in children[u]:
+            edge = (u, v) if u < v else (v, u)
+            b = "" if bonds[edge] in "-:" else bonds[edge]
+            subs.append(b + render(v))
+        rng.shuffle(subs)
+        for k, sub in enumerate(subs):
+            out.append(f"({sub})" if k < len(subs) - 1 else sub)
+        return "".join(out)
+
+    parts = [render(r) for r in roots]
+    rng.shuffle(parts)
+    return ".".join(parts)
+
+
+@pytest.mark.parametrize(
+    "smiles",
+    [
+        "CC(=O)OC1=CC=CC=C1C(=O)O",  # aspirin
+        "Cc1ccccc1",  # toluene
+        "C1CCCCC1",  # cyclohexane
+        "c1ccc2ccccc2c1",  # naphthalene (fused rings)
+        "NC(CC(=O)O)C(=O)O",  # aspartic acid (branches)
+        "O.CCO.[Na+]",  # multi-component
+        "ClC(Br)I",  # halogen soup
+    ],
+)
+def test_random_respellings_collapse(smiles):
+    rng = random.Random(20260813)
+    expect = canonical_smiles(smiles)
+    for _ in range(25):
+        variant = _random_spelling(smiles, rng)
+        assert canonical_smiles(variant) == expect, variant
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["", "C1CC", "C(C", "CC)", "C..C", "Xy", "[C", "1CC", "%1C", "C=1CC=2"],
+)
+def test_malformed_raise(bad):
+    with pytest.raises(SmilesError):
+        canonical_smiles(bad)
+
+
+def test_try_variant_is_none_safe():
+    assert try_canonical_smiles(None) is None
+    assert try_canonical_smiles("C1CC") is None
+    assert try_canonical_smiles("OCC") == "CCO"

@@ -57,11 +57,26 @@ def test_tanimoto_similarity_ordering(mols):
 
 def test_rdkit_gating(mols):
     if rdkit_available():  # pragma: no cover - not in this image
-        out = with_canonical_smiles(mols)
+        out = with_canonical_smiles(mols, engine="rdkit")
         assert "canonical_smiles" in out.columns
     else:
         with pytest.raises(NotImplementedError, match="RDKit"):
-            with_canonical_smiles(mols)
+            with_canonical_smiles(mols, engine="rdkit")
+
+
+def test_subset_canonicalization_always_executable(mols):
+    """engine='auto' must produce canonical SMILES in every runtime: RDKit
+    when present, the pure-Python subset engine otherwise."""
+    out = with_canonical_smiles(mols).select("smiles", "canonical_smiles")
+    rows = {r["smiles"]: r["canonical_smiles"] for r in out.collect()}
+    assert rows, "fixture produced no molecules"
+    assert all(v is None or isinstance(v, str) for v in rows.values())
+    # equivalent spellings collapse through the Spark path too
+    from open_molecule_data_pipeline_spark.functions.chem import canonical_smiles
+
+    for smiles, canon in rows.items():
+        if canon is not None:
+            assert canon == canonical_smiles(smiles)
 
 
 def test_smiles_descriptors(mols):
