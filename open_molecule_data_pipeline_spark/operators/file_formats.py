@@ -1,0 +1,90 @@
+"""File-format surface as driver-checkable queries.
+
+``sources/formats.py`` + ``tests/test_formats.py`` cover the full
+format matrix (parquet/orc/csv/json/text, partitionBy, bucketBy,
+compaction); these queries put representative round-trips inside the
+driver's correctness window: write the data out through a non-parquet
+format, read it back, aggregate, and compare against the oracle computed
+from the original parquet — any loss or corruption in the round-trip
+breaks the hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from hashlib import md5
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import lsum, s_lsum
+
+_CSV_ORACLE = f"""
+SELECT l_returnflag,
+       cast(count(*) AS BIGINT) AS n,
+       {s_lsum('l_quantity', 100)} AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _scratch(kind: str, sf_dir: str) -> Path:
+    tag = md5(f"{kind}|{sf_dir}".encode()).hexdigest()[:12]
+    return Path(tempfile.gettempdir()) / f"omdp_roundtrip_{kind}_{tag}"
+
+
+@register("format_roundtrip_csv", oracle=_CSV_ORACLE, tags=("formats",))
+def format_roundtrip_csv(spark, sf_dir):
+    """parquet -> gzip CSV partitioned by l_returnflag -> read -> aggregate.
+
+    Doubles survive because Spark writes shortest-round-trip decimal
+    strings; the partition column comes back from directory names, so the
+    layout (Hive-style partitioning) is exercised too.
+    """
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = _scratch("csv", sf_dir)
+    (
+        l.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("header", "true")
+        .partitionBy("l_returnflag")
+        .csv(str(out))
+    )
+    back = (
+        spark.read.schema("l_orderkey bigint, l_quantity double, l_returnflag string")
+        .option("header", "true")
+        .csv(str(out))
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), lsum("l_quantity", 100).alias("sum_qty")
+    )
+
+
+_JSON_ORACLE = """
+SELECT o_orderpriority,
+       cast(count(*) AS BIGINT) AS n,
+       cast(min(o_orderkey) AS BIGINT) AS min_key,
+       cast(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("format_roundtrip_json", oracle=_JSON_ORACLE, tags=("formats",))
+def format_roundtrip_json(spark, sf_dir):
+    """parquet -> gzip NDJSON -> schema-pinned read -> aggregate."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    out = _scratch("json", sf_dir)
+    o.write.mode("overwrite").option("compression", "gzip").json(str(out))
+    back = spark.read.schema("o_orderkey bigint, o_orderpriority string").json(
+        str(out)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

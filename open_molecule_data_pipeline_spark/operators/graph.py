@@ -22,19 +22,45 @@ from .dedup import _MINHASH_PAIRS_ORACLE, dedup_minhash_lsh_pairs
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """(node, component) where component = min node id reachable."""
+    """(node, component) where component = min node id reachable.
+
+    Lineage is truncated every iteration so the loop doesn't stack plans.
+    With ``checkpoint_dir`` set, truncation is RELIABLE: each generation is
+    written to the shared filesystem (parquet round-trip — the
+    fault-tolerant equivalent of ``sc.setCheckpointDir`` + ``checkpoint()``
+    without mutating session-global state) and survives executor loss,
+    which is what a 1000-executor cluster needs for a long loop. Without
+    one it falls back to ``localCheckpoint`` (executor-local blocks: fine
+    in local mode / short loops, lost on executor death).
+    """
+    spark = edges.sparkSession
+    generation = 0
+
+    def persist(df: DataFrame) -> DataFrame:
+        nonlocal generation
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{checkpoint_dir.rstrip('/')}/cc_gen_{generation}"
+        generation += 1
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     # Checkpoint the edge set once: every iteration joins against it, and
     # without this the edges' upstream lineage (for dedup_clusters: the full
     # MinHash-LSH pipeline) would recompute per iteration.
-    undirected = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=True)
+    undirected = persist(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
     )
     nodes = undirected.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    labels = persist(nodes.withColumn("label", F.col("node")))
 
     changed = 0
     for _ in range(max_iter):
@@ -43,9 +69,8 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
+        updated = persist(
+            labels.join(neighbor_min, "node", "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
@@ -54,7 +79,7 @@ def connected_components(
                     "__changed"
                 ),
             )
-        ).localCheckpoint(eager=True)
+        )
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
@@ -84,7 +109,7 @@ FROM reach GROUP BY src
 """
 
 
-@register("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("dedup", "graph"))
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("dedup", "graph"), bench=True)
 def dedup_clusters(spark, sf_dir):
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -189,7 +214,9 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
     return base
 
 
-@register("graph_pagerank_3iter", oracle=_pr_oracle(), tags=("graph", "iterative"))
+@register(
+    "graph_pagerank_3iter", oracle=_pr_oracle(), tags=("graph", "iterative"), bench=True
+)
 def graph_pagerank_3iter(spark, sf_dir):
     from ..catalog import table
 

@@ -268,7 +268,7 @@ FROM (
 """
 
 
-@register("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"))
+@register("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"), bench=True)
 def sim_ivf_topk(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 1).select(

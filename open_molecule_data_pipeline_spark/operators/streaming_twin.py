@@ -1,0 +1,99 @@
+"""Structured Streaming batch-twin queries for the driver contract.
+
+The streaming jobs in ``streaming/jobs.py`` are exercised by
+``tests/test_streaming.py`` with file sources and memory sinks; the driver,
+however, only sees ``queries()``. These twins run a REAL streaming query —
+``readStream`` over the events parquet, ``Trigger.AvailableNow``, memory
+sink — to completion and return the final result table. With one input file
+and complete output mode the result equals the batch aggregation, so the
+standard SQL oracle verifies the whole streaming path (source discovery,
+stateful window aggregation, sink commit) by hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import tune_session
+from ._util import s_lsum
+
+_TUMBLING_TWIN_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       {s_lsum('value', 100)} AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+"""
+
+
+def _events_stream(spark, sf_dir: str):
+    """readStream over events.parquet with the same nanos normalization
+    batch reads get from catalog.table (file streams need explicit schemas;
+    inference is only used on the static read that provides it)."""
+    tune_session(spark)
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    raw = spark.read.parquet(path)
+    # the file-stream source wants a directory; glob-filter the one table
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return stream
+
+
+@register(
+    "stream_tumbling_twin",
+    oracle=_TUMBLING_TWIN_ORACLE,
+    tags=("streaming", "timeseries"),
+    bench=True,
+)
+def stream_tumbling_twin(spark, sf_dir):
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100).cast("double")
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    name = f"stream_twin_{uuid.uuid4().hex[:8]}"
+    # Stateful streaming disables AQE, so the session's shuffle.partitions
+    # (200 on a vanilla session) becomes the state-store partition count
+    # verbatim — pin a width matched to local cores for this query only and
+    # restore the session conf afterwards.
+    key = "spark.sql.shuffle.partitions"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    try:
+        spark.conf.set(key, "32")
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="omdp_stream_twin_")
+            )
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+    return spark.table(name)

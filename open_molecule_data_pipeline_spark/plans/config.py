@@ -21,7 +21,9 @@ SOURCE_TYPES = ("sdf", "smiles_table", "http", "chemspider")
 
 class SourceDefinition(BaseModel):
     type: Literal["sdf", "smiles_table", "http", "chemspider"]
-    name: str
+    # names are interpolated into checkpoint/output paths — constrain to a
+    # path-safe slug so "../x" or "a/b" can't escape the checkpoint root
+    name: str = Field(pattern=r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
     options: dict[str, Any] = Field(default_factory=dict)
 
 

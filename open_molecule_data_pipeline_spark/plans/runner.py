@@ -29,7 +29,11 @@ from ..sinks.report import (
 )
 from ..sources import download as dl
 from ..sources.http_api import HttpSourceConfig, chemspider_config, fetch_to_dataframe
-from ..sources.manifest import read_manifest
+from ..sources.manifest import (
+    checksum_sidecar_url,
+    parse_checksum_sidecar,
+    read_manifest,
+)
 from ..sources.sdf import read_sdf_records
 from ..sources.smiles_table import read_smiles_table
 from .checkpoint import Checkpoint, CheckpointManager
@@ -139,6 +143,14 @@ def _run_source_parse(
     return summary
 
 
+def _default_sidecar_fetch(url: str) -> str:
+    """Fetch a checksum sidecar body over HTTP (tiny text file)."""
+    from urllib.request import urlopen
+
+    with urlopen(url, timeout=30) as resp:  # noqa: S310 - manifest-derived URL
+        return resp.read().decode("utf-8", errors="replace")
+
+
 def _run_source_download(
     spark: SparkSession,
     config: IngestionJobConfig,
@@ -161,6 +173,23 @@ def _run_source_download(
         logger.warning("source.download_unsupported", source=sdef.name)
         return summary
     entries = read_manifest(manifest, preserve_path=opts.get("preserve_path", False))
+    if opts.get("verify_checksums"):
+        # PubChem-style md5 sidecar per archive (S7): fetch + parse the
+        # digest and let aria2 verify integrity on the executor side.
+        # ``sidecar_fetchers`` is the test seam (url -> sidecar body).
+        fetch_sidecar = ctx.get("sidecar_fetchers", {}).get(
+            sdef.name, _default_sidecar_fetch
+        )
+        for entry in entries:
+            digest = parse_checksum_sidecar(
+                fetch_sidecar(checksum_sidecar_url(entry["url"]))
+            )
+            if digest:
+                entry["checksum"] = ("md5", digest)
+            else:
+                logger.warning(
+                    "source.checksum_missing", source=sdef.name, url=entry["url"]
+                )
     runner = ctx.get("downloaders", {}).get(sdef.name, dl._default_runner)
     dl.mirror_urls(spark, entries, dest, runner=runner)
     checkpoints.store(sdef.name, Checkpoint(completed=True))

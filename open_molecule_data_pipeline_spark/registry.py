@@ -136,6 +136,8 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.text_pipeline",
     "open_molecule_data_pipeline_spark.operators.multimodal",
     "open_molecule_data_pipeline_spark.operators.chemistry",
+    "open_molecule_data_pipeline_spark.operators.file_formats",
+    "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
 

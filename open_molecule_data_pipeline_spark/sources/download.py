@@ -124,16 +124,24 @@ def mirror_urls(
 ) -> None:
     """Distribute a mirror job across the cluster.
 
-    ``entries`` are manifest dicts (``url``, ``relative_path``). Each task
-    downloads its slice; skip-existing makes re-runs no-ops.
+    ``entries`` are manifest dicts (``url``, ``relative_path``, and
+    optionally ``checksum`` = (alg, hex-digest) from a sidecar fetch — see
+    ``runner._run_source_download``). Each task downloads its slice with
+    integrity verification when a checksum is present; skip-existing makes
+    re-runs no-ops.
     """
     n = partitions or max(1, min(len(entries), spark.sparkContext.defaultParallelism))
     dest = dest_root
 
     def work(it):
         for e in it:
+            checksum = e.get("checksum")
             download(
-                e["url"], Path(dest) / e["relative_path"], options=options, runner=runner
+                e["url"],
+                Path(dest) / e["relative_path"],
+                options=options,
+                checksum=tuple(checksum) if checksum else None,
+                runner=runner,
             )
 
     spark.sparkContext.parallelize(entries, n).foreachPartition(work)

@@ -52,6 +52,9 @@ class HttpApiDataSource(DataSource):
     - ``configs``: JSON list of ``HttpSourceConfig`` field dicts (required)
     - ``pages``: JSON ``{source_name: [payload, ...]}`` canned responses
       replayed in order instead of real HTTP (tests / dry runs)
+    - ``fail_first``: int — the canned fetcher raises on its first N calls
+      per partition, proving the executor-side fetch goes through the same
+      exponential-backoff retry policy as the driver pump (X3 parity)
     """
 
     @classmethod
@@ -73,6 +76,7 @@ class HttpApiReader(DataSourceReader):
         self._configs = [HttpSourceConfig(**c) for c in json.loads(raw)]
         pages = options.get("pages")
         self._pages = json.loads(pages) if pages else None
+        self._fail_first = int(options.get("fail_first", 0))
 
     def partitions(self) -> Sequence[InputPartition]:
         return [InputPartition(i) for i in range(len(self._configs))]
@@ -81,8 +85,12 @@ class HttpApiReader(DataSourceReader):
         cfg = self._configs[partition.value]
         if self._pages is not None:
             canned = list(self._pages.get(cfg.name, []))
+            failures = [self._fail_first]
 
             def fetcher(url: str):
+                if failures[0] > 0:
+                    failures[0] -= 1
+                    raise ConnectionError("injected transient failure")
                 if not canned:
                     return {}
                 return canned.pop(0)
@@ -111,6 +119,7 @@ def read_http_datasource(
     configs: Sequence[HttpSourceConfig],
     *,
     pages: dict[str, list] | None = None,
+    fail_first: int = 0,
 ) -> DataFrame:
     """Convenience wrapper: register + build the reader DataFrame."""
     register_http_datasource(spark)
@@ -122,4 +131,6 @@ def read_http_datasource(
     )
     if pages is not None:
         reader = reader.option("pages", json.dumps(pages))
+    if fail_first:
+        reader = reader.option("fail_first", str(fail_first))
     return reader.load()

@@ -31,9 +31,17 @@ def read_smiles_table(
 
     # F.split takes a Java regex: literal delimiters are escaped, None means
     # "any whitespace run" (reference zinc.py:70: delimiter None -> str.split()).
+    # Python str.split() also discards LEADING whitespace; F.split would emit
+    # a leading empty token there and shift every column index, so strip all
+    # whitespace (F.trim only strips 0x20 — tabs would slip through) first.
     sep_expr = r"\s+" if delimiter is None else re.escape(delimiter)
+    split_src = (
+        F.regexp_replace(F.col("value"), r"^\s+|\s+$", "")
+        if delimiter is None
+        else F.col("value")
+    )
     raw = spark.read.text(paths).select(
-        F.split(F.col("value"), sep_expr).alias("cols"),
+        F.split(split_src, sep_expr).alias("cols"),
         F.input_file_name().alias("source_file"),
         F.col("value"),
     )

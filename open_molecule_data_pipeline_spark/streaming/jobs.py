@@ -233,9 +233,13 @@ def stream_incremental_user_totals(
     O(batch + state-touched-keys): the incremental-MV pattern a 100 TB
     event stream needs instead of full recomputes.
 
-    The parquet swap is tmp-write + rename (crash leaves old or new state,
-    never a mix); exactly-once comes from the streaming checkpoint ensuring
-    each batch_id merges once.
+    Exactly-once despite foreachBatch's at-least-once contract: the merged
+    batch_id is persisted INSIDE the state directory (``_LAST_BATCH_ID``,
+    underscore-prefixed so parquet readers ignore it) and swaps atomically
+    with the data, so a replayed batch (crash after the swap, before the
+    offset commit) is detected and skipped instead of double-counted. The
+    swap itself is tmp-write + rename; a crash between the two renames
+    leaves only ``_old``, which the next batch restores before merging.
     """
     from pathlib import Path
     import shutil
@@ -243,8 +247,24 @@ def stream_incremental_user_totals(
     from pyspark.sql import functions as F
 
     state = Path(state_dir)
+    old = state.with_name(state.name + "_old")
+    tmp = state.with_name(state.name + "_tmp")
+    marker = "_LAST_BATCH_ID"
+
+    def last_merged(p: Path) -> int:
+        f = p / marker
+        try:
+            return int(f.read_text())
+        except (OSError, ValueError):
+            return -1
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # crash window between state.rename(old) and tmp.rename(state):
+        # no live state dir -> the previous generation in _old is current
+        if not state.exists() and old.exists():
+            old.rename(state)
+        if state.exists() and last_merged(state) >= batch_id:
+            return  # replayed batch (at-least-once foreachBatch) — idempotent
         delta = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
@@ -262,9 +282,8 @@ def stream_incremental_user_totals(
             )
         else:
             merged = delta
-        tmp = state.with_name(state.name + "_tmp")
         merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        old = state.with_name(state.name + "_old")
+        (tmp / marker).write_text(str(batch_id))
         if old.exists():
             shutil.rmtree(old)
         if state.exists():

@@ -28,6 +28,9 @@ FAMILY_TAGS = (
     "ml",
     "multimodal",
     "sample",
+    "formats",
+    "streaming",
+    "chemistry",
 )
 
 

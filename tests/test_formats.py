@@ -106,3 +106,27 @@ def test_structured_logging_shim(caplog):
     assert "source.parsed" in caplog.text
     assert "records=3" in caplog.text and "source='pubchem'" in caplog.text
     assert get_logger("omdp.any") is not None
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """VERDICT r1 #8: with a checkpoint_dir the iterative state must be
+    materialized on the (shared) filesystem each generation — survives
+    executor loss, unlike localCheckpoint — and still converge exactly."""
+    from open_molecule_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    ckpt = tmp_path / "cc_ckpt"
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    comps = {
+        r.node: r.component
+        for r in connected_components(
+            edges, checkpoint_dir=str(ckpt)
+        ).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    generations = sorted(p.name for p in ckpt.iterdir())
+    assert generations and generations[0] == "cc_gen_0"
+    assert len(generations) >= 3  # edges + initial labels + >=1 iteration

@@ -294,3 +294,87 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert back.selectExpr("sum(id) AS s").collect()[0].s == sum(range(10000))
     assert plan_file_count(0) == 1
     assert plan_file_count(300 * 1024 * 1024, 128 * 1024 * 1024) == 3
+
+
+def test_compact_recovers_interrupted_swap(spark, tmp_path):
+    """ADVICE r1: a crash between the two swap renames must be recoverable —
+    dataset gone from its path, complete generation stranded in a sibling."""
+    from open_molecule_data_pipeline_spark.plans.compact import (
+        compact_parquet,
+        recover_interrupted_compaction,
+    )
+
+    target = tmp_path / "ds"
+    spark.range(100).write.parquet(str(target))
+
+    # window (a): root renamed away, tmp fully written -> promote tmp
+    tmp_side = tmp_path / "ds_compact_tmp"
+    spark.range(100).coalesce(1).write.parquet(str(tmp_side))
+    live = spark.read.parquet(str(target)).count()
+    target.rename(tmp_path / "ds_compact_old")
+    assert recover_interrupted_compaction(target) == "tmp"
+    assert spark.read.parquet(str(target)).count() == live
+    assert not (tmp_path / "ds_compact_old").exists()
+
+    # window (b): root renamed away, tmp missing -> restore old
+    target.rename(tmp_path / "ds_compact_old")
+    assert recover_interrupted_compaction(target) == "old"
+    assert spark.read.parquet(str(target)).count() == live
+
+    # live dataset -> no-op, and a full compaction still runs afterwards
+    assert recover_interrupted_compaction(target) is None
+    stats = compact_parquet(spark, target, target_bytes=10**9)
+    assert stats["files_after"] <= stats["files_before"]
+
+
+def test_download_checksum_sidecar_wiring(spark, tmp_path, job_config):
+    """ADVICE r1: verify_checksums must fetch the md5 sidecar per manifest
+    entry and pass --checksum to aria2 on the executor side (S7 parity)."""
+    manifest = tmp_path / "links.txt"
+    manifest.write_text("https://host/a/one.sdf.gz\n")
+    cfg = load_config(job_config)
+    cfg.sources[0].options["manifest"] = str(manifest)
+    cfg.sources[0].options["download_dir"] = str(tmp_path / "mirror")
+    cfg.sources[0].options["verify_checksums"] = True
+    digest = "ab" * 16
+
+    def fake_runner(argv):
+        d = next(a.split("=", 1)[1] for a in argv if a.startswith("--dir="))
+        o = next(a.split("=", 1)[1] for a in argv if a.startswith("--out="))
+        Path(d).mkdir(parents=True, exist_ok=True)
+        (Path(d) / o).write_text("\n".join(argv))
+        return subprocess.CompletedProcess(argv, 0, "", "")
+
+    sidecar_urls = []
+
+    def fake_sidecar(url):
+        sidecar_urls.append(url)
+        return f"{digest}  one.sdf.gz\n"
+
+    run_ingestion(
+        spark,
+        cfg,
+        mode="download",
+        context={
+            "downloaders": {"pubchem": fake_runner},
+            "sidecar_fetchers": {"pubchem": fake_sidecar},
+        },
+    )
+    assert sidecar_urls == ["https://host/a/one.sdf.gz.md5"]
+    argv_text = (tmp_path / "mirror" / "pubchem" / "one.sdf.gz").read_text()
+    assert f"--checksum=md5={digest}" in argv_text
+    assert "--check-integrity=true" in argv_text
+
+
+def test_source_name_slug_validation():
+    """ADVICE r1: names are interpolated into checkpoint paths — reject
+    separators/traversal at the config boundary."""
+    import pytest
+    from pydantic import ValidationError
+
+    from open_molecule_data_pipeline_spark.plans.config import SourceDefinition
+
+    SourceDefinition(type="sdf", name="pubchem_2026.v1-full")
+    for bad in ("a/b", "../x", ".hidden", "", "a b"):
+        with pytest.raises(ValidationError):
+            SourceDefinition(type="sdf", name=bad)

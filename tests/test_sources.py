@@ -326,3 +326,60 @@ def test_python_datasource_http(spark):
     assert rows["a1"].source == "src_a"
     assert rows["a1"].metadata == {"x": "1"}
     assert rows["b1"].source == "src_b"
+
+
+def test_smiles_table_leading_whitespace(spark, tmp_path):
+    """ADVICE r1: delimiter=None must match str.split() — leading
+    whitespace is discarded, not parsed as an empty first column."""
+    p = tmp_path / "tranche.txt"
+    p.write_text("  CCO ZINC1 x\n\tCCN ZINC2 y\nCCC ZINC3 z\n")
+    from open_molecule_data_pipeline_spark.sources.smiles_table import (
+        read_smiles_table,
+    )
+
+    df = read_smiles_table(spark, str(p), delimiter=None)
+    rows = {r.identifier: r.smiles for r in df.collect()}
+    assert rows == {"ZINC1": "CCO", "ZINC2": "CCN", "ZINC3": "CCC"}
+
+
+def test_python_datasource_retry_backoff(spark):
+    """VERDICT r1 #9: executor-side fetches go through the same
+    exponential-backoff retry policy as the driver pump — two injected
+    transient failures are absorbed, the page still arrives."""
+    from open_molecule_data_pipeline_spark.sources.python_datasource import (
+        read_http_datasource,
+    )
+
+    cfg = HttpSourceConfig(
+        name="flaky",
+        base_url="https://h",
+        endpoint="recs",
+        backoff_base=0.01,  # keep the test fast; policy shape is unchanged
+        backoff_cap=0.02,
+    )
+    pages = {"flaky": [{"records": [{"id": "f1", "smiles": "C"}], "next": None}]}
+    df = read_http_datasource(spark, [cfg], pages=pages, fail_first=2)
+    rows = df.collect()
+    assert [r.identifier for r in rows] == ["f1"]
+
+
+def test_python_datasource_retry_exhaustion(spark):
+    """More failures than max_retries must surface, not loop forever."""
+    import pytest
+
+    from open_molecule_data_pipeline_spark.sources.python_datasource import (
+        read_http_datasource,
+    )
+
+    cfg = HttpSourceConfig(
+        name="dead",
+        base_url="https://h",
+        endpoint="recs",
+        max_retries=2,
+        backoff_base=0.01,
+        backoff_cap=0.02,
+    )
+    pages = {"dead": [{"records": [], "next": None}]}
+    df = read_http_datasource(spark, [cfg], pages=pages, fail_first=5)
+    with pytest.raises(Exception, match="injected transient failure"):
+        df.collect()

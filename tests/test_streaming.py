@@ -340,3 +340,74 @@ def test_incremental_materialized_view(spark, tmp_path):
         for r in spark.read.parquet(str(state)).collect()
     }
     assert got == {1: (2, 4.0), 2: (1, 2.0), 3: (1, 4.0)}
+
+
+def test_incremental_totals_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r1: foreachBatch is at-least-once — a replayed batch_id must
+    not double-count (the merged batch id is persisted inside the state)."""
+    import shutil
+
+    from open_molecule_data_pipeline_spark.streaming.jobs import (
+        stream_incremental_user_totals,
+    )
+
+    src = tmp_path / "events_src"
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    batch1 = [(1, 0, 1, "click", 1.0), (2, 1, 2, "view", 2.0)]
+    spark.createDataFrame(_event_rows(batch1), schema=EVENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run_once(checkpoint):
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+        writer = stream_incremental_user_totals(spark, stream, str(state), checkpoint)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once(str(ckpt))
+    # wipe the offset log -> Spark replays batch 0 with identical data
+    shutil.rmtree(ckpt)
+    run_once(str(ckpt))
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.read.parquet(str(state)).collect()
+    }
+    assert got == {1: (1, 1.0), 2: (1, 2.0)}  # NOT doubled
+
+
+def test_incremental_totals_restores_from_old_generation(spark, tmp_path):
+    """ADVICE r1: crash between state.rename(old) and tmp.rename(state)
+    leaves only the _old generation — the next batch must restore it, not
+    silently rebuild from its own delta."""
+    from open_molecule_data_pipeline_spark.streaming.jobs import (
+        stream_incremental_user_totals,
+    )
+
+    src = tmp_path / "events_src"
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    batch1 = [(1, 0, 1, "click", 1.0), (2, 1, 2, "view", 2.0)]
+    spark.createDataFrame(_event_rows(batch1), schema=EVENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+        writer = stream_incremental_user_totals(spark, stream, str(state), str(ckpt))
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    # simulate the crash window: live state vanished mid-swap
+    state.rename(tmp_path / "state_old")
+    batch2 = [(3, 2, 1, "click", 3.0)]
+    spark.createDataFrame(_event_rows(batch2), schema=EVENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.read.parquet(str(state)).collect()
+    }
+    assert got == {1: (2, 4.0), 2: (1, 2.0)}  # prior totals survived
