@@ -47,6 +47,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
+        # Session hygiene between queries: drop cached relations left over
+        # from the previous query (persisted subtrees, checkpoint-backed
+        # caches) so its memory pressure doesn't tax this one's timing.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         if warm_ok:
             try:
                 spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()

@@ -216,19 +216,22 @@ def _write_component(comp_atoms, atoms, bonds, ranks) -> str:
     """Emit one component's canonical string via rank-ordered DFS.
 
     Two passes with identical traversal order: the first discovers tree
-    children and assigns ring-closure numbers (a closure digit must appear
-    at BOTH endpoint atoms, including the one emitted earlier); the second
-    renders the string.
+    children and ring-closure (back) edges; the second renders the string.
+    Closure digits are allocated with a free-list keyed to emission order —
+    a digit is reusable once both its endpoint atoms have been emitted
+    (standard SMILES practice), so the live-digit count tracks the number of
+    *simultaneously open* rings, and exceeding the 99 representable ``%nn``
+    digits is an explicit error instead of malformed output.
     """
     start = min(comp_atoms, key=lambda i: ranks[i])
     visited: set[int] = set()
     processed: set[tuple[int, int]] = set()
     children: dict[int, list[int]] = {i: [] for i in comp_atoms}
-    closures: dict[int, list[tuple[int, str]]] = {i: [] for i in comp_atoms}
-    counter = 0
+    pos: dict[int, int] = {}  # atom -> emission (== visitation) index
+    back_edges: list[tuple[int, int, str]] = []  # (open_atom, close_atom, sym)
 
     def walk(u: int) -> None:
-        nonlocal counter
+        pos[u] = len(pos)
         visited.add(u)
         for v in sorted(atoms[u].neighbors, key=lambda j: ranks[j]):
             edge = (u, v) if u < v else (v, u)
@@ -236,18 +239,58 @@ def _write_component(comp_atoms, atoms, bonds, ranks) -> str:
                 continue
             processed.add(edge)
             if v in visited:  # back/cross edge -> ring closure
-                counter += 1
-                sym = bonds[edge]
-                closures[u].append((counter, sym))
-                closures[v].append((counter, sym))
+                back_edges.append((v, u, bonds[edge]))  # v emitted first
             else:
                 children[u].append(v)
                 walk(v)
 
     walk(start)
 
-    def bond_str(sym: str) -> str:
-        return "" if sym in ("-", ":") else sym
+    # Allocate closure digits in emission order with reuse: at each atom,
+    # first number the closures that OPEN here (smallest free digit; ties
+    # between same-atom openings broken by the closing atom's position so
+    # allocation is deterministic), then release the digits of closures that
+    # CLOSE here for atoms downstream. A digit freed at an atom is not
+    # reusable at that same atom, so one digit never both closes and opens
+    # at a single atom position.
+    import heapq
+
+    opens_at: dict[int, list[int]] = {}
+    closes_at: dict[int, list[int]] = {}
+    for idx, (v, u, _sym) in enumerate(back_edges):
+        opens_at.setdefault(v, []).append(idx)
+        closes_at.setdefault(u, []).append(idx)
+    num_of: dict[int, int] = {}
+    free: list[int] = []
+    next_num = 1
+    for a in sorted(pos, key=pos.get):
+        for idx in sorted(opens_at.get(a, ()), key=lambda i: pos[back_edges[i][1]]):
+            if free:
+                num = heapq.heappop(free)
+            else:
+                num = next_num
+                next_num += 1
+                if num > 99:
+                    raise SmilesError(
+                        "more than 99 simultaneously open ring closures; "
+                        "not representable in %nn SMILES"
+                    )
+            num_of[idx] = num
+        for idx in closes_at.get(a, ()):
+            heapq.heappush(free, num_of[idx])
+
+    closures: dict[int, list[tuple[int, str, int]]] = {i: [] for i in comp_atoms}
+    for idx, (v, u, sym) in enumerate(back_edges):
+        closures[v].append((num_of[idx], sym, u))
+        closures[u].append((num_of[idx], sym, v))
+
+    def bond_str(sym: str, a: int, b: int) -> str:
+        """Omit the symbol only when it equals the parser default for this
+        atom pair (':' iff both aromatic, else '-'): an explicit single bond
+        between two aromatic atoms (biphenyl) or an aromatic bond touching
+        an aliphatic atom would otherwise re-parse as a different graph."""
+        default = ":" if atoms[a].aromatic and atoms[b].aromatic else "-"
+        return "" if sym == default else sym
 
     def closure_str(num: int) -> str:
         return str(num) if num <= 9 else f"%{num:02d}"
@@ -256,11 +299,11 @@ def _write_component(comp_atoms, atoms, bonds, ranks) -> str:
 
     def emit(u: int) -> None:
         out.append(atoms[u].label)
-        for num, sym in sorted(closures[u]):
-            out.append(bond_str(sym) + closure_str(num))
+        for num, sym, other in sorted(closures[u]):
+            out.append(bond_str(sym, u, other) + closure_str(num))
         for k, v in enumerate(children[u]):
             edge = (u, v) if u < v else (v, u)
-            b = bond_str(bonds[edge])
+            b = bond_str(bonds[edge], u, v)
             if k < len(children[u]) - 1:
                 out.append("(")
                 out.append(b)

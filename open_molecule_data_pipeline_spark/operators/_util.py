@@ -70,8 +70,17 @@ def two_pass_global_window(df, order_cols, value_col=None, out_col="__running"):
     """
     from pyspark.sql import Window as W
 
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Both the local-window branch and the offsets branch MUST see the same
+    # sampled range boundaries / __pid assignment. persist() makes that
+    # structural: one InMemoryRelation -> one range exchange -> one
+    # RangePartitioner sampling pass, instead of relying on Spark's
+    # exchange-reuse rule to dedupe two identical subplans (which a future
+    # canonicalization divergence could silently break). The cache is freed
+    # by clearCache()/ContextCleaner; blocks are the already-projected rows.
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     local_w = (
         W.partitionBy("__pid")

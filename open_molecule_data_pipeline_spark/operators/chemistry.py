@@ -48,6 +48,19 @@ _SPELLINGS = [
     ("benzonitrile", "c1ccccc1C#N"),
     ("butene_stereo", "C/C=C/C"),
     ("butene_stereo", "CC=CC"),
+    # explicit single bond between aromatic rings: must stay distinct from
+    # the aromatic-bonded spelling (the writer emits '-' explicitly when the
+    # parser default for the atom pair would be ':'), and the second ring's
+    # closure digit is reused after the first ring closes
+    ("biphenyl_single", "c1ccccc1-c1ccccc1"),
+    ("biphenyl_single", "c1ccc(-c2ccccc2)cc1"),
+    ("biphenyl_aromatic", "c1ccccc1c1ccccc1"),
+    ("biphenyl_aromatic", "c1ccc(c2ccccc2)cc1"),
+    # fused rings: closure digits overlap, so no reuse — numbering must be
+    # invariant to the input's digit choice
+    ("naphthalene", "c1ccc2ccccc2c1"),
+    ("naphthalene", "c2ccc1ccccc1c2"),
+    ("naphthalene", "c1cc2ccccc2cc1"),
     ("malformed", "C1CC"),  # unclosed ring -> NULL canonical
 ]
 
@@ -63,6 +76,9 @@ FROM (VALUES
   ('[Cl-].[NH4+]', 2),
   ('C(#N)c1ccccc1', 2),
   ('CC=CC', 2),
+  ('c1ccc(cc1)-c1ccccc1', 2),
+  ('c1ccc(cc1)c1ccccc1', 2),
+  ('c1ccc2ccccc2c1', 3),
   (NULL, 1)
 ) t(canonical_smiles, n_spellings)
 """

@@ -11,7 +11,11 @@ breaks the hash.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
+import time
+import uuid
 from hashlib import md5
 from pathlib import Path
 
@@ -31,8 +35,27 @@ GROUP BY l_returnflag
 
 
 def _scratch(kind: str, sf_dir: str) -> Path:
+    """Fresh scratch dir for one round-trip.
+
+    The root must be visible to every executor: local mode's /tmp works, a
+    real cluster points ``SPARK_GRAFT_SCRATCH_DIR`` at shared storage (the
+    write and the read-back run as separate Spark jobs, so a node-local path
+    would make executors read back only their own shards). Each call gets a
+    per-run nonce so two concurrent runs over the same sf_dir can't clobber
+    each other's data mid-read; superseded dirs from earlier runs of the
+    same (kind, sf_dir) are swept once they're safely stale.
+    """
+    root = Path(os.environ.get("SPARK_GRAFT_SCRATCH_DIR", tempfile.gettempdir()))
     tag = md5(f"{kind}|{sf_dir}".encode()).hexdigest()[:12]
-    return Path(tempfile.gettempdir()) / f"omdp_roundtrip_{kind}_{tag}"
+    prefix = f"omdp_roundtrip_{kind}_{tag}_"
+    cutoff = time.time() - 1800  # anything older than 30 min is not mid-read
+    for old in root.glob(f"{prefix}*"):
+        try:
+            if old.stat().st_mtime < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    return root / f"{prefix}{uuid.uuid4().hex[:8]}"
 
 
 @register("format_roundtrip_csv", oracle=_CSV_ORACLE, tags=("formats",))

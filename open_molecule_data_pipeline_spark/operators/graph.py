@@ -41,15 +41,36 @@ def connected_components(
     """
     spark = edges.sparkSession
     generation = 0
+    gen_paths: dict[int, str] = {}
 
     def persist(df: DataFrame) -> DataFrame:
         nonlocal generation
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)
         path = f"{checkpoint_dir.rstrip('/')}/cc_gen_{generation}"
+        gen_paths[generation] = path
         generation += 1
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
+
+    def release(df: DataFrame | None, gen: int) -> None:
+        """Free a superseded generation: unpersist the localCheckpoint blocks
+        (they are only GC'd by ContextCleaner otherwise — in a long session,
+        e.g. a 20-query bench, the pinned blocks accumulate), or delete the
+        parquet dir once nothing references it."""
+        if df is None:
+            return
+        if checkpoint_dir is None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        else:
+            path = gen_paths.pop(gen, None)
+            if path is not None:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
 
     # Checkpoint the edge set once: every iteration joins against it, and
     # without this the edges' upstream lineage (for dedup_clusters: the full
@@ -59,8 +80,16 @@ def connected_components(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
     )
-    nodes = undirected.select(F.col("a").alias("node")).distinct()
-    labels = persist(nodes.withColumn("label", F.col("node")))
+    # Seed labels one step ahead of the naive label=node start: every node's
+    # initial label is min(self, neighbors). Same fixpoint (labels only
+    # decrease, bounded below by the component min), one fewer propagation
+    # round on the star/clique-shaped graphs LSH dedup produces.
+    labels = persist(
+        undirected.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("m"))
+        .select("node", F.least("node", "m").alias("label"))
+    )
+    labels_gen = generation - 1
 
     changed = 0
     for _ in range(max_iter):
@@ -81,7 +110,9 @@ def connected_components(
             )
         )
         changed = updated.filter(F.col("__changed")).limit(1).count()
+        release(labels, labels_gen)
         labels = updated.drop("__changed")
+        labels_gen = generation - 1
         if changed == 0:
             break
     if changed != 0:
@@ -89,6 +120,9 @@ def connected_components(
             f"connected_components did not converge within {max_iter} "
             "iterations (component diameter exceeds max_iter); raise max_iter"
         )
+    # The returned labels are themselves checkpointed, so the edge set's
+    # blocks/files are no longer referenced — free them now.
+    release(undirected, 0)
     return labels.select("node", F.col("label").alias("component"))
 
 

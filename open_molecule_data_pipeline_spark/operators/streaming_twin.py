@@ -12,6 +12,8 @@ stateful window aggregation, sink commit) by hash.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -73,27 +75,38 @@ def stream_tumbling_twin(spark, sf_dir):
     name = f"stream_twin_{uuid.uuid4().hex[:8]}"
     # Stateful streaming disables AQE, so the session's shuffle.partitions
     # (200 on a vanilla session) becomes the state-store partition count
-    # verbatim — pin a width matched to local cores for this query only and
-    # restore the session conf afterwards.
+    # verbatim — size it to the cluster's actual parallelism for this query
+    # only and restore the session conf afterwards. (A literal would pin the
+    # state-store width forever on a real cluster: state-store partition
+    # count is fixed at the first checkpoint.)
     key = "spark.sql.shuffle.partitions"
     try:
         prev = spark.conf.get(key)
     except Exception:
         prev = None
     try:
-        spark.conf.set(key, "32")
+        width = str(spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no sparkContext — keep session conf
+        width = prev
+    # Checkpoint I/O is pure overhead for an availableNow one-shot over an
+    # immutable input: prefer a RAM-backed dir when the host has one.
+    ck_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    ck_dir = tempfile.mkdtemp(prefix="omdp_stream_twin_", dir=ck_root)
+    try:
+        if width is not None:
+            spark.conf.set(key, width)
         query = (
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="omdp_stream_twin_")
-            )
+            .option("checkpointLocation", ck_dir)
             .start()
         )
         query.awaitTermination()
     finally:
         if prev is not None:
             spark.conf.set(key, prev)
+        # the memory sink holds the result; the checkpoint is disposable
+        shutil.rmtree(ck_dir, ignore_errors=True)
     return spark.table(name)

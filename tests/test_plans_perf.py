@@ -179,6 +179,11 @@ def test_ntile_and_packing_plans_have_no_global_window(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "rangepartitioning" in plan.lower(), name  # two-pass first stage
         assert "__pid" in plan, name  # partition-local windows
+        # both branches must read ONE materialized range-partitioned subtree
+        # (persist() in two_pass_global_window): if each branch re-executed
+        # its own exchange, RangePartitioner could sample different
+        # boundaries per branch and the broadcast offsets would mismatch.
+        assert "InMemoryTableScan" in plan, name
 
 
 def test_word_freq_topk_uses_bounded_sort(spark, sf_dir):
