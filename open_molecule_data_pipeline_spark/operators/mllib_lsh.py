@@ -3,9 +3,18 @@
 The hand-rolled LSH in ``dedup.py``/``similarity.py`` is oracle-checkable;
 these MLlib estimators are the library-grade alternative with
 ``approxSimilarityJoin``/``approxNearestNeighbors``. MLlib's internal hash
-seeds aren't reproducible in SQL, so these stay OUT of the driver contract
-(``contract=False``; the pytest suite runs them rows-only) — the
-oracle-checked LSH path is the hand-rolled one.
+functions aren't reproducible in SQL, so the raw pair listings stay OUT of
+the driver contract (``contract=False``; the pytest suite runs them
+rows-only). The *recall* queries below bring the MLlib flavor into the
+contract anyway, with the bounded-property technique used for
+``agg_approx_distinct``/``func_sample_seeded``: MLlib's output is judged
+against an exact twin computed over the SAME feature space, and the query
+emits (a) the exact pair count — a seed-free quantity the DuckDB oracle
+recomputes independently — plus (b) containment violations (must be 0:
+``approxSimilarityJoin`` filters candidates on the true key distance, so
+every returned pair must lie in the exact set) and (c) a recall floor
+chosen well under the measured value for the pinned seed (MinHash 0.9998+
+observed, floor 0.95; BRP 0.93+ observed, floor 0.80).
 """
 
 from __future__ import annotations
@@ -45,6 +54,200 @@ def mllib_minhash_pairs(spark, sf_dir):
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
+    )
+
+
+# distance thresholds: MinHash jaccard-distance <= 0.1 (similarity >= 0.9)
+# keeps the exact set discriminative on the token-dense corpus; BRP L2
+# <= 1.2 sits at the ~0.1% quantile of the random-embedding pair distances.
+_MINHASH_DIST = 0.1
+_BRP_DIST = 1.2
+
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (p, q) -> (p - q) * (p - q)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _token_sets(spark, sf_dir):
+    """Tokenizer-identical token sets (lowercase, split on single \\s)."""
+    from pyspark.ml.feature import Tokenizer
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
+    return (
+        Tokenizer(inputCol="text", outputCol="words")
+        .transform(d)
+        .select("doc_id", F.array_distinct("words").alias("toks"))
+    )
+
+
+def _exact_minhash_pairs(spark, sf_dir):
+    """Exact token-Jaccard pairs with distance <= threshold, via token
+    equi-join (shared-count / sizes) — scale-safe candidate generation, and
+    the same ``1 - c/u <= d`` expression order as MLlib's keyDistance so the
+    float boundary cannot disagree."""
+    words = _token_sets(spark, sf_dir)
+    sizes = words.select("doc_id", F.size("toks").alias("n"))
+    t = words.select("doc_id", F.explode("toks").alias("tok"))
+    shared = (
+        t.alias("x")
+        .join(
+            t.alias("y"),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.lit(1.0)
+            - F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+            <= _MINHASH_DIST
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+_MINHASH_RECALL_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s'))) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 1.0 - c / cast(sa.n + sb.n - c AS DOUBLE) <= {_MINHASH_DIST}
+)
+SELECT cast(count(*) AS BIGINT) AS n_exact,
+       cast(0 AS BIGINT) AS containment_viol,
+       true AS recall_ok
+FROM exact
+"""
+
+
+@register(
+    "mllib_minhash_recall",
+    oracle=_MINHASH_RECALL_ORACLE,
+    tags=("dedup", "mllib", "eval"),
+)
+def mllib_minhash_recall(spark, sf_dir):
+    from pyspark.ml.feature import MinHashLSH
+
+    vecs = _doc_vectors(spark, sf_dir)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+    ).fit(vecs)
+    found = (
+        model.approxSimilarityJoin(vecs, vecs, _MINHASH_DIST, distCol="d")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+    )
+    exact = _exact_minhash_pairs(spark, sf_dir)
+    hit = found.join(exact, ["doc_a", "doc_b"]).select(F.lit(1).alias("one"))
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return stats.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_found") - F.col("n_hit")).cast("long").alias("containment_viol"),
+        (F.col("n_hit") >= F.lit(0.95) * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+_BRP_RECALL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE sqrt(list_aggregate(
+          list_transform(list_zip(a.e, b.e), p -> (p[1] - p[2]) * (p[1] - p[2])),
+          'sum')) <= {_BRP_DIST}
+)
+SELECT cast(count(*) AS BIGINT) AS n_exact,
+       cast(0 AS BIGINT) AS containment_viol,
+       true AS recall_ok
+FROM exact
+"""
+
+
+@register(
+    "mllib_brp_recall",
+    oracle=_BRP_RECALL_ORACLE,
+    tags=("similarity", "mllib", "eval"),
+)
+def mllib_brp_recall(spark, sf_dir):
+    """BRP-LSH vs brute-force L2 ground truth.
+
+    The exact twin is a broadcast nested-loop over the (small) embedding
+    set — the eval harness, not the scale path; at 100 TB the ground truth
+    comes from the IVF/native-LSH ladder and this query's shape is run on a
+    sampled slice. The squared-distance fold is a fixed-order per-row
+    reduction, bit-identical across Spark, MLlib's sqdist loop and DuckDB's
+    list_aggregate — so the `<= 1.2` boundary cannot flip cross-engine.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    )
+    ev = e.select("vec_id", array_to_vector("arr").alias("features"))
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=3,
+        seed=42,
+    ).fit(ev)
+    found = (
+        model.approxSimilarityJoin(ev, ev, _BRP_DIST, distCol="d")
+        .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+        )
+    )
+    right = e.select(F.col("vec_id").alias("vec_b"), F.col("arr").alias("y"))
+    exact = (
+        e.select(F.col("vec_id").alias("vec_a"), F.col("arr").alias("x"))
+        .join(F.broadcast(right), F.col("vec_a") < F.col("vec_b"))
+        .filter(F.sqrt(F.expr(_SQDIST.format(a="x", b="y"))) <= _BRP_DIST)
+        .select("vec_a", "vec_b")
+    )
+    hit = found.join(exact, ["vec_a", "vec_b"]).select(F.lit(1).alias("one"))
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return stats.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_found") - F.col("n_hit")).cast("long").alias("containment_viol"),
+        (F.col("n_hit") >= F.lit(0.80) * F.col("n_exact")).alias("recall_ok"),
     )
 
 

@@ -95,15 +95,254 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------------------
+# Image codecs — pure stdlib (zlib + byte arithmetic), no pillow required.
+# PNG covers the compressed-container path (zlib streams, per-row filters
+# 0-4 incl. Paeth prediction); BMP and PPM cover the raw-raster paths.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels, filters=None) -> bytes:
+    """8-bit PNG from an (H, W, 3|4) RGB(A) or (H, W) grayscale array.
+
+    ``filters`` optionally gives the per-row filter type (0-4); default is
+    filter 0 everywhere. Non-zero filters are applied exactly per the spec,
+    so a round-trip exercises the decoder's full unfilter matrix.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch  # bytes per pixel at bit depth 8
+    raw = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int32)
+        ftype = 0 if filters is None else int(filters[y % len(filters)])
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+        up_left = np.concatenate([np.zeros(bpp, dtype=np.int32), prior[:-bpp]])
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prior
+        elif ftype == 3:
+            filt = row - (left + prior) // 2
+        elif ftype == 4:
+            filt = row - _paeth(left, prior, up_left)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        raw.append(ftype)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left, up, up_left):
+    """Paeth predictor, vectorized over a scanline."""
+    import numpy as np
+
+    p = left + up - up_left
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
+    return np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, up_left)
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit non-interlaced PNG (gray / RGB / RGBA): chunk walk,
+    zlib inflate, per-row unfilter (types 0-4). Returns header fields plus
+    the (H, W, C) uint8 pixel array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while off + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + size)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        off += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} comp={comp} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            recon = row
+        elif ftype == 2:
+            recon = (row + prior) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent filters are sequential in x; walk pixel groups
+            recon = np.zeros(stride, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                left = recon[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                up = prior[x : x + bpp]
+                up_left = (
+                    prior[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                )
+                seg = row[x : x + bpp]
+                if ftype == 1:
+                    recon[x : x + bpp] = (seg + left) % 256
+                elif ftype == 3:
+                    recon[x : x + bpp] = (seg + (left + up) // 2) % 256
+                else:
+                    recon[x : x + bpp] = (seg + _paeth(left, up, up_left)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prior = recon
+    pixels = out.astype(np.uint8).reshape(h, w, channels)
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "bit_depth": depth,
+        "pixels": pixels,
+    }
+
+
+def encode_bmp(pixels) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("BMP encoder takes (H, W, 3) RGB")
+    pad = (-(w * 3)) % 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.extend(arr[y, :, ::-1].tobytes())  # RGB -> BGR
+        rows.extend(b"\x00" * pad)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40)
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit uncompressed BITMAPINFOHEADER BMP (either row order)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bits = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or bits != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: header={hdr_size} bits={bits}")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for i in range(h):
+        y = (h - 1 - i) if h_signed > 0 else i  # bottom-up vs top-down
+        row = np.frombuffer(payload, np.uint8, w * 3, data_off + y * stride)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    pixels = np.stack(rows)
+    return {"width": w, "height": h, "channels": 3, "bit_depth": 8, "pixels": pixels}
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary P6 PPM with maxval 255 (whitespace/comment tolerant)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields, off = [], 2
+    while len(fields) < 3:
+        while off < len(payload) and payload[off : off + 1].isspace():
+            off += 1
+        if payload[off : off + 1] == b"#":  # comment to end of line
+            off = payload.index(b"\n", off) + 1
+            continue
+        start = off
+        while off < len(payload) and not payload[off : off + 1].isspace():
+            off += 1
+        fields.append(int(payload[start:off]))
+    off += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pixels = np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
+    return {"width": w, "height": h, "channels": 3, "bit_depth": 8, "pixels": pixels}
+
+
 def decode_media(payload: bytes, media_type: str):
-    """Decode a media payload. WAV/RIFF PCM decodes natively
-    (:func:`decode_wav`); image/video codecs are not in this runtime and
-    stay gated — a deployment wires pillow/pyav behind the same signature."""
+    """Decode a media payload. WAV/RIFF PCM, PNG, BMP and PPM decode
+    natively (pure stdlib+numpy, see the codec functions above); video
+    codecs are not in this runtime and stay gated — a deployment wires pyav
+    behind the same signature."""
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(payload)
+    if media_type == "image/png":
+        return decode_png(payload)
+    if media_type in ("image/bmp", "image/x-ms-bmp"):
+        return decode_bmp(payload)
+    if media_type in ("image/x-portable-pixmap", "image/x-ppm"):
+        return decode_ppm(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this runtime; "
-        "install pillow/pyav for image/video decode"
+        "install pyav for video decode"
     )
 
 
@@ -327,6 +566,88 @@ def mm_wav_decode(spark, sf_dir):
                     "min_s",
                     "max_s",
                     "sum_s",
+                ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# PNG round-trip through the real image-decode path. Each doc_id gets a
+# deterministic RGB image (closed-form pixel values, no RNG), encoded into
+# a real PNG — the per-row filter type cycles through all five spec
+# filters, so the decoder's whole unfilter matrix (incl. Paeth) sits on the
+# driver-checked path — and decoded back by decode_media inside one
+# Arrow-batched mapInPandas stage. Output is integer header fields + exact
+# integer pixel stats; the oracle recomputes them from the same closed form.
+# --------------------------------------------------------------------------
+
+_IMG_ORACLE = """
+SELECT doc_id,
+       cast(w AS INTEGER) AS width,
+       cast(h AS INTEGER) AS height,
+       cast(3 AS INTEGER) AS channels,
+       cast(sum((doc_id * 7 + j * 5) % 256) AS BIGINT) AS sum_px,
+       cast(min((doc_id * 7 + j * 5) % 256) AS BIGINT) AS min_px,
+       cast(max((doc_id * 7 + j * 5) % 256) AS BIGINT) AS max_px
+FROM (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+         unnest(range((8 + doc_id % 9) * (8 + doc_id % 7) * 3)) AS j
+  FROM documents
+) g
+GROUP BY doc_id, w, h
+"""
+
+
+@register("mm_image_decode", oracle=_IMG_ORACLE, tags=("multimodal", "image"))
+def mm_image_decode(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                j = np.arange(w * h * 3, dtype=np.int64)
+                img = ((doc_id * 7 + j * 5) % 256).astype(np.uint8).reshape(h, w, 3)
+                blob = encode_png(img, filters=[0, 1, 2, 3, 4])
+                dec = decode_media(bytes(blob), "image/png")
+                px = dec["pixels"].astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        dec["width"],
+                        dec["height"],
+                        dec["channels"],
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "sum_px",
+                    "min_px",
+                    "max_px",
                 ],
             )
 

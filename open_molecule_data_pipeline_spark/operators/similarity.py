@@ -268,8 +268,9 @@ FROM (
 """
 
 
-@register("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"), bench=True)
-def sim_ivf_topk(spark, sf_dir):
+def _ivf_scored(spark, sf_dir):
+    """(vec_id, embedding, cent_id, ccos): every vector scored vs every
+    centroid — corpus x broadcast-centroids, no shuffle."""
     e = table(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 1).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e")
@@ -278,27 +279,98 @@ def sim_ivf_topk(spark, sf_dir):
     vv = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     kk = F.sqrt(F.expr(_DOT.format(a="cent_e", b="cent_e")))
     ccos = F.round(cdot / (vv * kk), 6)
+    return e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cent_id", ccos.alias("ccos")
+    )
+
+
+def _ivf_parts(spark, sf_dir):
+    """(assign, probe) for the IVF index.
+
+    Assignment does NOT rank with a window over the corpus x centroids
+    product (that would shuffle every score row, embedding included,
+    n_centroids times per vector): argmax by (ccos DESC, cent_id ASC) is a
+    map-side-combinable ``max_by`` over the struct (ccos, -cent_id), so
+    each map partition collapses a vector's n_centroids score rows to one
+    before the exchange, and the 64-float embedding rides in the same
+    aggregate. The probe-side rank window only ever sees the
+    ``vec_id < N_QUERIES`` rows (filter pushed below the cross product).
+    """
+    scored = _ivf_scored(spark, sf_dir)
+    argmax_key = F.struct(F.col("ccos"), (-F.col("cent_id")).alias("neg_cent"))
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by("cent_id", argmax_key).alias("cent_id"),
+            F.any_value("embedding").alias("ce"),  # constant within group
+        )
+        .select(F.col("vec_id").alias("neighbor_id"), "ce", "cent_id")
+    )
     wc = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
-    cd = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cent_id", ccos.alias("ccos"))
+    probe = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cent_id"),
+        )
     )
-    assign = cd.filter(F.col("crn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("cent_id"),
-    )
-    probe = cd.filter((F.col("crn") <= NPROBE) & (F.col("vec_id") < N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("cent_id"),
-    )
+    return assign, probe
+
+
+@register("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"), bench=True)
+def sim_ivf_topk(spark, sf_dir):
+    assign, probe = _ivf_parts(spark, sf_dir)
     dot = F.expr(_DOT.format(a="qe", b="ce"))
     qq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
     cc = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
     scored = (
         assign.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (qq * cc)).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF with PERSISTED inverted lists: the build writes the assignment
+# partitioned by cent_id (the reuse promised above — on a cluster this is
+# the index artifact living on shared storage), and the probe join reads it
+# back with dynamic partition pruning: the broadcast probe side's cent_id
+# set prunes the scan to ~nprobe/n_centroids of the stored corpus
+# (PartitionFilters: dynamicpruning#... in the plan, asserted by
+# tests/test_plans_perf.py). Same result as sim_ivf_topk, so it shares the
+# oracle — the round-trip through the partitioned store must be lossless.
+# --------------------------------------------------------------------------
+
+
+@register("sim_ivf_persisted", oracle=_IVF_ORACLE, tags=("similarity", "ivf"))
+def sim_ivf_persisted(spark, sf_dir):
+    from .file_formats import _scratch
+
+    assign, probe = _ivf_parts(spark, sf_dir)
+    out = _scratch("ivf", sf_dir)
+    (
+        assign.select("neighbor_id", F.col("ce").alias("embedding"), "cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(str(out))
+    )
+    lists = spark.read.parquet(str(out)).select(
+        "neighbor_id", F.col("embedding").alias("ce"), F.col("cent_id").cast("long")
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    qq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    cc = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
+    scored = (
+        lists.join(F.broadcast(probe), "cent_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", (dot / (qq * cc)).alias("cos"))
     )

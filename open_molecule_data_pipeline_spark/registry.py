@@ -29,73 +29,71 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``__spark_entry__.queries()``, so the contract ordering is curated to put
-# one-or-more representatives of EVERY operator family (SURVEY §2A/§2B plus
-# the LLM-pipeline north-star set) inside that window; everything else
-# follows in registration order. Names listed here but not registered are
-# ignored (keeps the list forward-compatible while modules evolve).
+# ``__spark_entry__.queries()``, so the contract ordering is curated and
+# ROTATED each round: the window keeps (a) every query whose code changed
+# this round plus one sentinel per operator family, and fills the remaining
+# slots with queries the external gate has never sampled — r2 verified the
+# r2 head-50 (see CORRECTNESS_r02.json), so r3's window pushes the
+# cumulative externally-verified set toward the whole contract. Everything
+# else follows in registration order. Names listed here but not registered
+# are ignored (keeps the list forward-compatible while modules evolve).
 CONTRACT_ORDER: tuple[str, ...] = (
-    # relational core: agg / filter+project / join / sort / subquery
+    # --- queries touched or added this round (must re-verify) ---
+    "window_ntile_quartiles",  # two_pass_global_window persist()
+    "text_sequence_packing",  # two_pass_global_window persist()
+    "dedup_clusters",  # CC seeding + unpersist hygiene
+    "dedup_apply_clusters",  # CC seeding + unpersist hygiene
+    "chem_canonical_smiles",  # bond-symbol emission + closure reuse
+    "stream_tumbling_twin",  # unpinned state width + RAM checkpoint
+    "format_roundtrip_csv",  # scratch-dir nonce/injectable root
+    "format_roundtrip_json",  # scratch-dir nonce/injectable root
+    "mm_image_decode",  # NEW: PNG codec round-trip
+    "mllib_minhash_recall",  # NEW: MLlib flavor, bounded-property oracle
+    "mllib_brp_recall",  # NEW: MLlib flavor, bounded-property oracle
+    "sim_ivf_persisted",  # NEW: partitioned inverted lists + DPP probe
+    # --- family sentinels (one externally re-verified row per family) ---
     "agg_pricing_summary",
-    "filter_project",
-    "join_local_supplier_volume",
-    "sort_top10_orders",
-    "subquery_above_avg_balance",
-    "agg_approx_distinct",
-    # windows (incl. the scale-safe global ntile)
-    "window_topk_per_customer",
-    "window_ntile_quartiles",
-    "window_forward_fill",
-    # set ops / recursive CTE / scalar-function families
-    "setop_except_all",
-    "recursive_month_spine",
-    "func_map_ops",
-    "func_variant_json",
-    "func_approx_percentile",
-    "func_sample_seeded",
-    # dedup ladder
-    "dedup_exact",
-    "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_apply_clusters",
-    "graph_pagerank_3iter",
-    # similarity search
-    "sim_topk_bruteforce",
-    "sim_lsh_buckets",
-    "sim_ann_lsh_topk",
     "sim_ivf_topk",
-    "sim_ivf_recall",
+    "ts_tumbling_hour",  # events table: nanos-normalization trap
+    "sort_top10_orders",
     "ml_kmeans_assign",
-    "ml_embedding_centroid_per_label",
-    # text analysis / training-data pipeline
-    "text_token_stats",
-    "text_word_freq_top20",
-    "text_quality_score",
-    "text_langid_stopword",
-    "text_sequence_packing",
-    "text_decontamination_overlap",
-    "sample_bernoulli_hash",
-    # time series / sessionization / as-of
-    "ts_tumbling_hour",
-    "ts_sessionization",
-    "ts_asof_latest_order",
-    # CDC
-    "cdc_merge_upsert",
-    "cdc_scd2_intervals",
-    # file-format surface
-    "format_roundtrip_csv",
-    # multimodal
-    "mm_blob_stats",
-    "mm_feature_extract",
-    "mm_wav_decode",
-    # UDF surface / chemistry / streaming-batch twin
-    "groupedmap_minmax_norm",
-    "chem_canonical_smiles",
-    "stream_tumbling_twin",
+    # --- never driver-sampled before r3: joins / TPC-H sweep ---
+    "join_shipping_priority",
+    "join_semi_order_priority",
+    "join_left_outer_order_counts",
+    "join_full_outer_nation_presence",
+    "join_anti_customers_without_orders",
+    "join_theta_price_band",
+    "join_returned_revenue",
+    "join_large_orders",
+    "join_disjunctive_predicates",
+    "join_volume_shipping",
+    "join_late_shipment_priority",
+    "join_lateral_latest_order",
+    # --- never driver-sampled: aggregation variants ---
+    "agg_revenue_forecast",
+    "agg_rollup_returns",
+    "agg_cube_orders",
+    "agg_grouping_sets",
+    "agg_market_share",
+    # --- never driver-sampled: scalar-function families ---
+    "func_string_part",
+    "func_date_orders",
+    "func_math_lineitem",
+    "func_json_events",
+    "subquery_small_quantity_revenue",
+    # --- never driver-sampled: setops / sampling / windows / text / CDC ---
+    "setop_intersect_all",
+    "sample_hash_topk_per_group",
+    "window_running_revenue",
+    "window_gaps_islands",
+    "text_tfidf_topterms",
+    "text_train_eval_split",
+    "cdc_table_diff",
+    "ingest_sdf_demo",
+    "ingest_smiles_table_demo",
+    "ingest_http_pyds_demo",
 )
 
 

@@ -109,9 +109,12 @@ def test_structured_logging_shim(caplog):
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
-    """VERDICT r1 #8: with a checkpoint_dir the iterative state must be
-    materialized on the (shared) filesystem each generation — survives
-    executor loss, unlike localCheckpoint — and still converge exactly."""
+    """VERDICT r1 #8 + ADVICE r2: with a checkpoint_dir the iterative state
+    must be materialized on the (shared) filesystem each generation —
+    survives executor loss, unlike localCheckpoint — converge exactly, AND
+    clean up after itself: superseded generations (and the edge set, once
+    the final labels no longer reference it) are deleted inside the loop,
+    so a long run accumulates O(1) checkpoint data, not O(iterations)."""
     from open_molecule_data_pipeline_spark.operators.graph import (
         connected_components,
     )
@@ -120,13 +123,10 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
     )
-    comps = {
-        r.node: r.component
-        for r in connected_components(
-            edges, checkpoint_dir=str(ckpt)
-        ).collect()
-    }
-    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    result = connected_components(edges, checkpoint_dir=str(ckpt))
     generations = sorted(p.name for p in ckpt.iterdir())
-    assert generations and generations[0] == "cc_gen_0"
-    assert len(generations) >= 3  # edges + initial labels + >=1 iteration
+    # only the final labels generation survives; the result is lazily read
+    # from it, so it must still exist at collect time
+    assert len(generations) == 1, generations
+    comps = {r.node: r.component for r in result.collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -1,5 +1,5 @@
-"""Unit tests for the WAV/RIFF codec behind decode_media (the one real
-media decoder in this runtime; image/video stay gated on codec libs)."""
+"""Unit tests for the WAV/RIFF and image codecs behind decode_media
+(pure stdlib+numpy; only video stays gated on codec libs)."""
 
 from __future__ import annotations
 
@@ -9,8 +9,13 @@ import numpy as np
 import pytest
 
 from open_molecule_data_pipeline_spark.operators.multimodal import (
+    decode_bmp,
     decode_media,
+    decode_png,
+    decode_ppm,
     decode_wav,
+    encode_bmp,
+    encode_png,
     encode_wav_pcm16,
 )
 
@@ -68,5 +73,55 @@ def test_decode_media_dispatch():
     samples = np.array([5], dtype=np.int16)
     blob = encode_wav_pcm16(samples)
     assert decode_media(blob, "audio/wav")["n_samples"] == 1
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert decode_media(encode_png(img), "image/png")["width"] == 2
+    assert decode_media(encode_bmp(img), "image/bmp")["height"] == 2
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "image/jpeg")
+        decode_media(b"\xff\xd8\xff", "image/jpeg")  # no JPEG codec
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "video/mp4")
+
+
+@pytest.mark.parametrize(
+    "shape", [(5, 9, 3), (1, 1, 3), (16, 3, 3), (7, 8, 1), (4, 6, 4)]
+)
+@pytest.mark.parametrize(
+    "filters", [None, [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 2, 1, 0]]
+)
+def test_png_roundtrip_all_filters(shape, filters):
+    rng = np.random.default_rng(sum(shape) + (0 if filters is None else sum(filters)))
+    img = rng.integers(0, 256, size=shape if shape[2] > 1 else shape[:2], dtype=np.uint8)
+    dec = decode_png(encode_png(img, filters=filters))
+    ref = img if img.ndim == 3 else img[:, :, None]
+    assert dec["width"] == shape[1] and dec["height"] == shape[0]
+    assert dec["channels"] == shape[2]
+    assert np.array_equal(dec["pixels"], ref)
+
+
+def test_png_rejects_corrupt_crc():
+    blob = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    blob[20] ^= 0xFF  # flip a bit inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+
+
+def test_png_rejects_non_png():
+    with pytest.raises(ValueError, match="PNG"):
+        decode_png(b"RIFF....WAVE")
+
+
+def test_bmp_roundtrip_with_padding():
+    # width 5 -> 15-byte rows padded to 16: exercises stride handling
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    dec = decode_bmp(encode_bmp(img))
+    assert dec["width"] == 5 and dec["height"] == 6
+    assert np.array_equal(dec["pixels"], img)
+
+
+def test_ppm_decode_with_comment():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n5 6\n255\n" + img.tobytes()
+    dec = decode_ppm(payload)
+    assert np.array_equal(dec["pixels"], img)

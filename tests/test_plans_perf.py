@@ -119,6 +119,15 @@ def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_ivf_persisted_prunes_partitions(spark, sf_dir):
+    # The probe must NOT scan the whole persisted index: the inverted-list
+    # FileScan carries a dynamic-pruning PartitionFilter fed by the
+    # broadcast probe side (plus any statically inferred cent_id filter).
+    plan = _plan(spark, sf_dir, "sim_ivf_persisted")
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters: []" not in plan.split("omdp_roundtrip_ivf")[1].split("\n")[0]
+
+
 def test_audio_frames_stays_jvm(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_audio_frames")
     assert "BatchEvalPython" not in plan
