@@ -111,3 +111,32 @@ def format_roundtrip_json(spark, sf_dir):
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+_XML_ORACLE = """
+SELECT c_mktsegment,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(c_custkey) AS BIGINT) AS sum_key
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("format_roundtrip_xml", oracle=_XML_ORACLE, tags=("formats",))
+def format_roundtrip_xml(spark, sf_dir):
+    """parquet -> XML (Spark 4 built-in source, rowTag rows) -> schema-pinned
+    read -> aggregate. XML is the interchange format of several chemistry
+    registries (the reference's PubChem domain), so the round-trip belongs
+    in the driver window."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = _scratch("xml", sf_dir)
+    c.write.mode("overwrite").format("xml").option("rowTag", "row").save(str(out))
+    back = (
+        spark.read.schema("c_custkey bigint, c_mktsegment string")
+        .format("xml")
+        .option("rowTag", "row")
+        .load(str(out))
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("sum_key")
+    )

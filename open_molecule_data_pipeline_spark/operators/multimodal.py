@@ -327,11 +327,96 @@ def decode_ppm(payload: bytes) -> dict:
     return {"width": w, "height": h, "channels": 3, "bit_depth": 8, "pixels": pixels}
 
 
+# --------------------------------------------------------------------------
+# Video container (AVI/RIFF) demux — frame SPLITTING, not codec decode.
+# The 100 TB pattern for video is exactly this split: demux the container
+# into per-frame byte ranges JVM/Arrow-side, and hand the (rare) frames
+# that need pixel decode to a codec stage. Frame-payload decode stays
+# honestly gated on pyav.
+# --------------------------------------------------------------------------
+
+
+def encode_avi(frames, width: int = 16, height: int = 8, fps: int = 25) -> bytes:
+    """Minimal spec-shaped AVI: RIFF('AVI ') with LIST hdrl (avih main
+    header) and LIST movi holding one '00db' chunk per frame (word-aligned)."""
+    import struct
+
+    frames = [bytes(f) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0,
+        0,
+        0,  # flags
+        len(frames),  # dwTotalFrames
+        0,
+        1,  # dwStreams
+        0,
+        width,
+        height,
+        0,
+        0,
+        0,
+        0,
+    )
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    movi = b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    body = chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Demux an AVI container: chunk-walk the RIFF tree, read the avih
+    header, and return the raw frame payloads from the movi list ('00db'
+    uncompressed / '00dc' compressed stream-0 chunks). No codec decode."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = total = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, total
+        off = 0
+        while off + 8 <= len(buf):
+            cid = buf[off : off + 4]
+            (size,) = struct.unpack_from("<I", buf, off + 4)
+            body = buf[off + 8 : off + 8 + size]
+            if cid == b"LIST":
+                list_type = body[:4]
+                if list_type in (b"hdrl", b"movi", b"strl"):
+                    walk(body[4:])
+            elif cid == b"avih":
+                fields = struct.unpack_from("<10I", body, 0)
+                total, width, height = fields[4], fields[8], fields[9]
+            elif cid in (b"00db", b"00dc"):
+                frames.append(body)
+            off += 8 + size + (size & 1)  # chunks are word-aligned
+
+    walk(payload[12:])
+    if width is None:
+        raise ValueError("missing avih header")
+    if total is not None and total != len(frames):
+        raise ValueError(f"avih declares {total} frames, movi holds {len(frames)}")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
 def decode_media(payload: bytes, media_type: str):
     """Decode a media payload. WAV/RIFF PCM, PNG, BMP and PPM decode
-    natively (pure stdlib+numpy, see the codec functions above); video
-    codecs are not in this runtime and stay gated — a deployment wires pyav
-    behind the same signature."""
+    natively, and AVI demuxes to per-frame byte payloads (pure
+    stdlib+numpy, see the codec functions above); video frame-payload
+    codecs are not in this runtime and stay gated — a deployment wires
+    pyav behind the same signature."""
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(payload)
     if media_type == "image/png":
@@ -340,9 +425,11 @@ def decode_media(payload: bytes, media_type: str):
         return decode_bmp(payload)
     if media_type in ("image/x-portable-pixmap", "image/x-ppm"):
         return decode_ppm(payload)
+    if media_type in ("video/x-msvideo", "video/avi"):
+        return decode_avi(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this runtime; "
-        "install pyav for video decode"
+        "install pyav for video frame decode"
     )
 
 
@@ -649,6 +736,75 @@ def mm_image_decode(spark, sf_dir):
                     "min_px",
                     "max_px",
                 ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# AVI round-trip through the real container demux path. Each doc_id gets a
+# deterministic frame sequence (closed-form byte values), muxed into a real
+# AVI container and demuxed back by decode_media inside one Arrow-batched
+# mapInPandas stage — one output row per frame with exact integer byte
+# stats, recomputed by the oracle from the same closed form. This is the
+# container-split half of video handling; frame-payload codec decode stays
+# gated (see decode_media).
+# --------------------------------------------------------------------------
+
+_VIDEO_ORACLE = """
+SELECT doc_id,
+       cast(k AS INTEGER) AS frame_idx,
+       cast(32 + (doc_id + k) % 17 AS INTEGER) AS frame_len,
+       cast(sum((doc_id * 13 + k * 7 + i * 3) % 256) AS BIGINT) AS sum_b,
+       cast(min((doc_id * 13 + k * 7 + i * 3) % 256) AS BIGINT) AS min_b,
+       cast(max((doc_id * 13 + k * 7 + i * 3) % 256) AS BIGINT) AS max_b
+FROM (
+  SELECT doc_id, k, unnest(range(32 + (doc_id + k) % 17)) AS i
+  FROM (SELECT doc_id, unnest(range(3 + doc_id % 5)) AS k FROM documents) f
+) g
+GROUP BY doc_id, k
+"""
+
+
+@register("mm_video_frames", oracle=_VIDEO_ORACLE, tags=("multimodal", "video"))
+def mm_video_frames(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_len", T.IntegerType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("min_b", T.LongType()),
+            T.StructField("max_b", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                frames = []
+                for k in range(3 + doc_id % 5):
+                    n = 32 + (doc_id + k) % 17
+                    i = np.arange(n, dtype=np.int64)
+                    frames.append(
+                        ((doc_id * 13 + k * 7 + i * 3) % 256)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                dec = decode_media(encode_avi(frames), "video/x-msvideo")
+                for k, frame in enumerate(dec["frames"]):
+                    arr = np.frombuffer(frame, dtype=np.uint8).astype(np.int64)
+                    rows.append(
+                        (doc_id, k, len(frame), int(arr.sum()), int(arr.min()), int(arr.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_len", "sum_b", "min_b", "max_b"],
             )
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")

@@ -51,6 +51,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "mllib_minhash_recall",  # NEW: MLlib flavor, bounded-property oracle
     "mllib_brp_recall",  # NEW: MLlib flavor, bounded-property oracle
     "sim_ivf_persisted",  # NEW: partitioned inverted lists + DPP probe
+    "mm_video_frames",  # NEW: AVI container demux round-trip
+    "format_roundtrip_xml",  # NEW: Spark 4 built-in XML source
     # --- family sentinels (one externally re-verified row per family) ---
     "agg_pricing_summary",
     "dedup_minhash_lsh_pairs",
@@ -76,7 +78,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "agg_rollup_returns",
     "agg_cube_orders",
     "agg_grouping_sets",
-    "agg_market_share",
     # --- never driver-sampled: scalar-function families ---
     "func_string_part",
     "func_date_orders",
@@ -87,7 +88,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "setop_intersect_all",
     "sample_hash_topk_per_group",
     "window_running_revenue",
-    "window_gaps_islands",
     "text_tfidf_topterms",
     "text_train_eval_split",
     "cdc_table_diff",

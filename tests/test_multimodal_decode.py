@@ -119,6 +119,41 @@ def test_bmp_roundtrip_with_padding():
     assert np.array_equal(dec["pixels"], img)
 
 
+def test_avi_roundtrip_and_word_alignment():
+    from open_molecule_data_pipeline_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = [b"abc", b"defgh", bytes(range(33))]  # odd sizes -> pad bytes
+    dec = decode_avi(encode_avi(frames, width=32, height=24))
+    assert dec["n_frames"] == 3
+    assert dec["width"] == 32 and dec["height"] == 24
+    assert dec["frames"] == frames
+
+
+def test_avi_rejects_frame_count_mismatch():
+    import struct
+
+    from open_molecule_data_pipeline_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    blob = bytearray(encode_avi([b"aa", b"bb"]))
+    # corrupt dwTotalFrames (offset: RIFF12 + LIST8 + 'hdrl'4 + avih hdr8 + 16)
+    struct.pack_into("<I", blob, 12 + 8 + 4 + 8 + 16, 9)
+    with pytest.raises(ValueError, match="declares"):
+        decode_avi(bytes(blob))
+
+
+def test_avi_rejects_non_avi():
+    from open_molecule_data_pipeline_spark.operators.multimodal import decode_avi
+
+    with pytest.raises(ValueError, match="AVI"):
+        decode_avi(b"RIFFxxxxWAVEdata")
+
+
 def test_ppm_decode_with_comment():
     rng = np.random.default_rng(4)
     img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
