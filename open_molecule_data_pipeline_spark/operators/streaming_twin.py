@@ -72,13 +72,24 @@ def stream_tumbling_twin(spark, sf_dir):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+    return _run_to_memory(spark, agg, output_mode="complete")
+
+
+def _run_to_memory(spark, df, output_mode: str):
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink and return the result table.
+
+    Stateful streaming disables AQE, so the session's shuffle.partitions
+    (200 on a vanilla session) becomes the state-store partition count
+    verbatim — size it to the cluster's actual parallelism for the run and
+    restore the session conf afterwards. (A literal would pin the
+    state-store width forever on a real cluster: state-store partition
+    count is fixed at the first checkpoint.) Checkpoint I/O is pure
+    overhead for an availableNow one-shot over an immutable input, so the
+    checkpoint dir goes on a RAM-backed tmpfs when the host has one and is
+    deleted after the run.
+    """
     name = f"stream_twin_{uuid.uuid4().hex[:8]}"
-    # Stateful streaming disables AQE, so the session's shuffle.partitions
-    # (200 on a vanilla session) becomes the state-store partition count
-    # verbatim — size it to the cluster's actual parallelism for this query
-    # only and restore the session conf afterwards. (A literal would pin the
-    # state-store width forever on a real cluster: state-store partition
-    # count is fixed at the first checkpoint.)
     key = "spark.sql.shuffle.partitions"
     try:
         prev = spark.conf.get(key)
@@ -88,17 +99,15 @@ def stream_tumbling_twin(spark, sf_dir):
         width = str(spark.sparkContext.defaultParallelism)
     except Exception:  # Spark Connect: no sparkContext — keep session conf
         width = prev
-    # Checkpoint I/O is pure overhead for an availableNow one-shot over an
-    # immutable input: prefer a RAM-backed dir when the host has one.
     ck_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
     ck_dir = tempfile.mkdtemp(prefix="omdp_stream_twin_", dir=ck_root)
     try:
         if width is not None:
             spark.conf.set(key, width)
         query = (
-            agg.writeStream.format("memory")
+            df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .option("checkpointLocation", ck_dir)
             .start()
@@ -110,3 +119,79 @@ def stream_tumbling_twin(spark, sf_dir):
         # the memory sink holds the result; the checkpoint is disposable
         shutil.rmtree(ck_dir, ignore_errors=True)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Session-window twin: the stateful MERGING-window operator (sessions grow
+# and coalesce as events arrive — a different state machine from tumbling
+# windows). session_window's end = last event + gap, so the gaps-and-
+# islands oracle reproduces it exactly with lag()/cumulative-sum islands.
+# --------------------------------------------------------------------------
+
+_SESSION_TWIN_ORACLE = """
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       cast(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+  ) flags
+) islands
+GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "stream_session_twin",
+    oracle=_SESSION_TWIN_ORACLE,
+    tags=("streaming", "session"),
+)
+def stream_session_twin(spark, sf_dir):
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(spark, agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# Streaming-dedup twin: dropDuplicates over a key exercises the per-key
+# dedup state store (the third stateful operator family). Only the key
+# columns are emitted, so which physical row won the race is irrelevant
+# and the result equals batch DISTINCT — exact oracle.
+# --------------------------------------------------------------------------
+
+_DEDUP_TWIN_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register(
+    "stream_dedup_twin",
+    oracle=_DEDUP_TWIN_ORACLE,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_twin(spark, sf_dir):
+    events = _events_stream(spark, sf_dir)
+    deduped = events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(spark, deduped, output_mode="append")

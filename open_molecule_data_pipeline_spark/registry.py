@@ -53,6 +53,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sim_ivf_persisted",  # NEW: partitioned inverted lists + DPP probe
     "mm_video_frames",  # NEW: AVI container demux round-trip
     "format_roundtrip_xml",  # NEW: Spark 4 built-in XML source
+    "stream_session_twin",  # NEW: merging session-window state machine
+    "stream_dedup_twin",  # NEW: per-key dedup state store, append mode
     # --- family sentinels (one externally re-verified row per family) ---
     "agg_pricing_summary",
     "dedup_minhash_lsh_pairs",
@@ -76,11 +78,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     # --- never driver-sampled: aggregation variants ---
     "agg_revenue_forecast",
     "agg_rollup_returns",
-    "agg_cube_orders",
     "agg_grouping_sets",
     # --- never driver-sampled: scalar-function families ---
     "func_string_part",
-    "func_date_orders",
     "func_math_lineitem",
     "func_json_events",
     "subquery_small_quantity_revenue",
