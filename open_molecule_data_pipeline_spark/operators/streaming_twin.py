@@ -195,3 +195,127 @@ def stream_dedup_twin(spark, sf_dir):
         ["user_id", "event_type"]
     )
     return _run_to_memory(spark, deduped, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas twin: Spark 4's arbitrary-state API (typed
+# ValueState per key, Arrow-batched handleInputRows) — the successor to
+# applyInPandasWithState and the operator a custom 100 TB stateful pipeline
+# builds on. Requires the RocksDB state-store provider; the conf is set for
+# the run and restored. Per-user event count + exact scaled-integer value
+# sum, so the batch SQL oracle verifies the whole state machine by hash.
+# The events table is one file -> one availableNow micro-batch, so each
+# key emits exactly once.
+#
+# RUNTIME GATE: the TWS state-server protocol needs google.protobuf in the
+# Python workers; without it the streaming runner crashes at init. Like the
+# RDKit/pyav gates, the query registers only when the dependency imports —
+# applyInPandasWithState (`streaming/jobs.py::stream_running_user_totals`)
+# remains the ungated custom-stateful path in this runtime.
+# --------------------------------------------------------------------------
+
+
+def _tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+_TWS_ORACLE = f"""
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_events,
+       {s_lsum('value', 100)} AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+class _UserStatsProcessor:
+    """Lazy StatefulProcessor shim: subclassing happens at call time so the
+    module imports even on builds without the TWS API."""
+
+    def build(self):
+        import pandas as pd
+        from pyspark.sql.streaming import StatefulProcessor
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        class P(StatefulProcessor):
+            def init(self, handle) -> None:
+                schema = StructType(
+                    [StructField("n", LongType()), StructField("cents", LongType())]
+                )
+                self._state = handle.getValueState("agg", schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                n = 0
+                cents = 0
+                for pdf in rows:
+                    n += len(pdf)
+                    cents += int(
+                        pdf["value"].mul(100).round().astype("int64").sum()
+                    )
+                if self._state.exists():
+                    prev = self._state.get()
+                    n += int(prev[0])
+                    cents += int(prev[1])
+                self._state.update((n, cents))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(key[0])],
+                        "n_events": [n],
+                        "sum_value": [cents / 100.0],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return P()
+
+
+def stream_tws_user_stats(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    events = _events_stream(spark, sf_dir)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    stats = events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserStatsProcessor().build(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev_provider = spark.conf.get(provider_key)
+    except Exception:
+        prev_provider = None
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        return _run_to_memory(spark, stats, output_mode="update")
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(provider_key, prev_provider)
+
+
+if _tws_available():  # pragma: no cover - protobuf absent in this runtime
+    register(
+        "stream_tws_user_stats",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "udf"),
+    )(stream_tws_user_stats)

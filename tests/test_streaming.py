@@ -411,3 +411,15 @@ def test_incremental_totals_restores_from_old_generation(spark, tmp_path):
         for r in spark.read.parquet(str(state)).collect()
     }
     assert got == {1: (2, 4.0), 2: (1, 2.0)}  # prior totals survived
+
+
+def test_tws_gate_matches_runtime():
+    """stream_tws_user_stats registers only when google.protobuf (the TWS
+    state-server protocol dependency) is importable — the gated query must
+    never be exposed on a runtime where its worker would crash at init."""
+    from open_molecule_data_pipeline_spark.operators import streaming_twin as st
+    from open_molecule_data_pipeline_spark.registry import load_all
+
+    assert ("stream_tws_user_stats" in load_all()) == st._tws_available()
+    proc = st._UserStatsProcessor().build()  # builds regardless of the gate
+    assert hasattr(proc, "handleInputRows") and hasattr(proc, "init")
