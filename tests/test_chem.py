@@ -84,8 +84,8 @@ def _random_spelling(smiles: str, rng: random.Random) -> str:
             used.add(edge)
             if v in visited:
                 num = next(digits)
-                closures[u].append((num, bonds[edge]))
-                closures[v].append((num, bonds[edge]))
+                closures[u].append((num, bonds[edge], v))
+                closures[v].append((num, bonds[edge], u))
             else:
                 children[u].append(v)
                 walk(v)
@@ -94,15 +94,21 @@ def _random_spelling(smiles: str, rng: random.Random) -> str:
     rng.shuffle(order)
     roots = [seed for seed in order if seed not in visited and (walk(seed) or True)]
 
+    def pair_bond(sym: str, a: int, b: int) -> str:
+        # omit only the parser default for the pair (mirrors the writer):
+        # ':' iff both endpoints aromatic, else '-'
+        default = ":" if atoms[a].aromatic and atoms[b].aromatic else "-"
+        return "" if sym == default else sym
+
     def render(u: int) -> str:
         out = [atoms[u].label]
-        for num, sym in closures[u]:
-            b = "" if sym in "-:" else sym
+        for num, sym, other in closures[u]:
+            b = pair_bond(sym, u, other)
             out.append(b + (str(num) if num <= 9 else f"%{num:02d}"))
         subs = []
         for v in children[u]:
             edge = (u, v) if u < v else (v, u)
-            b = "" if bonds[edge] in "-:" else bonds[edge]
+            b = pair_bond(bonds[edge], u, v)
             subs.append(b + render(v))
         rng.shuffle(subs)
         for k, sub in enumerate(subs):
@@ -121,6 +127,9 @@ def _random_spelling(smiles: str, rng: random.Random) -> str:
         "Cc1ccccc1",  # toluene
         "C1CCCCC1",  # cyclohexane
         "c1ccc2ccccc2c1",  # naphthalene (fused rings)
+        "c1ccccc1-c1ccccc1",  # biphenyl, explicit single inter-ring bond
+        "c1ccccc1c1ccccc1",  # biphenyl spelled with aromatic inter-ring bond
+        "C1CC2CCC1CC2",  # bicyclooctane (bridged rings, digit reuse)
         "NC(CC(=O)O)C(=O)O",  # aspartic acid (branches)
         "O.CCO.[Na+]",  # multi-component
         "ClC(Br)I",  # halogen soup

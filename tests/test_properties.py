@@ -125,3 +125,60 @@ def test_zorder_interleave_invertible(pairs):
         rx = sum(((z >> (2 * k + 1)) & 1) << k for k in range(8))
         ry = sum(((z >> (2 * k)) & 1) << k for k in range(8))
         assert (rx, ry) == (x, y)
+
+
+# --------------------------------------------------------------------------
+# media codecs: encode∘decode must be the identity for every shape, channel
+# count and PNG filter choice (incl. per-row mixed filters), and the AVI
+# demux must return frame payloads byte-exactly for any frame list.
+# --------------------------------------------------------------------------
+
+_png_shape = st.tuples(
+    st.integers(min_value=1, max_value=12),  # height
+    st.integers(min_value=1, max_value=12),  # width
+    st.sampled_from([1, 3, 4]),  # channels
+)
+
+
+@given(
+    shape=_png_shape,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filters=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=6),
+)
+@settings(max_examples=150, deadline=None)
+def test_png_roundtrip_property(shape, seed, filters):
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    h, w, ch = shape
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch) if ch > 1 else (h, w), dtype=np.uint8)
+    dec = decode_png(encode_png(img, filters=filters))
+    ref = img if img.ndim == 3 else img[:, :, None]
+    assert dec["width"] == w and dec["height"] == h and dec["channels"] == ch
+    assert np.array_equal(dec["pixels"], ref)
+
+
+@given(
+    frames=st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=12),
+    dims=st.tuples(
+        st.integers(min_value=1, max_value=4096),
+        st.integers(min_value=1, max_value=4096),
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_avi_demux_property(frames, dims):
+    from open_molecule_data_pipeline_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    w, h = dims
+    dec = decode_avi(encode_avi(frames, width=w, height=h))
+    assert dec["width"] == w and dec["height"] == h
+    assert dec["n_frames"] == len(frames)
+    assert dec["frames"] == [bytes(f) for f in frames]
