@@ -140,3 +140,45 @@ def format_roundtrip_xml(spark, sf_dir):
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("sum_key")
     )
+
+
+# --------------------------------------------------------------------------
+# Corrupt-record tolerance: at 100 TB some shard of any text-format feed is
+# malformed, and the pipeline must quarantine rows, not die or silently
+# drop. Deterministically corrupt every 97th order line, read back in
+# PERMISSIVE mode with a corrupt-record column, and reconcile good vs
+# quarantined counts against the closed-form oracle.
+# --------------------------------------------------------------------------
+
+_CORRUPT_ORACLE = """
+SELECT cast(count(*) FILTER (o_orderkey % 97 <> 0) AS BIGINT) AS n_good,
+       cast(count(*) FILTER (o_orderkey % 97 = 0) AS BIGINT) AS n_corrupt,
+       cast(sum(o_orderkey) FILTER (o_orderkey % 97 <> 0) AS BIGINT) AS sum_good_keys
+FROM orders
+"""
+
+
+@register("format_corrupt_tolerance", oracle=_CORRUPT_ORACLE, tags=("formats",))
+def format_corrupt_tolerance(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    line = F.when(
+        F.col("o_orderkey") % 97 == 0,
+        F.concat(F.lit("BADROW<"), F.col("o_orderkey").cast("string"), F.lit(">")),
+    ).otherwise(F.concat(F.col("o_orderkey").cast("string"), F.lit(",1.00")))
+    out = _scratch("corrupt", sf_dir)
+    o.select(line.alias("value")).write.mode("overwrite").text(str(out))
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(out))
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("o_orderkey"))).alias(
+            "sum_good_keys"
+        ),
+    )
