@@ -1,0 +1,221 @@
+"""Corpus-hygiene operators a 100 TB training-data pipeline runs before
+anything touches a tokenizer: PII redaction, language-model quality scoring,
+and stratified sampling with exact per-stratum quotas.
+
+Scale notes:
+- PII redaction is a pure per-row regex map — no shuffle, stays inside
+  whole-stage codegen, trivially parallel at any width.
+- The unigram LM score needs one corpus-wide aggregation (the vocabulary —
+  small, broadcast back) and one per-doc aggregation; log-probabilities are
+  quantized to 1e-6 *as scaled integers* so every cross-row sum is exact
+  int64 arithmetic (see `_util` module docstring for why raw double sums
+  are a parity and determinism hazard).
+- Stratified quotas use a per-stratum window (partitioned — never a global
+  window) ordered by md5(doc_id): a deterministic uniform permutation, so
+  "first K of the hash order" is an unbiased sample that every engine and
+  every rerun agrees on. At 100 TB the window shuffles each stratum once;
+  skewed strata amortize across tasks because rows within a stratum hash
+  uniformly over partitions first (rank is computed post-shuffle per
+  stratum — Spark handles this with a single RangePartitioner-free hash
+  exchange on the stratum key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# PII redaction. The synthetic documents contain no PII, so the query
+# deterministically injects two emails and a phone per doc (a closed form
+# of doc_id) and then redacts — proving the regexes and the *global*
+# replace semantics (DuckDB needs the 'g' flag; Spark's regexp_replace is
+# always global).
+# --------------------------------------------------------------------------
+
+_EMAIL_PAT = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_PAT = "\\d{3}-\\d{4}"
+
+_PII_ORACLE = f"""
+WITH synth AS (
+  SELECT lang,
+         text || ' contact user' || cast(doc_id AS VARCHAR)
+              || '@mail' || cast(doc_id % 7 AS VARCHAR)
+              || '.com or admin@backup.net call 555-'
+              || cast(1000 + doc_id % 9000 AS VARCHAR) AS body
+  FROM documents
+), red AS (
+  SELECT lang,
+         cast(len(regexp_extract_all(body, '{_EMAIL_PAT}')) AS INTEGER) AS n_email,
+         cast(len(regexp_extract_all(body, '{_PHONE_PAT}')) AS INTEGER) AS n_phone,
+         regexp_replace(regexp_replace(body, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                        '{_PHONE_PAT}', '<PHONE>', 'g') AS redacted
+  FROM synth
+)
+SELECT lang,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_email) AS BIGINT) AS emails_redacted,
+       cast(sum(n_phone) AS BIGINT) AS phones_redacted,
+       cast(sum(length(redacted)) AS BIGINT) AS redacted_chars
+FROM red
+GROUP BY lang
+"""
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE, tags=("text", "pii"))
+def text_pii_redact(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com or admin@backup.net call 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    return (
+        d.select(
+            "lang",
+            F.regexp_count(body, F.lit(_EMAIL_PAT)).alias("n_email"),
+            F.regexp_count(body, F.lit(_PHONE_PAT)).alias("n_phone"),
+            F.length(redacted).alias("len_red"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            F.sum("len_red").cast("long").alias("redacted_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model quality score: ln p(doc) / n_tokens under the
+# corpus's own unigram distribution — the classic cheap perplexity proxy
+# for filtering gibberish / boilerplate. Log-probs are quantized to
+# round(ln(p)*1e6) AS BIGINT at the vocabulary level, so the per-doc sum is
+# exact integer arithmetic; the only cross-engine float ops are one
+# division and one final round (both correctly-rounded IEEE, identical on
+# both sides). The vocabulary is tiny relative to the corpus (Heaps' law)
+# → broadcast join back onto the token stream.
+# --------------------------------------------------------------------------
+
+_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT cast(sum(n) AS BIGINT) AS t FROM uni),
+lp AS (
+  SELECT tok,
+         cast(round(ln(n / cast(t.t AS DOUBLE)) * 1000000) AS BIGINT) AS lp6
+  FROM uni, tot t
+),
+ds AS (
+  SELECT t.doc_id, max(t.lang) AS lang,
+         cast(sum(l.lp6) AS BIGINT) AS s, count(*) AS n_tok
+  FROM toks t JOIN lp l ON t.tok = l.tok
+  GROUP BY t.doc_id
+),
+sc AS (
+  SELECT lang, round(s / cast(n_tok * 1000000 AS DOUBLE), 6) AS score FROM ds
+)
+SELECT lang,
+       cast(floor(score) AS INTEGER) AS bin,
+       cast(count(*) AS BIGINT) AS n_docs,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM sc
+GROUP BY lang, cast(floor(score) AS INTEGER)
+"""
+
+
+@register("text_lm_unigram_score", oracle=_LM_ORACLE, tags=("text", "quality"))
+def text_lm_unigram_score(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").cast("long").alias("t"))
+    lp = uni.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.log(F.col("n") / F.col("t").cast("double")) * 1000000)
+        .cast("long")
+        .alias("lp6"),
+    )
+    ds = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.sum("lp6").alias("s"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    score = F.round(F.col("s") / (F.col("n_tok") * 1000000).cast("double"), 6)
+    return (
+        ds.select("lang", score.alias("score"))
+        .groupBy("lang", F.floor("score").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling with exact per-stratum quotas: keep the first
+# QUOTA docs of each language in md5(doc_id) order. Unlike Bernoulli
+# sampling (sample_bernoulli_hash) the quota is *exact*, which is what a
+# curriculum/eval-set builder actually needs.
+# --------------------------------------------------------------------------
+
+_QUOTA = 40
+
+_STRAT_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang,
+       cast(count(*) AS BIGINT) AS n_kept,
+       cast(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+       cast(sum(n_chars) AS BIGINT) AS kept_chars
+FROM ranked
+WHERE rk <= {_QUOTA}
+GROUP BY lang
+"""
+
+
+@register(
+    "sample_stratified_quota", oracle=_STRAT_ORACLE, tags=("sample", "training")
+)
+def sample_stratified_quota(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _QUOTA)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_kept_ids"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )

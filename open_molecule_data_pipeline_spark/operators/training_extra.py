@@ -79,7 +79,7 @@ def sample_temperature_mix(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
-    return rated.join(kept, "source", "left").select(
+    return rated.join(F.broadcast(kept), "source", "left").select(
         "source",
         F.col("n").cast("long").alias("n_total"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
