@@ -182,3 +182,42 @@ def format_corrupt_tolerance(spark, sf_dir):
             "sum_good_keys"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution: a long-lived 100 TB table accretes columns over time;
+# old parquet files simply lack the new ones. Write epoch-1 files without
+# o_orderstatus and epoch-2 files with it, read the union back with
+# mergeSchema, and verify Spark fills the missing column with NULL —
+# reconciled against the closed-form oracle on the original table.
+# --------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>' ELSE o_orderstatus END
+         AS status,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(o_orderkey) AS BIGINT) AS sum_keys
+FROM orders
+GROUP BY CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>' ELSE o_orderstatus END
+"""
+
+
+@register(
+    "format_schema_evolution", oracle=_EVOLUTION_ORACLE, tags=("formats",)
+)
+def format_schema_evolution(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    out = _scratch("evolve", sf_dir)
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    old.write.mode("overwrite").parquet(f"{out}/epoch=1")
+    new.write.mode("overwrite").parquet(f"{out}/epoch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(str(out))
+    return back.groupBy(
+        F.coalesce("o_orderstatus", F.lit("<pre-schema>")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )

@@ -319,3 +319,44 @@ if _tws_available():  # pragma: no cover - protobuf absent in this runtime
         oracle=_TWS_ORACLE,
         tags=("streaming", "stateful", "udf"),
     )(stream_tws_user_stats)
+
+
+# --------------------------------------------------------------------------
+# Sliding-window twin: overlapping windows (2h length, 1h slide) mean every
+# event updates TWO window states — the overlapping-assignment path of the
+# window operator, distinct from tumbling's 1:1 mapping. The oracle
+# materializes the overlap explicitly: each event contributes to the
+# buckets starting at floor_hour(ts) and floor_hour(ts) - 1h.
+# --------------------------------------------------------------------------
+
+_SLIDING_TWIN_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) - (k * INTERVAL 1 HOUR) AS window_start,
+       event_type,
+       count(*) AS n,
+       {s_lsum('value', 100)} AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
+GROUP BY time_bucket(INTERVAL '1 hour', ts) - (k * INTERVAL 1 HOUR), event_type
+"""
+
+
+@register(
+    "stream_sliding_twin",
+    oracle=_SLIDING_TWIN_ORACLE,
+    tags=("streaming", "timeseries"),
+)
+def stream_sliding_twin(spark, sf_dir):
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100).cast("double")
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    return _run_to_memory(spark, agg, output_mode="complete")
