@@ -75,3 +75,50 @@ def groupedmap_minmax_norm(spark, sf_dir):
     return o.groupBy("o_custkey").applyInPandas(
         norm, schema="o_custkey long, o_orderkey long, price_norm double"
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiler — the ANALYZE-style metadata sweep every warehouse runs
+# after ingest: per-column null count, exact distinct count, min/max. One
+# wide aggregation pass (Spark expands once per distinct-counted column —
+# the standard plan), unpivoted to long format with stack(). At 100 TB the
+# same query runs with approx_count_distinct; the exact form here keeps
+# the cross-engine oracle bit-stable.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS column_name,
+       cast(count(*) AS BIGINT) AS n_rows,
+       cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       cast(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       cast(min({c}) AS DOUBLE) AS min_v,
+       cast(max({c}) AS DOUBLE) AS max_v
+FROM orders
+"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_column_stats", oracle=_PROFILE_ORACLE, tags=("stats", "profile"))
+def profile_column_stats(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked})"
+        " AS (column_name, n_null, n_distinct, min_v, max_v)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")

@@ -360,3 +360,53 @@ def stream_sliding_twin(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
     return _run_to_memory(spark, agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# applyInPandasWithState twin: the UNGATED arbitrary-state path (the TWS
+# twin above needs protobuf). Per-user count + value total kept as explicit
+# state tuples; the value accumulates as a scaled int64 inside the pandas
+# function, so the emitted double is a single exact division and the batch
+# SQL oracle verifies the custom state machine by hash. One input file ->
+# one availableNow micro-batch -> exactly one update emission per key.
+# --------------------------------------------------------------------------
+
+_STATEFUL_TWIN_ORACLE = f"""
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_events,
+       {s_lsum('value', 100)} AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def _stateful_count_fn(key, pdfs, state):
+    import pandas as pd
+
+    n, s2 = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s2 += int(pdf["value"].mul(100).round().astype("int64").sum())
+    state.update((n, s2))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s2 / 100.0]}
+    )
+
+
+@register(
+    "stream_stateful_count_twin",
+    oracle=_STATEFUL_TWIN_ORACLE,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_count_twin(spark, sf_dir):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = _events_stream(spark, sf_dir)
+    out = events.groupBy("user_id").applyInPandasWithState(
+        _stateful_count_fn,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s2 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(spark, out, output_mode="update")

@@ -254,3 +254,49 @@ def ts_rate_anomaly(spark, sf_dir):
     return hourly.select(
         "event_type", "hr", "n", F.round(z, 6).alias("zscore")
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing with halflife = 1 event (decay 1/2 per step), truncated at
+# 8 taps. Written as ONE SQL text that runs verbatim on both engines: the
+# numerator is a fixed left-associated chain of value/2^k terms (each term
+# is an exact exponent shift of a 2-decimal double, each add correctly
+# rounded in the same order on both sides -> bit-identical), the
+# normalizer counts the taps actually present, and the single division is
+# rounded once. Truncated-tap EWMA is the scale-correct form: a full-
+# history recursion would serialize each key's timeline; 8 lags are one
+# partitioned window pass.
+# --------------------------------------------------------------------------
+
+_EWMA_TAPS = 8
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w, 0) / {1 << k}"
+        for k in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0 ELSE 1 END) / {1 << k}"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"""
+WITH sm AS (
+  SELECT user_id, ts, event_id,
+         round(({num}) / ({den}), 6) AS ewma,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rd,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, cast(n_events AS BIGINT) AS n_events, ewma AS ewma_last
+FROM sm WHERE rd = 1
+"""
+
+
+@register("ts_ewma_smoothed", oracle=_ewma_sql(), tags=("timeseries", "window"))
+def ts_ewma_smoothed(spark, sf_dir):
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ewma_sql())
