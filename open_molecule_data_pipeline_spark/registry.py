@@ -38,7 +38,22 @@ QUERIES: dict[str, QuerySpec] = {}
 # else follows in registration order. Names listed here but not registered
 # are ignored (keeps the list forward-compatible while modules evolve).
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- queries touched or added this round (must re-verify) ---
+    # --- queries ADDED in r3 (new code: must be externally verified) ---
+    "sample_temperature_mix",  # temperature-weighted source mixing
+    "dedup_incremental_batch",  # batch-vs-corpus band join
+    "format_corrupt_tolerance",  # PERMISSIVE corrupt-record quarantine
+    "text_pii_redact",  # global regex redaction
+    "text_lm_unigram_score",  # unigram-LM perplexity proxy
+    "sample_stratified_quota",  # exact per-stratum quotas
+    "format_zorder_layout",  # Morton-curve 2-D clustering
+    "format_schema_evolution",  # mergeSchema epoch read
+    "stream_sliding_twin",  # overlapping-window state
+    "stream_stateful_count_twin",  # applyInPandasWithState path
+    "sim_pq_encode",  # product-quantization build
+    "sim_pq_adc_topk",  # PQ asymmetric-distance top-k
+    "ts_ewma_smoothed",  # one-text lag-chain EWMA
+    "profile_column_stats",  # ANALYZE-style profiler
+    # --- changed late-r2 AFTER the r2 driver check (still unverified) ---
     "window_ntile_quartiles",  # two_pass_global_window persist()
     "text_sequence_packing",  # two_pass_global_window persist()
     "dedup_clusters",  # CC seeding + unpersist hygiene
@@ -47,14 +62,14 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "stream_tumbling_twin",  # unpinned state width + RAM checkpoint
     "format_roundtrip_csv",  # scratch-dir nonce/injectable root
     "format_roundtrip_json",  # scratch-dir nonce/injectable root
-    "mm_image_decode",  # NEW: PNG codec round-trip
-    "mllib_minhash_recall",  # NEW: MLlib flavor, bounded-property oracle
-    "mllib_brp_recall",  # NEW: MLlib flavor, bounded-property oracle
-    "sim_ivf_persisted",  # NEW: partitioned inverted lists + DPP probe
-    "mm_video_frames",  # NEW: AVI container demux round-trip
-    "format_roundtrip_xml",  # NEW: Spark 4 built-in XML source
-    "stream_session_twin",  # NEW: merging session-window state machine
-    "stream_dedup_twin",  # NEW: per-key dedup state store, append mode
+    "mm_image_decode",  # PNG codec round-trip
+    "mllib_minhash_recall",  # MLlib flavor, bounded-property oracle
+    "mllib_brp_recall",  # MLlib flavor, bounded-property oracle
+    "sim_ivf_persisted",  # partitioned inverted lists + DPP probe
+    "mm_video_frames",  # AVI container demux round-trip
+    "format_roundtrip_xml",  # Spark 4 built-in XML source
+    "stream_session_twin",  # merging session-window state machine
+    "stream_dedup_twin",  # per-key dedup state store, append mode
     # --- family sentinels (one externally re-verified row per family) ---
     "agg_pricing_summary",
     "dedup_minhash_lsh_pairs",
@@ -62,36 +77,38 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ts_tumbling_hour",  # events table: nanos-normalization trap
     "sort_top10_orders",
     "ml_kmeans_assign",
-    # --- never driver-sampled before r3: joins / TPC-H sweep ---
+    # --- never driver-sampled: joins / TPC-H sweep (rest queue for r4) ---
     "join_shipping_priority",
     "join_semi_order_priority",
     "join_left_outer_order_counts",
     "join_full_outer_nation_presence",
     "join_anti_customers_without_orders",
     "join_theta_price_band",
+    # --- family sentinels the window lint requires ---
+    "filter_project",
+    "subquery_above_avg_balance",
+    # --- never driver-sampled: one row per remaining family ---
+    "agg_rollup_returns",
+    "func_json_events",
+    "setop_intersect_all",
+    "text_tfidf_topterms",
+    "cdc_table_diff",
+    "ingest_sdf_demo",
+    # --- r4 queue (past position 50 this round, still contract-ordered) ---
+    "join_volume_shipping",
+    "join_lateral_latest_order",
     "join_returned_revenue",
     "join_large_orders",
     "join_disjunctive_predicates",
-    "join_volume_shipping",
     "join_late_shipment_priority",
-    "join_lateral_latest_order",
-    # --- never driver-sampled: aggregation variants ---
     "agg_revenue_forecast",
-    "agg_rollup_returns",
     "agg_grouping_sets",
-    # --- never driver-sampled: scalar-function families ---
     "func_string_part",
     "func_math_lineitem",
-    "func_json_events",
     "subquery_small_quantity_revenue",
-    # --- never driver-sampled: setops / sampling / windows / text / CDC ---
-    "setop_intersect_all",
     "sample_hash_topk_per_group",
     "window_running_revenue",
-    "text_tfidf_topterms",
     "text_train_eval_split",
-    "cdc_table_diff",
-    "ingest_sdf_demo",
     "ingest_smiles_table_demo",
     "ingest_http_pyds_demo",
 )
