@@ -219,3 +219,108 @@ def sample_stratified_quota(spark, sf_dir):
             F.sum("n_chars").alias("kept_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RAG / context-window chunking: split each document into overlapping
+# token windows (32 tokens, stride 24). Chunk boundaries are closed-form
+# integer arithmetic on the token count, the expansion is one posexplode
+# of a sequence (no shuffle at all — chunking is embarrassingly parallel),
+# and both engines truncate the final ragged window identically.
+# --------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 24
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         cast(len(string_split(text, ' ')) AS INTEGER) AS n
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n <= {_CHUNK} THEN 1
+              ELSE cast(floor((n - {_CHUNK} + {_STRIDE} - 1) / {_STRIDE}) AS INTEGER) + 1
+         END AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       cast(i.i AS INTEGER) AS chunk_id,
+       cast(len(tk[{_STRIDE} * i.i + 1 : {_STRIDE} * i.i + {_CHUNK}]) AS INTEGER)
+         AS n_tok_chunk,
+       tk[{_STRIDE} * i.i + 1] AS first_tok
+FROM sized, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) i
+"""
+
+
+@register("text_chunk_windows", oracle=_CHUNK_ORACLE, tags=("text", "chunking"))
+def text_chunk_windows(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    n_chunks = F.when(n <= _CHUNK, 1).otherwise(
+        F.floor((n - _CHUNK + _STRIDE - 1) / _STRIDE).cast("int") + 1
+    )
+    sized = d.select(
+        "doc_id", tk.alias("tk"), n_chunks.alias("n_chunks")
+    )
+    i = F.col("chunk_id")
+    chunk = F.slice("tk", _STRIDE * i + 1, _CHUNK)
+    return (
+        sized.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("cid"),
+            "tk",
+        )
+        .withColumn("chunk_id", F.col("cid").cast("int"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).alias("n_tok_chunk"),
+            F.element_at(chunk, 1).alias("first_tok"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Curriculum binning: quartile each language's documents by length (the
+# easy->hard ordering a curriculum schedule feeds from). ntile is only
+# deterministic with a total order, so the window orders by (n_chars,
+# doc_id) — the playbook's full-tie-breaker rule.
+# --------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH binned AS (
+  SELECT lang, doc_id, n_chars,
+         cast(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+              AS INTEGER) AS bin
+  FROM documents
+)
+SELECT lang, bin,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(min(n_chars) AS BIGINT) AS min_chars,
+       cast(max(n_chars) AS BIGINT) AS max_chars,
+       cast(sum(doc_id) AS BIGINT) AS sum_ids
+FROM binned
+GROUP BY lang, bin
+"""
+
+
+@register(
+    "text_curriculum_bins", oracle=_CURRICULUM_ORACLE, tags=("text", "training")
+)
+def text_curriculum_bins(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.select(
+            "lang", "doc_id", "n_chars", F.ntile(4).over(w).cast("int").alias("bin")
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )

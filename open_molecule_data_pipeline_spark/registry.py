@@ -53,6 +53,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sim_pq_adc_topk",  # PQ asymmetric-distance top-k
     "ts_ewma_smoothed",  # one-text lag-chain EWMA
     "profile_column_stats",  # ANALYZE-style profiler
+    "text_chunk_windows",  # RAG overlapping-window chunking
+    "text_curriculum_bins",  # per-lang length quartiles
     # --- changed late-r2 AFTER the r2 driver check (still unverified) ---
     "window_ntile_quartiles",  # two_pass_global_window persist()
     "text_sequence_packing",  # two_pass_global_window persist()
@@ -79,8 +81,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ml_kmeans_assign",
     # --- never driver-sampled: joins / TPC-H sweep (rest queue for r4) ---
     "join_shipping_priority",
-    "join_semi_order_priority",
-    "join_left_outer_order_counts",
     "join_full_outer_nation_presence",
     "join_anti_customers_without_orders",
     "join_theta_price_band",
@@ -97,6 +97,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     # --- r4 queue (past position 50 this round, still contract-ordered) ---
     "join_volume_shipping",
     "join_lateral_latest_order",
+    "join_semi_order_priority",
+    "join_left_outer_order_counts",
     "join_returned_revenue",
     "join_large_orders",
     "join_disjunctive_predicates",
