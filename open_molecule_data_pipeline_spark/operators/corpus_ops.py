@@ -324,3 +324,146 @@ def text_curriculum_bins(spark, sf_dir):
             F.sum("doc_id").alias("sum_ids"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram LM with stupid backoff, train->eval: the held-out-perplexity shape
+# (score EVAL docs under an LM fitted on the TRAIN split, same md5 split as
+# text_train_eval_split). Matched bigrams score ln(B(w1,w2)/U(w1)); unseen
+# ones back off to ln(0.4 * (U(w2)+1) / (T+V)) — add-one smoothed so OOV
+# eval tokens stay finite. All probabilities quantize to round(ln(p)*1e6)
+# scaled int64 before any cross-row sum. The LM tables are
+# vocabulary-bounded (broadcast here; at 100 TB the bigram join becomes an
+# ordinary shuffle join on (w1, w2) — high-cardinality keys, no skew).
+# --------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         substr(md5(cast(doc_id AS VARCHAR)), 32, 1) < 'd' AS is_train,
+         string_split(text, ' ') AS tk,
+         cast(len(string_split(text, ' ')) AS INTEGER) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, is_train, tk[i.i] AS w1, tk[i.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) i
+),
+uni AS (
+  SELECT tk_u.t AS w, count(*) AS u
+  FROM toks, LATERAL (SELECT unnest(tk) AS t) tk_u
+  WHERE is_train
+  GROUP BY tk_u.t
+),
+consts AS (
+  SELECT cast(sum(u) AS BIGINT) AS t, count(*) AS v FROM uni
+),
+bi AS (
+  SELECT g.w1, g.w2,
+         cast(round(ln(count(*) / cast(max(uni.u) AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp6
+  FROM grams g JOIN uni ON g.w1 = uni.w
+  WHERE g.is_train
+  GROUP BY g.w1, g.w2
+),
+scored AS (
+  SELECT g.doc_id, max(g.lang) AS lang,
+         cast(sum(coalesce(
+           bi.lp6,
+           cast(round(ln(0.4 * (coalesce(u2.u, 0) + 1)
+                         / cast(c.t + c.v AS DOUBLE)) * 1000000) AS BIGINT)
+         )) AS BIGINT) AS s,
+         count(*) AS n_bi
+  FROM grams g
+  LEFT JOIN bi ON g.w1 = bi.w1 AND g.w2 = bi.w2
+  LEFT JOIN uni u2 ON g.w2 = u2.w
+  CROSS JOIN consts c
+  WHERE NOT g.is_train
+  GROUP BY g.doc_id
+),
+sc AS (
+  SELECT lang, round(s / cast(n_bi * 1000000 AS DOUBLE), 6) AS score
+  FROM scored
+)
+SELECT lang,
+       cast(floor(score) AS INTEGER) AS bin,
+       cast(count(*) AS BIGINT) AS n_docs,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM sc
+GROUP BY lang, cast(floor(score) AS INTEGER)
+"""
+
+
+@register("text_lm_bigram_backoff", oracle=_BIGRAM_ORACLE, tags=("text", "quality"))
+def text_lm_bigram_backoff(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    base = d.select(
+        "doc_id",
+        "lang",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1) < "d").alias(
+            "is_train"
+        ),
+        tk.alias("tk"),
+        n.alias("n"),
+    )
+    pair = F.expr(
+        "zip_with(slice(tk, 1, n - 1), slice(tk, 2, n - 1),"
+        " (a, b) -> struct(a as w1, b as w2))"
+    )
+    grams = base.select(
+        "doc_id", "lang", "is_train", F.explode(pair).alias("g")
+    ).select("doc_id", "lang", "is_train", "g.w1", "g.w2")
+
+    train_toks = base.filter("is_train").select(F.explode("tk").alias("w"))
+    uni = train_toks.groupBy("w").agg(F.count(F.lit(1)).alias("u"))
+    consts = uni.agg(
+        F.sum("u").cast("long").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    bi = (
+        grams.filter("is_train")
+        .join(F.broadcast(uni), F.col("w1") == F.col("w"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.round(
+                F.log(F.count(F.lit(1)) / F.max("u").cast("double")) * 1000000
+            )
+            .cast("long")
+            .alias("lp6")
+        )
+    )
+    u2 = uni.select(F.col("w").alias("w2_key"), F.col("u").alias("u2"))
+    backoff = (
+        F.round(
+            F.log(
+                0.4
+                * (F.coalesce(F.col("u2"), F.lit(0)) + 1)
+                / (F.col("t") + F.col("v")).cast("double")
+            )
+            * 1000000
+        )
+    ).cast("long")
+    scored = (
+        grams.filter(~F.col("is_train"))
+        .join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(u2), F.col("w2") == F.col("w2_key"), "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.sum(F.coalesce(F.col("lp6"), backoff)).alias("s"),
+            F.count(F.lit(1)).alias("n_bi"),
+        )
+    )
+    score = F.round(F.col("s") / (F.col("n_bi") * 1000000).cast("double"), 6)
+    return (
+        scored.select("lang", score.alias("score"))
+        .groupBy("lang", F.floor("score").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
