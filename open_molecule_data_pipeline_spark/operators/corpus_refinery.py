@@ -1,0 +1,484 @@
+"""Corpus-refinery operators: the cleanup passes a web-scale training
+pipeline runs between raw ingest and tokenization, plus the data-quality /
+skew-diagnosis reports that keep such a pipeline operable.
+
+- Boilerplate line removal (RefinedWeb/CCNet-style): drop text segments
+  that recur across many documents (nav bars, cookie banners, license
+  headers). Segments shuffle as 16-byte md5 keys, never bodies; the
+  boilerplate set is vocabulary-bounded and broadcast back.
+- Bloom-filter decontamination prefilter: the eval set's n-grams are folded
+  into a tiny deterministic Bloom bitset that every executor holds; only
+  grams passing the bitset are candidates for the (expensive) exact check.
+  At 100 TB the bitset replaces a shuffle of the full training gram stream
+  with a broadcast + local membership test.
+- Count-min sketch heavy hitters: fixed d x w counter grid, mergeable by
+  construction (counts are plain sums => map-side partial aggregation),
+  estimate = min over d rows. The sketch is O(d*w) however large the input;
+  the report joins estimates against exact counts to show the one-sided
+  overcount guarantee.
+- Data-quality constraint report (Deequ-shape): declarative completeness /
+  uniqueness / range / pattern / referential-integrity checks, each a
+  single scan-and-aggregate, unioned into one verdict table.
+- Shuffle-key skew profiler: per-key frequency of a join/shuffle key with
+  share-of-total and ratio-to-mean — the report that decides whether a key
+  needs salting (cf. ``join_salted_skew``).
+
+All cross-row float sums follow the scaled-int64 playbook in ``_util``;
+hash-derived buckets/positions are md5 hex substrings so Spark and the
+DuckDB oracle compute identical values with no integer-conversion
+divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import spread
+
+# --------------------------------------------------------------------------
+# Boilerplate segment removal. The synthetic documents are single-line, so
+# "lines" are modeled as aligned 3-token segments; a segment is boilerplate
+# when it appears in >= _BOILER_K distinct documents. Real pipelines use the
+# same plan with newline-split lines: explode -> count distinct docs per
+# segment hash -> broadcast the (small) boilerplate set -> per-doc rebuild.
+# --------------------------------------------------------------------------
+
+_SEG = 3
+_BOILER_K = 3
+
+_BOILER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk,
+         cast(len(string_split(text, ' ')) AS INTEGER) AS n
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(tk[{_SEG} * i.i + 1 : {_SEG} * i.i + {_SEG}], ' ')) AS h
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0, cast(floor((n - 1) / {_SEG}) AS INTEGER))) AS i) i
+  WHERE len(tk[{_SEG} * i.i + 1 : {_SEG} * i.i + {_SEG}]) = {_SEG}
+),
+boiler AS (
+  SELECT h FROM segs GROUP BY h HAVING count(DISTINCT doc_id) >= {_BOILER_K}
+),
+marked AS (
+  SELECT s.doc_id, s.lang,
+         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS is_boiler
+  FROM segs s LEFT JOIN boiler b ON s.h = b.h
+),
+per_doc AS (
+  SELECT doc_id, max(lang) AS lang,
+         count(*) AS n_segs, cast(sum(is_boiler) AS BIGINT) AS n_removed
+  FROM marked GROUP BY doc_id
+)
+SELECT lang,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_segs) AS BIGINT) AS n_segments,
+       cast(sum(n_removed) AS BIGINT) AS n_removed,
+       cast(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+       cast(sum((n_segs - n_removed) * {_SEG}) AS BIGINT) AS kept_tokens
+FROM per_doc
+GROUP BY lang
+"""
+
+
+@register("dedup_boilerplate_lines", oracle=_BOILER_ORACLE, tags=("dedup", "text"))
+def dedup_boilerplate_lines(spark, sf_dir):
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    tk = F.split("text", " ")
+    base = d.select("doc_id", "lang", tk.alias("tk"), F.size(tk).alias("n"))
+    seg = F.slice("tk", _SEG * F.col("i") + 1, _SEG)
+    segs = (
+        base.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.col("n") - 1) / _SEG).cast("int"))
+            ).alias("i"),
+            "tk",
+        )
+        .filter(F.size(seg) == _SEG)
+        .select("doc_id", "lang", F.md5(F.concat_ws(" ", seg)).alias("h"))
+    )
+    boiler = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_K)
+        .select("h", F.lit(1).alias("is_boiler"))
+    )
+    marked = segs.join(F.broadcast(boiler), "h", "left").select(
+        "doc_id", "lang", F.coalesce("is_boiler", F.lit(0)).alias("is_boiler")
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.max("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum("is_boiler").alias("n_removed"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_segs").alias("n_segments"),
+        F.sum("n_removed").alias("n_removed"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_affected"),
+        F.sum((F.col("n_segs") - F.col("n_removed")) * _SEG).alias("kept_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination prefilter. Eval 4-grams hash to k=2
+# positions in a 16-bit space (4 md5 hex chars); the distinct-position set
+# is the Bloom bitset, broadcast to every executor. A train gram "hits"
+# when both its positions are set — a superset of the exact matches (the
+# one-sided Bloom guarantee, visible here as bloom_hits > exact_hits). The
+# report shows both counts per language, i.e. the measured false-positive
+# cost of skipping the exact anti-join for non-candidate grams.
+# --------------------------------------------------------------------------
+
+_G = 4
+
+_BLOOM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         substr(md5(cast(doc_id AS VARCHAR)), 32, 1) < 'd' AS is_train,
+         string_split(text, ' ') AS tk,
+         cast(len(string_split(text, ' ')) AS INTEGER) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, is_train,
+         array_to_string(tk[i.i : i.i + {_G} - 1], ' ') AS g
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, n - {_G} + 1)) AS i) i
+  WHERE n >= {_G}
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE NOT is_train),
+bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT substr(md5(g || '|0'), 1, 4) AS p FROM ev
+    UNION ALL
+    SELECT substr(md5(g || '|1'), 1, 4) AS p FROM ev
+  ) u
+),
+tr AS (
+  SELECT lang, g,
+         substr(md5(g || '|0'), 1, 4) AS p0,
+         substr(md5(g || '|1'), 1, 4) AS p1
+  FROM grams WHERE is_train
+),
+hit AS (
+  SELECT lang,
+         CASE WHEN p0 IN (SELECT p FROM bits)
+               AND p1 IN (SELECT p FROM bits) THEN 1 ELSE 0 END AS bloom_hit,
+         CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END AS exact_hit
+  FROM tr
+)
+SELECT lang,
+       cast(count(*) AS BIGINT) AS n_train_grams,
+       cast(sum(bloom_hit) AS BIGINT) AS bloom_hits,
+       cast(sum(exact_hit) AS BIGINT) AS exact_hits,
+       cast(sum(bloom_hit) - sum(exact_hit) AS BIGINT) AS false_positives
+FROM hit
+GROUP BY lang
+"""
+
+
+@register("text_bloom_decontaminate", oracle=_BLOOM_ORACLE, tags=("text", "dedup"))
+def text_bloom_decontaminate(spark, sf_dir):
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    tk = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        "lang",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1) < "d").alias(
+            "is_train"
+        ),
+        tk.alias("tk"),
+        F.size(tk).alias("n"),
+    ).filter(F.col("n") >= _G)
+    gram = F.concat_ws(" ", F.slice("tk", F.col("i"), _G))
+    grams = base.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.explode(F.sequence(F.lit(1), F.col("n") - _G + 1)).alias("i"),
+        "tk",
+    ).select("doc_id", "lang", "is_train", gram.alias("g"))
+
+    ev = grams.filter(~F.col("is_train")).select("g").distinct()
+    bits = (
+        ev.select(F.substring(F.md5(F.concat(F.col("g"), F.lit("|0"))), 1, 4).alias("p"))
+        .union(
+            ev.select(F.substring(F.md5(F.concat(F.col("g"), F.lit("|1"))), 1, 4))
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    )
+    ev_flag = ev.select("g", F.lit(1).alias("exact_hit"))
+    tr = grams.filter("is_train").select(
+        "lang",
+        "g",
+        F.substring(F.md5(F.concat(F.col("g"), F.lit("|0"))), 1, 4).alias("p0"),
+        F.substring(F.md5(F.concat(F.col("g"), F.lit("|1"))), 1, 4).alias("p1"),
+    )
+    hit = (
+        tr.crossJoin(F.broadcast(bits))
+        .join(F.broadcast(ev_flag), "g", "left")
+        .select(
+            "lang",
+            (
+                F.array_contains("bits", F.col("p0"))
+                & F.array_contains("bits", F.col("p1"))
+            )
+            .cast("long")
+            .alias("bloom_hit"),
+            F.coalesce("exact_hit", F.lit(0)).cast("long").alias("exact_hit"),
+        )
+    )
+    return hit.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train_grams"),
+        F.sum("bloom_hit").alias("bloom_hits"),
+        F.sum("exact_hit").alias("exact_hits"),
+        (F.sum("bloom_hit") - F.sum("exact_hit")).alias("false_positives"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters over lineitem suppliers. d=3 hash rows,
+# w=256 buckets (2 md5 hex chars). The counter grid is one groupBy over
+# (row, bucket) — mergeable partial aggregation, O(d*w) state regardless of
+# input size. Estimates (min over rows) are joined against exact counts for
+# the top-10 keys; overcount >= 0 always (the CMS guarantee).
+# --------------------------------------------------------------------------
+
+_CMS_D = 3
+_TOP = 10
+
+
+def _cms_bucket_sql(key: str, j: int) -> str:
+    return f"substr(md5({key} || '|{j}'), 1, 2)"
+
+
+_CMS_ORACLE = f"""
+WITH keyed AS (
+  SELECT 'sup_' || cast(l_suppkey AS VARCHAR) AS k FROM lineitem
+),
+grid AS (
+  SELECT j.j, {_cms_bucket_sql('k', 0)} AS b, count(*) AS c
+  FROM keyed, (SELECT unnest([0]) AS j) j GROUP BY 1, 2
+  UNION ALL
+  SELECT 1, {_cms_bucket_sql('k', 1)}, count(*) FROM keyed GROUP BY 1, 2
+  UNION ALL
+  SELECT 2, {_cms_bucket_sql('k', 2)}, count(*) FROM keyed GROUP BY 1, 2
+),
+exact AS (
+  SELECT k, count(*) AS exact_n FROM keyed GROUP BY k
+),
+est AS (
+  SELECT e.k, e.exact_n, min(g.c) AS est_n
+  FROM exact e
+  JOIN grid g
+    ON (g.j = 0 AND g.b = {_cms_bucket_sql('e.k', 0)})
+    OR (g.j = 1 AND g.b = {_cms_bucket_sql('e.k', 1)})
+    OR (g.j = 2 AND g.b = {_cms_bucket_sql('e.k', 2)})
+  GROUP BY e.k, e.exact_n
+)
+SELECT k, cast(exact_n AS BIGINT) AS exact_n, cast(est_n AS BIGINT) AS est_n,
+       cast(est_n - exact_n AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_n DESC, k
+LIMIT {_TOP}
+"""
+
+
+@register(
+    "agg_countmin_heavy_hitters", oracle=_CMS_ORACLE, tags=("agg", "sketch")
+)
+def agg_countmin_heavy_hitters(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.concat(F.lit("sup_"), F.col("l_suppkey").cast("string")).alias("k")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.substring(F.md5(F.concat(F.col("k"), F.lit(f"|{j}"))), 1, 2).alias(
+                    "b"
+                ),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    grid = (
+        keyed.select(F.explode(rows).alias("r"))
+        .groupBy("r.j", "r.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "k",
+        "exact_n",
+        F.explode(rows).alias("r"),
+    ).select("k", "exact_n", "r.j", "r.b")
+    est = (
+        probes.join(F.broadcast(grid), ["j", "b"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        est.select(
+            "k",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "k")
+        .limit(_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint report (Deequ shape): each declared constraint is
+# one scan-and-aggregate; the report is a tiny union. On a cluster each
+# branch is an independent Spark job over the (column-pruned) scan — no
+# shuffle beyond the final single-row aggregations.
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT * FROM (
+  SELECT 'not_null_o_custkey' AS constraint, 'orders' AS tbl,
+         cast(count(*) AS BIGINT) AS n_rows,
+         cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'unique_o_orderkey', 'orders', cast(count(*) AS BIGINT),
+         cast(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'range_l_discount_0_0.1', 'lineitem', cast(count(*) AS BIGINT),
+         cast(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'pattern_o_orderpriority', 'orders', cast(count(*) AS BIGINT),
+         cast(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'fk_lineitem_orders', 'lineitem', cast(count(*) AS BIGINT),
+         cast(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'accepted_l_returnflag', 'lineitem', cast(count(*) AS BIGINT),
+         cast(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+) checks
+"""
+
+
+@register("dq_constraint_report", oracle=_DQ_ORACLE, tags=("quality", "profile"))
+def dq_constraint_report(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def check(name, tbl, df, viol):
+        return df.agg(
+            F.lit(name).alias("constraint"),
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(viol.cast("long")).alias("n_violations"),
+        ).select("constraint", "tbl", "n_rows", "n_violations")
+
+    uniq = o.agg(
+        F.lit("unique_o_orderkey").alias("constraint"),
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    ).select("constraint", "tbl", "n_rows", "n_violations")
+    fk = check(
+        "fk_lineitem_orders",
+        "lineitem",
+        li.join(
+            o.select(F.col("o_orderkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        ),
+        F.col("o_orderkey").isNull(),
+    )
+    parts = [
+        check("not_null_o_custkey", "orders", o, F.col("o_custkey").isNull()),
+        uniq,
+        check(
+            "range_l_discount_0_0.1",
+            "lineitem",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        ),
+        check(
+            "pattern_o_orderpriority",
+            "orders",
+            o,
+            ~F.col("o_orderpriority").rlike("^[1-5]-"),
+        ),
+        fk,
+        check(
+            "accepted_l_returnflag",
+            "lineitem",
+            li,
+            ~F.col("l_returnflag").isin("A", "N", "R"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Shuffle-key skew profiler: the top-10 heaviest l_partkey values with
+# share-of-total and ratio-to-mean. This is the report that decides whether
+# a downstream join needs salting; the plan is one partial-aggregated
+# groupBy plus a TakeOrderedAndProject (never a global sort). The two
+# global scalars (total rows, distinct keys) broadcast back onto 10 rows.
+# --------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT cast(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM counts
+)
+SELECT k, cast(n AS BIGINT) AS n,
+       round(n * 100 / cast(total AS DOUBLE), 6) AS share_pct,
+       round(n * n_keys / cast(total AS DOUBLE), 6) AS ratio_to_avg
+FROM counts, tot
+ORDER BY n DESC, k
+LIMIT 10
+"""
+
+
+@register("profile_skew_keys", oracle=_SKEW_ORACLE, tags=("profile", "skew"))
+def profile_skew_keys(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n",
+            F.round(F.col("n") * 100 / F.col("total").cast("double"), 6).alias(
+                "share_pct"
+            ),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("total").cast("double"), 6
+            ).alias("ratio_to_avg"),
+        )
+        .orderBy(F.desc("n"), "k")
+        .limit(10)
+    )

@@ -153,6 +153,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.text_pipeline",
     "open_molecule_data_pipeline_spark.operators.training_extra",
     "open_molecule_data_pipeline_spark.operators.corpus_ops",
+    "open_molecule_data_pipeline_spark.operators.corpus_refinery",
     "open_molecule_data_pipeline_spark.operators.layout",
     "open_molecule_data_pipeline_spark.operators.pq",
     "open_molecule_data_pipeline_spark.operators.multimodal",
