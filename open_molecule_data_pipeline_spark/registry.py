@@ -30,89 +30,93 @@ QUERIES: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # ``__spark_entry__.queries()``, so the contract ordering is curated and
-# ROTATED each round: the window keeps (a) every query whose code changed
-# this round plus one sentinel per operator family, and fills the remaining
-# slots with queries the external gate has never sampled — r2 verified the
-# r2 head-50 (see CORRECTNESS_r02.json), so r3's window pushes the
-# cumulative externally-verified set toward the whole contract. Everything
-# else follows in registration order. Names listed here but not registered
-# are ignored (keeps the list forward-compatible while modules evolve).
+# ROTATED each round: the window keeps (a) every query ADDED or CHANGED
+# this round plus one sentinel per operator family the fill can't supply,
+# and fills the remaining slots with queries the external gate has never
+# sampled. Cumulative driver-verified after r3: 123/183 pre-r4 contract
+# queries (union of CORRECTNESS_r01..r03 green rows); the r4 window below
+# targets the never-sampled remainder. Everything else follows in
+# registration order. Names listed here but not registered are ignored
+# (keeps the list forward-compatible while modules evolve).
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- queries ADDED in r3 (new code: must be externally verified) ---
-    "sample_temperature_mix",  # temperature-weighted source mixing
-    "dedup_incremental_batch",  # batch-vs-corpus band join
-    "format_corrupt_tolerance",  # PERMISSIVE corrupt-record quarantine
-    "text_pii_redact",  # global regex redaction
-    "text_lm_unigram_score",  # unigram-LM perplexity proxy
-    "sample_stratified_quota",  # exact per-stratum quotas
-    "format_zorder_layout",  # Morton-curve 2-D clustering
-    "format_schema_evolution",  # mergeSchema epoch read
-    "stream_sliding_twin",  # overlapping-window state
-    "stream_stateful_count_twin",  # applyInPandasWithState path
-    "sim_pq_encode",  # product-quantization build
-    "sim_pq_adc_topk",  # PQ asymmetric-distance top-k
-    "ts_ewma_smoothed",  # one-text lag-chain EWMA
-    "profile_column_stats",  # ANALYZE-style profiler
-    "text_chunk_windows",  # RAG overlapping-window chunking
-    "text_curriculum_bins",  # per-lang length quartiles
-    # --- changed late-r2 AFTER the r2 driver check (still unverified) ---
-    "window_ntile_quartiles",  # two_pass_global_window persist()
-    "text_sequence_packing",  # two_pass_global_window persist()
-    "dedup_clusters",  # CC seeding + unpersist hygiene
-    "dedup_apply_clusters",  # CC seeding + unpersist hygiene
-    "chem_canonical_smiles",  # bond-symbol emission + closure reuse
-    "stream_tumbling_twin",  # unpinned state width + RAM checkpoint
-    "format_roundtrip_csv",  # scratch-dir nonce/injectable root
-    "format_roundtrip_json",  # scratch-dir nonce/injectable root
-    "mm_image_decode",  # PNG codec round-trip
-    "mllib_minhash_recall",  # MLlib flavor, bounded-property oracle
-    "mllib_brp_recall",  # MLlib flavor, bounded-property oracle
-    "sim_ivf_persisted",  # partitioned inverted lists + DPP probe
-    "mm_video_frames",  # AVI container demux round-trip
-    "format_roundtrip_xml",  # Spark 4 built-in XML source
-    "stream_session_twin",  # merging session-window state machine
-    "stream_dedup_twin",  # per-key dedup state store, append mode
-    # --- family sentinels (one externally re-verified row per family) ---
-    "agg_pricing_summary",
-    "dedup_minhash_lsh_pairs",
-    "sim_ivf_topk",
-    "ts_tumbling_hour",  # events table: nanos-normalization trap
-    "sort_top10_orders",
-    "ml_kmeans_assign",
-    # --- never driver-sampled: joins / TPC-H sweep (rest queue for r4) ---
-    "join_shipping_priority",
-    "join_full_outer_nation_presence",
-    "join_anti_customers_without_orders",
-    "join_theta_price_band",
-    # --- family sentinels the window lint requires ---
-    "filter_project",
-    "subquery_above_avg_balance",
-    # --- never driver-sampled: one row per remaining family ---
-    "agg_rollup_returns",
-    "func_json_events",
-    "setop_intersect_all",
-    "text_tfidf_topterms",
-    "cdc_table_diff",
-    "ingest_sdf_demo",
-    # --- r4 queue (past position 50 this round, still contract-ordered) ---
-    "join_volume_shipping",
+    # --- queries ADDED in r4 (new code: must be externally verified) ---
+    "dedup_boilerplate_lines",  # CCNet-style recurring-segment removal
+    "text_bloom_decontaminate",  # broadcast Bloom prefilter vs exact
+    "agg_countmin_heavy_hitters",  # mergeable CMS grid + overcount proof
+    "dq_constraint_report",  # Deequ-shape declarative checks
+    "profile_skew_keys",  # salting-decision skew report
+    # --- family sentinels the fill can't supply (verified in r1-r3) ---
+    "sort_top10_orders",  # sort
+    "subquery_above_avg_balance",  # subquery
+    "sim_topk_bruteforce",  # similarity
+    "cdc_table_diff",  # cdc
+    "graph_pagerank_3iter",  # graph
+    "ml_kmeans_assign",  # ml
+    "format_roundtrip_csv",  # formats
+    "stream_tumbling_twin",  # streaming
+    # --- never driver-sampled fill (oldest debt first) ---
+    "text_quality_filter",  # filter-tag carrier
+    "molecule_descriptors_demo",  # chemistry-tag carrier
+    "sample_hash_topk_per_group",  # sample-tag carrier
+    "mm_frame_sample",
+    "mm_audio_frames",
+    "join_salted_skew",
+    "agg_salted_skew",
     "join_lateral_latest_order",
-    "join_semi_order_priority",
-    "join_left_outer_order_counts",
-    "join_returned_revenue",
-    "join_large_orders",
-    "join_disjunctive_predicates",
-    "join_late_shipment_priority",
-    "agg_revenue_forecast",
-    "agg_grouping_sets",
-    "func_string_part",
-    "func_math_lineitem",
-    "subquery_small_quantity_revenue",
-    "sample_hash_topk_per_group",
+    "join_relational_division",
+    "join_event_cooccurrence",
+    "join_null_safe_eq",
     "window_running_revenue",
+    "window_nth_value",
+    "window_count_distinct_over",
+    "window_lag_ship_gap",
+    "window_rank_parts",
+    "window_range_trailing_30d",
+    "window_ratio_to_report",
+    "window_gaps_islands",
+    "ts_retention_daily",
+    "ts_sliding_halfhour",
+    "ts_funnel_conversion",
+    "ts_rate_anomaly",
     "text_train_eval_split",
+    "text_regex_tokenize",
+    "text_fingerprint",
+    "text_repetition_ratio",
+    "text_bigram_top10",
+    "text_lm_bigram_backoff",
+    "setop_union_missing_cols",
+    "func_higher_order_arrays",  # functions-tag carrier
+    "agg_bitwise_keys",
+    "agg_boolean_flags",
+    "agg_regression_funcs",
+    "agg_median_mode",
+    "agg_min_max_by",
+    "agg_grouping_id_rollup",
+    "agg_stats_moments",
+    "agg_class_rebalance_weights",
+    "profile_column_summary",
+    # --- r5 queue (past position 50 this round, still contract-ordered) ---
+    "layout_zorder_key",
     "ingest_smiles_table_demo",
     "ingest_http_pyds_demo",
+    "ingest_http_demo",
+    "ingest_sdf_udtf_demo",
+    "func_null_ops",
+    "func_posexplode_slice",
+    "func_regexp_extract_all",
+    "func_higher_order_arrays",
+    "func_histogram_buckets",
+    "func_string_distance",
+    "func_datetime_extra",
+    "func_trig_math",
+    "func_format_strings",
+    "func_encode_hash",
+    "func_string_extra2",
+    "func_date_edges",
+    "func_array_membership",
+    "func_try_ops",
+    "func_timezone_convert",
+    "func_explode_outer",
 )
 
 
