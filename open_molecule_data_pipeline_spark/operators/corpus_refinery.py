@@ -340,6 +340,76 @@ def agg_countmin_heavy_hitters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+# normalized hashes of the key stream; estimate = (k-1) / R_k where R_k is
+# the k-th smallest hash as a fraction of the hash space. Mergeable (union
+# of KMV sets -> take k smallest again) and O(k) state however large the
+# input — the sketch family's third member next to Bloom (membership) and
+# count-min (frequency). The k smallest ride a TakeOrderedAndProject, never
+# a global sort; hashes decode portably via strpos-into-hex-alphabet.
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _hex32(expr_tpl: str, hash_expr: str) -> str:
+    """32-bit int from the first 8 hex chars of an md5 hex digest."""
+    nibbles = [
+        expr_tpl.format(d=f"substr({hash_expr}, {i + 1}, 1)") for i in range(8)
+    ]
+    return " + ".join(
+        f"{nib} * {16 ** (7 - i)}" for i, nib in enumerate(nibbles)
+    )
+
+
+# bigint nibble values: the * 16^7 weight overflows int32 under ANSI mode
+_HEXVAL_DUCK = "(cast(strpos('0123456789abcdef', {d}) AS BIGINT) - 1)"
+_HEXVAL_SPARK = "(cast(instr('0123456789abcdef', {d}) AS BIGINT) - 1)"
+
+_KMV_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT cast({_hex32(_HEXVAL_DUCK, "md5('cust_' || cast(o_custkey AS VARCHAR))")} AS BIGINT) AS h
+  FROM orders
+),
+kmin AS (
+  SELECT max(h) AS rk FROM (SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K}) t
+),
+exact AS (SELECT cast(count(*) AS BIGINT) AS exact_distinct FROM hashed)
+SELECT exact_distinct,
+       round(({_KMV_K} - 1) * 4294967296.0 / rk, 4) AS kmv_estimate,
+       round(abs(({_KMV_K} - 1) * 4294967296.0 / rk - exact_distinct)
+             * 100.0 / exact_distinct, 4) AS rel_err_pct
+FROM exact, kmin
+"""
+
+
+@register("agg_kmv_distinct", oracle=_KMV_ORACLE, tags=("agg", "sketch"))
+def agg_kmv_distinct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    hashed = o.select(
+        F.expr(
+            _hex32(
+                _HEXVAL_SPARK, "md5('cust_' || cast(o_custkey AS STRING))"
+            )
+        )
+        .cast("long")
+        .alias("h")
+    ).distinct()
+    kmin = hashed.orderBy("h").limit(_KMV_K).agg(F.max("h").alias("rk"))
+    exact = hashed.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = (_KMV_K - 1) * F.lit(4294967296.0) / F.col("rk")
+    return exact.crossJoin(F.broadcast(kmin)).select(
+        "exact_distinct",
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(
+            F.abs(est - F.col("exact_distinct")) * 100.0
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Data-quality constraint report (Deequ shape): each declared constraint is
 # one scan-and-aggregate; the report is a tiny union. On a cluster each
 # branch is an independent Spark job over the (column-pruned) scan — no

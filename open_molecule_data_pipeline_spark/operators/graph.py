@@ -284,3 +284,105 @@ def graph_pagerank_3iter(spark, sf_dir):
             ).alias("rank"),
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# Triangle counting + global clustering coefficient on the part
+# co-occurrence graph (edge u-v when parts u < v ship in the same order;
+# node set thinned to partkey % 50 < 10 to keep the demo graph dense).
+# The standard distributed shape: edges are canonically oriented (u < v) so
+# each triangle is counted exactly once by the wedge join
+# e1(a,b) |> e2(b,c) |> closing edge (a,c). Every join is an equi-join on
+# node ids (high-cardinality keys); wedge count is a per-node degree
+# aggregate — integers end to end, one float division at the very end.
+# At real scale the orientation would be by (degree, id) instead of raw id
+# (the Schank-Wagner trick bounding wedge fanout by sqrt(|E|)); id order is
+# the same plan and exact on this graph.
+# --------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 50 < 10
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, cast(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) t GROUP BY node
+),
+tri AS (
+  SELECT cast(count(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+wedge AS (
+  SELECT cast(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT cast((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       cast((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       n_triangles,
+       round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+FROM tri, wedge
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("graph",))
+def graph_triangle_count(spark, sf_dir):
+    from ..catalog import table
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 50 < 10)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )

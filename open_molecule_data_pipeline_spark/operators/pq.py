@@ -220,3 +220,80 @@ def sim_pq_adc_topk(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar int8 quantization — PQ's simpler sibling, and the format most
+# embedding stores actually ship (faiss SQ8, pgvector halfvec/int8): one
+# max-abs scale per dimension, q = round(127 * x / scale). The per-dim
+# scales come from one groupBy over the exploded corpus (max is
+# order-independent — no float-sum hazard) and broadcast back onto the
+# vectors; everything else is per-row arithmetic. The report aggregates
+# per label: total quantized checksum (exact int64) and the worst
+# dequantization error (max — again order-independent), so the oracle
+# match is exact without scaled-int sums.
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, label, i.i AS dim, cast(embedding[i.i] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i
+),
+scales AS (
+  SELECT dim, max(abs(x)) AS s FROM flat GROUP BY dim
+),
+q AS (
+  SELECT f.vec_id, f.label,
+         cast(round(127 * f.x / s.s) AS BIGINT) AS qv,
+         abs(f.x - cast(round(127 * f.x / s.s) AS BIGINT) * s.s / 127) AS err
+  FROM flat f JOIN scales s USING (dim)
+),
+per_vec AS (
+  SELECT vec_id, label, sum(qv) AS sum_q, max(err) AS max_err
+  FROM q GROUP BY vec_id, label
+)
+SELECT label,
+       cast(count(*) AS BIGINT) AS n_vecs,
+       cast(sum(sum_q) AS BIGINT) AS checksum_q,
+       round(max(max_err), 9) AS worst_err
+FROM per_vec
+GROUP BY label
+"""
+
+
+@register(
+    "ml_embedding_quantize_int8",
+    oracle=_QUANT_ORACLE,
+    tags=("ml", "similarity"),
+)
+def ml_embedding_quantize_int8(spark, sf_dir):
+    from ._util import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    scales = flat.groupBy("dim").agg(F.max(F.abs("x")).alias("s"))
+    qv = F.round(127 * F.col("x") / F.col("s")).cast("long")
+    q = flat.join(F.broadcast(scales), "dim").select(
+        "vec_id",
+        "label",
+        qv.alias("qv"),
+        F.abs(F.col("x") - qv * F.col("s") / 127).alias("err"),
+    )
+    per_vec = q.groupBy("vec_id", "label").agg(
+        F.sum("qv").alias("sum_q"), F.max("err").alias("max_err")
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("sum_q").alias("checksum_q"),
+        F.round(F.max("max_err"), 9).alias("worst_err"),
+    )

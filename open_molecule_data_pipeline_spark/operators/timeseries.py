@@ -300,3 +300,148 @@ def ts_ewma_smoothed(spark, sf_dir):
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ewma_sql())
+
+
+# --------------------------------------------------------------------------
+# Gap-fill + linear interpolation: regularize an irregular event stream
+# onto a dense per-(event_type, hour) grid, filling missing cells by
+# interpolating between the nearest observed neighbors (leading/trailing
+# gaps clamp to the nearest observation). The dense spine is generated,
+# not stored: one global (min, max) bound row broadcast against the
+# distinct type set, exploded into hour indices — so spine cost is
+# O(types x hours) rows, never a scan of the raw stream. Neighbor lookup
+# is last/first-ignorenulls over a window partitioned by event_type
+# (bounded per-partition width = the spine, not the event count). Cell
+# means use the scaled-int64 playbook; the interpolation expression is
+# written identically in both engines so the doubles agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events
+),
+cells AS (
+  SELECT event_type,
+         datediff('hour', b.t0, date_trunc('hour', ts)) AS idx,
+         {s_lsum('value', 100)} / count(*) AS mean_v
+  FROM events, bounds b
+  GROUP BY event_type, datediff('hour', b.t0, date_trunc('hour', ts))
+),
+spine AS (
+  SELECT t.event_type, h.idx
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(0, (SELECT datediff('hour', t0, t1) FROM bounds))) AS idx
+  ) h
+),
+grid AS (
+  SELECT s.event_type, s.idx, c.mean_v,
+         last_value(c.mean_v IGNORE NULLS) OVER w_prev AS prev_v,
+         last_value(CASE WHEN c.mean_v IS NOT NULL THEN s.idx END IGNORE NULLS) OVER w_prev AS prev_i,
+         first_value(c.mean_v IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN c.mean_v IS NOT NULL THEN s.idx END IGNORE NULLS) OVER w_next AS next_i
+  FROM spine s LEFT JOIN cells c USING (event_type, idx)
+  WINDOW
+    w_prev AS (PARTITION BY s.event_type ORDER BY s.idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY s.event_type ORDER BY s.idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+filled AS (
+  SELECT event_type, idx, mean_v,
+         CASE
+           WHEN mean_v IS NOT NULL THEN mean_v
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+             prev_v + (next_v - prev_v) * (idx - prev_i)
+                      / cast(next_i - prev_i AS DOUBLE)
+           ELSE coalesce(prev_v, next_v)
+         END AS v
+  FROM grid
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_hours,
+       cast(sum(CASE WHEN mean_v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+       cast(sum(CASE WHEN mean_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       cast(sum(cast(round(v * 1000000) AS BIGINT)) AS BIGINT) AS checksum
+FROM filled
+GROUP BY event_type
+"""
+
+
+@register(
+    "ts_gap_fill_interpolate",
+    oracle=_GAPFILL_ORACLE,
+    tags=("timeseries", "window"),
+)
+def ts_gap_fill_interpolate(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    idx = (
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            - F.unix_timestamp("t0")
+        )
+        / 3600
+    ).cast("long")
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", idx.alias("idx"))
+        .agg((lsum("value", 100) / F.count(F.lit(1))).alias("mean_v"))
+    )
+    n_hours = (
+        (F.unix_timestamp("t1") - F.unix_timestamp("t0")) / 3600
+    ).cast("long")
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds.select(n_hours.alias("n"))))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n"))).alias(
+                "idx"
+            ),
+        )
+    )
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_i = F.when(F.col("mean_v").isNotNull(), F.col("idx"))
+    grid = (
+        spine.join(cells, ["event_type", "idx"], "left")
+        .withColumn("prev_v", F.last("mean_v", ignorenulls=True).over(w_prev))
+        .withColumn("prev_i", F.last(obs_i, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("mean_v", ignorenulls=True).over(w_next))
+        .withColumn("next_i", F.first(obs_i, ignorenulls=True).over(w_next))
+    )
+    v = (
+        F.when(F.col("mean_v").isNotNull(), F.col("mean_v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("idx") - F.col("prev_i"))
+            / (F.col("next_i") - F.col("prev_i")).cast("double"),
+        )
+        .otherwise(F.coalesce("prev_v", "next_v"))
+    )
+    return (
+        grid.select("event_type", "mean_v", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.col("mean_v").isNotNull().cast("long")).alias("n_observed"),
+            F.sum(F.col("mean_v").isNull().cast("long")).alias("n_filled"),
+            F.sum(F.round(F.col("v") * 1000000).cast("long")).alias("checksum"),
+        )
+    )

@@ -154,3 +154,80 @@ def dedup_incremental_batch(spark, sf_dir):
         .groupBy(F.col("new_doc").alias("doc_id"))
         .agg(F.min("corpus_doc").alias("dup_of"))
     )
+
+
+# --------------------------------------------------------------------------
+# Nucleus (top-p) corpus selection: per language, keep the highest-quality
+# documents until their cumulative mass reaches p of the language total —
+# the "quality nucleus" cut used to skim the best slice of a crawl (quality
+# proxy here: n_chars; in production a model score column, same plan). The
+# keep predicate 2 * mass_before < total is pure int64 — no float
+# thresholds to disagree on. The running sum partitions by lang; at real
+# scale the same two-pass rewrite as two_pass_global_window applies within
+# each language (range-partition on the sort key, broadcast per-partition
+# offsets), which keeps any one task's window bounded.
+# --------------------------------------------------------------------------
+
+_TOPP_NUM = 1  # p = _TOPP_NUM / _TOPP_DEN of total mass per language
+_TOPP_DEN = 2
+
+_NUCLEUS_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(n_chars) OVER (PARTITION BY lang) AS total,
+         count(*) OVER (PARTITION BY lang) AS n_total
+  FROM documents
+)
+SELECT lang,
+       cast(n_total AS BIGINT) AS n_docs,
+       cast(count(*) AS BIGINT) AS n_selected,
+       cast(sum(n_chars) AS BIGINT) AS chars_selected,
+       round(sum(n_chars) * 100.0 / total, 6) AS pct_of_mass
+FROM ranked
+WHERE (cum - n_chars) * {_TOPP_DEN} < total * {_TOPP_NUM}
+GROUP BY lang, total, n_total
+"""
+
+
+@register(
+    "sample_nucleus_topp", oracle=_NUCLEUS_ORACLE, tags=("sample", "training")
+)
+def sample_nucleus_topp(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w_run = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w_run).alias("cum"),
+        F.sum("n_chars").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_total"),
+    )
+    kept = ranked.filter(
+        (F.col("cum") - F.col("n_chars")) * _TOPP_DEN
+        < F.col("total") * _TOPP_NUM
+    )
+    return kept.groupBy("lang", "total", "n_total").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_chars").alias("chars_selected"),
+        F.round(F.sum("n_chars") * 100.0 / F.col("total"), 6).alias(
+            "pct_of_mass"
+        ),
+    ).select(
+        "lang",
+        F.col("n_total").alias("n_docs"),
+        "n_selected",
+        "chars_selected",
+        "pct_of_mass",
+    )

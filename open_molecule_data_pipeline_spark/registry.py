@@ -45,6 +45,13 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "agg_countmin_heavy_hitters",  # mergeable CMS grid + overcount proof
     "dq_constraint_report",  # Deequ-shape declarative checks
     "profile_skew_keys",  # salting-decision skew report
+    "text_bm25_topk",  # inverted-index BM25 ranking
+    "dedup_fuzzy_linkage",  # blocked entity resolution + Levenshtein
+    "agg_kmv_distinct",  # k-minimum-values distinct sketch
+    "graph_triangle_count",  # wedge-join triangles + clustering coeff
+    "ts_gap_fill_interpolate",  # dense spine + linear interpolation
+    "sample_nucleus_topp",  # per-lang quality nucleus cut
+    "ml_embedding_quantize_int8",  # per-dim max-abs SQ8 quantization
     # --- family sentinels the fill can't supply (verified in r1-r3) ---
     "sort_top10_orders",  # sort
     "subquery_above_avg_balance",  # subquery
@@ -66,6 +73,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "join_relational_division",
     "join_event_cooccurrence",
     "join_null_safe_eq",
+    "func_higher_order_arrays",  # functions-tag carrier
+    "setop_union_missing_cols",  # setop-tag carrier
     "window_running_revenue",
     "window_nth_value",
     "window_count_distinct_over",
@@ -84,8 +93,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "text_repetition_ratio",
     "text_bigram_top10",
     "text_lm_bigram_backoff",
-    "setop_union_missing_cols",
-    "func_higher_order_arrays",  # functions-tag carrier
     "agg_bitwise_keys",
     "agg_boolean_flags",
     "agg_regression_funcs",
@@ -158,6 +165,8 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.training_extra",
     "open_molecule_data_pipeline_spark.operators.corpus_ops",
     "open_molecule_data_pipeline_spark.operators.corpus_refinery",
+    "open_molecule_data_pipeline_spark.operators.retrieval",
+    "open_molecule_data_pipeline_spark.operators.linkage",
     "open_molecule_data_pipeline_spark.operators.layout",
     "open_molecule_data_pipeline_spark.operators.pq",
     "open_molecule_data_pipeline_spark.operators.multimodal",
