@@ -467,3 +467,61 @@ def text_lm_bigram_backoff(spark, sf_dir):
             F.round(F.max("score"), 6).alias("max_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate statistics: global frequencies of adjacent token
+# pairs — the argmax of this table IS the first merge of byte-pair-encoding
+# tokenizer training (Sennrich 2016); production trainers re-run exactly
+# this aggregation after each merge. Pair extraction is a JVM transform()
+# over the token array (no self-join: each doc emits its n-1 pairs in one
+# Generate), counts partial-aggregate map-side, and the top-k rides a
+# TakeOrderedAndProject. At 100 TB the shuffle carries (pair, partial
+# count) rows — vocabulary-bounded, not corpus-bounded.
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+_BPE_ORACLE = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS tk,
+         cast(len(string_split(text, ' ')) AS INTEGER) AS n
+  FROM documents
+),
+pairs AS (
+  SELECT tk[i.i] || ' ' || tk[i.i + 1] AS pair
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) i
+  WHERE n >= 2
+)
+SELECT pair, cast(count(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+@register("text_bpe_pair_merges", oracle=_BPE_ORACLE, tags=("text", "training"))
+def text_bpe_pair_merges(spark, sf_dir):
+    from ._util import spread
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    tk = F.split("text", " ")
+    pairs = (
+        d.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOP)
+    )

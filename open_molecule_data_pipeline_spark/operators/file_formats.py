@@ -221,3 +221,39 @@ def format_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("sum_keys"),
     )
+
+
+_ORC_ORACLE = f"""
+SELECT p_brand,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(p_size) AS BIGINT) AS sum_size,
+       {s_lsum('p_retailprice', 100)} AS sum_price
+FROM part
+GROUP BY p_brand
+"""
+
+
+@register("format_roundtrip_orc", oracle=_ORC_ORACLE, tags=("formats",))
+def format_roundtrip_orc(spark, sf_dir):
+    """parquet -> zlib ORC partitioned by p_brand -> read -> aggregate.
+
+    ORC is the third columnar format in the matrix (after parquet and the
+    row formats); doubles round-trip bit-exact because ORC stores IEEE754
+    doubles natively — no string conversion is involved.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    out = _scratch("orc", sf_dir)
+    (
+        p.write.mode("overwrite")
+        .option("compression", "zlib")
+        .partitionBy("p_brand")
+        .orc(str(out))
+    )
+    back = spark.read.orc(str(out))
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_size").cast("long").alias("sum_size"),
+        lsum("p_retailprice", 100).alias("sum_price"),
+    )

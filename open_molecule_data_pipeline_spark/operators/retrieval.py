@@ -111,3 +111,82 @@ def text_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted inverted index with partition-pruned lookup — the text twin of
+# ``sim_ivf_persisted``. Posting lists (term, doc_id, tf) are written out
+# partitioned by a 16-way term-hash bucket; a query for a term set then
+# reads ONLY the buckets its terms hash to (static partition pruning — the
+# bucket literals are computed from the terms before the plan is built, so
+# the FileScan's PartitionFilters prune at planning time, no scan of the
+# other 15/16ths). This is how a 100 TB corpus serves term lookups without
+# touching the whole index; refreshing the index is an append of new docs'
+# postings into the same bucket layout.
+# --------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+
+def _term_bucket_py(term: str) -> int:
+    return int(_hashlib.md5(term.encode()).hexdigest()[0], 16)
+
+
+_IDX_TERMS = ("dup", "vector", "key")
+_IDX_TOP = 3
+
+_IDX_ORACLE = f"""
+WITH postings AS (
+  SELECT w, doc_id, cast(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) t
+  WHERE w IN ({", ".join(f"'{t}'" for t in _IDX_TERMS)})
+  GROUP BY w, doc_id
+),
+ranked AS (
+  SELECT w AS term, doc_id, tf,
+         row_number() OVER (PARTITION BY w ORDER BY tf DESC, doc_id) AS rn
+  FROM postings
+)
+SELECT term, doc_id, tf FROM ranked WHERE rn <= {_IDX_TOP}
+"""
+
+
+@register(
+    "text_inverted_index_persisted",
+    oracle=_IDX_ORACLE,
+    tags=("text", "formats"),
+)
+def text_inverted_index_persisted(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from .file_formats import _scratch
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    postings = (
+        toks.groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket",
+            F.expr("instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1"),
+        )
+    )
+    out = _scratch("invidx", sf_dir)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(str(out))
+
+    wanted_buckets = sorted({_term_bucket_py(t) for t in _IDX_TERMS})
+    lists = (
+        spark.read.parquet(str(out))
+        .filter(F.col("bucket").isin(wanted_buckets))
+        .filter(F.col("w").isin(*_IDX_TERMS))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("w").orderBy(F.desc("tf"), "doc_id")
+    )
+    return (
+        lists.withColumn("rn", rn)
+        .filter(F.col("rn") <= _IDX_TOP)
+        .select(F.col("w").alias("term"), "doc_id", "tf")
+    )

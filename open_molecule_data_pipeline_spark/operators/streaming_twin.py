@@ -410,3 +410,65 @@ def stream_stateful_count_twin(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(spark, out, output_mode="update")
+
+
+# --------------------------------------------------------------------------
+# Stream-stream join twin: the fourth stateful operator family. Clicks and
+# purchases are two watermarked streams; the inner join buffers both sides
+# in the state store keyed on user_id and emits pairs where the purchase
+# lands within 2 hours after the click. The event-time range condition is
+# what lets the engine evict state (purchase watermark bounds how long a
+# click must be retained). With availableNow over one immutable file the
+# watermark never drops rows, so the batch join is the exact oracle; the
+# per-user aggregation runs as a *batch* query over the memory sink
+# (chaining a second stateful aggregate after a stream-stream join inside
+# one streaming query is a known Spark limitation).
+# --------------------------------------------------------------------------
+
+_JOIN_TWIN_ORACLE = """
+SELECT c.user_id,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       cast(min(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_gap_us
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL '2 hours'
+GROUP BY c.user_id
+"""
+
+
+@register(
+    "stream_join_twin",
+    oracle=_JOIN_TWIN_ORACLE,
+    tags=("streaming", "join"),
+)
+def stream_join_twin(spark, sf_dir):
+    events = _events_stream(spark, sf_dir)
+    # watermarks require TIMESTAMP (ltz); events.ts is ntz after nanos
+    # normalization. The session runs in UTC (tune_session), so the cast is
+    # a pure reinterpretation — no wall-clock shift.
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").cast("timestamp").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    sunk = _run_to_memory(spark, pairs, output_mode="append")
+    return sunk.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("min_gap_us"),
+    )

@@ -52,6 +52,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ts_gap_fill_interpolate",  # dense spine + linear interpolation
     "sample_nucleus_topp",  # per-lang quality nucleus cut
     "ml_embedding_quantize_int8",  # per-dim max-abs SQ8 quantization
+    "stream_join_twin",  # stream-stream join state
+    "text_bpe_pair_merges",  # BPE merge-candidate frequencies
+    "text_inverted_index_persisted",  # bucket-pruned posting lists
+    "format_roundtrip_orc",  # third columnar format round-trip
     # --- family sentinels the fill can't supply (verified in r1-r3) ---
     "sort_top10_orders",  # sort
     "subquery_above_avg_balance",  # subquery

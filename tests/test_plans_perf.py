@@ -218,3 +218,15 @@ def test_plan_lint_registry_wide(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(f"{name}: CartesianProduct")
     assert not offenders, offenders
+
+
+def test_inverted_index_prunes_buckets(spark, sf_dir):
+    # The posting-list read-back must carry a static PartitionFilter on the
+    # bucket column (the term->bucket literals are computed before the plan
+    # is built), so the lookup scans only the probed buckets.
+    plan = _plan(spark, sf_dir, "text_inverted_index_persisted")
+    assert "PartitionFilters: [" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
