@@ -552,3 +552,161 @@ def profile_skew_keys(spark, sf_dir):
         .orderBy(F.desc("n"), "k")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# KMV merge: the property that makes KMV a *distributed* sketch — the union
+# of two keys-streams' sketches is just the k smallest of the combined
+# hash sets, with the same estimator. Here the two independently-sketched
+# streams are the order-placing customers and the full customer registry;
+# the merged estimate is checked against the exact distinct of the union.
+# At 100 TB each stream's sketch is O(k) state produced by its own top-k
+# (TakeOrderedAndProject), and the merge touches 2k rows however large
+# either input — this is how per-partition / per-day sketches roll up.
+# --------------------------------------------------------------------------
+
+_KMV_MERGE_ORACLE = f"""
+WITH h_orders AS (
+  SELECT DISTINCT cast({_hex32(_HEXVAL_DUCK, "md5('cust_' || cast(o_custkey AS VARCHAR))")} AS BIGINT) AS h
+  FROM orders
+),
+h_cust AS (
+  SELECT DISTINCT cast({_hex32(_HEXVAL_DUCK, "md5('cust_' || cast(c_custkey AS VARCHAR))")} AS BIGINT) AS h
+  FROM customer
+),
+sk_orders AS (SELECT h FROM h_orders ORDER BY h LIMIT {_KMV_K}),
+sk_cust AS (SELECT h FROM h_cust ORDER BY h LIMIT {_KMV_K}),
+merged AS (
+  SELECT h FROM (
+    SELECT DISTINCT h FROM (
+      SELECT h FROM sk_orders UNION ALL SELECT h FROM sk_cust
+    ) u
+  ) d ORDER BY h LIMIT {_KMV_K}
+),
+rk AS (SELECT max(h) AS rk, count(*) AS k FROM merged),
+exact AS (
+  SELECT cast(count(*) AS BIGINT) AS exact_union FROM (
+    SELECT h FROM h_orders UNION SELECT h FROM h_cust
+  ) u
+)
+SELECT exact_union,
+       round((k - 1) * 4294967296.0 / rk, 4) AS kmv_estimate,
+       round(abs((k - 1) * 4294967296.0 / rk - exact_union)
+             * 100.0 / exact_union, 4) AS rel_err_pct
+FROM exact, rk
+"""
+
+
+@register("agg_kmv_merge", oracle=_KMV_MERGE_ORACLE, tags=("agg", "sketch"))
+def agg_kmv_merge(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def sketch(df, key_expr):
+        hashed = df.select(
+            F.expr(_hex32(_HEXVAL_SPARK, f"md5('cust_' || cast({key_expr} AS STRING))"))
+            .cast("long")
+            .alias("h")
+        ).distinct()
+        return hashed
+
+    h_orders = sketch(o, "o_custkey")
+    h_cust = sketch(c, "c_custkey")
+    sk_orders = h_orders.orderBy("h").limit(_KMV_K)
+    sk_cust = h_cust.orderBy("h").limit(_KMV_K)
+    merged = (
+        sk_orders.unionAll(sk_cust).distinct().orderBy("h").limit(_KMV_K)
+    )
+    rk = merged.agg(F.max("h").alias("rk"), F.count(F.lit(1)).alias("k"))
+    exact = (
+        h_orders.unionAll(h_cust)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    est = (F.col("k") - 1) * F.lit(4294967296.0) / F.col("rk")
+    return exact.crossJoin(F.broadcast(rk)).select(
+        "exact_union",
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(
+            F.abs(est - F.col("exact_union")) * 100.0 / F.col("exact_union"), 4
+        ).alias("rel_err_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Population-stability-index (PSI) drift report: the monitoring query a
+# production pipeline runs between a reference window and the current
+# window to decide whether a feature's distribution moved. Fixed-width
+# buckets over o_totalprice, reference = orders before the split date,
+# current = after; PSI contribution per bucket = (p - q) * ln(p / q).
+# One scan, one partial-aggregated groupBy, a broadcast of the two total
+# counts back onto <= 8 bucket rows. Fixed bucket edges (not quantiles)
+# keep the report mergeable across days and engines.
+# --------------------------------------------------------------------------
+
+_PSI_SPLIT = "1998-05-01"
+_PSI_WIDTH = 50000
+_PSI_CAP = 7
+
+_PSI_ORACLE = f"""
+WITH bucketed AS (
+  SELECT least(cast(floor(o_totalprice / {_PSI_WIDTH}) AS INTEGER), {_PSI_CAP}) AS bucket,
+         CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+counts AS (
+  SELECT bucket,
+         cast(sum(is_ref) AS BIGINT) AS n_ref,
+         cast(sum(1 - is_ref) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket
+),
+tot AS (
+  SELECT cast(sum(n_ref) AS BIGINT) AS t_ref,
+         cast(sum(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+)
+SELECT bucket, n_ref, n_cur,
+       round(n_ref * 100.0 / t_ref, 6) AS ref_pct,
+       round(n_cur * 100.0 / t_cur, 6) AS cur_pct,
+       round((n_ref * 1.0 / t_ref - n_cur * 1.0 / t_cur)
+             * ln((n_ref * 1.0 / t_ref) / (n_cur * 1.0 / t_cur)), 6)
+         AS psi_contrib
+FROM counts, tot
+WHERE n_ref > 0 AND n_cur > 0
+ORDER BY bucket
+"""
+
+
+@register("profile_psi_drift", oracle=_PSI_ORACLE, tags=("profile", "agg"))
+def profile_psi_drift(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _PSI_WIDTH).cast("int"), F.lit(_PSI_CAP)
+    )
+    is_ref = (F.col("o_orderdate") < _PSI_SPLIT).cast("long")
+    counts = (
+        o.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.col("n_ref") * 1.0 / F.col("t_ref")
+    q = F.col("n_cur") * 1.0 / F.col("t_cur")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round(F.col("n_ref") * 100.0 / F.col("t_ref"), 6).alias("ref_pct"),
+            F.round(F.col("n_cur") * 100.0 / F.col("t_cur"), 6).alias("cur_pct"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )

@@ -257,3 +257,57 @@ def format_roundtrip_orc(spark, sf_dir):
         F.sum("p_size").cast("long").alias("sum_size"),
         lsum("p_retailprice", 100).alias("sum_price"),
     )
+
+
+_BUCKETED_ORACLE = f"""
+SELECT cast(count(*) AS BIGINT) AS n,
+       {s_lsum('l.l_extendedprice', 100)} AS sum_price,
+       {s_lsum('o.o_totalprice', 100)} AS sum_total
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register("format_bucketed_join", oracle=_BUCKETED_ORACLE, tags=("formats", "join"))
+def format_bucketed_join(spark, sf_dir):
+    """Co-located (bucketed) join: both tables pre-hashed into the same
+    bucket layout on the join key, so the sort-merge join reads bucket i
+    against bucket i with NO shuffle exchange — the layout that turns the
+    nightly big-fact join from a full-network shuffle into a local merge at
+    100 TB. Bucket metadata lives in the session catalog (saveAsTable with
+    an external path); the plan lint asserts the join runs without a
+    hashpartitioning exchange. The broadcast threshold is irrelevant: the
+    merge hint pins SMJ so the bucket layout, not table size, carries the
+    demo.
+    """
+    from uuid import uuid4
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    run = uuid4().hex[:8]
+    names = {}
+    for alias, df, key in (
+        ("orders_b", o, "o_orderkey"),
+        ("lineitem_b", li, "l_orderkey"),
+    ):
+        tbl = f"omdp_bucketed_{alias}_{run}"
+        path = _scratch(f"bucket_{alias}", sf_dir)
+        (
+            df.write.mode("overwrite")
+            .option("path", str(path))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+        names[alias] = tbl
+    ob = spark.table(names["orders_b"])
+    lb = spark.table(names["lineitem_b"])
+    joined = lb.hint("merge").join(
+        ob, lb["l_orderkey"] == ob["o_orderkey"]
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        lsum("l_extendedprice", 100).alias("sum_price"),
+        lsum("o_totalprice", 100).alias("sum_total"),
+    )

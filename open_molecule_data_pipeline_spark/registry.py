@@ -56,6 +56,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "text_bpe_pair_merges",  # BPE merge-candidate frequencies
     "text_inverted_index_persisted",  # bucket-pruned posting lists
     "format_roundtrip_orc",  # third columnar format round-trip
+    "format_bucketed_join",  # co-located SMJ, no shuffle exchange
+    "agg_kmv_merge",  # sketch mergeability (union roll-up)
+    "profile_psi_drift",  # population-stability drift report
     # --- family sentinels the fill can't supply (verified in r1-r3) ---
     "sort_top10_orders",  # sort
     "subquery_above_avg_balance",  # subquery

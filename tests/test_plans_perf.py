@@ -230,3 +230,13 @@ def test_inverted_index_prunes_buckets(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1), plan[:2000]
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # Both sides pre-bucketed on the join key: the SMJ must read bucket i
+    # against bucket i directly — no hashpartitioning exchange anywhere in
+    # the join subtree (the only allowed exchange is the final single-row
+    # aggregate's SinglePartition).
+    plan = _plan(spark, sf_dir, "format_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
