@@ -504,12 +504,20 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    x = e.select(F.col("vec_id").alias("x_id"), F.col("embedding").alias("xe"))
-    y = e.select(F.col("vec_id").alias("y_id"), F.col("embedding").alias("ye"))
+    # norms precomputed per vector (not per candidate pair): the HOF folds
+    # skip whole-stage codegen, and a vector can appear in many candidates.
+    x = e.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("xe"),
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("xn"),
+    )
+    y = e.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("ye"),
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("yn"),
+    )
     dot_xy = F.expr(_DOT.format(a="xe", b="ye"))
-    norm_x = F.sqrt(F.expr(_DOT.format(a="xe", b="xe")))
-    norm_y = F.sqrt(F.expr(_DOT.format(a="ye", b="ye")))
-    cos = dot_xy / (norm_x * norm_y)
+    cos = dot_xy / (F.col("xn") * F.col("yn"))
     return (
         cand.join(x, F.col("vec_a") == F.col("x_id"))
         .join(y, F.col("vec_b") == F.col("y_id"))

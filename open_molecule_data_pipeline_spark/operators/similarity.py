@@ -86,17 +86,33 @@ FROM (
 
 @register("sim_topk_bruteforce", oracle=_TOPK_ORACLE, tags=("similarity",), bench=True)
 def sim_topk_bruteforce(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    # norms are precomputed per side, NOT per pair: the higher-order
+    # aggregate lambdas skip whole-stage codegen, so per-pair evaluation
+    # would redo the costliest expression |q| times per corpus row. The
+    # doubles are identical either way (same fold over the same array).
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nn"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nn").alias("qq"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nn").alias("cc"),
+    )
     dot = F.expr(_DOT.format(a="qe", b="ce"))
-    qq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-    cc = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", (dot / (qq * cc)).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("qq") * F.col("cc"))).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
@@ -174,27 +190,34 @@ FROM (
 @register("sim_ann_lsh_topk", oracle=_ANN_ORACLE, tags=("similarity", "lsh"))
 def sim_ann_lsh_topk(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _bucket_col().alias("bucket")
+        "vec_id",
+        "embedding",
+        _bucket_col().alias("bucket"),
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nn"),
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qb"),
+        F.col("nn").alias("qq"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("bucket").alias("cb"),
+        F.col("nn").alias("cc"),
     )
     dot = F.expr(_DOT.format(a="qe", b="ce"))
-    qq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-    cc = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
     scored = (
         c.join(
             F.broadcast(q),
             (F.col("cb") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", (dot / (qq * cc)).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("qq") * F.col("cc"))).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
@@ -270,17 +293,28 @@ FROM (
 
 def _ivf_scored(spark, sf_dir):
     """(vec_id, embedding, cent_id, ccos): every vector scored vs every
-    centroid — corpus x broadcast-centroids, no shuffle."""
-    e = table(spark, sf_dir, "embeddings")
+    centroid — corpus x broadcast-centroids, no shuffle.
+
+    Norms are precomputed per side BEFORE the cross product: the
+    higher-order ``aggregate`` lambdas don't participate in whole-stage
+    codegen, so evaluating them on the n x k product rows (instead of n + k
+    input rows) would redo the most expensive expression k times per
+    vector. Same doubles either way — cdot / (vv * kk) is unchanged — so
+    the rounded scores and the oracle agree bit-for-bit."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("vv"),
+    )
     cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e")
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_e"),
+        F.col("vv").alias("kk"),
     )
     cdot = F.expr(_DOT.format(a="embedding", b="cent_e"))
-    vv = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-    kk = F.sqrt(F.expr(_DOT.format(a="cent_e", b="cent_e")))
-    ccos = F.round(cdot / (vv * kk), 6)
+    ccos = F.round(cdot / (F.col("vv") * F.col("kk")), 6)
     return e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cent_id", ccos.alias("ccos")
+        "vec_id", "embedding", "vv", "cent_id", ccos.alias("ccos")
     )
 
 
@@ -303,8 +337,9 @@ def _ivf_parts(spark, sf_dir):
         .agg(
             F.max_by("cent_id", argmax_key).alias("cent_id"),
             F.any_value("embedding").alias("ce"),  # constant within group
+            F.any_value("vv").alias("cn"),  # precomputed norm rides along
         )
-        .select(F.col("vec_id").alias("neighbor_id"), "ce", "cent_id")
+        .select(F.col("vec_id").alias("neighbor_id"), "ce", "cn", "cent_id")
     )
     wc = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
     probe = (
@@ -314,6 +349,7 @@ def _ivf_parts(spark, sf_dir):
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            F.col("vv").alias("qn"),
             F.col("cent_id"),
         )
     )
@@ -324,12 +360,14 @@ def _ivf_parts(spark, sf_dir):
 def sim_ivf_topk(spark, sf_dir):
     assign, probe = _ivf_parts(spark, sf_dir)
     dot = F.expr(_DOT.format(a="qe", b="ce"))
-    qq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-    cc = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
     scored = (
         assign.join(F.broadcast(probe), "cent_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", (dot / (qq * cc)).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
@@ -358,21 +396,28 @@ def sim_ivf_persisted(spark, sf_dir):
     assign, probe = _ivf_parts(spark, sf_dir)
     out = _scratch("ivf", sf_dir)
     (
-        assign.select("neighbor_id", F.col("ce").alias("embedding"), "cent_id")
+        assign.select(
+            "neighbor_id", F.col("ce").alias("embedding"), "cn", "cent_id"
+        )
         .write.mode("overwrite")
         .partitionBy("cent_id")
         .parquet(str(out))
     )
     lists = spark.read.parquet(str(out)).select(
-        "neighbor_id", F.col("embedding").alias("ce"), F.col("cent_id").cast("long")
+        "neighbor_id",
+        F.col("embedding").alias("ce"),
+        "cn",
+        F.col("cent_id").cast("long")
     )
     dot = F.expr(_DOT.format(a="qe", b="ce"))
-    qq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-    cc = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
     scored = (
         lists.join(F.broadcast(probe), "cent_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", (dot / (qq * cc)).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
