@@ -43,10 +43,14 @@ def connected_components(
     generation = 0
     gen_paths: dict[int, str] = {}
 
-    def persist(df: DataFrame) -> DataFrame:
+    def persist(df: DataFrame, eager: bool = True) -> DataFrame:
         nonlocal generation
         if checkpoint_dir is None:
-            return df.localCheckpoint(eager=True)
+            # eager=False lets the CALLER's next full-scan action double as
+            # the checkpoint materialization — one job instead of two per
+            # loop iteration (the convergence count below touches every
+            # partition, so truncation is complete, never partial).
+            return df.localCheckpoint(eager=eager)
         path = f"{checkpoint_dir.rstrip('/')}/cc_gen_{generation}"
         gen_paths[generation] = path
         generation += 1
@@ -107,9 +111,12 @@ def connected_components(
                 (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
                     "__changed"
                 ),
-            )
+            ),
+            eager=False,
         )
-        changed = updated.filter(F.col("__changed")).limit(1).count()
+        # full count, not limit(1): scanning every partition is what
+        # materializes the lazy checkpoint in the same job as the check
+        changed = updated.filter(F.col("__changed")).count()
         release(labels, labels_gen)
         labels = updated.drop("__changed")
         labels_gen = generation - 1
