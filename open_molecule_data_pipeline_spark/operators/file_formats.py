@@ -267,7 +267,12 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
 
 
-@register("format_bucketed_join", oracle=_BUCKETED_ORACLE, tags=("formats", "join"))
+@register(
+    "format_bucketed_join",
+    oracle=_BUCKETED_ORACLE,
+    tags=("formats", "join"),
+    bench=True,
+)
 def format_bucketed_join(spark, sf_dir):
     """Co-located (bucketed) join: both tables pre-hashed into the same
     bucket layout on the join key, so the sort-merge join reads bucket i

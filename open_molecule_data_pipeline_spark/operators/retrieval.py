@@ -74,7 +74,9 @@ LIMIT {_TOPK}
 """
 
 
-@register("text_bm25_topk", oracle=_BM25_ORACLE, tags=("text", "similarity"))
+@register(
+    "text_bm25_topk", oracle=_BM25_ORACLE, tags=("text", "similarity"), bench=True
+)
 def text_bm25_topk(spark, sf_dir):
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     tk = F.split("text", " ")
