@@ -271,7 +271,6 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     "format_bucketed_join",
     oracle=_BUCKETED_ORACLE,
     tags=("formats", "join"),
-    bench=True,
 )
 def format_bucketed_join(spark, sf_dir):
     """Co-located (bucketed) join: both tables pre-hashed into the same
