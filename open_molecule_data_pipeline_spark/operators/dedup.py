@@ -524,3 +524,125 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(cos >= _COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric n-gram CONTAINMENT over the same MinHash-band candidates: the
+# doc-in-doc detector (quotes, boilerplate wrappers, subset articles) that
+# symmetric Jaccard misses — a short doc fully quoted inside a long one has
+# tiny Jaccard but containment ~1 in one direction. Candidates come from
+# the shared band join (cost tracks collisions, never all-pairs); the
+# verify stage computes both directions with the set sizes it already
+# holds. cf. the suffix-array substring dedup of Lee et al. 2022 — this is
+# the gram-set relaxation of it that stays one equi-join + one set
+# intersection at any scale.
+# --------------------------------------------------------------------------
+
+_CONTAIN_THRESHOLD = 0.3
+
+_CONTAINMENT_ORACLE = f"""
+WITH sigs AS ({_JACCARD_SIG_CTE}),
+bands AS (
+  SELECT doc_id, lang, source, band_id, band_key FROM (
+    SELECT doc_id, lang, source,
+           unnest([{', '.join(str(b) for b in range(N_BANDS))}]) AS band_id,
+           unnest([{', '.join(f'md5(sig_{2 * b} || sig_{2 * b + 1})' for b in range(N_BANDS))}]) AS band_key
+    FROM sigs
+  ) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS shingle_set
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+)
+SELECT doc_a, doc_b,
+       round(cont_a, 6) AS cont_a_in_b,
+       round(cont_b, 6) AS cont_b_in_a
+FROM (
+  SELECT c.doc_a, c.doc_b,
+         cast(len(list_intersect(x.shingle_set, y.shingle_set)) AS DOUBLE)
+           / len(x.shingle_set) AS cont_a,
+         cast(len(list_intersect(x.shingle_set, y.shingle_set)) AS DOUBLE)
+           / len(y.shingle_set) AS cont_b
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+) scored
+WHERE cont_a >= {_CONTAIN_THRESHOLD} OR cont_b >= {_CONTAIN_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("dedup", "jaccard")
+)
+def dedup_containment(spark, sf_dir):
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    base = d.withColumn("toks", F.split("text", " ")).filter(F.size("toks") >= 3)
+    sigs = (
+        base.withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .withColumn("hs", F.expr("transform(shingles, s -> md5(s))"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            *[F.expr(_sig_spark(k)).alias(f"sig_{k}") for k in range(N_HASHES)],
+        )
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "lang", "source", F.explode(band_entries).alias("b")
+    ).select("doc_id", "lang", "source", "b.band_id", "b.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = base.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shingle_set")
+    )
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = F.size(
+        F.array_intersect(F.col("x.shingle_set"), F.col("y.shingle_set"))
+    ).cast("double")
+    cont_a = inter / F.size(F.col("x.shingle_set"))
+    cont_b = inter / F.size(F.col("y.shingle_set"))
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .filter(
+            (cont_a >= _CONTAIN_THRESHOLD) | (cont_b >= _CONTAIN_THRESHOLD)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont_a, 6).alias("cont_a_in_b"),
+            F.round(cont_b, 6).alias("cont_b_in_a"),
+        )
+    )

@@ -122,3 +122,54 @@ def profile_column_stats(spark, sf_dir):
         " AS (column_name, n_null, n_distinct, min_v, max_v)",
         "n_rows",
     ).select("column_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
+
+
+# --------------------------------------------------------------------------
+# Vectorized scalar pandas UDF — the sanctioned Python escape hatch for
+# row-wise logic the built-ins can't express (here a logistic score, which
+# SQL CAN express — that's what makes the exact oracle possible while the
+# plan still exercises the ArrowEvalPython path end to end). Arrow ships
+# columnar batches both ways: ~10-100x over row-at-a-time Python UDFs, the
+# difference between "unusable at 100 TB" and "bounded overhead on the one
+# column that needs Python".
+# --------------------------------------------------------------------------
+
+
+@register(
+    "udf_pandas_logistic_score",
+    oracle="""
+SELECT l_orderkey,
+       cast(count(*) AS BIGINT) AS n_items,
+       round(sum(round(1.0 / (1.0 + exp(-(0.05 * l_quantity - 8.0 * l_discount))), 9)), 6)
+         AS sum_score
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+LIMIT 100
+""",
+    tags=("functions", "udf"),
+)
+def udf_pandas_logistic_score(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def logistic(qty: pd.Series, disc: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # per-element round BEFORE the cross-row sum: the sum of 9-digit
+        # doubles is then exact enough that a final round(6) matches the
+        # oracle bit-for-bit regardless of summation order
+        return (1.0 / (1.0 + np.exp(-(0.05 * qty - 8.0 * disc)))).round(9)
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", logistic("l_quantity", "l_discount").alias("s"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("s"), 6).alias("sum_score"),
+        )
+        .orderBy("l_orderkey")
+        .limit(100)
+    )

@@ -472,3 +472,108 @@ def stream_join_twin(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("min_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view twin via foreachBatch: each micro-batch is
+# merged (upsert: recompute affected keys from old MV + delta) into a
+# parquet-backed view — the maintenance loop behind every "streaming
+# aggregate the dashboard reads". foreachBatch is the escape hatch that
+# turns a streaming query into arbitrary batch writes (MERGE, multi-sink)
+# while the engine still tracks offsets/checkpoints. With availableNow
+# over one immutable file the merged MV equals the batch aggregation —
+# exact oracle. cf. streaming/jobs.py::stream_incremental_user_totals for
+# the multi-batch pytest that exercises real incremental merges.
+# --------------------------------------------------------------------------
+
+_MV_TWIN_ORACLE = f"""
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_events,
+       {s_lsum('value', 100)} AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "stream_mv_twin",
+    oracle=_MV_TWIN_ORACLE,
+    tags=("streaming", "agg"),
+)
+def stream_mv_twin(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    events = _events_stream(spark, sf_dir)
+    mv_dir = tempfile.mkdtemp(
+        prefix="omdp_stream_mv_",
+        dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None,
+    )
+    mv_path = f"{mv_dir}/mv"
+
+    def merge_batch(batch_df, batch_id):
+        delta = batch_df.groupBy("user_id").agg(
+            SF.count(SF.lit(1)).alias("n_events"),
+            SF.sum(SF.round(SF.col("value") * 100).cast("long")).alias("sv"),
+        )
+        sess = batch_df.sparkSession
+        try:
+            old = sess.read.parquet(mv_path)
+        except Exception:
+            old = None
+        if old is not None:
+            merged = (
+                old.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    SF.sum("n_events").alias("n_events"),
+                    SF.sum("sv").alias("sv"),
+                )
+            )
+        else:
+            merged = delta
+        # write-then-swap: the MV read path never sees a half-written dir
+        tmp = f"{mv_path}_next_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = sess.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(mv_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    ck_dir = tempfile.mkdtemp(prefix="omdp_stream_mv_ck_", dir=mv_dir)
+    try:
+        query = (
+            events.writeStream.foreachBatch(merge_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck_dir)
+            .start()
+        )
+        query.awaitTermination()
+        mv = spark.read.parquet(mv_path)
+        return mv.select(
+            "user_id",
+            "n_events",
+            (F.col("sv") / F.lit(100).cast("double")).alias("sum_value"),
+        )
+    finally:
+        # the returned DataFrame has been READ above only lazily; collect()
+        # happens later in the driver, so the MV files must outlive this
+        # function — sweep superseded dirs from earlier runs instead.
+        _sweep_stale_mv_dirs(os.path.dirname(mv_dir))
+
+
+def _sweep_stale_mv_dirs(root: str) -> None:
+    import time as _time
+
+    cutoff = _time.time() - 1800
+    try:
+        for name in os.listdir(root):
+            if not name.startswith("omdp_stream_mv_"):
+                continue
+            path = os.path.join(root, name)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass

@@ -445,3 +445,60 @@ def ts_gap_fill_interpolate(spark, sf_dir):
             F.sum(F.round(F.col("v") * 1000000).cast("long")).alias("checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join via bin bucketing: count the click events landing
+# inside each error event's 10-minute impact window. A naive range join is
+# a BroadcastNestedLoopJoin — O(|errors| x |clicks|), dead at scale. The
+# standard rewrite buckets both sides into fixed 10-minute bins, joins on
+# bin equality (each window spans <= 2 bins, so the interval side explodes
+# to 2 rows), and re-applies the exact range predicate as a post-filter —
+# the same trick behind Databricks' range-join hints and KDB window joins.
+# Cost: one equi-join shuffle on a high-cardinality key, fanout 2.
+# --------------------------------------------------------------------------
+
+_BIN_SECS = 600
+
+_RANGE_BINNED_ORACLE = f"""
+SELECT e.event_id,
+       cast(count(c.ts) AS BIGINT) AS n_clicks
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+  ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL '{_BIN_SECS} seconds'
+GROUP BY e.event_id
+"""
+
+
+@register(
+    "join_range_binned",
+    oracle=_RANGE_BINNED_ORACLE,
+    tags=("join", "timeseries"),
+)
+def join_range_binned(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bin_of = lambda col: (F.unix_micros(F.col(col).cast("timestamp")) / (
+        _BIN_SECS * 1_000_000
+    )).cast("long")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("ts").alias("e_ts"),
+        F.explode(
+            F.array(bin_of("ts"), bin_of("ts") + 1)
+        ).alias("bin"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), bin_of("ts").alias("bin")
+    )
+    in_window = (F.col("c_ts") >= F.col("e_ts")) & (
+        F.unix_micros(F.col("c_ts").cast("timestamp"))
+        < F.unix_micros(F.col("e_ts").cast("timestamp")) + _BIN_SECS * 1_000_000
+    )
+    hits = errors.join(clicks, "bin").filter(in_window)
+    per_error = hits.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    base = ev.filter(F.col("event_type") == "error").select("event_id")
+    return base.join(per_error, "event_id", "left").select(
+        "event_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")
+    )

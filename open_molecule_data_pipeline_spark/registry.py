@@ -59,6 +59,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "format_bucketed_join",  # co-located SMJ, no shuffle exchange
     "agg_kmv_merge",  # sketch mergeability (union roll-up)
     "profile_psi_drift",  # population-stability drift report
+    "dedup_containment",  # asymmetric doc-in-doc detection
+    "udf_pandas_logistic_score",  # Arrow scalar pandas UDF path
+    "join_range_binned",  # interval join via bin bucketing
+    "stream_mv_twin",  # foreachBatch incremental MV merge
     # --- family sentinels the fill can't supply (verified in r1-r3) ---
     "sort_top10_orders",  # sort
     "subquery_above_avg_balance",  # subquery
