@@ -378,3 +378,36 @@ def test_source_name_slug_validation():
     for bad in ("a/b", "../x", ".hidden", "", "a b"):
         with pytest.raises(ValidationError):
             SourceDefinition(type="sdf", name=bad)
+
+
+def test_cli_query_list_and_run(sf_dir, tmp_path, capsys):
+    from open_molecule_data_pipeline_spark.plans.cli import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_pricing_summary" in out
+    assert "dedup_minhash_lsh_pairs" in out
+
+    assert main(["query", "no_such_query", "--sf-dir", sf_dir]) == 2
+    assert main(["query", "sort_top10_orders"]) == 2  # --sf-dir required
+
+    dest = tmp_path / "q_out"
+    rc = main(
+        [
+            "query",
+            "sort_top10_orders",
+            "--sf-dir",
+            sf_dir,
+            "--out",
+            str(dest),
+            "--format",
+            "parquet",
+        ]
+    )
+    assert rc == 0
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{dest}/*.parquet'"
+    ).fetchone()[0]
+    assert n == 10
