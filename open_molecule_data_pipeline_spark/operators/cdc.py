@@ -209,3 +209,84 @@ def cdc_scd2_intervals(spark, sf_dir):
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time (AS OF) lookup: enrich each purchase with the
+# dimension state (the user's last event_type change) in effect at the
+# purchase's event time — the temporal-join read side of the SCD2 build
+# above, and the query every warehouse runs against a type-2 dimension.
+# Implementation is the distributed as-of join of operators/asof.py
+# (union + one partitioned window, no range explosion); the oracle derives
+# the same answer from the compressed change log with a window. A state
+# change AT the purchase timestamp wins (<=-semantics, tie-break
+# event_id), matching the SCD2 convention that valid_from is inclusive.
+# --------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH chg AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), compressed AS (
+  SELECT user_id, event_type AS state, ts AS state_ts, event_id AS state_eid
+  FROM chg WHERE prev_type IS NULL OR event_type <> prev_type
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT p.event_id, p.user_id, c.state,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.state_ts DESC, c.state_eid DESC) AS rn
+  FROM purchases p
+  JOIN compressed c
+    ON c.user_id = p.user_id AND c.state_ts <= p.ts
+)
+SELECT user_id, state,
+       cast(count(*) AS BIGINT) AS n_purchases
+FROM ranked WHERE rn = 1
+GROUP BY user_id, state
+"""
+
+
+@register("cdc_scd2_pointintime", oracle=_PIT_ORACLE, tags=("cdc", "asof"))
+def cdc_scd2_pointintime(spark, sf_dir):
+    from .asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    compressed = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("state_ts"),
+            F.col("event_id").alias("state_eid"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    enriched = asof_join(
+        purchases,
+        compressed,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="state_ts",
+        value_cols=["state"],
+        right_tiebreak="state_eid",
+    )
+    return enriched.groupBy("user_id", "state").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )

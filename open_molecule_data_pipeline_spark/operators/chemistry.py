@@ -91,3 +91,77 @@ def chem_canonical_smiles(spark, sf_dir):
     return canon.groupBy("canonical_smiles").agg(
         F.count(F.lit(1)).alias("n_spellings")
     )
+
+
+# --------------------------------------------------------------------------
+# Fingerprint-Tanimoto similarity pairs: the chemistry flavor of near-dup
+# detection (compound library dedup / analog search). Fingerprints are the
+# RDKit-free hash-folded char-3-gram bit sets of functions/molecule.py —
+# pure codegen — and Tanimoto is set algebra over the sparse bit arrays.
+# On this 10-molecule fixture the pair join is a broadcast self-join; at
+# library scale the SAME verify stage sits behind an LSH band join on
+# fingerprint-bit bands exactly like dedup_minhash_lsh_pairs (fingerprint
+# bits ARE a minhash-able set), so cost tracks collisions, never n^2.
+# The oracle is a VALUES table derived INDEPENDENTLY (python zlib.crc32
+# replication of the fingerprint, not a Spark snapshot) — crc32 has no
+# DuckDB twin, so cross-engine recomputation is impossible by construction.
+# --------------------------------------------------------------------------
+
+_TANIMOTO_MOLS = [
+    ("ethanol", "CCO"),
+    ("toluene", "Cc1ccccc1"),
+    ("aminoethanol", "CC(N)O"),
+    ("aspirin", "CC(=O)OC1=CC=CC=C1C(O)=O"),
+    ("benzonitrile", "C(#N)c1ccccc1"),
+    ("biphenyl", "c1ccc(cc1)-c1ccccc1"),
+    ("naphthalene", "c1ccc2ccccc2c1"),
+    ("phenol", "Oc1ccccc1"),
+    ("anisole", "COc1ccccc1"),
+    ("styrene", "C=Cc1ccccc1"),
+]
+
+_TANIMOTO_THRESHOLD = 0.2
+
+_TANIMOTO_ORACLE = """
+SELECT * FROM (VALUES
+  ('anisole', 'benzonitrile', 0.363636),
+  ('anisole', 'biphenyl', 0.307692),
+  ('anisole', 'naphthalene', 0.3),
+  ('anisole', 'phenol', 0.833333),
+  ('anisole', 'styrene', 0.444444),
+  ('anisole', 'toluene', 0.571429),
+  ('benzonitrile', 'biphenyl', 0.333333),
+  ('benzonitrile', 'naphthalene', 0.230769),
+  ('benzonitrile', 'phenol', 0.4),
+  ('benzonitrile', 'styrene', 0.333333),
+  ('benzonitrile', 'toluene', 0.4),
+  ('biphenyl', 'naphthalene', 0.2),
+  ('biphenyl', 'phenol', 0.333333),
+  ('biphenyl', 'styrene', 0.384615),
+  ('biphenyl', 'toluene', 0.333333),
+  ('naphthalene', 'phenol', 0.333333),
+  ('naphthalene', 'styrene', 0.272727),
+  ('naphthalene', 'toluene', 0.333333),
+  ('phenol', 'styrene', 0.5),
+  ('phenol', 'toluene', 0.666667),
+  ('styrene', 'toluene', 0.714286)
+) t(mol_a, mol_b, tanimoto)
+"""
+
+
+@register(
+    "chem_tanimoto_pairs", oracle=_TANIMOTO_ORACLE, tags=("chemistry", "dedup")
+)
+def chem_tanimoto_pairs(spark, sf_dir):
+    from ..functions.molecule import ngram_fingerprint, tanimoto
+
+    mols = spark.createDataFrame(_TANIMOTO_MOLS, "name string, smiles string")
+    fps = mols.select("name", ngram_fingerprint("smiles").alias("fp"))
+    a = fps.select(F.col("name").alias("mol_a"), F.col("fp").alias("fp_a"))
+    b = fps.select(F.col("name").alias("mol_b"), F.col("fp").alias("fp_b"))
+    sim = tanimoto(F.col("fp_a"), F.col("fp_b"))
+    return (
+        a.join(F.broadcast(b), F.col("mol_a") < F.col("mol_b"))
+        .select("mol_a", "mol_b", F.round(sim, 6).alias("tanimoto"))
+        .filter(F.col("tanimoto") >= _TANIMOTO_THRESHOLD)
+    )

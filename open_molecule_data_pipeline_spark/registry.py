@@ -63,6 +63,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "udf_pandas_logistic_score",  # Arrow scalar pandas UDF path
     "join_range_binned",  # interval join via bin bucketing
     "stream_mv_twin",  # foreachBatch incremental MV merge
+    "chem_tanimoto_pairs",  # fingerprint similarity pairs
+    "cdc_scd2_pointintime",  # temporal AS-OF dimension lookup
     # --- family sentinels the fill can't supply (verified in r1-r3) ---
     "sort_top10_orders",  # sort
     "subquery_above_avg_balance",  # subquery
