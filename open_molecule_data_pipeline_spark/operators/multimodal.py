@@ -856,3 +856,86 @@ def mm_audio_frames(spark, sf_dir):
         F.octet_length(frame).alias("frame_len"),
         F.md5(frame).alias("frame_digest"),
     )
+
+
+# --------------------------------------------------------------------------
+# PCM resample (decimation x2): decode -> numpy stride slice -> stats, the
+# simplest real resampling kernel (anti-alias filtering is a conv away,
+# same plumbing). Runs through the same Arrow-batched mapInPandas path as
+# mm_wav_decode; the oracle is the closed form of the decimated synthetic
+# signal (every even-index sample), so the whole decode+resample round-trip
+# is value-checked, not just row-counted.
+# --------------------------------------------------------------------------
+
+_DECIM = 2
+
+_RESAMPLE_ORACLE = f"""
+SELECT doc_id,
+       cast({_WAV_RATE} // {_DECIM} AS INTEGER) AS out_rate,
+       cast(count(*) AS BIGINT) AS n_out,
+       cast(min(samp) AS BIGINT) AS min_s,
+       cast(max(samp) AS BIGINT) AS max_s,
+       cast(sum(samp) AS BIGINT) AS sum_s
+FROM (
+  SELECT doc_id,
+         ((doc_id * 31 + ({_DECIM} * i) * 7) % 65536) - 32768 AS samp
+  FROM (
+    SELECT doc_id,
+           unnest(range((50 + doc_id % 50 + {_DECIM} - 1) // {_DECIM}))  AS i
+    FROM documents
+  ) g
+) s
+GROUP BY doc_id
+"""
+
+
+@register("mm_pcm_resample", oracle=_RESAMPLE_ORACLE, tags=("multimodal", "audio"))
+def mm_pcm_resample(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_rate", T.IntegerType()),
+            T.StructField("n_out", T.LongType()),
+            T.StructField("min_s", T.LongType()),
+            T.StructField("max_s", T.LongType()),
+            T.StructField("sum_s", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                n = 50 + doc_id % 50
+                idx = np.arange(n, dtype=np.int64)
+                samples = ((doc_id * 31 + idx * 7) % 65536) - 32768
+                blob = encode_wav_pcm16(samples, sample_rate=_WAV_RATE)
+                dec = decode_media(bytes(blob), "audio/wav")
+                out = dec["frames"].astype(np.int64)[::_DECIM]
+                rows.append(
+                    (
+                        doc_id,
+                        dec["sample_rate"] // _DECIM,
+                        int(out.size),
+                        int(out.min()),
+                        int(out.max()),
+                        int(out.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "out_rate",
+                    "n_out",
+                    "min_s",
+                    "max_s",
+                    "sum_s",
+                ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    return d.mapInPandas(run, schema)

@@ -65,6 +65,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "stream_mv_twin",  # foreachBatch incremental MV merge
     "chem_tanimoto_pairs",  # fingerprint similarity pairs
     "cdc_scd2_pointintime",  # temporal AS-OF dimension lookup
+    "mm_pcm_resample",  # decode + decimation through mapInPandas
+    "agg_hll_sketch_merge",  # DataSketches HLL union (verdict oracle)
     # --- family sentinels the fill can't supply (verified in r1-r3) ---
     "sort_top10_orders",  # sort
     "subquery_above_avg_balance",  # subquery
