@@ -295,3 +295,68 @@ def ingest_sdf_udtf_demo(spark, sf_dir):
     return spark.sql(
         "SELECT t.tag, t.value FROM sdf_blocks, LATERAL sdf_tags(value) t"
     )
+
+
+_HTTP_STREAM_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('api_a', 'a1', 'C', '1'),
+  ('api_a', 'a2', 'CO', NULL),
+  ('api_b', 'b1', 'N', NULL)
+) t(source, identifier, smiles, w)
+"""
+
+
+@register(
+    "ingest_http_stream_demo",
+    oracle=_HTTP_STREAM_DEMO_ORACLE,
+    tags=("ingest", "http", "streaming"),
+)
+def ingest_http_stream_demo(spark, sf_dir):
+    """STREAMING flavor of the Python Data Source connector: the paginated
+    crawl runs as a Structured Streaming query — one page per source per
+    micro-batch, offsets ({source: page}) checkpointed by the engine, so a
+    restarted ingest resumes mid-crawl. Canned pages make it hermetic; the
+    memory sink is drained to completion and compared to the VALUES oracle
+    like the batch demos."""
+    import tempfile
+    import uuid
+
+    from ..sources.http_api import HttpSourceConfig
+    from ..sources.python_datasource import read_http_datasource_stream
+
+    cfgs = [
+        HttpSourceConfig(name="api_a", base_url="https://h", endpoint="recs"),
+        HttpSourceConfig(name="api_b", base_url="https://h", endpoint="recs"),
+    ]
+    pages = {
+        "api_a": [
+            {"records": [{"id": "a1", "smiles": "C", "w": 1}], "next": "t1"},
+            {"records": [{"id": "a2", "smiles": "CO"}], "next": None},
+        ],
+        "api_b": [
+            {"records": [{"id": "b1", "smiles": "N"}], "next": None},
+        ],
+    }
+    stream = read_http_datasource_stream(spark, cfgs, pages=pages)
+    name = f"http_stream_demo_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="omdp_http_stream_ck_")
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        import shutil
+
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name).select(
+        "source",
+        "identifier",
+        "smiles",
+        F.element_at("metadata", "w").alias("w"),
+    )

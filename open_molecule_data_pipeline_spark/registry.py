@@ -67,6 +67,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "cdc_scd2_pointintime",  # temporal AS-OF dimension lookup
     "mm_pcm_resample",  # decode + decimation through mapInPandas
     "agg_hll_sketch_merge",  # DataSketches HLL union (verdict oracle)
+    "ingest_http_stream_demo",  # Python STREAMING data source crawl
     # --- family sentinels the fill can't supply (verified in r1-r3) ---
     "sort_top10_orders",  # sort
     "subquery_above_avg_balance",  # subquery

@@ -110,7 +110,29 @@ class HttpApiReader(DataSourceReader):
 
 
 def register_http_datasource(spark: SparkSession) -> None:
-    """Idempotent registration of the format with this session."""
+    """Idempotent registration of the format with this session.
+
+    The DataSource instance is cloudpickled into separate Python processes
+    (executor workers; for streaming, the driver-side
+    ``python_streaming_source_runner``) whose PYTHONPATH is Spark's own —
+    it does NOT inherit the driver's ``sys.path``, so a by-reference pickle
+    of these classes dies with ModuleNotFoundError whenever the package is
+    importable only via the driver's path (e.g. a checkout not pip-
+    installed). Registering the connector modules for BY-VALUE pickling
+    makes the payload self-contained — the standard cloudpickle remedy for
+    "worker can't import my module".
+    """
+    import sys
+
+    from pyspark import cloudpickle
+
+    from . import http_api as _http_api
+
+    for mod in (sys.modules[__name__], _http_api):
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:  # pragma: no cover - older cloudpickle
+            pass
     spark.dataSource.register(HttpApiDataSource)
 
 
@@ -134,3 +156,88 @@ def read_http_datasource(
     if fail_first:
         reader = reader.option("fail_first", str(fail_first))
     return reader.load()
+
+
+# --------------------------------------------------------------------------
+# Streaming flavor: the same paginated connector as a Spark 4 Python
+# STREAMING data source (SimpleDataSourceStreamReader). Offsets are
+# per-source page indices — each micro-batch drains at most one new page
+# per source, the engine checkpoints {source: page} like any other stream,
+# and a restart resumes mid-crawl from the committed offset (the streaming
+# analog of the reference's cursor checkpoints, ``ingestion/common.py:
+# 126-243``). readBetweenOffsets replays canned pages deterministically,
+# which is what exactly-once replay demands of a real source too: page
+# fetches must be idempotent keyed by (source, page index).
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class HttpApiStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        raw = options.get("configs")
+        if not raw:
+            raise ValueError("omdp_http requires a 'configs' option (JSON list)")
+        self._configs = [HttpSourceConfig(**c) for c in json.loads(raw)]
+        pages = options.get("pages")
+        # streaming needs replayable pages: canned only (a live-HTTP stream
+        # source would cache fetched pages to satisfy readBetweenOffsets)
+        if pages is None:
+            raise ValueError(
+                "omdp_http streaming requires the 'pages' option: offset "
+                "replay (readBetweenOffsets) needs idempotent page reads"
+            )
+        self._pages = json.loads(pages)
+
+    def initialOffset(self) -> dict:
+        return {c.name: 0 for c in self._configs}
+
+    def _rows_for(self, cfg, page_idx: int):
+        canned = self._pages.get(cfg.name, [])
+        if page_idx >= len(canned):
+            return []
+        return list(_parse_records(cfg, canned[page_idx] or {}))
+
+    def read(self, start: dict):
+        end = dict(start)
+        rows: list[tuple] = []
+        for cfg in self._configs:
+            i = int(start.get(cfg.name, 0))
+            if i < len(self._pages.get(cfg.name, [])):
+                rows.extend(self._rows_for(cfg, i))
+                end[cfg.name] = i + 1
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for cfg in self._configs:
+            for i in range(int(start.get(cfg.name, 0)), int(end.get(cfg.name, 0))):
+                rows.extend(self._rows_for(cfg, i))
+        return iter(rows)
+
+
+def _stream_reader(self, schema) -> HttpApiStreamReader:
+    return HttpApiStreamReader(self.options)
+
+
+# attached rather than defined inline so the batch reader class above stays
+# the single source of truth for name/schema/options documentation
+HttpApiDataSource.simpleStreamReader = _stream_reader
+
+
+def read_http_datasource_stream(
+    spark: SparkSession,
+    configs: Sequence[HttpSourceConfig],
+    *,
+    pages: dict[str, list],
+) -> DataFrame:
+    """Convenience wrapper: register + build the readStream DataFrame."""
+    register_http_datasource(spark)
+    from dataclasses import asdict
+
+    return (
+        spark.readStream.format(FORMAT_NAME)
+        .option("configs", json.dumps([asdict(c) for c in configs]))
+        .option("pages", json.dumps(pages))
+        .load()
+    )

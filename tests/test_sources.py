@@ -383,3 +383,76 @@ def test_python_datasource_retry_exhaustion(spark):
     df = read_http_datasource(spark, [cfg], pages=pages, fail_first=5)
     with pytest.raises(Exception, match="injected transient failure"):
         df.collect()
+
+
+def test_python_datasource_streaming_pages(spark, tmp_path):
+    """Streaming flavor of the PyDS connector: one page per source per
+    micro-batch, offsets checkpointed as {source: page}; draining the
+    canned pages yields exactly the batch reader's rows."""
+    from open_molecule_data_pipeline_spark.sources.python_datasource import (
+        read_http_datasource_stream,
+    )
+
+    cfg_a = HttpSourceConfig(name="src_a", base_url="https://h", endpoint="recs")
+    cfg_b = HttpSourceConfig(name="src_b", base_url="https://h", endpoint="recs")
+    pages = {
+        "src_a": [
+            {"records": [{"id": "a1", "smiles": "C", "x": 1}], "next": "t2"},
+            {"records": [{"id": "a2", "smiles": "CC"}], "next": None},
+        ],
+        "src_b": [
+            {"records": [{"id": "b1", "smiles": "O"}], "next": None},
+        ],
+    }
+    stream = read_http_datasource_stream(spark, [cfg_a, cfg_b], pages=pages)
+    assert stream.isStreaming
+    name = "pyds_stream_sink"
+    # default micro-batch trigger: the engine keeps calling read() until
+    # offsets stop advancing (availableNow is not supported by Python
+    # stream sources — the engine logs a single-batch fallback for it)
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    rows = {r.identifier: r for r in spark.table(name).collect()}
+    assert set(rows) == {"a1", "a2", "b1"}
+    assert rows["a1"].source == "src_a"
+    assert rows["a1"].metadata == {"x": "1"}
+    # src_a needed two micro-batches (one page each): offsets advanced past
+    # batch 0, proving the incremental page-per-batch read path
+    assert query.lastProgress["batchId"] >= 1
+
+    # offset semantics at the reader level (what checkpoint recovery
+    # replays): one page per source per read(), exhaustion is a fixpoint,
+    # and readBetweenOffsets reproduces a batch exactly
+    import json as _json
+
+    from open_molecule_data_pipeline_spark.sources.python_datasource import (
+        HttpApiStreamReader,
+    )
+    from dataclasses import asdict
+
+    reader = HttpApiStreamReader(
+        {
+            "configs": _json.dumps([asdict(cfg_a), asdict(cfg_b)]),
+            "pages": _json.dumps(pages),
+        }
+    )
+    o0 = reader.initialOffset()
+    rows1, o1 = reader.read(o0)
+    rows1 = list(rows1)
+    assert o1 == {"src_a": 1, "src_b": 1}
+    rows2, o2 = reader.read(o1)
+    assert [r[1] for r in rows2] == ["a2"]  # only src_a had a second page
+    assert o2 == {"src_a": 2, "src_b": 1}
+    _, o3 = reader.read(o2)
+    assert o3 == o2  # drained: offsets are a fixpoint
+    replay = list(reader.readBetweenOffsets(o0, o1))
+    assert sorted(r[1] for r in replay) == sorted(r[1] for r in rows1)
