@@ -756,3 +756,61 @@ def agg_hll_sketch_merge(spark, sf_dir):
         "n_sketches",
         (err <= 0.06).alias("merged_estimate_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Single-pass pipeline metrics via observe(): data-quality counters
+# collected as a SIDE EFFECT of a job the pipeline already runs — zero
+# extra scans, which at 100 TB is the difference between "monitored" and
+# "we skipped the checks to save a pass". The observed aggregates ride the
+# same physical plan as the real work (here: writing nothing, just a
+# count() action stands in for the sink) and surface through the
+# Observation handle after the action completes.
+# --------------------------------------------------------------------------
+
+_OBSERVE_ORACLE = """
+SELECT cast(count(*) AS BIGINT) AS n_rows,
+       cast(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS nonpositive_price,
+       cast(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_priority,
+       cast(max(length(o_orderpriority)) AS BIGINT) AS max_priority_len
+FROM orders
+"""
+
+
+@register(
+    "dq_observe_metrics", oracle=_OBSERVE_ORACLE, tags=("quality", "profile")
+)
+def dq_observe_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "nonpositive_price"
+        ),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias(
+            "null_priority"
+        ),
+        F.max(F.length("o_orderpriority")).cast("long").alias(
+            "max_priority_len"
+        ),
+    )
+    observed.count()  # the pipeline's real action; metrics ride along
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["nonpositive_price"],
+                row["null_priority"],
+                row["max_priority_len"],
+            )
+        ],
+        "n_rows bigint, nonpositive_price bigint, null_priority bigint,"
+        " max_priority_len bigint",
+    )

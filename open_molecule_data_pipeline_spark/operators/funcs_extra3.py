@@ -685,3 +685,61 @@ def window_forward_fill(spark, sf_dir):
         "user_id",
         F.last(click_val, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 string collations: UNICODE_CI makes comparisons/grouping
+# case-insensitive at the COLUMN level — no lower() rewrites sprinkled
+# through every predicate, and the collation survives into joins and aggs.
+# The fixture derives a deterministically mixed-case spelling of each
+# market segment; grouping under UNICODE_CI collapses the spellings. The
+# oracle expresses the same semantics the portable way (group by lower()),
+# which is exactly the rewrite collations make unnecessary.
+# --------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+SELECT lower(seg_mixed) AS segment,
+       cast(count(*) AS BIGINT) AS n,
+       cast(count(DISTINCT seg_mixed) AS BIGINT) AS n_spellings
+FROM (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+              WHEN c_custkey % 3 = 1 THEN c_mktsegment
+              ELSE upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+         END AS seg_mixed
+  FROM customer
+) t
+GROUP BY lower(seg_mixed)
+"""
+
+
+@register(
+    "func_collation_group", oracle=_COLLATION_ORACLE, tags=("functions", "string")
+)
+def func_collation_group(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    seg_mixed = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_mktsegment"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("c_mktsegment", 1, 1)),
+                F.lower(F.expr("substr(c_mktsegment, 2)")),
+            )
+        )
+    )
+    mixed = c.select(seg_mixed.alias("seg_mixed"))
+    ci = F.collate(F.col("seg_mixed"), "UNICODE_CI")
+    return (
+        mixed.groupBy(ci.alias("seg_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.collate(F.col("seg_mixed"), "UTF8_BINARY")).alias(
+                "n_spellings"
+            ),
+        )
+        .select(
+            F.lower(F.collate(F.col("seg_ci"), "UTF8_BINARY")).alias("segment"),
+            "n",
+            "n_spellings",
+        )
+    )

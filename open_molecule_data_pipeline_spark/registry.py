@@ -68,19 +68,19 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "mm_pcm_resample",  # decode + decimation through mapInPandas
     "agg_hll_sketch_merge",  # DataSketches HLL union (verdict oracle)
     "ingest_http_stream_demo",  # Python STREAMING data source crawl
-    # --- family sentinels the fill can't supply (verified in r1-r3) ---
+    "func_collation_group",  # Spark 4 UNICODE_CI collation semantics
+    "dq_observe_metrics",  # single-pass observe() counters
+    # --- family sentinels the fill can't supply (verified in r1-r3).
+    # r4's new entries themselves carry dedup/agg/text/graph/timeseries/
+    # sample/ml/similarity/join/formats/streaming/chemistry/multimodal/
+    # functions/cdc, so only these two families need verified sentinels ---
     "sort_top10_orders",  # sort
     "subquery_above_avg_balance",  # subquery
-    "sim_topk_bruteforce",  # similarity
-    "cdc_table_diff",  # cdc
-    "graph_pagerank_3iter",  # graph
-    "ml_kmeans_assign",  # ml
-    "format_roundtrip_csv",  # formats
-    "stream_tumbling_twin",  # streaming
     # --- never driver-sampled fill (oldest debt first) ---
     "text_quality_filter",  # filter-tag carrier
-    "molecule_descriptors_demo",  # chemistry-tag carrier
-    "sample_hash_topk_per_group",  # sample-tag carrier
+    "setop_union_missing_cols",  # setop-tag carrier
+    "molecule_descriptors_demo",
+    "sample_hash_topk_per_group",
     "mm_frame_sample",
     "mm_audio_frames",
     "join_salted_skew",
@@ -89,8 +89,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "join_relational_division",
     "join_event_cooccurrence",
     "join_null_safe_eq",
-    "func_higher_order_arrays",  # functions-tag carrier
-    "setop_union_missing_cols",  # setop-tag carrier
+    "func_higher_order_arrays",
     "window_running_revenue",
     "window_nth_value",
     "window_count_distinct_over",
