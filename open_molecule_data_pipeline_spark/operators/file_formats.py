@@ -291,27 +291,35 @@ def format_bucketed_join(spark, sf_dir):
     )
     run = uuid4().hex[:8]
     names = {}
-    for alias, df, key in (
-        ("orders_b", o, "o_orderkey"),
-        ("lineitem_b", li, "l_orderkey"),
-    ):
-        tbl = f"omdp_bucketed_{alias}_{run}"
-        path = _scratch(f"bucket_{alias}", sf_dir)
-        (
-            df.write.mode("overwrite")
-            .option("path", str(path))
-            .bucketBy(8, key)
-            .sortBy(key)
-            .saveAsTable(tbl)
+    try:
+        for alias, df, key in (
+            ("orders_b", o, "o_orderkey"),
+            ("lineitem_b", li, "l_orderkey"),
+        ):
+            tbl = f"omdp_bucketed_{alias}_{run}"
+            path = _scratch(f"bucket_{alias}", sf_dir)
+            (
+                df.write.mode("overwrite")
+                .option("path", str(path))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+            names[alias] = tbl
+        ob = spark.table(names["orders_b"])
+        lb = spark.table(names["lineitem_b"])
+        joined = lb.hint("merge").join(
+            ob, lb["l_orderkey"] == ob["o_orderkey"]
         )
-        names[alias] = tbl
-    ob = spark.table(names["orders_b"])
-    lb = spark.table(names["lineitem_b"])
-    joined = lb.hint("merge").join(
-        ob, lb["l_orderkey"] == ob["o_orderkey"]
-    )
-    return joined.agg(
-        F.count(F.lit(1)).alias("n"),
-        lsum("l_extendedprice", 100).alias("sum_price"),
-        lsum("o_totalprice", 100).alias("sum_total"),
-    )
+        return joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            lsum("l_extendedprice", 100).alias("sum_price"),
+            lsum("o_totalprice", 100).alias("sum_total"),
+        )
+    finally:
+        # The analyzed plan above has already captured the file relations
+        # (bucket spec included), so the catalog entries are no longer
+        # needed — drop them so repeated invocations don't accumulate
+        # metastore tables dangling at swept _scratch paths.
+        for tbl in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -140,35 +140,43 @@ def profile_column_stats(spark, sf_dir):
     oracle="""
 SELECT l_orderkey,
        cast(count(*) AS BIGINT) AS n_items,
-       round(sum(round(1.0 / (1.0 + exp(-(0.05 * l_quantity - 8.0 * l_discount))), 9)), 6)
+       round(sum(cast(round((1.0 / (1.0 + exp(-(0.05 * l_quantity - 8.0 * l_discount)))) * 1000000000) AS BIGINT)) / 1000000000, 6)
          AS sum_score
 FROM lineitem
 GROUP BY l_orderkey
 ORDER BY l_orderkey
 LIMIT 100
 """,
-    tags=("functions", "udf"),
+    tags=("functions", "udf", "ml"),
 )
 def udf_pandas_logistic_score(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def logistic(qty: pd.Series, disc: pd.Series) -> pd.Series:
+    @pandas_udf("long")
+    def logistic_nanos(qty: pd.Series, disc: pd.Series) -> pd.Series:
         import numpy as np
 
-        # per-element round BEFORE the cross-row sum: the sum of 9-digit
-        # doubles is then exact enough that a final round(6) matches the
-        # oracle bit-for-bit regardless of summation order
-        return (1.0 / (1.0 + np.exp(-(0.05 * qty - 8.0 * disc)))).round(9)
+        # quantize each score to an int64 of 1e-9 units (half-away-from-zero
+        # via floor(x+0.5); scores are positive) so the cross-row SUM is
+        # exact integer arithmetic on BOTH engines — the lsum/s_lsum
+        # playbook. A 1-ulp libm exp() divergence can now shift the final
+        # 6-digit sum only if the total sits within 1e-9 of a rounding
+        # boundary, instead of any single element sitting on one.
+        s = 1.0 / (1.0 + np.exp(-(0.05 * qty - 8.0 * disc)))
+        return pd.Series(np.floor(s * 1e9 + 0.5).astype("int64"))
 
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.select("l_orderkey", logistic("l_quantity", "l_discount").alias("s"))
+        li.select(
+            "l_orderkey", logistic_nanos("l_quantity", "l_discount").alias("s")
+        )
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("s"), 6).alias("sum_score"),
+            F.round(F.sum("s") / F.lit(1000000000).cast("double"), 6).alias(
+                "sum_score"
+            ),
         )
         .orderBy("l_orderkey")
         .limit(100)

@@ -548,16 +548,21 @@ def stream_mv_twin(spark, sf_dir):
             .start()
         )
         query.awaitTermination()
-        mv = spark.read.parquet(mv_path)
-        return mv.select(
+        mv = spark.read.parquet(mv_path).select(
             "user_id",
             "n_events",
             (F.col("sv") / F.lit(100).cast("double")).alias("sum_value"),
         )
+        # Materialize the (small, per-user) MV summary before the scratch
+        # dir is released: the caller may collect() arbitrarily later, and
+        # a lazy DataFrame over the mkdtemp parquet would race with
+        # cleanup. The real MV stays parquet-backed; only this verification
+        # result is localized.
+        rows = mv.collect()
+        return spark.createDataFrame(rows, schema=mv.schema)
     finally:
-        # the returned DataFrame has been READ above only lazily; collect()
-        # happens later in the driver, so the MV files must outlive this
-        # function — sweep superseded dirs from earlier runs instead.
+        shutil.rmtree(mv_dir, ignore_errors=True)
+        # also sweep any dirs leaked by older versions / crashed runs
         _sweep_stale_mv_dirs(os.path.dirname(mv_dir))
 
 

@@ -126,7 +126,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "func_null_ops",
     "func_posexplode_slice",
     "func_regexp_extract_all",
-    "func_higher_order_arrays",
     "func_histogram_buckets",
     "func_string_distance",
     "func_datetime_extra",

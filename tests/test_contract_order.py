@@ -5,7 +5,13 @@ entry has an oracle, and non-contract registry entries stay out."""
 
 from __future__ import annotations
 
-from open_molecule_data_pipeline_spark.registry import contract_specs, load_all
+from collections import Counter
+
+from open_molecule_data_pipeline_spark.registry import (
+    CONTRACT_ORDER,
+    contract_specs,
+    load_all,
+)
 
 WINDOW = 50
 
@@ -58,6 +64,13 @@ def test_contract_excludes_non_contract_entries():
     exposed = set(contract_specs())
     assert "mllib_minhash_pairs" in specs and "mllib_minhash_pairs" not in exposed
     assert "mllib_brp_neighbors" in specs and "mllib_brp_neighbors" not in exposed
+
+
+def test_contract_order_has_no_duplicates():
+    """ADVICE r4: a duplicate silently shifts later entries relative to the
+    documented head-50 bookkeeping — contract_specs dedupes, so lint it."""
+    dupes = [n for n, c in Counter(CONTRACT_ORDER).items() if c > 1]
+    assert not dupes, f"duplicate CONTRACT_ORDER entries: {dupes}"
 
 
 def test_contract_preserves_all_other_queries():
