@@ -49,6 +49,20 @@ _DEMO_MOLS = [
 ]
 
 
+_CHEMBL_RECORD = """Demo
+  -Engine-
+
+M  END
+>  <ChEMBL_ID>
+CHEMBL{cid}
+
+>  <CANONICAL_SMILES>
+{smiles}
+
+$$$$
+"""
+
+
 def _fixture_dir() -> Path:
     root = Path(tempfile.gettempdir()) / "omdp_spark_demo_fixtures"
     root.mkdir(parents=True, exist_ok=True)
@@ -63,6 +77,12 @@ def _fixture_dir() -> Path:
         tsv.write_text(
             "".join(f"{s}\tZINC{c.zfill(8)}\tbucket{c}\n" for c, s, _ in _DEMO_MOLS)
         )
+    chembl = root / "demo_chembl.sdf.gz"
+    if not chembl.exists():
+        body = "".join(
+            _CHEMBL_RECORD.format(cid=c, smiles=s) for c, s, _ in _DEMO_MOLS
+        )
+        chembl.write_bytes(gzip.compress(body.encode()))
     return root
 
 
@@ -114,6 +134,41 @@ def ingest_smiles_table_demo(spark, sf_dir):
         "smiles",
         F.element_at("metadata", "column_2").alias("bucket"),
     )
+
+
+_CHEMBL_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('chembl', 'CHEMBL1', 'C'),
+  ('chembl', 'CHEMBL2', 'CC'),
+  ('chembl', 'CHEMBL3', 'CCC'),
+  ('chembl', 'CHEMBL4', 'CCCC'),
+  ('chembl', 'CHEMBL5', 'CC(=O)OC1=CC=CC=C1C(=O)O')
+) t(source, identifier, smiles)
+"""
+
+
+@register(
+    "ingest_chembl_demo",
+    oracle=_CHEMBL_DEMO_ORACLE,
+    tags=("ingest", "sdf", "chemistry"),
+)
+def ingest_chembl_demo(spark, sf_dir):
+    """Named ``chembl`` connector preset: the registry type defaults the
+    identifier/SMILES tags to ``ChEMBL_ID``/``CANONICAL_SMILES`` (reference
+    ``ingestion/chembl.py:40-47``), so a YAML source needs only paths. The
+    demo builds through ``CONNECTOR_REGISTRY`` with NO tag options — the
+    preset itself is what's under test."""
+    from ..plans.config import SourceDefinition
+    from ..plans.runner import CONNECTOR_REGISTRY
+
+    root = _fixture_dir()
+    sdef = SourceDefinition(
+        name="chembl",
+        type="chembl",
+        options={"paths": str(root / "demo_chembl.sdf.gz")},
+    )
+    df = CONNECTOR_REGISTRY[sdef.type](spark, sdef, {})
+    return df.select("source", "identifier", "smiles")
 
 
 _HTTP_PAGES = [

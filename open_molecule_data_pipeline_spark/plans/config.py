@@ -20,7 +20,16 @@ SOURCE_TYPES = ("sdf", "smiles_table", "http", "chemspider")
 
 
 class SourceDefinition(BaseModel):
-    type: Literal["sdf", "smiles_table", "http", "chemspider"]
+    type: Literal[
+        "sdf",
+        "smiles_table",
+        "http",
+        "chemspider",
+        # named types matching the reference registry (runner.py:45-50)
+        "pubchem",
+        "chembl",
+        "zinc",
+    ]
     # names are interpolated into checkpoint/output paths — constrain to a
     # path-safe slug so "../x" or "a/b" can't escape the checkpoint root
     name: str = Field(pattern=r"^[A-Za-z0-9][A-Za-z0-9._-]*$")

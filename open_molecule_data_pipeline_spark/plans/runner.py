@@ -45,14 +45,30 @@ logger = get_logger("omdp.ingestion")
 ConnectorFn = Callable[[SparkSession, SourceDefinition, dict[str, Any]], DataFrame]
 
 
+# Per-type default property tags, mirroring the reference's named
+# connectors: ``pubchem`` (reference ``ingestion/pubchem.py:56-63``) and
+# ``chembl`` (reference ``ingestion/chembl.py:40-47``) are both bulk-SDF
+# sources that differ only in which SDF tags carry the identifier and
+# SMILES; the generic ``sdf`` type keeps the PubChem spellings as its
+# default for backward compatibility.
+SDF_TAG_PRESETS: dict[str, tuple[str, str]] = {
+    "sdf": ("PUBCHEM_COMPOUND_CID", "PUBCHEM_OPENEYE_ISO_SMILES"),
+    "pubchem": ("PUBCHEM_COMPOUND_CID", "PUBCHEM_OPENEYE_ISO_SMILES"),
+    "chembl": ("ChEMBL_ID", "CANONICAL_SMILES"),
+}
+
+
 def _build_sdf(spark: SparkSession, sdef: SourceDefinition, ctx) -> DataFrame:
     opts = sdef.options
+    id_default, smiles_default = SDF_TAG_PRESETS.get(
+        sdef.type, SDF_TAG_PRESETS["sdf"]
+    )
     return read_sdf_records(
         spark,
         opts["paths"],
         source=sdef.name,
-        identifier_tag=opts.get("identifier_tag", "PUBCHEM_COMPOUND_CID"),
-        smiles_tag=opts.get("smiles_tag", "PUBCHEM_OPENEYE_ISO_SMILES"),
+        identifier_tag=opts.get("identifier_tag", id_default),
+        smiles_tag=opts.get("smiles_tag", smiles_default),
         metadata_tags=opts.get("metadata_tags"),
     )
 
@@ -88,6 +104,12 @@ CONNECTOR_REGISTRY: dict[str, ConnectorFn] = {
     "smiles_table": _build_smiles_table,
     "http": _build_http,
     "chemspider": _build_http,
+    # Named types matching the reference registry keys (reference
+    # ``ingestion/runner.py:45-50``): same engines as the generic types
+    # above, with the reference's per-source default option mappings.
+    "pubchem": _build_sdf,
+    "chembl": _build_sdf,
+    "zinc": _build_smiles_table,  # tab-delimited tranches, cols 0/1 (zinc.py:64-75)
 }
 
 
@@ -173,7 +195,9 @@ def _run_source_download(
         logger.warning("source.download_unsupported", source=sdef.name)
         return summary
     entries = read_manifest(manifest, preserve_path=opts.get("preserve_path", False))
-    if opts.get("verify_checksums"):
+    # PubChem publishes .md5 sidecars per archive and the reference verifies
+    # them by default (pubchem.py:45-55); other sources opt in explicitly.
+    if opts.get("verify_checksums", sdef.type == "pubchem"):
         # PubChem-style md5 sidecar per archive (S7): fetch + parse the
         # digest and let aria2 verify integrity on the executor side.
         # ``sidecar_fetchers`` is the test seam (url -> sidecar body).

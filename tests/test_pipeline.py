@@ -123,6 +123,71 @@ def test_parse_mode_end_to_end(spark, job_config):
     assert {f: f.stat().st_mtime_ns for f in files} == mtimes
 
 
+_CHEMBL_SDF = """Demo
+  -Engine-
+
+M  END
+>  <ChEMBL_ID>
+CHEMBL{cid}
+
+>  <CANONICAL_SMILES>
+{smiles}
+
+$$$$
+"""
+
+
+def test_named_connector_types(spark, tmp_path):
+    """Reference registry type names (runner.py:45-50): ``pubchem`` /
+    ``chembl`` / ``zinc`` resolve with each source's reference-default
+    option mappings — no tag or column options spelled in the YAML."""
+    pub_dir = tmp_path / "raw" / "pub"
+    pub_dir.mkdir(parents=True)
+    _write_sdf(pub_dir / "p.sdf.gz", [("7", "CCO", "ethanol")])
+    chembl_dir = tmp_path / "raw" / "chembl"
+    chembl_dir.mkdir(parents=True)
+    body = "".join(
+        _CHEMBL_SDF.format(cid=c, smiles=s) for c, s in [("11", "C"), ("12", "CC")]
+    )
+    (chembl_dir / "c.sdf.gz").write_bytes(gzip.compress(body.encode()))
+    zinc_dir = tmp_path / "raw" / "zinc"
+    zinc_dir.mkdir(parents=True)
+    (zinc_dir / "AAAB.txt").write_text("CCN\tZINC11\n")
+    cfg = {
+        "job": {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "batch_size": 10,
+            "compress_output": False,
+            "sources": [
+                {"type": "pubchem", "name": "pub",
+                 "options": {"paths": str(pub_dir / "*.sdf.gz")}},
+                {"type": "chembl", "name": "chembl",
+                 "options": {"paths": str(chembl_dir / "*.sdf.gz")}},
+                {"type": "zinc", "name": "zinc",
+                 "options": {"paths": str(zinc_dir / "*.txt")}},
+            ],
+        }
+    }
+    path = tmp_path / "named.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    summaries = run_ingestion(spark, load_config(path), mode="parse")
+    by_name = {s.name: s for s in summaries}
+    assert {n: s.records_written for n, s in by_name.items()} == {
+        "pub": 1, "chembl": 2, "zinc": 1,
+    }
+
+    def read_ids(source):
+        recs = []
+        for f in sorted((tmp_path / "out" / source).glob("*.json")):
+            recs += [json.loads(line) for line in f.read_text().splitlines() if line]
+        return sorted(r["identifier"] for r in recs)
+
+    assert read_ids("pub") == ["CID7"]
+    assert read_ids("chembl") == ["CHEMBL11", "CHEMBL12"]
+    assert read_ids("zinc") == ["ZINC11"]
+
+
 def test_parse_mode_concurrent(spark, job_config):
     cfg = load_config(job_config).model_copy(update={"concurrency": 2})
     summaries = run_ingestion(spark, cfg, mode="parse")
