@@ -159,6 +159,190 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+def connected_components_twostar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Where min-label propagation (:func:`connected_components`) needs
+    O(component diameter) rounds, the two-star algorithm contracts paths by
+    pointer-doubling and converges in O(log n) rounds regardless of
+    diameter — the scale path for 100 TB dedup graphs whose components can
+    be long chains (boilerplate families, near-dup drift over time), not
+    just the star/clique shapes LSH usually emits. Each round is two
+    equi-join + groupBy stages over the edge list; the edge count never
+    grows (each round maps every edge to exactly one canonical (big, small)
+    edge), so per-round shuffle volume is bounded by the input edge count.
+
+    - large-star: every node u connects its STRICTLY LARGER neighbors to
+      m(u) = min(N(u) + u).
+    - small-star: edges oriented big->small; every node u connects its
+      smaller neighbors (and itself) to their minimum.
+
+    At the fixpoint the edge set is a forest of stars rooted at each
+    component's minimum node id — the same labeling contract as
+    :func:`connected_components`, checked by the same recursive-CTE oracle.
+    Lineage per generation is truncated exactly like the min-label loop:
+    ``localCheckpoint`` (or parquet generations under ``checkpoint_dir``),
+    superseded generations freed eagerly.
+    """
+    spark = edges.sparkSession
+    generation = 0
+    gen_paths: dict[int, str] = {}
+
+    def persist(df: DataFrame, eager: bool = True) -> DataFrame:
+        nonlocal generation
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=eager)
+        path = f"{checkpoint_dir.rstrip('/')}/cc2_gen_{generation}"
+        gen_paths[generation] = path
+        generation += 1
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def release(df: DataFrame | None, gen: int) -> None:
+        if df is None:
+            return
+        if checkpoint_dir is None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        else:
+            path = gen_paths.pop(gen, None)
+            if path is not None:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # neighborhoods in both directions; m = min(neighbors + self)
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        # no intermediate distinct: duplicates are bounded by the (already
+        # distinct) input neighborhood size and collapse in small_star's
+        # terminal distinct — one fewer exchange per round
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # edges arrive canonically (u > v); m = min of u's smaller nbrs
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        via_nbr = (
+            e.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+        return via_nbr.unionByName(self_edge).distinct()
+
+    # nodes whose only edges are self-loops still deserve a (node, node)
+    # label (same contract as connected_components) — remember them before
+    # the canonicalization drops self-loops
+    self_nodes = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+    )
+    cur = persist(
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cur_gen = generation - 1
+
+    def is_star_forest(e: DataFrame) -> bool:
+        # The algorithm's fixpoints are exactly the min-rooted star
+        # forests: (a) every big-side node points at ONE root and (b) no
+        # root is itself a big-side node (edges stay canonical u > v, so a
+        # star root is automatically its component minimum). Testing the
+        # CURRENT set directly — one take(1)-bounded job over a per-node
+        # role aggregation — terminates without computing the redundant
+        # extra round a set-equality (subtract) check needs. The edge set
+        # is distinct, so "appears >1 time as big side" == "has >1 root".
+        roles = e.select(
+            F.col("u").alias("node"),
+            F.lit(1).alias("as_big"),
+            F.lit(0).alias("as_small"),
+        ).unionAll(
+            e.select(F.col("v"), F.lit(0), F.lit(1))
+        )
+        violations = (
+            roles.groupBy("node")
+            .agg(F.sum("as_big").alias("nb"), F.max("as_small").alias("ms"))
+            .filter(
+                (F.col("nb") > 1) | ((F.col("nb") >= 1) & (F.col("ms") == 1))
+            )
+        )
+        return violations.isEmpty()
+
+    converged = False
+    for _ in range(max_iter):
+        if is_star_forest(cur):
+            converged = True
+            break
+        nxt = persist(small_star(large_star(cur)), eager=False)
+        nxt_gen = generation - 1
+        # a full count materializes the lazy checkpoint (touches every
+        # partition) before the superseded generation is freed
+        nxt.count()
+        release(cur, cur_gen)
+        cur, cur_gen = nxt, nxt_gen
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_twostar did not converge within "
+            f"{max_iter} rounds; raise max_iter"
+        )
+    # fixpoint edges are (member, root): emit member labels + root labels
+    labels = (
+        cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            cur.select(
+                F.col("v").alias("node"), F.col("v").alias("component")
+            )
+        )
+        .distinct()
+    )
+    singletons = self_nodes.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return labels.unionByName(singletons)
+
+
+@register(
+    "dedup_clusters_twostar",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "graph", "iterative"),
+    bench=True,
+)
+def dedup_clusters_twostar(spark, sf_dir):
+    """Same contract as ``dedup_clusters`` (same MinHash-LSH pair input,
+    same recursive-CTE oracle), computed with the two-star algorithm — the
+    O(log n)-round variant for deep components at 100 TB."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    comps = connected_components_twostar(pairs, src="doc_a", dst="doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+
+
 # --------------------------------------------------------------------------
 # End-to-end dedup application: drop every cluster member except the
 # canonical representative — the composite of the whole ladder

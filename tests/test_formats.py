@@ -90,6 +90,68 @@ def test_connected_components_unit(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_twostar_unit(spark):
+    from open_molecule_data_pipeline_spark.operators.graph import (
+        connected_components_twostar,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    comps = {
+        r.node: r.component
+        for r in connected_components_twostar(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_twostar_matches_minlabel(spark):
+    """The two algorithms compute the same fixpoint on arbitrary graphs —
+    including a 25-deep chain, where two-star's O(log n) rounds is the
+    point (min-label pays O(diameter))."""
+    import random
+
+    from open_molecule_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(25)]  # chain: diameter 25
+    edges += [
+        (rng.randrange(30, 80), rng.randrange(30, 80)) for _ in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    minlabel = {
+        (r.node, r.component) for r in connected_components(df).collect()
+    }
+    twostar = {
+        (r.node, r.component)
+        for r in connected_components_twostar(df).collect()
+    }
+    assert minlabel == twostar
+
+
+def test_connected_components_twostar_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir generations materialize per round and are swept —
+    O(1) residual checkpoint data, same contract as the min-label loop."""
+    from open_molecule_data_pipeline_spark.operators.graph import (
+        connected_components_twostar,
+    )
+
+    ckpt = tmp_path / "cc2_ckpt"
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    result = connected_components_twostar(edges, checkpoint_dir=str(ckpt))
+    generations = sorted(p.name for p in ckpt.iterdir())
+    assert len(generations) == 1, generations
+    comps = {r.node: r.component for r in result.collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_structured_logging_shim(caplog):
     import logging
 
