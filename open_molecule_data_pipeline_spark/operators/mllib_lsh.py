@@ -3,10 +3,9 @@
 The hand-rolled LSH in ``dedup.py``/``similarity.py`` is oracle-checkable;
 these MLlib estimators are the library-grade alternative with
 ``approxSimilarityJoin``/``approxNearestNeighbors``. MLlib's internal hash
-functions aren't reproducible in SQL, so the raw pair listings stay OUT of
-the driver contract (``contract=False``; the pytest suite runs them
-rows-only). The *recall* queries below bring the MLlib flavor into the
-contract anyway, with the bounded-property technique used for
+functions aren't reproducible in SQL, so raw pair listings can't be
+hash-compared row-by-row; instead EVERY query here is a bounded-property
+verdict, with the technique used for
 ``agg_approx_distinct``/``func_sample_seeded``: MLlib's output is judged
 against an exact twin computed over the SAME feature space, and the query
 emits (a) the exact pair count — a seed-free quantity the DuckDB oracle
@@ -15,6 +14,14 @@ recomputes independently — plus (b) containment violations (must be 0:
 every returned pair must lie in the exact set) and (c) a recall floor
 chosen well under the measured value for the pinned seed (MinHash 0.9998+
 observed, floor 0.95; BRP 0.93+ observed, floor 0.80).
+
+The ``*_pairs`` / ``*_neighbors`` queries additionally verify the REPORTED
+distances: ``distCol`` must agree with the exact per-pair distance at 6 dp
+for every returned pair (``dist_viol = 0``) — both engines fold the
+distance in the same dimension order, so the comparison is bit-stable.
+They run at the same discriminative thresholds as the recall evals (the
+original 0.5 jaccard listing matched ~74% of ALL doc pairs on this
+token-dense corpus — a quadratic blow-up, not a dedup query).
 """
 
 from __future__ import annotations
@@ -38,22 +45,23 @@ def _doc_vectors(spark, sf_dir):
     return cv.transform(tokens).select("doc_id", "features")
 
 
-@register("mllib_minhash_pairs", oracle=None, tags=("dedup", "mllib"), contract=False)
-def mllib_minhash_pairs(spark, sf_dir):
+def _mllib_minhash_found(spark, sf_dir):
+    """approxSimilarityJoin pair listing (doc_a < doc_b, 6-dp distance)."""
     from pyspark.ml.feature import MinHashLSH
 
     vecs = _doc_vectors(spark, sf_dir)
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     ).fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
-        )
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, _MINHASH_DIST, distCol="jaccard_dist"
+    )
+    return pairs.filter(
+        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+    ).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.round("jaccard_dist", 6).alias("jaccard_dist"),
     )
 
 
@@ -99,6 +107,9 @@ def _exact_minhash_pairs(spark, sf_dir):
         .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    dist = F.lit(1.0) - F.col("c") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("double")
     return (
         shared.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
@@ -108,16 +119,12 @@ def _exact_minhash_pairs(spark, sf_dir):
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
-        .filter(
-            F.lit(1.0)
-            - F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
-            <= _MINHASH_DIST
-        )
-        .select("doc_a", "doc_b")
+        .filter(dist <= _MINHASH_DIST)
+        .select("doc_a", "doc_b", dist.alias("ex_dist"))
     )
 
 
-_MINHASH_RECALL_ORACLE = rf"""
+_MINHASH_EXACT_CTE = rf"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s'))) AS tok
   FROM documents
@@ -133,7 +140,9 @@ exact AS (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE 1.0 - c / cast(sa.n + sb.n - c AS DOUBLE) <= {_MINHASH_DIST}
-)
+)"""
+
+_MINHASH_RECALL_ORACLE = f"""{_MINHASH_EXACT_CTE}
 SELECT cast(count(*) AS BIGINT) AS n_exact,
        cast(0 AS BIGINT) AS containment_viol,
        true AS recall_ok
@@ -175,7 +184,52 @@ def mllib_minhash_recall(spark, sf_dir):
     )
 
 
-_BRP_RECALL_ORACLE = f"""
+_MINHASH_PAIRS_VERDICT_ORACLE = f"""{_MINHASH_EXACT_CTE}
+SELECT cast(count(*) AS BIGINT) AS n_exact,
+       cast(0 AS BIGINT) AS containment_viol,
+       cast(0 AS BIGINT) AS dist_viol,
+       true AS recall_ok
+FROM exact
+"""
+
+
+@register(
+    "mllib_minhash_pairs",
+    oracle=_MINHASH_PAIRS_VERDICT_ORACLE,
+    tags=("dedup", "mllib", "similarity", "ml"),
+)
+def mllib_minhash_pairs(spark, sf_dir):
+    """MinHashLSH pair listing, judged (VERDICT r4 #6 — previously a
+    rows-only listing): every returned pair must be in the exact
+    token-Jaccard set (containment), every REPORTED ``jaccard_dist`` must
+    equal the exact ``1 - c/u`` at 6 dp for that pair (distance
+    agreement), and recall must clear the floor. MLlib's keyDistance
+    computes the same ``1.0 - intersect/union`` double expression as the
+    twin, so agreement is bit-stable and the verdict row deterministic."""
+    found = _mllib_minhash_found(spark, sf_dir)
+    exact = _exact_minhash_pairs(spark, sf_dir)
+    hit = found.join(exact, ["doc_a", "doc_b"]).select(
+        (F.col("jaccard_dist") != F.round("ex_dist", 6)).alias("bad_dist")
+    )
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(
+            hit.agg(
+                F.count(F.lit(1)).alias("n_hit"),
+                F.sum(F.col("bad_dist").cast("long")).alias("n_bad_dist"),
+            )
+        )
+    )
+    return stats.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_found") - F.col("n_hit")).cast("long").alias("containment_viol"),
+        F.coalesce(F.col("n_bad_dist"), F.lit(0)).cast("long").alias("dist_viol"),
+        (F.col("n_hit") >= F.lit(0.95) * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+_BRP_EXACT_CTE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
   FROM embeddings
@@ -186,7 +240,9 @@ exact AS (
   WHERE sqrt(list_aggregate(
           list_transform(list_zip(a.e, b.e), p -> (p[1] - p[2]) * (p[1] - p[2])),
           'sum')) <= {_BRP_DIST}
-)
+)"""
+
+_BRP_RECALL_ORACLE = f"""{_BRP_EXACT_CTE}
 SELECT cast(count(*) AS BIGINT) AS n_exact,
        cast(0 AS BIGINT) AS containment_viol,
        true AS recall_ok
@@ -251,28 +307,75 @@ def mllib_brp_recall(spark, sf_dir):
     )
 
 
-@register("mllib_brp_neighbors", oracle=None, tags=("similarity", "mllib"), contract=False)
+_BRP_NEIGHBORS_VERDICT_ORACLE = f"""{_BRP_EXACT_CTE}
+SELECT cast(count(*) AS BIGINT) AS n_exact,
+       cast(0 AS BIGINT) AS containment_viol,
+       cast(0 AS BIGINT) AS dist_viol,
+       true AS recall_ok
+FROM exact
+"""
+
+
+@register(
+    "mllib_brp_neighbors",
+    oracle=_BRP_NEIGHBORS_VERDICT_ORACLE,
+    tags=("similarity", "mllib", "ml"),
+)
 def mllib_brp_neighbors(spark, sf_dir):
+    """BucketedRandomProjectionLSH pair listing, judged (VERDICT r4 #6 —
+    previously a rows-only listing): containment in the exact L2 set,
+    agreement of the REPORTED ``euclid_dist`` with the exact fixed-order
+    sqrt-of-squared-sum at 6 dp per pair, and the recall floor."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
     e = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
     )
+    ev = e.select("vec_id", array_to_vector("arr").alias("features"))
     model = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
         bucketLength=0.5,
         numHashTables=3,
         seed=42,
-    ).fit(e)
-    pairs = model.approxSimilarityJoin(e, e, 1.2, distCol="euclid_dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+    ).fit(ev)
+    found = (
+        model.approxSimilarityJoin(ev, ev, _BRP_DIST, distCol="euclid_dist")
+        .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
             F.col("datasetA.vec_id").alias("vec_a"),
             F.col("datasetB.vec_id").alias("vec_b"),
             F.round("euclid_dist", 6).alias("euclid_dist"),
         )
+    )
+    right = e.select(F.col("vec_id").alias("vec_b"), F.col("arr").alias("y"))
+    exact = (
+        e.select(F.col("vec_id").alias("vec_a"), F.col("arr").alias("x"))
+        .join(F.broadcast(right), F.col("vec_a") < F.col("vec_b"))
+        .filter(F.sqrt(F.expr(_SQDIST.format(a="x", b="y"))) <= _BRP_DIST)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.sqrt(F.expr(_SQDIST.format(a="x", b="y"))).alias("ex_dist"),
+        )
+    )
+    hit = found.join(exact, ["vec_a", "vec_b"]).select(
+        (F.col("euclid_dist") != F.round("ex_dist", 6)).alias("bad_dist")
+    )
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(
+            hit.agg(
+                F.count(F.lit(1)).alias("n_hit"),
+                F.sum(F.col("bad_dist").cast("long")).alias("n_bad_dist"),
+            )
+        )
+    )
+    return stats.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_found") - F.col("n_hit")).cast("long").alias("containment_viol"),
+        F.coalesce(F.col("n_bad_dist"), F.lit(0)).cast("long").alias("dist_viol"),
+        (F.col("n_hit") >= F.lit(0.80) * F.col("n_exact")).alias("recall_ok"),
     )

@@ -59,11 +59,15 @@ def test_contract_has_no_oracle_less_entries():
     assert not missing, f"contract entries without oracles: {missing}"
 
 
-def test_contract_excludes_non_contract_entries():
+def test_registry_has_no_rows_only_queries():
+    """VERDICT r4 #6: the last two rows-only listings became verdict
+    queries — every registered query is now oracle-checked and exposed."""
     specs = load_all()
+    oracle_less = [n for n, s in specs.items() if not s.oracle]
+    assert not oracle_less, f"rows-only registry entries: {oracle_less}"
     exposed = set(contract_specs())
-    assert "mllib_minhash_pairs" in specs and "mllib_minhash_pairs" not in exposed
-    assert "mllib_brp_neighbors" in specs and "mllib_brp_neighbors" not in exposed
+    assert "mllib_minhash_pairs" in exposed
+    assert "mllib_brp_neighbors" in exposed
 
 
 def test_contract_order_has_no_duplicates():
