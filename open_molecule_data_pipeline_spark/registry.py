@@ -30,71 +30,30 @@ QUERIES: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # ``__spark_entry__.queries()``, so the contract ordering is curated and
-# ROTATED each round: the window keeps (a) every query ADDED or CHANGED
-# this round plus one sentinel per operator family the fill can't supply,
-# and fills the remaining slots with queries the external gate has never
-# sampled. Cumulative driver-verified after r3: 123/183 pre-r4 contract
-# queries (union of CORRECTNESS_r01..r03 green rows); the r4 window below
-# targets the never-sampled remainder. Everything else follows in
-# registration order. Names listed here but not registered are ignored
-# (keeps the list forward-compatible while modules evolve).
+# ROTATED each round: the window keeps every query ADDED or CHANGED this
+# round, and fills the remaining slots with queries the external gate has
+# never sampled. Cumulative driver-verified after r4: 171/213 pre-r5
+# contract queries (union of CORRECTNESS_r01..r04 green rows); the r5
+# window below is exactly the 8 queries added/changed in r5 plus the final
+# 42 never-sampled queries — closing cumulative coverage at 100%. Operator
+# families whose sentinels rotate OUT of this window (filter/sort/
+# subquery/setop/cdc/multimodal/sample) are already externally proven by
+# >= 2 green rows in past CORRECTNESS files; tests/test_contract_order.py
+# enforces exactly that invariant (in-window OR cumulatively green).
+# Everything else follows in registration order. Names listed here but not
+# registered are ignored (keeps the list forward-compatible while modules
+# evolve).
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- queries ADDED in r4 (new code: must be externally verified) ---
-    "dedup_boilerplate_lines",  # CCNet-style recurring-segment removal
-    "text_bloom_decontaminate",  # broadcast Bloom prefilter vs exact
-    "agg_countmin_heavy_hitters",  # mergeable CMS grid + overcount proof
-    "dq_constraint_report",  # Deequ-shape declarative checks
-    "profile_skew_keys",  # salting-decision skew report
-    "text_bm25_topk",  # inverted-index BM25 ranking
-    "dedup_fuzzy_linkage",  # blocked entity resolution + Levenshtein
-    "agg_kmv_distinct",  # k-minimum-values distinct sketch
-    "graph_triangle_count",  # wedge-join triangles + clustering coeff
-    "ts_gap_fill_interpolate",  # dense spine + linear interpolation
-    "sample_nucleus_topp",  # per-lang quality nucleus cut
-    "ml_embedding_quantize_int8",  # per-dim max-abs SQ8 quantization
-    "stream_join_twin",  # stream-stream join state
-    "text_bpe_pair_merges",  # BPE merge-candidate frequencies
-    "text_inverted_index_persisted",  # bucket-pruned posting lists
-    "format_roundtrip_orc",  # third columnar format round-trip
-    "format_bucketed_join",  # co-located SMJ, no shuffle exchange
-    "agg_kmv_merge",  # sketch mergeability (union roll-up)
-    "profile_psi_drift",  # population-stability drift report
-    "dedup_containment",  # asymmetric doc-in-doc detection
-    "udf_pandas_logistic_score",  # Arrow scalar pandas UDF path
-    "join_range_binned",  # interval join via bin bucketing
-    "stream_mv_twin",  # foreachBatch incremental MV merge
-    "chem_tanimoto_pairs",  # fingerprint similarity pairs
-    "cdc_scd2_pointintime",  # temporal AS-OF dimension lookup
-    "mm_pcm_resample",  # decode + decimation through mapInPandas
-    "agg_hll_sketch_merge",  # DataSketches HLL union (verdict oracle)
-    "ingest_http_stream_demo",  # Python STREAMING data source crawl
-    "func_collation_group",  # Spark 4 UNICODE_CI collation semantics
-    "dq_observe_metrics",  # single-pass observe() counters
-    # --- family sentinels the fill can't supply (verified in r1-r3).
-    # r4's new entries themselves carry dedup/agg/text/graph/timeseries/
-    # sample/ml/similarity/join/formats/streaming/chemistry/multimodal/
-    # functions/cdc, so only these two families need verified sentinels ---
-    "sort_top10_orders",  # sort
-    "subquery_above_avg_balance",  # subquery
-    # --- never driver-sampled fill (oldest debt first) ---
-    "text_quality_filter",  # filter-tag carrier
-    "setop_union_missing_cols",  # setop-tag carrier
-    "molecule_descriptors_demo",
-    "sample_hash_topk_per_group",
-    "mm_frame_sample",
-    "mm_audio_frames",
-    "join_salted_skew",
-    "agg_salted_skew",
-    "join_lateral_latest_order",
-    "join_relational_division",
-    "join_event_cooccurrence",
-    "join_null_safe_eq",
-    "func_higher_order_arrays",
-    "window_running_revenue",
-    "window_nth_value",
-    "window_count_distinct_over",
-    "window_lag_ship_gap",
-    "window_rank_parts",
+    # --- queries ADDED or CHANGED in r5 (new code: externally verified) ---
+    "stream_tws_user_stats",  # TWS twin, ungated via applyInPandasWithState dispatch
+    "ingest_chembl_demo",  # named chembl connector preset (reference tags)
+    "dedup_clusters_twostar",  # large-star/small-star CC, O(log n) rounds
+    "mllib_minhash_pairs",  # pair listing -> containment+distance verdict
+    "mllib_brp_neighbors",  # pair listing -> containment+distance verdict
+    "udf_pandas_logistic_score",  # int64-quantized score sum (ADVICE r4)
+    "stream_mv_twin",  # MV result materialized before scratch release
+    "format_bucketed_join",  # catalog tables dropped after plan capture
+    # --- final never driver-sampled fill (closes 213/213 -> all green) ---
     "window_range_trailing_30d",
     "window_ratio_to_report",
     "window_gaps_islands",
@@ -117,7 +76,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "agg_stats_moments",
     "agg_class_rebalance_weights",
     "profile_column_summary",
-    # --- r5 queue (past position 50 this round, still contract-ordered) ---
     "layout_zorder_key",
     "ingest_smiles_table_demo",
     "ingest_http_pyds_demo",
@@ -138,6 +96,29 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "func_try_ops",
     "func_timezone_convert",
     "func_explode_outer",
+    # --- r6 queue (past position 50; family sentinels first so future
+    # windows can re-verify rotated-out families cheaply) ---
+    "sort_top10_orders",
+    "subquery_above_avg_balance",
+    "text_quality_filter",
+    "setop_union_missing_cols",
+    "cdc_scd2_pointintime",
+    "mm_frame_sample",
+    "sample_hash_topk_per_group",
+    "join_salted_skew",
+    "agg_salted_skew",
+    "molecule_descriptors_demo",
+    "mm_audio_frames",
+    "join_lateral_latest_order",
+    "join_relational_division",
+    "join_event_cooccurrence",
+    "join_null_safe_eq",
+    "func_higher_order_arrays",
+    "window_running_revenue",
+    "window_nth_value",
+    "window_count_distinct_over",
+    "window_lag_ship_gap",
+    "window_rank_parts",
 )
 
 

@@ -40,11 +40,45 @@ FAMILY_TAGS = (
 )
 
 
-def test_first_window_covers_every_family():
-    head = list(contract_specs().values())[:WINDOW]
+def _cumulative_green_counts() -> dict[str, int]:
+    """query -> number of green rows across all committed CORRECTNESS files."""
+    import glob
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(str(root / "CORRECTNESS_r0*.json"))):
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                if row.get("rows_match") and not row.get("err"):
+                    counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def test_every_family_driver_visible_or_cumulatively_proven():
+    """Every operator family must be in the head-50 window OR already be
+    externally proven by >= 2 driver-green rows in past rounds. (r5 spends
+    the whole window on never-sampled + changed queries to close cumulative
+    coverage; rotated-out family sentinels must carry historical proof.)"""
+    specs = contract_specs()
+    head = list(specs.values())[:WINDOW]
     seen = {t for spec in head for t in spec.tags}
-    missing = [t for t in FAMILY_TAGS if t not in seen]
-    assert not missing, f"families absent from the driver window: {missing}"
+    rotated_out = [t for t in FAMILY_TAGS if t not in seen]
+    green = _cumulative_green_counts()
+    unproven = []
+    for tag in rotated_out:
+        n_green = sum(
+            green.get(name, 0)
+            for name, spec in specs.items()
+            if tag in spec.tags
+        )
+        if n_green < 2:
+            unproven.append((tag, n_green))
+    assert not unproven, (
+        f"families neither in the driver window nor cumulatively proven: "
+        f"{unproven}"
+    )
 
 
 def test_first_window_all_have_oracles():
