@@ -889,7 +889,12 @@ GROUP BY doc_id
 """
 
 
-@register("mm_pcm_resample", oracle=_RESAMPLE_ORACLE, tags=("multimodal", "audio"))
+@register(
+    "mm_pcm_resample",
+    oracle=_RESAMPLE_ORACLE,
+    tags=("multimodal", "audio"),
+    bench=True,
+)
 def mm_pcm_resample(spark, sf_dir):
     schema = T.StructType(
         [

@@ -32,7 +32,12 @@ from ..registry import register
 N_SUB = 4
 SUB_DIM = 16
 N_CODES = 8
-_Q_MIN = 490  # vec_ids >= _Q_MIN act as the out-of-codebook query set
+# The query batch is the LAST N_QUERIES vec_ids, derived from max(vec_id)
+# at runtime: an ANN query batch is bounded regardless of corpus size. (An
+# absolute threshold here once made the batch scale WITH the corpus —
+# 4,510 "queries" at sf0.1 — turning the bounded LUT into a quadratic
+# join; caught by the r5 bench promotion of this query.)
+N_QUERIES = 10
 
 _D2 = (
     "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
@@ -150,7 +155,7 @@ lut AS (
            list_transform(list_zip(q.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2])),
            'sum') * 1000000) AS BIGINT) AS d6
   FROM subs q JOIN cb c ON q.sub_id = c.sub_id
-  WHERE q.vec_id >= {_Q_MIN}
+  WHERE q.vec_id >= (SELECT max(vec_id) - {N_QUERIES - 1} FROM embeddings)
 ),
 adc AS (
   SELECT l.query_id, b.vec_id, cast(sum(l.d6) AS BIGINT) AS dist6
@@ -170,7 +175,9 @@ WHERE rank <= 3
 """
 
 
-@register("sim_pq_adc_topk", oracle=_ADC_ORACLE, tags=("similarity", "pq"))
+@register(
+    "sim_pq_adc_topk", oracle=_ADC_ORACLE, tags=("similarity", "pq"), bench=True
+)
 def sim_pq_adc_topk(spark, sf_dir):
     """Top-3 approximate neighbors per query by PQ asymmetric distance.
 
@@ -183,8 +190,13 @@ def sim_pq_adc_topk(spark, sf_dir):
     cb = subs.filter(F.col("vec_id") < N_CODES).select(
         F.col("vec_id").alias("code"), "sub_id", F.col("v").alias("cv")
     )
+    qmin = table(spark, sf_dir, "embeddings").agg(
+        (F.max("vec_id") - F.lit(N_QUERIES - 1)).alias("qmin")
+    )
     lut = (
-        subs.filter(F.col("vec_id") >= _Q_MIN)
+        subs.crossJoin(F.broadcast(qmin))
+        .filter(F.col("vec_id") >= F.col("qmin"))
+        .drop("qmin")
         .withColumnRenamed("vec_id", "query_id")
         .join(F.broadcast(cb), "sub_id")
         .select(

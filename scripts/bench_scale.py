@@ -1,0 +1,172 @@
+"""10x scale-proof bench: derive an sf1-equivalent dataset from sf0.1 and
+time every headline query once at both scales (VERDICT r4 #4).
+
+The plan lints prove the SHAPES are scale-safe; this run proves the
+CONSTANTS: each query's wall-clock ratio at 10x the rows, flagged when it
+exceeds 2.5x the linear expectation (ratio > 25).
+
+Derivation (keys offset per copy so every copy is referentially
+self-contained; dims ``region``/``nation`` stay fixed, as in TPC-H):
+
+- copy k of each fact/dim row gets key += k * (max_key + 1) for every key
+  column (orderkey/custkey/partkey/suppkey/doc_id/vec_id/user_id/event_id)
+- ``documents.text`` for copies k > 0 is salted with ~n/4 per-doc-unique
+  tokens, pushing cross-copy token-Jaccard below the 0.9 dedup threshold:
+  near-dup structure per copy matches the original corpus, so MinHash pair
+  counts scale ~linearly instead of forming 10-clone clusters (which would
+  be a 45x pair blow-up — a different workload, not a scale-up)
+- timestamps/values/embeddings are unchanged: time-range density and
+  vector geometry grow 10x in rows, not in range
+
+Usage: python scripts/bench_scale.py [--regen]
+Writes the derived tables to /tmp/omdp_scale_sf1/ (reused if present) and
+prints one JSON line per scale plus a ratio table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = "/tmp/omdp_scale_sf1"
+N_COPIES = 10
+
+# key columns to offset, per table: {table: {column: offset_source_table}}
+# (offset_source_table names whose max-key defines the stride, so foreign
+# keys stay consistent with their referenced table's stride)
+KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supplier"},
+    "events": {"event_id": "events", "user_id": "events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+KEY_OF = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+FIXED = ("region", "nation")
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from open_molecule_data_pipeline_spark.catalog import table
+
+    strides: dict[str, int] = {}
+    for name, key in KEY_OF.items():
+        strides[name] = (
+            table(spark, BASE_SF, name).agg(F.max(key)).collect()[0][0] + 1
+        )
+    strides["events_user"] = (
+        table(spark, BASE_SF, "events").agg(F.max("user_id")).collect()[0][0]
+        + 1
+    )
+
+    Path(SCALE_DIR).mkdir(parents=True, exist_ok=True)
+    for name in FIXED:
+        df = table(spark, BASE_SF, name)
+        df.write.mode("overwrite").parquet(f"{SCALE_DIR}/{name}.parquet")
+    for name, keymap in KEYED.items():
+        base = table(spark, BASE_SF, name)
+        copies = []
+        for k in range(N_COPIES):
+            c = base
+            for col, src in keymap.items():
+                c = c.withColumn(
+                    col, (F.col(col) + F.lit(k * strides[src])).cast("long")
+                )
+            if name == "documents" and k > 0:
+                # per-doc-unique salt tokens (~25% of doc length): keeps
+                # copies out of each other's near-dup radius
+                n_salt = F.greatest(
+                    F.lit(1), (F.size(F.split("text", r"\s+")) / 4).cast("int")
+                )
+                salt = F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), n_salt),
+                        lambda i: F.concat(
+                            F.lit("zq"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("x"),
+                            i.cast("string"),
+                        ),
+                    ),
+                    " ",
+                )
+                c = c.withColumn("text", F.concat_ws(" ", "text", salt))
+                c = c.withColumn("n_chars", F.length("text").cast("long"))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{SCALE_DIR}/{name}.parquet")
+        print(f"  generated {name}: {N_COPIES}x", file=sys.stderr)
+
+
+def run_once(spark, sf_dir: str) -> dict[str, float]:
+    from open_molecule_data_pipeline_spark.registry import load_all
+
+    specs = {n: s for n, s in load_all().items() if s.bench}
+    timings = {}
+    for name, spec in sorted(specs.items()):
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        start = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+    return timings
+
+
+def main() -> None:
+    from open_molecule_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="omdp-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--regen" in sys.argv or not Path(f"{SCALE_DIR}/lineitem.parquet").exists():
+        print("generating derived sf1 dataset...", file=sys.stderr)
+        generate(spark)
+
+    # warm both directions (file listing, codegen)
+    base = run_once(spark, BASE_SF)  # warm
+    base = run_once(spark, BASE_SF)
+    scaled = run_once(spark, SCALE_DIR)
+
+    print(json.dumps({"sf": 0.1, "queries": base}))
+    print(json.dumps({"sf": 1.0, "queries": scaled, "derived": True}))
+    rows = []
+    for name in sorted(base):
+        r = scaled[name] / max(base[name], 1e-9)
+        flag = " <-- SUPER-LINEAR" if r > 25 else ""
+        rows.append((name, base[name], scaled[name], r, flag))
+        print(f"{name:32s} {base[name]:8.3f}s {scaled[name]:8.3f}s  x{r:5.1f}{flag}")
+    worst = max(rows, key=lambda t: t[3])
+    print(f"worst ratio: {worst[0]} x{worst[3]:.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

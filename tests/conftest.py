@@ -14,6 +14,15 @@ sys.path.insert(0, str(REPO_ROOT))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "rdkit: exercises the RDKit chemistry engine; auto-skipped unless "
+        "rdkit is importable (VERDICT r4 #8 — the subset engine is the "
+        "surface verified in this runtime)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     from open_molecule_data_pipeline_spark.session import get_spark

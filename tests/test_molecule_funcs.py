@@ -64,6 +64,34 @@ def test_rdkit_gating(mols):
             with_canonical_smiles(mols, engine="rdkit")
 
 
+@pytest.mark.rdkit
+def test_rdkit_engine_full_fidelity(spark):  # pragma: no cover - needs rdkit
+    """Runs only where RDKit is installed (auto-skipped here): the rdkit
+    engine must reproduce RDKit's own canonical forms, and must agree with
+    the subset engine on canonical-EQUIVALENCE (two spellings of the same
+    molecule land in the same class under both engines) for molecules
+    inside the subset grammar."""
+    pytest.importorskip("rdkit")
+    from rdkit import Chem
+
+    spellings = ["OCC", "C(C)O", "CCO", "CC(=O)O", "OC(=O)C"]
+    df = spark.createDataFrame([(s,) for s in spellings], "smiles string")
+    rd = {
+        r.smiles: r.canonical_smiles
+        for r in with_canonical_smiles(df, engine="rdkit").collect()
+    }
+    for s in spellings:
+        assert rd[s] == Chem.MolToSmiles(Chem.MolFromSmiles(s))
+    sub = {
+        r.smiles: r.canonical_smiles
+        for r in with_canonical_smiles(df, engine="subset").collect()
+    }
+    # same partition into equivalence classes under both engines
+    for a in spellings:
+        for b in spellings:
+            assert (rd[a] == rd[b]) == (sub[a] == sub[b]), (a, b)
+
+
 def test_subset_canonicalization_always_executable(mols):
     """engine='auto' must produce canonical SMILES in every runtime: RDKit
     when present, the pure-Python subset engine otherwise."""
