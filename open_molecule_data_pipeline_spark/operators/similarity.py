@@ -239,8 +239,15 @@ def sim_ann_lsh_topk(spark, sf_dir):
 # a last-ulp libm difference cannot flip which cells are probed.
 # --------------------------------------------------------------------------
 
-CENTROID_STRIDE = 37
+# Coarse-quantizer size follows the FAISS guideline k ~ sqrt(n): centroids
+# are every stride-th vec_id with stride = floor(sqrt(n)), so assignment
+# cost is n*k = O(n^1.5) — NOT the O(n^2/c) a fixed stride degrades to
+# once n grows (the r5 10x scale run measured exactly that with the old
+# constant stride 37: k grew linearly with the corpus). nprobe stays
+# fixed; probe cost per query is ~nprobe/k of the corpus either way.
 NPROBE = 2
+
+_STRIDE_SQL = "(SELECT cast(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
 
 _IVF_ORACLE = f"""
 WITH v AS (
@@ -249,7 +256,7 @@ WITH v AS (
 ),
 cent AS (
   SELECT vec_id AS cent_id, e AS cent_e FROM v
-  WHERE vec_id % {CENTROID_STRIDE} = 1
+  WHERE vec_id % {_STRIDE_SQL} = 1
 ),
 cd AS (
   SELECT v.vec_id, cent.cent_id,
@@ -306,10 +313,17 @@ def _ivf_scored(spark, sf_dir):
         "embedding",
         F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("vv"),
     )
-    cent = e.filter(F.col("vec_id") % CENTROID_STRIDE == 1).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent_e"),
-        F.col("vv").alias("kk"),
+    stride = table(spark, sf_dir, "embeddings").agg(
+        F.floor(F.sqrt(F.count(F.lit(1)))).cast("long").alias("stride")
+    )
+    cent = (
+        e.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("stride") == 1)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_e"),
+            F.col("vv").alias("kk"),
+        )
     )
     cdot = F.expr(_DOT.format(a="embedding", b="cent_e"))
     ccos = F.round(cdot / (F.col("vv") * F.col("kk")), 6)

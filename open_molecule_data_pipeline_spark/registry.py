@@ -96,8 +96,15 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "func_try_ops",
     "func_timezone_convert",
     "func_explode_outer",
-    # --- r6 queue (past position 50; family sentinels first so future
-    # windows can re-verify rotated-out families cheaply) ---
+    # --- r6 queue (past position 50; the three sim_ivf_* queries CHANGED
+    # in r5 — sqrt(n) coarse quantizer replacing the fixed centroid stride,
+    # found by the 10x scale run — could not displace the never-sampled
+    # fill above; they are locally parity-verified (pytest oracle sweep +
+    # driver-sim) and queued FIRST for the r6 window. Family sentinels
+    # follow so future windows can re-verify rotated-out families. ---
+    "sim_ivf_topk",
+    "sim_ivf_persisted",
+    "sim_ivf_recall",
     "sort_top10_orders",
     "subquery_above_avg_balance",
     "text_quality_filter",

@@ -10,11 +10,14 @@ self-contained; dims ``region``/``nation`` stay fixed, as in TPC-H):
 
 - copy k of each fact/dim row gets key += k * (max_key + 1) for every key
   column (orderkey/custkey/partkey/suppkey/doc_id/vec_id/user_id/event_id)
-- ``documents.text`` for copies k > 0 is salted with ~n/4 per-doc-unique
-  tokens, pushing cross-copy token-Jaccard below the 0.9 dedup threshold:
-  near-dup structure per copy matches the original corpus, so MinHash pair
-  counts scale ~linearly instead of forming 10-clone clusters (which would
-  be a 45x pair blow-up — a different workload, not a scale-up)
+- ``documents.text`` for copy k > 0 maps every token t -> t_k: a per-copy
+  VOCABULARY BIJECTION. Cross-copy token/shingle sets are disjoint (no LSH
+  band can collide across copies), while within-copy Jaccard structure is
+  preserved EXACTLY — so MinHash candidate/pair counts scale exactly 10x.
+  (A salting variant was tried first: ~25% junk tokens per doc left
+  cross-copy Jaccard ~0.8, where the r=2/b=4 band scheme collides with
+  p=0.98 — 10-doc hard-negative families and millions of singleton tokens
+  in the inverted index; a different workload, not a scale-up.)
 - timestamps/values/embeddings are unchanged: time-range density and
   vector geometry grow 10x in rows, not in range
 
@@ -97,24 +100,17 @@ def generate(spark) -> None:
                     col, (F.col(col) + F.lit(k * strides[src])).cast("long")
                 )
             if name == "documents" and k > 0:
-                # per-doc-unique salt tokens (~25% of doc length): keeps
-                # copies out of each other's near-dup radius
-                n_salt = F.greatest(
-                    F.lit(1), (F.size(F.split("text", r"\s+")) / 4).cast("int")
-                )
-                salt = F.array_join(
-                    F.transform(
-                        F.sequence(F.lit(1), n_salt),
-                        lambda i: F.concat(
-                            F.lit("zq"),
-                            F.col("doc_id").cast("string"),
-                            F.lit("x"),
-                            i.cast("string"),
+                suffix = F.lit(f"_{k}")
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda t: F.concat(t, suffix),
                         ),
+                        " ",
                     ),
-                    " ",
                 )
-                c = c.withColumn("text", F.concat_ws(" ", "text", salt))
                 c = c.withColumn("n_chars", F.length("text").cast("long"))
             copies.append(c)
         out = copies[0]
@@ -150,10 +146,16 @@ def main() -> None:
         print("generating derived sf1 dataset...", file=sys.stderr)
         generate(spark)
 
-    # warm both directions (file listing, codegen)
-    base = run_once(spark, BASE_SF)  # warm
-    base = run_once(spark, BASE_SF)
-    scaled = run_once(spark, SCALE_DIR)
+    # warm pass each (file listing, codegen), then min-of-2 measured —
+    # single cold runs showed 3x swings on the shuffle-heavy queries
+    def min_of_two(sf_dir):
+        a, b = run_once(spark, sf_dir), run_once(spark, sf_dir)
+        return {k: min(a[k], b[k]) for k in a}
+
+    run_once(spark, BASE_SF)  # warm
+    base = min_of_two(BASE_SF)
+    run_once(spark, SCALE_DIR)  # warm
+    scaled = min_of_two(SCALE_DIR)
 
     print(json.dumps({"sf": 0.1, "queries": base}))
     print(json.dumps({"sf": 1.0, "queries": scaled, "derived": True}))
