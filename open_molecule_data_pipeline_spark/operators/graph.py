@@ -389,6 +389,141 @@ def dedup_apply_clusters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# k-core decomposition (iterative peeling): repeatedly drop nodes with
+# degree < k until the surviving subgraph is stable — the standard
+# dense-substructure filter (community cores, spam farms, and for dedup
+# graphs the "everything links to everything" boilerplate families whose
+# clusters deserve different treatment than a chain of drifted revisions).
+# Each peel round is one degree aggregation + two semi-joins over the
+# (shrinking) edge list; the edge set only shrinks, so an edge-count
+# equality check is a sound fixpoint test (one cheap job per round on
+# checkpointed data). Converges in <= max-degree rounds; typically a
+# handful. The oracle unrolls a fixed number of peel rounds as chained
+# CTEs — peeling is idempotent at the fixpoint, so unrolling MORE rounds
+# than Spark needed is a no-op (the Spark side raises if it ever needs
+# more than the unroll budget, keeping the two in lockstep).
+# --------------------------------------------------------------------------
+
+K_CORE = 5
+_KCORE_ROUNDS = 16  # SQL unroll budget; Spark asserts convergence within it
+
+
+def kcore_edges(
+    edges: DataFrame,
+    k: int = K_CORE,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = _KCORE_ROUNDS,
+) -> DataFrame:
+    """Surviving undirected edge list (u, v) of the k-core.
+
+    ``edges`` is an undirected edge list given one direction per pair;
+    lineage is truncated per round like the CC loops.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_count = und.count()
+    for _ in range(max_iter):
+        keep = (
+            und.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        nxt = (
+            und.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        nxt_count = nxt.count()
+        try:
+            und.unpersist()
+        except Exception:
+            pass
+        und = nxt
+        if nxt_count == prev_count:
+            return und
+        prev_count = nxt_count
+    raise RuntimeError(
+        f"kcore did not converge within {max_iter} rounds; raise max_iter "
+        "(and the oracle unroll budget)"
+    )
+
+
+def _kcore_oracle(k: int = K_CORE, rounds: int = _KCORE_ROUNDS) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one ~3 times — an unmaterialized
+    # 12-level chain expands to 3^12 subplans (observed as "too many open
+    # files" on the parquet scan).
+    base = """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 50 < 3
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+u0 AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+)"""
+    prev = "u0"
+    for i in range(1, rounds + 1):
+        base += f""", k{i} AS MATERIALIZED (
+  SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k}
+), u{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{i} a ON a.u = e.u
+  JOIN k{i} b ON b.u = e.v
+)"""
+        prev = f"u{i}"
+    base += f"""
+SELECT u AS node, cast(count(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY u
+"""
+    return base
+
+
+@register("graph_kcore", oracle=_kcore_oracle(), tags=("graph", "iterative"))
+def graph_kcore(spark, sf_dir):
+    """K_CORE-core of the part co-occurrence graph (thinned sparser than
+    the triangle-count graph so the peel genuinely cascades — at sf0.01 it
+    runs ~8 rounds, 120 -> 86 nodes): member nodes + in-core degree. At
+    real scale the round count tracks the graph's degeneracy depth; the
+    per-round cost shrinks with the surviving edge set."""
+    from ..catalog import table
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 50 < 3)  # sparser than the triangle
+        .select("l_orderkey", "l_partkey")    # graph so peeling cascades
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    core = kcore_edges(edges, k=K_CORE, src="u", dst="v")
+    return core.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+
+
+# --------------------------------------------------------------------------
 # PageRank, 3 unrolled power iterations, on the nation same-region clique
 # graph (a -> b when both share a region, a != b). The Spark side runs the
 # canonical iterative join-agg loop (rank/deg join edges, sum by dst); the

@@ -493,3 +493,106 @@ def sim_ivf_recall(spark, sf_dir):
             F.count("ivf_neighbor") / F.lit(3).cast("double"), 6
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+# space, then drop every vector that has a more-canonical (smaller-id)
+# neighbor ABOVE the cosine threshold within its OWN cluster. Clustering
+# is what makes this tractable at 100 TB: candidate pairs are confined to
+# clusters, so with the sqrt(n) coarse quantizer shared with IVF the pair
+# cost is n * sqrt(n), never n^2 — and the per-cluster work is an
+# embarrassingly parallel shuffle on cent_id. The keep-rule (drop iff a
+# smaller vec_id within threshold exists) needs no transitive closure, so
+# the whole composite is exactly SQL-expressible and the oracle is exact.
+# --------------------------------------------------------------------------
+
+SEM_THRESH = 0.3  # random-embedding corpus: ~1% of within-cluster pairs
+
+_SEMDEDUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, e AS cent_e FROM v
+  WHERE vec_id % {_STRIDE_SQL} = 1
+),
+cd AS (
+  SELECT v.vec_id, cent.cent_id,
+         round(list_dot_product(v.e, cent.cent_e)
+           / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.cent_e, cent.cent_e))), 6)
+           AS ccos,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_dot_product(v.e, cent.cent_e)
+             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.cent_e, cent.cent_e))), 6) DESC,
+             cent.cent_id
+         ) AS crn
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cent_id FROM cd WHERE crn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a
+  JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  JOIN v x ON x.vec_id = a.vec_id
+  JOIN v y ON y.vec_id = b.vec_id
+  WHERE round(list_dot_product(x.e, y.e)
+          / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6)
+        >= {SEM_THRESH}
+)
+SELECT s.cent_id,
+       cast(count(*) AS BIGINT) AS n_members,
+       cast(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       cast(sum(CASE WHEN d.vec_id IS NULL THEN s.vec_id ELSE 0 END) AS BIGINT) AS kept_checksum
+FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+GROUP BY s.cent_id
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("dedup", "similarity", "ml"),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup composite: per-cluster member/drop counts + an exact
+    checksum of the kept vec_ids, reusing the IVF assignment (sqrt(n)
+    centroids, map-side argmax)."""
+    assign, _ = _ivf_parts(spark, sf_dir)
+    members = assign.select(
+        F.col("neighbor_id").alias("vec_id"), "ce", "cn", "cent_id"
+    )
+    a = members.alias("a")
+    b = members.alias("b")
+    cos = F.round(
+        F.expr(_DOT.format(a="a.ce", b="b.ce"))
+        / (F.col("a.cn") * F.col("b.cn")),
+        6,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEM_THRESH)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    flagged = members.select("cent_id", "vec_id").join(
+        dropped, "vec_id", "left"
+    )
+    return flagged.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.coalesce("is_dropped", F.lit(0))).cast("long").alias("n_dropped"),
+        F.sum(
+            F.when(F.col("is_dropped").isNull(), F.col("vec_id")).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_checksum"),
+    )

@@ -105,6 +105,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_ivf_persisted",
     "sim_ivf_recall",
+    "graph_kcore",  # NEW in r5 (post-window): k-core peeling
+    "dedup_semantic_clusters",  # NEW in r5 (post-window): SemDeDup composite
     "sort_top10_orders",
     "subquery_above_avg_balance",
     "text_quality_filter",

@@ -152,6 +152,20 @@ def test_connected_components_twostar_reliable_checkpoint(spark, tmp_path):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_kcore_unit(spark):
+    """k=2 core of a graph with a pendant chain: peeling the chain must
+    cascade (removing the leaf drops its neighbor below k), leaving only
+    the 4-clique."""
+    from open_molecule_data_pipeline_spark.operators.graph import kcore_edges
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6)]  # 6 is a leaf; 5 dies once 6 is gone
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    core = kcore_edges(edges, k=2)
+    nodes = {r.u for r in core.collect()}
+    assert nodes == {1, 2, 3, 4}
+
+
 def test_structured_logging_shim(caplog):
     import logging
 
