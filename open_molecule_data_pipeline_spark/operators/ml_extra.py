@@ -177,3 +177,123 @@ def agg_grouping_id_rollup(spark, sf_dir):
         "g_priority",
         "n",
     )
+
+
+# --------------------------------------------------------------------------
+# Multivariate OLS via normal equations — the distributed closed-form
+# training step (price ~ b0 + b1*quantity + b2*discount, per returnflag).
+# The entire fit is ONE aggregation pass: the nine X'X / X'y moment sums
+# are map-side-combinable, so at 100 TB the shuffle carries 9 numbers per
+# group, never rows. Every cross-row sum is an EXACT scaled int64
+# (quantity integral; discount/price 2 dp -> x100), so both engines see
+# bit-identical moments; the 3x3 Cramer solve then runs textually
+# identical double arithmetic on both sides -> round(6) is stable.
+# (int64 headroom: |sum(d100*p100)| < 1e9/row -> safe beyond sf100.)
+# --------------------------------------------------------------------------
+
+_OLS_SOLVE = """
+round((Sy * (Sqq * Sdd - Sqd * Sqd) - Sq * (Sqy * Sdd - Sqd * Sdy)
+       + Sd * (Sqy * Sqd - Sqq * Sdy)) / detA, 6) AS b0,
+round((n * (Sqy * Sdd - Sdy * Sqd) - Sy * (Sq * Sdd - Sqd * Sd)
+       + Sd * (Sq * Sdy - Sqy * Sd)) / detA, 6) AS b1,
+round((n * (Sqq * Sdy - Sqd * Sqy) - Sq * (Sq * Sdy - Sqy * Sd)
+       + Sy * (Sq * Sqd - Sqq * Sd)) / detA, 6) AS b2
+"""
+
+_OLS_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         cast(count(*) AS BIGINT) AS n,
+         sum(cast(l_quantity AS BIGINT)) AS q1,
+         sum(cast(round(l_discount * 100) AS BIGINT)) AS d100,
+         sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS p100,
+         sum(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT)) AS qq,
+         sum(cast(round(l_discount * 100) AS BIGINT)
+             * cast(round(l_discount * 100) AS BIGINT)) AS dd,
+         sum(cast(l_quantity AS BIGINT)
+             * cast(round(l_discount * 100) AS BIGINT)) AS qd,
+         sum(cast(l_quantity AS BIGINT)
+             * cast(round(l_extendedprice * 100) AS BIGINT)) AS qp,
+         sum(cast(round(l_discount * 100) AS BIGINT)
+             * cast(round(l_extendedprice * 100) AS BIGINT)) AS dp
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag,
+         cast(n AS DOUBLE) AS n,
+         cast(q1 AS DOUBLE) AS Sq,
+         d100 / cast(100 AS DOUBLE) AS Sd,
+         p100 / cast(100 AS DOUBLE) AS Sy,
+         cast(qq AS DOUBLE) AS Sqq,
+         dd / cast(10000 AS DOUBLE) AS Sdd,
+         qd / cast(100 AS DOUBLE) AS Sqd,
+         qp / cast(100 AS DOUBLE) AS Sqy,
+         dp / cast(10000 AS DOUBLE) AS Sdy
+  FROM m
+),
+solved AS (
+  SELECT l_returnflag, n,
+         n * (Sqq * Sdd - Sqd * Sqd) - Sq * (Sq * Sdd - Sqd * Sd)
+           + Sd * (Sq * Sqd - Sqq * Sd) AS detA,
+         Sq, Sd, Sy, Sqq, Sdd, Sqd, Sqy, Sdy
+  FROM d
+)
+SELECT l_returnflag, cast(n AS BIGINT) AS n, {_OLS_SOLVE}
+FROM solved
+"""
+
+
+@register(
+    "ml_ols_normal_equations",
+    oracle=_OLS_ORACLE,
+    tags=("ml", "agg", "stats"),
+)
+def ml_ols_normal_equations(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("q1"),
+        F.sum(d100).alias("d100"),
+        F.sum(p100).alias("p100"),
+        F.sum(q * q).alias("qq"),
+        F.sum(d100 * d100).alias("dd"),
+        F.sum(q * d100).alias("qd"),
+        F.sum(q * p100).alias("qp"),
+        F.sum(d100 * p100).alias("dp"),
+    )
+    d = m.select(
+        "l_returnflag",
+        F.col("n").alias("n_long"),
+        F.col("n").cast("double").alias("n"),
+        F.col("q1").cast("double").alias("Sq"),
+        (F.col("d100") / F.lit(100).cast("double")).alias("Sd"),
+        (F.col("p100") / F.lit(100).cast("double")).alias("Sy"),
+        F.col("qq").cast("double").alias("Sqq"),
+        (F.col("dd") / F.lit(10000).cast("double")).alias("Sdd"),
+        (F.col("qd") / F.lit(100).cast("double")).alias("Sqd"),
+        (F.col("qp") / F.lit(100).cast("double")).alias("Sqy"),
+        (F.col("dp") / F.lit(10000).cast("double")).alias("Sdy"),
+    )
+    solved = d.withColumn(
+        "detA",
+        F.expr(
+            "n * (Sqq * Sdd - Sqd * Sqd) - Sq * (Sq * Sdd - Sqd * Sd)"
+            " + Sd * (Sq * Sqd - Sqq * Sd)"
+        ),
+    )
+    # the three quotient expressions are textually identical to the
+    # oracle's _OLS_SOLVE block — same IEEE operation order on both sides
+    return solved.selectExpr(
+        "l_returnflag",
+        "n_long AS n",
+        "round((Sy * (Sqq * Sdd - Sqd * Sqd) - Sq * (Sqy * Sdd - Sqd * Sdy)"
+        " + Sd * (Sqy * Sqd - Sqq * Sdy)) / detA, 6) AS b0",
+        "round((n * (Sqy * Sdd - Sdy * Sqd) - Sy * (Sq * Sdd - Sqd * Sd)"
+        " + Sd * (Sq * Sdy - Sqy * Sd)) / detA, 6) AS b1",
+        "round((n * (Sqq * Sdy - Sqd * Sqy) - Sq * (Sq * Sdy - Sqy * Sd)"
+        " + Sy * (Sq * Sqd - Sqq * Sd)) / detA, 6) AS b2",
+    )

@@ -226,3 +226,80 @@ def text_fingerprint(spark, sf_dir):
             )
         ).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash every
+# char k-gram, then keep the MINIMUM hash of each sliding window of w
+# positions — guarantees any shared substring of length >= k + w - 1
+# shares a fingerprint, at ~2/(w+1) selection density. The whole pipeline
+# is per-row array algebra (sequence -> transform -> slice -> array_min),
+# so the plan has ZERO shuffles and stays in codegen except the md5 calls:
+# the shape that fingerprints 100 TB in one map pass. Output is the
+# per-doc fingerprint-set summary (count / min / exact int64 checksum);
+# the candidate join on shared fingerprints is the same banded equi-join
+# as MinHash-LSH (operators/dedup.py).
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 8  # char k-gram length
+_WINNOW_W = 4  # winnowing window (positions per selection)
+
+_WINNOW_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(lower(text)) - {_WINNOW_K - 1}, 0)),
+           i -> cast(cast('0x' || substr(md5(substr(lower(text), i, {_WINNOW_K})), 1, 8) AS UBIGINT) AS BIGINT)
+         ) AS hashes
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         len(hashes) AS n_grams,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - {_WINNOW_W - 1}, 0)),
+           i -> list_aggregate(hashes[i : i + {_WINNOW_W - 1}], 'min')
+         )) AS fps
+  FROM h
+)
+SELECT doc_id,
+       cast(n_grams AS BIGINT) AS n_grams,
+       cast(len(fps) AS BIGINT) AS n_fps,
+       list_aggregate(fps, 'min') AS fp_min,
+       cast(list_aggregate(fps, 'sum') AS BIGINT) AS fp_sum
+FROM fp
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=_WINNOW_ORACLE,
+    tags=("text", "dedup"),
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    k, w = _WINNOW_K, _WINNOW_W
+    hashes = (
+        f"CASE WHEN length(lower(text)) >= {k} THEN "
+        f"transform(sequence(1, length(lower(text)) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(substring(lower(text), i, {k})), 1, 8), 16, 10) AS BIGINT)) "
+        f"ELSE array() END"
+    )
+    fps = (
+        f"array_distinct(CASE WHEN size(hashes) >= {w} THEN "
+        f"transform(sequence(1, size(hashes) - {w - 1}), "
+        f"i -> array_min(slice(hashes, i, {w}))) ELSE array() END)"
+    )
+    return (
+        d.select("doc_id", F.expr(hashes).alias("hashes"))
+        .select("doc_id", F.size("hashes").cast("long").alias("n_grams"), F.expr(fps).alias("fps"))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("fps").cast("long").alias("n_fps"),
+            F.array_min("fps").alias("fp_min"),
+            F.expr(
+                "aggregate(fps, cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("fp_sum"),
+        )
+    )

@@ -107,6 +107,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sim_ivf_recall",
     "graph_kcore",  # NEW in r5 (post-window): k-core peeling
     "dedup_semantic_clusters",  # NEW in r5 (post-window): SemDeDup composite
+    "text_winnowing_fingerprints",  # NEW in r5 (post-window): MOSS winnowing
+    "ml_ols_normal_equations",  # NEW in r5 (post-window): one-pass OLS solve
     "sort_top10_orders",
     "subquery_above_avg_balance",
     "text_quality_filter",
