@@ -307,6 +307,52 @@ def ingest_http_pyds_demo(spark, sf_dir):
     )
 
 
+_HTTP_OFFSET_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('bulk', 'p0a', 'C'), ('bulk', 'p0b', 'O'),
+  ('bulk', 'p1a', 'CC'),
+  ('bulk', 'p2a', 'CO'), ('bulk', 'p2b', 'CN'),
+  ('bulk', 'p3a', 'CCCC')
+) t(source, identifier, smiles)
+"""
+
+
+@register(
+    "ingest_http_offset_demo",
+    oracle=_HTTP_OFFSET_DEMO_ORACLE,
+    tags=("ingest", "http", "datasource"),
+)
+def ingest_http_offset_demo(spark, sf_dir):
+    """OFFSET-paginated flavor of the Python Data Source connector: the
+    page count is known up front, pages are independent, so ONE source
+    fans out across executors as one partition per page range
+    (pages_per_partition=2, total_pages=4 -> 2 partitions fetched in
+    parallel) — the parallel path for a single giant endpoint that a
+    cursor chain cannot take. Canned pages are indexed by the page number
+    parsed from the URL, so results are order-independent."""
+    from ..sources.http_api import HttpSourceConfig
+    from ..sources.python_datasource import read_http_datasource
+
+    cfg = HttpSourceConfig(
+        name="bulk",
+        base_url="https://h",
+        endpoint="recs",
+        pagination="offset",
+        total_pages=4,
+        pages_per_partition=2,
+    )
+    pages = {
+        "bulk": [
+            {"records": [{"id": "p0a", "smiles": "C"}, {"id": "p0b", "smiles": "O"}]},
+            {"records": [{"id": "p1a", "smiles": "CC"}]},
+            {"records": [{"id": "p2a", "smiles": "CO"}, {"id": "p2b", "smiles": "CN"}]},
+            {"records": [{"id": "p3a", "smiles": "CCCC"}]},
+        ]
+    }
+    df = read_http_datasource(spark, [cfg], pages=pages)
+    return df.select("source", "identifier", "smiles")
+
+
 _SDF_UDTF_DEMO_ORACLE = """
 SELECT * FROM (VALUES
   ('PUBCHEM_COMPOUND_CID', 'CID1'), ('PUBCHEM_IUPAC_NAME', 'methane'),

@@ -59,6 +59,14 @@ class HttpSourceConfig:
     max_retries: int = 5
     backoff_base: float = 0.5
     backoff_cap: float = 5.0
+    # Offset pagination ("page=N" style, page count known up front): unlike
+    # a cursor chain, page fetches are independent, so the Python Data
+    # Source fans a single source out across executors in ranges of
+    # ``pages_per_partition`` — the parallel path for one giant endpoint.
+    pagination: str = "cursor"  # "cursor" | "offset"
+    page_param: str = "page"
+    total_pages: int | None = None  # required for pagination="offset"
+    pages_per_partition: int = 8
 
 
 def chemspider_config(name: str = "chemspider", **overrides) -> HttpSourceConfig:

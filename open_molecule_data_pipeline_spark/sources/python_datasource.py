@@ -18,8 +18,13 @@ Python Data Source API (``pyspark.sql.datasource``):
   the same retry/backoff policy as the driver pump.
 
 At 100 TB-scale ingestion the fan-out unit is the *source* (hundreds of
-tranche endpoints), so partition-per-source is the right granularity; a
-single giant endpoint is bounded by its own cursor protocol, not by Spark.
+tranche endpoints), so partition-per-source is the right granularity for
+cursor-chained APIs — a cursor chain is bounded by its own protocol, not
+by Spark. For OFFSET-paginated APIs (``pagination="offset"``, page count
+known up front) the pages are independent, so a single giant endpoint
+additionally fans out as one partition per ``pages_per_partition`` page
+range — closing the "sequential cursor chain" limitation wherever the
+protocol allows it.
 """
 
 from __future__ import annotations
@@ -79,24 +84,62 @@ class HttpApiReader(DataSourceReader):
         self._fail_first = int(options.get("fail_first", 0))
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [InputPartition(i) for i in range(len(self._configs))]
+        """Cursor sources: one partition each (the chain is sequential).
+        Offset sources: one partition per ``pages_per_partition`` page
+        range — a single giant endpoint fans out across executors."""
+        parts: list[InputPartition] = []
+        for i, cfg in enumerate(self._configs):
+            if cfg.pagination == "offset":
+                if not cfg.total_pages:
+                    raise ValueError(
+                        f"source {cfg.name!r}: pagination='offset' requires "
+                        "total_pages"
+                    )
+                step = max(1, cfg.pages_per_partition)
+                for start in range(0, cfg.total_pages, step):
+                    end = min(start + step, cfg.total_pages)
+                    parts.append(InputPartition((i, start, end)))
+            else:
+                parts.append(InputPartition((i, None, None)))
+        return parts
+
+    def _canned_fetcher(self, cfg):
+        canned = list(self._pages.get(cfg.name, []))
+        failures = [self._fail_first]
+
+        def fetcher(url: str):
+            if failures[0] > 0:
+                failures[0] -= 1
+                raise ConnectionError("injected transient failure")
+            if cfg.pagination == "offset":
+                # payloads indexed by page number, parsed from the URL —
+                # order-independent, as real offset endpoints are
+                marker = f"{cfg.page_param}="
+                page = 0
+                for part in url.split("?", 1)[-1].split("&"):
+                    if part.startswith(marker):
+                        page = int(part[len(marker):])
+                return canned[page] if page < len(canned) else {}
+            if not canned:
+                return {}
+            return canned.pop(0)
+
+        return fetcher
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        cfg = self._configs[partition.value]
+        idx, page_start, page_end = partition.value
+        cfg = self._configs[idx]
         if self._pages is not None:
-            canned = list(self._pages.get(cfg.name, []))
-            failures = [self._fail_first]
-
-            def fetcher(url: str):
-                if failures[0] > 0:
-                    failures[0] -= 1
-                    raise ConnectionError("injected transient failure")
-                if not canned:
-                    return {}
-                return canned.pop(0)
-
+            fetcher = self._canned_fetcher(cfg)
         else:  # pragma: no cover - network
             fetcher = _default_fetcher
+
+        if cfg.pagination == "offset":
+            for page in range(page_start, page_end):
+                url = _build_url(cfg, {cfg.page_param: page})
+                payload = _fetch_with_retry(fetcher, url, cfg) or {}
+                yield from _parse_records(cfg, payload)
+            return
 
         cursor = None
         while True:

@@ -328,6 +328,37 @@ def test_python_datasource_http(spark):
     assert rows["b1"].source == "src_b"
 
 
+def test_python_datasource_offset_pagination(spark):
+    """Offset-paginated source: pages are independent, so ONE source fans
+    out as one partition per page range — and mixes freely with a cursor
+    source (which stays single-partition)."""
+    from open_molecule_data_pipeline_spark.sources.python_datasource import (
+        read_http_datasource,
+    )
+
+    bulk = HttpSourceConfig(
+        name="bulk",
+        base_url="https://h",
+        endpoint="recs",
+        pagination="offset",
+        total_pages=5,
+        pages_per_partition=2,
+    )
+    chain = HttpSourceConfig(name="chain", base_url="https://h", endpoint="recs")
+    pages = {
+        "bulk": [
+            {"records": [{"id": f"p{i}", "smiles": "C" * (i + 1)}]}
+            for i in range(5)
+        ],
+        "chain": [{"records": [{"id": "c1", "smiles": "O"}], "next": None}],
+    }
+    df = read_http_datasource(spark, [bulk, chain], pages=pages)
+    # ceil(5/2)=3 offset partitions + 1 cursor partition
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.identifier: r.source for r in df.collect()}
+    assert rows == {f"p{i}": "bulk" for i in range(5)} | {"c1": "chain"}
+
+
 def test_smiles_table_leading_whitespace(spark, tmp_path):
     """ADVICE r1: delimiter=None must match str.split() — leading
     whitespace is discarded, not parsed as an empty first column."""
