@@ -93,6 +93,15 @@ def _build_http(spark: SparkSession, sdef: SourceDefinition, ctx) -> DataFrame:
         cfg = chemspider_config(name=sdef.name, **opts)
     else:
         cfg = HttpSourceConfig(name=sdef.name, **opts)
+    if cfg.pagination == "offset":
+        # independent pages -> executor-parallel page-range partitions via
+        # the Python Data Source (the driver pump is for cursor chains).
+        # Test seam: canned payload lists under ctx["datasource_pages"].
+        from ..sources.python_datasource import read_http_datasource
+
+        return read_http_datasource(
+            spark, [cfg], pages=ctx.get("datasource_pages")
+        )
     kwargs = {"max_pages": max_pages}
     if fetcher is not None:
         kwargs["fetcher"] = fetcher

@@ -188,6 +188,52 @@ def test_named_connector_types(spark, tmp_path):
     assert read_ids("zinc") == ["ZINC11"]
 
 
+def test_offset_http_source_through_runner(spark, tmp_path):
+    """A YAML http source with pagination=offset routes through the Python
+    Data Source (executor-parallel page ranges) instead of the sequential
+    driver pump, with canned pages injected via the context seam."""
+    cfg = {
+        "job": {
+            "output_dir": str(tmp_path / "out"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "compress_output": False,
+            "sources": [
+                {
+                    "type": "http",
+                    "name": "bulk",
+                    "options": {
+                        "base_url": "https://h",
+                        "endpoint": "recs",
+                        "pagination": "offset",
+                        "total_pages": 3,
+                        "pages_per_partition": 1,
+                    },
+                },
+            ],
+        }
+    }
+    path = tmp_path / "offset.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    pages = {
+        "bulk": [
+            {"records": [{"id": "p0", "smiles": "C"}]},
+            {"records": [{"id": "p1", "smiles": "CC"}]},
+            {"records": [{"id": "p2", "smiles": "CCC"}]},
+        ]
+    }
+    summaries = run_ingestion(
+        spark,
+        load_config(path),
+        mode="parse",
+        context={"datasource_pages": pages},
+    )
+    assert summaries[0].records_written == 3
+    recs = []
+    for f in sorted((tmp_path / "out" / "bulk").glob("*.json")):
+        recs += [json.loads(line) for line in f.read_text().splitlines() if line]
+    assert sorted(r["identifier"] for r in recs) == ["p0", "p1", "p2"]
+
+
 def test_parse_mode_concurrent(spark, job_config):
     cfg = load_config(job_config).model_copy(update={"concurrency": 2})
     summaries = run_ingestion(spark, cfg, mode="parse")
