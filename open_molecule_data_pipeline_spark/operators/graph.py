@@ -294,9 +294,14 @@ def connected_components_twostar(
         return violations.isEmpty()
 
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1 probes: the result of round max_iter still deserves its
+    # fixpoint check (probe-then-compute would otherwise discard a
+    # successful final round as "not converged")
+    for round_no in range(max_iter + 1):
         if is_star_forest(cur):
             converged = True
+            break
+        if round_no == max_iter:
             break
         nxt = persist(small_star(large_star(cur)), eager=False)
         nxt_gen = generation - 1

@@ -266,7 +266,9 @@ SELECT doc_id,
        cast(n_grams AS BIGINT) AS n_grams,
        cast(len(fps) AS BIGINT) AS n_fps,
        list_aggregate(fps, 'min') AS fp_min,
-       cast(list_aggregate(fps, 'sum') AS BIGINT) AS fp_sum
+       -- coalesce: DuckDB sums an empty list to NULL, Spark's aggregate()
+       -- returns its 0 seed — align on 0 for docs shorter than k + w - 1
+       cast(coalesce(list_aggregate(fps, 'sum'), 0) AS BIGINT) AS fp_sum
 FROM fp
 """
 

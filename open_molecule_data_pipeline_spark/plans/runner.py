@@ -96,7 +96,17 @@ def _build_http(spark: SparkSession, sdef: SourceDefinition, ctx) -> DataFrame:
     if cfg.pagination == "offset":
         # independent pages -> executor-parallel page-range partitions via
         # the Python Data Source (the driver pump is for cursor chains).
-        # Test seam: canned payload lists under ctx["datasource_pages"].
+        # Test seam: canned payload lists under ctx["datasource_pages"]
+        # (driver-side ctx["fetchers"] closures can't ship to executors —
+        # reject loudly instead of silently hitting the network).
+        if fetcher is not None:
+            raise ValueError(
+                f"source {sdef.name!r}: pagination='offset' fetches on "
+                "executors; inject canned pages via "
+                "context['datasource_pages'], not context['fetchers']"
+            )
+        if max_pages is not None:
+            cfg.total_pages = min(cfg.total_pages or max_pages, max_pages)
         from ..sources.python_datasource import read_http_datasource
 
         return read_http_datasource(

@@ -86,10 +86,28 @@ def generate(spark) -> None:
         + 1
     )
 
+    import glob as _glob
+    import shutil
+
+    def write_single_file(df, name: str) -> None:
+        # The testdata layout is one parquet FILE per table, and the
+        # streaming twins' pathGlobFilter='events.parquet' matches leaf
+        # FILE names — a directory of part-files would stream zero rows.
+        # Stage a coalesce(1) directory write, then move the single part
+        # file into place as {name}.parquet.
+        stage = f"{SCALE_DIR}/_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{SCALE_DIR}/{name}.parquet"
+        shutil.rmtree(dest, ignore_errors=True)
+        if os.path.exists(dest):
+            os.remove(dest)
+        shutil.move(part, dest)
+        shutil.rmtree(stage, ignore_errors=True)
+
     Path(SCALE_DIR).mkdir(parents=True, exist_ok=True)
     for name in FIXED:
-        df = table(spark, BASE_SF, name)
-        df.write.mode("overwrite").parquet(f"{SCALE_DIR}/{name}.parquet")
+        write_single_file(table(spark, BASE_SF, name), name)
     for name, keymap in KEYED.items():
         base = table(spark, BASE_SF, name)
         copies = []
@@ -116,7 +134,7 @@ def generate(spark) -> None:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{SCALE_DIR}/{name}.parquet")
+        write_single_file(out, name)
         print(f"  generated {name}: {N_COPIES}x", file=sys.stderr)
 
 

@@ -48,7 +48,7 @@ def _cumulative_green_counts() -> dict[str, int]:
 
     root = Path(__file__).resolve().parent.parent
     counts: dict[str, int] = {}
-    for path in sorted(glob.glob(str(root / "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("rows_match") and not row.get("err"):

@@ -123,18 +123,9 @@ def test_parse_mode_end_to_end(spark, job_config):
     assert {f: f.stat().st_mtime_ns for f in files} == mtimes
 
 
-_CHEMBL_SDF = """Demo
-  -Engine-
-
-M  END
->  <ChEMBL_ID>
-CHEMBL{cid}
-
->  <CANONICAL_SMILES>
-{smiles}
-
-$$$$
-"""
+from open_molecule_data_pipeline_spark.operators.ingest_demo import (
+    _CHEMBL_RECORD as _CHEMBL_SDF,
+)
 
 
 def test_named_connector_types(spark, tmp_path):
