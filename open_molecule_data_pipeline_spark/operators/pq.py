@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._util import spread
 
 N_SUB = 4
 SUB_DIM = 16
@@ -48,10 +49,13 @@ _D2 = (
 def _subspaces(spark, sf_dir):
     """(vec_id, label, sub_id, v): each embedding split into N_SUB
     double-upcast sub-vectors. One narrow explode — no shuffle."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = spread(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        ),
         "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
     )
     subs = F.array(
         *[

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._util import spread
 
 DIM = 64
 N_PLANES = 8
@@ -90,10 +91,15 @@ def sim_topk_bruteforce(spark, sf_dir):
     # aggregate lambdas skip whole-stage codegen, so per-pair evaluation
     # would redo the costliest expression |q| times per corpus row. The
     # doubles are identical either way (same fold over the same array).
-    e = table(spark, sf_dir, "embeddings").select(
+    # spread: a single-file embeddings table is one scan partition, which
+    # would serialize the q x N scoring map no matter the cluster width
+    e = spread(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nn"),
+        ),
         "vec_id",
-        "embedding",
-        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nn"),
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -189,11 +195,14 @@ FROM (
 
 @register("sim_ann_lsh_topk", oracle=_ANN_ORACLE, tags=("similarity", "lsh"))
 def sim_ann_lsh_topk(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings").select(
+    e = spread(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            _bucket_col().alias("bucket"),
+            F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nn"),
+        ),
         "vec_id",
-        "embedding",
-        _bucket_col().alias("bucket"),
-        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nn"),
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -308,10 +317,15 @@ def _ivf_scored(spark, sf_dir):
     input rows) would redo the most expensive expression k times per
     vector. Same doubles either way — cdot / (vv * kk) is unchanged — so
     the rounded scores and the oracle agree bit-for-bit."""
-    e = table(spark, sf_dir, "embeddings").select(
+    # spread before the corpus x centroids product: a single-file scan
+    # would pin the n x sqrt(n) scoring to one task
+    e = spread(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("vv"),
+        ),
         "vec_id",
-        "embedding",
-        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("vv"),
     )
     stride = table(spark, sf_dir, "embeddings").agg(
         F.floor(F.sqrt(F.count(F.lit(1)))).cast("long").alias("stride")
