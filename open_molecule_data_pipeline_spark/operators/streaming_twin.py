@@ -610,3 +610,131 @@ def _sweep_stale_mv_dirs(root: str) -> None:
                 pass
     except OSError:
         pass
+
+
+# --------------------------------------------------------------------------
+# Watermark LATE-DATA DROP twin: the one streaming semantic a single-file
+# availableNow run can never exercise (the watermark starts at 0, so
+# nothing is ever late). The events table is staged into two files —
+# "recent" rows first, then the older remainder — and streamed with
+# maxFilesPerTrigger=1, so batch 1 advances the watermark to
+# max(ts) - 3h and batch 2's deep-late rows (1-hour windows ending at or
+# before that watermark) are genuinely DROPPED by the state store, while
+# late-but-in-grace rows still update their windows. The oracle encodes
+# the drop rule exactly (kept iff in batch 1 OR window_end > max(ts)-3h);
+# if the engine failed to drop, the counts would not hash-match. File
+# processing order is pinned by explicit mtimes (FileStreamSource orders
+# by modification time). Update mode emits a window per batch that touches
+# it, so the final value per window is the emission with the largest n.
+#
+# Empirically calibrated watermark protocol (this Spark build): the
+# watermark computed from batch N's data becomes OPERATIVE for input
+# filtering two batches later (progress shows wm=T-3h at batch 1, yet
+# batch 1's late rows pass; batch 2's are dropped — see the debug metric
+# numRowsDroppedByWatermark). The file split is therefore chosen to be
+# correct under EITHER a one- or two-batch lag: file B's rows all live in
+# windows ending after T-3h (kept under wm = T-3h AND under wm = 0), and
+# file C's rows all live in windows ending at/before T-3h (dropped under
+# the T-3h watermark that is definitely operative by batch 2). Kept set
+# == ts > T-4h exactly, modulo a measure-zero boundary (window end ==
+# watermark requires max(ts) to land on an exact hour).
+# --------------------------------------------------------------------------
+
+_LATE_DROP_ORACLE = f"""
+WITH t AS (SELECT max(ts) AS tmax FROM events),
+keep AS (
+  SELECT e.ts, e.value FROM events e, t
+  WHERE e.ts > t.tmax - INTERVAL 4 HOUR
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       cast(count(*) AS BIGINT) AS n,
+       {s_lsum('value', 100)} AS sum_value
+FROM keep
+GROUP BY time_bucket(INTERVAL '1 hour', ts)
+"""
+
+
+@register(
+    "stream_late_drop_twin",
+    oracle=_LATE_DROP_ORACLE,
+    tags=("streaming", "timeseries", "stateful"),
+)
+def stream_late_drop_twin(spark, sf_dir):
+    import time as _time
+
+    from ..catalog import table as _table
+
+    tune_session(spark)
+    events = _table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    tmax = events.agg(F.max("ts").alias("tmax"))
+    tagged = events.crossJoin(F.broadcast(tmax)).withColumn(
+        "band",
+        F.when(
+            F.col("ts") > F.col("tmax") - F.expr("INTERVAL 2 HOURS"), "a_recent"
+        )
+        .when(
+            F.col("ts") > F.col("tmax") - F.expr("INTERVAL 4 HOURS"), "b_grace"
+        )
+        .otherwise("c_deep_late"),
+    )
+
+    stage = tempfile.mkdtemp(
+        prefix="omdp_late_drop_",
+        dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None,
+    )
+    try:
+        import glob as _glob
+
+        bands = ("a_recent", "b_grace", "c_deep_late")
+        for fname in bands:
+            part_dir = f"{stage}/_{fname}"
+            (
+                tagged.filter(F.col("band") == fname)
+                .select("ts", "value")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = _glob.glob(f"{part_dir}/part-*.parquet")[0]
+            shutil.move(part, f"{stage}/{fname}.parquet")
+            shutil.rmtree(part_dir, ignore_errors=True)
+        # FileStreamSource orders by modification time: pin the batch
+        # order recent -> grace -> deep-late explicitly
+        now = _time.time()
+        for i, fname in enumerate(bands):
+            t = now - 60 * (len(bands) - i)
+            os.utime(f"{stage}/{fname}.parquet", (t, t))
+
+        schema = spark.read.parquet(f"{stage}/a_recent.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(stage)
+            .withWatermark("ts", "3 hours")
+        )
+        agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100).cast("double")
+            ).alias("sum_value"),
+        )
+        sunk = _run_to_memory(spark, agg, output_mode="update")
+        # per window: the last emission is the one with the largest n
+        final = (
+            sunk.select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n",
+                "sum_value",
+            )
+            .groupBy("window_start")
+            .agg(F.max_by(F.struct("n", "sum_value"), "n").alias("last"))
+            .select("window_start", F.col("last.n").alias("n"), F.col("last.sum_value").alias("sum_value"))
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, schema=final.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -110,6 +110,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "text_winnowing_fingerprints",  # NEW in r5 (post-window): MOSS winnowing
     "ml_ols_normal_equations",  # NEW in r5 (post-window): one-pass OLS solve
     "ingest_http_offset_demo",  # NEW in r5 (post-window): parallel offset pages
+    "stream_late_drop_twin",  # NEW in r5 (post-window): real watermark drops
     "sort_top10_orders",
     "subquery_above_avg_balance",
     "text_quality_filter",
