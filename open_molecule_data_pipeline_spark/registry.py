@@ -111,6 +111,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ml_ols_normal_equations",  # NEW in r5 (post-window): one-pass OLS solve
     "ingest_http_offset_demo",  # NEW in r5 (post-window): parallel offset pages
     "stream_late_drop_twin",  # NEW in r5 (post-window): real watermark drops
+    "agg_approx_percentile_verdict",  # NEW in r5 (post-window): GK rank-bound proof
     "sort_top10_orders",
     "subquery_above_avg_balance",
     "text_quality_filter",
