@@ -891,3 +891,76 @@ def agg_approx_percentile_verdict(spark, sf_dir):
             "approx_in_rank_bounds"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit profile — the classic data-quality screen for
+# "organically grown" numeric columns (prices, populations, file sizes):
+# fabricated or truncated data deviates loudly from log10(1 + 1/d). The
+# leading digit comes from the STRING form of the exact integer cents
+# (double->string formatting differs across engines; int64->string does
+# not), the shares are single divisions of exact counts, and the Benford
+# expectations are embedded as identical 9-dp literals on both sides — no
+# cross-engine log10 in sight. One groupBy on a 9-value key: map-side
+# combine makes the shuffle 9 rows regardless of corpus size.
+# --------------------------------------------------------------------------
+
+_BENFORD_P = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737, 4: 0.096910013,
+    5: 0.079181246, 6: 0.06694679, 7: 0.057991947, 8: 0.051152522,
+    9: 0.045757491,
+}
+
+# Spark parses bare decimal literals as DECIMAL — the D suffix pins
+# DOUBLE so both engines hash the same IEEE value
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+)
+_BENFORD_CASE_SPARK = " ".join(
+    f"WHEN {d} THEN {p}D" for d, p in _BENFORD_P.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT cast(substr(cast(cast(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM lineitem
+  WHERE l_extendedprice > 0
+),
+counts AS (
+  SELECT digit, cast(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT sum(n) AS t FROM counts)
+SELECT digit, n,
+       round(n / cast(t AS DOUBLE), 6) AS share,
+       CASE digit {_BENFORD_CASE} END AS benford_expected,
+       round(abs(n / cast(t AS DOUBLE) - CASE digit {_BENFORD_CASE} END), 6)
+         AS abs_dev
+FROM counts, tot
+"""
+
+
+@register(
+    "profile_benford_first_digit",
+    oracle=_BENFORD_ORACLE,
+    tags=("profile", "quality", "agg"),
+)
+def profile_benford_first_digit(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    digit = F.substring(
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    expected = F.expr(f"CASE digit {_BENFORD_CASE_SPARK} END")
+    share = F.col("n") / F.col("t").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        expected.alias("benford_expected"),
+        F.round(F.abs(share - expected), 6).alias("abs_dev"),
+    )

@@ -112,6 +112,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ingest_http_offset_demo",  # NEW in r5 (post-window): parallel offset pages
     "stream_late_drop_twin",  # NEW in r5 (post-window): real watermark drops
     "agg_approx_percentile_verdict",  # NEW in r5 (post-window): GK rank-bound proof
+    "profile_benford_first_digit",  # NEW in r5 (post-window): DQ digit profile
     "sort_top10_orders",
     "subquery_above_avg_balance",
     "text_quality_filter",
