@@ -133,3 +133,24 @@ def spread(df, *keys):
         # risk narrowing an already-wide input with a blind repartition.
         return df
     return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
+def write_single_parquet_file(df, dest: str) -> None:
+    """Write ``df`` as ONE parquet FILE at ``dest`` (not a directory).
+
+    Mirrors the testdata layout ({table}.parquet leaf files), which the
+    streaming twins' ``pathGlobFilter`` depends on: stage a coalesce(1)
+    directory write, then promote the single part file.
+    """
+    import glob
+    import os
+    import shutil
+
+    stage = f"{dest}._stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.rmtree(dest, ignore_errors=True)
+    if os.path.exists(dest):
+        os.remove(dest)
+    shutil.move(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)

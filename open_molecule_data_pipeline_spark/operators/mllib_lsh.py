@@ -207,10 +207,13 @@ def mllib_minhash_pairs(spark, sf_dir):
     computes the same ``1.0 - intersect/union`` double expression as the
     twin, so agreement is bit-stable and the verdict row deterministic."""
     # the verdict references each subtree twice (its own count + the hit
-    # join); localCheckpoint materializes the expensive LSH / token joins
-    # once instead of re-executing them per reference
-    found = _mllib_minhash_found(spark, sf_dir).localCheckpoint()
-    exact = _exact_minhash_pairs(spark, sf_dir).localCheckpoint()
+    # join); persist + count materializes the expensive LSH / token joins
+    # once instead of per reference, and — unlike localCheckpoint — keeps
+    # the lineage so a lost executor recomputes instead of failing the
+    # query (cache freed by clearCache()/ContextCleaner)
+    found = _mllib_minhash_found(spark, sf_dir).persist()
+    exact = _exact_minhash_pairs(spark, sf_dir).persist()
+    found.count(), exact.count()
     hit = found.join(exact, ["doc_a", "doc_b"]).select(
         (F.col("jaccard_dist") != F.round("ex_dist", 6)).alias("bad_dist")
     )
@@ -351,7 +354,7 @@ def mllib_brp_neighbors(spark, sf_dir):
             F.col("datasetB.vec_id").alias("vec_b"),
             F.round("euclid_dist", 6).alias("euclid_dist"),
         )
-        .localCheckpoint()  # referenced twice below: count + hit join
+        .persist()  # referenced twice below: count + hit join
     )
     right = e.select(F.col("vec_id").alias("vec_b"), F.col("arr").alias("y"))
     exact = (
@@ -363,8 +366,9 @@ def mllib_brp_neighbors(spark, sf_dir):
             "vec_b",
             F.sqrt(F.expr(_SQDIST.format(a="x", b="y"))).alias("ex_dist"),
         )
-        .localCheckpoint()  # referenced twice below: count + hit join
+        .persist()  # referenced twice below: count + hit join
     )
+    found.count(), exact.count()  # materialize once, lineage retained
     hit = found.join(exact, ["vec_a", "vec_b"]).select(
         (F.col("euclid_dist") != F.round("ex_dist", 6)).alias("bad_dist")
     )

@@ -48,7 +48,9 @@ _D2 = (
 
 def _subspaces(spark, sf_dir):
     """(vec_id, label, sub_id, v): each embedding split into N_SUB
-    double-upcast sub-vectors. One narrow explode — no shuffle."""
+    double-upcast sub-vectors via one narrow explode. spread() adds one
+    up-front repartition when the input arrives as a single file/partition
+    (else the downstream codebook scoring serializes on one core)."""
     emb = spread(
         table(spark, sf_dir, "embeddings").select(
             "vec_id",

@@ -631,20 +631,24 @@ def _sweep_stale_mv_dirs(root: str) -> None:
 # watermark computed from batch N's data becomes OPERATIVE for input
 # filtering two batches later (progress shows wm=T-3h at batch 1, yet
 # batch 1's late rows pass; batch 2's are dropped — see the debug metric
-# numRowsDroppedByWatermark). The file split is therefore chosen to be
-# correct under EITHER a one- or two-batch lag: file B's rows all live in
-# windows ending after T-3h (kept under wm = T-3h AND under wm = 0), and
-# file C's rows all live in windows ending at/before T-3h (dropped under
-# the T-3h watermark that is definitely operative by batch 2). Kept set
-# == ts > T-4h exactly, modulo a measure-zero boundary (window end ==
-# watermark requires max(ts) to land on an exact hour).
+# numRowsDroppedByWatermark). The band split is chosen to be LAG-AGNOSTIC
+# by cutting at the WINDOW boundary, not at a raw timestamp: with
+# WM = T - 3h, file B holds exactly the late rows whose 1-hour window
+# ends strictly after WM (kept whether the operative watermark during
+# their batch is 0 or WM), and file C holds the rows whose window ends at
+# or before WM (dropped under the WM that is operative by batch 2 under
+# either a one- or two-batch lag). Kept set == "in file A or window_end >
+# WM" on both engines, modulo the measure-zero case of max(ts) landing on
+# an exact hour.
 # --------------------------------------------------------------------------
 
 _LATE_DROP_ORACLE = f"""
 WITH t AS (SELECT max(ts) AS tmax FROM events),
 keep AS (
   SELECT e.ts, e.value FROM events e, t
-  WHERE e.ts > t.tmax - INTERVAL 4 HOUR
+  WHERE e.ts > t.tmax - INTERVAL 2 HOUR
+     OR time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL 1 HOUR
+        > t.tmax - INTERVAL 3 HOUR
 )
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        cast(count(*) AS BIGINT) AS n,
@@ -666,18 +670,28 @@ def stream_late_drop_twin(spark, sf_dir):
 
     tune_session(spark)
     events = _table(spark, sf_dir, "events").select(
-        F.col("ts").cast("timestamp").alias("ts"), "value"
+        F.col("ts").cast("timestamp").alias("ts"), "value", "event_id"
     )
     tmax = events.agg(F.max("ts").alias("tmax"))
+    window_end = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+    # The recent band is SPLIT into two files (event_id parity; the
+    # max-ts row pinned into the first) so at least two batches always
+    # precede the deep-late file: the watermark set by batch 0 is then
+    # operative by the deep-late batch under either a one- or two-batch
+    # lag, even when the grace band is empty at tiny scale factors.
+    is_recent = F.col("ts") > F.col("tmax") - F.expr("INTERVAL 2 HOURS")
     tagged = events.crossJoin(F.broadcast(tmax)).withColumn(
         "band",
         F.when(
-            F.col("ts") > F.col("tmax") - F.expr("INTERVAL 2 HOURS"), "a_recent"
+            is_recent
+            & ((F.col("event_id") % 2 == 1) | (F.col("ts") == F.col("tmax"))),
+            "a_recent1",
         )
+        .when(is_recent, "b_recent2")
         .when(
-            F.col("ts") > F.col("tmax") - F.expr("INTERVAL 4 HOURS"), "b_grace"
+            window_end > F.col("tmax") - F.expr("INTERVAL 3 HOURS"), "c_grace"
         )
-        .otherwise("c_deep_late"),
+        .otherwise("d_deep_late"),
     )
 
     stage = tempfile.mkdtemp(
@@ -687,27 +701,32 @@ def stream_late_drop_twin(spark, sf_dir):
     try:
         import glob as _glob
 
-        bands = ("a_recent", "b_grace", "c_deep_late")
+        bands = ("a_recent1", "b_recent2", "c_grace", "d_deep_late")
+        # ONE input scan: a coalesced partitionBy write emits one part
+        # file per band, which is then promoted to a single leaf file
+        part_root = f"{stage}/_parts"
+        (
+            tagged.select("ts", "value", "band")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(part_root)
+        )
+        present = []
         for fname in bands:
-            part_dir = f"{stage}/_{fname}"
-            (
-                tagged.filter(F.col("band") == fname)
-                .select("ts", "value")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(part_dir)
-            )
-            part = _glob.glob(f"{part_dir}/part-*.parquet")[0]
-            shutil.move(part, f"{stage}/{fname}.parquet")
-            shutil.rmtree(part_dir, ignore_errors=True)
+            parts = _glob.glob(f"{part_root}/band={fname}/part-*.parquet")
+            if parts:  # a band can be empty at tiny scale factors
+                shutil.move(parts[0], f"{stage}/{fname}.parquet")
+                present.append(fname)
+        shutil.rmtree(part_root, ignore_errors=True)
         # FileStreamSource orders by modification time: pin the batch
         # order recent -> grace -> deep-late explicitly
         now = _time.time()
-        for i, fname in enumerate(bands):
-            t = now - 60 * (len(bands) - i)
+        for i, fname in enumerate(present):
+            t = now - 60 * (len(present) - i)
             os.utime(f"{stage}/{fname}.parquet", (t, t))
 
-        schema = spark.read.parquet(f"{stage}/a_recent.parquet").schema
+        schema = spark.read.parquet(f"{stage}/a_recent1.parquet").schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")

@@ -96,12 +96,16 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "func_try_ops",
     "func_timezone_convert",
     "func_explode_outer",
-    # --- r6 queue (past position 50; the three sim_ivf_* queries CHANGED
-    # in r5 — sqrt(n) coarse quantizer replacing the fixed centroid stride,
-    # found by the 10x scale run — could not displace the never-sampled
-    # fill above; they are locally parity-verified (pytest oracle sweep +
-    # driver-sim) and queued FIRST for the r6 window. Family sentinels
-    # follow so future windows can re-verify rotated-out families. ---
+    # --- r6 queue (past position 50). CHANGED in r5 but not in the head-50
+    # window (it is fully spent on the never-sampled fill + the 8 entries
+    # above): the three sim_ivf_* queries (sqrt(n) coarse quantizer), plus
+    # sim_topk_bruteforce / sim_ann_lsh_topk / sim_pq_encode /
+    # sim_pq_adc_topk / mllib_minhash_recall / mllib_brp_recall (spread()
+    # repartition guard or persist-level changes — value-identical plans).
+    # ALL are locally parity-verified in vanilla driver-sim sessions
+    # (full-contract sweep, r5) and the new/semantics-changed ones are
+    # queued FIRST for the r6 window. Family sentinels follow so future
+    # windows can re-verify rotated-out families. ---
     "sim_ivf_topk",
     "sim_ivf_persisted",
     "sim_ivf_recall",
@@ -113,6 +117,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "stream_late_drop_twin",  # NEW in r5 (post-window): real watermark drops
     "agg_approx_percentile_verdict",  # NEW in r5 (post-window): GK rank-bound proof
     "profile_benford_first_digit",  # NEW in r5 (post-window): DQ digit profile
+    "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
+    "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
+    "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
+    "sim_pq_adc_topk",  # CHANGED in r5 (bounded query batch + spread)
     "sort_top10_orders",
     "subquery_above_avg_balance",
     "text_quality_filter",

@@ -86,24 +86,14 @@ def generate(spark) -> None:
         + 1
     )
 
-    import glob as _glob
-    import shutil
+    from open_molecule_data_pipeline_spark.operators._util import (
+        write_single_parquet_file,
+    )
 
     def write_single_file(df, name: str) -> None:
-        # The testdata layout is one parquet FILE per table, and the
-        # streaming twins' pathGlobFilter='events.parquet' matches leaf
-        # FILE names — a directory of part-files would stream zero rows.
-        # Stage a coalesce(1) directory write, then move the single part
-        # file into place as {name}.parquet.
-        stage = f"{SCALE_DIR}/_stage_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = _glob.glob(f"{stage}/part-*.parquet")[0]
-        dest = f"{SCALE_DIR}/{name}.parquet"
-        shutil.rmtree(dest, ignore_errors=True)
-        if os.path.exists(dest):
-            os.remove(dest)
-        shutil.move(part, dest)
-        shutil.rmtree(stage, ignore_errors=True)
+        # testdata layout = one parquet FILE per table (the streaming
+        # twins' pathGlobFilter matches leaf file names)
+        write_single_parquet_file(df, f"{SCALE_DIR}/{name}.parquet")
 
     Path(SCALE_DIR).mkdir(parents=True, exist_ok=True)
     for name in FIXED:

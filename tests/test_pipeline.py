@@ -123,9 +123,23 @@ def test_parse_mode_end_to_end(spark, job_config):
     assert {f: f.stat().st_mtime_ns for f in files} == mtimes
 
 
-from open_molecule_data_pipeline_spark.operators.ingest_demo import (
-    _CHEMBL_RECORD as _CHEMBL_SDF,
-)
+# Deliberately an INDEPENDENT copy of the ChEMBL record format (not
+# imported from ingest_demo): the test pins the EXTERNAL file format the
+# reference defines (chembl.py:40-47); sharing the template with the
+# product would let a tag-spelling regression slip through with both
+# sides drifting together.
+_CHEMBL_SDF = """Demo
+  -Engine-
+
+M  END
+>  <ChEMBL_ID>
+CHEMBL{cid}
+
+>  <CANONICAL_SMILES>
+{smiles}
+
+$$$$
+"""
 
 
 def test_named_connector_types(spark, tmp_path):
