@@ -743,3 +743,71 @@ def func_collation_group(spark, sf_dir):
             "n_spellings",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LISTAGG (SQL:2016 ordered string aggregation, new in Spark 4.0) — the
+# ordered-concatenation surface: DISTINCT + WITHIN GROUP (ORDER BY) per
+# group, plus a bounded top-k listagg (rank-limited BEFORE aggregation so
+# the concatenated payload is capped — unbounded listagg of raw rows is a
+# scale hazard; the filter keeps it 5 clerks per group no matter the
+# corpus). DuckDB's string_agg twin has identical semantics.
+# --------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, cast(o_custkey AS VARCHAR) AS ck,
+         row_number() OVER (
+           PARTITION BY o_orderpriority ORDER BY cast(o_custkey AS VARCHAR)
+         ) AS rn
+  FROM (SELECT DISTINCT o_orderpriority, o_custkey FROM orders) t
+),
+top_custs AS (
+  SELECT o_orderpriority,
+         string_agg(ck, ',' ORDER BY ck) AS first_custs
+  FROM ranked WHERE rn <= 5 GROUP BY o_orderpriority
+),
+statuses AS (
+  SELECT o_orderpriority,
+         string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+         cast(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT s.o_orderpriority, s.statuses, s.n_orders, t.first_custs
+FROM statuses s JOIN top_custs t ON s.o_orderpriority = t.o_orderpriority
+"""
+
+
+@register("func_listagg_group", oracle=_LISTAGG_ORACLE, tags=("func", "agg"))
+def func_listagg_group(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    ranked = (
+        o.select("o_orderpriority", F.col("o_custkey").cast("string").alias("ck"))
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_orderpriority").orderBy("ck")
+            ),
+        )
+    )
+    top_custs = (
+        ranked.filter(F.col("rn") <= 5)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("listagg(ck, ',') WITHIN GROUP (ORDER BY ck)").alias(
+                "first_custs"
+            )
+        )
+    )
+    statuses = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, ',')"
+            " WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return statuses.join(F.broadcast(top_custs), "o_orderpriority").select(
+        "o_orderpriority", "statuses", "n_orders", "first_custs"
+    )

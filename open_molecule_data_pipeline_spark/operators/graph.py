@@ -717,3 +717,120 @@ def graph_triangle_count(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS: k-hop shortest hop distances from a seed set — the
+# missing "shortest paths" member of the iterative-graph family (CC and
+# PageRank above converge on labels/mass; BFS converges on DISTANCE).
+# Frontier-expansion form: each round joins the current frontier to the
+# edge list (one equi-join shuffle on node id) and anti-joins the visited
+# set, so per-round cost tracks |frontier ∪ edges touched|, never |V|².
+# The bipartite supplier-part graph comes from lineitem (supplier 2s,
+# part 2p+1 packed into one integer node space); seeds are the suppliers
+# of nation 0. The oracle unrolls the same expansion as NOT-IN chains —
+# exact for a fixed k.
+# --------------------------------------------------------------------------
+
+N_BFS_HOPS = 3
+
+
+def bfs_khop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """(node, hop) minimum hop distance (<= k) from any seed node.
+
+    ``edges``: columns (u, v), undirected expansion handled here.
+    ``seeds``: column (node). Each round localCheckpoints the frontier so
+    the loop doesn't stack lineage (same discipline as
+    :func:`connected_components`).
+    """
+    undirected = (
+        edges.select("u", "v")
+        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint()
+    frontier = visited
+    for hop in range(1, k + 1):
+        nxt = (
+            undirected.join(frontier, undirected.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hop"))
+            .localCheckpoint()
+        )
+        new_visited = visited.unionByName(nxt).localCheckpoint()
+        visited.unpersist()
+        frontier.unpersist()
+        visited, frontier = new_visited, nxt
+        if frontier.isEmpty():
+            break
+    return visited
+
+
+_BFS_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v FROM lineitem
+),
+ud AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+d0 AS (
+  SELECT DISTINCT s_suppkey * 2 AS node FROM supplier WHERE s_nationkey = 0
+),
+d1 AS (
+  SELECT DISTINCT ud.v AS node FROM ud JOIN d0 ON ud.u = d0.node
+  WHERE ud.v NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT ud.v AS node FROM ud JOIN d1 ON ud.u = d1.node
+  WHERE ud.v NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT ud.v AS node FROM ud JOIN d2 ON ud.u = d2.node
+  WHERE ud.v NOT IN (
+    SELECT node FROM d0 UNION ALL SELECT node FROM d1
+    UNION ALL SELECT node FROM d2
+  )
+),
+allhops AS (
+  SELECT node, 0 AS hop FROM d0
+  UNION ALL SELECT node, 1 FROM d1
+  UNION ALL SELECT node, 2 FROM d2
+  UNION ALL SELECT node, 3 FROM d3
+)
+SELECT cast(hop AS INTEGER) AS hop,
+       CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       cast(count(*) AS BIGINT) AS n_nodes,
+       cast(min(node) AS BIGINT) AS min_node,
+       cast(max(node) AS BIGINT) AS max_node
+FROM allhops
+GROUP BY hop, CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+"""
+
+
+@register("graph_bfs_khop", oracle=_BFS_ORACLE, tags=("graph",))
+def graph_bfs_khop(spark, sf_dir):
+    from ..catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") * 2).alias("u"),
+        (F.col("l_partkey") * 2 + 1).alias("v"),
+    ).distinct()
+    seeds = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+        .distinct()
+    )
+    visited = bfs_khop(edges, seeds, N_BFS_HOPS)
+    return visited.groupBy(
+        F.col("hop").cast("int").alias("hop"),
+        F.when(F.col("node") % 2 == 0, "supplier")
+        .otherwise("part")
+        .alias("node_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

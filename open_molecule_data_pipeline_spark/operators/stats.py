@@ -181,3 +181,117 @@ def udf_pandas_logistic_score(spark, sf_dir):
         .orderBy("l_orderkey")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized (percentile-clipped) statistics — the outlier-robust feature
+# scaling a training pipeline applies before normalization. Exact p05/p95
+# thresholds at scale via the VALUE-HISTOGRAM two-phase form: aggregate to
+# (group, value) counts first, then run the cumulative window over the
+# histogram, not the raw rows — the window's input is bounded by the value
+# domain (distinct cents), not the row count, so the per-group sort that
+# makes exact percentiles "impossible" at 100 TB touches a few million
+# histogram rows instead of trillions of raw ones. Rank positions are pure
+# integer arithmetic (ceil(n/20) = (n+19)//20) — no 0.05 literal whose
+# decimal-vs-double parse differs between engines. All sums are int64
+# cents; one division at the end.
+# --------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH hist AS (
+  SELECT l_returnflag AS flag,
+         cast(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         cast(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, cents, c,
+         sum(c) OVER (PARTITION BY flag ORDER BY cents) AS cm,
+         sum(c) OVER (PARTITION BY flag) AS n
+  FROM hist
+),
+thr AS (
+  SELECT flag,
+         cast(min(CASE WHEN cm >= (n + 19) // 20 THEN cents END) AS BIGINT)
+             AS lo,
+         cast(min(CASE WHEN cm >= (19 * n + 19) // 20 THEN cents END)
+              AS BIGINT) AS hi,
+         cast(max(n) AS BIGINT) AS n
+  FROM cum GROUP BY flag
+)
+SELECT h.flag,
+       t.n AS n_rows,
+       round(t.lo / 100.0, 2) AS p05,
+       round(t.hi / 100.0, 2) AS p95,
+       cast(sum(CASE WHEN h.cents < t.lo THEN h.c ELSE 0 END) AS BIGINT)
+           AS n_clip_low,
+       cast(sum(CASE WHEN h.cents > t.hi THEN h.c ELSE 0 END) AS BIGINT)
+           AS n_clip_high,
+       (cast(sum(least(greatest(h.cents, t.lo), t.hi) * h.c) AS BIGINT)
+        / cast(100 AS DOUBLE)) AS win_sum
+FROM hist h JOIN thr t ON h.flag = t.flag
+GROUP BY h.flag, t.n, t.lo, t.hi
+"""
+
+
+@register("agg_winsorized_stats", oracle=_WINSOR_ORACLE, tags=("agg", "stats"))
+def agg_winsorized_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.partitionBy("flag").orderBy("cents")
+    w_all = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pos_lo = F.floor((F.col("n") + 19) / 20)
+    pos_hi = F.floor((19 * F.col("n") + 19) / 20)
+    thr = cum.groupBy("flag").agg(
+        F.min(F.when(F.col("cm") >= pos_lo, F.col("cents")))
+        .cast("long")
+        .alias("lo"),
+        F.min(F.when(F.col("cm") >= pos_hi, F.col("cents")))
+        .cast("long")
+        .alias("hi"),
+        F.max("n").cast("long").alias("n"),
+    )
+    clipped = hist.join(F.broadcast(thr), "flag").select(
+        "flag",
+        F.col("n").alias("n_rows"),
+        "lo",
+        "hi",
+        "c",
+        "cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias("cc"),
+    )
+    return clipped.groupBy("flag", "n_rows", "lo", "hi").agg(
+        F.sum(F.when(F.col("cents") < F.col("lo"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_clip_low"),
+        F.sum(F.when(F.col("cents") > F.col("hi"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_clip_high"),
+        (F.sum(F.col("cc") * F.col("c")).cast("long") / F.lit(100.0)).alias(
+            "win_sum"
+        ),
+    ).select(
+        "flag",
+        "n_rows",
+        F.round(F.col("lo") / 100.0, 2).alias("p05"),
+        F.round(F.col("hi") / 100.0, 2).alias("p95"),
+        "n_clip_low",
+        "n_clip_high",
+        "win_sum",
+    )

@@ -757,3 +757,58 @@ def stream_late_drop_twin(spark, sf_dir):
         return spark.createDataFrame(rows, schema=final.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Stream-STATIC join twin: the stateless enrichment join (stream side
+# unbounded, dimension side a plain batch DataFrame) — a different operator
+# from the stream-stream join above: no join state store, no watermark
+# bookkeeping on the static side; on a cluster the broadcast dimension
+# makes it a map-side hash join per micro-batch, the canonical "enrich
+# events with the user table" shape. Events join the customer dimension on
+# user_id = c_custkey, then a tumbling-window aggregation per market
+# segment proves the join output flows into stateful windowing.
+# --------------------------------------------------------------------------
+
+_STATIC_JOIN_TWIN_ORACLE = f"""
+SELECT time_bucket(INTERVAL '4 hours', e.ts) AS window_start,
+       c.c_mktsegment AS segment,
+       count(*) AS n,
+       {s_lsum('e.value', 100)} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY time_bucket(INTERVAL '4 hours', e.ts), c.c_mktsegment
+"""
+
+
+@register(
+    "stream_static_join_twin",
+    oracle=_STATIC_JOIN_TWIN_ORACLE,
+    tags=("streaming", "join"),
+)
+def stream_static_join_twin(spark, sf_dir):
+    from ..catalog import table
+
+    events = _events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    )
+    agg = (
+        joined.groupBy(
+            F.window("ts", "4 hours").alias("w"), F.col("c_mktsegment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100).cast("double")
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(spark, agg, output_mode="complete")

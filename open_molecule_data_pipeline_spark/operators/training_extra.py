@@ -231,3 +231,184 @@ def sample_nucleus_topp(spark, sf_dir):
         "chars_selected",
         "pct_of_mass",
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training shuffle + sharding: the export step that turns a
+# curated corpus into N training shards with a reproducible pseudo-random
+# order (order by md5 — a fixed uniform permutation, identical on every
+# run and every engine, no RNG state to coordinate across executors).
+# Per-shard windows are partitioned by shard (the parallel unit — a real
+# export uses thousands of shards, so no global window ever forms) and the
+# order checksum folds each doc's shard position into an exact int64 so a
+# hash match PROVES byte-identical shard ordering, not just membership.
+# --------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         md5(cast(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, n_chars, hx,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8 AS shard
+  FROM h
+),
+pos AS (
+  SELECT shard, doc_id, n_chars, hx,
+         row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS rn
+  FROM sh
+)
+SELECT cast(shard AS INTEGER) AS shard,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum((doc_id * rn) % 1000003) AS BIGINT) AS order_checksum,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       cast(min_by(doc_id, hx) AS BIGINT) AS first_doc
+FROM pos
+GROUP BY shard
+"""
+
+
+@register(
+    "sample_shuffle_shards", oracle=_SHUFFLE_ORACLE, tags=("sample", "training")
+)
+def sample_shuffle_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    sh = d.select(
+        "doc_id",
+        "n_chars",
+        hx.alias("hx"),
+        ((F.instr(F.lit("0123456789abcdef"), F.substring(hx, 1, 1)) - 1) % 8)
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    pos = sh.withColumn("rn", F.row_number().over(w))
+    return pos.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") * F.col("rn")) % 1000003)
+        .cast("long")
+        .alias("order_checksum"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min_by("doc_id", "hx").cast("long").alias("first_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023): score every document by
+# how much more likely its unigrams are under a TARGET distribution (here:
+# the English slice — the "domain" being upsampled) than under the raw
+# corpus distribution. weight(doc) = mean_tok [ ln p_t(tok) - ln p_r(tok) ],
+# Laplace-smoothed over the shared vocabulary so out-of-target tokens are
+# defined. Per-token log-ratios are quantized to round(x*1e6) int64 at the
+# vocabulary level (broadcast — Heaps-law small), so every per-doc sum is
+# exact integer arithmetic; one division + one round at the end, same
+# correctly-rounded IEEE ops on both engines.
+# --------------------------------------------------------------------------
+
+_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+v AS (SELECT cast(count(*) AS BIGINT) AS nv,
+             cast(sum(cr) AS BIGINT) AS tr FROM vocab),
+tgt AS (
+  SELECT tok, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY tok
+),
+tt AS (SELECT cast(count(*) AS BIGINT) AS t FROM toks WHERE lang = 'en'),
+lp AS (
+  SELECT vocab.tok,
+         cast(round((ln((coalesce(tgt.ct, 0) + 1)
+                        / cast(tt.t + v.nv AS DOUBLE))
+                     - ln((vocab.cr + 1) / cast(v.tr + v.nv AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS lq6
+  FROM vocab LEFT JOIN tgt ON vocab.tok = tgt.tok, tt, v
+),
+ds AS (
+  SELECT t.doc_id, max(t.source) AS source,
+         cast(sum(l.lq6) AS BIGINT) AS s, count(*) AS n_tok
+  FROM toks t JOIN lp l ON t.tok = l.tok
+  GROUP BY t.doc_id
+),
+sc AS (
+  SELECT source, round(s / cast(n_tok * 1000000 AS DOUBLE), 6) AS w FROM ds
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_upweighted,
+       round(min(w), 6) AS min_w,
+       round(max(w), 6) AS max_w
+FROM sc
+GROUP BY source
+"""
+
+
+@register("text_dsir_weights", oracle=_DSIR_ORACLE, tags=("text", "training"))
+def text_dsir_weights(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    v = vocab.agg(
+        F.count(F.lit(1)).alias("nv"), F.sum("cr").cast("long").alias("tr")
+    )
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tt = toks.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    lp = (
+        vocab.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "tok",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        / (F.col("t") + F.col("nv")).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1)
+                        / (F.col("tr") + F.col("nv")).cast("double")
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lq6"),
+        )
+    )
+    ds = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max("source").alias("source"),
+            F.sum("lq6").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    sc = ds.select(
+        "source",
+        F.round(
+            F.col("s") / (F.col("n_tok") * 1000000).cast("double"), 6
+        ).alias("w"),
+    )
+    return sc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("w") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_upweighted"),
+        F.round(F.min("w"), 6).alias("min_w"),
+        F.round(F.max("w"), 6).alias("max_w"),
+    )

@@ -117,6 +117,14 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "stream_late_drop_twin",  # NEW in r5 (post-window): real watermark drops
     "agg_approx_percentile_verdict",  # NEW in r5 (post-window): GK rank-bound proof
     "profile_benford_first_digit",  # NEW in r5 (post-window): DQ digit profile
+    "dedup_paragraphs",  # NEW in r5 (post-window): segment-level exact dedup
+    "dedup_prefix_filter_join",  # NEW in r5 (post-window): exact Jaccard join
+    "graph_bfs_khop",  # NEW in r5 (post-window): multi-source BFS distances
+    "agg_winsorized_stats",  # NEW in r5 (post-window): histogram percentiles
+    "sample_shuffle_shards",  # NEW in r5 (post-window): deterministic shuffle
+    "text_dsir_weights",  # NEW in r5 (post-window): DSIR importance weights
+    "stream_static_join_twin",  # NEW in r5 (post-window): stream-static join
+    "func_listagg_group",  # NEW in r5 (post-window): SQL:2016 LISTAGG
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
@@ -177,6 +185,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.windows_extra",
     "open_molecule_data_pipeline_spark.operators.timeseries",
     "open_molecule_data_pipeline_spark.operators.dedup",
+    "open_molecule_data_pipeline_spark.operators.segments",
     "open_molecule_data_pipeline_spark.operators.similarity",
     "open_molecule_data_pipeline_spark.operators.text",
     "open_molecule_data_pipeline_spark.operators.text_pipeline",
