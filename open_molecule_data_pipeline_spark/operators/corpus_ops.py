@@ -525,3 +525,127 @@ def text_bpe_pair_merges(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup — the first dedup a web-scale crawl runs,
+# BEFORE any content hashing: lowercase scheme/host, strip default ports,
+# drop fragments, remove utm_* tracking params, and SORT the remaining
+# query params so param order can't split identical resources. URLs are
+# synthesized deterministically from doc_id with deliberate variation
+# (scheme/host case, a default :80 port, shuffled param order, per-doc
+# utm junk) so the normalizer has real work to undo; the oracle replays
+# the same normalization with DuckDB's list functions. Pure per-row
+# expression work — no shuffle until the final count-distinct, which
+# shuffles the (bounded) normalized strings' hash space.
+# --------------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id, source,
+         (CASE doc_id % 2 WHEN 0 THEN 'HTTP' ELSE 'http' END)
+         || '://'
+         || (CASE doc_id % 3 WHEN 0 THEN 'WWW.Site' ELSE 'www.site' END)
+         || cast(doc_id % 7 AS VARCHAR)
+         || '.COM'
+         || (CASE doc_id % 4 WHEN 0 THEN ':80' ELSE '' END)
+         || '/item/' || cast(doc_id % 40 AS VARCHAR)
+         || (CASE doc_id % 2
+             WHEN 0 THEN '?a=1&b=' || cast(doc_id % 3 AS VARCHAR)
+                         || '&utm_source=s' || cast(doc_id AS VARCHAR)
+             ELSE '?utm_campaign=c' || cast(doc_id AS VARCHAR)
+                  || '&b=' || cast(doc_id % 3 AS VARCHAR) || '&a=1' END)
+         || '#frag' || cast(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, source, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+         || lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1))
+         || (CASE WHEN regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1)
+                       IN ('', '80', '443') THEN ''
+             ELSE ':' || regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1)
+             END)
+         || regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1)
+         || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS norm_url
+  FROM (
+    SELECT doc_id, source, url,
+           array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+               x -> NOT starts_with(x, 'utm_'))), '&') AS q2
+    FROM u
+  )
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_urls,
+       cast(count(DISTINCT norm_url) AS BIGINT) AS n_canonical,
+       cast(count(*) - count(DISTINCT norm_url) AS BIGINT) AS n_dup,
+       min(norm_url) AS sample_url
+FROM norm
+GROUP BY source
+"""
+
+
+@register("dedup_url_normalize", oracle=_URL_ORACLE, tags=("dedup", "web"))
+def dedup_url_normalize(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, "HTTP").otherwise("http"),
+        F.lit("://"),
+        F.when(did % 3 == 0, "WWW.Site").otherwise("www.site"),
+        (did % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(did % 4 == 0, ":80").otherwise(""),
+        F.lit("/item/"),
+        (did % 40).cast("string"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("?a=1&b="),
+                (did % 3).cast("string"),
+                F.lit("&utm_source=s"),
+                did.cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?utm_campaign=c"),
+                did.cast("string"),
+                F.lit("&b="),
+                (did % 3).cast("string"),
+                F.lit("&a=1"),
+            )
+        ),
+        F.lit("#frag"),
+        did.cast("string"),
+    )
+    u = d.select("doc_id", "source", url.alias("url"))
+    q2 = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+                lambda x: ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    port = F.regexp_extract("url", r"^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    norm_url = F.concat(
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)),
+        F.lit("://"),
+        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/:?#]+)", 1)),
+        F.when(port.isin("", "80", "443"), "").otherwise(
+            F.concat(F.lit(":"), port)
+        ),
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1),
+        F.when(q2 == "", "").otherwise(F.concat(F.lit("?"), q2)),
+    )
+    norm = u.select("doc_id", "source", norm_url.alias("norm_url"))
+    return norm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("norm_url").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("norm_url"))
+        .cast("long")
+        .alias("n_dup"),
+        F.min("norm_url").alias("sample_url"),
+    )

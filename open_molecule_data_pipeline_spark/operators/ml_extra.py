@@ -297,3 +297,140 @@ def ml_ols_normal_equations(spark, sf_dir):
         "round((n * (Sqq * Sdy - Sqd * Sqy) - Sq * (Sq * Sdy - Sqy * Sd)"
         " + Sy * (Sq * Sqd - Sqq * Sd)) / detA, 6) AS b2",
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes, trained AND applied distributed: per-language
+# Laplace-smoothed unigram log-likelihoods + log-priors (the model — small,
+# int64-quantized at the vocabulary level, broadcast), then every document
+# scored against every class and argmax'd into a confusion matrix. This is
+# the one-pass generative text classifier a corpus pipeline uses for cheap
+# language/domain routing when the n-gram heuristic isn't enough. All
+# cross-row arithmetic is exact int64 (log-probs quantized to 1e-6 at the
+# model table); argmax ties break to the lexicographically smallest class
+# via max-score filter + min(lang) — deterministic on both engines.
+# Scale: the model is vocab x n_classes (Heaps-law sublinear — broadcast);
+# scoring is one broadcast join on the token stream + one groupBy
+# (doc, class); no shuffle carries document text.
+# --------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM toks),
+v AS (SELECT cast(count(*) AS BIGINT) AS nv FROM vocab),
+classes AS (
+  SELECT lang AS cls, cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(n_tok) AS BIGINT) AS t
+  FROM (SELECT doc_id, max(lang) AS lang, count(*) AS n_tok
+        FROM toks GROUP BY doc_id)
+  GROUP BY lang
+),
+nd AS (SELECT cast(sum(n_docs) AS BIGINT) AS total FROM classes),
+prior AS (
+  SELECT cls, cast(round(ln(n_docs / cast(nd.total AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lp6
+  FROM classes, nd
+),
+cnt AS (
+  SELECT lang AS cls, tok, cast(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY lang, tok
+),
+model AS (
+  SELECT cl.cls, vb.tok,
+         cast(round(ln((coalesce(ct.c, 0) + 1)
+                       / cast(cl.t + v.nv AS DOUBLE)) * 1000000) AS BIGINT)
+             AS lq6
+  FROM vocab vb CROSS JOIN classes cl
+  LEFT JOIN cnt ct ON ct.cls = cl.cls AND ct.tok = vb.tok, v
+),
+scored AS (
+  SELECT t.doc_id, max(t.lang) AS true_lang, m.cls,
+         cast(sum(m.lq6) AS BIGINT) + max(p.lp6) AS s
+  FROM toks t
+  JOIN model m ON t.tok = m.tok
+  JOIN prior p ON p.cls = m.cls
+  GROUP BY t.doc_id, m.cls
+),
+best AS (SELECT doc_id, max(s) AS mx FROM scored GROUP BY doc_id),
+pred AS (
+  SELECT s.doc_id, max(s.true_lang) AS true_lang, min(s.cls) AS pred_lang
+  FROM scored s JOIN best b ON s.doc_id = b.doc_id AND s.s = b.mx
+  GROUP BY s.doc_id
+)
+SELECT true_lang, pred_lang, cast(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@register("ml_naive_bayes_confusion", oracle=_NB_ORACLE, tags=("ml", "text"))
+def ml_naive_bayes_confusion(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.select("tok").distinct()
+    v = vocab.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.max("lang").alias("lang"), F.count(F.lit(1)).alias("n_tok")
+    )
+    classes = per_doc.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("t"),
+    )
+    nd = classes.agg(F.sum("n_docs").cast("long").alias("total"))
+    prior = classes.crossJoin(F.broadcast(nd)).select(
+        "cls",
+        F.round(F.log(F.col("n_docs") / F.col("total").cast("double")) * 1000000)
+        .cast("long")
+        .alias("lp6"),
+    )
+    cnt = toks.groupBy(F.col("lang").alias("cls"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    model = (
+        vocab.crossJoin(F.broadcast(classes))
+        .join(cnt, ["cls", "tok"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "cls",
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce("c", F.lit(0)) + 1)
+                    / (F.col("t") + F.col("nv")).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lq6"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(model), "tok")
+        .join(F.broadcast(prior), "cls")
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.max("lang").alias("true_lang"),
+            (F.sum("lq6").cast("long") + F.max("lp6")).alias("s"),
+        )
+    )
+    best = scored.groupBy("doc_id").agg(F.max("s").alias("mx"))
+    sc = scored.alias("sc")
+    bs = best.alias("bs")
+    pred = (
+        sc.join(
+            bs,
+            (F.col("sc.doc_id") == F.col("bs.doc_id"))
+            & (F.col("sc.s") == F.col("bs.mx")),
+        )
+        .groupBy(F.col("sc.doc_id"))
+        .agg(
+            F.max("sc.true_lang").alias("true_lang"),
+            F.min("sc.cls").alias("pred_lang"),
+        )
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

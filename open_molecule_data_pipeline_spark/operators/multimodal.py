@@ -944,3 +944,90 @@ def mm_pcm_resample(spark, sf_dir):
 
     d = spread(table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     return d.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------------------
+# Nearest-neighbor image resize: the canonical vision-preprocessing map
+# (decode -> resize -> per-image features) as one Arrow-batched mapInPandas
+# stage. Each doc's closed-form PNG (same fixture family as
+# mm_image_decode) is REALLY decoded, resized to a fixed 6x5 thumbnail
+# with integer nearest-neighbor index maps (floor(dst * src / dst_dim) —
+# pure int arithmetic, so the oracle can replay it exactly), and reduced
+# to integer stats including a position-weighted checksum that pins every
+# resized pixel's VALUE AND POSITION. Batch shape: one input row per image,
+# decode+resize vectorized per row in numpy — no per-pixel Python.
+# --------------------------------------------------------------------------
+
+_RESIZE_W, _RESIZE_H = 6, 5
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       cast({_RESIZE_W} AS INTEGER) AS width,
+       cast({_RESIZE_H} AS INTEGER) AS height,
+       cast(sum(v) AS BIGINT) AS sum_px,
+       cast(sum((k + 1) * v) AS BIGINT) AS checksum
+FROM (
+  SELECT doc_id, k,
+         (doc_id * 7
+          + (((k // ({_RESIZE_W} * 3)) * h // {_RESIZE_H} * w
+              + ((k % ({_RESIZE_W} * 3)) // 3) * w // {_RESIZE_W}) * 3
+             + k % 3) * 5) % 256 AS v
+  FROM (
+    SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+           unnest(range({_RESIZE_W} * {_RESIZE_H} * 3)) AS k
+    FROM documents
+  ) g
+) px
+GROUP BY doc_id
+"""
+
+
+@register("mm_image_resize_nn", oracle=_RESIZE_ORACLE, tags=("multimodal", "image"))
+def mm_image_resize_nn(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w2, h2 = _RESIZE_W, _RESIZE_H
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                j = np.arange(w * h * 3, dtype=np.int64)
+                img = (
+                    ((doc_id * 7 + j * 5) % 256).astype(np.uint8).reshape(h, w, 3)
+                )
+                blob = encode_png(img, filters=[0, 1, 2, 3, 4])
+                dec = decode_media(bytes(blob), "image/png")
+                px = dec["pixels"]
+                ys = (np.arange(h2, dtype=np.int64) * h) // h2
+                xs = (np.arange(w2, dtype=np.int64) * w) // w2
+                thumb = px[np.ix_(ys, xs)].astype(np.int64)  # (h2, w2, 3)
+                flat = thumb.reshape(-1)
+                k = np.arange(flat.size, dtype=np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        w2,
+                        h2,
+                        int(flat.sum()),
+                        int(((k + 1) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_px", "checksum"],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)

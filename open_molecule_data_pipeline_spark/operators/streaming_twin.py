@@ -812,3 +812,113 @@ def stream_static_join_twin(spark, sf_dir):
         )
     )
     return _run_to_memory(spark, agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# CHAINED stateful operators twin: a windowed aggregation whose input is
+# another windowed aggregation (hourly counts rolled up to 4-hour blocks),
+# running as ONE streaming query with TWO state stores — the multi-stateful
+# pipeline Spark supports since 3.4 (event time propagated between stages
+# via window_time(); append mode end to end). Two-file protocol: the real
+# events form batch 0; a single far-future sentinel row (tmax + 30 days,
+# synthesized by the operator, absent from the oracle's input) forms batch
+# 1 and pushes the global watermark past every real window, so the final
+# no-data micro-batch flushes BOTH state stores completely. The sentinel's
+# own windows never close (watermark = sentinel - delay), so the emitted
+# result is exactly the batch chain over the real events — which is what
+# the oracle computes. Monetary sums stay int64 cents through both
+# stateful stages; one division after the sink.
+# --------------------------------------------------------------------------
+
+_CHAINED_AGG_ORACLE = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hb,
+         event_type,
+         cast(count(*) AS BIGINT) AS n,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+  FROM events
+  GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+)
+SELECT time_bucket(INTERVAL '4 hours', hb) AS window_start,
+       event_type,
+       cast(sum(n) AS BIGINT) AS total_events,
+       cast(count(*) AS BIGINT) AS n_hours,
+       (cast(sum(sv) AS BIGINT) / cast(100 AS DOUBLE)) AS sum_value
+FROM hourly
+GROUP BY time_bucket(INTERVAL '4 hours', hb), event_type
+"""
+
+
+@register(
+    "stream_chained_agg_twin",
+    oracle=_CHAINED_AGG_ORACLE,
+    tags=("streaming", "stateful"),
+)
+def stream_chained_agg_twin(spark, sf_dir):
+    import time as _time
+
+    from ..catalog import table as _table
+
+    tune_session(spark)
+    events = _table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(
+        prefix="omdp_chained_",
+        dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None,
+    )
+    try:
+        events.coalesce(1).write.parquet(f"{stage}/in")
+        sentinel = events.agg(
+            (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit("zz_sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(f"{stage}/in")
+        import glob as _glob
+
+        files = sorted(
+            _glob.glob(f"{stage}/in/part-*.parquet"), key=os.path.getmtime
+        )
+        now = _time.time()
+        for i, f in enumerate(files):
+            t = now - 60 * (len(files) - i)
+            os.utime(f, (t, t))
+
+        schema = spark.read.parquet(f"{stage}/in").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{stage}/in")
+        )
+        hourly = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("sv"),
+            )
+        )
+        rollup = (
+            hourly.groupBy(
+                F.window(F.window_time("w1"), "4 hours").alias("w2"),
+                "event_type",
+            )
+            .agg(
+                F.sum("n").cast("long").alias("total_events"),
+                F.count(F.lit(1)).alias("n_hours"),
+                F.sum("sv").cast("long").alias("sv"),
+            )
+        )
+        sunk = _run_to_memory(spark, rollup, output_mode="append")
+        final = sunk.select(
+            F.col("w2.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "total_events",
+            "n_hours",
+            (F.col("sv") / F.lit(100).cast("double")).alias("sum_value"),
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, schema=final.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

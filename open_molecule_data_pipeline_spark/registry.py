@@ -125,6 +125,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "text_dsir_weights",  # NEW in r5 (post-window): DSIR importance weights
     "stream_static_join_twin",  # NEW in r5 (post-window): stream-static join
     "func_listagg_group",  # NEW in r5 (post-window): SQL:2016 LISTAGG
+    "stream_chained_agg_twin",  # NEW in r5 (post-window): two-state pipeline
+    "mm_image_resize_nn",  # NEW in r5 (post-window): decode+resize features
+    "ml_naive_bayes_confusion",  # NEW in r5 (post-window): NB train+classify
+    "dedup_url_normalize",  # NEW in r5 (post-window): URL canonicalization
+    "join_spatial_grid",  # NEW in r5 (post-window): 2-D cell-bucketed join
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
@@ -186,6 +191,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.timeseries",
     "open_molecule_data_pipeline_spark.operators.dedup",
     "open_molecule_data_pipeline_spark.operators.segments",
+    "open_molecule_data_pipeline_spark.operators.spatial",
     "open_molecule_data_pipeline_spark.operators.similarity",
     "open_molecule_data_pipeline_spark.operators.text",
     "open_molecule_data_pipeline_spark.operators.text_pipeline",
