@@ -110,3 +110,76 @@ def format_zorder_layout(spark, sf_dir):
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout key — the better-locality alternative to the Morton
+# (Z-order) key above: the Hilbert curve has NO long diagonal jumps, so
+# consecutive key ranges map to tighter spatial bounding boxes (smaller
+# min/max column stats per file -> sharper range pruning for 2-D
+# predicates; Delta Lake's OPTIMIZE ZORDER moved to Hilbert for exactly
+# this reason). The xy2d transform is inherently iterative (each bit level
+# rotates/reflects the quadrant frame), which nests badly as a single
+# expression — so the 8 levels unroll into a CHAIN of CTE projections
+# (linear text, linear plan; Catalyst collapses adjacent projections into
+# one whole-stage-codegen map). The SAME generated SQL text runs on Spark
+# and DuckDB, so the bit-twiddling cannot drift between engines; the
+# per-bucket sum(d) checksum pins every key exactly, and a pytest checks
+# the full 256x256 grid against an independent Python reference
+# (bijection + unit-step locality).
+# --------------------------------------------------------------------------
+
+_HILBERT_N = 256  # order-8 curve: 16-bit keys over a 256x256 grid
+
+
+def _hilbert_sql() -> str:
+    n1 = _HILBERT_N - 1
+    ctes = [
+        f"""pts AS (
+  SELECT event_id,
+         (event_id * 37) % {_HILBERT_N} AS x,
+         (event_id * 101) % {_HILBERT_N} AS y,
+         0 AS d
+  FROM events
+)"""
+    ]
+    prev = "pts"
+    s = _HILBERT_N // 2
+    i = 0
+    while s > 0:
+        ctes.append(
+            f"""lev{i} AS (
+  SELECT event_id,
+         d + {s * s} * (CASE WHEN rx = 1 THEN 3 - ry ELSE ry END) AS d,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n1} - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n1} - x ELSE x END)
+              ELSE y END AS y
+  FROM (SELECT event_id, x, y, d,
+               cast(floor(x / {s}) AS BIGINT) % 2 AS rx,
+               cast(floor(y / {s}) AS BIGINT) % 2 AS ry
+        FROM {prev}) t
+)"""
+        )
+        prev = f"lev{i}"
+        i += 1
+        s //= 2
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cast(floor(l.d / 1024) AS BIGINT) AS bucket,
+       cast(count(*) AS BIGINT) AS n_points,
+       cast(sum(l.d) AS BIGINT) AS d_sum,
+       cast(max(p.x) - min(p.x) AS BIGINT) AS x_extent,
+       cast(max(p.y) - min(p.y) AS BIGINT) AS y_extent
+FROM {prev} l JOIN pts p ON l.event_id = p.event_id
+GROUP BY cast(floor(l.d / 1024) AS BIGINT)
+"""
+
+
+@register("layout_hilbert_key", oracle=_hilbert_sql(), tags=("layout",))
+def layout_hilbert_key(spark, sf_dir):
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_hilbert_sql())

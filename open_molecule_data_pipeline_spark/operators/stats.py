@@ -295,3 +295,75 @@ def agg_winsorized_stats(spark, sf_dir):
         "n_clip_high",
         "win_sum",
     )
+
+
+# --------------------------------------------------------------------------
+# Shannon-entropy column profile — the information-theoretic complement to
+# the null/distinct/min-max profiler: near-zero entropy flags constant or
+# degenerate columns (a classic silent-ETL-bug symptom); entropy near
+# ln(n_distinct) means uniform. H = ln(n) - sum(c*ln(c))/n over the value
+# histogram, with per-value ln(c) quantized to round(x*1e6) int64 so the
+# cross-row sum is exact integer arithmetic; the remaining float ops
+# (one ln, one division, one subtraction, one round) are identical
+# correctly-rounded IEEE on both engines. Cost: one histogram aggregation
+# per profiled column — the same shape ANALYZE runs, linear and
+# map-side-combinable at any scale.
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH cols AS (
+  SELECT 'lang' AS col, lang AS v FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+  UNION ALL SELECT 'event_type', event_type FROM events
+),
+hist AS (
+  SELECT col, v, cast(count(*) AS BIGINT) AS c FROM cols GROUP BY col, v
+),
+agg AS (
+  SELECT col,
+         cast(sum(c) AS BIGINT) AS n,
+         cast(count(*) AS BIGINT) AS n_distinct,
+         cast(sum(c * cast(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+             AS s6
+  FROM hist GROUP BY col
+)
+SELECT col, n, n_distinct,
+       round(ln(n) - s6 / (n * cast(1000000 AS DOUBLE)), 6) AS entropy_nats,
+       round(ln(n_distinct), 6) AS max_entropy_nats
+FROM agg
+"""
+
+
+@register("profile_entropy_columns", oracle=_ENTROPY_ORACLE, tags=("stats", "profile"))
+def profile_entropy_columns(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "events")
+    cols = (
+        d.select(F.lit("lang").alias("col"), F.col("lang").alias("v"))
+        .unionByName(
+            d.select(F.lit("source").alias("col"), F.col("source").alias("v"))
+        )
+        .unionByName(
+            e.select(
+                F.lit("event_type").alias("col"), F.col("event_type").alias("v")
+            )
+        )
+    )
+    hist = cols.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    agg = hist.groupBy("col").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.round(F.log("c") * 1000000).cast("long"))
+        .cast("long")
+        .alias("s6"),
+    )
+    return agg.select(
+        "col",
+        "n",
+        "n_distinct",
+        F.round(
+            F.log("n") - F.col("s6") / (F.col("n") * F.lit(1000000).cast("double")),
+            6,
+        ).alias("entropy_nats"),
+        F.round(F.log("n_distinct"), 6).alias("max_entropy_nats"),
+    )

@@ -412,3 +412,143 @@ def text_dsir_weights(spark, sf_dir):
         F.round(F.min("w"), 6).alias("min_w"),
         F.round(F.max("w"), 6).alias("max_w"),
     )
+
+
+# --------------------------------------------------------------------------
+# Importance RESAMPLING: the second half of DSIR — turn the per-document
+# target/corpus log-ratio weight into an actual keep/drop decision, giving
+# a corpus thinned toward the target domain. The acceptance rate is a
+# linear ramp on the int64-quantized weight (rate_k/16, rate_k =
+# clamp(16 + w6/250000, 0, 16) — weight 0 or better keeps everything,
+# -4.0 nats or worse drops everything), quantized to sixteenths so the
+# decision reuses the repo's md5-nibble Bernoulli idiom: no RNG state, no
+# float threshold comparison at the keep boundary, identical rows kept on
+# every engine and every rerun. One broadcast-model join + one group-by,
+# same scale shape as the weight computation itself.
+# --------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+v AS (SELECT cast(count(*) AS BIGINT) AS nv,
+             cast(sum(cr) AS BIGINT) AS tr FROM vocab),
+tgt AS (
+  SELECT tok, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY tok
+),
+tt AS (SELECT cast(count(*) AS BIGINT) AS t FROM toks WHERE lang = 'en'),
+lp AS (
+  SELECT vocab.tok,
+         cast(round((ln((coalesce(tgt.ct, 0) + 1)
+                        / cast(tt.t + v.nv AS DOUBLE))
+                     - ln((vocab.cr + 1) / cast(v.tr + v.nv AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS lq6
+  FROM vocab LEFT JOIN tgt ON vocab.tok = tgt.tok, tt, v
+),
+ds AS (
+  SELECT t.doc_id, max(t.lang) AS lang,
+         cast(sum(l.lq6) AS BIGINT) AS s6, count(*) AS n_tok
+  FROM toks t JOIN lp l ON t.tok = l.tok
+  GROUP BY t.doc_id
+),
+rated AS (
+  SELECT doc_id, lang,
+         greatest(0, least(16, cast(floor(
+             16 + s6 / (n_tok * cast(250000 AS DOUBLE))) AS INTEGER)))
+             AS rate_k
+  FROM ds
+),
+kept AS (
+  SELECT doc_id, lang, rate_k,
+         substr(md5(cast(doc_id AS VARCHAR)), 1, 1)
+           < substr('0123456789abcdefg', rate_k + 1, 1) AS keep
+  FROM rated
+)
+SELECT lang,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       cast(sum(rate_k) AS BIGINT) AS sum_rate_k
+FROM kept
+GROUP BY lang
+"""
+
+
+@register(
+    "sample_importance_resample",
+    oracle=_RESAMPLE_ORACLE,
+    tags=("sample", "training"),
+)
+def sample_importance_resample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    v = vocab.agg(
+        F.count(F.lit(1)).alias("nv"), F.sum("cr").cast("long").alias("tr")
+    )
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tt = toks.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    lp = (
+        vocab.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "tok",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        / (F.col("t") + F.col("nv")).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1)
+                        / (F.col("tr") + F.col("nv")).cast("double")
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lq6"),
+        )
+    )
+    ds = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.sum("lq6").cast("long").alias("s6"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    rated = ds.select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(16),
+                F.floor(
+                    16
+                    + F.col("s6")
+                    / (F.col("n_tok") * F.lit(250000).cast("double"))
+                ).cast("int"),
+            ),
+        ).alias("rate_k"),
+    )
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    thresh = F.substring(F.lit("0123456789abcdefg"), F.col("rate_k") + 1, 1)
+    kept = rated.withColumn("keep", nibble < thresh)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("rate_k").cast("long").alias("sum_rate_k"),
+    )

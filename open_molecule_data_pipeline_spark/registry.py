@@ -130,6 +130,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ml_naive_bayes_confusion",  # NEW in r5 (post-window): NB train+classify
     "dedup_url_normalize",  # NEW in r5 (post-window): URL canonicalization
     "join_spatial_grid",  # NEW in r5 (post-window): 2-D cell-bucketed join
+    "profile_entropy_columns",  # NEW in r5 (post-window): Shannon DQ profile
+    "sample_importance_resample",  # NEW in r5 (post-window): DSIR thinning
+    "layout_hilbert_key",  # NEW in r5 (post-window): Hilbert curve layout
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)

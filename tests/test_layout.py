@@ -79,3 +79,64 @@ def test_zorder_bounds_dim_a_single_sort_leaves_open(spark, sf_dir, tmp_path):
     s_y = [sy for _, sy in _file_spans(sout, ("x", "y"))]
     assert sum(s_y) / len(s_y) >= 0.85 * 255, s_y  # x-sort: y unpruned
     assert sum(z_y) / len(z_y) <= 0.55 * 255, z_y  # z-order: y bounded too
+
+
+def _xy2d_ref(n: int, x: int, y: int) -> int:
+    """Independent Python reference for the Wikipedia xy2d Hilbert transform
+    (rot with the full grid size n), mirrored by _hilbert_sql()."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_sql_matches_reference_bijectively():
+    """The generated CTE-chain SQL must agree with the Python reference on
+    the ENTIRE 256x256 grid — and the reference itself must be a bijection
+    with unit-step locality (the property that makes Hilbert ranges prune
+    better than Morton ranges)."""
+    import duckdb
+
+    from open_molecule_data_pipeline_spark.operators.layout import (
+        _HILBERT_N,
+        _hilbert_sql,
+    )
+
+    n = _HILBERT_N
+    # swap the events-derived pts CTE for the full grid, keyed by event_id
+    sql = _hilbert_sql().replace(
+        f"""pts AS (
+  SELECT event_id,
+         (event_id * 37) % {n} AS x,
+         (event_id * 101) % {n} AS y,
+         0 AS d
+  FROM events
+)""",
+        f"""pts AS (
+  SELECT i AS event_id, i % {n} AS x,
+         cast(floor(i / {n}) AS BIGINT) % {n} AS y, 0 AS d
+  FROM (SELECT unnest(range({n * n})) AS i)
+)""",
+    )
+    # keep per-point d rather than the bucket aggregate
+    head, _, _ = sql.rpartition("SELECT cast(floor(l.d / 1024)")
+    per_point = (
+        head + "SELECT p.x AS x, p.y AS y, l.d AS d "
+        "FROM lev7 l JOIN pts p ON l.event_id = p.event_id"
+    )
+    rows = duckdb.sql(per_point).fetchall()
+    assert len(rows) == n * n
+    seen = set()
+    for x, y, d in rows:
+        assert d == _xy2d_ref(n, x, y), (x, y, d)
+        seen.add(d)
+    assert len(seen) == n * n  # bijection
