@@ -461,3 +461,62 @@ def ingest_http_stream_demo(spark, sf_dir):
         "smiles",
         F.element_at("metadata", "w").alias("w"),
     )
+
+
+_WARC_RESPONSES = [
+    # (uuid, uri, status, content_type, body)
+    ("aaaa-1", "https://example.com/a", 200, "text/html",
+     "<html><body>alpha corpus page one</body></html>"),
+    ("aaaa-2", "https://example.com/b", 200, "text/html",
+     "<html><body>beta corpus page two</body></html>"),
+    ("aaaa-3", "https://example.com/c", 404, "text/html",
+     "<html><body>not found</body></html>"),
+]
+
+
+def _warc_fixture() -> "Path":
+    """Deterministic multi-member .warc.gz: warcinfo + request + 3 responses."""
+    from ..sources.warc import build_warc_gz
+
+    root = Path(tempfile.gettempdir()) / "omdp_spark_demo_fixtures"
+    root.mkdir(parents=True, exist_ok=True)
+    path = root / "demo.warc.gz"
+    if not path.exists():
+        records = [
+            {"record_id": "info-0", "warc_type": "warcinfo",
+             "body": "software: omdp-spark-demo\r\nformat: WARC File Format 1.0"},
+            {"record_id": "req-1", "warc_type": "request",
+             "target_uri": "https://example.com/a",
+             "body": "GET /a HTTP/1.1\r\nHost: example.com"},
+        ] + [
+            {"record_id": rid, "warc_type": "response", "target_uri": uri,
+             "http_status": status, "http_content_type": ctype, "body": body}
+            for rid, uri, status, ctype, body in _WARC_RESPONSES
+        ]
+        path.write_bytes(build_warc_gz(records))
+    return path
+
+
+_WARC_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('<urn:uuid:aaaa-1>', 'https://example.com/a',
+   '<html><body>alpha corpus page one</body></html>', 47),
+  ('<urn:uuid:aaaa-2>', 'https://example.com/b',
+   '<html><body>beta corpus page two</body></html>', 46)
+) t(doc_id, url, text, n_chars)
+"""
+
+
+@register("ingest_warc_demo", oracle=_WARC_DEMO_ORACLE, tags=("ingest", "warc"))
+def ingest_warc_demo(spark, sf_dir):
+    """CommonCrawl-shaped WARC ingestion: multi-member .warc.gz ->
+    Content-Length-driven record scan (``sources/warc.py``) -> HTTP
+    status/header split -> corpus ``documents`` projection. Record-type
+    pushdown keeps warcinfo/request records out of the Arrow boundary, and
+    the 404 response is dropped by the documents projection — only the two
+    200-status pages survive."""
+    from ..sources.warc import read_warc, warc_document_table
+
+    path = _warc_fixture()
+    df = read_warc(spark, str(path), record_types=("response",))
+    return warc_document_table(df).orderBy("doc_id")

@@ -133,6 +133,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "profile_entropy_columns",  # NEW in r5 (post-window): Shannon DQ profile
     "sample_importance_resample",  # NEW in r5 (post-window): DSIR thinning
     "layout_hilbert_key",  # NEW in r5 (post-window): Hilbert curve layout
+    "dedup_duplicate_spans",  # NEW in r5 (post-window): exact >=K-token span dedup
+    "ingest_warc_demo",  # NEW in r5 (post-window): CommonCrawl WARC source
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)

@@ -487,3 +487,75 @@ def test_python_datasource_streaming_pages(spark, tmp_path):
     assert o3 == o2  # drained: offsets are a fixpoint
     replay = list(reader.readBetweenOffsets(o0, o1))
     assert sorted(r[1] for r in replay) == sorted(r[1] for r in rows1)
+
+
+def test_warc_parser_content_length_driven():
+    """Payload bytes that LOOK like WARC headers must not desync the scan —
+    the Content-Length-driven parser is what makes naive lineSep splits
+    incorrect (and this parser correct)."""
+    from open_molecule_data_pipeline_spark.sources.warc import (
+        build_warc_gz,
+        parse_warc_bytes,
+    )
+
+    trap_body = "<html>WARC/1.0\r\nWARC-Type: fake\r\n\r\ntrap</html>"
+    records = [
+        {"record_id": "info-0", "warc_type": "warcinfo", "body": "software: t"},
+        {"record_id": "r1", "warc_type": "response",
+         "target_uri": "https://e.com/a", "http_status": 200,
+         "http_content_type": "text/html", "body": trap_body},
+        {"record_id": "r2", "warc_type": "response",
+         "target_uri": "https://e.com/b", "http_status": 404,
+         "http_content_type": "text/plain", "body": "gone"},
+    ]
+    blob = build_warc_gz(records)
+    # multi-member gzip: each record its own member (CommonCrawl layout)
+    assert blob.count(b"\x1f\x8b\x08") >= 3
+    parsed = list(parse_warc_bytes(blob, "t.warc.gz"))
+    assert [r["warc_type"] for r in parsed] == ["warcinfo", "response", "response"]
+    assert parsed[1]["body"] == trap_body  # fake header survived intact
+    assert parsed[1]["http_status"] == 200
+    assert parsed[2]["http_status"] == 404
+    # record-type pushdown drops non-responses during the sequential scan
+    only_resp = list(parse_warc_bytes(blob, "t", record_types=("response",)))
+    assert [r["record_id"] for r in only_resp] == ["<urn:uuid:r1>", "<urn:uuid:r2>"]
+
+
+def test_warc_spark_read_and_document_projection(spark, tmp_path):
+    from open_molecule_data_pipeline_spark.sources.warc import (
+        build_warc_gz,
+        read_warc,
+        warc_document_table,
+    )
+
+    records = [
+        {"record_id": "req-1", "warc_type": "request",
+         "target_uri": "https://e.com/a", "body": "GET /a HTTP/1.1"},
+        {"record_id": "ok-1", "warc_type": "response",
+         "target_uri": "https://e.com/a", "http_status": 200,
+         "http_content_type": "text/html", "body": "<html>alpha</html>"},
+        {"record_id": "nf-1", "warc_type": "response",
+         "target_uri": "https://e.com/x", "http_status": 404,
+         "http_content_type": "text/html", "body": "<html>gone</html>"},
+    ]
+    # two files -> two binaryFile rows -> file-granular parallel parse
+    (tmp_path / "part-0.warc.gz").write_bytes(build_warc_gz(records))
+    (tmp_path / "part-1.warc.gz").write_bytes(
+        build_warc_gz(
+            [{"record_id": "ok-2", "warc_type": "response",
+              "target_uri": "https://e.com/b", "http_status": 200,
+              "http_content_type": "text/html", "body": "<html>beta</html>"}]
+        )
+    )
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"), record_types=("response",))
+    rows = {r["record_id"]: r.asDict() for r in df.collect()}
+    assert set(rows) == {"<urn:uuid:ok-1>", "<urn:uuid:nf-1>", "<urn:uuid:ok-2>"}
+    assert rows["<urn:uuid:ok-1>"]["http_content_type"] == "text/html"
+    assert rows["<urn:uuid:ok-1>"]["source_file"] == "part-0.warc.gz"
+
+    docs = warc_document_table(df).collect()
+    assert sorted((d["url"], d["text"]) for d in docs) == [
+        ("https://e.com/a", "<html>alpha</html>"),
+        ("https://e.com/b", "<html>beta</html>"),
+    ]
+    assert all(d["n_chars"] == len(d["text"]) for d in docs)
