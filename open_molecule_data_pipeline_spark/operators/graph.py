@@ -834,3 +834,100 @@ def graph_bfs_khop(spark, sf_dir):
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+# --------------------------------------------------------------------------
+# Synchronous label propagation (community detection): every node adopts
+# the most frequent label among its neighbors each round (ties -> smallest
+# label), all updates computed from the PREVIOUS round's labels. The
+# community-structure member of the iterative-graph family (CC converges
+# on connectivity, PageRank on mass, BFS on distance; LPA converges on
+# modularity-ish communities). Rounds are FIXED at 3 so the unrolled SQL
+# oracle is exact — real deployments iterate to stability; each extra
+# round is the same one-join-one-agg-one-bounded-window template.
+#
+# Per-round cost at 100 TB: one equi-join shuffle of (node, label) pairs
+# against the edge list, one (node, label) count aggregation (map-side
+# combinable), and one per-node window whose partition size is the node's
+# DEGREE (bounded by the data's fan-out, never |V|). Labels are node ids
+# — 8 bytes — so the shuffled payload stays narrow. The same
+# localCheckpoint discipline as connected_components is unnecessary at 3
+# unrolled rounds (lineage depth is constant).
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v FROM lineitem
+),
+ud AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ud)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{r} AS (
+  SELECT ud.u AS node, p.lbl, cast(count(*) AS BIGINT) AS c
+  FROM ud JOIN l{r - 1} p ON ud.v = p.node
+  GROUP BY ud.u, p.lbl
+),
+l{r} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f""",
+sizes AS (
+  SELECT lbl, cast(count(*) AS BIGINT) AS n_nodes
+  FROM l{rounds} GROUP BY lbl
+),
+tot AS (SELECT cast(count(*) AS BIGINT) AS n_communities FROM sizes)
+SELECT s.lbl, s.n_nodes, t.n_communities
+FROM sizes s CROSS JOIN tot t
+ORDER BY s.n_nodes DESC, s.lbl LIMIT 15"""
+    )
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "iterative"))
+def graph_label_propagation(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_suppkey") * 2).alias("u"),
+        (F.col("l_partkey") * 2 + 1).alias("v"),
+    ).distinct()
+    ud = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = ud.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            ud.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = sizes.agg(F.count(F.lit(1)).alias("n_communities"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n_nodes").desc(), "lbl")
+        .limit(15)
+    )

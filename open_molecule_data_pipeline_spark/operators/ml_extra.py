@@ -434,3 +434,113 @@ def ml_naive_bayes_confusion(spark, sf_dir):
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top principal component via one-pass covariance moments + unrolled
+# power iteration — the embedding-analytics sibling of
+# ml_ols_normal_equations (same template: exact int64 moments in ONE
+# map-side-combinable aggregation, then a closed-form scalar solve that is
+# textually identical on both engines).
+#
+# Restricted to the first 4 embedding dimensions so the d*(d+1)/2 moment
+# set and the unrolled matvec chain stay readable; the pattern is O(d^2)
+# moments + O(d^2) scalar expressions per iteration, so full-width d=64
+# is the same code with bigger generated text, not a different algorithm.
+#
+# Determinism protocol: float32 components are upcast to double (exact)
+# then quantized to int64 at 1e6; all sums are exact integers (bounds:
+# |xq| <= ~1e6, products <= ~1e12, corpus rows up to ~1e6 keep s_ij
+# under 1e18). Covariance entries, the 6 power-iteration matvec/normalize
+# rounds (fixed v0 = (0.5,0.5,0.5,0.5)), the Rayleigh quotient, and the
+# explained-variance share are all derived from those integers by ONE
+# shared SQL text (engine-specific only in array indexing: Spark arrays
+# are 0-based, DuckDB 1-based), evaluated left-associatively by both
+# engines — bit-identical doubles, rounded once at the end.
+#
+# Scale: the corpus pass is a single partial-aggregating scan (no shuffle
+# beyond the 1-row final combine); the iteration chain is driver-free
+# scalar algebra on a 1-row relation.
+# --------------------------------------------------------------------------
+
+_PCA_DIMS = 4
+_PCA_ITERS = 6
+_PCA_Q = 1000000  # int64 quantization scale for float32 components
+
+
+def _pca_sql() -> str:
+    """Shared engine-agnostic text: moments + unrolled power iteration over
+    a relation ``pca_q`` holding the quantized int64 components x0..x3."""
+    d, q = _PCA_DIMS, _PCA_Q
+    pairs = [(i, j) for i in range(d) for j in range(i, d)]
+    sums = ", ".join(
+        f"cast(sum(x{i} * x{j}) AS BIGINT) AS s{i}{j}" for i, j in pairs
+    )
+    firsts = ", ".join(f"cast(sum(x{i}) AS BIGINT) AS s{i}" for i in range(d))
+    cov = ", ".join(
+        f"(s{i}{j} - cast(s{i} AS DOUBLE) * s{j} / n) / n / {q}.0 / {q}.0"
+        f" AS c{i}{j}"
+        for i, j in pairs
+    )
+    # symmetric access helper: c_ij with i<=j stored once
+    c = lambda i, j: f"c{min(i, j)}{max(i, j)}"
+    ctes = [
+        f"m AS (SELECT cast(count(*) AS BIGINT) AS n, {firsts}, {sums} FROM pca_q)",
+        f"cv AS (SELECT n, {cov} FROM m)",
+        "i0 AS (SELECT *, "
+        + ", ".join(f"0.5 AS v0_{i}" for i in range(_PCA_DIMS))
+        + " FROM cv)",
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        mat = ", ".join(
+            "("
+            + " + ".join(f"{c(i, j)} * v{t - 1}_{j}" for j in range(d))
+            + f") AS y{t}_{i}"
+            for i in range(d)
+        )
+        nrm = " + ".join(f"y{t}_{i} * y{t}_{i}" for i in range(d))
+        vn = ", ".join(f"y{t}_{i} / nrm{t} AS v{t}_{i}" for i in range(d))
+        ctes.append(f"a{t} AS (SELECT *, {mat} FROM i{t - 1})")
+        ctes.append(f"b{t} AS (SELECT *, sqrt({nrm}) AS nrm{t} FROM a{t})")
+        ctes.append(f"i{t} AS (SELECT *, {vn} FROM b{t})")
+    T = _PCA_ITERS
+    rayleigh = " + ".join(
+        f"v{T}_{i} * ({' + '.join(f'{c(i, j)} * v{T}_{j}' for j in range(d))})"
+        for i in range(d)
+    )
+    trace = " + ".join(c(i, i) for i in range(d))
+    final_v = ", ".join(f"round(v{T}_{i}, 6) AS pc1_{i}" for i in range(d))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f",\nr AS (SELECT *, ({rayleigh}) AS lam, ({trace}) AS tr FROM i{T})\n"
+        + f"SELECT n, round(lam, 6) AS eigenvalue, {final_v}, "
+        + "round(lam / tr, 6) AS explained_frac FROM r"
+    )
+
+
+_PCA_ORACLE = (
+    "WITH pca_q AS (SELECT "  # DuckDB arrays are 1-based
+    + ", ".join(
+        f"cast(round(cast(embedding[{i + 1}] AS DOUBLE) * {_PCA_Q}) AS BIGINT)"
+        f" AS x{i}"
+        for i in range(_PCA_DIMS)
+    )
+    + " FROM embeddings), "
+    + _pca_sql().split("WITH ", 1)[1]
+)
+
+
+@register("ml_pca_power_iteration", oracle=_PCA_ORACLE, tags=("ml", "agg"))
+def ml_pca_power_iteration(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        *[
+            F.round(F.element_at("embedding", i + 1).cast("double") * _PCA_Q)
+            .cast("long")
+            .alias(f"x{i}")
+            for i in range(_PCA_DIMS)
+        ]
+    )
+    q.createOrReplaceTempView("pca_q")
+    return spark.sql(_pca_sql())

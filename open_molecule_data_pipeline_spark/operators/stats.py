@@ -367,3 +367,97 @@ def profile_entropy_columns(spark, sf_dir):
         ).alias("entropy_nats"),
         F.round(F.log("n_distinct"), 6).alias("max_entropy_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence: is document language independent of
+# source? The screening stat behind corpus-mix design (a skewed lang x
+# source contingency means per-source language balancing is needed before
+# training). Exact cross-engine protocol: observed counts are ints; each
+# cell's expected value (row_total * col_total) / N is ONE int64 product
+# and ONE correctly-rounded division; the (O-E)^2/E contribution is then
+# quantized to int64 at 1e-9 before summation, so the chi2 total is exact
+# integer arithmetic (the lsum playbook — no float-sum order dependence).
+# Scale: one (lang, source) shuffle over the corpus; everything after is
+# contingency-table-sized (n_lang * n_source rows) with broadcast joins.
+# Row/col products R*C stay inside int64 for any corpus with < ~3e9 docs;
+# beyond that, scale the protocol to DECIMAL(38) — noted, not needed here.
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, cast(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+rows_ AS (SELECT lang, cast(sum(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+cols_ AS (SELECT source, cast(sum(o) AS BIGINT) AS c FROM obs GROUP BY source),
+tot AS (SELECT cast(sum(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT o.lang, o.source, o.o,
+         (r.r * c.c) / cast(t.n AS DOUBLE) AS e
+  FROM obs o
+  JOIN rows_ r ON o.lang = r.lang
+  JOIN cols_ c ON o.source = c.source
+  CROSS JOIN tot t
+),
+q AS (
+  SELECT cast(round(((o - e) * (o - e) / e) * 1000000000) AS BIGINT) AS q9
+  FROM cells
+),
+dims AS (
+  SELECT (SELECT cast(count(*) AS BIGINT) FROM rows_) AS n_lang,
+         (SELECT cast(count(*) AS BIGINT) FROM cols_) AS n_source,
+         (SELECT n FROM tot) AS n
+)
+SELECT d.n, d.n_lang, d.n_source,
+       (d.n_lang - 1) * (d.n_source - 1) AS dof,
+       round(s.s / cast(1000000000 AS DOUBLE), 6) AS chi2,
+       round(sqrt((s.s / cast(1000000000 AS DOUBLE))
+                  / (d.n * least(d.n_lang - 1, d.n_source - 1))), 6)
+           AS cramers_v
+FROM (SELECT cast(sum(q9) AS BIGINT) AS s FROM q) s CROSS JOIN dims d
+"""
+
+
+@register(
+    "profile_chi2_independence", oracle=_CHI2_ORACLE, tags=("stats", "profile")
+)
+def profile_chi2_independence(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cols = obs.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    e = (F.col("r") * F.col("c")) / F.col("n").cast("double")
+    cells = (
+        obs.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(((F.col("o") - e) * (F.col("o") - e) / e).alias("contrib"))
+    )
+    s = cells.agg(
+        F.sum(F.round(F.col("contrib") * 1000000000).cast("long")).alias("s")
+    )
+    dims = (
+        rows.agg(F.count(F.lit(1)).alias("n_lang"))
+        .crossJoin(F.broadcast(cols.agg(F.count(F.lit(1)).alias("n_source"))))
+        .crossJoin(F.broadcast(tot))
+    )
+    chi2 = F.col("s") / F.lit(1000000000).cast("double")
+    return s.crossJoin(F.broadcast(dims)).select(
+        "n",
+        "n_lang",
+        "n_source",
+        ((F.col("n_lang") - 1) * (F.col("n_source") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n")
+                    * F.least(F.col("n_lang") - 1, F.col("n_source") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -135,6 +135,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "layout_hilbert_key",  # NEW in r5 (post-window): Hilbert curve layout
     "dedup_duplicate_spans",  # NEW in r5 (post-window): exact >=K-token span dedup
     "ingest_warc_demo",  # NEW in r5 (post-window): CommonCrawl WARC source
+    "profile_chi2_independence",  # NEW in r5 (post-window): lang x source chi2
+    "graph_label_propagation",  # NEW in r5 (post-window): 3-round sync LPA
+    "ml_pca_power_iteration",  # NEW in r5 (post-window): moments + power iter
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
