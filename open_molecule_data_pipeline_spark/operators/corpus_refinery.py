@@ -964,3 +964,233 @@ def profile_benford_first_digit(spark, sf_dir):
         expected.alias("benford_expected"),
         F.round(F.abs(share - expected), 6).alias("abs_dev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the DETERMINISTIC-GUARANTEE member of the
+# frequency-sketch family (count-min above gives probabilistic overcounts;
+# MG gives certain bounds with O(k) state). Per-Arrow-batch summaries are
+# merged by plain count-sum, which preserves both MG invariants at any
+# partitioning: (a) underestimate — each batch summary undercounts its own
+# batch, so the sum undercounts the stream; (b) completeness — total
+# decrements across batches <= n/(k+1), so any key with true frequency
+# > n/(k+1) survives into the merged summary. The verdict output exposes
+# ONLY these order-invariant guarantees (batch boundaries and row order
+# inside a partition are not deterministic, the guarantees are), so the
+# exact-side oracle can predict every column.
+#
+# The keyed stream is synthesized skewed (3 hot keys ~ 1/6 of the stream
+# each + per-part cold tail) because the testdata's natural keys are
+# uniform; the hot/cold split is a pure function of row keys, so both
+# engines derive the identical stream. Scale: the sketch pass is one
+# mapInPandas over the (projected) scan — O(k) memory per task, summary
+# rows ~ k per batch; the exact twin (for the verdict) is one count
+# aggregation.
+# --------------------------------------------------------------------------
+
+_MG_K = 32
+
+
+def _mg_key_sql(order_col: str, part_col: str, str_t: str = "VARCHAR") -> str:
+    return (
+        f"CASE WHEN {order_col} % 4 < 2 THEN 'hot_' || cast({order_col} % 3 AS"
+        f" {str_t}) ELSE 'cold_' || cast({part_col} AS {str_t}) END"
+    )
+
+
+_MG_ORACLE = f"""
+WITH stream AS (
+  SELECT {_mg_key_sql("l_orderkey", "l_partkey")} AS k FROM lineitem
+),
+exact AS (SELECT k, cast(count(*) AS BIGINT) AS n FROM stream GROUP BY k),
+tot AS (SELECT cast(sum(n) AS BIGINT) AS n FROM exact)
+SELECT t.n,
+       {_MG_K} AS k,
+       (SELECT cast(count(*) AS BIGINT) FROM exact) AS n_distinct,
+       (SELECT cast(count(*) AS BIGINT) FROM exact e
+        WHERE e.n * ({_MG_K} + 1) > t.n) AS n_heavy_exact,
+       (SELECT cast(count(*) AS BIGINT) FROM exact e
+        WHERE e.n * ({_MG_K} + 1) > t.n) AS n_heavy_reported,
+       cast(0 AS BIGINT) AS n_underestimate_violations
+FROM tot t
+"""
+
+
+@register("agg_misra_gries_verdict", oracle=_MG_ORACLE, tags=("agg", "sketch"))
+def agg_misra_gries_verdict(spark, sf_dir):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    li = table(spark, sf_dir, "lineitem")
+    stream = li.select(
+        F.expr(_mg_key_sql("l_orderkey", "l_partkey", "STRING")).alias("k")
+    )
+
+    out_schema = StructType(
+        [StructField("k", StringType()), StructField("cnt", LongType())]
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        k_cap = _MG_K
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for key in pdf["k"]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k_cap:
+                    counters[key] = 1
+                else:
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+            if counters:
+                yield pd.DataFrame(
+                    {"k": list(counters), "cnt": list(counters.values())}
+                )
+
+    summaries = stream.mapInPandas(mg, out_schema)
+    est = summaries.groupBy("k").agg(F.sum("cnt").cast("long").alias("est"))
+    exact = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    tot = exact.agg(F.sum("n").cast("long").alias("n"))
+    joined = exact.join(est, "k", "left").crossJoin(F.broadcast(tot).withColumnRenamed("n", "tot_n"))
+    return joined.agg(
+        F.max("tot_n").alias("n"),
+        F.max(F.lit(_MG_K)).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.when(F.col("n") * (_MG_K + 1) > F.col("tot_n"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_heavy_exact"),
+        F.sum(
+            F.when(
+                (F.col("n") * (_MG_K + 1) > F.col("tot_n"))
+                & F.col("est").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_heavy_reported"),
+        F.sum(F.when(F.col("est") > F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_underestimate_violations"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV set-operation estimates: Jaccard and intersection cardinality from
+# two k-minimum-values sketches (streams: customers placing URGENT vs HIGH
+# priority orders). The union sketch is the k smallest of the two sketch
+# unions; Jaccard-hat = |{h in K_union : h in A and h in B}| / k; the
+# intersection estimate is Jaccard-hat x the union's KMV cardinality
+# estimate (Beyer et al., SIGMOD'07). Everything is a deterministic
+# function of the key sets — no RNG — so the oracle replays the identical
+# sketch algebra and the driver check is exact, while rel_err columns
+# document how good the k=64 estimate actually is against the exact
+# intersection. Scale: each sketch is a TakeOrderedAndProject (never a
+# global sort); sketch algebra is on 3 x 64-row broadcast relations.
+# --------------------------------------------------------------------------
+
+_KMV_I_ORACLE = f"""
+WITH a_keys AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+b_keys AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+a_h AS (SELECT cast({_hex32(_HEXVAL_DUCK, "md5('ck_' || cast(ck AS VARCHAR))")} AS BIGINT) AS h FROM a_keys),
+b_h AS (SELECT cast({_hex32(_HEXVAL_DUCK, "md5('ck_' || cast(ck AS VARCHAR))")} AS BIGINT) AS h FROM b_keys),
+sk_a AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+sk_b AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+sk_u AS (
+  SELECT h FROM (SELECT h FROM sk_a UNION SELECT h FROM sk_b) u
+  ORDER BY h LIMIT {_KMV_K}
+),
+ucard AS (
+  SELECT ({_KMV_K} - 1) * 4294967296.0 / max(h) AS est_union FROM sk_u
+),
+jacc AS (
+  SELECT cast(count(*) AS BIGINT) AS n_both
+  FROM sk_u
+  WHERE h IN (SELECT h FROM sk_a) AND h IN (SELECT h FROM sk_b)
+),
+exact AS (
+  SELECT cast(count(*) AS BIGINT) AS exact_inter
+  FROM a_keys JOIN b_keys USING (ck)
+)
+SELECT e.exact_inter,
+       round(cast(j.n_both AS DOUBLE) / {_KMV_K}, 6) AS jaccard_est,
+       round(cast(j.n_both AS DOUBLE) / {_KMV_K} * u.est_union, 4) AS est_inter,
+       round(abs(cast(j.n_both AS DOUBLE) / {_KMV_K} * u.est_union - e.exact_inter)
+             * 100.0 / e.exact_inter, 4) AS rel_err_pct
+FROM exact e CROSS JOIN jacc j CROSS JOIN ucard u
+"""
+
+
+@register("agg_kmv_intersect", oracle=_KMV_I_ORACLE, tags=("agg", "sketch"))
+def agg_kmv_intersect(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+
+    def sketch(priority: str):
+        keys = (
+            o.filter(F.col("o_orderpriority") == priority)
+            .select(F.col("o_custkey").alias("ck"))
+            .distinct()
+        )
+        hashed = keys.select(
+            F.expr(
+                _hex32(_HEXVAL_SPARK, "md5('ck_' || cast(ck AS STRING))")
+            )
+            .cast("long")
+            .alias("h")
+        )
+        return hashed.orderBy("h").limit(_KMV_K)
+
+    sk_a, sk_b = sketch("1-URGENT"), sketch("2-HIGH")
+    sk_u = (
+        sk_a.unionByName(sk_b).distinct().orderBy("h").limit(_KMV_K)
+    )
+    ucard = sk_u.agg(
+        ((_KMV_K - 1) * F.lit(4294967296.0) / F.max("h")).alias("est_union")
+    )
+    jacc = (
+        sk_u.join(sk_a, "h", "left_semi")
+        .join(sk_b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    a_keys = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    b_keys = (
+        o.filter(F.col("o_orderpriority") == "2-HIGH")
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    exact = a_keys.join(b_keys, "ck").agg(
+        F.count(F.lit(1)).alias("exact_inter")
+    )
+    est_i = F.col("n_both").cast("double") / _KMV_K * F.col("est_union")
+    return (
+        exact.crossJoin(F.broadcast(jacc))
+        .crossJoin(F.broadcast(ucard))
+        .select(
+            "exact_inter",
+            F.round(F.col("n_both").cast("double") / _KMV_K, 6).alias(
+                "jaccard_est"
+            ),
+            F.round(est_i, 4).alias("est_inter"),
+            F.round(
+                F.abs(est_i - F.col("exact_inter"))
+                * 100.0
+                / F.col("exact_inter"),
+                4,
+            ).alias("rel_err_pct"),
+        )
+    )

@@ -460,3 +460,72 @@ def join_promo_stock_suppliers(spark, sf_dir):
     return s.join(
         F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+# --------------------------------------------------------------------------
+# Yannakakis-style semi-join reduction: revenue by nation for URGENT orders
+# from high-balance customers. The naive plan shuffles ALL of lineitem
+# into the orders join even though only URGENT-order rows survive; the
+# reduced plan first shrinks orders by its customer filter, then shrinks
+# lineitem by a LEFT SEMI join against the surviving order keys, and only
+# then runs the fat equi-join — at 100 TB the semi-join (which shuffles
+# just the key column, or becomes a runtime Bloom filter under AQE) cuts
+# the dominant lineitem exchange by the filter's selectivity. Results are
+# IDENTICAL to the direct join by construction; the oracle is the plain
+# three-way join, so the driver hash-check proves the reduction changes
+# the plan, not the answer.
+# --------------------------------------------------------------------------
+
+_SEMIJOIN_ORACLE = f"""
+SELECT n.n_name,
+       cast(count(*) AS BIGINT) AS n_items,
+       {s_lsum("l.l_extendedprice * (1 - l.l_discount)", 10000)} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderpriority = '1-URGENT' AND c.c_acctbal > 5000
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "join_semijoin_reduction", oracle=_SEMIJOIN_ORACLE, tags=("join", "perf")
+)
+def join_semijoin_reduction(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_nationkey")
+    # reducer 1: orders that survive BOTH their own filter and the customer
+    # filter (semi join keeps the build side to one key column)
+    o_red = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(
+            rich.select(F.col("c_custkey").alias("semi_ck")),
+            F.col("o_custkey") == F.col("semi_ck"),
+            "left_semi",
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    # reducer 2: prune lineitem down to surviving order keys BEFORE the fat
+    # join — the step that shrinks the dominant exchange
+    li_red = li.join(
+        o_red.select(F.col("o_orderkey").alias("semi_ok")),
+        F.col("l_orderkey") == F.col("semi_ok"),
+        "left_semi",
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li_red.join(o_red, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(rich, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            lsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -138,6 +138,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "profile_chi2_independence",  # NEW in r5 (post-window): lang x source chi2
     "graph_label_propagation",  # NEW in r5 (post-window): 3-round sync LPA
     "ml_pca_power_iteration",  # NEW in r5 (post-window): moments + power iter
+    "agg_misra_gries_verdict",  # NEW in r5 (post-window): MG deterministic HH
+    "agg_kmv_intersect",  # NEW in r5 (post-window): KMV Jaccard/intersection
+    "join_semijoin_reduction",  # NEW in r5 (post-window): Yannakakis reducers
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
