@@ -544,3 +544,130 @@ def ml_pca_power_iteration(spark, sf_dir):
     )
     q.createOrReplaceTempView("pca_q")
     return spark.sql(_pca_sql())
+
+
+# --------------------------------------------------------------------------
+# Distributed logistic regression via 3 unrolled IRLS (Newton) rounds —
+# the iterative-training sibling of ml_ols_normal_equations: each round is
+# ONE map-side-combinable aggregation pass (9 weighted moment sums), so at
+# 100 TB the shuffle per round carries 9 numbers, never rows. Model:
+# P(returnflag = 'R') ~ sigmoid(b0 + b1*quantity + b2*discount_pct).
+#
+# Determinism protocol: features are exact ints (quantity; discount*100);
+# each row's weighted contributions w*x_j*x_k and (y-p)*x_j are quantized
+# to int64 at 1e6 BEFORE summation (w = p(1-p) from the previous round's
+# betas — deterministic per row), so cross-row sums are exact integers;
+# the 3x3 Cramer solve per round and the final loss/accuracy pass run as
+# ONE shared SQL text on both engines. Residual cross-engine risk is a
+# libm-vs-JVM 1-ulp exp() difference landing exactly on a .5 quantization
+# boundary (~1e-10/row — the same accepted exposure as
+# udf_pandas_logistic_score, see ADVICE r4).
+# int64 headroom: |w*x_j*x_k|*1e6 <= ~6.3e8/row -> safe past 1e9 rows.
+# --------------------------------------------------------------------------
+
+_IRLS_ROUNDS = 3
+
+
+def _irls_sql() -> str:
+    """Shared text over a view ``lineitem``; 3 Newton rounds + eval pass."""
+    q6 = "1000000"
+    xs = ["1", "q", "d"]  # design row [1, quantity, discount_pct]
+    pairs = [(j, k) for j in range(3) for k in range(j, 3)]
+
+    def moments(tag: int, prev: str) -> str:
+        eta = f"(b0 + b1 * q + b2 * d)"
+        cols = [
+            f"cast(count(*) AS BIGINT) AS n",
+        ]
+        for j, k in pairs:
+            cols.append(
+                f"cast(sum(cast(round(w * {xs[j]} * {xs[k]} * {q6}) AS BIGINT))"
+                f" AS BIGINT) AS s{j}{k}"
+            )
+        for j in range(3):
+            cols.append(
+                f"cast(sum(cast(round((y - p) * {xs[j]} * {q6}) AS BIGINT))"
+                f" AS BIGINT) AS g{j}"
+            )
+        return (
+            f"e{tag} AS (SELECT y, q, d, 1 / (1 + exp(-{eta})) AS p"
+            f" FROM f CROSS JOIN {prev}),\n"
+            f"w{tag} AS (SELECT y, q, d, p, p * (1 - p) AS w FROM e{tag}),\n"
+            f"m{tag} AS (SELECT {', '.join(cols)} FROM w{tag})"
+        )
+
+    def solve(tag: int, prev: str) -> str:
+        # un-quantize the int64 moments once, then symmetric 3x3 Cramer
+        unq = ", ".join(
+            f"s{j}{k} / cast({q6} AS DOUBLE) AS a{j}{k}" for j, k in pairs
+        ) + ", " + ", ".join(
+            f"g{j} / cast({q6} AS DOUBLE) AS v{j}" for j in range(3)
+        )
+        det = (
+            "a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)"
+            " + a02 * (a01 * a12 - a11 * a02)"
+        )
+        d0 = (
+            "v0 * (a11 * a22 - a12 * a12) - a01 * (v1 * a22 - a12 * v2)"
+            " + a02 * (v1 * a12 - a11 * v2)"
+        )
+        d1 = (
+            "a00 * (v1 * a22 - v2 * a12) - v0 * (a01 * a22 - a12 * a02)"
+            " + a02 * (a01 * v2 - v1 * a02)"
+        )
+        d2 = (
+            "a00 * (a11 * v2 - a12 * v1) - a01 * (a01 * v2 - v1 * a02)"
+            " + v0 * (a01 * a12 - a11 * a02)"
+        )
+        return (
+            f"u{tag} AS (SELECT n, {unq} FROM m{tag}),\n"
+            f"det{tag} AS (SELECT *, {det} AS det FROM u{tag}),\n"
+            f"s{tag} AS (SELECT det{tag}.n,"
+            f" {prev}.b0 + ({d0}) / det AS b0,"
+            f" {prev}.b1 + ({d1}) / det AS b1,"
+            f" {prev}.b2 + ({d2}) / det AS b2"
+            f" FROM det{tag} CROSS JOIN {prev})"
+        )
+
+    ctes = [
+        "f AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,"
+        " cast(l_quantity AS BIGINT) AS q,"
+        " cast(round(l_discount * 100) AS BIGINT) AS d FROM lineitem)",
+        "s0 AS (SELECT cast(0 AS DOUBLE) AS b0, cast(0 AS DOUBLE) AS b1,"
+        " cast(0 AS DOUBLE) AS b2)",
+    ]
+    for t in range(1, _IRLS_ROUNDS + 1):
+        ctes.append(moments(t, f"s{t - 1}"))
+        ctes.append(solve(t, f"s{t - 1}"))
+    T = _IRLS_ROUNDS
+    # evaluation pass with the final betas: mean log-loss + accuracy,
+    # both int64-quantized per row before the cross-row sum
+    ctes.append(
+        f"ev AS (SELECT y, 1 / (1 + exp(-(b0 + b1 * q + b2 * d))) AS p"
+        f" FROM f CROSS JOIN s{T})"
+    )
+    ctes.append(
+        f"agg AS (SELECT cast(count(*) AS BIGINT) AS n_rows,"
+        f" cast(sum(cast(round((CASE WHEN y = 1 THEN -ln(p)"
+        f" ELSE -ln(1 - p) END) * {q6}) AS BIGINT)) AS BIGINT) AS loss6,"
+        f" cast(sum(CASE WHEN (p > 0.5) = (y = 1) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_correct FROM ev)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT agg.n_rows, round(s{T}.b0, 6) AS b0,"
+        f" round(s{T}.b1, 6) AS b1, round(s{T}.b2, 6) AS b2,"
+        f" round(agg.loss6 / cast({q6} AS DOUBLE) / agg.n_rows, 6)"
+        f" AS mean_log_loss,"
+        f" round(agg.n_correct / cast(agg.n_rows AS DOUBLE), 6) AS accuracy"
+        f" FROM agg CROSS JOIN s{T}"
+    )
+
+
+@register("ml_logreg_irls", oracle=_irls_sql(), tags=("ml", "agg", "iterative"))
+def ml_logreg_irls(spark, sf_dir):
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_irls_sql())
