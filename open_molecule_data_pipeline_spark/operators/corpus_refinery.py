@@ -1194,3 +1194,45 @@ def agg_kmv_intersect(spark, sf_dir):
             ).alias("rel_err_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bitmap-index distinct counting (Spark 3.5+ bitmap_* functions): the EXACT
+# mergeable-distinct structure — each (group, bucket) holds a fixed 4 KB
+# bitmap of key bit-positions; per-group distinct = sum of bucket popcounts,
+# and cross-group distinct is bitmap_or_agg over the SAME buckets (the
+# pre-aggregation pattern warehouses use for precomputed COUNT(DISTINCT)
+# at 100 TB: bitmaps union by OR across any slice, unlike raw distinct
+# counts which never merge). The oracle is plain COUNT(DISTINCT) per group
+# + global — an exact-equality proof that the bitmap pipeline loses
+# nothing. Shuffle carries 4 KB bitmaps per (group, bucket), never keys.
+# --------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT o_orderpriority AS grp,
+       cast(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL', cast(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE, tags=("agg", "sketch"))
+def agg_bitmap_distinct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    buckets = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm")
+    )
+    per_group = buckets.groupBy("grp").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct")
+    )
+    merged = (
+        buckets.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct"))
+        .select(F.lit("ALL").alias("grp"), "n_distinct")
+    )
+    return per_group.unionByName(merged)

@@ -461,3 +461,124 @@ def profile_chi2_independence(spark, sf_dir):
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval for a corpus mean — error bars on
+# metrics at 100 TB. The classic resampling bootstrap needs n draws per
+# replica from the whole dataset (impossible distributed); the Poisson
+# bootstrap (Chamandy et al., Google 2012) gives each row an independent
+# Poisson(1) weight per replica, so ALL B replicas accumulate in ONE scan
+# as 2*B map-side-combinable sums. Weights are derandomized: replica b's
+# weight for a row is inverse-CDF sampled from the row-key md5 nibble
+# stream — a pure function of the data, so both engines derive identical
+# replicas and the oracle check is EXACT (no tolerance band needed).
+# Replica means use the scaled-int64 protocol (cents); the replica-spread
+# SE quantizes each mean at 1e2 before the second-moment sum so the 32
+# squares stay inside int64; the 2.5/97.5% CI bounds are order statistics
+# of the 32 deterministic replica means.
+# --------------------------------------------------------------------------
+
+_BOOT_B = 32
+# cumulative Poisson(1) CDF thresholds: P(X <= k) for k = 0..7; u above
+# the last -> weight 8 (P ~ 1e-6). Literals parse to identical doubles.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+    "0.9999897508033253",
+)
+
+
+def _pois_weight_sql(u: str) -> str:
+    """Inverse-CDF Poisson(1) draw from a uniform expression ``u``."""
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 8 END)"
+
+
+def _boot_sql(str_t: str, instr_fn: str) -> str:
+    """Shared bootstrap text over ``lineitem``; engine knobs: string type
+    name and the hex-digit position function (instr vs strpos)."""
+    hexval = f"(cast({instr_fn}('0123456789abcdef', {{d}}) AS BIGINT) - 1)"
+    h32 = " + ".join(
+        hexval.format(d=f"substr(md5(rk || '_' || cast(b AS {str_t})), {i + 1}, 1)")
+        + f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH rows_ AS (
+  SELECT cast(l_orderkey AS {str_t}) || ':' || cast(l_linenumber AS {str_t})
+             AS rk,
+         cast(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+reps AS (
+  SELECT rk, cents, cast(b AS BIGINT) AS b
+  FROM rows_ CROSS JOIN (SELECT explode_or_unnest AS b) x
+),
+uni AS (
+  SELECT b, cents, ({h32}) / 4294967296.0 AS u FROM reps
+),
+drawn AS (
+  SELECT b, cents, {_pois_weight_sql("u")} AS w FROM uni
+),
+repl AS (
+  SELECT b,
+         cast(sum(w * cents) AS BIGINT) AS wsum,
+         cast(sum(w) AS BIGINT) AS wn
+  FROM drawn GROUP BY b
+),
+means AS (
+  SELECT b, wsum / cast(wn AS DOUBLE) / 100 AS m,
+         cast(round(wsum / cast(wn AS DOUBLE)) AS BIGINT) AS q
+  FROM repl
+),
+ranked AS (
+  SELECT m, q, row_number() OVER (ORDER BY m, b) AS rn FROM means
+),
+spread_ AS (
+  SELECT cast(sum(q) AS BIGINT) AS sq, cast(sum(q * q) AS BIGINT) AS sqq,
+         cast(count(*) AS BIGINT) AS nb
+  FROM means
+),
+full_ AS (
+  SELECT cast(count(*) AS BIGINT) AS n, cast(sum(cents) AS BIGINT) AS csum
+  FROM rows_
+)
+SELECT f.n,
+       round(f.csum / cast(f.n AS DOUBLE) / 100, 6) AS mean_full,
+       round((SELECT m FROM ranked WHERE rn = 1), 6) AS boot_min,
+       round((SELECT m FROM ranked WHERE rn = 2), 6) AS ci_lo,
+       round((SELECT m FROM ranked WHERE rn = {_BOOT_B - 1}), 6) AS ci_hi,
+       round((SELECT m FROM ranked WHERE rn = {_BOOT_B}), 6) AS boot_max,
+       round(sqrt((s.sqq - cast(s.sq AS DOUBLE) * s.sq / s.nb)
+                  / (s.nb - 1)) / 100, 6) AS se
+FROM full_ f CROSS JOIN spread_ s
+"""
+
+
+_BOOT_ORACLE = _boot_sql("VARCHAR", "strpos").replace(
+    "(SELECT explode_or_unnest AS b) x",
+    f"(SELECT unnest(range({_BOOT_B})) AS b) x",
+)
+
+_BOOT_SPARK_SQL = _boot_sql("STRING", "instr").replace(
+    "(SELECT explode_or_unnest AS b) x",
+    f"(SELECT explode(sequence(0, {_BOOT_B - 1})) AS b) x",
+)
+
+
+@register(
+    "sample_poisson_bootstrap", oracle=_BOOT_ORACLE, tags=("sample", "stats")
+)
+def sample_poisson_bootstrap(spark, sf_dir):
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_BOOT_SPARK_SQL)

@@ -142,6 +142,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "agg_kmv_intersect",  # NEW in r5 (post-window): KMV Jaccard/intersection
     "join_semijoin_reduction",  # NEW in r5 (post-window): Yannakakis reducers
     "ml_logreg_irls",  # NEW in r5 (post-window): 3-round Newton logistic fit
+    "agg_bitmap_distinct",  # NEW in r5 (post-window): exact bitmap-index COUNT(DISTINCT)
+    "sample_poisson_bootstrap",  # NEW in r5 (post-window): derandomized bootstrap CI
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)

@@ -128,10 +128,15 @@ def generate(spark) -> None:
         print(f"  generated {name}: {N_COPIES}x", file=sys.stderr)
 
 
-def run_once(spark, sf_dir: str) -> dict[str, float]:
+def run_once(spark, sf_dir: str, names=None) -> dict[str, float]:
+    """Time the headline (bench=True) set, or an explicit name list."""
     from open_molecule_data_pipeline_spark.registry import load_all
 
-    specs = {n: s for n, s in load_all().items() if s.bench}
+    all_specs = load_all()
+    if names:
+        specs = {n: all_specs[n] for n in names}
+    else:
+        specs = {n: s for n, s in all_specs.items() if s.bench}
     timings = {}
     for name, spec in sorted(specs.items()):
         try:
@@ -154,15 +159,20 @@ def main() -> None:
         print("generating derived sf1 dataset...", file=sys.stderr)
         generate(spark)
 
+    names = None
+    if "--names" in sys.argv:  # comma-separated explicit query list
+        names = sys.argv[sys.argv.index("--names") + 1].split(",")
+
     # warm pass each (file listing, codegen), then min-of-2 measured —
     # single cold runs showed 3x swings on the shuffle-heavy queries
     def min_of_two(sf_dir):
-        a, b = run_once(spark, sf_dir), run_once(spark, sf_dir)
+        a = run_once(spark, sf_dir, names)
+        b = run_once(spark, sf_dir, names)
         return {k: min(a[k], b[k]) for k in a}
 
-    run_once(spark, BASE_SF)  # warm
+    run_once(spark, BASE_SF, names)  # warm
     base = min_of_two(BASE_SF)
-    run_once(spark, SCALE_DIR)  # warm
+    run_once(spark, SCALE_DIR, names)  # warm
     scaled = min_of_two(SCALE_DIR)
 
     print(json.dumps({"sf": 0.1, "queries": base}))
