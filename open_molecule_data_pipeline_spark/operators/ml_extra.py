@@ -542,7 +542,7 @@ def ml_pca_power_iteration(spark, sf_dir):
             for i in range(_PCA_DIMS)
         ]
     )
-    q.createOrReplaceTempView("pca_q")
+    spread(q).createOrReplaceTempView("pca_q")
     return spark.sql(_pca_sql())
 
 
@@ -667,7 +667,8 @@ def _irls_sql() -> str:
 
 @register("ml_logreg_irls", oracle=_irls_sql(), tags=("ml", "agg", "iterative"))
 def ml_logreg_irls(spark, sf_dir):
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir, ("lineitem",))
+    # spread() the scan: the text makes FOUR passes over lineitem, and a
+    # coarse single-file input would serialize every one of them (measured
+    # x12.8 at the 10x scale check before this guard)
+    spread(table(spark, sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
     return spark.sql(_irls_sql())

@@ -1031,3 +1031,177 @@ def mm_image_resize_nn(spark, sf_dir):
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Image near-duplicate detection via perceptual difference hash (dHash) —
+# the vision-side member of the dedup ladder (text gets MinHash/SimHash;
+# images get perceptual hashes). Pipeline per image, all integer ops so
+# the oracle can replay it exactly: real PNG decode -> integer Rec.601
+# grayscale ((299r + 587g + 114b) // 1000) -> 9x8 nearest-neighbor
+# thumbnail (the same floor(dst*src/dim) index map as mm_image_resize_nn)
+# -> 64 brightness-gradient bits (g[y,x] < g[y,x+1]) packed into two
+# int64 halves. Candidate pairs come from FOUR 16-bit band chunks
+# (pigeonhole: hamming <= 3 forces at least one equal band — the same
+# banded-LSH shape as the text ladder, but with a DETERMINISTIC
+# completeness guarantee at the verify threshold); verification is
+# bit_count(xor) on the halves, JVM-side. The fixture makes doc pairs
+# (2p, 2p+1) share a base image with a sparse +1 pixel perturbation, so
+# true near-dups exist; the oracle brute-forces all pairs from the SAME
+# closed-form hashes, proving the banded path has zero false negatives at
+# the threshold. Scale: hashes are 16 bytes/image; the band join is an
+# equi-join on 16-bit chunks — cost tracks collisions, never all-pairs.
+# --------------------------------------------------------------------------
+
+_DHASH_T = 3  # max hamming distance; <= 3 guarantees band-completeness
+
+
+def _dhash_oracle() -> str:
+    # closed-form replay: v(c) at thumbnail position = fixture pixel value
+    # middle-square pixel scramble: v = ((s^2 + 7919 s) // 256) % 256 with
+    # s = base*1e5 + pixel index — NONLINEAR in base, so cross-base images
+    # are pseudo-random (hamming ~ 32) and exactly the intended (2p, 2p+1)
+    # pairs are near-dups. Two earlier fixtures failed the sf0.1 scale
+    # check: a linear gradient made EVERY pair collide, and an LCG without
+    # bit mixing is linear in base, leaving exact-duplicate base classes —
+    # both produced quadratic pair growth.
+    s = "(base * 100000 + (((y * h) // 8 * w + (x * w) // 9) * 3 + c))"
+    px = (
+        f"(({s} * {s} + {s} * 7919) // 256"
+        " + CASE WHEN odd = 1 AND ((((y * h) // 8 * w + (x * w)"
+        " // 9) * 3 + c) % 97) = 0 THEN 1 ELSE 0 END) % 256"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, doc_id // 2 AS base, cast(doc_id % 2 AS BIGINT) AS odd,
+         16 + (doc_id // 2) % 5 AS w, 16 + (doc_id // 2) % 3 AS h
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, base, odd, w, h,
+         unnest(range(72)) AS k9
+  FROM docs
+),
+gray AS (
+  SELECT doc_id, k9 // 9 AS y, k9 % 9 AS x,
+         (({px.replace("c", "0")}) * 299
+          + ({px.replace("c", "1")}) * 587
+          + ({px.replace("c", "2")}) * 114) // 1000 AS g
+  FROM (SELECT doc_id, base, odd, w, h, k9, k9 // 9 AS y, k9 % 9 AS x
+        FROM pos) p
+),
+bits AS (
+  SELECT doc_id, y * 8 + x AS bitk,
+         CASE WHEN g < lead(g) OVER (PARTITION BY doc_id, y ORDER BY x)
+              THEN 1 ELSE 0 END AS b
+  FROM gray QUALIFY x < 8
+),
+hashes AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN bitk < 32
+                       THEN b * cast(pow(2, bitk) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS hi,
+         cast(sum(CASE WHEN bitk >= 32
+                       THEN b * cast(pow(2, bitk - 32) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_DHASH_T}
+"""
+
+
+@register("mm_image_dhash_neardup", oracle=_dhash_oracle(), tags=("multimodal", "image", "dedup"))
+def mm_image_dhash_neardup(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("hi", T.LongType()),
+            T.StructField("lo", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                base, odd = doc_id // 2, doc_id % 2
+                w, h = 16 + base % 5, 16 + base % 3
+                j = np.arange(w * h * 3, dtype=np.int64)
+                s = base * 100000 + j
+                v = ((s * s + s * 7919) // 256 + (odd * (j % 97 == 0)).astype(np.int64)) % 256
+                img = v.astype(np.uint8).reshape(h, w, 3)
+                blob = encode_png(img, filters=[0, 1, 2, 3, 4])
+                dec = decode_media(bytes(blob), "image/png")
+                px = dec["pixels"].astype(np.int64)
+                ys = (np.arange(8, dtype=np.int64) * h) // 8
+                xs = (np.arange(9, dtype=np.int64) * w) // 9
+                thumb = px[np.ix_(ys, xs)]
+                g = (
+                    thumb[:, :, 0] * 299 + thumb[:, :, 1] * 587 + thumb[:, :, 2] * 114
+                ) // 1000
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.int64).reshape(-1)
+                ks = np.arange(64, dtype=np.int64)
+                hi = int((bits[ks < 32] << ks[ks < 32]).sum())
+                lo = int((bits[ks >= 32] << (ks[ks >= 32] - 32)).sum())
+                rows.append((doc_id, hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "hi", "lo"])
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    hashes = d.mapInPandas(run, schema=schema)
+
+    chunks = hashes.select(
+        "doc_id",
+        "hi",
+        "lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("hi") % 65536).alias("c")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.col("hi") / 65536).cast("long").alias("c"),
+                ),
+                F.struct(F.lit(2).alias("band"), (F.col("lo") % 65536).alias("c")),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    (F.col("lo") / 65536).cast("long").alias("c"),
+                ),
+            )
+        ).alias("bc"),
+    ).select("doc_id", "hi", "lo", "bc.band", "bc.c")
+
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "band",
+        "c",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "band",
+        "c",
+    )
+    cand = (
+        a.join(b, ["band", "c"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _DHASH_T)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -578,7 +578,10 @@ _BOOT_SPARK_SQL = _boot_sql("STRING", "instr").replace(
     "sample_poisson_bootstrap", oracle=_BOOT_ORACLE, tags=("sample", "stats")
 )
 def sample_poisson_bootstrap(spark, sf_dir):
-    from ..catalog import register_views
+    from ..catalog import table as _table
+    from ._util import spread
 
-    register_views(spark, sf_dir, ("lineitem",))
+    # the 32-replica md5 draw stream is the expensive map stage; spread()
+    # keeps it off a single coarse input partition
+    spread(_table(spark, sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
     return spark.sql(_BOOT_SPARK_SQL)

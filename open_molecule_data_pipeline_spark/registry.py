@@ -144,6 +144,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ml_logreg_irls",  # NEW in r5 (post-window): 3-round Newton logistic fit
     "agg_bitmap_distinct",  # NEW in r5 (post-window): exact bitmap-index COUNT(DISTINCT)
     "sample_poisson_bootstrap",  # NEW in r5 (post-window): derandomized bootstrap CI
+    "mm_image_dhash_neardup",  # NEW in r5 (post-window): perceptual-hash image dedup
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
