@@ -1205,3 +1205,120 @@ def mm_image_dhash_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= _DHASH_T)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio near-duplicate detection via frame-energy fingerprints — the
+# audio member of the perceptual-dedup triad (text: MinHash/SimHash;
+# image: mm_image_dhash_neardup; audio: this). Per clip, all integer ops:
+# real WAV encode -> RIFF decode -> 16 equal frames -> sum-of-|amplitude|
+# energy per frame -> 15 energy-gradient bits (e[f] < e[f+1]) packed into
+# one int. Clips pair by EXACT fingerprint equality (groupBy on the
+# 15-bit signature + clip length — a plain hash shuffle of 2-int rows, the
+# cheapest possible dedup join). The fixture gives (2p, 2p+1) clip pairs a
+# shared middle-square pseudo-random base signal with a sparse +1
+# perturbation; energies absorb the perturbation, so true pairs keep equal
+# fingerprints while cross-base signatures are ~uniform over 2^15. The
+# oracle replays the integer signal closed-form. Scale: fingerprints are
+# O(1) per clip; the pair join is an equi-join on the signature.
+# --------------------------------------------------------------------------
+
+# 32 frames -> 31-bit fingerprints: at 16 frames the 15-bit space measured
+# x30 pair growth at 10x docs (cross-base collisions); 31 bits puts the
+# birthday term below 1 pair at 5e4 clips per length class
+_AFP_FRAMES = 32
+
+
+def _afp_oracle() -> str:
+    # prime-modulus scramble: (s^2 mod 1000003)*31 mod 65536 — the power-of-2
+    # middle-square variant left cross terms divisible by 64 (quasi-linear in
+    # base), measuring x14 pair growth at 10x clips; the prime break makes
+    # cross-base fingerprints ~uniform (measured ~4% accidental pairs at 10k)
+    s = "(base * 100000 + i)"
+    samp = f"(({s} * {s}) % 1000003) * 31 % 65536 - 32768"
+    pert = "CASE WHEN odd = 1 AND i % 89 = 0 THEN 1 ELSE 0 END"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, doc_id // 2 AS base, cast(doc_id % 2 AS BIGINT) AS odd,
+         {_AFP_FRAMES} * (4 + (doc_id // 2) % 4) AS n
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, n, i,
+         abs(({samp}) + ({pert})) AS mag,
+         i // (n // {_AFP_FRAMES}) AS frame
+  FROM (SELECT doc_id, base, odd, n, unnest(range(n)) AS i FROM docs) g
+),
+energies AS (
+  SELECT doc_id, frame, cast(sum(mag) AS BIGINT) AS e
+  FROM samples GROUP BY doc_id, frame
+),
+bits AS (
+  SELECT doc_id, frame AS f,
+         CASE WHEN e < lead(e) OVER (PARTITION BY doc_id ORDER BY frame)
+              THEN 1 ELSE 0 END AS b
+  FROM energies QUALIFY f < {_AFP_FRAMES} - 1
+),
+fps AS (
+  SELECT s.doc_id, d.n,
+         cast(sum(b * cast(pow(2, f) AS BIGINT)) AS BIGINT) AS fp
+  FROM bits s JOIN docs d ON s.doc_id = d.doc_id
+  GROUP BY s.doc_id, d.n
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.n = b.n AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "mm_audio_fingerprint_neardup",
+    oracle=_afp_oracle(),
+    tags=("multimodal", "audio", "dedup"),
+)
+def mm_audio_fingerprint_neardup(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        nf = _AFP_FRAMES
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                base, odd = doc_id // 2, doc_id % 2
+                n = nf * (4 + base % 4)
+                i = np.arange(n, dtype=np.int64)
+                s = base * 100000 + i
+                samp = ((s * s) % 1000003) * 31 % 65536 - 32768
+                samp = samp + (odd * (i % 89 == 0)).astype(np.int64)
+                blob = encode_wav_pcm16(samp.astype(np.int16))
+                dec = decode_media(bytes(blob), "audio/wav")
+                mag = np.abs(dec["frames"].astype(np.int64))
+                e = mag.reshape(nf, n // nf).sum(axis=1)
+                b = (e[:-1] < e[1:]).astype(np.int64)
+                fp = int((b << np.arange(nf - 1, dtype=np.int64)).sum())
+                rows.append((doc_id, n, fp))
+            yield pd.DataFrame(rows, columns=["doc_id", "n", "fp"])
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    fps = d.mapInPandas(run, schema=schema)
+    a = fps.select(
+        F.col("doc_id").alias("doc_a"), F.col("n"), F.col("fp")
+    )
+    b = fps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.col("fp").alias("fp_b"),
+    )
+    return (
+        a.join(b, (a.fp == b.fp_b) & (a.n == b.n_b))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp")
+    )

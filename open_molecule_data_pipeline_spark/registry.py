@@ -145,6 +145,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "agg_bitmap_distinct",  # NEW in r5 (post-window): exact bitmap-index COUNT(DISTINCT)
     "sample_poisson_bootstrap",  # NEW in r5 (post-window): derandomized bootstrap CI
     "mm_image_dhash_neardup",  # NEW in r5 (post-window): perceptual-hash image dedup
+    "mm_audio_fingerprint_neardup",  # NEW in r5 (post-window): frame-energy audio dedup
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
