@@ -649,3 +649,61 @@ def dedup_url_normalize(spark, sf_dir):
         .alias("n_dup"),
         F.min("norm_url").alias("sample_url"),
     )
+
+
+# --------------------------------------------------------------------------
+# Keyword/phrase blocklist tagging — the safety-filter primitive of a
+# training corpus (ban-phrase screening, compliance terms, eval-canary
+# strings). The phrase list is a broadcast-sized constant, so the operator
+# compiles it into one boolean column per phrase over a single scan: NO
+# join, NO shuffle except the final per-language rollup. Token-boundary
+# semantics via space padding (phrase "merge batch" matches the token
+# sequence, not substrings inside longer tokens). At 100 TB with a large
+# phrase list this becomes the broadcast Aho-Corasick pattern; the
+# per-phrase-column form is exact and plan-minimal for audit-sized lists.
+# --------------------------------------------------------------------------
+
+_BLOCK_PHRASES = ("slow", "error", "merge batch", "hash value")
+
+
+def _tagger_oracle() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT lang, '{p}' AS phrase,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN ' ' || text || ' ' LIKE '% {p} %'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM documents GROUP BY lang"""
+        for p in _BLOCK_PHRASES
+    )
+    return branches
+
+
+@register("text_keyword_blocklist", oracle=_tagger_oracle(), tags=("text", "quality"))
+def text_keyword_blocklist(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    flags = d.select(
+        "lang",
+        *[
+            padded.contains(f" {p} ").cast("int").alias(f"f{i}")
+            for i, p in enumerate(_BLOCK_PHRASES)
+        ],
+    )
+    agg = flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(f"f{i}").cast("long").alias(f"s{i}")
+            for i in range(len(_BLOCK_PHRASES))
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("phrase"), F.col(f"s{i}").alias("n_flagged")
+            )
+            for i, p in enumerate(_BLOCK_PHRASES)
+        ]
+    )
+    return agg.select(
+        "lang", "n_docs", F.explode(pairs).alias("x")
+    ).select("lang", "x.phrase", "n_docs", "x.n_flagged")

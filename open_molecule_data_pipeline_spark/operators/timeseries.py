@@ -502,3 +502,83 @@ def join_range_binned(spark, sf_dir):
     return base.join(per_error, "event_id", "left").select(
         "event_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition (additive, fixed period): hourly series split into
+# trend (period-centered mean), seasonal (hour-of-day offset), and
+# residual — the classical STL-lite screen for "is this metric's movement
+# just the daily cycle". Exact protocol: counts are ints; the two grouped
+# means divide exact int sums once each; the residual subtracts them in a
+# fixed order and is rounded at 6. One shuffle for the hourly rollup, two
+# tiny grouped means (24 rows + per-day rows) broadcast back — at 100 TB
+# the series pre-aggregate dominates and is map-side combinable.
+# --------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('day', ts) AS d,
+         cast(extract(hour FROM ts) AS INTEGER) AS hod,
+         cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+season AS (
+  SELECT hod,
+         cast(sum(n) AS BIGINT) AS sn, cast(count(*) AS BIGINT) AS sc
+  FROM hourly GROUP BY hod
+),
+trend AS (
+  SELECT d, cast(sum(n) AS BIGINT) AS tn, cast(count(*) AS BIGINT) AS tc
+  FROM hourly GROUP BY d
+),
+tot AS (SELECT cast(sum(n) AS BIGINT) AS gn, cast(count(*) AS BIGINT) AS gc
+        FROM hourly)
+SELECT h.d, h.hod, h.n,
+       round(t.tn / cast(t.tc AS DOUBLE), 6) AS trend_mean,
+       round(s.sn / cast(s.sc AS DOUBLE)
+             - o.gn / cast(o.gc AS DOUBLE), 6) AS seasonal_offset,
+       round(h.n - t.tn / cast(t.tc AS DOUBLE)
+             - (s.sn / cast(s.sc AS DOUBLE) - o.gn / cast(o.gc AS DOUBLE)),
+             6) AS residual
+FROM hourly h
+JOIN season s ON h.hod = s.hod
+JOIN trend t ON h.d = t.d
+CROSS JOIN tot o
+"""
+
+
+@register(
+    "ts_seasonal_decompose", oracle=_SEASONAL_ORACLE, tags=("timeseries", "stats")
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    season = hourly.groupBy("hod").agg(
+        F.sum("n").cast("long").alias("sn"), F.count(F.lit(1)).alias("sc")
+    )
+    trend = hourly.groupBy("d").agg(
+        F.sum("n").cast("long").alias("tn"), F.count(F.lit(1)).alias("tc")
+    )
+    tot = hourly.agg(
+        F.sum("n").cast("long").alias("gn"), F.count(F.lit(1)).alias("gc")
+    )
+    t_mean = F.col("tn") / F.col("tc").cast("double")
+    s_off = F.col("sn") / F.col("sc").cast("double") - F.col("gn") / F.col(
+        "gc"
+    ).cast("double")
+    return (
+        hourly.join(F.broadcast(season), "hod")
+        .join(F.broadcast(trend), "d")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "hod",
+            "n",
+            F.round(t_mean, 6).alias("trend_mean"),
+            F.round(s_off, 6).alias("seasonal_offset"),
+            F.round(F.col("n") - t_mean - s_off, 6).alias("residual"),
+        )
+    )

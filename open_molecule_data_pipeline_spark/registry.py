@@ -146,6 +146,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sample_poisson_bootstrap",  # NEW in r5 (post-window): derandomized bootstrap CI
     "mm_image_dhash_neardup",  # NEW in r5 (post-window): perceptual-hash image dedup
     "mm_audio_fingerprint_neardup",  # NEW in r5 (post-window): frame-energy audio dedup
+    "ts_seasonal_decompose",  # NEW in r5 (post-window): trend/seasonal/residual
+    "text_keyword_blocklist",  # NEW in r5 (post-window): safety phrase tagging
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
