@@ -91,3 +91,84 @@ def window_gaps_islands(spark, sf_dir):
         )
         .select("user_id", "streak_start", "streak_hours")
     )
+
+
+# --------------------------------------------------------------------------
+# Row-pattern detection (SQL:2016 MATCH_RECOGNIZE shape, expressed with
+# window lags): find V-shaped price patterns per part in shipdate order —
+# two strict declines followed by two strict rises across 5 consecutive
+# shipments (DOWN DOWN UP UP). Neither engine ships MATCH_RECOGNIZE;
+# the portable rewrite binds the pattern's fixed-width window to 4 lag()
+# columns and evaluates the predicate row-wise — one keyed window, no
+# joins, no state machine. Prices compare as exact int64 cents; the
+# ordering key (shipdate, orderkey, linenumber) is a total order so lag
+# chains are deterministic. Variable-width patterns (DOWN+ UP+) compile
+# to the gaps-and-islands template instead (window_gaps_islands).
+# At 100 TB: one hash exchange on part, per-part sorted windows.
+# --------------------------------------------------------------------------
+
+_VSHAPE_ORACLE = """
+WITH seq AS (
+  SELECT l_partkey,
+         cast(round(l_extendedprice * 100) AS BIGINT) AS p,
+         lag(cast(round(l_extendedprice * 100) AS BIGINT), 1) OVER w AS p1,
+         lag(cast(round(l_extendedprice * 100) AS BIGINT), 2) OVER w AS p2,
+         lag(cast(round(l_extendedprice * 100) AS BIGINT), 3) OVER w AS p3,
+         lag(cast(round(l_extendedprice * 100) AS BIGINT), 4) OVER w AS p4
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber)
+),
+flags AS (
+  SELECT l_partkey,
+         CASE WHEN p4 > p3 AND p3 > p2 AND p2 < p1 AND p1 < p
+              THEN 1 ELSE 0 END AS v
+  FROM seq WHERE p4 IS NOT NULL
+),
+per_part AS (
+  SELECT l_partkey, cast(count(*) AS BIGINT) AS n_windows,
+         cast(sum(v) AS BIGINT) AS n_vshapes
+  FROM flags GROUP BY l_partkey
+)
+SELECT l_partkey, n_windows, n_vshapes
+FROM per_part
+ORDER BY n_vshapes DESC, l_partkey LIMIT 10
+"""
+
+
+@register("window_pattern_vshape", oracle=_VSHAPE_ORACLE, tags=("window", "pattern"))
+def window_pattern_vshape(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    seq = li.select(
+        "l_partkey",
+        p.alias("p"),
+        F.lag(p, 1).over(w).alias("p1"),
+        F.lag(p, 2).over(w).alias("p2"),
+        F.lag(p, 3).over(w).alias("p3"),
+        F.lag(p, 4).over(w).alias("p4"),
+    )
+    flags = seq.filter(F.col("p4").isNotNull()).select(
+        "l_partkey",
+        F.when(
+            (F.col("p4") > F.col("p3"))
+            & (F.col("p3") > F.col("p2"))
+            & (F.col("p2") < F.col("p1"))
+            & (F.col("p1") < F.col("p")),
+            1,
+        )
+        .otherwise(0)
+        .alias("v"),
+    )
+    return (
+        flags.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("v").cast("long").alias("n_vshapes"),
+        )
+        .orderBy(F.desc("n_vshapes"), "l_partkey")
+        .limit(10)
+    )

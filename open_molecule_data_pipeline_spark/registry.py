@@ -148,6 +148,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "mm_audio_fingerprint_neardup",  # NEW in r5 (post-window): frame-energy audio dedup
     "ts_seasonal_decompose",  # NEW in r5 (post-window): trend/seasonal/residual
     "text_keyword_blocklist",  # NEW in r5 (post-window): safety phrase tagging
+    "window_pattern_vshape",  # NEW in r5 (post-window): MATCH_RECOGNIZE-shape lags
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
