@@ -182,3 +182,60 @@ def test_avi_demux_property(frames, dims):
     assert dec["width"] == w and dec["height"] == h
     assert dec["n_frames"] == len(frames)
     assert dec["frames"] == [bytes(f) for f in frames]
+
+
+# --- WARC round-trip ------------------------------------------------------
+
+# bodies starting with "HTTP/" are excluded: the parser (like real WARC
+# tooling) sniffs HTTP payloads by that prefix, so a metadata record whose
+# body imitates an HTTP response is legitimately split as one
+_warc_body = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    min_size=0,
+    max_size=200,
+).filter(lambda s: not s.startswith("HTTP/"))
+_warc_uri = st.from_regex(r"https://[a-z]{1,10}\.example/[a-z0-9/]{0,20}", fullmatch=True)
+
+
+@given(
+    st.lists(
+        st.tuples(_warc_body, _warc_uri, st.integers(100, 599), st.booleans()),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_warc_roundtrip(recs):
+    """build_warc_gz -> parse_warc_bytes is the identity on (type, uri,
+    status, body) for ARBITRARY bodies — including bodies containing
+    record delimiters, fake WARC headers, or binary-ish text — because the
+    scan is Content-Length-driven, never delimiter-driven."""
+    from open_molecule_data_pipeline_spark.sources.warc import (
+        build_warc_gz,
+        parse_warc_bytes,
+    )
+
+    records = []
+    for i, (body, uri, status, is_response) in enumerate(recs):
+        if is_response:
+            records.append(
+                {"record_id": f"r{i}", "warc_type": "response",
+                 "target_uri": uri, "http_status": status,
+                 "http_content_type": "text/html", "body": body}
+            )
+        else:
+            records.append(
+                {"record_id": f"m{i}", "warc_type": "metadata",
+                 "target_uri": uri, "body": body}
+            )
+    parsed = list(parse_warc_bytes(build_warc_gz(records), "prop.warc.gz"))
+    assert len(parsed) == len(records)
+    for rec, out in zip(records, parsed):
+        assert out["warc_type"] == rec["warc_type"]
+        assert out["target_uri"] == rec["target_uri"]
+        # utf-8 round-trip: body survives byte-exactly for valid unicode
+        assert out["body"] == rec["body"]
+        if rec["warc_type"] == "response":
+            assert out["http_status"] == rec["http_status"]
+        else:
+            assert out["http_status"] is None
