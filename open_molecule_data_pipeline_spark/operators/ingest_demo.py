@@ -520,3 +520,46 @@ def ingest_warc_demo(spark, sf_dir):
     path = _warc_fixture()
     df = read_warc(spark, str(path), record_types=("response",))
     return warc_document_table(df).orderBy("doc_id")
+
+
+_ARROW_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'C', 16.04), (2, 'CC', 30.07), (3, 'CCO', 46.07),
+  (4, 'CCN', 45.08), (5, 'CCC', 44.1)
+) t(mol_id, smiles, mw)
+"""
+
+
+@register("ingest_arrow_demo", oracle=_ARROW_DEMO_ORACLE, tags=("ingest", "formats"))
+def ingest_arrow_demo(spark, sf_dir):
+    """Arrow IPC (Feather v2) ingestion: the standard hand-off artifact of
+    Python feature pipelines read file-per-task through pyarrow inside
+    mapInPandas (``sources/formats.py::read_arrow_ipc``)."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    from pyspark.sql import types as T
+
+    from ..sources.formats import read_arrow_ipc
+
+    root = Path(tempfile.gettempdir()) / "omdp_spark_demo_fixtures"
+    root.mkdir(parents=True, exist_ok=True)
+    path = root / "demo.arrow"
+    if not path.exists():
+        tbl = pa.table(
+            {
+                "mol_id": pa.array([1, 2, 3, 4, 5], pa.int32()),
+                "smiles": ["C", "CC", "CCO", "CCN", "CCC"],
+                "mw": pa.array([16.04, 30.07, 46.07, 45.08, 44.1], pa.float64()),
+            }
+        )
+        with pa.ipc.new_file(str(path), tbl.schema) as w:
+            w.write_table(tbl)
+    schema = T.StructType(
+        [
+            T.StructField("mol_id", T.IntegerType()),
+            T.StructField("smiles", T.StringType()),
+            T.StructField("mw", T.DoubleType()),
+        ]
+    )
+    return read_arrow_ipc(spark, str(path), schema)

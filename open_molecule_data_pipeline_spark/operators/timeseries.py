@@ -582,3 +582,94 @@ def ts_seasonal_decompose(spark, sf_dir):
             F.round(F.col("n") - t_mean - s_off, 6).alias("residual"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: every purchase event is credited to the user's
+# most recent preceding non-purchase touch within a 1-hour lookback — the
+# marketing-analytics shape of the as-of join, expressed as ONE window
+# pass instead of a range join: interleave touches and purchases per user
+# in time order, forward-fill the latest touch (max_by over the preceding
+# frame), then age-filter. Exact protocol: timestamps compare directly;
+# the only float is the purchase value, rounded at 2 as stored. At 100 TB
+# this is one hash exchange on user_id + one ordered window per user —
+# strictly cheaper than the O(touch x purchase) theta join it replaces.
+# Ties (same ts) break by event_id, matching the oracle's packed ordering.
+# --------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH stream AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS is_touch
+  FROM events
+),
+filled AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN is_touch = 1
+                  THEN epoch_us(ts) * 1000 + event_id % 1000 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS touch_pack
+  FROM stream
+),
+attributed AS (
+  SELECT user_id,
+         epoch_us(ts) - cast(touch_pack // 1000 AS BIGINT) AS age_us
+  FROM filled WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_purchases,
+       cast(sum(CASE WHEN age_us IS NOT NULL AND age_us <= 3600000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+FROM attributed
+GROUP BY user_id
+"""
+
+
+@register(
+    "ts_attribution_last_touch",
+    oracle=_ATTRIB_ORACLE,
+    tags=("timeseries", "asof", "window"),
+)
+def ts_attribution_last_touch(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    stream = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("is_touch"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # pack (epoch_us, event_id mod 1e3) into one int64 so ONE window max
+    # carries both the touch time and its identity (the max_by-over-frame
+    # trick; epoch dominates the ordering, id breaks exact-ts ties; x1000
+    # keeps 2024-era micros inside int64 — x1e5 overflowed)
+    pack = F.when(
+        F.col("is_touch") == 1,
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        + (F.col("event_id") % 1000),
+    )
+    filled = stream.withColumn("touch_pack", F.max(pack).over(w))
+    attributed = filled.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.floor(F.col("touch_pack") / 1000).cast("long")
+        ).alias("age_us"),
+    )
+    return attributed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(
+            F.when(
+                F.col("age_us").isNotNull() & (F.col("age_us") <= 3600000000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_attributed"),
+    )

@@ -149,6 +149,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ts_seasonal_decompose",  # NEW in r5 (post-window): trend/seasonal/residual
     "text_keyword_blocklist",  # NEW in r5 (post-window): safety phrase tagging
     "window_pattern_vshape",  # NEW in r5 (post-window): MATCH_RECOGNIZE-shape lags
+    "ts_attribution_last_touch",  # NEW in r5 (post-window): windowed as-of credit
+    "ingest_arrow_demo",  # NEW in r5 (post-window): Arrow IPC / Feather source
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
