@@ -240,3 +240,62 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "format_bucketed_join")
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_semijoin_reduction_plan(spark, sf_dir):
+    """join_semijoin_reduction must actually contain the two LeftSemi
+    reducers (that's its whole point — the oracle can't see plan shape)."""
+    plan = _plan(spark, sf_dir, "join_semijoin_reduction")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_perceptual_dedup_no_cartesian(spark, sf_dir):
+    """dHash/audio-fingerprint near-dup must pair through equi-joins on
+    band chunks / signatures — never a cross product."""
+    for name in ("mm_image_dhash_neardup", "mm_audio_fingerprint_neardup"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bitmap_distinct_two_level(spark, sf_dir):
+    """agg_bitmap_distinct's merged branch must aggregate bitmaps, not
+    re-shuffle raw keys (the pre-aggregation pattern under test)."""
+    plan = _plan(spark, sf_dir, "agg_bitmap_distinct")
+    assert "bitmap_construct_agg" in plan
+    assert "bitmap_or_agg" in plan
+
+
+def test_attribution_single_window_no_join(spark, sf_dir):
+    """ts_attribution_last_touch replaces a theta join with one window —
+    the plan must contain a Window and NO join operator at all."""
+    plan = _plan(spark, sf_dir, "ts_attribution_last_touch")
+    assert "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+
+
+def test_irls_moment_passes_partial_agg(spark, sf_dir):
+    """Each IRLS round is a map-side-combinable aggregation: every
+    HashAggregate must come in partial+final pairs and no join beyond the
+    1-row beta cross joins (which Spark plans as broadcast nested loop
+    over a single-row side)."""
+    plan = _plan(spark, sf_dir, "ml_logreg_irls")
+    assert plan.count("HashAggregate") >= 8  # >= 4 passes x 2 levels
+    assert "SortMergeJoin" not in plan
+
+
+def test_duplicate_spans_digest_shuffle(spark, sf_dir):
+    """dedup_duplicate_spans shuffles md5 digests, not document bodies:
+    the exchange feeding the per-gram window must not carry `text`."""
+    plan = _plan(spark, sf_dir, "dedup_duplicate_spans")
+    assert "CartesianProduct" not in plan
+    import re
+    exchanges = [
+        seg for seg in plan.split("Exchange hashpartitioning")[1:]
+    ]
+    assert exchanges, "expected at least one hash exchange"
+    # the gram-key exchange partitions by `key` (the digest column)
+    assert any(seg.startswith("(key") for seg in exchanges)
