@@ -290,3 +290,65 @@ def cdc_scd2_pointintime(spark, sf_dir):
     return enriched.groupBy("user_id", "state").agg(
         F.count(F.lit(1)).alias("n_purchases")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance — the delta-refresh contract behind
+# every materialized rollup at 100 TB: maintaining SUM/COUNT aggregates
+# under appends must equal a full recompute WITHOUT rescanning the base.
+# The query splits orders at a date watermark, computes the base rollup
+# and the delta rollup independently, merges them with pure aggregate
+# algebra (sum+sum, count+count, avg re-derived from merged sums), and
+# emits the merged rollup; the oracle is the FULL recompute over the
+# union — a hash match proves the merge algebra is lossless. All sums ride
+# the scaled-int64 protocol so merge order cannot drift. (AVG is the
+# canonical non-trivially-mergeable case: merged as s/n, never avg-of-avg.)
+# --------------------------------------------------------------------------
+
+_INC_AGG_ORACLE = """
+SELECT o_orderpriority,
+       cast(count(*) AS BIGINT) AS n_orders,
+       cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+       round(cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / cast(count(*) AS DOUBLE) / 100, 6) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "cdc_incremental_agg_maintenance",
+    oracle=_INC_AGG_ORACLE,
+    tags=("cdc", "agg", "merge"),
+)
+def cdc_incremental_agg_maintenance(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    watermark = "1996-01-01"
+
+    def rollup(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+
+    base = rollup(o.filter(F.col("o_orderdate") < watermark))
+    delta = rollup(o.filter(F.col("o_orderdate") >= watermark))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("price_cents"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        "price_cents",
+        F.round(
+            F.col("price_cents") / F.col("n_orders").cast("double") / 100, 6
+        ).alias("avg_price"),
+    )

@@ -585,3 +585,66 @@ def sample_poisson_bootstrap(spark, sf_dir):
     # keeps it off a single coarse input partition
     spread(_table(spark, sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
     return spark.sql(_BOOT_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# Model calibration bins (reliability diagram): bucket a deterministic
+# logistic score into 10 probability bins and compare each bin's mean
+# predicted probability with its observed positive rate — the standard
+# post-training eval for any classifier trained on the cluster (pairs
+# with ml_logreg_irls). Exactness: per-row probabilities quantize to
+# int64 at 1e9 before BOTH the binning floor and the bin-mean sum, so
+# bucket membership and every aggregate are integer-exact; only the two
+# final divisions are floats. One scan, one 10-key aggregation.
+# --------------------------------------------------------------------------
+
+_CALIB_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         cast(round(1 / (1 + exp(-(-0.7 + 0.002 * cast(round(l_discount * 100)
+             AS BIGINT) - 0.0002 * cast(l_quantity AS BIGINT)))) * 1000000000)
+             AS BIGINT) AS p9
+  FROM lineitem
+),
+binned AS (
+  SELECT cast(p9 * 10 // 1000000000 AS INTEGER) AS bin, y, p9 FROM scored
+)
+SELECT bin,
+       cast(count(*) AS BIGINT) AS n,
+       round(cast(sum(p9) AS BIGINT) / cast(count(*) AS DOUBLE)
+             / 1000000000, 6) AS mean_predicted,
+       round(cast(sum(y) AS BIGINT) / cast(count(*) AS DOUBLE), 6)
+           AS observed_rate
+FROM binned GROUP BY bin
+"""
+
+
+@register("ml_calibration_bins", oracle=_CALIB_ORACLE, tags=("ml", "stats"))
+def ml_calibration_bins(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    eta = (
+        F.lit(-0.7)
+        + 0.002 * F.round(F.col("l_discount") * 100).cast("long")
+        - 0.0002 * F.col("l_quantity").cast("long")
+    )
+    p9 = F.round((1 / (1 + F.exp(-eta))) * 1000000000).cast("long")
+    scored = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        p9.alias("p9"),
+    )
+    binned = scored.select(
+        F.expr("cast(p9 * 10 div 1000000000 as int)").alias("bin"),
+        "y",
+        "p9",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("p9").cast("long") / F.count(F.lit(1)).cast("double")
+            / 1000000000,
+            6,
+        ).alias("mean_predicted"),
+        F.round(
+            F.sum("y").cast("long") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("observed_rate"),
+    )

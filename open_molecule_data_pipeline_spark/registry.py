@@ -151,6 +151,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "window_pattern_vshape",  # NEW in r5 (post-window): MATCH_RECOGNIZE-shape lags
     "ts_attribution_last_touch",  # NEW in r5 (post-window): windowed as-of credit
     "ingest_arrow_demo",  # NEW in r5 (post-window): Arrow IPC / Feather source
+    "cdc_incremental_agg_maintenance",  # NEW in r5 (post-window): MV delta merge
+    "ml_calibration_bins",  # NEW in r5 (post-window): reliability diagram
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
