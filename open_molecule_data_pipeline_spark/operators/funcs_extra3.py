@@ -811,3 +811,47 @@ def func_listagg_group(spark, sf_dir):
     return statuses.join(F.broadcast(top_custs), "o_orderpriority").select(
         "o_orderpriority", "statuses", "n_orders", "first_custs"
     )
+
+
+# --------------------------------------------------------------------------
+# Column encryption round-trip (aes_encrypt/aes_decrypt): the
+# pseudonymization primitive for PII columns at rest — encrypt on ingest,
+# decrypt under entitlement. DuckDB has no AES twin, so the oracle is a
+# VERDICT over properties the exact side can predict: every row must
+# round-trip (decrypt(encrypt(x)) = x), and in deterministic ECB mode
+# equal plaintexts produce equal ciphertexts, so distinct-ciphertext
+# count equals distinct-plaintext count (the property that makes
+# ECB-pseudonymized columns still joinable/groupable — and the reason
+# real PII deployments that DON'T need joinability should use GCM, whose
+# random IV breaks both this equality and cross-run determinism).
+# All JVM-side expressions; one scan + one aggregate.
+# --------------------------------------------------------------------------
+
+_AES_ORACLE = """
+SELECT cast(count(*) AS BIGINT) AS n_rows,
+       cast(count(*) AS BIGINT) AS n_roundtrip_ok,
+       cast(count(DISTINCT c_name) AS BIGINT) AS n_distinct_cipher
+FROM customer
+"""
+
+
+@register("func_aes_column_crypto", oracle=_AES_ORACLE, tags=("functions", "security"))
+def func_aes_column_crypto(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    key = "0123456789abcdef"  # 16-byte AES-128 key (demo constant)
+    enc = F.expr(f"aes_encrypt(c_name, '{key}', 'ECB')")
+    crypted = c.select(
+        "c_name",
+        enc.alias("cipher"),
+        F.expr(
+            f"cast(aes_decrypt(aes_encrypt(c_name, '{key}', 'ECB'),"
+            f" '{key}', 'ECB') AS STRING)"
+        ).alias("roundtrip"),
+    )
+    return crypted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("roundtrip") == F.col("c_name"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_roundtrip_ok"),
+        F.countDistinct("cipher").alias("n_distinct_cipher"),
+    )
