@@ -153,6 +153,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ingest_arrow_demo",  # NEW in r5 (post-window): Arrow IPC / Feather source
     "cdc_incremental_agg_maintenance",  # NEW in r5 (post-window): MV delta merge
     "ml_calibration_bins",  # NEW in r5 (post-window): reliability diagram
+    "func_aes_column_crypto",  # NEW in r5 (post-window): pseudonymization verdict
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
