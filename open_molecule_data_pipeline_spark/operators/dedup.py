@@ -646,3 +646,140 @@ def dedup_containment(spark, sf_dir):
             F.round(cont_b, 6).alias("cont_b_in_a"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-quality self-eval: recall of the r=2/b=4 MinHash band scheme
+# against EXACT ground truth at Jaccard >= 0.9, over the SAME 3-token
+# shingles. Ground truth comes from the frequency-ordered prefix filter
+# (segments.py's guarantee) at t=0.9 — prefixes are ~m/10 shingles, so
+# the truth join is far cheaper than the t=0.5 variant; the LSH side
+# reuses the band-candidate pipeline verbatim. The analytic expectation
+# for this scheme is recall = 1-(1-J^2)^4 (= 0.9987 at J=0.9); the query
+# REPORTS the measured value rather than asserting it, because which
+# true pairs the bands miss is a deterministic function of the corpus —
+# both engines derive the identical number. This is the "who watches the
+# dedup" query: the ladder carries its own quality evaluation.
+# --------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS s FROM toks
+),
+sz AS (SELECT doc_id, cast(len(s) AS BIGINT) AS m FROM sh),
+grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) AS BIGINT) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT ov.doc_a, ov.doc_b
+  FROM ov JOIN sz x ON ov.doc_a = x.doc_id JOIN sz y ON ov.doc_b = y.doc_id
+  WHERE 10 * ov.i >= 9 * (x.m + y.m - ov.i)
+),
+lsh AS ({_MINHASH_PAIRS_ORACLE}),
+hits AS (
+  SELECT t.doc_a FROM truth t
+  JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+)
+SELECT (SELECT cast(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT cast(count(*) AS BIGINT) FROM lsh) AS n_candidates,
+       (SELECT cast(count(*) AS BIGINT) FROM hits) AS n_hits,
+       round((SELECT count(*) FROM hits)
+             / cast(nullif((SELECT count(*) FROM truth), 0) AS DOUBLE), 6)
+           AS recall
+"""
+
+
+@register(
+    "dedup_lsh_recall_vs_exact",
+    oracle=_LSH_RECALL_ORACLE,
+    tags=("dedup", "minhash", "similarity"),
+)
+def dedup_lsh_recall_vs_exact(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 3),
+            lambda i: F.array_join(F.slice(tk, i + 1, 3), " "),
+        )
+    )
+    docs = (
+        d.filter(F.size(tk) >= 3)
+        .select("doc_id", gram_arr.alias("grams"), F.size(gram_arr).alias("m"))
+        .persist()
+    )
+    grams = docs.select("doc_id", "m", F.explode("grams").alias("g"))
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # prefix at t = 0.9: keep the first  m - ceil(9m/10) + 1  rare shingles
+    prefix = (
+        grams.join(freq, "g")
+        .groupBy("doc_id", "m")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "g"))).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            "m",
+            F.explode(
+                F.slice(
+                    F.col("ordered"),
+                    1,
+                    (F.col("m") - F.ceil(F.col("m") * 9 / 10) + 1).cast("int"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.g").alias("g"))
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("gb"),
+        F.col("m").alias("mb"),
+    )
+    truth = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga", "gb")).cast("long").alias("i"),
+            (F.size("ga") + F.col("mb")).alias("msum"),
+        )
+        .filter(10 * F.col("i") >= 9 * (F.col("msum") - F.col("i")))
+        .select("doc_a", "doc_b")
+    )
+    lsh = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hits = truth.join(lsh, ["doc_a", "doc_b"])
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = lsh.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits")
+                / F.nullif(F.col("n_true"), F.lit(0)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

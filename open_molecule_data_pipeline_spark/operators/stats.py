@@ -648,3 +648,90 @@ def ml_calibration_bins(spark, sf_dir):
             F.sum("y").cast("long") / F.count(F.lit(1)).cast("double"), 6
         ).alias("observed_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact ROC AUC via the rank-sum (Mann-Whitney U) identity — the third
+# member of the distributed-ML-eval set (train: ml_logreg_irls;
+# calibrate: ml_calibration_bins; discriminate: this). AUC equals
+# (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) where R_pos is the sum of
+# positive rows' ranks under the score ordering, ties taking AVERAGE
+# rank. Everything is integer-exact: scores quantize to int64 at 1e9,
+# tie groups aggregate (count, positives) per distinct score, average
+# ranks come from cumulative counts as EXACT twice-scaled integers
+# (2*avg_rank is an integer), and the final AUC is one division of two
+# int64s. The rank pass is a two-level aggregation plus one ordered
+# window over DISTINCT scores (cardinality ~ score resolution, not rows).
+# --------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         cast(round(1 / (1 + exp(-(-0.7 + 0.002 * cast(round(l_discount * 100)
+             AS BIGINT) - 0.0002 * cast(l_quantity AS BIGINT)))) * 1000000000)
+             AS BIGINT) AS p9
+  FROM lineitem
+),
+groups_ AS (
+  SELECT p9, cast(count(*) AS BIGINT) AS c, cast(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY p9
+),
+ranked AS (
+  SELECT pos, c,
+         coalesce(sum(c) OVER (ORDER BY p9
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM groups_
+),
+sums AS (
+  SELECT cast(sum(pos * (2 * below + c + 1)) AS BIGINT) AS r2,
+         cast(sum(pos) AS BIGINT) AS n_pos,
+         cast(sum(c - pos) AS BIGINT) AS n_neg
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       round((r2 - n_pos * (n_pos + 1))
+             / (2.0 * n_pos * n_neg), 6) AS auc
+FROM sums
+"""
+
+
+@register("ml_auc_roc", oracle=_AUC_ORACLE, tags=("ml", "stats", "window"))
+def ml_auc_roc(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    eta = (
+        F.lit(-0.7)
+        + 0.002 * F.round(F.col("l_discount") * 100).cast("long")
+        - 0.0002 * F.col("l_quantity").cast("long")
+    )
+    p9 = F.round((1 / (1 + F.exp(-eta))) * 1000000000).cast("long")
+    scored = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        p9.alias("p9"),
+    )
+    groups = scored.groupBy("p9").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").cast("long").alias("pos")
+    )
+    # global running count over distinct scores via the scale-safe
+    # two-pass range-partition form (_util): even a billion distinct
+    # scores never funnel through one task
+    from ._util import two_pass_global_window
+
+    ranked = two_pass_global_window(
+        groups, ["p9"], value_col="c", out_col="run"
+    ).select("pos", "c", (F.col("run") - F.col("c")).alias("below"))
+    sums = ranked.agg(
+        F.sum(F.col("pos") * (2 * F.col("below") + F.col("c") + 1))
+        .cast("long")
+        .alias("r2"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    return sums.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

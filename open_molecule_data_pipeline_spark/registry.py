@@ -154,6 +154,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "cdc_incremental_agg_maintenance",  # NEW in r5 (post-window): MV delta merge
     "ml_calibration_bins",  # NEW in r5 (post-window): reliability diagram
     "func_aes_column_crypto",  # NEW in r5 (post-window): pseudonymization verdict
+    "ml_auc_roc",  # NEW in r5 (post-window): exact rank-sum AUC
+    "dedup_lsh_recall_vs_exact",  # NEW in r5 (post-window): band-scheme recall eval
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
