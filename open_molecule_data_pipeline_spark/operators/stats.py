@@ -735,3 +735,55 @@ def ml_auc_roc(spark, sf_dir):
             6,
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (the UDAF flavor of the Python surface —
+# scalar pandas UDF, grouped-map applyInPandas, stateful
+# applyInPandasWithState and UDTF are covered elsewhere): a
+# discount-weighted mean price per return flag. The UDF receives whole
+# group columns as pandas Series via Arrow and returns ONE scalar.
+# Cross-engine exactness uses the scaled-int64 playbook INSIDE the UDF:
+# numerator and denominator are integer sums (cents x discount-bps), the
+# division is the only float op. Note the scale trade-off vs built-ins:
+# a grouped-agg pandas UDF materializes each group in executor memory
+# (no partial aggregation), so groups must be bounded — built-in
+# aggregates remain the 100 TB default and this surface is for logic
+# that genuinely needs numpy/pandas.
+# --------------------------------------------------------------------------
+
+_WMEAN_ORACLE = """
+SELECT l_returnflag,
+       round(cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)
+                      * cast(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+             / cast(nullif(sum(cast(round(l_discount * 10000) AS BIGINT)), 0)
+                    AS DOUBLE) / 100, 6) AS weighted_mean_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "udaf_pandas_weighted_mean", oracle=_WMEAN_ORACLE, tags=("udaf", "pandas", "agg")
+)
+def udaf_pandas_weighted_mean(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, disc: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        bps = (disc * 10000).round().astype("int64")
+        den = int(bps.sum())
+        if den == 0:
+            return None
+        val = int((cents * bps).sum()) / float(den) / 100
+        # half-UP at 6 digits (math.floor(x*1e6 + 0.5)) — Python's round()
+        # is half-even, DuckDB/Spark round are half-away for positives
+        import math
+
+        return math.floor(val * 1000000 + 0.5) / 1000000
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wmean("l_extendedprice", "l_discount").alias("weighted_mean_price")
+    )
