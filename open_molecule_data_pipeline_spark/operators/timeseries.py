@@ -673,3 +673,81 @@ def ts_attribution_last_touch(spark, sf_dir):
         .cast("long")
         .alias("n_attributed"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection (no-reset form): cumulative sum of deviations of
+# the hourly event rate from its global mean, flagged where |S_t| crosses
+# h = 5 standard-ish units. The classic production-monitoring screen for
+# slow drifts that per-point z-scores (ts_rate_anomaly) never trip. The
+# no-reset form is chosen deliberately: the resetting CUSUM's
+# max(0, S+x-k) recursion is order-dependent state (a fold, not a
+# window); the no-reset cumulative sum is a running-total window over
+# exact integer deviations (n*denominator - numerator scaled), so both
+# engines agree bit-for-bit. Per-key ordered window after one hourly
+# pre-aggregate — same scale shape as every other series op here.
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, cast(sum(n) AS BIGINT) AS tot,
+         cast(count(*) AS BIGINT) AS k
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.hr,
+         h.n * s.k - s.tot AS dev_k,  -- (n - mean) * k, exact int
+         s.k
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+),
+cusum AS (
+  SELECT event_type, hr, dev_k, k,
+         cast(sum(dev_k) OVER (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS s_k
+  FROM dev
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_hours,
+       round(max(abs(s_k) / cast(k AS DOUBLE)), 6) AS max_abs_cusum,
+       cast(sum(CASE WHEN abs(s_k) > 5 * k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_drift_hours
+FROM cusum GROUP BY event_type
+"""
+
+
+@register("ts_cusum_drift", oracle=_CUSUM_ORACLE, tags=("timeseries", "window", "stats"))
+def ts_cusum_drift(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    dev = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hr",
+        (F.col("n") * F.col("k") - F.col("tot")).alias("dev_k"),
+        "k",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cusum = dev.withColumn("s_k", F.sum("dev_k").over(w).cast("long"))
+    return cusum.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.max(F.abs(F.col("s_k")) / F.col("k").cast("double")), 6).alias(
+            "max_abs_cusum"
+        ),
+        F.sum(F.when(F.abs(F.col("s_k")) > 5 * F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_drift_hours"),
+    )

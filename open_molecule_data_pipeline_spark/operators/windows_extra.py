@@ -172,3 +172,50 @@ def window_pattern_vshape(spark, sf_dir):
         .orderBy(F.desc("n_vshapes"), "l_partkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window MEDIAN (robust rolling statistic): exact median of the
+# trailing 7 hourly counts per event type. Spark has no median window
+# function; the portable exact form collects the bounded frame into an
+# array and takes the middle of its sorted copy — correct because the
+# frame is FIXED-WIDTH (7), so per-row state is O(frame), never O(series).
+# DuckDB evaluates its native median() over the same frame. Integer
+# inputs make the even-frame average of two middles exact in both engines
+# (sum is int, one division by 2).
+# --------------------------------------------------------------------------
+
+_ROLLMED_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hr, n,
+       round(median(n) OVER (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+FROM hourly
+"""
+
+
+@register(
+    "window_sliding_median", oracle=_ROLLMED_ORACLE, tags=("window", "stats")
+)
+def window_sliding_median(spark, sf_dir):
+    li = table(spark, sf_dir, "events")
+    hourly = li.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-6, 0)
+    )
+    frame = F.array_sort(F.collect_list("n").over(w))
+    sz = F.size(frame)
+    lo = F.element_at(frame, ((sz + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (sz / 2 + 1).cast("int"))
+    med = (lo + hi) / 2.0
+    return hourly.select(
+        "event_type", "hr", "n", F.round(med, 6).alias("med7")
+    )

@@ -157,6 +157,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ml_auc_roc",  # NEW in r5 (post-window): exact rank-sum AUC
     "dedup_lsh_recall_vs_exact",  # NEW in r5 (post-window): band-scheme recall eval
     "udaf_pandas_weighted_mean",  # NEW in r5 (post-window): grouped-agg pandas UDF
+    "ts_cusum_drift",  # NEW in r5 (post-window): no-reset CUSUM drift screen
+    "window_sliding_median",  # NEW in r5 (post-window): exact rolling median
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
