@@ -931,3 +931,97 @@ def graph_label_propagation(spark, sf_dir):
         .orderBy(F.col("n_nodes").desc(), "lbl")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank: teleportation lands on a SEED SET (region-0
+# nations) instead of uniformly — the related-entity / recommendation
+# ranking (scores concentrate around the seeds; nodes unreachable from
+# them decay to zero). Same 3-round unrolled template as
+# graph_pagerank_3iter, differing only in the teleport vector — which is
+# exactly the point: on a cluster, personalization is a FREE rewrite of
+# the same iterative join-agg plan, not a new algorithm.
+# --------------------------------------------------------------------------
+
+
+def _ppr_oracle() -> str:
+    base = f"""
+WITH edges AS (
+  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+), deg AS (
+  SELECT src, cast(count(*) AS DOUBLE) AS d FROM edges GROUP BY src
+), nodes AS (
+  SELECT n_nationkey AS node,
+         CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS is_seed
+  FROM nation
+), ns AS (
+  SELECT cast(sum(is_seed) AS DOUBLE) AS n_seeds FROM nodes
+), r0 AS (
+  SELECT node, is_seed / ns.n_seeds AS rank FROM nodes, ns
+)"""
+    prev = "r0"
+    for i in range(1, N_PR_ITERS + 1):
+        base += f""", r{i} AS (
+  SELECT nodes.node,
+         (1 - {DAMPING}) * nodes.is_seed / ns.n_seeds
+         + {DAMPING} * coalesce(sum_in.s, 0.0) AS rank
+  FROM nodes
+  CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / deg.d) AS s
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) sum_in ON sum_in.node = nodes.node
+)"""
+        prev = f"r{i}"
+    base += f"""
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+    return base
+
+
+@register(
+    "graph_pagerank_personalized", oracle=_ppr_oracle(), tags=("graph", "iterative")
+)
+def graph_pagerank_personalized(spark, sf_dir):
+    from ..catalog import table
+
+    n = table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("src"), F.col("b.n_nationkey").alias("dst")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    nodes = n.select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_regionkey") == 0, 1).otherwise(0).alias("is_seed"),
+    ).localCheckpoint(eager=True)
+    n_seeds = float(nodes.agg(F.sum("is_seed")).collect()[0][0])
+
+    ranks = nodes.select(
+        "node", (F.col("is_seed") / F.lit(n_seeds)).alias("rank")
+    )
+    for _ in range(N_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("d")).alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(1 - DAMPING) * F.col("is_seed") / F.lit(n_seeds)
+                + F.lit(DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -159,6 +159,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "udaf_pandas_weighted_mean",  # NEW in r5 (post-window): grouped-agg pandas UDF
     "ts_cusum_drift",  # NEW in r5 (post-window): no-reset CUSUM drift screen
     "window_sliding_median",  # NEW in r5 (post-window): exact rolling median
+    "graph_pagerank_personalized",  # NEW in r5 (post-window): seed-set teleport PR
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
