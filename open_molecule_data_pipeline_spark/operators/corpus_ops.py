@@ -707,3 +707,102 @@ def text_keyword_blocklist(spark, sf_dir):
     return agg.select(
         "lang", "n_docs", F.explode(pairs).alias("x")
     ).select("lang", "x.phrase", "n_docs", "x.n_flagged")
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE tokenizer TRAINING — 3 unrolled merge rounds (the full
+# loop, not just round-1 statistics like text_bpe_pair_merges): each
+# round counts adjacent-pair frequencies corpus-wide, selects the top
+# pair (freq desc, lexical tie-break), and rewrites the corpus by merging
+# that pair before the next count. The rewrite is a broadcast-scalar
+# regexp_replace: both engines implement leftmost non-overlapping global
+# replacement, so occurrences sharing a delimiter space with a prior
+# match defer to the next round — deterministic and identical on both
+# sides (probed, not assumed). Per round at 100 TB: one pair-count
+# aggregation (map-side combinable), one 1-row top-k, one broadcast map
+# pass — the exact shape of production BPE trainers (they differ only in
+# batching many merges per sweep). Corpus tokens are \\w+ so pair
+# patterns are regex-safe by construction.
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_train_oracle() -> str:
+    parts = ["WITH t0 AS (SELECT ' ' || text || ' ' AS s FROM documents)"]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f""",
+tk{r} AS (
+  SELECT string_split(trim(s), ' ') AS toks FROM t{r - 1}
+  WHERE len(string_split(trim(s), ' ')) >= 2
+),
+pr{r} AS (
+  SELECT toks[i + 1] AS a, toks[i + 2] AS b, cast(count(*) AS BIGINT) AS freq
+  FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i FROM tk{r})
+  GROUP BY 1, 2
+),
+top{r} AS (SELECT a, b, freq FROM pr{r} ORDER BY freq DESC, a, b LIMIT 1),
+t{r} AS (
+  SELECT regexp_replace(
+           s,
+           (SELECT ' ' || a || ' ' || b || ' ' FROM top{r}),
+           (SELECT ' ' || a || '_' || b || ' ' FROM top{r}),
+           'g') AS s
+  FROM t{r - 1}
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, a AS tok_a, b AS tok_b, freq FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@register(
+    "text_bpe_train_merges", oracle=_bpe_train_oracle(), tags=("text", "training")
+)
+def text_bpe_train_merges(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    cur = d.select(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("s"))
+    results = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        tk = F.split(F.trim(F.col("s")), " ")
+        pairs = (
+            cur.filter(F.size(tk) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(tk) - 2),
+                        lambda i: F.struct(
+                            F.element_at(tk, i + 1).alias("a"),
+                            F.element_at(tk, i + 2).alias("b"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        top = pairs.orderBy(F.desc("freq"), "a", "b").limit(1)
+        results.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                "freq",
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                F.regexp_replace(
+                    "s",
+                    F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.lit("_"), F.col("b"), F.lit(" ")),
+                ).alias("s")
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = results[0]
+    for rdf in results[1:]:
+        out = out.unionByName(rdf)
+    return out

@@ -160,6 +160,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ts_cusum_drift",  # NEW in r5 (post-window): no-reset CUSUM drift screen
     "window_sliding_median",  # NEW in r5 (post-window): exact rolling median
     "graph_pagerank_personalized",  # NEW in r5 (post-window): seed-set teleport PR
+    "text_bpe_train_merges",  # NEW in r5 (post-window): 3-round BPE trainer loop
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
