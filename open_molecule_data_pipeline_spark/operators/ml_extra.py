@@ -672,3 +672,126 @@ def ml_logreg_irls(spark, sf_dir):
     # x12.8 at the 10x scale check before this guard)
     spread(table(spark, sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
     return spark.sql(_irls_sql())
+
+
+# --------------------------------------------------------------------------
+# Full Lloyd k-means, 3 unrolled iterations (assign -> recompute -> repeat
+# with per-iteration inertia) — the third distributed-training flagship
+# next to ml_logreg_irls (Newton) and ml_pca_power_iteration (power
+# method). ml_kmeans_assign runs ONE assignment against fixed seeds; this
+# runs the actual training loop. Restricted to the first 4 embedding dims
+# and k = 4 seed centroids so the generated all-engine SQL stays readable
+# (same scaling argument as PCA: full width is bigger text, same
+# algorithm).
+#
+# Exactness protocol: components quantize to int64 at 1e6 once; each
+# round's centroid updates are exact integer (sum, count) pairs per
+# cluster; distances evaluate over sum/count RATIOS in a fixed textual
+# order, and argmin ties break toward the lower centroid id via strict
+# '<' comparison chains. Inertia is quantized per row at 1e6 before the
+# cross-row sum. Per round at 100 TB: one broadcast of k centroids + one
+# map-side-combinable (k x d sums + counts) aggregation — rows never
+# shuffle.
+# --------------------------------------------------------------------------
+
+_KM_D = 4
+_KM_K = 4
+_KM_ITERS = 3
+_KM_Q = 1000000
+
+
+def _kmeans_sql() -> str:
+    d, k, q = _KM_D, _KM_K, _KM_Q
+
+    def dist(cent_prefix: str, j: int) -> str:
+        # squared L2 between row (x0..x3, scaled ints) and centroid j,
+        # centroid coords expressed as exact-ratio doubles s/c (times q)
+        return " + ".join(
+            f"(x{i} - {cent_prefix}s{j}_{i} / {cent_prefix}c{j}) *"
+            f" (x{i} - {cent_prefix}s{j}_{i} / {cent_prefix}c{j})"
+            for i in range(d)
+        )
+
+    # seed centroids: the first k vectors (vec_id 0..k-1), exact ints
+    seeds = ", ".join(
+        f"(SELECT x{i} FROM km_q WHERE vec_id = {j}) AS s{j}_{i}"
+        for j in range(k)
+        for i in range(d)
+    ) + ", " + ", ".join(f"cast(1 AS BIGINT) AS c{j}" for j in range(k))
+    ctes = [f"cen0 AS (SELECT {seeds})"]
+    for t in range(1, _KM_ITERS + 1):
+        dists = ", ".join(f"({dist('', j)}) AS d{j}" for j in range(k))
+        # deterministic argmin: cluster j wins when strictly closer than
+        # every earlier centroid and at-least-as-close as every later one
+        conds = []
+        for j in range(k):
+            parts = [f"d{j} < d{p}" for p in range(j)] + [
+                f"d{j} <= d{p}" for p in range(j + 1, k)
+            ]
+            conds.append(f"WHEN {' AND '.join(parts)} THEN {j}")
+        argmin = "CASE " + " ".join(conds) + " END"
+        ctes.append(
+            f"a{t} AS (SELECT x0, x1, x2, x3, {dists} FROM km_q CROSS JOIN cen{t - 1})"
+        )
+        ctes.append(f"g{t} AS (SELECT *, {argmin} AS cl FROM a{t})")
+        upd = ", ".join(
+            f"cast(sum(CASE WHEN cl = {j} THEN x{i} ELSE 0 END) AS BIGINT)"
+            f" AS s{j}_{i}"
+            for j in range(k)
+            for i in range(d)
+        ) + ", " + ", ".join(
+            f"cast(sum(CASE WHEN cl = {j} THEN 1 ELSE 0 END) AS BIGINT) AS c{j}"
+            for j in range(k)
+        )
+        inert = " + ".join(
+            f"CASE WHEN cl = {j} THEN cast(round(d{j} / {q} / {q} * {q})"
+            f" AS BIGINT) ELSE 0 END"
+            for j in range(k)
+        )
+        ctes.append(
+            f"m{t} AS (SELECT {upd},"
+            f" cast(sum({inert}) AS BIGINT) AS in6 FROM g{t})"
+        )
+        ctes.append(f"cen{t} AS (SELECT * FROM m{t})")
+    T = _KM_ITERS
+    finals = " UNION ALL ".join(
+        f"SELECT {t} AS iter,"
+        f" round((SELECT in6 FROM m{t}) / cast({q} AS DOUBLE), 6) AS inertia,"
+        + ", ".join(
+            f"(SELECT c{j} FROM m{t}) AS n{j}" for j in range(k)
+        )
+        for t in range(1, T + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+_KMEANS_FULL_ORACLE = (
+    "WITH km_q AS (SELECT vec_id, "
+    + ", ".join(
+        f"cast(round(cast(embedding[{i + 1}] AS DOUBLE) * {_KM_Q}) AS BIGINT)"
+        f" AS x{i}"
+        for i in range(_KM_D)
+    )
+    + " FROM embeddings), "
+    + _kmeans_sql().split("WITH ", 1)[1]
+)
+
+
+@register(
+    "ml_kmeans_lloyd_3iter", oracle=_KMEANS_FULL_ORACLE, tags=("ml", "iterative")
+)
+def ml_kmeans_lloyd_3iter(spark, sf_dir):
+    from ._util import spread
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("embedding", i + 1).cast("double") * _KM_Q)
+            .cast("long")
+            .alias(f"x{i}")
+            for i in range(_KM_D)
+        ],
+    )
+    spread(q).createOrReplaceTempView("km_q")
+    return spark.sql(_kmeans_sql())

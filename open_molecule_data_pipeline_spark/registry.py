@@ -161,6 +161,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "window_sliding_median",  # NEW in r5 (post-window): exact rolling median
     "graph_pagerank_personalized",  # NEW in r5 (post-window): seed-set teleport PR
     "text_bpe_train_merges",  # NEW in r5 (post-window): 3-round BPE trainer loop
+    "ml_kmeans_lloyd_3iter",  # NEW in r5 (post-window): full Lloyd training loop
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
