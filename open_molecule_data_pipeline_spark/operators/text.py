@@ -305,3 +305,61 @@ def text_winnowing_fingerprints(spark, sf_dir):
             ).alias("fp_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix + per-language precision/recall
+# of the stopword classifier against the corpus's lang labels — the eval
+# half the classifier above was missing (every model in the repo now
+# ships with its own scoring query: IRLS -> AUC/calibration, dedup ->
+# recall-vs-exact, langid -> this). Pure composition: the classifier's
+# own oracle becomes a CTE, so the eval inherits its determinism. One
+# extra (lang, lang_pred) aggregation; precision/recall are single
+# divisions of exact counts.
+# --------------------------------------------------------------------------
+
+_LANGID_CONF_ORACLE = f"""
+WITH preds AS ({_LANGID_ORACLE}),
+conf AS (
+  SELECT lang, lang_pred, cast(count(*) AS BIGINT) AS n
+  FROM preds GROUP BY lang, lang_pred
+),
+row_t AS (SELECT lang, cast(sum(n) AS BIGINT) AS rt FROM conf GROUP BY lang),
+col_t AS (
+  SELECT lang_pred, cast(sum(n) AS BIGINT) AS ct FROM conf GROUP BY lang_pred
+)
+SELECT c.lang, c.lang_pred, c.n,
+       round(CASE WHEN c.lang = c.lang_pred
+                  THEN c.n / cast(r.rt AS DOUBLE) END, 6) AS recall,
+       round(CASE WHEN c.lang = c.lang_pred
+                  THEN c.n / cast(t.ct AS DOUBLE) END, 6) AS precision
+FROM conf c
+JOIN row_t r ON c.lang = r.lang
+JOIN col_t t ON c.lang_pred = t.lang_pred
+"""
+
+
+@register(
+    "text_langid_confusion", oracle=_LANGID_CONF_ORACLE, tags=("text", "langid", "ml")
+)
+def text_langid_confusion(spark, sf_dir):
+    preds = text_langid_stopword(spark, sf_dir)
+    conf = preds.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    row_t = conf.groupBy("lang").agg(F.sum("n").cast("long").alias("rt"))
+    col_t = conf.groupBy("lang_pred").agg(F.sum("n").cast("long").alias("ct"))
+    diag = F.col("lang") == F.col("lang_pred")
+    return (
+        conf.join(F.broadcast(row_t), "lang")
+        .join(F.broadcast(col_t), "lang_pred")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(
+                F.when(diag, F.col("n") / F.col("rt").cast("double")), 6
+            ).alias("recall"),
+            F.round(
+                F.when(diag, F.col("n") / F.col("ct").cast("double")), 6
+            ).alias("precision"),
+        )
+    )

@@ -552,3 +552,141 @@ def sample_importance_resample(spark, sf_dir):
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
         F.sum("rate_k").cast("long").alias("sum_rate_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive triplet mining — the dataset-construction step for
+# embedding/retrieval training: every document anchors one deterministic
+# positive (same language) and one deterministic negative (the "next"
+# language in the sorted-language ring). Pairing is hash-driven so it is
+# a pure function of the corpus: docs order by md5(doc_id) within
+# (lang, 2-hex-char hash bucket); the positive is the hash-successor in
+# the bucket (wrapping to the bucket's first — self-pairs from singleton
+# buckets are dropped); the negative is the SAME (bucket, rank) slot in
+# the next language — an equi-join, not a window across languages.
+# Scale notes: positives need one ordered window per (lang, bucket) —
+# bucket width (hash-prefix length) is the parallelism knob; negatives
+# are a plain (bucket, rank) equi-join. Output pins identities via exact
+# integer id-sums per language, so the oracle catches any pairing drift,
+# not just counts.
+# --------------------------------------------------------------------------
+
+_TRIPLET_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lang, md5(cast(doc_id AS VARCHAR)) AS h,
+         substr(md5(cast(doc_id AS VARCHAR)), 1, 2) AS b
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, b,
+         row_number() OVER (PARTITION BY lang, b ORDER BY h) AS r,
+         coalesce(lead(doc_id) OVER (PARTITION BY lang, b ORDER BY h),
+                  first_value(doc_id) OVER (PARTITION BY lang, b ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)) AS pos_id
+  FROM docs
+),
+langs AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) AS lr,
+         count(*) OVER () AS nl
+  FROM (SELECT DISTINCT lang FROM docs)
+),
+ring AS (
+  SELECT a.lang, b.lang AS next_lang
+  FROM langs a JOIN langs b ON b.lr = a.lr % a.nl + 1
+),
+neg AS (
+  SELECT a.doc_id, n.doc_id AS neg_id
+  FROM ranked a
+  JOIN ring ON a.lang = ring.lang
+  JOIN ranked n ON n.lang = ring.next_lang AND n.b = a.b AND n.r = a.r
+)
+SELECT d.lang,
+       cast(count(*) AS BIGINT) AS n_anchors,
+       cast(sum(CASE WHEN r.pos_id <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+       cast(sum(CASE WHEN r.pos_id <> d.doc_id THEN r.pos_id ELSE 0 END)
+            AS BIGINT) AS sum_pos_ids,
+       cast(count(g.neg_id) AS BIGINT) AS n_neg,
+       cast(coalesce(sum(g.neg_id), 0) AS BIGINT) AS sum_neg_ids
+FROM docs d
+JOIN ranked r ON r.doc_id = d.doc_id
+LEFT JOIN neg g ON g.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+@register(
+    "sample_contrastive_triplets",
+    oracle=_TRIPLET_ORACLE,
+    tags=("sample", "training", "window"),
+)
+def sample_contrastive_triplets(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("b"),
+    )
+    w = W.partitionBy("lang", "b").orderBy("h")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "b",
+        F.row_number().over(w).alias("r"),
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(wf)
+        ).alias("pos_id"),
+    )
+    langs = (
+        docs.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            F.row_number().over(W.partitionBy(F.lit(1)).orderBy("lang")).alias("lr"),
+            F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("nl"),
+        )
+    )
+    ring = (
+        langs.alias("a")
+        .join(
+            langs.alias("nx"),
+            F.col("nx.lr") == F.col("a.lr") % F.col("a.nl") + 1,
+        )
+        .select(F.col("a.lang").alias("lang"), F.col("nx.lang").alias("next_lang"))
+    )
+    neg = (
+        ranked.alias("a")
+        .join(
+            F.broadcast(ring.withColumnRenamed("lang", "a_lang")),
+            F.col("a.lang") == F.col("a_lang"),
+        )
+        .join(
+            ranked.alias("n"),
+            (F.col("n.lang") == F.col("next_lang"))
+            & (F.col("n.b") == F.col("a.b"))
+            & (F.col("n.r") == F.col("a.r")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"), F.col("n.doc_id").alias("neg_id")
+        )
+    )
+    joined = (
+        docs.select("doc_id", "lang")
+        .join(ranked.select("doc_id", "pos_id"), "doc_id")
+        .join(neg, "doc_id", "left")
+    )
+    has_pos = F.col("pos_id") != F.col("doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.sum(F.when(has_pos, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(has_pos, F.col("pos_id")).otherwise(0))
+        .cast("long")
+        .alias("sum_pos_ids"),
+        F.count("neg_id").alias("n_neg"),
+        F.coalesce(F.sum("neg_id"), F.lit(0)).cast("long").alias("sum_neg_ids"),
+    )

@@ -162,6 +162,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "graph_pagerank_personalized",  # NEW in r5 (post-window): seed-set teleport PR
     "text_bpe_train_merges",  # NEW in r5 (post-window): 3-round BPE trainer loop
     "ml_kmeans_lloyd_3iter",  # NEW in r5 (post-window): full Lloyd training loop
+    "text_langid_confusion",  # NEW in r5 (post-window): classifier eval matrix
+    "sample_contrastive_triplets",  # NEW in r5 (post-window): triplet mining
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
