@@ -1236,3 +1236,193 @@ def agg_bitmap_distinct(spark, sf_dir):
         .select(F.lit("ALL").alias("grp"), "n_distinct")
     )
     return per_group.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus pipeline report — the stage-by-stage survivor funnel
+# every training-data run is judged by: raw -> quality gate (the
+# text_quality_filter rules) -> exact dedup (canonical min-doc_id per
+# md5(text)) -> duplicated-span accounting on the survivors (the
+# dedup_duplicate_spans islands), reported as one row per stage with doc
+# and token counts (stage 3's token count is EFFECTIVE tokens: survivors'
+# tokens minus removable duplicated-span tokens). Each stage is the
+# composition of operators verified individually elsewhere; this query
+# pins the glue — the same filters applied in sequence produce the same
+# funnel on both engines. Cost = the sum of its stages: one scan + one
+# digest shuffle + one k-gram exchange on the (smaller) survivor set.
+# --------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = """
+WITH sig AS (
+  SELECT doc_id, lang, text,
+         cast(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         cast(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct,
+         cast(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, text, n_tok FROM sig
+  WHERE lang IN ('en', 'es', 'fr')
+    AND n_tok BETWEEN 20 AND 1000
+    AND 1 - cast(n_distinct AS DOUBLE) / n_tok <= 0.9
+    AND cast(n_chars AS DOUBLE) / n_tok BETWEEN 2.0 AND 12.0
+),
+exact AS (
+  SELECT doc_id, lang, text, n_tok FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(tk[(i+1):(i+8)], ' ')) AS key
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS tk, n_tok,
+           unnest(range(n_tok - 7)) AS i
+    FROM exact WHERE n_tok >= 8
+  )
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+    FROM grams
+  ) WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL THEN 0
+              WHEN pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans AS (
+  SELECT doc_id,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island, pos
+  FROM isl
+),
+dup_tok AS (
+  SELECT cast(coalesce(sum(p1 - p0 + 8), 0) AS BIGINT) AS removable
+  FROM (SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1
+        FROM spans GROUP BY doc_id, island)
+)
+SELECT * FROM (
+  SELECT 0 AS stage, 'raw' AS name,
+         cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM sig
+  UNION ALL
+  SELECT 1, 'quality_gate', cast(count(*) AS BIGINT),
+         cast(sum(n_tok) AS BIGINT) FROM kept
+  UNION ALL
+  SELECT 2, 'exact_dedup', cast(count(*) AS BIGINT),
+         cast(sum(n_tok) AS BIGINT) FROM exact
+  UNION ALL
+  SELECT 3, 'span_dedup_effective', 
+         (SELECT cast(count(*) AS BIGINT) FROM exact),
+         (SELECT cast(sum(n_tok) AS BIGINT) FROM exact)
+             - (SELECT removable FROM dup_tok)
+) t
+"""
+
+
+@register(
+    "corpus_pipeline_report", oracle=_PIPELINE_ORACLE, tags=("text", "dedup", "quality")
+)
+def corpus_pipeline_report(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    kept = sig.filter(
+        F.col("lang").isin("en", "es", "fr")
+        & F.col("n_tok").between(20, 1000)
+        & (1 - F.col("n_distinct").cast("double") / F.col("n_tok") <= 0.9)
+        & (F.col("n_chars").cast("double") / F.col("n_tok")).between(2.0, 12.0)
+    ).persist()
+    exact = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    tk = F.split("text", " ")
+    grams = exact.filter(F.col("n_tok") >= 8).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tok") - 8).cast("int")),
+                lambda i: F.md5(F.array_join(F.slice(tk, i + 1, 8), " ")),
+            )
+        ).alias("pos", "key"),
+    )
+    dup = (
+        grams.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("key").orderBy("doc_id", "pos")),
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.lag("pos").over(w_doc).isNull(), 0).otherwise(
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) > 8, 1).otherwise(0)
+    )
+    spans = (
+        dup.withColumn("brk", brk)
+        .withColumn(
+            "island",
+            F.sum("brk").over(w_doc.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
+    )
+    removable = spans.agg(
+        F.coalesce(F.sum(F.col("p1") - F.col("p0") + 8), F.lit(0))
+        .cast("long")
+        .alias("removable")
+    )
+
+    def stage(df, num, name):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(num).alias("stage"), F.lit(name).alias("name"), "n_docs", "n_tokens"
+        )
+
+    s3 = (
+        exact.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tok"),
+        )
+        .crossJoin(F.broadcast(removable))
+        .select(
+            F.lit(3).alias("stage"),
+            F.lit("span_dedup_effective").alias("name"),
+            "n_docs",
+            (F.col("tok") - F.col("removable")).alias("n_tokens"),
+        )
+    )
+    return (
+        stage(sig, 0, "raw")
+        .unionByName(stage(kept, 1, "quality_gate"))
+        .unionByName(stage(exact, 2, "exact_dedup"))
+        .unionByName(s3)
+    )
