@@ -352,3 +352,83 @@ def cdc_incremental_agg_maintenance(spark, sf_dir):
             F.col("price_cents") / F.col("n_orders").cast("double") / 100, 6
         ).alias("avg_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention MATRIX (the product-analytics triangle): users grouped
+# by first-activity week, each cohort's distinct actives counted at every
+# week offset, with the retention share against the cohort's size. The
+# daily next-day variant above answers "how sticky is today"; the matrix
+# answers "how do cohorts age" — a different join shape (first-activity
+# anchor + all-offsets fan-out, not a 1-lag self-join). Exact protocol:
+# weeks via date_trunc, offsets as integer week-diffs from epoch-day
+# arithmetic, one division per cell. Cost at 100 TB: one distinct
+# (user, week) pre-aggregate, one min-per-user anchor, one join back —
+# all keyed on user_id.
+# --------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+anchor AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_wk, cast(count(*) AS BIGINT) AS cohort_users
+  FROM anchor GROUP BY cohort_wk
+),
+cells AS (
+  SELECT n.cohort_wk,
+         cast((epoch(a.wk) - epoch(n.cohort_wk)) / 604800 AS INTEGER)
+             AS week_offset,
+         cast(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+  FROM activity a JOIN anchor n ON a.user_id = n.user_id
+  GROUP BY 1, 2
+)
+SELECT c.cohort_wk, c.week_offset, c.active_users, s.cohort_users,
+       round(c.active_users / cast(s.cohort_users AS DOUBLE), 6)
+           AS retention
+FROM cells c JOIN sizes s ON c.cohort_wk = s.cohort_wk
+"""
+
+
+@register(
+    "ts_cohort_retention_matrix",
+    oracle=_COHORT_ORACLE,
+    tags=("timeseries", "retention", "agg"),
+)
+def ts_cohort_retention_matrix(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    anchor = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = anchor.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        activity.join(anchor, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (
+                (
+                    F.unix_timestamp(F.col("wk").cast("timestamp"))
+                    - F.unix_timestamp(F.col("cohort_wk").cast("timestamp"))
+                )
+                / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "active_users",
+        "cohort_users",
+        F.round(
+            F.col("active_users") / F.col("cohort_users").cast("double"), 6
+        ).alias("retention"),
+    )

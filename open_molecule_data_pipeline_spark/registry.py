@@ -165,6 +165,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "text_langid_confusion",  # NEW in r5 (post-window): classifier eval matrix
     "sample_contrastive_triplets",  # NEW in r5 (post-window): triplet mining
     "corpus_pipeline_report",  # NEW in r5 (post-window): stage funnel composite
+    "ts_cohort_retention_matrix",  # NEW in r5 (post-window): cohort aging triangle
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
