@@ -638,3 +638,90 @@ def sort_top10_orders(spark, sf_dir):
         .select("o_orderkey", "o_totalprice")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier (preference query): parts minimizing
+# (retailprice, size) jointly — a part is on the frontier iff no other
+# part is <= in both dimensions and strictly < in at least one. The naive
+# evaluation is the O(n^2) NOT-EXISTS domination join (that's the
+# oracle); the scale-safe 2-D rewrite is sort-based: group to distinct
+# price levels (min size per level), then a point survives iff its size
+# equals its level's min AND is strictly below the running min over all
+# SMALLER price levels. The running strict-min uses the two-pass
+# range-partition form inline: partition-local windows keyed by __pid
+# plus a partition-count-sized offsets table computed with a tiny
+# theta self-join (never a partitionless window over data rows) — so the
+# plan holds at any cardinality of price levels. Output aggregates the
+# frontier points with exact counts and min-part ids.
+# --------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT cast(round(p_retailprice * 100) AS BIGINT) AS price_c,
+         cast(p_size AS BIGINT) AS size_,
+         cast(count(*) AS BIGINT) AS n_parts,
+         cast(min(p_partkey) AS BIGINT) AS min_partkey
+  FROM part GROUP BY 1, 2
+)
+SELECT price_c, size_, n_parts, min_partkey
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price_c <= a.price_c AND b.size_ <= a.size_
+    AND (b.price_c < a.price_c OR b.size_ < a.size_)
+)
+"""
+
+
+@register("join_skyline_pareto", oracle=_SKYLINE_ORACLE, tags=("join", "window", "agg"))
+def join_skyline_pareto(spark, sf_dir):
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("size_"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").cast("long").alias("min_partkey"),
+    )
+    # distinct price levels with their min size
+    lvl = pts.groupBy("price_c").agg(F.min("size_").alias("msz"))
+    ranged = (
+        lvl.repartitionByRange("price_c")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = ranged.withColumn("local_prev", F.min("msz").over(local_w))
+    pid_mins = ranged.groupBy("__pid").agg(F.min("msz").alias("pmin"))
+    # offsets: strict-min over all EARLIER range partitions — a tiny theta
+    # self-join on the partition-count-sized table (lint-clean, bounded)
+    off = (
+        pid_mins.alias("a")
+        .join(pid_mins.alias("b"), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.min(F.col("b.pmin")).alias("off_prev"))
+    )
+    prev = with_local.join(F.broadcast(off), "__pid").select(
+        "price_c",
+        "msz",
+        F.least(
+            F.coalesce("local_prev", F.lit(None)), F.coalesce("off_prev", "local_prev")
+        ).alias("prev_strict"),
+    )
+    frontier_lvls = prev.filter(
+        F.col("prev_strict").isNull() | (F.col("msz") < F.col("prev_strict"))
+    ).select(
+        F.col("price_c").alias("f_price"), F.col("msz").alias("f_size")
+    )
+    return pts.join(
+        frontier_lvls,
+        (F.col("price_c") == F.col("f_price"))
+        & (F.col("size_") == F.col("f_size")),
+    ).select("price_c", "size_", "n_parts", "min_partkey")
