@@ -855,3 +855,58 @@ def func_aes_column_crypto(spark, sf_dir):
         .alias("n_roundtrip_ok"),
         F.countDistinct("cipher").alias("n_distinct_cipher"),
     )
+
+
+# --------------------------------------------------------------------------
+# XPath scalar family (xpath_string / xpath_int / xpath on arrays): the
+# XML-column extraction functions — the last scalar family the engine
+# exposes without a DuckDB twin (DuckDB has no XPath), so the oracle is a
+# round-trip VERDICT: each row renders a small XML document from its own
+# relational fields, extracts them back through three xpath flavors, and
+# the exact side predicts full-corpus agreement plus the checkable
+# aggregates (id sums, array lengths). XML text is built with exact
+# field values (no floats), all extraction JVM-side in one scan.
+# --------------------------------------------------------------------------
+
+_XPATH_ORACLE = """
+SELECT cast(count(*) AS BIGINT) AS n_rows,
+       cast(count(*) AS BIGINT) AS n_name_match,
+       cast(count(*) AS BIGINT) AS n_key_match,
+       cast(sum(n_nationkey) AS BIGINT) AS key_sum,
+       cast(sum(2) AS BIGINT) AS n_tags_total
+FROM nation
+"""
+
+
+@register("func_xpath_extract", oracle=_XPATH_ORACLE, tags=("functions", "formats"))
+def func_xpath_extract(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><name>"),
+        F.col("n_name"),
+        F.lit("</name><key>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</key><tags><t>a</t><t>b</t></tags></nation>"),
+    )
+    parsed = n.select(
+        "n_name",
+        "n_nationkey",
+        xml.alias("x"),
+    ).select(
+        "n_name",
+        "n_nationkey",
+        F.expr("xpath_string(x, '/nation/name')").alias("name_out"),
+        F.expr("xpath_int(x, '/nation/key')").alias("key_out"),
+        F.expr("xpath(x, '/nation/tags/t/text()')").alias("tags_out"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("name_out") == F.col("n_name"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_name_match"),
+        F.sum(F.when(F.col("key_out") == F.col("n_nationkey"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_key_match"),
+        F.sum("key_out").cast("long").alias("key_sum"),
+        F.sum(F.size("tags_out")).cast("long").alias("n_tags_total"),
+    )

@@ -167,6 +167,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "corpus_pipeline_report",  # NEW in r5 (post-window): stage funnel composite
     "ts_cohort_retention_matrix",  # NEW in r5 (post-window): cohort aging triangle
     "join_skyline_pareto",  # NEW in r5 (post-window): sort-based skyline rewrite
+    "func_xpath_extract",  # NEW in r5 (post-window): XPath scalar family verdict
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
