@@ -795,3 +795,78 @@ def ml_kmeans_lloyd_3iter(spark, sf_dir):
     )
     spread(q).createOrReplaceTempView("km_q")
     return spark.sql(_kmeans_sql())
+
+
+# --------------------------------------------------------------------------
+# Linear SVM via 3 unrolled full-batch subgradient steps — the third
+# iterative trainer, and the only one with ZERO libm exposure: the hinge
+# indicator (margin < 1) is an exact comparison of deterministic doubles,
+# so every per-round statistic is an exact integer sum (sum of I*y*x_j
+# with integer features and y in {-1,+1}); the weight update multiplies
+# by dyadic constants (eta = 1/8, shrink = 1 - eta*lambda with
+# lambda = 1/4 -> 31/32 exact) plus one division by n. Same
+# shuffle-9-numbers-per-round profile as IRLS. Final pass: mean hinge
+# loss (per-row 1e6 quantization) + accuracy at the learned weights.
+# --------------------------------------------------------------------------
+
+_SVM_ROUNDS = 3
+_SVM_ETA = 0.125
+_SVM_SHRINK = 0.96875  # 1 - eta * lambda with lambda = 1/4; exactly 31/32
+
+
+def _svm_sql() -> str:
+    q6 = "1000000"
+    ctes = [
+        "f AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,"
+        " cast(l_quantity AS BIGINT) AS q,"
+        " cast(round(l_discount * 100) AS BIGINT) AS d FROM lineitem)",
+        "s0 AS (SELECT cast(0 AS DOUBLE) AS b0, cast(0 AS DOUBLE) AS b1,"
+        " cast(0 AS DOUBLE) AS b2)",
+    ]
+    for t in range(1, _SVM_ROUNDS + 1):
+        ctes.append(
+            f"m{t} AS (SELECT cast(count(*) AS BIGINT) AS n,"
+            f" cast(sum(CASE WHEN y * (b0 + b1 * q + b2 * d) < 1"
+            f" THEN y ELSE 0 END) AS BIGINT) AS g0,"
+            f" cast(sum(CASE WHEN y * (b0 + b1 * q + b2 * d) < 1"
+            f" THEN y * q ELSE 0 END) AS BIGINT) AS g1,"
+            f" cast(sum(CASE WHEN y * (b0 + b1 * q + b2 * d) < 1"
+            f" THEN y * d ELSE 0 END) AS BIGINT) AS g2"
+            f" FROM f CROSS JOIN s{t - 1})"
+        )
+        ctes.append(
+            f"s{t} AS (SELECT"
+            f" s{t - 1}.b0 * {_SVM_SHRINK} + {_SVM_ETA} * m{t}.g0 / m{t}.n AS b0,"
+            f" s{t - 1}.b1 * {_SVM_SHRINK} + {_SVM_ETA} * m{t}.g1 / m{t}.n AS b1,"
+            f" s{t - 1}.b2 * {_SVM_SHRINK} + {_SVM_ETA} * m{t}.g2 / m{t}.n AS b2"
+            f" FROM m{t} CROSS JOIN s{t - 1})"
+        )
+    T = _SVM_ROUNDS
+    ctes.append(
+        f"ev AS (SELECT y, y * (b0 + b1 * q + b2 * d) AS margin,"
+        f" (b0 + b1 * q + b2 * d) AS score FROM f CROSS JOIN s{T})"
+    )
+    ctes.append(
+        f"agg AS (SELECT cast(count(*) AS BIGINT) AS n_rows,"
+        f" cast(sum(cast(round((CASE WHEN margin < 1 THEN 1 - margin"
+        f" ELSE 0 END) * {q6}) AS BIGINT)) AS BIGINT) AS h6,"
+        f" cast(sum(CASE WHEN (score > 0) = (y = 1) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_correct FROM ev)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT agg.n_rows, round(s{T}.b0, 6) AS b0,"
+        f" round(s{T}.b1, 6) AS b1, round(s{T}.b2, 6) AS b2,"
+        f" round(agg.h6 / cast({q6} AS DOUBLE) / agg.n_rows, 6)"
+        f" AS mean_hinge_loss,"
+        f" round(agg.n_correct / cast(agg.n_rows AS DOUBLE), 6) AS accuracy"
+        f" FROM agg CROSS JOIN s{T}"
+    )
+
+
+@register("ml_svm_subgradient", oracle=_svm_sql(), tags=("ml", "agg", "iterative"))
+def ml_svm_subgradient(spark, sf_dir):
+    # same multi-pass scan-width guard as the IRLS text
+    spread(table(spark, sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
+    return spark.sql(_svm_sql())

@@ -168,6 +168,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ts_cohort_retention_matrix",  # NEW in r5 (post-window): cohort aging triangle
     "join_skyline_pareto",  # NEW in r5 (post-window): sort-based skyline rewrite
     "func_xpath_extract",  # NEW in r5 (post-window): XPath scalar family verdict
+    "ml_svm_subgradient",  # NEW in r5 (post-window): exact-int subgradient SVM
     "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
     "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
     "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
