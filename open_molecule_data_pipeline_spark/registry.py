@@ -32,147 +32,103 @@ QUERIES: dict[str, QuerySpec] = {}
 # ``__spark_entry__.queries()``, so the contract ordering is curated and
 # ROTATED each round: the window keeps every query ADDED or CHANGED this
 # round, and fills the remaining slots with queries the external gate has
-# never sampled. Cumulative driver-verified after r4: 171/213 pre-r5
-# contract queries (union of CORRECTNESS_r01..r04 green rows); the r5
-# window below is exactly the 8 queries added/changed in r5 plus the final
-# 42 never-sampled queries — closing cumulative coverage at 100%. Operator
-# families whose sentinels rotate OUT of this window (filter/sort/
-# subquery/setop/cdc/multimodal/sample) are already externally proven by
-# >= 2 green rows in past CORRECTNESS files; tests/test_contract_order.py
-# enforces exactly that invariant (in-window OR cumulatively green).
-# Everything else follows in registration order. Names listed here but not
-# registered are ignored (keeps the list forward-compatible while modules
-# evolve).
+# never sampled. Cumulative driver-verified through r4: 171 queries (union
+# of CORRECTNESS_r01..r04 green rows); the r5 window verified the 8
+# r5-changed entries plus the final 42 never-sampled pre-r5 queries. The r6
+# window below = queries ADDED in r6, then the 7 sim_* queries whose
+# implementations CHANGED in r5 but sat past position 50 (ADVICE r4 flagged
+# exactly this bypass pattern), then the r5-added post-window queries that
+# have never been driver-sampled, riskiest families first (streaming/
+# ingest/multimodal/graph/iterative-ML before scalar tails). Overflow past
+# position 50 queues for r7. Operator families whose sentinels rotate OUT
+# of the window are already externally proven by >= 2 green rows in past
+# CORRECTNESS files; tests/test_contract_order.py enforces exactly that
+# invariant (in-window OR cumulatively green). Everything else follows in
+# registration order. Names listed here but not registered are ignored
+# (keeps the list forward-compatible while modules evolve).
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- queries ADDED or CHANGED in r5 (new code: externally verified) ---
-    "stream_tws_user_stats",  # TWS twin, ungated via applyInPandasWithState dispatch
-    "ingest_chembl_demo",  # named chembl connector preset (reference tags)
-    "dedup_clusters_twostar",  # large-star/small-star CC, O(log n) rounds
-    "mllib_minhash_pairs",  # pair listing -> containment+distance verdict
-    "mllib_brp_neighbors",  # pair listing -> containment+distance verdict
-    "udf_pandas_logistic_score",  # int64-quantized score sum (ADVICE r4)
-    "stream_mv_twin",  # MV result materialized before scratch release
-    "format_bucketed_join",  # catalog tables dropped after plan capture
-    # --- final never driver-sampled fill (closes 213/213 -> all green) ---
-    "window_range_trailing_30d",
-    "window_ratio_to_report",
-    "window_gaps_islands",
-    "ts_retention_daily",
-    "ts_sliding_halfhour",
-    "ts_funnel_conversion",
-    "ts_rate_anomaly",
-    "text_train_eval_split",
-    "text_regex_tokenize",
-    "text_fingerprint",
-    "text_repetition_ratio",
-    "text_bigram_top10",
-    "text_lm_bigram_backoff",
-    "agg_bitwise_keys",
-    "agg_boolean_flags",
-    "agg_regression_funcs",
-    "agg_median_mode",
-    "agg_min_max_by",
-    "agg_grouping_id_rollup",
-    "agg_stats_moments",
-    "agg_class_rebalance_weights",
-    "profile_column_summary",
-    "layout_zorder_key",
-    "ingest_smiles_table_demo",
-    "ingest_http_pyds_demo",
-    "ingest_http_demo",
-    "ingest_sdf_udtf_demo",
-    "func_null_ops",
-    "func_posexplode_slice",
-    "func_regexp_extract_all",
-    "func_histogram_buckets",
-    "func_string_distance",
-    "func_datetime_extra",
-    "func_trig_math",
-    "func_format_strings",
-    "func_encode_hash",
-    "func_string_extra2",
-    "func_date_edges",
-    "func_array_membership",
-    "func_try_ops",
-    "func_timezone_convert",
-    "func_explode_outer",
-    # --- r6 queue (past position 50). CHANGED in r5 but not in the head-50
-    # window (it is fully spent on the never-sampled fill + the 8 entries
-    # above): the three sim_ivf_* queries (sqrt(n) coarse quantizer), plus
-    # sim_topk_bruteforce / sim_ann_lsh_topk / sim_pq_encode /
-    # sim_pq_adc_topk / mllib_minhash_recall / mllib_brp_recall (spread()
-    # repartition guard or persist-level changes — value-identical plans).
-    # ALL are locally parity-verified in vanilla driver-sim sessions
-    # (full-contract sweep, r5) and the new/semantics-changed ones are
-    # queued FIRST for the r6 window. Family sentinels follow so future
-    # windows can re-verify rotated-out families. ---
+    # --- queries ADDED in r6 (new code: externally verified this round) ---
+    # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
+    #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
     "sim_ivf_persisted",
     "sim_ivf_recall",
-    "graph_kcore",  # NEW in r5 (post-window): k-core peeling
-    "dedup_semantic_clusters",  # NEW in r5 (post-window): SemDeDup composite
-    "text_winnowing_fingerprints",  # NEW in r5 (post-window): MOSS winnowing
-    "ml_ols_normal_equations",  # NEW in r5 (post-window): one-pass OLS solve
-    "ingest_http_offset_demo",  # NEW in r5 (post-window): parallel offset pages
-    "stream_late_drop_twin",  # NEW in r5 (post-window): real watermark drops
-    "agg_approx_percentile_verdict",  # NEW in r5 (post-window): GK rank-bound proof
-    "profile_benford_first_digit",  # NEW in r5 (post-window): DQ digit profile
-    "dedup_paragraphs",  # NEW in r5 (post-window): segment-level exact dedup
-    "dedup_prefix_filter_join",  # NEW in r5 (post-window): exact Jaccard join
-    "graph_bfs_khop",  # NEW in r5 (post-window): multi-source BFS distances
-    "agg_winsorized_stats",  # NEW in r5 (post-window): histogram percentiles
-    "sample_shuffle_shards",  # NEW in r5 (post-window): deterministic shuffle
-    "text_dsir_weights",  # NEW in r5 (post-window): DSIR importance weights
-    "stream_static_join_twin",  # NEW in r5 (post-window): stream-static join
-    "func_listagg_group",  # NEW in r5 (post-window): SQL:2016 LISTAGG
-    "stream_chained_agg_twin",  # NEW in r5 (post-window): two-state pipeline
-    "mm_image_resize_nn",  # NEW in r5 (post-window): decode+resize features
-    "ml_naive_bayes_confusion",  # NEW in r5 (post-window): NB train+classify
-    "dedup_url_normalize",  # NEW in r5 (post-window): URL canonicalization
-    "join_spatial_grid",  # NEW in r5 (post-window): 2-D cell-bucketed join
-    "profile_entropy_columns",  # NEW in r5 (post-window): Shannon DQ profile
-    "sample_importance_resample",  # NEW in r5 (post-window): DSIR thinning
-    "layout_hilbert_key",  # NEW in r5 (post-window): Hilbert curve layout
-    "dedup_duplicate_spans",  # NEW in r5 (post-window): exact >=K-token span dedup
-    "ingest_warc_demo",  # NEW in r5 (post-window): CommonCrawl WARC source
-    "profile_chi2_independence",  # NEW in r5 (post-window): lang x source chi2
-    "graph_label_propagation",  # NEW in r5 (post-window): 3-round sync LPA
-    "ml_pca_power_iteration",  # NEW in r5 (post-window): moments + power iter
-    "agg_misra_gries_verdict",  # NEW in r5 (post-window): MG deterministic HH
-    "agg_kmv_intersect",  # NEW in r5 (post-window): KMV Jaccard/intersection
-    "join_semijoin_reduction",  # NEW in r5 (post-window): Yannakakis reducers
-    "ml_logreg_irls",  # NEW in r5 (post-window): 3-round Newton logistic fit
-    "agg_bitmap_distinct",  # NEW in r5 (post-window): exact bitmap-index COUNT(DISTINCT)
-    "sample_poisson_bootstrap",  # NEW in r5 (post-window): derandomized bootstrap CI
-    "mm_image_dhash_neardup",  # NEW in r5 (post-window): perceptual-hash image dedup
-    "mm_audio_fingerprint_neardup",  # NEW in r5 (post-window): frame-energy audio dedup
-    "ts_seasonal_decompose",  # NEW in r5 (post-window): trend/seasonal/residual
-    "text_keyword_blocklist",  # NEW in r5 (post-window): safety phrase tagging
-    "window_pattern_vshape",  # NEW in r5 (post-window): MATCH_RECOGNIZE-shape lags
-    "ts_attribution_last_touch",  # NEW in r5 (post-window): windowed as-of credit
-    "ingest_arrow_demo",  # NEW in r5 (post-window): Arrow IPC / Feather source
-    "cdc_incremental_agg_maintenance",  # NEW in r5 (post-window): MV delta merge
-    "ml_calibration_bins",  # NEW in r5 (post-window): reliability diagram
-    "func_aes_column_crypto",  # NEW in r5 (post-window): pseudonymization verdict
-    "ml_auc_roc",  # NEW in r5 (post-window): exact rank-sum AUC
-    "dedup_lsh_recall_vs_exact",  # NEW in r5 (post-window): band-scheme recall eval
-    "udaf_pandas_weighted_mean",  # NEW in r5 (post-window): grouped-agg pandas UDF
-    "ts_cusum_drift",  # NEW in r5 (post-window): no-reset CUSUM drift screen
-    "window_sliding_median",  # NEW in r5 (post-window): exact rolling median
-    "graph_pagerank_personalized",  # NEW in r5 (post-window): seed-set teleport PR
-    "text_bpe_train_merges",  # NEW in r5 (post-window): 3-round BPE trainer loop
-    "ml_kmeans_lloyd_3iter",  # NEW in r5 (post-window): full Lloyd training loop
-    "text_langid_confusion",  # NEW in r5 (post-window): classifier eval matrix
-    "sample_contrastive_triplets",  # NEW in r5 (post-window): triplet mining
-    "corpus_pipeline_report",  # NEW in r5 (post-window): stage funnel composite
-    "ts_cohort_retention_matrix",  # NEW in r5 (post-window): cohort aging triangle
-    "join_skyline_pareto",  # NEW in r5 (post-window): sort-based skyline rewrite
-    "func_xpath_extract",  # NEW in r5 (post-window): XPath scalar family verdict
-    "ml_svm_subgradient",  # NEW in r5 (post-window): exact-int subgradient SVM
-    "sim_topk_bruteforce",  # CHANGED in r5 (spread guard; value-identical)
-    "sim_ann_lsh_topk",  # CHANGED in r5 (spread guard; value-identical)
-    "sim_pq_encode",  # CHANGED in r5 (spread guard; value-identical)
-    "sim_pq_adc_topk",  # CHANGED in r5 (bounded query batch + spread)
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "sim_pq_encode",
+    "sim_pq_adc_topk",
+    # --- ADDED in r5 past the window; never driver-sampled. Riskiest
+    #     first: real-runtime twins, ingest demos, multimodal, iterative
+    #     graph/ML trainers, dedup/text composites, then scalar tails. ---
+    "stream_late_drop_twin",
+    "stream_static_join_twin",
+    "stream_chained_agg_twin",
+    "ingest_warc_demo",
+    "ingest_arrow_demo",
+    "ingest_http_offset_demo",
+    "mm_image_resize_nn",
+    "mm_image_dhash_neardup",
+    "mm_audio_fingerprint_neardup",
+    "graph_kcore",
+    "graph_bfs_khop",
+    "graph_label_propagation",
+    "graph_pagerank_personalized",
+    "dedup_semantic_clusters",
+    "dedup_lsh_recall_vs_exact",
+    "dedup_paragraphs",
+    "dedup_prefix_filter_join",
+    "dedup_duplicate_spans",
+    "dedup_url_normalize",
+    "text_winnowing_fingerprints",
+    "text_bpe_train_merges",
+    "text_dsir_weights",
+    "text_langid_confusion",
+    "text_keyword_blocklist",
+    "ml_kmeans_lloyd_3iter",
+    "ml_logreg_irls",
+    "ml_svm_subgradient",
+    "ml_pca_power_iteration",
+    "ml_naive_bayes_confusion",
+    "ml_ols_normal_equations",
+    "ml_auc_roc",
+    "ml_calibration_bins",
+    "udaf_pandas_weighted_mean",
+    "cdc_incremental_agg_maintenance",
+    "corpus_pipeline_report",
+    "join_skyline_pareto",
+    "join_semijoin_reduction",
+    "join_spatial_grid",
+    "window_pattern_vshape",
+    "window_sliding_median",
+    "ts_seasonal_decompose",
+    "ts_attribution_last_touch",
+    "ts_cusum_drift",
+    "ts_cohort_retention_matrix",
+    "sample_shuffle_shards",
+    "sample_importance_resample",
+    "sample_contrastive_triplets",
+    "sample_poisson_bootstrap",
+    "agg_approx_percentile_verdict",
+    "agg_misra_gries_verdict",
+    "agg_kmv_intersect",
+    "agg_bitmap_distinct",
+    "agg_winsorized_stats",
+    "profile_benford_first_digit",
+    "profile_entropy_columns",
+    "profile_chi2_independence",
+    "layout_hilbert_key",
+    "func_listagg_group",
+    "func_aes_column_crypto",
+    "func_xpath_extract",
+    # --- r7 queue: family sentinels for future re-verification ---
+    "stream_tws_user_stats",
+    "ingest_chembl_demo",
+    "dedup_clusters_twostar",
+    "mllib_minhash_pairs",
+    "mllib_brp_neighbors",
+    "udf_pandas_logistic_score",
+    "stream_mv_twin",
+    "format_bucketed_join",
     "sort_top10_orders",
     "subquery_above_avg_balance",
     "text_quality_filter",
