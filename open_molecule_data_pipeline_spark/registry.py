@@ -48,6 +48,8 @@ QUERIES: dict[str, QuerySpec] = {}
 # (keeps the list forward-compatible while modules evolve).
 CONTRACT_ORDER: tuple[str, ...] = (
     # --- queries ADDED in r6 (new code: externally verified this round) ---
+    "layout_zonemap_pruning",  # min/max file skipping, DPP-pruned stored scan
+    "join_bloom_semijoin",  # runtime Bloom filter on fact side + FP audit
     # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
     #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
@@ -200,6 +202,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.multimodal",
     "open_molecule_data_pipeline_spark.operators.chemistry",
     "open_molecule_data_pipeline_spark.operators.file_formats",
+    "open_molecule_data_pipeline_spark.operators.skipping",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
