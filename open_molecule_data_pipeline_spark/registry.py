@@ -50,6 +50,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     # --- queries ADDED in r6 (new code: externally verified this round) ---
     "layout_zonemap_pruning",  # min/max file skipping, DPP-pruned stored scan
     "join_bloom_semijoin",  # runtime Bloom filter on fact side + FP audit
+    "text_html_strip",  # markup removal round-trip proof
+    "text_unicode_clean",  # NFC + control strip (pandas UDF vs nfc_normalize)
+    "text_flesch_readability",  # integer-exact readability scoring
+    "text_feature_hashing",  # 256-bucket hashing trick + collision audit
+    "text_zipf_coverage",  # head-coverage profile, bounded top-k + theta rank
     # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
     #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
@@ -203,6 +208,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.chemistry",
     "open_molecule_data_pipeline_spark.operators.file_formats",
     "open_molecule_data_pipeline_spark.operators.skipping",
+    "open_molecule_data_pipeline_spark.operators.text_clean",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
