@@ -1,0 +1,191 @@
+"""Per-node graph metrics: local clustering coefficient, Jaccard link
+prediction.
+
+Same co-purchase graph as ``graph_triangle_count`` (parts are nodes, an
+edge connects parts appearing in the same order, restricted to the
+l_partkey % 50 < 10 slice so density stays realistic). Both metrics are
+neighborhood-local, so the distributed shape is edge-join-edge on shared
+endpoints — cost tracks wedge count, never |V|²:
+
+- ``graph_clustering_coefficient``: per-node triangles / wedges, the
+  canonical community-density signal. Triangles from the oriented
+  (u<v<w) three-way edge join, credited to each corner; coefficient
+  reported as an exact ppm integer (2*tri*1e6 // d*(d-1)).
+- ``graph_jaccard_neighbors``: link prediction over distance-2 pairs —
+  |N(a) ∩ N(c)| / |N(a) ∪ N(c)| for non-adjacent a<c reachable through a
+  shared neighbor. The candidate set comes from the wedge join (never
+  all-pairs), existing edges drop out via an anti join, and only the
+  top-20 scored pairs are returned through a bounded TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_EDGE_SQL = """
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey % 50 < 10) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey % 50 < 10) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _edges(spark, sf_dir):
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 50 < 10)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+_CC_ORACLE = f"""
+WITH edges AS ({_EDGE_SQL}),
+deg AS (
+  SELECT node, cast(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) n GROUP BY node
+),
+tri AS (
+  SELECT corner, cast(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT e1.u AS corner FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.v FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e2.v FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+  ) c GROUP BY corner
+)
+SELECT deg.node, deg.d,
+       cast(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri,
+       cast((2 * coalesce(tri.n_tri, 0) * 1000000) // (deg.d * (deg.d - 1))
+            AS BIGINT) AS cc_ppm
+FROM deg LEFT JOIN tri ON tri.corner = deg.node
+WHERE deg.d >= 2
+"""
+
+
+@register(
+    "graph_clustering_coefficient", oracle=_CC_ORACLE, tags=("graph", "agg")
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    edges = _edges(spark, sf_dir).persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    triangles = e1.join(e2, F.col("e2.u") == F.col("e1.v")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    corners = (
+        triangles.select(F.col("e1.u").alias("corner"))
+        .unionAll(triangles.select(F.col("e1.v").alias("corner")))
+        .unionAll(triangles.select(F.col("e2.v").alias("corner")))
+    )
+    tri = corners.groupBy("corner").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg["node"] == tri["corner"], "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.expr(
+                "(2 * coalesce(n_tri, 0) * 1000000) div (d * (d - 1))"
+            ).alias("cc_ppm"),
+        )
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH edges AS ({_EDGE_SQL}),
+und AS (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+),
+deg AS (
+  SELECT a AS node, cast(count(*) AS BIGINT) AS d FROM und GROUP BY a
+),
+common AS (
+  SELECT x.a AS a, y.b AS c, cast(count(*) AS BIGINT) AS cn
+  FROM und x JOIN und y ON y.a = x.b AND x.a < y.b
+  GROUP BY x.a, y.b
+),
+cand AS (
+  SELECT cm.a, cm.c, cm.cn
+  FROM common cm
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = cm.a AND e.v = cm.c)
+)
+SELECT cand.a, cand.c, cand.cn AS n_common,
+       cast((cand.cn * 1000000) // (da.d + dc.d - cand.cn) AS BIGINT)
+         AS jaccard_ppm
+FROM cand
+JOIN deg da ON da.node = cand.a
+JOIN deg dc ON dc.node = cand.c
+ORDER BY jaccard_ppm DESC, cand.a, cand.c
+LIMIT 20
+"""
+
+
+@register("graph_jaccard_neighbors", oracle=_JACCARD_ORACLE, tags=("graph", "join"))
+def graph_jaccard_neighbors(spark, sf_dir):
+    edges = _edges(spark, sf_dir).persist()
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    x = und.select(F.col("a"), F.col("b").alias("mid"))
+    y = und.select(F.col("a").alias("mid"), F.col("b").alias("c"))
+    common = (
+        x.join(y, "mid")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = common.join(
+        edges,
+        (common["a"] == edges["u"]) & (common["c"] == edges["v"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    scored = (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(dc), "c")
+        .select(
+            "a",
+            "c",
+            "n_common",
+            F.expr("(n_common * 1000000) div (da + dc - n_common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), "a", "c"
+    ).limit(20)

@@ -1,0 +1,281 @@
+"""ML training/eval primitives: histogram split finding, kNN, PR curve.
+
+Three more pieces of the in-warehouse ML surface, all exact-integer so the
+DuckDB twin is a bit-identical oracle:
+
+- ``ml_decision_stump``: best single-feature threshold by Gini impurity
+  over a bounded histogram — the LightGBM-style formulation where split
+  candidates are bin boundaries, not raw values, so the reduce side is
+  O(bins), never O(n). Gini comparison is done on an exact integer
+  cross-product score (no division until the final quantized report).
+- ``ml_knn_classify``: k-nearest-neighbor majority vote where vectors are
+  quantized per-component with floor(x*1000) and the dot product is pure
+  int64 — the similarity ladder's exact-arithmetic classifier.
+- ``ml_pr_curve``: precision/recall along a bounded threshold sweep
+  (cumulative TP/FP via broadcast theta self-join over the ≤1000-point
+  score space — the same rank trick as ``text_zipf_coverage``; no global
+  window).
+
+int64 headroom note: the stump's score uses squared class counts; that is
+exact up to ~3e9 rows per class. Beyond that, scale counts (e.g. per-bin
+subsampling or ppm-normalized histograms) before squaring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import spread
+
+# --------------------------------------------------------------------------
+# Decision stump: feature = floor(embedding[1] * 1e6) histogrammed into
+# 4096-wide bins; label = label % 2. For each boundary b: left = bins <= b.
+# Maximize (l0^2 + l1^2) * nR + (r0^2 + r1^2) * nL, the integer-exact
+# monotone transform of minimizing weighted Gini impurity.
+# --------------------------------------------------------------------------
+
+_BIN = 4096
+_OFF = 500000  # shifts the feature into the positive range before binning
+
+_STUMP_ORACLE = f"""
+WITH pts AS (
+  SELECT (cast(floor(cast(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+          + {_OFF}) // {_BIN} AS b,
+         label % 2 AS y
+  FROM embeddings
+),
+hist AS (
+  SELECT b, cast(sum(y) AS BIGINT) AS n1,
+         cast(count(*) - sum(y) AS BIGINT) AS n0
+  FROM pts GROUP BY b
+),
+tot AS (SELECT sum(n1) AS t1, sum(n0) AS t0 FROM hist),
+cum AS (
+  SELECT a.b, cast(sum(h.n1) AS BIGINT) AS l1, cast(sum(h.n0) AS BIGINT) AS l0
+  FROM hist a JOIN hist h ON h.b <= a.b
+  GROUP BY a.b
+),
+scored AS (
+  SELECT c.b, c.l0, c.l1,
+         cast(t.t0 - c.l0 AS BIGINT) AS r0, cast(t.t1 - c.l1 AS BIGINT) AS r1,
+         ((c.l0 * c.l0 + c.l1 * c.l1) * (t.t0 + t.t1 - c.l0 - c.l1)
+          + ((t.t0 - c.l0) * (t.t0 - c.l0) + (t.t1 - c.l1) * (t.t1 - c.l1))
+            * (c.l0 + c.l1)) AS num,
+         (c.l0 + c.l1) * (t.t0 + t.t1 - c.l0 - c.l1) AS den
+  FROM cum c CROSS JOIN tot t
+  WHERE (c.l0 + c.l1) > 0 AND (t.t0 + t.t1 - c.l0 - c.l1) > 0
+)
+SELECT b AS split_bin, l0, l1, r0, r1,
+       cast((num * 1000000000) // den AS BIGINT) AS score_ppb
+FROM scored
+ORDER BY (num * 1000000000) // den DESC, b
+LIMIT 1
+"""
+
+
+@register("ml_decision_stump", oracle=_STUMP_ORACLE, tags=("ml", "agg"))
+def ml_decision_stump(spark, sf_dir):
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    pts = e.select(
+        F.expr(
+            f"(cast(floor(cast(embedding[0] as double) * 1000000) as bigint)"
+            f" + {_OFF}) div {_BIN}"
+        ).alias("b"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+    hist = pts.groupBy("b").agg(
+        F.sum("y").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n0"),
+    )
+    tot = hist.groupBy().agg(F.sum("n1").alias("t1"), F.sum("n0").alias("t0"))
+    a = hist.select(F.col("b").alias("cb"))
+    cum = (
+        a.join(F.broadcast(hist), F.col("b") <= F.col("cb"))
+        .groupBy("cb")
+        .agg(F.sum("n1").alias("l1"), F.sum("n0").alias("l0"))
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("r0", F.col("t0") - F.col("l0"))
+        .withColumn("r1", F.col("t1") - F.col("l1"))
+        .filter((F.col("l0") + F.col("l1") > 0) & (F.col("r0") + F.col("r1") > 0))
+        .withColumn(
+            "num",
+            (F.col("l0") * F.col("l0") + F.col("l1") * F.col("l1"))
+            * (F.col("r0") + F.col("r1"))
+            + (F.col("r0") * F.col("r0") + F.col("r1") * F.col("r1"))
+            * (F.col("l0") + F.col("l1")),
+        )
+        .withColumn("den", (F.col("l0") + F.col("l1")) * (F.col("r0") + F.col("r1")))
+        .withColumn("score_ppb", F.expr("(num * 1000000000) div den"))
+    )
+    return (
+        scored.orderBy(F.col("score_ppb").desc(), "cb")
+        .limit(1)
+        .select(
+            F.col("cb").alias("split_bin"), "l0", "l1", "r0", "r1", "score_ppb"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN classifier: queries = every 25th vector, corpus = the rest. Vectors
+# quantized to int64 per component (floor(x*1000)); similarity = exact
+# integer dot product; k=5 neighbors; majority label with (votes desc,
+# label asc) tie-break. Scale shape: the query side broadcasts (queries
+# are the small side by construction in batch scoring), the corpus never
+# shuffles, and top-k is a per-query window, not a global sort.
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label,
+         list_transform(embedding,
+           e -> cast(floor(cast(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label,
+         list_transform(embedding,
+           e -> cast(floor(cast(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+  FROM embeddings WHERE vec_id % 25 <> 0
+),
+dots AS (
+  SELECT q.query_id, q.true_label, c.neighbor_id, c.label,
+         sum(q.qv[t.i] * c.cv[t.i]) AS dot
+  FROM q, c, generate_series(1, 64) t(i)
+  GROUP BY q.query_id, q.true_label, c.neighbor_id, c.label
+),
+topk AS (
+  SELECT query_id, true_label, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id) AS rn
+  FROM dots
+),
+votes AS (
+  SELECT query_id, true_label, label, cast(count(*) AS BIGINT) AS votes
+  FROM topk WHERE rn <= {_KNN_K}
+  GROUP BY query_id, true_label, label
+)
+SELECT query_id, true_label,
+       label AS pred_label, votes,
+       CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label) AS vr
+  FROM votes
+) v WHERE vr = 1
+"""
+
+
+@register("ml_knn_classify", oracle=_KNN_ORACLE, tags=("ml", "similarity"))
+def ml_knn_classify(spark, sf_dir):
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    quant = F.expr(
+        "transform(embedding, e -> cast(floor(cast(e as double) * 1000) as bigint))"
+    )
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        quant.alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        quant.alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "true_label", "neighbor_id", "label", dot.alias("dot")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dot").desc(), "neighbor_id")
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    vw = W.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "votes",
+            (F.col("label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Precision/recall curve: deterministic pseudo-score in [0, 1000) from a
+# Knuth multiplicative hash of event_id; positives = user_id % 3 = 0.
+# Cumulative TP/FP per threshold via broadcast theta self-join over the
+# bounded score space; reported at every 100th threshold.
+# --------------------------------------------------------------------------
+
+_PR_ORACLE = """
+WITH scored AS (
+  SELECT (event_id * 2654435761) % 1000 AS s,
+         CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+hist AS (
+  SELECT s, cast(sum(y) AS BIGINT) AS pos,
+         cast(count(*) - sum(y) AS BIGINT) AS neg
+  FROM scored GROUP BY s
+),
+tot AS (SELECT sum(pos) AS p FROM hist),
+cum AS (
+  SELECT a.s, cast(sum(h.pos) AS BIGINT) AS tp, cast(sum(h.neg) AS BIGINT) AS fp
+  FROM hist a JOIN hist h ON h.s >= a.s
+  GROUP BY a.s
+)
+SELECT c.s AS threshold, c.tp, c.fp,
+       cast((c.tp * 1000000) // (c.tp + c.fp) AS BIGINT) AS precision_ppm,
+       cast((c.tp * 1000000) // t.p AS BIGINT) AS recall_ppm
+FROM cum c CROSS JOIN tot t
+WHERE c.s % 100 = 0
+"""
+
+
+@register("ml_pr_curve", oracle=_PR_ORACLE, tags=("ml", "agg"))
+def ml_pr_curve(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    scored = ev.select(
+        ((F.col("event_id") * 2654435761) % 1000).alias("s"),
+        (F.col("user_id") % 3 == 0).cast("long").alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    tot = hist.groupBy().agg(F.sum("pos").alias("p"))
+    a = hist.select(F.col("s").alias("threshold"))
+    cum = (
+        a.join(F.broadcast(hist), F.col("s") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.sum("pos").alias("tp"), F.sum("neg").alias("fp"))
+    )
+    return (
+        cum.filter(F.col("threshold") % 100 == 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            F.expr("(tp * 1000000) div (tp + fp)").alias("precision_ppm"),
+            F.expr("(tp * 1000000) div p").alias("recall_ppm"),
+        )
+    )

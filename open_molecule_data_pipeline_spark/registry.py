@@ -55,6 +55,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "text_flesch_readability",  # integer-exact readability scoring
     "text_feature_hashing",  # 256-bucket hashing trick + collision audit
     "text_zipf_coverage",  # head-coverage profile, bounded top-k + theta rank
+    "ml_decision_stump",  # histogram Gini split finding, exact-int score
+    "ml_knn_classify",  # int-quantized dot kNN majority vote
+    "ml_pr_curve",  # threshold-sweep precision/recall
+    "graph_clustering_coefficient",  # per-node triangles/wedges ppm
+    "graph_jaccard_neighbors",  # distance-2 link prediction top-20
     # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
     #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
@@ -209,6 +214,8 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.file_formats",
     "open_molecule_data_pipeline_spark.operators.skipping",
     "open_molecule_data_pipeline_spark.operators.text_clean",
+    "open_molecule_data_pipeline_spark.operators.ml_eval",
+    "open_molecule_data_pipeline_spark.operators.graph_metrics",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
