@@ -1,0 +1,152 @@
+"""Data-quality profiling: functional-dependency discovery, value-pattern
+(mask) profiling.
+
+Profiler features in the Deequ / Great Expectations / ydata family, both
+pure JVM-side aggregation:
+
+- ``profile_fd_violations``: does column A determine column B? For each
+  candidate pair, count LHS values, LHS values with more than one distinct
+  RHS (violations), and the widest RHS fan-out. The discovery shape is one
+  two-level aggregate per pair — at scale this is the map-side-combinable
+  form, never a distinct over the raw pair stream.
+- ``profile_value_patterns``: format inference by masking characters into
+  classes (digit→9, lower→a, upper→A), reporting the top-5 masks per
+  column with counts — how a profiler detects mixed formats in a column
+  (phone numbers, ids, JSON blobs) without enumerating values.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_FD_ORACLE = """
+WITH fd1 AS (
+  SELECT 'documents.source->lang' AS fd,
+         cast(count(*) AS BIGINT) AS n_lhs,
+         cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         cast(max(nd) AS BIGINT) AS max_rhs
+  FROM (SELECT source, count(DISTINCT lang) AS nd
+        FROM documents GROUP BY source) t
+),
+fd2 AS (
+  SELECT 'documents.lang->source',
+         cast(count(*) AS BIGINT),
+         cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         cast(max(nd) AS BIGINT)
+  FROM (SELECT lang, count(DISTINCT source) AS nd
+        FROM documents GROUP BY lang) t
+),
+fd3 AS (
+  SELECT 'events.user_bucket->event_type',
+         cast(count(*) AS BIGINT),
+         cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         cast(max(nd) AS BIGINT)
+  FROM (SELECT user_id % 100 AS ub, count(DISTINCT event_type) AS nd
+        FROM events GROUP BY ub) t
+),
+fd4 AS (
+  SELECT 'nation.n_nationkey->n_regionkey',
+         cast(count(*) AS BIGINT),
+         cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         cast(max(nd) AS BIGINT)
+  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
+        FROM nation GROUP BY n_nationkey) t
+)
+SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+"""
+
+
+@register("profile_fd_violations", oracle=_FD_ORACLE, tags=("agg",))
+def profile_fd_violations(spark, sf_dir):
+    def fd(df, name, lhs, rhs):
+        per_lhs = df.groupBy(lhs.alias("lhs")).agg(
+            F.countDistinct(rhs).alias("nd")
+        )
+        return per_lhs.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_violating"),
+            F.max("nd").alias("max_rhs"),
+        )
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "events")
+    n = table(spark, sf_dir, "nation")
+    parts = [
+        fd(d, "documents.source->lang", F.col("source"), F.col("lang")),
+        fd(d, "documents.lang->source", F.col("lang"), F.col("source")),
+        fd(
+            e,
+            "events.user_bucket->event_type",
+            F.col("user_id") % 100,
+            F.col("event_type"),
+        ),
+        fd(
+            n,
+            "nation.n_nationkey->n_regionkey",
+            F.col("n_nationkey"),
+            F.col("n_regionkey"),
+        ),
+    ]
+    return reduce(lambda x, y: x.unionAll(y), parts)
+
+
+_MASK_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace({col}, '[0-9]', '9', 'g'),"
+    " '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g')"
+)
+
+_PATTERN_ORACLE = f"""
+WITH masks AS (
+  SELECT 'customer.c_name' AS col, {_MASK_SQL.format(col="c_name")} AS mask
+  FROM customer
+  UNION ALL
+  SELECT 'part.p_brand', {_MASK_SQL.format(col="p_brand")} FROM part
+  UNION ALL
+  SELECT 'events.props', {_MASK_SQL.format(col="props")} FROM events
+),
+counted AS (
+  SELECT col, mask, cast(count(*) AS BIGINT) AS cnt FROM masks GROUP BY col, mask
+)
+SELECT col, mask, cnt FROM (
+  SELECT *, row_number() OVER (PARTITION BY col ORDER BY cnt DESC, mask) AS rn
+  FROM counted
+) t WHERE rn <= 5
+"""
+
+
+def _mask(col):
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(col, "[0-9]", "9"), "[a-z]", "a"),
+        "[A-Z]",
+        "A",
+    )
+
+
+@register("profile_value_patterns", oracle=_PATTERN_ORACLE, tags=("agg",))
+def profile_value_patterns(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    e = table(spark, sf_dir, "events")
+    masks = (
+        c.select(F.lit("customer.c_name").alias("col"), _mask(F.col("c_name")).alias("mask"))
+        .unionAll(
+            p.select(F.lit("part.p_brand"), _mask(F.col("p_brand")))
+        )
+        .unionAll(e.select(F.lit("events.props"), _mask(F.col("props"))))
+    )
+    counted = masks.groupBy("col", "mask").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("col").orderBy(F.col("cnt").desc(), "mask")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("col", "mask", "cnt")
+    )

@@ -60,6 +60,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ml_pr_curve",  # threshold-sweep precision/recall
     "graph_clustering_coefficient",  # per-node triangles/wedges ppm
     "graph_jaccard_neighbors",  # distance-2 link prediction top-20
+    "profile_fd_violations",  # functional-dependency discovery
+    "profile_value_patterns",  # mask-based format inference top-5
+    "format_fixed_width",  # fixed-width encode/parse round-trip
+    "format_csv_quoted_multiline",  # RFC-4180 hostile CSV round-trip
     # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
     #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
@@ -216,6 +220,8 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.text_clean",
     "open_molecule_data_pipeline_spark.operators.ml_eval",
     "open_molecule_data_pipeline_spark.operators.graph_metrics",
+    "open_molecule_data_pipeline_spark.operators.dq_extra",
+    "open_molecule_data_pipeline_spark.operators.formats_extra",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
