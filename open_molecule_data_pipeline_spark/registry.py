@@ -64,6 +64,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "profile_value_patterns",  # mask-based format inference top-5
     "format_fixed_width",  # fixed-width encode/parse round-trip
     "format_csv_quoted_multiline",  # RFC-4180 hostile CSV round-trip
+    "ts_interval_union_coverage",  # per-user interval union / uptime
+    "sample_systematic_stride",  # every-97th in md5 order, two-pass rank
     # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
     #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
@@ -222,6 +224,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.graph_metrics",
     "open_molecule_data_pipeline_spark.operators.dq_extra",
     "open_molecule_data_pipeline_spark.operators.formats_extra",
+    "open_molecule_data_pipeline_spark.operators.ts_extra2",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
