@@ -1322,3 +1322,107 @@ def mm_audio_fingerprint_neardup(spark, sf_dir):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "fp")
     )
+
+
+# --------------------------------------------------------------------------
+# Silence trimming — the standard audio-corpus preprocessing step (drop
+# leading/trailing low-energy runs before feature extraction). Each doc
+# gets a closed-form PCM signal with a forced-silent head (doc_id % 10
+# samples) and tail (doc_id % 5), plus interior samples that may also dip
+# under the threshold — the trim must only strip the EDGES, which is what
+# distinguishes it from a filter. Real WAV encode/decode inside one
+# Arrow-batched mapInPandas stage; the oracle recomputes first/last loud
+# indexes from the same closed form. Docs that are entirely silent trim to
+# zero kept samples (n_kept = 0) rather than disappearing.
+# --------------------------------------------------------------------------
+
+_SIL_T = 100  # |sample| <= threshold counts as silence
+
+_SILENCE_ORACLE = f"""
+WITH samp AS (
+  SELECT doc_id, n, i,
+         CASE WHEN i < doc_id % 10 OR i >= n - (doc_id % 5) THEN 0
+              ELSE ((doc_id * 131 + i * 17) % 4001) - 2000 END AS s
+  FROM (
+    SELECT doc_id, 80 + doc_id % 40 AS n,
+           unnest(range(80 + doc_id % 40)) AS i
+    FROM documents
+  ) g
+),
+loud AS (
+  SELECT doc_id,
+         min(CASE WHEN abs(s) > {_SIL_T} THEN i END) AS first_loud,
+         max(CASE WHEN abs(s) > {_SIL_T} THEN i END) AS last_loud
+  FROM samp GROUP BY doc_id
+)
+SELECT sp.doc_id,
+       cast(max(sp.n) AS BIGINT) AS n_samples,
+       cast(coalesce(max(l.first_loud), max(sp.n)) AS BIGINT) AS n_trim_lead,
+       cast(CASE WHEN max(l.last_loud) IS NULL THEN 0
+                 ELSE max(sp.n) - 1 - max(l.last_loud) END AS BIGINT)
+         AS n_trim_tail,
+       cast(CASE WHEN max(l.last_loud) IS NULL THEN 0
+                 ELSE max(l.last_loud) - max(l.first_loud) + 1 END AS BIGINT)
+         AS n_kept,
+       cast(coalesce(sum(CASE WHEN i >= l.first_loud AND i <= l.last_loud
+                              THEN sp.s END), 0) AS BIGINT) AS sum_kept
+FROM samp sp JOIN loud l ON l.doc_id = sp.doc_id
+GROUP BY sp.doc_id
+"""
+
+
+@register(
+    "mm_audio_silence_trim", oracle=_SILENCE_ORACLE, tags=("multimodal", "audio")
+)
+def mm_audio_silence_trim(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_trim_lead", T.LongType()),
+            T.StructField("n_trim_tail", T.LongType()),
+            T.StructField("n_kept", T.LongType()),
+            T.StructField("sum_kept", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                n = 80 + doc_id % 40
+                i = np.arange(n, dtype=np.int64)
+                s = ((doc_id * 131 + i * 17) % 4001) - 2000
+                s[i < doc_id % 10] = 0
+                if doc_id % 5:
+                    s[i >= n - (doc_id % 5)] = 0
+                blob = encode_wav_pcm16(s.astype(np.int16))
+                dec = decode_media(bytes(blob), "audio/wav")
+                x = dec["frames"].astype(np.int64)
+                loud = np.abs(x) > _SIL_T
+                if loud.any():
+                    first = int(np.argmax(loud))
+                    last = int(n - 1 - np.argmax(loud[::-1]))
+                    kept = x[first : last + 1]
+                    rows.append(
+                        (doc_id, n, first, n - 1 - last, len(kept), int(kept.sum()))
+                    )
+                else:
+                    rows.append((doc_id, n, n, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_trim_lead",
+                    "n_trim_tail",
+                    "n_kept",
+                    "sum_kept",
+                ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)

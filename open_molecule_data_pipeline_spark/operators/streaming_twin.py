@@ -922,3 +922,44 @@ def stream_chained_agg_twin(spark, sf_dir):
         return spark.createDataFrame(rows, schema=final.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming UNION: two independent file-stream sources (disjoint
+# event-type slices of the same table) merged with unionByName before one
+# stateful aggregation — the fan-in topology of multi-region ingestion,
+# where per-source offsets are tracked independently but state is shared
+# downstream. Complete-mode memory sink; the batch oracle unions the same
+# slices.
+# --------------------------------------------------------------------------
+
+_UNION_TWIN_ORACLE = f"""
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n,
+       {s_lsum('value', 100)} AS sum_value
+FROM events
+WHERE event_type IN ('click', 'error')
+GROUP BY event_type
+"""
+
+
+@register(
+    "stream_union_twin",
+    oracle=_UNION_TWIN_ORACLE,
+    tags=("streaming",),
+)
+def stream_union_twin(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    errors = _events_stream(spark, sf_dir).filter(F.col("event_type") == "error")
+    agg = (
+        clicks.unionByName(errors)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100).cast("double")
+            ).alias("sum_value"),
+        )
+    )
+    return _run_to_memory(spark, agg, output_mode="complete")

@@ -66,6 +66,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "format_csv_quoted_multiline",  # RFC-4180 hostile CSV round-trip
     "ts_interval_union_coverage",  # per-user interval union / uptime
     "sample_systematic_stride",  # every-97th in md5 order, two-pass rank
+    "mm_audio_silence_trim",  # edge-only low-energy trim, real WAV path
+    "stream_union_twin",  # two-source fan-in union before stateful agg
     # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
     #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
