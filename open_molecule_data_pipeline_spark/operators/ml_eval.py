@@ -16,9 +16,10 @@ DuckDB twin is a bit-identical oracle:
   score space — the same rank trick as ``text_zipf_coverage``; no global
   window).
 
-int64 headroom note: the stump's score uses squared class counts; that is
-exact up to ~3e9 rows per class. Beyond that, scale counts (e.g. per-bin
-subsampling or ppm-normalized histograms) before squaring.
+int64 headroom note: the stump's score numerator is O(n^3) in row count
+and the remainder-scaling keeps every intermediate <= den*1e6, so the
+comparison is exact to ~3e6 rows per side; past that, normalize histogram
+counts to ppm per bin before squaring (same argmax, bounded operands).
 """
 
 from __future__ import annotations
@@ -69,9 +70,10 @@ scored AS (
   WHERE (c.l0 + c.l1) > 0 AND (t.t0 + t.t1 - c.l0 - c.l1) > 0
 )
 SELECT b AS split_bin, l0, l1, r0, r1,
-       cast((num * 1000000000) // den AS BIGINT) AS score_ppb
+       cast((num // den) * 1000000 + ((num % den) * 1000000) // den AS BIGINT)
+         AS score_ppm
 FROM scored
-ORDER BY (num * 1000000000) // den DESC, b
+ORDER BY (num // den) * 1000000 + ((num % den) * 1000000) // den DESC, b
 LIMIT 1
 """
 
@@ -110,13 +112,19 @@ def ml_decision_stump(spark, sf_dir):
             * (F.col("l0") + F.col("l1")),
         )
         .withColumn("den", (F.col("l0") + F.col("l1")) * (F.col("r0") + F.col("r1")))
-        .withColumn("score_ppb", F.expr("(num * 1000000000) div den"))
+        .withColumn(
+            # floor(num * 1e6 / den) WITHOUT forming num*1e6 (which overflows
+            # int64 once class counts reach ~50k): split into the integer
+            # quotient and the exactly-scaled remainder.
+            "score_ppm",
+            F.expr("(num div den) * 1000000 + ((num % den) * 1000000) div den"),
+        )
     )
     return (
-        scored.orderBy(F.col("score_ppb").desc(), "cb")
+        scored.orderBy(F.col("score_ppm").desc(), "cb")
         .limit(1)
         .select(
-            F.col("cb").alias("split_bin"), "l0", "l1", "r0", "r1", "score_ppb"
+            F.col("cb").alias("split_bin"), "l0", "l1", "r0", "r1", "score_ppm"
         )
     )
 

@@ -69,7 +69,7 @@ GROUP BY lang
 """
 
 
-@register("text_html_strip", oracle=_HTML_ORACLE, tags=("text",))
+@register("text_html_strip", oracle=_HTML_ORACLE, tags=("text",), bench=True)
 def text_html_strip(spark, sf_dir):
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     html = F.concat(

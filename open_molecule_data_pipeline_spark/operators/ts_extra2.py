@@ -63,7 +63,12 @@ FROM merged GROUP BY user_id
 """
 
 
-@register("ts_interval_union_coverage", oracle=_COVERAGE_ORACLE, tags=("timeseries", "window"))
+@register(
+    "ts_interval_union_coverage",
+    oracle=_COVERAGE_ORACLE,
+    tags=("timeseries", "window"),
+    bench=True,
+)
 def ts_interval_union_coverage(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     iv = ev.select(
