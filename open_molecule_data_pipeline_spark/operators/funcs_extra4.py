@@ -1,0 +1,75 @@
+"""Phonetic matching: Spark's built-in ``soundex`` vs a from-scratch SQL
+implementation of the algorithm as the oracle.
+
+Unlike most scalar functions, DuckDB has no soundex — so the oracle
+IMPLEMENTS American Soundex in set-based SQL (letter → digit translate,
+adjacent-duplicate collapse via a lag window over the exploded character
+stream, vowel removal, pad to 4). Agreement is therefore a real spec
+check of Spark's native function on the corpus vocabulary, including the
+phonetic collisions it exists to produce (red/rod → R300). The vocabulary
+is the distinct token set (Heaps-small), so both sides do the per-word
+work once and the fact-side cost is a broadcast lookup — the standard
+shape for phonetic blocking in record linkage at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# classic Soundex letter codes, A..Z (H/W/Y and vowels -> 0, dropped later)
+_SOUNDEX_MAP = "01230120022455012623010202"
+
+_SOUNDEX_ORACLE = f"""
+WITH words AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
+  UNION
+  SELECT DISTINCT lower(c_mktsegment) FROM customer
+),
+norm AS (
+  SELECT w,
+         regexp_replace(upper(w), '[^A-Z]', '', 'g') AS u
+  FROM words
+),
+mapped AS (
+  SELECT w, u,
+         translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_MAP}') AS m
+  FROM norm WHERE length(u) > 0
+),
+chars AS (
+  SELECT w, u, t.i, substr(m, cast(t.i AS INTEGER), 1) AS c
+  FROM mapped, generate_series(1, 40) t(i)
+  WHERE t.i <= length(m)
+),
+collapsed AS (
+  SELECT w, u, i, c
+  FROM (
+    SELECT w, u, i, c, lag(c) OVER (PARTITION BY w ORDER BY i) AS pc
+    FROM chars
+  ) x
+  WHERE pc IS NULL OR c <> pc
+),
+agg AS (
+  SELECT w, u, string_agg(c, '' ORDER BY i) AS cm FROM collapsed
+  GROUP BY w, u
+)
+SELECT w,
+       substr(u, 1, 1)
+         || substr(regexp_replace(substr(cm, 2), '0', '', 'g') || '000', 1, 3)
+         AS sx
+FROM agg
+"""
+
+
+@register("func_soundex_phonetic", oracle=_SOUNDEX_ORACLE, tags=("functions",))
+def func_soundex_phonetic(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    c = table(spark, sf_dir, "customer")
+    words = (
+        p.select(F.explode(F.split("p_name", " ")).alias("w"))
+        .union(c.select(F.lower("c_mktsegment").alias("w")))
+        .distinct()
+    )
+    return words.select("w", F.soundex("w").alias("sx"))

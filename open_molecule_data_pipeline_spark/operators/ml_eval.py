@@ -287,3 +287,131 @@ def ml_pr_curve(spark, sf_dir):
             F.expr("(tp * 1000000) div p").alias("recall_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ranking quality: NDCG with an exact-rational LINEAR discount (1/(i+1)
+# scaled to ppm) instead of the classic 1/log2(i+1) — same monotone
+# position weighting, zero libm, so the eval is bit-identical across
+# engines. Ranking = the kNN top-10 by integer dot; relevance = neighbor
+# shares the query's label; ideal = all relevant results first, capped by
+# how many same-label items the corpus holds.
+# --------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+_NDCG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label,
+         list_transform(embedding,
+           e -> cast(floor(cast(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label,
+         list_transform(embedding,
+           e -> cast(floor(cast(e AS DOUBLE) * 1000) AS BIGINT)) AS cv
+  FROM embeddings WHERE vec_id % 25 <> 0
+),
+dots AS (
+  SELECT q.query_id, q.true_label, c.neighbor_id, c.label,
+         sum(q.qv[t.i] * c.cv[t.i]) AS dot
+  FROM q, c, generate_series(1, 64) t(i)
+  GROUP BY q.query_id, q.true_label, c.neighbor_id, c.label
+),
+topk AS (
+  SELECT query_id, true_label, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id) AS rn
+  FROM dots
+),
+ldcg AS (
+  SELECT query_id, true_label,
+         cast(sum(CASE WHEN label = true_label
+                       THEN 1000000 // (rn + 1) ELSE 0 END) AS BIGINT) AS ldcg
+  FROM topk WHERE rn <= {_NDCG_K}
+  GROUP BY query_id, true_label
+),
+avail AS (
+  SELECT q.query_id, cast(count(*) AS BIGINT) AS n_rel
+  FROM q JOIN c ON c.label = q.true_label
+  GROUP BY q.query_id
+),
+ideal AS (
+  SELECT a.query_id,
+         cast(sum(1000000 // (t.i + 1)) AS BIGINT) AS ildcg
+  FROM avail a, generate_series(1, {_NDCG_K}) t(i)
+  WHERE t.i <= least(a.n_rel, {_NDCG_K})
+  GROUP BY a.query_id
+)
+SELECT l.query_id, l.ldcg, i.ildcg,
+       cast((l.ldcg * 1000000) // i.ildcg AS BIGINT) AS ndcg_ppm
+FROM ldcg l JOIN ideal i ON i.query_id = l.query_id
+"""
+
+
+@register("ml_ndcg_linear", oracle=_NDCG_ORACLE, tags=("ml", "similarity"))
+def ml_ndcg_linear(spark, sf_dir):
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    quant = F.expr(
+        "transform(embedding, e -> cast(floor(cast(e as double) * 1000) as bigint))"
+    )
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        quant.alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        quant.alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "true_label", "neighbor_id", "label", dot.alias("dot")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dot").desc(), "neighbor_id")
+    ldcg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NDCG_K)
+        .groupBy("query_id", "true_label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("true_label"),
+                    F.expr("1000000 div (rn + 1)"),
+                ).otherwise(F.lit(0))
+            ).alias("ldcg")
+        )
+    )
+    avail = (
+        q.join(
+            F.broadcast(c.select("label")),
+            q["true_label"] == F.col("label"),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    ideal = (
+        avail.select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(_NDCG_K)))
+            ).alias("i"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.expr("1000000 div (i + 1)")).alias("ildcg"))
+    )
+    return (
+        ldcg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "ldcg",
+            "ildcg",
+            F.expr("(ldcg * 1000000) div ildcg").alias("ndcg_ppm"),
+        )
+    )

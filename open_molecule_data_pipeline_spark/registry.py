@@ -68,6 +68,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sample_systematic_stride",  # every-97th in md5 order, two-pass rank
     "mm_audio_silence_trim",  # edge-only low-energy trim, real WAV path
     "stream_union_twin",  # two-source fan-in union before stateful agg
+    "cdc_deletion_vectors",  # positional DV merge-on-read
+    "layout_compaction_binpack",  # real compaction rewrite, lossless
+    "func_soundex_phonetic",  # Spark soundex vs from-scratch SQL spec
+    "ml_ndcg_linear",  # exact-rational-discount ranking eval
     # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
     #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
@@ -227,6 +231,8 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.dq_extra",
     "open_molecule_data_pipeline_spark.operators.formats_extra",
     "open_molecule_data_pipeline_spark.operators.ts_extra2",
+    "open_molecule_data_pipeline_spark.operators.lakehouse",
+    "open_molecule_data_pipeline_spark.operators.funcs_extra4",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
