@@ -1426,3 +1426,83 @@ def mm_audio_silence_trim(spark, sf_dir):
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Scene-cut detection — the first step of video frame sampling for
+# training data (sample one frame per shot instead of per stride). Each
+# doc gets a fixed-size frame sequence with scene changes injected every 4
+# frames (scene id drives the pixel formula; a small per-frame jitter
+# keeps within-scene diffs non-zero); frames ride through a real AVI
+# container (encode_avi -> RIFF chunk walk) inside one Arrow-batched
+# mapInPandas stage. Cut score = mean absolute byte difference between
+# consecutive frames (x1000, integer); a cut is score > threshold. The
+# oracle recomputes the differences from the closed form — so a demuxer
+# that misaligns frame payloads by even one byte fails the hash.
+# --------------------------------------------------------------------------
+
+_SCENE_LEN = 48  # bytes per frame
+_SCENE_T = 40000  # cut threshold, mean-abs-diff x1000
+
+_SCENE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, k, i,
+         (doc_id * 13 + (k // 4) * 97 + i * 3 + (k % 2)) % 256 AS b
+  FROM (
+    SELECT doc_id, k, unnest(range({_SCENE_LEN})) AS i
+    FROM (SELECT doc_id, unnest(range(8 + doc_id % 5)) AS k FROM documents) f
+  ) g
+),
+diffs AS (
+  SELECT cur.doc_id, cur.k AS frame_idx,
+         cast(sum(abs(cur.b - prv.b)) * 1000 // {_SCENE_LEN} AS BIGINT)
+           AS diff_milli
+  FROM px cur JOIN px prv
+    ON prv.doc_id = cur.doc_id AND prv.k = cur.k - 1 AND prv.i = cur.i
+  GROUP BY cur.doc_id, cur.k
+)
+SELECT doc_id, frame_idx, diff_milli,
+       CASE WHEN diff_milli > {_SCENE_T} THEN 1 ELSE 0 END AS is_cut
+FROM diffs
+"""
+
+
+@register("mm_video_scene_cuts", oracle=_SCENE_ORACLE, tags=("multimodal", "video"))
+def mm_video_scene_cuts(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("diff_milli", T.LongType()),
+            T.StructField("is_cut", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                i = np.arange(_SCENE_LEN, dtype=np.int64)
+                frames = [
+                    ((doc_id * 13 + (k // 4) * 97 + i * 3 + (k % 2)) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for k in range(8 + doc_id % 5)
+                ]
+                dec = decode_media(encode_avi(frames), "video/x-msvideo")
+                arrs = [
+                    np.frombuffer(fr, dtype=np.uint8).astype(np.int64)
+                    for fr in dec["frames"]
+                ]
+                for k in range(1, len(arrs)):
+                    d = int(np.abs(arrs[k] - arrs[k - 1]).sum()) * 1000 // _SCENE_LEN
+                    rows.append((doc_id, k, d, 1 if d > _SCENE_T else 0))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "diff_milli", "is_cut"]
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)

@@ -136,3 +136,176 @@ def sample_systematic_stride(spark, sf_dir):
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# NEAREST as-of join with tolerance: for every purchase, the click by the
+# same user closest in time (either direction) within 1 h. Composition of
+# two scale-safe backward as-of joins (operators/asof.py union-then-window
+# form) — the forward pass is the backward join on NEGATED time — then a
+# per-row arbitration: smaller |gap| wins, exact ties prefer the backward
+# (earlier) candidate. pandas.merge_asof(direction='nearest') semantics,
+# distributed.
+# --------------------------------------------------------------------------
+
+_TOL_S = 3600
+
+_NEAREST_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, cast(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, cast(floor(epoch(ts)) AS BIGINT) AS cs
+  FROM events WHERE event_type = 'click'
+),
+cand AS (
+  SELECT p.event_id, c.click_id, c.cs - p.s AS gap_s,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(c.cs - p.s),
+                    CASE WHEN c.cs <= p.s THEN 0 ELSE 1 END,
+                    CASE WHEN c.cs <= p.s THEN -c.click_id ELSE c.click_id END
+         ) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND abs(c.cs - p.s) <= {_TOL_S}
+)
+SELECT event_id, click_id, gap_s FROM cand WHERE rn = 1
+"""
+
+
+@register("ts_asof_nearest_click", oracle=_NEAREST_ORACLE, tags=("timeseries", "join"))
+def ts_asof_nearest_click(spark, sf_dir):
+    from .asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", s.alias("s")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", s.alias("cs")
+    )
+    back = asof_join(
+        p, c, "user_id", "user_id", "s", "cs",
+        value_cols=["click_id", "cs"], right_tiebreak="click_id",
+    ).withColumnsRenamed({"click_id": "b_id", "cs": "b_cs"})
+    # forward pass: negate time so "latest <=" becomes "earliest >=";
+    # negate the tiebreak so equal-time ties pick the SMALLEST click id
+    c_neg = c.select(
+        "click_id",
+        "user_id",
+        (-F.col("cs")).alias("ncs"),
+        (-F.col("click_id")).alias("ntb"),
+    )
+    p_neg = p.select("event_id", "user_id", (-F.col("s")).alias("ns"))
+    fwd = asof_join(
+        p_neg, c_neg, "user_id", "user_id", "ns", "ncs",
+        value_cols=["click_id", "ncs"], right_tiebreak="ntb",
+    ).select(
+        "event_id",
+        F.col("click_id").alias("f_id"),
+        (-F.col("ncs")).alias("f_cs"),
+    )
+    both = back.select("event_id", "s", "b_id", "b_cs").join(fwd, "event_id")
+    bgap = F.col("s") - F.col("b_cs")
+    fgap = F.col("f_cs") - F.col("s")
+    # tolerance gates each side BEFORE arbitration: a nearer candidate that
+    # is outside the tolerance must not shadow a farther in-tolerance one
+    b_ok = F.col("b_id").isNotNull() & (bgap <= _TOL_S)
+    f_ok = F.col("f_id").isNotNull() & (fgap <= _TOL_S)
+    pick_back = b_ok & (~f_ok | (bgap <= fgap))
+    chosen = both.filter(b_ok | f_ok).select(
+        "event_id",
+        F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("click_id"),
+        F.when(pick_back, -bgap).otherwise(fgap).alias("gap_s"),
+    )
+    return chosen
+
+
+# --------------------------------------------------------------------------
+# Rolling regression: least-squares slope of value (cents) against the
+# event index over a trailing 7-row frame per user — the windowed trend
+# estimator behind "is this metric drifting". All five sufficient
+# statistics (n, Σx, Σy, Σxy, Σx²) are integer window sums over the frame
+# with x = the in-user row index (small, so every product stays far from
+# int64 limits); the slope is reported ppm-quantized with the same split
+# division both engines use. Sampled to every 10th row to keep the
+# contract result compact.
+# --------------------------------------------------------------------------
+
+_REG_FRAME = 7
+
+_MOVING_REG_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id,
+         cast(round(value * 100) AS BIGINT) AS y,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS x
+  FROM events
+),
+frames AS (
+  SELECT user_id, event_id, x,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx,
+         sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN {_REG_FRAME - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       cast(n AS BIGINT) AS n,
+       cast(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ((n * sxy - sx * sy) // (n * sxx - sx * sx)) * 1000000
+               + (((n * sxy - sx * sy) % (n * sxx - sx * sx)) * 1000000)
+                 // (n * sxx - sx * sx) END AS BIGINT) AS slope_ppm
+FROM frames
+WHERE x % 10 = 0
+"""
+
+
+@register("window_moving_regression", oracle=_MOVING_REG_ORACLE, tags=("window", "ml"))
+def window_moving_regression(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.row_number().over(seq_w).cast("long").alias("x"),
+    )
+    fw = (
+        W.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(_REG_FRAME - 1), 0)
+    )
+    frames = seq.select(
+        "user_id",
+        "event_id",
+        "x",
+        F.count(F.lit(1)).over(fw).alias("n"),
+        F.sum("x").over(fw).alias("sx"),
+        F.sum("y").over(fw).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fw).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fw).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        frames.filter(F.col("x") % 10 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "n",
+            F.when(den == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr(
+                    "((n * sxy - sx * sy) div (n * sxx - sx * sx)) * 1000000"
+                    " + (((n * sxy - sx * sy) % (n * sxx - sx * sx)) * 1000000)"
+                    "   div (n * sxx - sx * sx)"
+                )
+            )
+            .alias("slope_ppm"),
+        )
+    )

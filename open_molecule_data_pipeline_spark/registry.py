@@ -72,6 +72,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "layout_compaction_binpack",  # real compaction rewrite, lossless
     "func_soundex_phonetic",  # Spark soundex vs from-scratch SQL spec
     "ml_ndcg_linear",  # exact-rational-discount ranking eval
+    "ts_asof_nearest_click",  # nearest-direction as-of with tolerance gate
+    "window_moving_regression",  # trailing-frame least-squares slope
+    "mm_video_scene_cuts",  # shot-boundary detection via AVI demux
     # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
     #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
