@@ -35,12 +35,14 @@ QUERIES: dict[str, QuerySpec] = {}
 # never sampled. Cumulative driver-verified through r4: 171 queries (union
 # of CORRECTNESS_r01..r04 green rows); the r5 window verified the 8
 # r5-changed entries plus the final 42 never-sampled pre-r5 queries. The r6
-# window below = queries ADDED in r6, then the 7 sim_* queries whose
-# implementations CHANGED in r5 but sat past position 50 (ADVICE r4 flagged
-# exactly this bypass pattern), then the r5-added post-window queries that
-# have never been driver-sampled, riskiest families first (streaming/
-# ingest/multimodal/graph/iterative-ML before scalar tails). Overflow past
-# position 50 queues for r7. Operator families whose sentinels rotate OUT
+# window below = the 27 queries ADDED in r6 (every one locally verified by
+# the full 305-query sf0.01 driver-sim sweep), then the 7 sim_* queries
+# whose implementations CHANGED in r5 but sat past position 50 (ADVICE r4
+# flagged exactly this bypass pattern), then the r5-added post-window
+# queries that have never been driver-sampled, riskiest families first
+# (streaming/ingest/multimodal/graph/iterative-ML before scalar tails).
+# Overflow past position 50 (the r5 scalar/agg/profile tails) queues for
+# r7. Operator families whose sentinels rotate OUT
 # of the window are already externally proven by >= 2 green rows in past
 # CORRECTNESS files; tests/test_contract_order.py enforces exactly that
 # invariant (in-window OR cumulatively green). Everything else follows in
