@@ -309,3 +309,173 @@ def window_moving_regression(spark, sf_dir):
             .alias("slope_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LTTB downsampling (Largest-Triangle-Three-Buckets) — the standard
+# visual-fidelity decimation for time series. Distributed variant: both
+# triangle anchors are the NEIGHBOR BUCKET AVERAGES (classic LTTB anchors
+# the left side on the previously selected point, a sequential chain; the
+# fixed-anchor form is the order-free equivalent used by parallel
+# implementations and differs only in which near-optimal point a bucket
+# keeps). Everything is integer: x = global rank (two-pass), y = cents,
+# anchors are floor-scaled bucket means, and the doubled triangle area is
+# an exact int64 cross product — argmax per bucket with (area desc, x asc)
+# ties. First/last buckets keep their first/last point, as LTTB requires.
+# --------------------------------------------------------------------------
+
+_LTTB_B = 100  # output points (buckets)
+
+_LTTB_ORACLE = f"""
+WITH seq AS (
+  SELECT cast(round(value * 100) AS BIGINT) AS y,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS x,
+         count(*) OVER () AS n
+  FROM events
+),
+pts AS (
+  SELECT x, y, (x * {_LTTB_B}) // n AS b FROM seq
+),
+anch AS (
+  SELECT b,
+         count(*) AS cnt,
+         (sum(x) * 1000000) // count(*) AS ax,
+         (sum(y) * 1000000) // count(*) AS ay
+  FROM pts GROUP BY b
+),
+scored AS (
+  SELECT p.b, p.x, p.y,
+         abs((p.x * 1000000 - l.ax) * (r.ay - l.ay)
+             - (r.ax - l.ax) * (p.y * 1000000 - l.ay)) AS area2
+  FROM pts p
+  JOIN anch l ON l.b = p.b - 1
+  JOIN anch r ON r.b = p.b + 1
+),
+mid AS (
+  SELECT b, x, y FROM (
+    SELECT b, x, y,
+           row_number() OVER (PARTITION BY b ORDER BY area2 DESC, x) AS rn
+    FROM scored
+  ) s WHERE rn = 1
+),
+edges AS (
+  SELECT 0 AS b, x, y FROM pts WHERE b = 0
+  ORDER BY x LIMIT 1
+),
+last_edge AS (
+  SELECT {_LTTB_B} - 1 AS b, x, y FROM pts WHERE b = {_LTTB_B} - 1
+  ORDER BY x DESC LIMIT 1
+)
+SELECT cast(b AS BIGINT) AS bucket, cast(x AS BIGINT) AS x, y FROM edges
+UNION ALL
+SELECT cast(b AS BIGINT), cast(x AS BIGINT), y FROM mid
+  WHERE b > 0 AND b < {_LTTB_B} - 1
+UNION ALL
+SELECT cast(b AS BIGINT), cast(x AS BIGINT), y FROM last_edge
+"""
+
+
+@register("ts_downsample_lttb", oracle=_LTTB_ORACLE, tags=("timeseries", "sample"))
+def ts_downsample_lttb(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        "ts",
+        "event_id",
+    )
+    n = ev.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    seq = (
+        two_pass_global_window(ev, ["ts", "event_id"], out_col="rn")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "y",
+            (F.col("rn") - 1).alias("x"),
+            F.expr(f"((rn - 1) * {_LTTB_B}) div __n").alias("b"),
+        )
+    )
+    anch = seq.groupBy("b").agg(
+        F.expr("(sum(x) * 1000000) div count(*)").alias("ax"),
+        F.expr("(sum(y) * 1000000) div count(*)").alias("ay"),
+    )
+    left = anch.select((F.col("b") + 1).alias("b"), F.col("ax").alias("lax"), F.col("ay").alias("lay"))
+    right = anch.select((F.col("b") - 1).alias("b"), F.col("ax").alias("rax"), F.col("ay").alias("ray"))
+    scored = (
+        seq.join(F.broadcast(left), "b")
+        .join(F.broadcast(right), "b")
+        .select(
+            "b",
+            "x",
+            "y",
+            F.abs(
+                (F.col("x") * 1000000 - F.col("lax")) * (F.col("ray") - F.col("lay"))
+                - (F.col("rax") - F.col("lax")) * (F.col("y") * 1000000 - F.col("lay"))
+            ).alias("area2"),
+        )
+    )
+    w = W.partitionBy("b").orderBy(F.col("area2").desc(), "x")
+    mid = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("b") > 0) & (F.col("b") < _LTTB_B - 1))
+        .select(F.col("b").alias("bucket"), "x", "y")
+    )
+    first = (
+        seq.filter(F.col("b") == 0)
+        .orderBy("x")
+        .limit(1)
+        .select(F.col("b").alias("bucket"), "x", "y")
+    )
+    last = (
+        seq.filter(F.col("b") == _LTTB_B - 1)
+        .orderBy(F.col("x").desc())
+        .limit(1)
+        .select(F.col("b").alias("bucket"), "x", "y")
+    )
+    return first.unionAll(mid).unionAll(last)
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences — the behavioral
+# sequence model behind session analysis and synthetic-journey generation.
+# One lag window per user gives (from_type -> to_type) pairs; counts
+# row-normalize to exact ppm. '_start' rows capture the initial-state
+# distribution.
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                  '_start') AS from_type,
+         event_type AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, cast(count(*) AS BIGINT) AS n
+  FROM seq GROUP BY from_type, to_type
+),
+tot AS (
+  SELECT from_type, sum(n) AS row_n FROM cnt GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       cast((c.n * 1000000) // t.row_n AS BIGINT) AS p_ppm
+FROM cnt c JOIN tot t ON t.from_type = c.from_type
+"""
+
+
+@register("ts_markov_transitions", oracle=_MARKOV_ORACLE, tags=("timeseries", "agg"))
+def ts_markov_transitions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("_start")).alias(
+            "from_type"
+        ),
+        F.col("event_type").alias("to_type"),
+    )
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) div row_n").alias("p_ppm"),
+    )

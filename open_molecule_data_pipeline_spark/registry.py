@@ -77,6 +77,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ts_asof_nearest_click",  # nearest-direction as-of with tolerance gate
     "window_moving_regression",  # trailing-frame least-squares slope
     "mm_video_scene_cuts",  # shot-boundary detection via AVI demux
+    "ts_downsample_lttb",  # fixed-anchor LTTB, exact int cross products
+    "ts_markov_transitions",  # per-user event transition matrix
     # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
     #     coarse quantizer — locally parity-verified; externally proven now) ---
     "sim_ivf_topk",
