@@ -32,100 +32,67 @@ QUERIES: dict[str, QuerySpec] = {}
 # ``__spark_entry__.queries()``, so the contract ordering is curated and
 # ROTATED each round: the window keeps every query ADDED or CHANGED this
 # round, and fills the remaining slots with queries the external gate has
-# never sampled. Cumulative driver-verified through r4: 171 queries (union
-# of CORRECTNESS_r01..r04 green rows); the r5 window verified the 8
-# r5-changed entries plus the final 42 never-sampled pre-r5 queries. The r6
-# window below = the 27 queries ADDED in r6 (every one locally verified by
-# the full 305-query sf0.01 driver-sim sweep), then the 7 sim_* queries
-# whose implementations CHANGED in r5 but sat past position 50 (ADVICE r4
-# flagged exactly this bypass pattern), then the r5-added post-window
-# queries that have never been driver-sampled, riskiest families first
-# (streaming/ingest/multimodal/graph/iterative-ML before scalar tails).
-# Overflow past position 50 (the r5 scalar/agg/profile tails) queues for
-# r7. Operator families whose sentinels rotate OUT
-# of the window are already externally proven by >= 2 green rows in past
-# CORRECTNESS files; tests/test_contract_order.py enforces exactly that
-# invariant (in-window OR cumulatively green). Everything else follows in
-# registration order. Names listed here but not registered are ignored
-# (keeps the list forward-compatible while modules evolve).
+# never sampled. Cumulative driver-verified through r6: 214 of 307
+# contract queries (union of green rows in CORRECTNESS_r01..r06), leaving
+# 93 never-sampled. Per VERDICT r6 #1 the r7 window below spends every
+# slot draining that backlog: the 3 queries ADDED in r7 (the VERDICT-
+# ordered sampled-quantizer IVF, two-stage weighted mean, batched BPE),
+# the 3 streaming twins whose result-materialization CHANGED in r7
+# (durable parquet / memory-sink return instead of collect(), VERDICT r6
+# #7), then 44 never-sampled queries riskiest-first (the real-runtime TWS
+# twin, the grouped-agg UDAF, all 6 iterative ML trainers, both MLlib
+# pair verdicts, all 5 ingest demos, dedup/text composites, then
+# join/window/ts/sample tails). New-query additions beyond the 3
+# VERDICT-ordered ones are FROZEN this round so the backlog drains
+# faster than it grows. Positions 51+ hold the remaining 49 never-greens
+# in priority order — the ready-made r8 window. Operator families whose
+# sentinels rotate OUT of the window are already externally proven by
+# >= 2 green rows in past CORRECTNESS files; tests/test_contract_order.py
+# enforces exactly that invariant (in-window OR cumulatively green).
+# Everything else follows in registration order. Names listed here but
+# not registered are ignored (keeps the list forward-compatible while
+# modules evolve).
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- queries ADDED in r6 (new code: externally verified this round) ---
-    "layout_zonemap_pruning",  # min/max file skipping, DPP-pruned stored scan
-    "join_bloom_semijoin",  # runtime Bloom filter on fact side + FP audit
-    "text_html_strip",  # markup removal round-trip proof
-    "text_unicode_clean",  # NFC + control strip (pandas UDF vs nfc_normalize)
-    "text_flesch_readability",  # integer-exact readability scoring
-    "text_feature_hashing",  # 256-bucket hashing trick + collision audit
-    "text_zipf_coverage",  # head-coverage profile, bounded top-k + theta rank
-    "ml_decision_stump",  # histogram Gini split finding, exact-int score
-    "ml_knn_classify",  # int-quantized dot kNN majority vote
-    "ml_pr_curve",  # threshold-sweep precision/recall
-    "graph_clustering_coefficient",  # per-node triangles/wedges ppm
-    "graph_jaccard_neighbors",  # distance-2 link prediction top-20
-    "profile_fd_violations",  # functional-dependency discovery
-    "profile_value_patterns",  # mask-based format inference top-5
-    "format_fixed_width",  # fixed-width encode/parse round-trip
-    "format_csv_quoted_multiline",  # RFC-4180 hostile CSV round-trip
-    "ts_interval_union_coverage",  # per-user interval union / uptime
-    "sample_systematic_stride",  # every-97th in md5 order, two-pass rank
-    "mm_audio_silence_trim",  # edge-only low-energy trim, real WAV path
-    "stream_union_twin",  # two-source fan-in union before stateful agg
-    "cdc_deletion_vectors",  # positional DV merge-on-read
-    "layout_compaction_binpack",  # real compaction rewrite, lossless
-    "func_soundex_phonetic",  # Spark soundex vs from-scratch SQL spec
-    "ml_ndcg_linear",  # exact-rational-discount ranking eval
-    "ts_asof_nearest_click",  # nearest-direction as-of with tolerance gate
-    "window_moving_regression",  # trailing-frame least-squares slope
-    "mm_video_scene_cuts",  # shot-boundary detection via AVI demux
-    "ts_downsample_lttb",  # fixed-anchor LTTB, exact int cross products
-    "ts_markov_transitions",  # per-user event transition matrix
-    # --- CHANGED in r5, never re-sampled since (spread guards / sqrt(n)
-    #     coarse quantizer — locally parity-verified; externally proven now) ---
-    "sim_ivf_topk",
-    "sim_ivf_persisted",
-    "sim_ivf_recall",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh_topk",
-    "sim_pq_encode",
-    "sim_pq_adc_topk",
-    # --- ADDED in r5 past the window; never driver-sampled. Riskiest
-    #     first: real-runtime twins, ingest demos, multimodal, iterative
-    #     graph/ML trainers, dedup/text composites, then scalar tails. ---
+    # --- ADDED in r7 (VERDICT r6 #2 / #6 / #5) ---
+    "sim_ivf_sampled_quantizer",  # fixed-k sample-trained coarse quantizer
+    "agg_weighted_mean_twostage",  # partial-agg scale twin of the UDAF
+    "text_bpe_train_batched",  # top-K non-overlapping merges per sweep
+    # --- CHANGED in r7 (VERDICT r6 #7: durable result path, no collect) ---
+    "stream_mv_twin",
     "stream_late_drop_twin",
-    "stream_static_join_twin",
     "stream_chained_agg_twin",
-    "ingest_warc_demo",
-    "ingest_arrow_demo",
-    "ingest_http_offset_demo",
-    "mm_image_resize_nn",
-    "mm_image_dhash_neardup",
-    "mm_audio_fingerprint_neardup",
-    "graph_kcore",
-    "graph_bfs_khop",
-    "graph_label_propagation",
-    "graph_pagerank_personalized",
-    "dedup_semantic_clusters",
-    "dedup_lsh_recall_vs_exact",
-    "dedup_paragraphs",
-    "dedup_prefix_filter_join",
-    "dedup_duplicate_spans",
-    "dedup_url_normalize",
-    "text_winnowing_fingerprints",
-    "text_bpe_train_merges",
-    "text_dsir_weights",
-    "text_langid_confusion",
-    "text_keyword_blocklist",
+    # --- never-driver-sampled backlog, riskiest first (44 fill the
+    #     50-slot window; cumulative target 214 + 50 = 264 green) ---
+    "stream_tws_user_stats",
+    "udaf_pandas_weighted_mean",
     "ml_kmeans_lloyd_3iter",
     "ml_logreg_irls",
     "ml_svm_subgradient",
     "ml_pca_power_iteration",
     "ml_naive_bayes_confusion",
     "ml_ols_normal_equations",
+    "mllib_minhash_pairs",
+    "mllib_brp_neighbors",
+    "ingest_smiles_table_demo",
+    "ingest_http_demo",
+    "ingest_http_pyds_demo",
+    "ingest_sdf_udtf_demo",
+    "ingest_chembl_demo",
+    "dedup_clusters_twostar",
+    "dedup_lsh_recall_vs_exact",
+    "dedup_prefix_filter_join",
+    "dedup_duplicate_spans",
+    "dedup_paragraphs",
+    "dedup_url_normalize",
+    "text_bpe_train_merges",
+    "text_winnowing_fingerprints",
+    "text_dsir_weights",
+    "text_langid_confusion",
+    "text_keyword_blocklist",
+    "corpus_pipeline_report",
+    "cdc_incremental_agg_maintenance",
     "ml_auc_roc",
     "ml_calibration_bins",
-    "udaf_pandas_weighted_mean",
-    "cdc_incremental_agg_maintenance",
-    "corpus_pipeline_report",
     "join_skyline_pareto",
     "join_semijoin_reduction",
     "join_spatial_grid",
@@ -140,6 +107,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sample_contrastive_triplets",
     "sample_poisson_bootstrap",
     "agg_approx_percentile_verdict",
+    # --- position 51+: the remaining 49 never-greens, in priority order —
+    #     the ready-made r8 window ---
     "agg_misra_gries_verdict",
     "agg_kmv_intersect",
     "agg_bitmap_distinct",
@@ -148,39 +117,47 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "profile_entropy_columns",
     "profile_chi2_independence",
     "layout_hilbert_key",
+    "layout_zorder_key",
     "func_listagg_group",
     "func_aes_column_crypto",
     "func_xpath_extract",
-    # --- r7 queue: family sentinels for future re-verification ---
-    "stream_tws_user_stats",
-    "ingest_chembl_demo",
-    "dedup_clusters_twostar",
-    "mllib_minhash_pairs",
-    "mllib_brp_neighbors",
-    "udf_pandas_logistic_score",
-    "stream_mv_twin",
-    "format_bucketed_join",
-    "sort_top10_orders",
-    "subquery_above_avg_balance",
-    "text_quality_filter",
-    "setop_union_missing_cols",
-    "cdc_scd2_pointintime",
-    "mm_frame_sample",
-    "sample_hash_topk_per_group",
-    "join_salted_skew",
-    "agg_salted_skew",
-    "molecule_descriptors_demo",
-    "mm_audio_frames",
-    "join_lateral_latest_order",
-    "join_relational_division",
-    "join_event_cooccurrence",
-    "join_null_safe_eq",
-    "func_higher_order_arrays",
-    "window_running_revenue",
-    "window_nth_value",
-    "window_count_distinct_over",
-    "window_lag_ship_gap",
-    "window_rank_parts",
+    "func_null_ops",
+    "func_posexplode_slice",
+    "func_regexp_extract_all",
+    "func_histogram_buckets",
+    "func_string_distance",
+    "func_datetime_extra",
+    "func_trig_math",
+    "func_format_strings",
+    "func_encode_hash",
+    "func_string_extra2",
+    "func_date_edges",
+    "func_array_membership",
+    "func_try_ops",
+    "func_timezone_convert",
+    "func_explode_outer",
+    "agg_bitwise_keys",
+    "agg_boolean_flags",
+    "agg_regression_funcs",
+    "agg_median_mode",
+    "agg_class_rebalance_weights",
+    "agg_min_max_by",
+    "agg_grouping_id_rollup",
+    "agg_stats_moments",
+    "profile_column_summary",
+    "text_regex_tokenize",
+    "text_fingerprint",
+    "text_train_eval_split",
+    "text_repetition_ratio",
+    "text_bigram_top10",
+    "text_lm_bigram_backoff",
+    "ts_retention_daily",
+    "ts_sliding_halfhour",
+    "ts_funnel_conversion",
+    "ts_rate_anomaly",
+    "window_range_trailing_30d",
+    "window_ratio_to_report",
+    "window_gaps_islands",
 )
 
 
