@@ -60,7 +60,15 @@ GROUP BY p.fid
 """
 
 
-@register("cdc_deletion_vectors", oracle=_DV_ORACLE, tags=("cdc", "formats"))
+@register(
+    "cdc_deletion_vectors",
+    oracle=_DV_ORACLE,
+    tags=("cdc", "formats"),
+    # headline-benched since r7 (VERDICT r6 #8): lakehouse maintenance is
+    # heavier than half the prior headline set and needs round-over-round
+    # tracking
+    bench=True,
+)
 def cdc_deletion_vectors(spark, sf_dir):
     from .file_formats import _scratch
 
