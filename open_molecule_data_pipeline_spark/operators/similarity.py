@@ -756,8 +756,12 @@ def _sampled_ivf_topk(spark, sf_dir):
     bench=True,
 )
 def sim_ivf_sampled_quantizer(spark, sf_dir):
-    ivf = _sampled_ivf_topk(spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    # both sides of the recall join are bounded by 3 * N_QUERIES rows
+    # (constants, independent of corpus size) — broadcast, never SMJ
+    ivf = F.broadcast(
+        _sampled_ivf_topk(spark, sf_dir).select(
+            "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+        )
     )
     brute = sim_topk_bruteforce(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
