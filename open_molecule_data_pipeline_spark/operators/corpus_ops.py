@@ -887,12 +887,21 @@ t{r} AS (
     tags=("text", "training"),
 )
 def text_bpe_train_batched(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     d = table(spark, sf_dir, "documents")
     cur = d.select(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("s"))
     results = []
-    rank_w = W.orderBy(F.desc("freq"), "a", "b")
+
+    def before(x: str, y: str):
+        """Candidate ``x`` strictly precedes ``y`` in (freq desc, a, b)
+        order — expressed on the tuples directly so the tiny candidate set
+        never needs a partitionless rank window."""
+        fx, fy = F.col(f"{x}.freq"), F.col(f"{y}.freq")
+        ax, ay = F.col(f"{x}.a"), F.col(f"{y}.a")
+        bx, by = F.col(f"{x}.b"), F.col(f"{y}.b")
+        return (fx > fy) | (
+            (fx == fy) & ((ax < ay) | ((ax == ay) & (bx < by)))
+        )
+
     for r in range(1, _BPE_SWEEPS + 1):
         tk = F.split(F.trim(F.col("s")), " ")
         pairs = (
@@ -911,26 +920,32 @@ def text_bpe_train_batched(spark, sf_dir):
             .groupBy("p.a", "p.b")
             .agg(F.count(F.lit(1)).alias("freq"))
         )
-        # bounded top-k first (TakeOrderedAndProject), then the global rank
-        # window only ever sees _BPE_POOL rows
+        # bounded top-k first (TakeOrderedAndProject); the <= _BPE_POOL
+        # candidate rows then rank each other through broadcast triangular
+        # joins — no partitionless window anywhere
         cand = (
             pairs.orderBy(F.desc("freq"), "a", "b")
             .limit(_BPE_POOL)
-            .withColumn("r", F.row_number().over(rank_w))
             .withColumn("m", F.concat(F.col("a"), F.lit("_"), F.col("b")))
         )
         c1, c2 = cand.alias("c1"), cand.alias("c2")
-        conflict = (
-            (F.col("c2.r") < F.col("c1.r"))
-            & (
-                F.col("c2.a").isin(F.col("c1.a"), F.col("c1.b"), F.col("c1.m"))
-                | F.col("c2.b").isin(F.col("c1.a"), F.col("c1.b"), F.col("c1.m"))
-                | F.col("c2.m").isin(F.col("c1.a"), F.col("c1.b"), F.col("c1.m"))
-            )
+        conflict = before("c2", "c1") & (
+            F.col("c2.a").isin(F.col("c1.a"), F.col("c1.b"), F.col("c1.m"))
+            | F.col("c2.b").isin(F.col("c1.a"), F.col("c1.b"), F.col("c1.m"))
+            | F.col("c2.m").isin(F.col("c1.a"), F.col("c1.b"), F.col("c1.m"))
         )
+        kept0 = c1.join(F.broadcast(c2), conflict, "left_anti")
+        # slot number = 1 + kept pairs ranked above; (a, b) is unique per
+        # candidate, so the count join keys each survivor exactly once
+        k1, k2 = kept0.alias("k1"), kept0.alias("k2")
         kept = (
-            c1.join(c2, conflict, "left_anti")
-            .withColumn("kr", F.row_number().over(W.orderBy("r")))
+            k1.join(F.broadcast(k2), before("k2", "k1"), "left")
+            .groupBy(
+                F.col("k1.a").alias("a"),
+                F.col("k1.b").alias("b"),
+                F.col("k1.freq").alias("freq"),
+            )
+            .agg((F.count(F.col("k2.a")) + 1).cast("long").alias("kr"))
             .filter(F.col("kr") <= _BPE_BATCH)
         )
         results.append(
