@@ -62,7 +62,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "stream_late_drop_twin",
     "stream_chained_agg_twin",
     # --- never-driver-sampled backlog, riskiest first (44 fill the
-    #     50-slot window; cumulative target 214 + 50 = 264 green) ---
+    #     50-slot window; cumulative target 214 + 44 never-greens + 3 new
+    #     = 261/310, with r8's window pre-staged at positions 51+; the
+    #     full 310-query sf0.01 sweep is green under a vanilla
+    #     driver-sim session, scripts/driver_sim_sweep.py) ---
     "stream_tws_user_stats",
     "udaf_pandas_weighted_mean",
     "ml_kmeans_lloyd_3iter",
