@@ -360,6 +360,13 @@ def stream_tws_user_stats(spark, sf_dir):
     finally:
         if prev_provider is not None:
             spark.conf.set(provider_key, prev_provider)
+        else:
+            # don't leak RocksDB onto later stateful queries in a session
+            # that had no explicit provider configured
+            try:
+                spark.conf.unset(provider_key)
+            except Exception:
+                pass
 
 
 # --------------------------------------------------------------------------

@@ -115,3 +115,24 @@ def test_contract_preserves_all_other_queries():
     specs = load_all()
     expected = {n for n, s in specs.items() if s.contract}
     assert set(contract_specs()) == expected
+
+
+# Queries whose implementation CHANGED this round: the only
+# already-driver-green names allowed inside the head-50 window (re-proof
+# slots). Update per round alongside the CONTRACT_ORDER head comment.
+CHANGED_THIS_ROUND = {
+    "stream_mv_twin",
+    "stream_late_drop_twin",
+    "stream_chained_agg_twin",
+}
+
+
+def test_window_spends_no_slot_on_unchanged_green_queries():
+    """VERDICT r6 #1 discipline, codified: every head-50 slot must be a
+    first-time verification (never driver-green) or an explicit re-proof
+    of code changed this round — an unchanged already-green query in the
+    window wastes a slot the backlog needs."""
+    green = set(_cumulative_green_counts())
+    head = list(contract_specs())[:WINDOW]
+    wasted = [n for n in head if n in green and n not in CHANGED_THIS_ROUND]
+    assert not wasted, f"window slots on unchanged already-green queries: {wasted}"
