@@ -392,8 +392,13 @@ def _assign_probe(scored):
     return assign, probe
 
 
-@register("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"), bench=True)
-def sim_ivf_topk(spark, sf_dir):
+def _sqrt_ivf_topk(spark, sf_dir):
+    """IVF top-3 with the sqrt(n) coarse quantizer — DEMOTED from the
+    default path in r8 (VERDICT r7 #2): its assignment step is O(n^1.5),
+    measured x42.6 at 100x corpus (BENCH_HISTORY r7), so it survives only
+    as the recall-parity baseline behind ``sim_ivf_recall``. The default
+    ``sim_ivf_topk`` below builds the index with the O(n*K) sampled
+    fixed-K quantizer instead."""
     assign, probe = _ivf_parts(spark, sf_dir)
     dot = F.expr(_DOT.format(a="qe", b="ce"))
     scored = (
@@ -413,6 +418,10 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+# NOTE: the default ``sim_ivf_topk`` is registered further down, after
+# the sampled fixed-K quantizer it builds on is defined.
+
+
 # --------------------------------------------------------------------------
 # IVF with PERSISTED inverted lists: the build writes the assignment
 # partitioned by cent_id (the reuse promised above — on a cluster this is
@@ -420,8 +429,11 @@ def sim_ivf_topk(spark, sf_dir):
 # back with dynamic partition pruning: the broadcast probe side's cent_id
 # set prunes the scan to ~nprobe/n_centroids of the stored corpus
 # (PartitionFilters: dynamicpruning#... in the plan, asserted by
-# tests/test_plans_perf.py). Same result as sim_ivf_topk, so it shares the
-# oracle — the round-trip through the partitioned store must be lossless.
+# tests/test_plans_perf.py). Same result as the sqrt(n)-quantizer build
+# (_sqrt_ivf_topk), whose oracle it shares — the round-trip through the
+# partitioned store must be lossless. The quantizer choice is orthogonal
+# to the persist/DPP mechanics this query demonstrates; the default
+# index build is the sampled fixed-K one in ``sim_ivf_topk``.
 # --------------------------------------------------------------------------
 
 
@@ -493,7 +505,12 @@ GROUP BY br3.query_id
 
 @register("sim_ivf_recall", oracle=_RECALL_ORACLE, tags=("similarity", "ivf", "eval"))
 def sim_ivf_recall(spark, sf_dir):
-    ivf = sim_ivf_topk(spark, sf_dir).select(
+    # Recall-parity baseline: this eval deliberately scores the DEMOTED
+    # sqrt(n)-quantizer index so that, side by side with
+    # ``sim_ivf_sampled_quantizer`` (same metric over the default sampled
+    # index), the registry carries standing proof the O(n*K) build
+    # matches the sqrt(n) build's recall@3.
+    ivf = _sqrt_ivf_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("ivf_neighbor")
     )
     brute = sim_topk_bruteforce(spark, sf_dir)
@@ -747,6 +764,24 @@ def _sampled_ivf_topk(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_SAMPLED_IVF_SQL,
+    tags=("similarity", "ivf"),
+    bench=True,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """Default IVF ANN top-3 — r8 (VERDICT r7 #2): the index build uses
+    the sampled fixed-K coarse quantizer (K_CENT sample-ranked centroids,
+    assignment cost O(n*K)), replacing the sqrt(n) quantizer whose
+    O(n^1.5) build measured x42.6 at 100x corpus. The sampled build held
+    x3.7 at 100x INCLUDING its brute-force recall ground truth
+    (BENCH_HISTORY r7), and ``sim_ivf_sampled_quantizer`` is the standing
+    recall@3 proof for this exact index. Oracle: the sampled-quantizer
+    IVF SQL, switched in lockstep with the build."""
+    return _sampled_ivf_topk(spark, sf_dir)
 
 
 @register(

@@ -32,86 +32,29 @@ QUERIES: dict[str, QuerySpec] = {}
 # ``__spark_entry__.queries()``, so the contract ordering is curated and
 # ROTATED each round: the window keeps every query ADDED or CHANGED this
 # round, and fills the remaining slots with queries the external gate has
-# never sampled. Cumulative driver-verified through r6: 214 of 307
-# contract queries (union of green rows in CORRECTNESS_r01..r06), leaving
-# 93 never-sampled. Per VERDICT r6 #1 the r7 window below spends every
-# slot draining that backlog: the 3 queries ADDED in r7 (the VERDICT-
-# ordered sampled-quantizer IVF, two-stage weighted mean, batched BPE),
-# the 3 streaming twins whose result-materialization CHANGED in r7
-# (durable parquet / memory-sink return instead of collect(), VERDICT r6
-# #7), then 44 never-sampled queries riskiest-first (the real-runtime TWS
-# twin, the grouped-agg UDAF, all 6 iterative ML trainers, both MLlib
-# pair verdicts, all 5 ingest demos, dedup/text composites, then
-# join/window/ts/sample tails). New-query additions beyond the 3
-# VERDICT-ordered ones are FROZEN this round so the backlog drains
-# faster than it grows. Positions 51+ hold the remaining 49 never-greens
-# in priority order — the ready-made r8 window. Operator families whose
-# sentinels rotate OUT of the window are already externally proven by
-# >= 2 green rows in past CORRECTNESS files; tests/test_contract_order.py
-# enforces exactly that invariant (in-window OR cumulatively green).
-# Everything else follows in registration order. Names listed here but
-# not registered are ignored (keeps the list forward-compatible while
-# modules evolve).
+# never sampled. Cumulative driver-verified through r7: 261 of 310
+# contract queries (union of green rows in CORRECTNESS_r01..r07),
+# leaving exactly 49 never-sampled — the low-risk sketch / profile /
+# layout / scalar-function / agg / text / ts / window tails. Per VERDICT
+# r7 #1 the r8 window below spends every slot finishing that drain: 1
+# re-proof slot for ``sim_ivf_topk`` (CHANGED in r8 — its index build
+# switched from the sqrt(n) coarse quantizer to the O(n*K) sampled
+# fixed-K quantizer, VERDICT r7 #2, so its oracle changed with it) plus
+# all 49 never-greens in the priority order staged last round. A green
+# r8 run reaches cumulative 310/310. New-query additions remain FROZEN
+# until the head drains (any new query must also sit in the window, and
+# the window is full). Operator families whose sentinels rotate OUT of
+# the window are already externally proven by >= 2 green rows in past
+# CORRECTNESS files; tests/test_contract_order.py enforces exactly that
+# invariant (in-window OR cumulatively green). Everything else follows
+# in registration order. Names listed here but not registered are
+# ignored (keeps the list forward-compatible while modules evolve).
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- ADDED in r7 (VERDICT r6 #2 / #6 / #5) ---
-    "sim_ivf_sampled_quantizer",  # fixed-k sample-trained coarse quantizer
-    "agg_weighted_mean_twostage",  # partial-agg scale twin of the UDAF
-    "text_bpe_train_batched",  # top-K non-overlapping merges per sweep
-    # --- CHANGED in r7 (VERDICT r6 #7: durable result path, no collect) ---
-    "stream_mv_twin",
-    "stream_late_drop_twin",
-    "stream_chained_agg_twin",
-    # --- never-driver-sampled backlog, riskiest first (44 fill the
-    #     50-slot window; cumulative target 214 + 44 never-greens + 3 new
-    #     = 261/310, with r8's window pre-staged at positions 51+; the
-    #     full 310-query sf0.01 sweep is green under a vanilla
-    #     driver-sim session, scripts/driver_sim_sweep.py) ---
-    "stream_tws_user_stats",
-    "udaf_pandas_weighted_mean",
-    "ml_kmeans_lloyd_3iter",
-    "ml_logreg_irls",
-    "ml_svm_subgradient",
-    "ml_pca_power_iteration",
-    "ml_naive_bayes_confusion",
-    "ml_ols_normal_equations",
-    "mllib_minhash_pairs",
-    "mllib_brp_neighbors",
-    "ingest_smiles_table_demo",
-    "ingest_http_demo",
-    "ingest_http_pyds_demo",
-    "ingest_sdf_udtf_demo",
-    "ingest_chembl_demo",
-    "dedup_clusters_twostar",
-    "dedup_lsh_recall_vs_exact",
-    "dedup_prefix_filter_join",
-    "dedup_duplicate_spans",
-    "dedup_paragraphs",
-    "dedup_url_normalize",
-    "text_bpe_train_merges",
-    "text_winnowing_fingerprints",
-    "text_dsir_weights",
-    "text_langid_confusion",
-    "text_keyword_blocklist",
-    "corpus_pipeline_report",
-    "cdc_incremental_agg_maintenance",
-    "ml_auc_roc",
-    "ml_calibration_bins",
-    "join_skyline_pareto",
-    "join_semijoin_reduction",
-    "join_spatial_grid",
-    "window_pattern_vshape",
-    "window_sliding_median",
-    "ts_seasonal_decompose",
-    "ts_attribution_last_touch",
-    "ts_cusum_drift",
-    "ts_cohort_retention_matrix",
-    "sample_shuffle_shards",
-    "sample_importance_resample",
-    "sample_contrastive_triplets",
-    "sample_poisson_bootstrap",
-    "agg_approx_percentile_verdict",
-    # --- position 51+: the remaining 49 never-greens, in priority order —
-    #     the ready-made r8 window ---
+    # --- CHANGED in r8 (VERDICT r7 #2: sampled fixed-K quantizer is now
+    #     the default IVF index build; oracle switched in lockstep) ---
+    "sim_ivf_topk",
+    # --- the 49 never-driver-sampled queries, in the priority order
+    #     pre-staged at positions 51+ last round ---
     "agg_misra_gries_verdict",
     "agg_kmv_intersect",
     "agg_bitmap_distinct",
@@ -161,6 +104,60 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "window_range_trailing_30d",
     "window_ratio_to_report",
     "window_gaps_islands",
+    # --- position 51+: the drained r7 window (all driver-green in
+    #     CORRECTNESS_r07.json), kept in its r7 order so positions stay
+    #     stable for the bookkeeping above; everything else follows in
+    #     registration order ---
+    "sim_ivf_sampled_quantizer",
+    "agg_weighted_mean_twostage",
+    "text_bpe_train_batched",
+    "stream_mv_twin",
+    "stream_late_drop_twin",
+    "stream_chained_agg_twin",
+    "stream_tws_user_stats",
+    "udaf_pandas_weighted_mean",
+    "ml_kmeans_lloyd_3iter",
+    "ml_logreg_irls",
+    "ml_svm_subgradient",
+    "ml_pca_power_iteration",
+    "ml_naive_bayes_confusion",
+    "ml_ols_normal_equations",
+    "mllib_minhash_pairs",
+    "mllib_brp_neighbors",
+    "ingest_smiles_table_demo",
+    "ingest_http_demo",
+    "ingest_http_pyds_demo",
+    "ingest_sdf_udtf_demo",
+    "ingest_chembl_demo",
+    "dedup_clusters_twostar",
+    "dedup_lsh_recall_vs_exact",
+    "dedup_prefix_filter_join",
+    "dedup_duplicate_spans",
+    "dedup_paragraphs",
+    "dedup_url_normalize",
+    "text_bpe_train_merges",
+    "text_winnowing_fingerprints",
+    "text_dsir_weights",
+    "text_langid_confusion",
+    "text_keyword_blocklist",
+    "corpus_pipeline_report",
+    "cdc_incremental_agg_maintenance",
+    "ml_auc_roc",
+    "ml_calibration_bins",
+    "join_skyline_pareto",
+    "join_semijoin_reduction",
+    "join_spatial_grid",
+    "window_pattern_vshape",
+    "window_sliding_median",
+    "ts_seasonal_decompose",
+    "ts_attribution_last_touch",
+    "ts_cusum_drift",
+    "ts_cohort_retention_matrix",
+    "sample_shuffle_shards",
+    "sample_importance_resample",
+    "sample_contrastive_triplets",
+    "sample_poisson_bootstrap",
+    "agg_approx_percentile_verdict",
 )
 
 
