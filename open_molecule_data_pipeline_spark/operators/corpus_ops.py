@@ -881,29 +881,100 @@ t{r} AS (
     return "".join(parts) + "\n" + finals
 
 
+def _bpe_merge_fold(toks, kept):
+    """One-pass token-array merge equivalent to the oracle's NESTED
+    regexp_replace chain (r8, VERDICT r7 #6) — a fold automaton instead
+    of _BPE_BATCH sequential regex scans per document per sweep.
+
+    Equivalence argument (the oracle applies the K kept merges as K
+    sequential global leftmost-nonoverlapping passes):
+    - kept pairs have pairwise-disjoint token sets {a, b, a_b}, so a
+      token participates in at most one pair's matches, merges of one
+      pair never create/destroy another pair's matches (merging two
+      adjacent tokens into one never makes two OTHER surviving tokens
+      newly adjacent), and merged tokens can't match anything — the K
+      passes commute and collapse to one left-to-right pass
+      (property-tested in tests/test_round7_props.py).
+    - The one regex subtlety is SELF-blocking: pass k's match at tokens
+      (i, i+1) consumes the trailing delimiter space, so tokens
+      (i+2, i+3) cannot match pair k in that pass ("a b a b" merges only
+      once) — but CAN match a different pair j, whose pass scans a fresh
+      string. The automaton therefore carries a one-position mask naming
+      only the just-merged pair.
+    State: (out tokens, pend = one uncommitted token that may start a
+    match, mask = kr of the pair blocked at pend's position, 0 = none).
+    """
+    zero = F.struct(
+        F.lit([]).cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+        F.lit(0).alias("mask"),
+    )
+
+    def step(acc, t):
+        hit = F.get(
+            F.filter(
+                kept,
+                lambda p: (p["a"] == acc["pend"])
+                & (p["b"] == t)
+                & (p["kr"] != acc["mask"]),
+            ),
+            0,
+        )
+        return F.struct(
+            F.when(hit.isNotNull(), F.concat(acc["out"], F.array(hit["m"])))
+            .when(acc["pend"].isNull(), acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+            .alias("out"),
+            F.when(hit.isNotNull(), F.lit(None).cast("string"))
+            .otherwise(t)
+            .alias("pend"),
+            F.when(hit.isNotNull(), hit["kr"].cast("int"))
+            .when(acc["pend"].isNull(), acc["mask"])
+            .otherwise(F.lit(0))
+            .alias("mask"),
+        )
+
+    return F.aggregate(
+        toks,
+        zero,
+        step,
+        lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )
+
+
 @register(
     "text_bpe_train_batched",
     oracle=_bpe_batched_oracle(),
     tags=("text", "training"),
+    # promoted to the headline bench in r8 (VERDICT r7 #7): the heaviest
+    # registered query, now 0.5 s/merge at sf1 after the array-fold rework
+    bench=True,
 )
 def text_bpe_train_batched(spark, sf_dir):
+    """r8 rework (VERDICT r7 #6, was 8.4 s/merge at sf1): the corpus is
+    tokenized ONCE and stays an array<string> column for the whole
+    training loop — each sweep's pair count reads the arrays directly
+    (no per-sweep re-split) and the rewrite is the single-pass
+    _bpe_merge_fold automaton (no regex scans at all). The ~POOL-row
+    candidate set collapses to ONE row via bounded top-k +
+    collect_list/array_sort, so the disjointness filter and rank
+    assignment are pure array expressions instead of triangular joins —
+    per sweep: one corpus aggregation, one TakeOrdered(POOL), one 1-row
+    map, one broadcast rewrite pass. Oracle unchanged."""
     d = table(spark, sf_dir, "documents")
-    cur = d.select(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("s"))
+    # one round-robin shuffle up front: the trainer makes 2 passes per
+    # sweep over the same corpus, and the source parquet's split count
+    # (1-2 files locally) would otherwise cap parallelism for all of
+    # them — exactly the spread-then-iterate trade a cluster run makes
+    cur = d.repartition(spark.sparkContext.defaultParallelism).select(
+        F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
     results = []
 
-    def before(x: str, y: str):
-        """Candidate ``x`` strictly precedes ``y`` in (freq desc, a, b)
-        order — expressed on the tuples directly so the tiny candidate set
-        never needs a partitionless rank window."""
-        fx, fy = F.col(f"{x}.freq"), F.col(f"{y}.freq")
-        ax, ay = F.col(f"{x}.a"), F.col(f"{y}.a")
-        bx, by = F.col(f"{x}.b"), F.col(f"{y}.b")
-        return (fx > fy) | (
-            (fx == fy) & ((ax < ay) | ((ax == ay) & (bx < by)))
-        )
-
     for r in range(1, _BPE_SWEEPS + 1):
-        tk = F.split(F.trim(F.col("s")), " ")
+        tk = F.col("toks")
         pairs = (
             cur.filter(F.size(tk) >= 2)
             .select(
@@ -920,67 +991,75 @@ def text_bpe_train_batched(spark, sf_dir):
             .groupBy("p.a", "p.b")
             .agg(F.count(F.lit(1)).alias("freq"))
         )
-        # bounded top-k first (TakeOrderedAndProject); the <= _BPE_POOL
-        # candidate rows then rank each other through broadcast triangular
-        # joins — no partitionless window anywhere
-        cand = (
+        # bounded top-k first (TakeOrderedAndProject), then ONE row:
+        # negated-freq struct field makes array_sort yield the
+        # (freq desc, a, b) candidate ranking without any window
+        cands = (
             pairs.orderBy(F.desc("freq"), "a", "b")
             .limit(_BPE_POOL)
-            .withColumn("m", F.concat(F.col("a"), F.lit("_"), F.col("b")))
-        )
-        c1, c2 = cand.alias("c1"), cand.alias("c2")
-        conflict = before("c2", "c1") & (
-            F.col("c2.a").isin(F.col("c1.a"), F.col("c1.b"), F.col("c1.m"))
-            | F.col("c2.b").isin(F.col("c1.a"), F.col("c1.b"), F.col("c1.m"))
-            | F.col("c2.m").isin(F.col("c1.a"), F.col("c1.b"), F.col("c1.m"))
-        )
-        kept0 = c1.join(F.broadcast(c2), conflict, "left_anti")
-        # slot number = 1 + kept pairs ranked above; (a, b) is unique per
-        # candidate, so the count join keys each survivor exactly once
-        k1, k2 = kept0.alias("k1"), kept0.alias("k2")
-        kept = (
-            k1.join(F.broadcast(k2), before("k2", "k1"), "left")
-            .groupBy(
-                F.col("k1.a").alias("a"),
-                F.col("k1.b").alias("b"),
-                F.col("k1.freq").alias("freq"),
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("freq")).alias("nf"),
+                            F.col("a").alias("a"),
+                            F.col("b").alias("b"),
+                            F.col("freq").alias("freq"),
+                            F.concat(F.col("a"), F.lit("_"), F.col("b")).alias("m"),
+                        )
+                    )
+                ).alias("cands")
             )
-            .agg((F.count(F.col("k2.a")) + 1).cast("long").alias("kr"))
-            .filter(F.col("kr") <= _BPE_BATCH)
         )
+
+        def overlaps(h, c):
+            c_set = F.array(c["a"], c["b"], c["m"])
+            return (
+                F.array_contains(c_set, h["a"])
+                | F.array_contains(c_set, h["b"])
+                | F.array_contains(c_set, h["m"])
+            )
+
+        # keep candidate i iff token-disjoint from EVERY higher-ranked
+        # candidate (kept or not), take the first _BPE_BATCH survivors,
+        # and stamp their 1-based slot number kr
+        kept_arr = F.slice(
+            F.filter(
+                F.col("cands"),
+                lambda c, i: ~F.exists(
+                    F.slice(F.col("cands"), 1, i), lambda h: overlaps(h, c)
+                ),
+            ),
+            1,
+            _BPE_BATCH,
+        )
+        keptrow = cands.select(
+            F.transform(
+                kept_arr,
+                lambda c, i: F.struct(
+                    c["a"].alias("a"),
+                    c["b"].alias("b"),
+                    c["freq"].alias("freq"),
+                    (i + 1).cast("long").alias("kr"),
+                    c["m"].alias("m"),
+                ),
+            ).alias("kept")
+        # eager: the corpus count runs exactly once per sweep even though
+        # keptrow feeds both the result rows and the rewrite (the final
+        # union would otherwise recompute the whole upstream per branch)
+        ).localCheckpoint(eager=True)
         results.append(
-            kept.select(
+            keptrow.select(F.explode("kept").alias("k")).select(
                 F.lit(r).alias("sweep"),
-                F.col("kr").cast("long").alias("rank"),
-                F.col("a").alias("tok_a"),
-                F.col("b").alias("tok_b"),
-                "freq",
+                F.col("k.kr").alias("rank"),
+                F.col("k.a").alias("tok_a"),
+                F.col("k.b").alias("tok_b"),
+                F.col("k.freq").alias("freq"),
             )
         )
-        # pivot the <= _BPE_BATCH kept merges into ONE broadcast row of
-        # constant pattern/replacement columns -> one rewrite pass with
-        # per-node cached compiled regexes
-        slot_aggs = []
-        for k in range(1, _BPE_BATCH + 1):
-            pat = F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" "))
-            rep = F.concat(F.lit(" "), F.col("a"), F.lit("_"), F.col("b"), F.lit(" "))
-            slot_aggs.append(
-                F.max(F.when(F.col("kr") == k, pat)).alias(f"p{k}")
-            )
-            slot_aggs.append(
-                F.max(F.when(F.col("kr") == k, rep)).alias(f"q{k}")
-            )
-        slots = kept.agg(*slot_aggs)
-        expr = F.col("s")
-        for k in range(1, _BPE_BATCH + 1):
-            expr = F.regexp_replace(
-                expr,
-                F.coalesce(F.col(f"p{k}"), F.lit("a^")),
-                F.coalesce(F.col(f"q{k}"), F.lit("")),
-            )
         cur = (
-            cur.crossJoin(F.broadcast(slots))
-            .select(expr.alias("s"))
+            cur.crossJoin(F.broadcast(keptrow))
+            .select(_bpe_merge_fold(F.col("toks"), F.col("kept")).alias("toks"))
             .localCheckpoint(eager=False)
         )
     out = results[0]

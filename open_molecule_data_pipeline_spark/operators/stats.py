@@ -812,7 +812,13 @@ def agg_weighted_mean_twostage(spark, sf_dir):
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     bps = F.round(F.col("l_discount") * 10000).cast("long")
     den = F.sum(bps).cast("long")
-    num = F.sum(cents * bps).cast("long")
+    # The per-row product reaches ~1e11 (cents ~1e7 x bps ~1e4), so an
+    # int64 SUM wraps silently (non-ANSI) around ~1e8 rows per group —
+    # well inside the 100 TB envelope this twin is advertised for, while
+    # the UDAF it twins uses arbitrary-precision Python ints. Accumulate
+    # the numerator as decimal(38,0): headroom ~1e27 rows per group, and
+    # decimal SUM still partial-aggregates map-side (ADVICE r7).
+    num = F.sum(cents.cast("decimal(38,0)") * bps)
     return li.groupBy("l_returnflag").agg(
         F.round(
             num / F.nullif(den, F.lit(0)).cast("double") / 100, 6

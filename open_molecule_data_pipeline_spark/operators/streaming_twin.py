@@ -604,6 +604,12 @@ def stream_mv_twin(spark, sf_dir):
         res_dir = tempfile.mkdtemp(
             prefix="omdp_stream_mv_res_", dir=os.path.dirname(mv_dir)
         )
+        # Register BEFORE publishing: the sweeper must never reap a result
+        # dir this process still holds a DataFrame over, however old it
+        # gets (ADVICE r7 — a cached/benchmarked result can be
+        # re-evaluated much later). Dirs leaked by other/crashed processes
+        # are not in this process's set and still get swept.
+        _LIVE_MV_RESULT_DIRS.add(res_dir)
         (
             spark.read.parquet(mv_path)
             .select(
@@ -623,6 +629,11 @@ def stream_mv_twin(spark, sf_dir):
         _sweep_stale_mv_dirs(os.path.dirname(mv_dir))
 
 
+# Result dirs handed to callers as live DataFrames this process may still
+# evaluate; the sweeper skips these for the lifetime of the session.
+_LIVE_MV_RESULT_DIRS: set[str] = set()
+
+
 def _sweep_stale_mv_dirs(root: str) -> None:
     import time as _time
 
@@ -632,6 +643,8 @@ def _sweep_stale_mv_dirs(root: str) -> None:
             if not name.startswith("omdp_stream_mv_"):
                 continue
             path = os.path.join(root, name)
+            if path in _LIVE_MV_RESULT_DIRS:
+                continue
             try:
                 if os.path.getmtime(path) < cutoff:
                     shutil.rmtree(path, ignore_errors=True)

@@ -43,7 +43,11 @@ QUERIES: dict[str, QuerySpec] = {}
 # all 49 never-greens in the priority order staged last round. A green
 # r8 run reaches cumulative 310/310. New-query additions remain FROZEN
 # until the head drains (any new query must also sit in the window, and
-# the window is full). Operator families whose sentinels rotate OUT of
+# the window is full). NOTE: ``text_bpe_train_batched`` was also
+# reworked in r8 (tokenize-once + array-fold rewrite, VERDICT r7 #6,
+# oracle UNCHANGED) but its re-proof slot yields to the backlog per the
+# freeze — interim proof is the local oracle parity suite + the r8
+# driver-sim sweep, and it heads the r9 re-proof list. Operator families whose sentinels rotate OUT of
 # the window are already externally proven by >= 2 green rows in past
 # CORRECTNESS files; tests/test_contract_order.py enforces exactly that
 # invariant (in-window OR cumulatively green). Everything else follows

@@ -80,8 +80,10 @@ def main() -> int:
                 print(f"MISMATCH {name}", file=sys.stderr)
     print(f"swept {len(names)} (skipped {len(done & set(names))} done), "
           f"fail {n_fail}")
-    return 0
+    # nonzero on any mismatch/error so automation cannot read a red sweep
+    # as green (ADVICE r7)
+    return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
