@@ -761,11 +761,18 @@ t{r} AS (
     "text_bpe_train_merges", oracle=_bpe_train_oracle(), tags=("text", "training")
 )
 def text_bpe_train_merges(spark, sf_dir):
+    """r8: same tokenize-once + array-fold rework as the batched trainer
+    below (VERDICT r7 #6 applied to the classic form, was 29.8 s/merge at
+    sf1) — the per-round rewrite is _bpe_merge_fold with a single-element
+    merge set (the K=1 case of the nested-regex equivalence argument).
+    Oracle unchanged."""
     d = table(spark, sf_dir, "documents")
-    cur = d.select(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("s"))
+    cur = d.repartition(spark.sparkContext.defaultParallelism).select(
+        F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
     results = []
     for r in range(1, _BPE_ROUNDS + 1):
-        tk = F.split(F.trim(F.col("s")), " ")
+        tk = F.col("toks")
         pairs = (
             cur.filter(F.size(tk) >= 2)
             .select(
@@ -782,7 +789,27 @@ def text_bpe_train_merges(spark, sf_dir):
             .groupBy("p.a", "p.b")
             .agg(F.count(F.lit(1)).alias("freq"))
         )
-        top = pairs.orderBy(F.desc("freq"), "a", "b").limit(1)
+        # eager 1-row checkpoint: both consumers (result rows + rewrite)
+        # reuse the one corpus aggregation instead of recomputing it
+        top = (
+            pairs.orderBy(F.desc("freq"), "a", "b")
+            .limit(1)
+            .select(
+                "a",
+                "b",
+                "freq",
+                F.array(
+                    F.struct(
+                        F.col("a").alias("a"),
+                        F.col("b").alias("b"),
+                        F.col("freq").alias("freq"),
+                        F.lit(1).cast("long").alias("kr"),
+                        F.concat(F.col("a"), F.lit("_"), F.col("b")).alias("m"),
+                    )
+                ).alias("kept"),
+            )
+            .localCheckpoint(eager=True)
+        )
         results.append(
             top.select(
                 F.lit(r).alias("round"),
@@ -792,14 +819,8 @@ def text_bpe_train_merges(spark, sf_dir):
             )
         )
         cur = (
-            cur.crossJoin(F.broadcast(top))
-            .select(
-                F.regexp_replace(
-                    "s",
-                    F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("a"), F.lit("_"), F.col("b"), F.lit(" ")),
-                ).alias("s")
-            )
+            cur.crossJoin(F.broadcast(top.select("kept")))
+            .select(_bpe_merge_fold(F.col("toks"), F.col("kept")).alias("toks"))
             .localCheckpoint(eager=False)
         )
     out = results[0]
