@@ -67,6 +67,26 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # Ledger hook (VERDICT r7 #8): when SPARK_GRAFT_LEDGER_LABEL is set,
+    # append this run to BENCH_LOCAL_LEDGER.jsonl so the weak-watch lint
+    # (tests/test_plans_perf.py) can flag >1.5x round-over-round headline
+    # regressions that lack a BENCH_HISTORY.md attribution. Attributions
+    # ride in SPARK_GRAFT_LEDGER_ATTRIB as a JSON object {query: reason}.
+    # The stdout contract (one JSON line) is unchanged either way.
+    label = os.environ.get("SPARK_GRAFT_LEDGER_LABEL")
+    if label:
+        entry = {
+            "label": label,
+            "source": "local-min3",
+            "sf": sf,
+            "total": total,
+            "queries": timings,
+            "attributions": json.loads(
+                os.environ.get("SPARK_GRAFT_LEDGER_ATTRIB", "{}")
+            ),
+        }
+        with open(Path(REPO_ROOT) / "BENCH_LOCAL_LEDGER.jsonl", "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
     print(
         json.dumps(
             {

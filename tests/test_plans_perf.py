@@ -299,3 +299,54 @@ def test_duplicate_spans_digest_shuffle(spark, sf_dir):
     assert exchanges, "expected at least one hash exchange"
     # the gram-key exchange partitions by `key` (the digest column)
     assert any(seg.startswith("(key") for seg in exchanges)
+
+
+def test_headline_ledger_regressions_attributed():
+    """Weak-watch lint (VERDICT r7 #8): every consecutive pair of recorded
+    headline runs in BENCH_LOCAL_LEDGER.jsonl is compared per-query; a
+    >1.5x slowdown (and >0.3 s absolute, to ignore sub-second jitter)
+    must carry an attribution in the newer entry, and every attributed
+    name must be discussed in BENCH_HISTORY.md. This codifies the manual
+    drift-attribution work done in r6->r7."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    ledger_path = root / "BENCH_LOCAL_LEDGER.jsonl"
+    assert ledger_path.exists(), "ledger missing — record a headline run"
+    entries = [
+        json.loads(line)
+        for line in ledger_path.read_text().splitlines()
+        if line.strip()
+    ]
+    assert entries, "ledger is empty"
+    history = (root / "BENCH_HISTORY.md").read_text()
+    problems = []
+    # Compare each entry against the most recent PRIOR entry at the SAME
+    # scale factor — cross-sf deltas are expected, not regressions.
+    last_at_sf: dict[float, dict] = {}
+    pairs = []
+    for cur in entries:
+        prev = last_at_sf.get(cur["sf"])
+        if prev is not None:
+            pairs.append((prev, cur))
+        last_at_sf[cur["sf"]] = cur
+    for prev, cur in pairs:
+        for name, t in cur["queries"].items():
+            p = prev["queries"].get(name)
+            if p is None:
+                continue
+            if t / max(p, 1e-9) > 1.5 and t - p > 0.3:
+                if name not in cur.get("attributions", {}):
+                    problems.append(
+                        f"{name}: {p:.3f}s ({prev['label']}) -> {t:.3f}s "
+                        f"({cur['label']}) = x{t / p:.2f} with no attribution"
+                    )
+    for entry in entries:
+        for name in entry.get("attributions", {}):
+            if name not in history:
+                problems.append(
+                    f"attribution for {name} ({entry['label']}) has no "
+                    "BENCH_HISTORY.md discussion"
+                )
+    assert not problems, "\n".join(problems)
