@@ -76,6 +76,90 @@ def test_selected_batch_is_token_disjoint(docs):
         used |= mine
 
 
+def apply_batch_reference(toks: list[str], kept: list[tuple[str, str]]) -> list[str]:
+    """The oracle semantics: K sequential global leftmost-nonoverlapping
+    space-delimited replacement passes (order irrelevant by the
+    commutation property above)."""
+    s = " " + " ".join(toks) + " "
+    for a, b in kept:
+        s = apply_merge(s, a, b)
+    return s.split()
+
+
+def test_merge_fold_automaton_matches_regex_reference(spark):
+    """r8 hardening: the Spark `_bpe_merge_fold` array-fold automaton
+    (corpus_ops.py) — which replaced the per-merge regex scans — must
+    reproduce the sequential-regex reference exactly on arbitrary corpora,
+    including the self-blocking subtlety ('a b a b' merges once per pass,
+    but a DIFFERENT pair may still match at the blocked position).
+
+    One Spark roundtrip: 400 seeded random docs + handcrafted edge cases,
+    each row carrying its own kept-batch (selected by the pure-Python spec
+    mirror, so batches are realistic AND disjointness always holds)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from open_molecule_data_pipeline_spark.operators.corpus_ops import (
+        _bpe_merge_fold,
+    )
+
+    rng = random.Random(718)
+    corpora: list[list[list[str]]] = []
+    for _ in range(40):
+        corpora.append(
+            [
+                [rng.choice(TOKENS) for _ in range(rng.randint(0, 12))]
+                for _ in range(rng.randint(1, 10))
+            ]
+        )
+    # edge cases: self-block chains, interleaved pairs, empty/singleton docs
+    corpora.append(
+        [
+            ["a", "b", "a", "b", "a", "b"],
+            ["a", "b", "b", "c", "a", "b"],
+            ["c", "d", "a", "b", "c", "d"],
+            [],
+            ["a"],
+            ["a_b", "a", "b"],
+        ]
+    )
+
+    rows = []
+    for ci, docs in enumerate(corpora):
+        kept = select_batch(docs)
+        kept_struct = [
+            {"a": a, "b": b, "m": f"{a}_{b}", "kr": i + 1}
+            for i, (a, b) in enumerate(kept)
+        ]
+        for di, toks in enumerate(docs):
+            rows.append(
+                {
+                    "id": ci * 1000 + di,
+                    "toks": toks,
+                    "kept": kept_struct,
+                    "expect": apply_batch_reference(toks, kept),
+                }
+            )
+
+    df = spark.createDataFrame(
+        rows,
+        schema="id long, toks array<string>, "
+        "kept array<struct<a:string,b:string,m:string,kr:long>>, "
+        "expect array<string>",
+    )
+    got = (
+        df.select(
+            "id",
+            "expect",
+            _bpe_merge_fold(F.col("toks"), F.col("kept")).alias("merged"),
+        )
+        .filter(F.col("merged") != F.col("expect"))
+        .collect()
+    )
+    assert not got, f"fold automaton diverged from regex reference: {got[:5]}"
+
+
 @given(corpus)
 @settings(max_examples=100, deadline=None)
 def test_disjoint_batch_commutes_under_replacement(docs):
