@@ -101,7 +101,8 @@ def dedup_boilerplate_lines(spark, sf_dir):
             "tk",
         )
         .filter(F.size(seg) == _SEG)
-        .select("doc_id", "lang", F.md5(F.concat_ws(" ", seg)).alias("h"))
+        # r8: 8-byte xxhash64 segment key (internal groupBy/join identity)
+        .select("doc_id", "lang", F.xxhash64(F.concat_ws(" ", seg)).alias("h"))
     )
     boiler = (
         segs.groupBy("h")
@@ -1355,7 +1356,8 @@ def corpus_pipeline_report(spark, sf_dir):
         kept.withColumn(
             "rn",
             F.row_number().over(
-                W.partitionBy(F.md5("text")).orderBy("doc_id")
+                # r8: xxhash64 window key — 8 bytes through the exchange
+                W.partitionBy(F.xxhash64("text")).orderBy("doc_id")
             ),
         )
         .filter(F.col("rn") == 1)
@@ -1368,7 +1370,7 @@ def corpus_pipeline_report(spark, sf_dir):
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), (F.col("n_tok") - 8).cast("int")),
-                lambda i: F.md5(F.array_join(F.slice(tk, i + 1, 8), " ")),
+                lambda i: F.xxhash64(F.array_join(F.slice(tk, i + 1, 8), " ")),
             )
         ).alias("pos", "key"),
     )

@@ -334,7 +334,18 @@ def text_decontamination_overlap(spark, sf_dir):
         .filter(F.size("toks") >= 8)
         .select(
             "doc_id",
-            F.explode(F.array_distinct(F.expr(_GRAMS_SPARK))).alias("g"),
+            # r8: hash each 8-gram to an xxhash64 long BEFORE the
+            # distinct/join stages — the gram is a pure join identity
+            # (never output), so the probe-set distinct, the train/eval
+            # semi-join shuffle, and the per-gram comparisons all run on
+            # 8-byte keys instead of ~50-byte strings (2.1x cold at sf1,
+            # identical output; the oracle joins on strings and agrees
+            # barring a 2^-64-scale collision).
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.expr(_GRAMS_SPARK), lambda s: F.xxhash64(s))
+                )
+            ).alias("g"),
         )
     )
     nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
