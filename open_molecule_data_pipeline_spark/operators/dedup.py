@@ -174,9 +174,12 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))).alias(
-                    "band_key"
-                ),
+                # r8: xxhash64 band key — internal join identity, 8 bytes
+                # through the band exchange instead of a 32-char hex string
+                # (the SIGNATURE query keeps md5: its band keys ARE output)
+                F.xxhash64(
+                    F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+                ).alias("band_key"),
             )
             for b in range(N_BANDS)
         ]
@@ -200,7 +203,17 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         spread(table(spark, sf_dir, "documents"), "doc_id")
         .withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
-        .select("doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("shingle_set"))
+        # r8: hash shingles to xxhash64 longs before the exact-Jaccard
+        # verification — intersection/union SIZES are representation-free,
+        # and the per-pair array algebra compares 8-byte longs instead of
+        # shingle strings (with the band-key swap: 5.2 -> 2.2s cold at
+        # sf1 for the pairs query, which also feeds both CC cluster forms)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(F.expr(_SHINGLES_SPARK), lambda s: F.xxhash64(s))
+            ).alias("shingle_set"),
+        )
     )
     x = sh.alias("x")
     y = sh.alias("y")
@@ -356,9 +369,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))).alias(
-                    "band_key"
-                ),
+                # r8: xxhash64 band key — internal join identity, 8 bytes
+                # through the band exchange instead of a 32-char hex string
+                # (the SIGNATURE query keeps md5: its band keys ARE output)
+                F.xxhash64(
+                    F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+                ).alias("band_key"),
             )
             for b in range(N_BANDS)
         ]
@@ -599,9 +615,12 @@ def dedup_containment(spark, sf_dir):
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))).alias(
-                    "band_key"
-                ),
+                # r8: xxhash64 band key — internal join identity, 8 bytes
+                # through the band exchange instead of a 32-char hex string
+                # (the SIGNATURE query keeps md5: its band keys ARE output)
+                F.xxhash64(
+                    F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+                ).alias("band_key"),
             )
             for b in range(N_BANDS)
         ]
