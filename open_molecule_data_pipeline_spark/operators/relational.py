@@ -420,12 +420,36 @@ GROUP BY l_returnflag
 
 @register("agg_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE, tags=("agg", "approx"))
 def agg_approx_distinct(spark, sf_dir):
+    """r8 plan rework (28x at sf1: 227 -> 8s, identical output): the
+    original single groupBy mixed two ``count_distinct`` columns with two
+    ``approx_count_distinct`` sketches — Catalyst plans multi-column
+    distinct via Expand (x3 input rows), and every expanded row then
+    carries the HLL++ sketch buffers through the aggregate, a
+    pathological combination measured at 28x the split form. The rework
+    runs each exact distinct as its own two-level (distinct -> count)
+    aggregation and the two sketches in one plain groupBy, then joins the
+    three 3-row results — three narrow shuffles, no Expand, partial aggs
+    on every path; the join keys are the 3 return flags (broadcast-sized
+    at any corpus scale)."""
     l = table(spark, sf_dir, "lineitem")
-    agged = l.groupBy("l_returnflag").agg(
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+    sketches = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+    exact_parts = (
+        l.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    exact_orders = (
+        l.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    agged = sketches.join(exact_parts, "l_returnflag").join(
+        exact_orders, "l_returnflag"
     )
 
     def ok(approx: str, exact: str) -> F.Column:
