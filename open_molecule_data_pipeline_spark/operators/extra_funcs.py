@@ -230,14 +230,23 @@ def func_posexplode_slice(spark, sf_dir):
 # recursive CTE (Spark 4 WITH RECURSIVE): generate a month spine covering
 # the order history, then left-join monthly order counts onto it — months
 # with zero orders still appear. One SQL text serves both engines.
+#
+# The loop's upper bound is computed ONCE in the anchor and carried through
+# the recursion as a column: a scalar subquery in the recursive step's
+# WHERE clause is re-evaluated every iteration by Spark's UnionLoop
+# execution, i.e. one full rescan of ``orders`` per generated month
+# (measured 21.6 s -> 1.9 s at sf0.01 for 80 months; at warehouse scale
+# each of those rescans is the whole fact table). With the bound inline,
+# ``orders`` is scanned exactly twice: anchor min/max + the final join.
 # --------------------------------------------------------------------------
 
 _RECURSIVE_SQL = """
-WITH RECURSIVE months(m) AS (
-  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+WITH RECURSIVE months(m, hi) AS (
+  SELECT date_trunc('month', min(o_orderdate)),
+         date_trunc('month', max(o_orderdate))
+  FROM orders
   UNION ALL
-  SELECT m + INTERVAL 1 MONTH FROM months
-  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
 )
 SELECT m AS month_start, count(o_orderkey) AS n_orders
 FROM months

@@ -47,7 +47,10 @@ QUERIES: dict[str, QuerySpec] = {}
 # reworked in r8 (tokenize-once + array-fold rewrite, VERDICT r7 #6,
 # oracle UNCHANGED) but its re-proof slot yields to the backlog per the
 # freeze — interim proof is the local oracle parity suite + the r8
-# driver-sim sweep, and it heads the r9 re-proof list. Operator families whose sentinels rotate OUT of
+# driver-sim sweep, and it heads the r9 re-proof list, followed by
+# ``recursive_month_spine`` (r8: loop bound carried through the
+# recursion instead of a per-iteration scalar subquery; oracle text
+# changed in lockstep, one SQL serves both engines as before). Operator families whose sentinels rotate OUT of
 # the window are already externally proven by >= 2 green rows in past
 # CORRECTNESS files; tests/test_contract_order.py enforces exactly that
 # invariant (in-window OR cumulatively green). Everything else follows
