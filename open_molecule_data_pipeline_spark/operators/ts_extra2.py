@@ -392,12 +392,27 @@ def ts_downsample_lttb(spark, sf_dir):
             F.expr(f"((rn - 1) * {_LTTB_B}) div __n").alias("b"),
         )
     )
+    # Fixed-point widths: anchor sums and the cross product run in
+    # decimal(38,0), not int64. sum(x) over a bucket is ~n^2/B and the
+    # doubled-area product is (dx*1e6)*(dy*1e6) ~ n*yrange*1e12 — both
+    # blow through 9.2e18 around sf1 of the 10x derived events table
+    # (ANSI mode surfaced this as ARITHMETIC_OVERFLOW; non-ANSI would
+    # have silently wrapped and picked wrong points). decimal(38,0)
+    # holds ~1e38: exact up to ~1e12 rows x ~1e12 fixed-point y-range.
+    # The DuckDB oracle already sums/multiplies in HUGEINT (int128), so
+    # the SQL text is unchanged; the means themselves (<= n*1e6) stay
+    # inside int64 for any realistic row count.
+    dec = "decimal(38,0)"
     anch = seq.groupBy("b").agg(
-        F.expr("(sum(x) * 1000000) div count(*)").alias("ax"),
-        F.expr("(sum(y) * 1000000) div count(*)").alias("ay"),
+        F.expr(f"cast((sum(cast(x as {dec})) * 1000000) div count(*) as long)").alias("ax"),
+        F.expr(f"cast((sum(cast(y as {dec})) * 1000000) div count(*) as long)").alias("ay"),
     )
     left = anch.select((F.col("b") + 1).alias("b"), F.col("ax").alias("lax"), F.col("ay").alias("lay"))
     right = anch.select((F.col("b") - 1).alias("b"), F.col("ax").alias("rax"), F.col("ay").alias("ray"))
+    dxl = F.col("x").cast(dec) * 1000000 - F.col("lax").cast(dec)
+    dyl = F.col("y").cast(dec) * 1000000 - F.col("lay").cast(dec)
+    rdx = F.col("rax").cast(dec) - F.col("lax").cast(dec)
+    rdy = F.col("ray").cast(dec) - F.col("lay").cast(dec)
     scored = (
         seq.join(F.broadcast(left), "b")
         .join(F.broadcast(right), "b")
@@ -405,10 +420,7 @@ def ts_downsample_lttb(spark, sf_dir):
             "b",
             "x",
             "y",
-            F.abs(
-                (F.col("x") * 1000000 - F.col("lax")) * (F.col("ray") - F.col("lay"))
-                - (F.col("rax") - F.col("lax")) * (F.col("y") * 1000000 - F.col("lay"))
-            ).alias("area2"),
+            F.abs(dxl * rdy - rdx * dyl).alias("area2"),
         )
     )
     w = W.partitionBy("b").orderBy(F.col("area2").desc(), "x")
