@@ -16,10 +16,10 @@ DuckDB twin is a bit-identical oracle:
   score space — the same rank trick as ``text_zipf_coverage``; no global
   window).
 
-int64 headroom note: the stump's score numerator is O(n^3) in row count
-and the remainder-scaling keeps every intermediate <= den*1e6, so the
-comparison is exact to ~3e6 rows per side; past that, normalize histogram
-counts to ppm per bin before squaring (same argmax, bounded operands).
+int64 headroom note: the stump's score numerator is O(n^3) in row count,
+so the squared-count products run in decimal(38,0) (exact to ~1e38, i.e.
+~4e12 rows) and only the final ppm score — bounded by n*1e6 — returns to
+int64. The remainder-scaling keeps every intermediate <= den*1e6.
 """
 
 from __future__ import annotations
@@ -99,25 +99,33 @@ def ml_decision_stump(spark, sf_dir):
         .groupBy("cb")
         .agg(F.sum("n1").alias("l1"), F.sum("n0").alias("l0"))
     )
+    dec = "decimal(38,0)"
+    l0d, l1d = F.col("l0").cast(dec), F.col("l1").cast(dec)
+    r0d, r1d = F.col("r0").cast(dec), F.col("r1").cast(dec)
     scored = (
         cum.crossJoin(F.broadcast(tot))
         .withColumn("r0", F.col("t0") - F.col("l0"))
         .withColumn("r1", F.col("t1") - F.col("l1"))
         .filter((F.col("l0") + F.col("l1") > 0) & (F.col("r0") + F.col("r1") > 0))
+        # num is O(n^3): squared class counts times the opposite side's
+        # size. int64 wraps (ANSI: aborts) near 3e6 rows per side, so the
+        # products run in decimal(38,0) — exact to ~4e12 rows.
         .withColumn(
             "num",
-            (F.col("l0") * F.col("l0") + F.col("l1") * F.col("l1"))
-            * (F.col("r0") + F.col("r1"))
-            + (F.col("r0") * F.col("r0") + F.col("r1") * F.col("r1"))
-            * (F.col("l0") + F.col("l1")),
+            (l0d * l0d + l1d * l1d) * (r0d + r1d)
+            + (r0d * r0d + r1d * r1d) * (l0d + l1d),
         )
-        .withColumn("den", (F.col("l0") + F.col("l1")) * (F.col("r0") + F.col("r1")))
+        .withColumn("den", (l0d + l1d) * (r0d + r1d))
         .withColumn(
-            # floor(num * 1e6 / den) WITHOUT forming num*1e6 (which overflows
-            # int64 once class counts reach ~50k): split into the integer
-            # quotient and the exactly-scaled remainder.
+            # floor(num * 1e6 / den) WITHOUT forming num*1e6 (which would
+            # need decimal headroom num already consumes): split into the
+            # integer quotient (<= n, back in int64) and the exactly-scaled
+            # remainder (< den * 1e6, still inside decimal(38,0)).
             "score_ppm",
-            F.expr("(num div den) * 1000000 + ((num % den) * 1000000) div den"),
+            F.expr(
+                "cast((num div den) * 1000000"
+                "     + ((num % den) * 1000000) div den as long)"
+            ),
         )
     )
     return (

@@ -719,10 +719,17 @@ def ml_auc_roc(spark, sf_dir):
     ranked = two_pass_global_window(
         groups, ["p9"], value_col="c", out_col="run"
     ).select("pos", "c", (F.col("run") - F.col("c")).alias("below"))
+    # r2 is a rank sum — O(n^2) in row count — and n_pos*(n_pos+1) is
+    # O(n^2) too: both wrap int64 (ANSI: abort) in the billions of rows.
+    # Accumulate in decimal(38,0) (exact to ~1e38, i.e. ~1e19 rows); the
+    # single final division casts to double, where the 1-ulp relative
+    # error is invisible at 6 rounded decimals.
+    dec = "decimal(38,0)"
     sums = ranked.agg(
-        F.sum(F.col("pos") * (2 * F.col("below") + F.col("c") + 1))
-        .cast("long")
-        .alias("r2"),
+        F.sum(
+            F.col("pos").cast(dec)
+            * (2 * F.col("below") + F.col("c") + 1).cast(dec)
+        ).alias("r2"),
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(F.col("c") - F.col("pos")).cast("long").alias("n_neg"),
     )
@@ -730,7 +737,10 @@ def ml_auc_roc(spark, sf_dir):
         "n_pos",
         "n_neg",
         F.round(
-            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            (
+                F.col("r2")
+                - F.col("n_pos").cast(dec) * (F.col("n_pos") + 1).cast(dec)
+            ).cast("double")
             / (2.0 * F.col("n_pos") * F.col("n_neg")),
             6,
         ).alias("auc"),
