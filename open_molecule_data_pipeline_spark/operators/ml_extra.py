@@ -204,18 +204,23 @@ _OLS_ORACLE = f"""
 WITH m AS (
   SELECT l_returnflag,
          cast(count(*) AS BIGINT) AS n,
-         sum(cast(l_quantity AS BIGINT)) AS q1,
-         sum(cast(round(l_discount * 100) AS BIGINT)) AS d100,
-         sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS p100,
-         sum(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT)) AS qq,
-         sum(cast(round(l_discount * 100) AS BIGINT)
-             * cast(round(l_discount * 100) AS BIGINT)) AS dd,
-         sum(cast(l_quantity AS BIGINT)
-             * cast(round(l_discount * 100) AS BIGINT)) AS qd,
-         sum(cast(l_quantity AS BIGINT)
-             * cast(round(l_extendedprice * 100) AS BIGINT)) AS qp,
-         sum(cast(round(l_discount * 100) AS BIGINT)
-             * cast(round(l_extendedprice * 100) AS BIGINT)) AS dp
+         sum(cast(l_quantity AS DECIMAL(38,0))) AS q1,
+         sum(cast(round(l_discount * 100) AS DECIMAL(38,0))) AS d100,
+         sum(cast(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS p100,
+         sum(cast(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT)
+             AS DECIMAL(38,0))) AS qq,
+         sum(cast(cast(round(l_discount * 100) AS BIGINT)
+             * cast(round(l_discount * 100) AS BIGINT)
+             AS DECIMAL(38,0))) AS dd,
+         sum(cast(cast(l_quantity AS BIGINT)
+             * cast(round(l_discount * 100) AS BIGINT)
+             AS DECIMAL(38,0))) AS qd,
+         sum(cast(cast(l_quantity AS BIGINT)
+             * cast(round(l_extendedprice * 100) AS BIGINT)
+             AS DECIMAL(38,0))) AS qp,
+         sum(cast(cast(round(l_discount * 100) AS BIGINT)
+             * cast(round(l_extendedprice * 100) AS BIGINT)
+             AS DECIMAL(38,0))) AS dp
   FROM lineitem
   GROUP BY l_returnflag
 ),
@@ -254,16 +259,21 @@ def ml_ols_normal_equations(spark, sf_dir):
     q = F.col("l_quantity").cast("long")
     d100 = F.round(F.col("l_discount") * 100).cast("long")
     p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # moment sums accumulate in decimal(38,0): the per-row products reach
+    # ~1e9 (d100*p100), so int64 sums wrap (ANSI: abort) around 1e10 rows
+    # — far below the fact-table scale this one-pass trainer targets; the
+    # solve step consumes doubles either way
+    dec = "decimal(38,0)"
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(q).alias("q1"),
-        F.sum(d100).alias("d100"),
-        F.sum(p100).alias("p100"),
-        F.sum(q * q).alias("qq"),
-        F.sum(d100 * d100).alias("dd"),
-        F.sum(q * d100).alias("qd"),
-        F.sum(q * p100).alias("qp"),
-        F.sum(d100 * p100).alias("dp"),
+        F.sum(q.cast(dec)).alias("q1"),
+        F.sum(d100.cast(dec)).alias("d100"),
+        F.sum(p100.cast(dec)).alias("p100"),
+        F.sum((q * q).cast(dec)).alias("qq"),
+        F.sum((d100 * d100).cast(dec)).alias("dd"),
+        F.sum((q * d100).cast(dec)).alias("qd"),
+        F.sum((q * p100).cast(dec)).alias("qp"),
+        F.sum((d100 * p100).cast(dec)).alias("dp"),
     )
     d = m.select(
         "l_returnflag",
@@ -449,9 +459,10 @@ def ml_naive_bayes_confusion(spark, sf_dir):
 # is the same code with bigger generated text, not a different algorithm.
 #
 # Determinism protocol: float32 components are upcast to double (exact)
-# then quantized to int64 at 1e6; all sums are exact integers (bounds:
-# |xq| <= ~1e6, products <= ~1e12, corpus rows up to ~1e6 keep s_ij
-# under 1e18). Covariance entries, the 6 power-iteration matvec/normalize
+# then quantized to int64 at 1e6; all sums are exact integers (|xq| <=
+# ~1e6, products <= ~1e12 per row, accumulated in DECIMAL(38,0) so the
+# moments stay exact to ~1e26 rows — int64 would wrap near 9e6).
+# Covariance entries, the 6 power-iteration matvec/normalize
 # rounds (fixed v0 = (0.5,0.5,0.5,0.5)), the Rayleigh quotient, and the
 # explained-variance share are all derived from those integers by ONE
 # shared SQL text (engine-specific only in array indexing: Spark arrays
@@ -473,10 +484,17 @@ def _pca_sql() -> str:
     a relation ``pca_q`` holding the quantized int64 components x0..x3."""
     d, q = _PCA_DIMS, _PCA_Q
     pairs = [(i, j) for i in range(d) for j in range(i, d)]
+    # products are ~1e12 per row, so int64 sums wrap (ANSI: abort) near
+    # 9e6 rows — the moment accumulators run in DECIMAL(38,0) on both
+    # engines (exact to ~1e38, i.e. ~1e26 rows); the covariance algebra
+    # below consumes them as doubles exactly as before.
     sums = ", ".join(
-        f"cast(sum(x{i} * x{j}) AS BIGINT) AS s{i}{j}" for i, j in pairs
+        f"sum(cast(x{i} * x{j} AS DECIMAL(38,0))) AS s{i}{j}"
+        for i, j in pairs
     )
-    firsts = ", ".join(f"cast(sum(x{i}) AS BIGINT) AS s{i}" for i in range(d))
+    firsts = ", ".join(
+        f"sum(cast(x{i} AS DECIMAL(38,0))) AS s{i}" for i in range(d)
+    )
     cov = ", ".join(
         f"(s{i}{j} - cast(s{i} AS DOUBLE) * s{j} / n) / n / {q}.0 / {q}.0"
         f" AS c{i}{j}"
@@ -562,7 +580,9 @@ def ml_pca_power_iteration(spark, sf_dir):
 # libm-vs-JVM 1-ulp exp() difference landing exactly on a .5 quantization
 # boundary (~1e-10/row — the same accepted exposure as
 # udf_pandas_logistic_score, see ADVICE r4).
-# int64 headroom: |w*x_j*x_k|*1e6 <= ~6.3e8/row -> safe past 1e9 rows.
+# Headroom: |w*x_j*x_k|*1e6 <= ~6.3e8/row; the cross-row sums accumulate
+# in DECIMAL(38,0) (exact to ~1e38, i.e. ~1e29 rows) — int64 would wrap
+# near 1e10 rows, well inside warehouse scale.
 # --------------------------------------------------------------------------
 
 _IRLS_ROUNDS = 3
@@ -579,15 +599,18 @@ def _irls_sql() -> str:
         cols = [
             f"cast(count(*) AS BIGINT) AS n",
         ]
+        # per-row quantized terms reach ~1e9, so the cross-row sums run in
+        # DECIMAL(38,0) — int64 wraps (ANSI: abort) near 1e10 rows; the
+        # solve step consumes them as doubles exactly as before
         for j, k in pairs:
             cols.append(
-                f"cast(sum(cast(round(w * {xs[j]} * {xs[k]} * {q6}) AS BIGINT))"
-                f" AS BIGINT) AS s{j}{k}"
+                f"sum(cast(round(w * {xs[j]} * {xs[k]} * {q6})"
+                f" AS DECIMAL(38,0))) AS s{j}{k}"
             )
         for j in range(3):
             cols.append(
-                f"cast(sum(cast(round((y - p) * {xs[j]} * {q6}) AS BIGINT))"
-                f" AS BIGINT) AS g{j}"
+                f"sum(cast(round((y - p) * {xs[j]} * {q6})"
+                f" AS DECIMAL(38,0))) AS g{j}"
             )
         return (
             f"e{tag} AS (SELECT y, q, d, 1 / (1 + exp(-{eta})) AS p"
@@ -648,8 +671,8 @@ def _irls_sql() -> str:
     )
     ctes.append(
         f"agg AS (SELECT cast(count(*) AS BIGINT) AS n_rows,"
-        f" cast(sum(cast(round((CASE WHEN y = 1 THEN -ln(p)"
-        f" ELSE -ln(1 - p) END) * {q6}) AS BIGINT)) AS BIGINT) AS loss6,"
+        f" sum(cast(round((CASE WHEN y = 1 THEN -ln(p)"
+        f" ELSE -ln(1 - p) END) * {q6}) AS DECIMAL(38,0))) AS loss6,"
         f" cast(sum(CASE WHEN (p > 0.5) = (y = 1) THEN 1 ELSE 0 END)"
         f" AS BIGINT) AS n_correct FROM ev)"
     )
@@ -705,10 +728,15 @@ def _kmeans_sql() -> str:
 
     def dist(cent_prefix: str, j: int) -> str:
         # squared L2 between row (x0..x3, scaled ints) and centroid j,
-        # centroid coords expressed as exact-ratio doubles s/c (times q)
+        # centroid coords expressed as exact-ratio doubles s/c (times q).
+        # The explicit double cast keeps the division float even now that
+        # the coordinate sums accumulate in DECIMAL(38,0) (decimal/int
+        # division would change type on both engines).
         return " + ".join(
-            f"(x{i} - {cent_prefix}s{j}_{i} / {cent_prefix}c{j}) *"
-            f" (x{i} - {cent_prefix}s{j}_{i} / {cent_prefix}c{j})"
+            f"(x{i} - cast({cent_prefix}s{j}_{i} AS DOUBLE)"
+            f" / {cent_prefix}c{j}) *"
+            f" (x{i} - cast({cent_prefix}s{j}_{i} AS DOUBLE)"
+            f" / {cent_prefix}c{j})"
             for i in range(d)
         )
 
@@ -734,9 +762,12 @@ def _kmeans_sql() -> str:
             f"a{t} AS (SELECT x0, x1, x2, x3, {dists} FROM km_q CROSS JOIN cen{t - 1})"
         )
         ctes.append(f"g{t} AS (SELECT *, {argmin} AS cl FROM a{t})")
+        # per-cluster coordinate sums are ~n*1e6 and the inertia sum is
+        # ~n*1e7: both wrap int64 (ANSI: abort) in the trillions of rows,
+        # so they accumulate in DECIMAL(38,0); cluster counts stay int64.
         upd = ", ".join(
-            f"cast(sum(CASE WHEN cl = {j} THEN x{i} ELSE 0 END) AS BIGINT)"
-            f" AS s{j}_{i}"
+            f"sum(cast(CASE WHEN cl = {j} THEN x{i} ELSE 0 END"
+            f" AS DECIMAL(38,0))) AS s{j}_{i}"
             for j in range(k)
             for i in range(d)
         ) + ", " + ", ".join(
@@ -750,7 +781,7 @@ def _kmeans_sql() -> str:
         )
         ctes.append(
             f"m{t} AS (SELECT {upd},"
-            f" cast(sum({inert}) AS BIGINT) AS in6 FROM g{t})"
+            f" sum(cast({inert} AS DECIMAL(38,0))) AS in6 FROM g{t})"
         )
         ctes.append(f"cen{t} AS (SELECT * FROM m{t})")
     T = _KM_ITERS
@@ -848,8 +879,11 @@ def _svm_sql() -> str:
     )
     ctes.append(
         f"agg AS (SELECT cast(count(*) AS BIGINT) AS n_rows,"
-        f" cast(sum(cast(round((CASE WHEN margin < 1 THEN 1 - margin"
-        f" ELSE 0 END) * {q6}) AS BIGINT)) AS BIGINT) AS h6,"
+        # per-row quantized hinge terms are ~1e6-1e9, so the loss sum runs
+        # in DECIMAL(38,0) (int64 wraps near 1e10 rows); the subgradient
+        # sums g0..g2 are bounded by n*100 and stay int64
+        f" sum(cast(round((CASE WHEN margin < 1 THEN 1 - margin"
+        f" ELSE 0 END) * {q6}) AS DECIMAL(38,0))) AS h6,"
         f" cast(sum(CASE WHEN (score > 0) = (y = 1) THEN 1 ELSE 0 END)"
         f" AS BIGINT) AS n_correct FROM ev)"
     )
