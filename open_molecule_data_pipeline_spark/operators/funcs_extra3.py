@@ -638,13 +638,20 @@ def func_variant_json(spark, sf_dir):
 # --------------------------------------------------------------------------
 # min_by / max_by argmin-argmax aggregates. Both engines break ordering
 # ties arbitrarily, so the ordering value is made unique by packing the
-# 2-decimal balance and the key into one bigint (exact integer math).
+# 2-decimal balance and the key into one wide integer. The stride is 1e20
+# (key space: decimal(38,0) on Spark, HUGEINT in the oracle): a bigint
+# pack with a 1e6 stride silently MIS-ORDERS once c_custkey reaches 1e6 —
+# a one-cent balance difference is then smaller than a custkey difference
+# — which is every real customer dimension; 1e20 outruns any key space
+# int64 row ids can address.
 # --------------------------------------------------------------------------
 
 _MINMAXBY_ORACLE = """
 SELECT c_mktsegment,
-       max_by(c_name, cast(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest,
-       min_by(c_name, cast(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest
+       max_by(c_name, cast(round(c_acctbal * 100) AS HUGEINT)
+                      * 100000000000000000000 + c_custkey) AS richest,
+       min_by(c_name, cast(round(c_acctbal * 100) AS HUGEINT)
+                      * 100000000000000000000 + c_custkey) AS poorest
 FROM customer
 GROUP BY c_mktsegment
 """
@@ -654,7 +661,8 @@ GROUP BY c_mktsegment
 def agg_min_max_by(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     packed = (
-        F.round(F.col("c_acctbal") * 100).cast("long") * 1000000
+        F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)")
+        * F.expr("cast('100000000000000000000' as decimal(38,0))")
         + F.col("c_custkey")
     )
     return c.groupBy("c_mktsegment").agg(
