@@ -174,9 +174,12 @@ def graph_jaccard_neighbors(spark, sf_dir):
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    # deg has one row per NODE — it grows with the graph, so it is not
+    # force-broadcast: AQE broadcasts it while it fits under the
+    # threshold and falls back to a shuffle join on billion-node graphs
     scored = (
-        cand.join(F.broadcast(da), "a")
-        .join(F.broadcast(dc), "c")
+        cand.join(da, "a")
+        .join(dc, "c")
         .select(
             "a",
             "c",
