@@ -152,8 +152,10 @@ def text_lm_unigram_score(spark, sf_dir):
         .cast("long")
         .alias("lp6"),
     )
+    # lp is one row per vocabulary TERM — corpus-scaling, so not
+    # force-broadcast (AQE decides; token-key shuffle join at 100 TB)
     ds = (
-        toks.join(F.broadcast(lp), "tok")
+        toks.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
             F.max("lang").alias("lang"),
@@ -424,7 +426,7 @@ def text_lm_bigram_backoff(spark, sf_dir):
     )
     bi = (
         grams.filter("is_train")
-        .join(F.broadcast(uni), F.col("w1") == F.col("w"))
+        .join(uni, F.col("w1") == F.col("w"))
         .groupBy("w1", "w2")
         .agg(
             F.round(
@@ -447,8 +449,8 @@ def text_lm_bigram_backoff(spark, sf_dir):
     ).cast("long")
     scored = (
         grams.filter(~F.col("is_train"))
-        .join(F.broadcast(bi), ["w1", "w2"], "left")
-        .join(F.broadcast(u2), F.col("w2") == F.col("w2_key"), "left")
+        .join(bi, ["w1", "w2"], "left")
+        .join(u2, F.col("w2") == F.col("w2_key"), "left")
         .crossJoin(F.broadcast(consts))
         .groupBy("doc_id")
         .agg(

@@ -110,7 +110,9 @@ def dedup_boilerplate_lines(spark, sf_dir):
         .filter(F.col("nd") >= _BOILER_K)
         .select("h", F.lit(1).alias("is_boiler"))
     )
-    marked = segs.join(F.broadcast(boiler), "h", "left").select(
+    # the boilerplate dictionary grows with the corpus — unhinted so AQE
+    # broadcasts it only while it actually fits
+    marked = segs.join(boiler, "h", "left").select(
         "doc_id", "lang", F.coalesce("is_boiler", F.lit(0)).alias("is_boiler")
     )
     per_doc = marked.groupBy("doc_id").agg(

@@ -237,7 +237,7 @@ WHERE rn <= 5
 def sample_hash_topk_per_group(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = o.join(c, o.o_custkey == c.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
     )

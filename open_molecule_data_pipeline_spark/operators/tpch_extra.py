@@ -42,8 +42,12 @@ def join_returned_revenue(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
     return (
+        # customer/part/supplier grow with SF, so the SF-scaling dims in
+        # this module are not force-broadcast: size stats + AQE broadcast
+        # them while small and fall back to shuffle joins at cluster scale
+        # (nation/region stay hinted: fixed 25/5 rows by construction).
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -82,7 +86,7 @@ def agg_promo_share(spark, sf_dir):
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (lsum(promo, 10000) / lsum(disc, 10000)).alias("promo_share"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -112,7 +116,7 @@ def agg_supplier_variety(spark, sf_dir):
     )
     l = table(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -149,7 +153,7 @@ def join_large_orders(spark, sf_dir):
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
     )
 
@@ -188,7 +192,7 @@ def join_disjunctive_predicates(spark, sf_dir):
         | bundle("Brand#34", 25, 20, 40)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             lsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(

@@ -66,9 +66,11 @@ def join_volume_shipping(spark, sf_dir):
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
+        # SF-scaling dims (customer/supplier/part) are unhinted module-wide;
+        # AQE broadcasts them under the threshold, shuffle-joins at scale.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(pair)
@@ -111,9 +113,9 @@ def agg_market_share(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_vol = F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg((lsum(nation_vol, 10000) / lsum(vol, 10000)).alias("mkt_share"))
@@ -151,8 +153,8 @@ def agg_profit_by_nation_year(spark, sf_dir):
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
@@ -267,7 +269,7 @@ def join_top_supplier(spark, sf_dir):
     top = rev.agg(F.max("total_rev").alias("__max_rev"))
     return (
         rev.join(F.broadcast(top), F.col("total_rev") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -300,7 +302,7 @@ def subquery_small_quantity_revenue(spark, sf_dir):
         lavg("l_quantity", 100).alias("avg_qty")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(per_part, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
@@ -356,7 +358,7 @@ def join_waiting_suppliers(spark, sf_dir):
         lo.filter(F.col("is_late"))
         .join(order_stats, F.col("l_orderkey") == F.col("os_orderkey"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -451,14 +453,14 @@ def join_promo_stock_suppliers(spark, sf_dir):
     )
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     qualifying = (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(lsum("l_quantity", 100).alias("__qty"))
         .filter(F.col("__qty") > 400)
         .select("l_suppkey")
     )
     return s.join(
-        F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+        qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name", "s_acctbal")
 
 

@@ -390,7 +390,7 @@ def text_dsir_weights(spark, sf_dir):
         )
     )
     ds = (
-        toks.join(F.broadcast(lp), "tok")
+        toks.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
             F.max("source").alias("source"),
@@ -521,7 +521,7 @@ def sample_importance_resample(spark, sf_dir):
         )
     )
     ds = (
-        toks.join(F.broadcast(lp), "tok")
+        toks.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
             F.max("lang").alias("lang"),
