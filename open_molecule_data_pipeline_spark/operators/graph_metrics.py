@@ -114,8 +114,13 @@ def graph_clustering_coefficient(spark, sf_dir):
             "node",
             "d",
             F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            # n_tri on a d~1e6 hub reaches ~5e11; x2e6 passes int64, so
+            # the ppm numerator runs in decimal(38,0) (quotient <= 1e6
+            # comes back as bigint)
             F.expr(
-                "(2 * coalesce(n_tri, 0) * 1000000) div (d * (d - 1))"
+                "cast((2 * cast(coalesce(n_tri, 0) as decimal(38,0))"
+                "      * 1000000) div (cast(d as decimal(38,0)) * (d - 1))"
+                "      as long)"
             ).alias("cc_ppm"),
         )
     )

@@ -243,7 +243,7 @@ def ml_knn_classify(spark, sf_dir):
 
 _PR_ORACLE = """
 WITH scored AS (
-  SELECT (event_id * 2654435761) % 1000 AS s,
+  SELECT ((event_id % 1000) * (2654435761 % 1000)) % 1000 AS s,
          CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y
   FROM events
 ),
@@ -270,7 +270,9 @@ WHERE c.s % 100 = 0
 def ml_pr_curve(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     scored = ev.select(
-        ((F.col("event_id") * 2654435761) % 1000).alias("s"),
+        # (a*b) % m computed as ((a%m)*(b%m)) % m: same value, but the
+        # product stays ~1e6 where a*b wraps int64 past ~3.5e9 events
+        (((F.col("event_id") % 1000) * (2654435761 % 1000)) % 1000).alias("s"),
         (F.col("user_id") % 3 == 0).cast("long").alias("y"),
     )
     hist = scored.groupBy("s").agg(
@@ -291,8 +293,15 @@ def ml_pr_curve(spark, sf_dir):
             "threshold",
             "tp",
             "fp",
-            F.expr("(tp * 1000000) div (tp + fp)").alias("precision_ppm"),
-            F.expr("(tp * 1000000) div p").alias("recall_ppm"),
+            # tp ~ row count: x1e6 wraps int64 past ~9e12 rows, so the
+            # ppm numerator runs in decimal(38,0)
+            F.expr(
+                "cast((cast(tp as decimal(38,0)) * 1000000) div (tp + fp)"
+                "     as long)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "cast((cast(tp as decimal(38,0)) * 1000000) div p as long)"
+            ).alias("recall_ppm"),
         )
     )
 

@@ -352,6 +352,11 @@ def text_zipf_coverage(spark, sf_dir):
         .select(
             "r",
             "cum_cnt",
-            F.expr("(cum_cnt * 1000000) div total").alias("share_ppm"),
+            # cum_cnt ~ total token count: x1e6 wraps int64 past ~9e12
+            # tokens, so the ppm numerator runs in decimal(38,0)
+            F.expr(
+                "cast((cast(cum_cnt as decimal(38,0)) * 1000000) div total"
+                "     as long)"
+            ).alias("share_ppm"),
         )
     )
