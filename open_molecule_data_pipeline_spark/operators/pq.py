@@ -146,7 +146,10 @@ def sim_pq_encode(spark, sf_dir):
     return enc.groupBy("sub_id", F.col("code").cast("long").alias("code")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.round(F.col("d2") * 1000000).cast("long"))
+            # micro-unit distortions are ~1e7/row; the per-codeword SUM
+            # accumulates in decimal(38,0) so it stays exact past the
+            # ~1e12-rows-per-codeword point where int64 would wrap
+            F.sum(F.round(F.col("d2") * 1000000).cast("decimal(38,0)"))
             / (F.count(F.lit(1)) * 1000000).cast("double"),
             6,
         ).alias("avg_d2"),
