@@ -100,7 +100,9 @@ def cdc_deletion_vectors(spark, sf_dir):
     dv = stored.filter(F.col("v") % 7 == 0).select(
         "fid", "pos", F.lit(1).alias("__del")
     )
-    merged = stored.join(F.broadcast(dv), ["fid", "pos"], "left")
+    # deletion vectors grow with delete volume: unhinted, they broadcast
+    # while small and fall back to a (fid,pos) shuffle join when not
+    merged = stored.join(dv, ["fid", "pos"], "left")
     return merged.groupBy("fid").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.coalesce("__del", F.lit(0))).alias("n_deleted"),

@@ -131,7 +131,7 @@ def join_shipping_priority(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             lsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias(
@@ -205,9 +205,12 @@ def join_local_supplier_volume(spark, sf_dir):
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer/supplier grow with SF: unhinted, AQE broadcasts under the
+        # threshold and shuffle-joins at cluster scale (nation/region are
+        # fixed 25/5 rows and keep their hints)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -358,8 +361,10 @@ def join_theta_price_band(spark, sf_dir):
     p = table(spark, sf_dir, "part")
     l = table(spark, sf_dir, "lineitem")
     return (
+        # equi-key on partkey + band predicates: unhinted this stays a hash
+        # join that degrades to SMJ when part outgrows the AQE threshold
         l.join(
-            F.broadcast(p),
+            p,
             (l.l_partkey == p.p_partkey)
             & (l.l_extendedprice >= p.p_retailprice * 5)
             & (l.l_extendedprice <= p.p_retailprice * 30),

@@ -126,7 +126,7 @@ def join_salted_skew(spark, sf_dir):
     )
     return (
         l.join(o_rep, (l.l_orderkey == o_rep.o_orderkey) & (l["__salt"] == o_rep["__salt"]))
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             lsum("l_extendedprice", 100).alias("revenue"),

@@ -197,7 +197,10 @@ def join_bloom_semijoin(spark, sf_dir):
     probe = (
         fact.join(F.broadcast(b0), "p0", "left")
         .join(F.broadcast(b1), "p1", "left")
-        .join(F.broadcast(dimflag), "o_custkey", "left")
+        # the exact-membership audit joins the full dim side — SF-scaling, so
+        # unhinted (the Bloom bit tables above stay broadcast: distinct
+        # 16-bit positions, <= 65536 rows by construction)
+        .join(dimflag, "o_custkey", "left")
         .select(
             "o_orderpriority",
             (F.coalesce("h0", F.lit(0)) * F.coalesce("h1", F.lit(0))).alias(

@@ -201,22 +201,88 @@ def test_word_freq_topk_uses_bounded_sort(spark, sf_dir):
     assert "Window" not in plan
 
 
+# Queries whose broadcast side is bounded by a CONSTANT in the code (K
+# centroids via `vec_id < N_CLUSTERS`, the N_QUERIES query batch, a
+# 256-codeword PQ codebook): the hinted subtree scans a big table but a
+# literal filter caps the row count, which the structural lint below
+# cannot see. Every entry must be bounded by construction — adding a name
+# here to silence the lint for an SF-scaling side is a scale bug.
+_CONSTANT_BOUNDED_BROADCASTS = {
+    "ml_kmeans_assign",
+    "ml_knn_classify",
+    "ml_ndcg_linear",
+    "mllib_brp_neighbors",
+    "mllib_brp_recall",
+    "sim_ann_lsh_topk",
+    "sim_ivf_recall",
+    "sim_ivf_sampled_quantizer",
+    "sim_pq_adc_topk",
+    "sim_pq_encode",
+    "sim_topk_bruteforce",
+}
+
+# one column per SF-scaling table; nation/region (fixed 25/5 rows) are
+# deliberately absent — force-broadcasting those is fine at any scale
+_BIG_TABLE_COLS = (
+    "c_custkey", "p_partkey", "s_suppkey", "o_orderkey", "l_orderkey",
+    "doc_id", "vec_id", "event_id",
+)
+# a hinted subtree containing any of these between the hint and the scan
+# has bounded (or at least data-reduced) cardinality — allowed
+_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "Deduplicate", "Distinct", "Join")
+
+
+def _forced_big_broadcast(analyzed_plan: str) -> bool:
+    """True if a broadcast ResolvedHint's subtree scans an SF-scaling table
+    with no aggregation/limit/dedup between the hint and the scan."""
+    lines = analyzed_plan.splitlines()
+
+    def depth(ln: str) -> int:
+        for j, ch in enumerate(ln):
+            if ch not in " :+-":
+                return j
+        return len(ln)
+
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln:
+            continue
+        d = depth(ln)
+        sub: list[str] = []
+        for nxt in lines[i + 1:]:
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        body = "\n".join(sub)
+        if any(c in body for c in _BIG_TABLE_COLS) and not any(
+            b in body for b in _BOUNDING_NODES
+        ):
+            return True
+    return False
+
+
 def test_plan_lint_registry_wide(spark, sf_dir):
-    """Every registered query's physical plan, linted for the two shapes
-    that do not survive scale: row-at-a-time Python UDFs (BatchEvalPython)
-    and un-broadcast Cartesian products. Arrow-batched Python
-    (MapInPandas / FlatMapGroupsInPandas / UDTF) is allowed — that is the
-    sanctioned escape hatch."""
+    """Every registered query's plan, linted for the three shapes that do
+    not survive scale: row-at-a-time Python UDFs (BatchEvalPython),
+    un-broadcast Cartesian products, and forced broadcasts of SF-scaling
+    tables (a hint Spark obeys unconditionally — at cluster scale it OOMs
+    the driver where an unhinted join would degrade to SMJ via AQE).
+    Arrow-batched Python (MapInPandas / FlatMapGroupsInPandas / UDTF) is
+    allowed — that is the sanctioned escape hatch."""
     offenders: list[str] = []
     for name, spec in sorted(SPECS.items()):
         df = spec.fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         # BatchEvalPythonUDTF is the (batched) UDTF node, not a row-wise UDF
         plan = plan.replace("BatchEvalPythonUDTF", "PythonUDTF")
         if "BatchEvalPython" in plan:
             offenders.append(f"{name}: row-wise Python UDF")
         if "CartesianProduct" in plan:
             offenders.append(f"{name}: CartesianProduct")
+        if name not in _CONSTANT_BOUNDED_BROADCASTS and _forced_big_broadcast(
+            qe.analyzed().toString()
+        ):
+            offenders.append(f"{name}: forced broadcast of an SF-scaling table")
     assert not offenders, offenders
 
 
