@@ -260,6 +260,53 @@ def _forced_big_broadcast(analyzed_plan: str) -> bool:
     return False
 
 
+def test_forced_big_broadcast_heuristic():
+    """String-level spec of the lint's plan classifier, pinned against
+    hand-written analyzed-plan shapes so a Spark plan-format drift that
+    silently blinds the lint shows up as a test failure, not as a missed
+    regression."""
+    flagged = "\n".join([
+        "Join Inner, (o_custkey#1L = c_custkey#2L)",
+        ":- Relation [o_orderkey#0L,o_custkey#1L] parquet",
+        "+- ResolvedHint (strategy=broadcast)",
+        "   +- Relation [c_custkey#2L,c_name#3] parquet",
+    ])
+    assert _forced_big_broadcast(flagged)
+
+    # an Aggregate between the hint and the scan bounds the side — allowed
+    bounded = "\n".join([
+        "Join Inner, (o_custkey#1L = c_custkey#2L)",
+        ":- Relation [o_orderkey#0L,o_custkey#1L] parquet",
+        "+- ResolvedHint (strategy=broadcast)",
+        "   +- Aggregate [c_custkey#2L], [c_custkey#2L]",
+        "      +- Relation [c_custkey#2L,c_name#3] parquet",
+    ])
+    assert not _forced_big_broadcast(bounded)
+
+    # fixed-size dims (nation/region) are not in _BIG_TABLE_COLS — allowed
+    small_dim = "\n".join([
+        "Join Inner, (c_nationkey#4L = n_nationkey#5L)",
+        ":- Relation [c_custkey#2L,c_nationkey#4L] parquet",
+        "+- ResolvedHint (strategy=broadcast)",
+        "   +- Relation [n_nationkey#5L,n_name#6] parquet",
+    ])
+    assert not _forced_big_broadcast(small_dim)
+
+    # a non-broadcast strategy hint (merge/shuffle_hash) is not a broadcast
+    merge_hint = flagged.replace("strategy=broadcast", "strategy=merge")
+    assert not _forced_big_broadcast(merge_hint)
+
+    # the sibling BEFORE the hint must not leak into the hint's subtree:
+    # the big-table scan here is the probe side, the hinted side is tiny
+    sibling = "\n".join([
+        "Join Inner, (g#7L = g#8L)",
+        ":- Relation [doc_id#9L,g#7L] parquet",
+        "+- ResolvedHint (strategy=broadcast)",
+        "   +- LocalRelation [g#8L]",
+    ])
+    assert not _forced_big_broadcast(sibling)
+
+
 def test_plan_lint_registry_wide(spark, sf_dir):
     """Every registered query's plan, linted for the three shapes that do
     not survive scale: row-at-a-time Python UDFs (BatchEvalPython),
