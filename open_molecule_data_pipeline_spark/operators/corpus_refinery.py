@@ -4,8 +4,9 @@ skew-diagnosis reports that keep such a pipeline operable.
 
 - Boilerplate line removal (RefinedWeb/CCNet-style): drop text segments
   that recur across many documents (nav bars, cookie banners, license
-  headers). Segments shuffle as 16-byte md5 keys, never bodies; the
-  boilerplate set is vocabulary-bounded and broadcast back.
+  headers). Segments shuffle as 8-byte xxhash64 keys (r8, was md5 hex),
+  never bodies; the boilerplate set is vocabulary-bounded and joined
+  unhinted so AQE broadcasts it only while it fits.
 - Bloom-filter decontamination prefilter: the eval set's n-grams are folded
   into a tiny deterministic Bloom bitset that every executor holds; only
   grams passing the bitset are candidates for the (expensive) exact check.

@@ -11,10 +11,14 @@
 5. embedding cosine — near-dup by semantic similarity (see similarity.py
                   for the search-flavored variants).
 
-All signatures are computed with md5 over shingles — deterministic,
-engine-portable (hex-string min == lexicographic min in both Spark and
-DuckDB), and entirely inside whole-stage codegen: the per-doc signature
-pipeline is map-only (array lambdas, no explode, no Python).
+Signature VALUES that appear in query output are md5 over shingles —
+deterministic, engine-portable (hex-string min == lexicographic min in
+both Spark and DuckDB), and entirely inside whole-stage codegen: the
+per-doc signature pipeline is map-only (array lambdas, no explode, no
+Python). Purely INTERNAL join/group identities (LSH band keys, the
+verify stage's shingle sets) are 8-byte xxhash64 longs since r8 — ~5x
+less shuffle bytes than 32-char md5 hex at identical results, because
+the oracle only ever sees the doc-id pairs those keys produce.
 """
 
 from __future__ import annotations

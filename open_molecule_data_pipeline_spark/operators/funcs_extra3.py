@@ -481,15 +481,19 @@ def func_date_edges(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Array membership/layout family: sort, position, contains, flatten,
 # distinct-count. Spark array_position returns 0 for a miss where DuckDB
-# list_position returns NULL → coalesce on the oracle side.
+# list_position returns NULL → coalesce on the oracle side. The two
+# array-valued results are flattened to comma-joined strings on BOTH
+# engines: the external harness canonicalizes result cells with a pandas
+# sort, which cannot hash nested values, so contract queries must emit
+# flat top-level columns only (lint: tests/test_contract_order.py).
 # --------------------------------------------------------------------------
 
 _ARRAY_SET_ORACLE = """
 SELECT doc_id,
-       list_sort(toks[1:5]) AS first5_sorted,
+       array_to_string(list_sort(toks[1:5]), ',') AS first5_sorted,
        cast(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
        list_contains(toks, 'data') AS has_data,
-       flatten([toks[1:2], toks[3:4]]) AS flat4,
+       array_to_string(flatten([toks[1:2], toks[3:4]]), ',') AS flat4,
        cast(len(list_distinct(toks)) AS INTEGER) AS n_uniq
 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
 """
@@ -502,11 +506,14 @@ def func_array_membership(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        F.sort_array(F.slice("toks", 1, 5)).alias("first5_sorted"),
+        F.array_join(F.sort_array(F.slice("toks", 1, 5)), ",").alias(
+            "first5_sorted"
+        ),
         F.array_position("toks", "the").alias("pos_the"),
         F.array_contains("toks", "data").alias("has_data"),
-        F.flatten(
-            F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))
+        F.array_join(
+            F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))),
+            ",",
         ).alias("flat4"),
         F.size(F.array_distinct("toks")).alias("n_uniq"),
     )

@@ -121,6 +121,13 @@ def ml_decision_stump(spark, sf_dir):
             # need decimal headroom num already consumes): split into the
             # integer quotient (<= n, back in int64) and the exactly-scaled
             # remainder (< den * 1e6, still inside decimal(38,0)).
+            # CAUTION (ADVICE r8): decimal `div` returns LongType and
+            # WRAPS SILENTLY on int64 overflow even under ANSI — the
+            # quotient bounds (num div den <= n; remainder-quotient
+            # < 1e6 * n here) are load-bearing, not backstopped by an
+            # ANSI abort. Same caveat applies to every cast(... div ...)
+            # ppm idiom in this family (pr_curve, ndcg, zipf, lttb,
+            # clustering coefficient).
             "score_ppm",
             F.expr(
                 "cast((num div den) * 1000000"

@@ -32,36 +32,108 @@ QUERIES: dict[str, QuerySpec] = {}
 # ``__spark_entry__.queries()``, so the contract ordering is curated and
 # ROTATED each round: the window keeps every query ADDED or CHANGED this
 # round, and fills the remaining slots with queries the external gate has
-# never sampled. Cumulative driver-verified through r7: 261 of 310
-# contract queries (union of green rows in CORRECTNESS_r01..r07),
-# leaving exactly 49 never-sampled — the low-risk sketch / profile /
-# layout / scalar-function / agg / text / ts / window tails. Per VERDICT
-# r7 #1 the r8 window below spends every slot finishing that drain: 1
-# re-proof slot for ``sim_ivf_topk`` (CHANGED in r8 — its index build
-# switched from the sqrt(n) coarse quantizer to the O(n*K) sampled
-# fixed-K quantizer, VERDICT r7 #2, so its oracle changed with it) plus
-# all 49 never-greens in the priority order staged last round. A green
-# r8 run reaches cumulative 310/310. New-query additions remain FROZEN
-# until the head drains (any new query must also sit in the window, and
-# the window is full). NOTE: ``text_bpe_train_batched`` was also
-# reworked in r8 (tokenize-once + array-fold rewrite, VERDICT r7 #6,
-# oracle UNCHANGED) but its re-proof slot yields to the backlog per the
-# freeze — interim proof is the local oracle parity suite + the r8
-# driver-sim sweep, and it heads the r9 re-proof list, followed by
-# ``recursive_month_spine`` (r8: loop bound carried through the
-# recursion instead of a per-iteration scalar subquery; oracle text
-# changed in lockstep, one SQL serves both engines as before). Operator families whose sentinels rotate OUT of
-# the window are already externally proven by >= 2 green rows in past
-# CORRECTNESS files; tests/test_contract_order.py enforces exactly that
-# invariant (in-window OR cumulatively green). Everything else follows
-# in registration order. Names listed here but not registered are
-# ignored (keeps the list forward-compatible while modules evolve).
+# never sampled. Cumulative driver-verified through r8: 309 of 310
+# contract queries (union of green rows in CORRECTNESS_r01..r08) — every
+# contract query has now been sampled at least once; the single non-green
+# is ``func_array_membership`` (driver-harness canonicalizer error on its
+# two array-typed output columns, VERDICT r8 #1 — fixed this round by
+# flattening both outputs with array_join, oracle mirrored with
+# array_to_string). With the backlog drained, the r9 window is pure
+# RE-PROOF: 50 slots for code changed in r8/r9 that no driver row has
+# exercised yet (VERDICT r8 "What's missing" #2), ordered semantics-first:
+#   1     func_array_membership (r9: array outputs flattened; last red row)
+#   2     recursive_month_spine (r8: ORACLE TEXT CHANGED — loop bound
+#         carried through the recursion instead of a per-iteration scalar
+#         subquery rescanning orders)
+#   3-4   both BPE trainers (r8: tokenize-once + array-fold rewrite)
+#   5     agg_approx_distinct (r8: split into 3 narrow aggs)
+#   6     text_bm25_topk (r8: corpus stats off doc lengths, not the
+#         exploded token stream)
+#   7-15  the xxhash64-rekeyed dedup/corpus family (r8: 8-byte long band/
+#         gram/span keys replacing 32-char md5 hex)
+#   16-28 the DECIMAL(38,0) accumulator family (r8: int64 overflow
+#         hardening of quadratic/cubic fixed-point sums)
+#   29    stream_mv_twin (r8: sweeper guard on live result dirs)
+#   30-50 hint-only broadcast drops (r8: forced broadcasts of SF-scaling
+#         join sides removed; AQE keeps identical local plans, so these
+#         are the lowest-risk re-proofs and fill the remaining slots)
+# Two more hint-only drops (``join_local_supplier_volume``,
+# ``join_theta_price_band``) did not fit; they sit at positions 51-52,
+# are doubly driver-green on the old code, and head the r10 window if
+# still unproven then. ``text_lm_bigram_backoff`` and the r8-window
+# ``func_*``/``sample_*`` rows were sampled AFTER the r8 commits landed,
+# so their CORRECTNESS_r08 greens already prove the post-change code — no
+# slot spent. Operator families whose sentinels rotate OUT of the window
+# are already externally proven by >= 2 green rows in past CORRECTNESS
+# files; tests/test_contract_order.py enforces exactly that invariant
+# (in-window OR cumulatively green). Everything else follows in
+# registration order. Names listed here but not registered are ignored
+# (keeps the list forward-compatible while modules evolve).
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- CHANGED in r8 (VERDICT r7 #2: sampled fixed-K quantizer is now
-    #     the default IVF index build; oracle switched in lockstep) ---
+    # --- slot 1: the last never-green query, fixed this round (r9) ---
+    "func_array_membership",
+    # --- slots 2-6: r8 semantic rewrites, highest exposure first ---
+    "recursive_month_spine",
+    "text_bpe_train_batched",
+    "text_bpe_train_merges",
+    "agg_approx_distinct",
+    "text_bm25_topk",
+    # --- slots 7-15: xxhash64-rekeyed dedup/corpus internals (r8) ---
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_duplicate_spans",
+    "dedup_paragraphs",
+    "dedup_prefix_filter_join",
+    "dedup_boilerplate_lines",
+    "text_decontamination_overlap",
+    "corpus_pipeline_report",
+    # --- slots 16-28: DECIMAL(38,0) accumulator hardening (r8) ---
+    "ml_kmeans_lloyd_3iter",
+    "ml_logreg_irls",
+    "ml_svm_subgradient",
+    "ml_pca_power_iteration",
+    "ml_ols_normal_equations",
+    "ml_decision_stump",
+    "ml_auc_roc",
+    "ml_pr_curve",
+    "ts_downsample_lttb",
+    "sim_pq_encode",
+    "graph_clustering_coefficient",
+    "text_zipf_coverage",
+    "agg_weighted_mean_twostage",
+    # --- slot 29: streaming MV twin sweeper guard (r8) ---
+    "stream_mv_twin",
+    # --- slots 30-50: hint-only forced-broadcast drops (r8, plan-only) ---
+    "text_lm_unigram_score",
+    "sample_hash_topk_per_group",
+    "join_returned_revenue",
+    "agg_promo_share",
+    "agg_supplier_variety",
+    "join_large_orders",
+    "join_disjunctive_predicates",
+    "join_volume_shipping",
+    "agg_market_share",
+    "agg_profit_by_nation_year",
+    "join_top_supplier",
+    "subquery_small_quantity_revenue",
+    "join_waiting_suppliers",
+    "join_promo_stock_suppliers",
+    "text_dsir_weights",
+    "sample_importance_resample",
+    "graph_jaccard_neighbors",
+    "cdc_deletion_vectors",
+    "join_shipping_priority",
+    "join_salted_skew",
+    "join_bloom_semijoin",
+    # --- positions 51-52: the two deferred hint-only drops (r10 head) ---
+    "join_local_supplier_volume",
+    "join_theta_price_band",
+    # --- positions 53+: the drained r8 window (all driver-green in
+    #     CORRECTNESS_r08.json on post-change code), then the r7 window
+    #     and older curated tail, kept in order so positions stay stable;
+    #     everything else follows in registration order ---
     "sim_ivf_topk",
-    # --- the 49 never-driver-sampled queries, in the priority order
-    #     pre-staged at positions 51+ last round ---
     "agg_misra_gries_verdict",
     "agg_kmv_intersect",
     "agg_bitmap_distinct",
@@ -85,7 +157,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "func_encode_hash",
     "func_string_extra2",
     "func_date_edges",
-    "func_array_membership",
     "func_try_ops",
     "func_timezone_convert",
     "func_explode_outer",
@@ -111,24 +182,12 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "window_range_trailing_30d",
     "window_ratio_to_report",
     "window_gaps_islands",
-    # --- position 51+: the drained r7 window (all driver-green in
-    #     CORRECTNESS_r07.json), kept in its r7 order so positions stay
-    #     stable for the bookkeeping above; everything else follows in
-    #     registration order ---
     "sim_ivf_sampled_quantizer",
-    "agg_weighted_mean_twostage",
-    "text_bpe_train_batched",
-    "stream_mv_twin",
     "stream_late_drop_twin",
     "stream_chained_agg_twin",
     "stream_tws_user_stats",
     "udaf_pandas_weighted_mean",
-    "ml_kmeans_lloyd_3iter",
-    "ml_logreg_irls",
-    "ml_svm_subgradient",
-    "ml_pca_power_iteration",
     "ml_naive_bayes_confusion",
-    "ml_ols_normal_equations",
     "mllib_minhash_pairs",
     "mllib_brp_neighbors",
     "ingest_smiles_table_demo",
@@ -138,18 +197,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ingest_chembl_demo",
     "dedup_clusters_twostar",
     "dedup_lsh_recall_vs_exact",
-    "dedup_prefix_filter_join",
-    "dedup_duplicate_spans",
-    "dedup_paragraphs",
     "dedup_url_normalize",
-    "text_bpe_train_merges",
     "text_winnowing_fingerprints",
-    "text_dsir_weights",
     "text_langid_confusion",
     "text_keyword_blocklist",
-    "corpus_pipeline_report",
     "cdc_incremental_agg_maintenance",
-    "ml_auc_roc",
     "ml_calibration_bins",
     "join_skyline_pareto",
     "join_semijoin_reduction",
@@ -161,7 +213,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ts_cusum_drift",
     "ts_cohort_retention_matrix",
     "sample_shuffle_shards",
-    "sample_importance_resample",
     "sample_contrastive_triplets",
     "sample_poisson_bootstrap",
     "agg_approx_percentile_verdict",

@@ -4,6 +4,12 @@ Runs the Spark query and the oracle SQL on the same parquet tables, sorts
 columns by name, canonicalizes every cell to a string, sorts rows, and
 asserts exact equality — a strictly-harder check than an order-insensitive
 value hash, so passing here should imply passing the driver's gate.
+
+VERDICT r8 caveat closed: the driver canonicalizer sorts RAW columns with
+pandas ``sort_values`` *before* stringifying, so it throws on nested cell
+values (unhashable ndarray) where a stringify-first canon sails through.
+``canon`` now runs the same raw-column sort as a probe first, so any
+result shape the driver would reject fails here too.
 """
 
 from __future__ import annotations
@@ -75,6 +81,11 @@ def _cell(v) -> str:
 
 def canon(df: pd.DataFrame) -> list[tuple[str, ...]]:
     df = df[sorted(df.columns)]
+    if len(df.columns) and len(df):
+        # driver-parity probe: the external harness sorts raw columns
+        # first, which raises TypeError on array/map/struct cells — make
+        # the local suite fail on exactly the shapes the driver rejects
+        df.sort_values(by=list(df.columns))
     rows = [tuple(_cell(v) for v in row) for row in df.itertuples(index=False)]
     return sorted(rows)
 

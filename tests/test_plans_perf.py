@@ -228,8 +228,10 @@ _BIG_TABLE_COLS = (
     "doc_id", "vec_id", "event_id",
 )
 # a hinted subtree containing any of these between the hint and the scan
-# has bounded (or at least data-reduced) cardinality — allowed
-_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "Deduplicate", "Distinct", "Join")
+# has bounded (or at least data-reduced) cardinality — allowed. "Join" is
+# deliberately NOT here (ADVICE r8): a join of two SF-scaling tables does
+# not reduce cardinality, so it must not exempt a forced broadcast.
+_BOUNDING_NODES = ("Aggregate", "GlobalLimit", "Deduplicate", "Distinct")
 
 
 def _forced_big_broadcast(analyzed_plan: str) -> bool:
@@ -314,7 +316,17 @@ def test_plan_lint_registry_wide(spark, sf_dir):
     tables (a hint Spark obeys unconditionally — at cluster scale it OOMs
     the driver where an unhinted join would degrade to SMJ via AQE).
     Arrow-batched Python (MapInPandas / FlatMapGroupsInPandas / UDTF) is
-    allowed — that is the sanctioned escape hatch."""
+    allowed — that is the sanctioned escape hatch.
+
+    Also asserted here (same per-query loop, near-zero extra cost):
+    contract queries must emit FLAT top-level output columns only — the
+    external harness canonicalizes result cells with a pandas raw-column
+    sort, which throws on array/map/struct cells (VERDICT r8 #1:
+    func_array_membership was the one offender)."""
+    # stale-allowlist guard (ADVICE r8): every exempted name must still
+    # be a registered query, else the exemption silently does nothing
+    stale = _CONSTANT_BOUNDED_BROADCASTS - set(SPECS)
+    assert not stale, f"stale _CONSTANT_BOUNDED_BROADCASTS entries: {stale}"
     offenders: list[str] = []
     for name, spec in sorted(SPECS.items()):
         df = spec.fn(spark, sf_dir)
@@ -330,6 +342,17 @@ def test_plan_lint_registry_wide(spark, sf_dir):
             qe.analyzed().toString()
         ):
             offenders.append(f"{name}: forced broadcast of an SF-scaling table")
+        if spec.contract:
+            nested = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if nested:
+                offenders.append(
+                    f"{name}: nested top-level output columns {nested} "
+                    "(driver canonicalizer cannot hash them)"
+                )
     assert not offenders, offenders
 
 
