@@ -1089,3 +1089,189 @@ def text_bpe_train_batched(spark, sf_dir):
     for rdf in results[1:]:
         out = out.unionByName(rdf)
     return out
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer APPLY — the other half of the tokenizer loop: run the same
+# 2 sweeps x 4 merges the batched trainer learns, then report what the
+# learned vocabulary DID to the corpus, per language: doc counts, token
+# counts before/after, merged-token count, and the compression ratio in
+# ppm. This is the encode-side accounting a production pipeline runs after
+# training a tokenizer (tokens-after is the number the training cluster
+# actually pays for). Same per-sweep shape as the trainer — one corpus
+# pair-count aggregation, one TakeOrdered(POOL), one broadcast rewrite
+# fold — plus ONE final per-lang aggregation; token counts ride along as a
+# per-row int so "before" needs no second corpus scan. compression_ppm
+# numerators run in decimal(38,0) on Spark / HUGEINT in the oracle
+# (tokens * 1e6 overflows int64 past ~9e12 tokens; quotient <= 1e6 so the
+# long cast-back is bound-safe — decimal div wraps silently, see
+# ml_eval.py).
+# --------------------------------------------------------------------------
+
+
+def _bpe_apply_oracle() -> str:
+    parts = [
+        "WITH t0 AS (SELECT lang, ' ' || text || ' ' AS s FROM documents)"
+    ]
+    for r in range(1, _BPE_SWEEPS + 1):
+        nested = "s"
+        for k in range(1, _BPE_BATCH + 1):
+            nested = (
+                f"regexp_replace({nested},\n"
+                f"    coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM kept{r} WHERE kr = {k}), 'a^'),\n"
+                f"    coalesce((SELECT ' ' || a || '_' || b || ' ' FROM kept{r} WHERE kr = {k}), ''),\n"
+                f"    'g')"
+            )
+        parts.append(f""",
+tk{r} AS (
+  SELECT string_split(trim(s), ' ') AS toks FROM t{r - 1}
+  WHERE len(string_split(trim(s), ' ')) >= 2
+),
+pr{r} AS (
+  SELECT toks[i + 1] AS a, toks[i + 2] AS b, cast(count(*) AS BIGINT) AS freq
+  FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i FROM tk{r})
+  GROUP BY 1, 2
+),
+cand{r} AS (
+  SELECT a, b, freq, a || '_' || b AS m,
+         row_number() OVER (ORDER BY freq DESC, a, b) AS r
+  FROM pr{r}
+  QUALIFY r <= {_BPE_POOL}
+),
+kept{r} AS (
+  SELECT a, b, freq,
+         row_number() OVER (ORDER BY r) AS kr
+  FROM cand{r} c1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand{r} c2
+    WHERE c2.r < c1.r
+      AND (c2.a IN (c1.a, c1.b, c1.m)
+        OR c2.b IN (c1.a, c1.b, c1.m)
+        OR c2.m IN (c1.a, c1.b, c1.m))
+  )
+  QUALIFY kr <= {_BPE_BATCH}
+),
+t{r} AS (
+  SELECT lang, {nested} AS s FROM t{r - 1}
+)""")
+    last = f"t{_BPE_SWEEPS}"
+    parts.append(f""",
+before AS (
+  SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS tokens_before
+  FROM t0 GROUP BY lang
+),
+after AS (
+  SELECT lang,
+         cast(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS tokens_after
+  FROM {last} GROUP BY lang
+)
+SELECT b.lang, b.n_docs, b.tokens_before, a.tokens_after,
+       b.tokens_before - a.tokens_after AS n_merged,
+       cast((cast(a.tokens_after AS HUGEINT) * 1000000) // b.tokens_before
+            AS BIGINT) AS compression_ppm
+FROM before b JOIN after a ON b.lang = a.lang""")
+    return "".join(parts)
+
+
+@register(
+    "text_bpe_encode_apply",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "training"),
+)
+def text_bpe_encode_apply(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    cur = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "lang", F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    # tokens_before rides along per row: no second corpus scan at the end
+    cur = cur.withColumn("nb", F.size("toks").cast("long"))
+
+    for _ in range(_BPE_SWEEPS):
+        tk = F.col("toks")
+        pairs = (
+            cur.filter(F.size(tk) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(tk) - 2),
+                        lambda i: F.struct(
+                            F.element_at(tk, i + 1).alias("a"),
+                            F.element_at(tk, i + 2).alias("b"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        cands = (
+            pairs.orderBy(F.desc("freq"), "a", "b")
+            .limit(_BPE_POOL)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("freq")).alias("nf"),
+                            F.col("a").alias("a"),
+                            F.col("b").alias("b"),
+                            F.col("freq").alias("freq"),
+                            F.concat(F.col("a"), F.lit("_"), F.col("b")).alias("m"),
+                        )
+                    )
+                ).alias("cands")
+            )
+        )
+
+        def overlaps(h, c):
+            c_set = F.array(c["a"], c["b"], c["m"])
+            return (
+                F.array_contains(c_set, h["a"])
+                | F.array_contains(c_set, h["b"])
+                | F.array_contains(c_set, h["m"])
+            )
+
+        kept_arr = F.slice(
+            F.filter(
+                F.col("cands"),
+                lambda c, i: ~F.exists(
+                    F.slice(F.col("cands"), 1, i), lambda h: overlaps(h, c)
+                ),
+            ),
+            1,
+            _BPE_BATCH,
+        )
+        keptrow = cands.select(
+            F.transform(
+                kept_arr,
+                lambda c, i: F.struct(
+                    c["a"].alias("a"),
+                    c["b"].alias("b"),
+                    c["freq"].alias("freq"),
+                    (i + 1).cast("long").alias("kr"),
+                    c["m"].alias("m"),
+                ),
+            ).alias("kept")
+        ).localCheckpoint(eager=True)
+        cur = (
+            cur.crossJoin(F.broadcast(keptrow))
+            .select(
+                "lang",
+                _bpe_merge_fold(F.col("toks"), F.col("kept")).alias("toks"),
+                "nb",
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    return cur.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("tokens_before"),
+        F.sum(F.size("toks").cast("long")).cast("long").alias("tokens_after"),
+        (F.sum("nb") - F.sum(F.size("toks").cast("long")))
+        .cast("long")
+        .alias("n_merged"),
+        F.expr(
+            "cast((cast(sum(cast(size(toks) AS BIGINT)) AS DECIMAL(38,0))"
+            "      * 1000000) div sum(nb) AS BIGINT)"
+        ).alias("compression_ppm"),
+    )

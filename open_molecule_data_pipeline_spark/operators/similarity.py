@@ -817,3 +817,100 @@ def sim_ivf_sampled_quantizer(spark, sf_dir):
             F.count("ivf_neighbor") / F.lit(3).cast("double"), 6
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style truncation eval (Kusupati et al. 2022): score neighbors
+# with only the FIRST _TRUNC_DIM components and measure recall@K against
+# the full-dimension brute-force ground truth. This is the metric that
+# decides how far an embedding column can be truncated before indexing /
+# shipping it — at 100 TB, keeping 16 of 64 dims is a 4x cut in scan,
+# shuffle, and index bytes, and this query prices exactly what that costs
+# in retrieval quality. Same determinism rules as the other evals: both
+# rankings are (cos desc, neighbor_id) row_numbers over identical double
+# arithmetic, and both sides of the recall join are bounded by
+# K * N_QUERIES rows (constants), so the join broadcasts by construction.
+# --------------------------------------------------------------------------
+
+_TRUNC_DIM = 16
+
+_TRUNC_RECALL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding[1:{_TRUNC_DIM}], x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+tr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.e, c.e)
+                      / (sqrt(list_dot_product(q.e, q.e))
+                         * sqrt(list_dot_product(c.e, c.e))) DESC,
+                      c.vec_id) AS rn
+    FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  ) t WHERE rn <= {K}
+),
+br AS ({_TOPK_ORACLE})
+SELECT br.query_id,
+       cast(count(tr.neighbor_id) AS BIGINT) AS n_hit,
+       round(count(tr.neighbor_id) / cast({K} AS DOUBLE), 6) AS recall
+FROM br LEFT JOIN tr
+  ON br.query_id = tr.query_id AND br.neighbor_id = tr.neighbor_id
+GROUP BY br.query_id
+"""
+
+
+@register(
+    "ml_embedding_truncate_recall",
+    oracle=_TRUNC_RECALL_ORACLE,
+    tags=("similarity", "ml", "eval"),
+)
+def ml_embedding_truncate_recall(spark, sf_dir):
+    # truncated corpus scan: slice FIRST, so norms and dot products read
+    # 16 components — the whole point is that the scan/score cost drops
+    # with the dimension cut
+    e = spread(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("te")
+        ),
+        "vec_id",
+    ).withColumn("tn", F.sqrt(F.expr(_DOT.format(a="te", b="te"))))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("te").alias("qe"),
+        F.col("tn").alias("qq"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("te").alias("ce"),
+        F.col("tn").alias("cc"),
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    tr = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("qq") * F.col("cc"))).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", F.col("neighbor_id").alias("tr_neighbor"))
+    )
+    brK = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    joined = brK.join(
+        F.broadcast(tr),
+        (brK.query_id == tr.query_id) & (brK.neighbor_id == tr.tr_neighbor),
+        "left",
+    ).select(brK.query_id, "tr_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count("tr_neighbor").alias("n_hit"),
+        F.round(
+            F.count("tr_neighbor") / F.lit(K).cast("double"), 6
+        ).alias("recall"),
+    )

@@ -300,3 +300,143 @@ def text_bigram_top10(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("lang", "bigram", "n", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rule report (Rae et al. 2021, Appendix A): unlike
+# text_quality_filter's CASCADE (each doc gets its first failing verdict),
+# every rule here is evaluated INDEPENDENTLY per doc and reported as a
+# per-language pass rate — the report that tunes thresholds before wiring
+# them into the production cascade. All predicates are integer-exact
+# (threshold fractions cleared to integer cross-products) and evaluated in
+# one scan: per-doc booleans -> per-lang conditional sums -> one explode to
+# (lang, rule) rows. No joins, no Python; pass_ppm numerators run in
+# decimal(38,0) on Spark / HUGEINT in the oracle (n_pass * 1e6 overflows
+# int64 past ~9e12 docs; the div quotient is <= 1e6, so the long cast-back
+# is bound-safe — decimal div wraps silently, see ml_eval.py). HUGEINT
+# rather than DECIMAL on the DuckDB side because DuckDB's DECIMAL //
+# ROUNDS where HUGEINT // floors; Spark's decimal `div` truncates
+# (== floor for positives).
+# Gopher's line-based rules (bullet/ellipsis line fractions, duplicate
+# lines) are omitted: the synthetic corpus is single-line by construction,
+# and dedup_boilerplate_lines / dedup_paragraphs already cover recurring
+# segments. The required-word list is parametrized to the corpus' function
+# words (Gopher uses 8 English stopwords; this vocabulary has none).
+# --------------------------------------------------------------------------
+
+_GOPHER_REQUIRED = ("data", "table", "row", "value", "key")
+_GOPHER_RULES = (
+    # rule name, DuckDB predicate over sig columns (Spark twin built below)
+    ("word_count_50_100k", "nw >= 50 AND nw <= 100000"),
+    ("mean_word_len_3_10", "3 * nw <= sum_len AND sum_len <= 10 * nw"),
+    ("symbol_ratio_le_10pct", "10 * (n_hash + n_ellipsis) <= nw"),
+    ("alpha_words_ge_80pct", "5 * n_alpha >= 4 * nw"),
+    ("required_words_ge_2", "n_required >= 2"),
+)
+
+_GOPHER_ORACLE = f"""
+WITH sig AS (
+  SELECT lang,
+         cast(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         cast(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_len,
+         cast(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         cast((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis,
+         cast(len(list_filter(string_split(text, ' '),
+                              t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         cast(len(list_intersect(string_split(text, ' '),
+                                 {list(_GOPHER_REQUIRED)})) AS BIGINT) AS n_required
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+         {", ".join(
+             f"cast(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS p{i}"
+             for i, (_, pred) in enumerate(_GOPHER_RULES)
+         )}
+  FROM sig GROUP BY lang
+)
+{" UNION ALL ".join(
+    f"SELECT lang, '{name}' AS rule, n_docs, p{i} AS n_pass, "
+    f"cast((cast(p{i} AS HUGEINT) * 1000000) // n_docs AS BIGINT) AS pass_ppm "
+    f"FROM per_lang"
+    for i, (name, _) in enumerate(_GOPHER_RULES)
+)}
+"""
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=_GOPHER_ORACLE,
+    tags=("text", "quality", "agg"),
+)
+def text_gopher_quality_rules(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("nw"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+        .cast("long")
+        .alias("n_hash"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("...")))
+            )
+            / 3
+        )
+        .cast("long")
+        .alias("n_ellipsis"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(wd) for wd in _GOPHER_REQUIRED])
+            )
+        )
+        .cast("long")
+        .alias("n_required"),
+    )
+    preds = {
+        "word_count_50_100k": (F.col("nw") >= 50) & (F.col("nw") <= 100000),
+        "mean_word_len_3_10": (3 * F.col("nw") <= F.col("sum_len"))
+        & (F.col("sum_len") <= 10 * F.col("nw")),
+        "symbol_ratio_le_10pct": 10 * (F.col("n_hash") + F.col("n_ellipsis"))
+        <= F.col("nw"),
+        "alpha_words_ge_80pct": 5 * F.col("n_alpha") >= 4 * F.col("nw"),
+        "required_words_ge_2": F.col("n_required") >= 2,
+    }
+    agg = sig.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"p{i}")
+            for i, pred in enumerate(preds.values())
+        ],
+    )
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"p{i}").alias("n_pass")
+            )
+            for i, name in enumerate(preds)
+        ]
+    )
+    return (
+        agg.select("lang", "n_docs", F.explode(rules).alias("x"))
+        .select(
+            "lang",
+            "x.rule",
+            "n_docs",
+            "x.n_pass",
+            F.expr(
+                "cast((cast(n_pass AS DECIMAL(38,0)) * 1000000)"
+                "     div n_docs AS BIGINT)"
+            ).alias("pass_ppm"),
+        )
+    )

@@ -208,6 +208,7 @@ def test_word_freq_topk_uses_bounded_sort(spark, sf_dir):
 # cannot see. Every entry must be bounded by construction — adding a name
 # here to silence the lint for an SF-scaling side is a scale bug.
 _CONSTANT_BOUNDED_BROADCASTS = {
+    "ml_embedding_truncate_recall",
     "ml_kmeans_assign",
     "ml_knn_classify",
     "ml_ndcg_linear",

@@ -239,3 +239,23 @@ def test_warc_roundtrip(recs):
             assert out["http_status"] == rec["http_status"]
         else:
             assert out["http_status"] is None
+
+
+def test_decimal_div_wraps_silently_under_ansi(spark):
+    """Behavioral pin for ADVICE r8: Spark's decimal `div` returns
+    LongType and WRAPS SILENTLY on int64 overflow — no ANSI abort. Every
+    cast(... div ...) ppm idiom in the ML/eval family therefore relies on
+    its quotient BOUNDS, not on a runtime backstop (see ml_eval.py). If a
+    Spark upgrade ever makes this abort or widen, this pin fails and the
+    headroom comments should be revisited (the bounds themselves stay
+    correct either way)."""
+    row = spark.sql(
+        "SELECT cast(7e20 AS decimal(38,0)) div 3 AS q"
+    ).collect()[0]
+    # true quotient ~2.33e20 >> int64 max (9.22e18): the statement does
+    # not raise, and the long that comes back is the two's-complement
+    # wrap of the true quotient, not the quotient itself
+    true_q = int(7e20) // 3
+    assert row.q != true_q
+    wrapped = (true_q + 2**63) % 2**64 - 2**63
+    assert row.q == wrapped
