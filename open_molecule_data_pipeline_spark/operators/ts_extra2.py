@@ -491,3 +491,56 @@ def ts_markov_transitions(spark, sf_dir):
         "n",
         F.expr("(n * 1000000) div row_n").alias("p_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC bars: the canonical time-series downsample — per (hour, event_type)
+# bucket, the first (open) and last (close) value plus min/max and volume.
+# open/close are argmin/argmax over a UNIQUE packed ordering key
+# (unix-microseconds * 1e20 + event_id, decimal(38,0) on Spark / HUGEINT
+# in the oracle — same stride rationale as agg_min_max_by: a bigint pack
+# mis-orders once the tie-break key outgrows the stride, and 1e20 outruns
+# any int64 id space; epoch-micros ~1.7e15 keeps the product < 1.8e35,
+# inside 38 digits). ONE map-side-combinable aggregation, no window, no
+# sort: at 100 TB this is a single shuffle of (bucket, type) partial
+# states, the shape OLAP rollups and feature-store downsamplers need.
+# min/max/argmin of doubles copy stored values bit-for-bit (no float
+# arithmetic), so cross-engine parity is exact without rounding.
+# --------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       min_by(value, cast(epoch_us(ts) AS HUGEINT)
+                     * 100000000000000000000 + event_id) AS open_val,
+       max(value) AS high_val,
+       min(value) AS low_val,
+       max_by(value, cast(epoch_us(ts) AS HUGEINT)
+                     * 100000000000000000000 + event_id) AS close_val,
+       cast(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("ts_ohlc_bars", oracle=_OHLC_ORACLE, tags=("timeseries", "agg"))
+def ts_ohlc_bars(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The NTZ->TZ cast
+    # interprets wall-clock in the session timezone, which every
+    # sanctioned path pins to UTC (session.py TUNED_CONFS — get_spark and
+    # the driver's _tuned wrapper both apply it), matching DuckDB's
+    # epoch_us on the naive timestamp.
+    packed = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        * F.expr("cast('100000000000000000000' as decimal(38,0))")
+        + F.col("event_id")
+    )
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.min_by("value", packed).alias("open_val"),
+        F.max("value").alias("high_val"),
+        F.min("value").alias("low_val"),
+        F.max_by("value", packed).alias("close_val"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

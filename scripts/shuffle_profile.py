@@ -1,0 +1,164 @@
+"""Per-query shuffle/spill byte profile for the headline set.
+
+Seconds hide what decides 100 TB behavior; BYTES moved through the
+shuffle do not. This harness runs each headline query once under an
+event-log-enabled session with a per-query job group, then parses the
+event log and attributes task metrics (shuffle read/write bytes, memory/
+disk spill, input bytes, task count) to queries via
+JobStart.properties["spark.jobGroup.id"] -> stage ids -> TaskEnd rows.
+
+The resulting table is the direct answer to "is there a shuffle here
+that becomes the bottleneck at scale": a query whose shuffle bytes
+approach its input bytes re-materializes the dataset per stage; one
+whose shuffle bytes are a small fraction reduces early (map-side
+combine, semi-join reduction, digest keys). Spill > 0 at this sf means
+executor memory was already insufficient three orders of magnitude
+below target scale.
+
+Usage: python scripts/shuffle_profile.py [--names a,b,c] [--sf DIR]
+Prints one JSON line per query plus a markdown table on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF = "/root/testdata/sf0.1"
+
+
+def run_profiled(names: list[str] | None, sf_dir: str) -> dict[str, dict]:
+    from open_molecule_data_pipeline_spark.registry import load_all
+    from open_molecule_data_pipeline_spark.session import get_spark
+
+    log_dir = tempfile.mkdtemp(prefix="omdp_eventlog_")
+    spark = get_spark(
+        app_name="omdp-shuffle-profile",
+        extra_confs={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": log_dir,
+            # plain JSON lines (default is zstd) so the parse below needs
+            # no codec; keep logs small: no per-update metrics chatter
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.logStageExecutorMetrics": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    if names is None:
+        names = [n for n, s in specs.items() if s.bench]
+
+    for name in names:
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        sc = spark.sparkContext
+        sc.setJobGroup(name, name)
+        try:
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            sc.setJobGroup("", "")
+    app_id = spark.sparkContext.applicationId
+    spark.stop()  # flushes the event log
+
+    # ---- parse: job group -> stages -> task metrics ----------------------
+    # Spark 4 writes a rolling "event log v2" DIRECTORY per application
+    # (eventlog_v2_<appId>/events_*); older versions write a single file.
+    log_files = []
+    for p in sorted(Path(log_dir).glob(f"*{app_id}*")):
+        if p.is_dir():
+            log_files.extend(
+                f for f in sorted(p.iterdir()) if f.name.startswith("events")
+            )
+        else:
+            log_files.append(p)
+    assert log_files, f"no event log under {log_dir}"
+    stage_owner: dict[int, str] = {}
+    agg: dict[str, dict] = {
+        n: {
+            "tasks": 0,
+            "input_bytes": 0,
+            "shuffle_write_bytes": 0,
+            "shuffle_read_bytes": 0,
+            "memory_spill_bytes": 0,
+            "disk_spill_bytes": 0,
+        }
+        for n in names
+    }
+    for log_file in log_files:
+        with open(log_file) as fh:
+            for line in fh:
+                ev = json.loads(line)
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id"
+                    )
+                    if group in agg:
+                        for sid in ev.get("Stage IDs", []):
+                            stage_owner[sid] = group
+                elif kind == "SparkListenerTaskEnd":
+                    owner = stage_owner.get(ev.get("Stage ID"))
+                    if owner is None:
+                        continue
+                    m = ev.get("Task Metrics") or {}
+                    a = agg[owner]
+                    a["tasks"] += 1
+                    a["input_bytes"] += (m.get("Input Metrics") or {}).get(
+                        "Bytes Read", 0
+                    )
+                    a["shuffle_write_bytes"] += (
+                        m.get("Shuffle Write Metrics") or {}
+                    ).get("Shuffle Bytes Written", 0)
+                    sr = m.get("Shuffle Read Metrics") or {}
+                    a["shuffle_read_bytes"] += sr.get(
+                        "Remote Bytes Read", 0
+                    ) + sr.get("Local Bytes Read", 0)
+                    a["memory_spill_bytes"] += m.get("Memory Bytes Spilled", 0)
+                    a["disk_spill_bytes"] += m.get("Disk Bytes Spilled", 0)
+    return agg
+
+
+def main() -> None:
+    names = None
+    if "--names" in sys.argv:
+        names = sys.argv[sys.argv.index("--names") + 1].split(",")
+    sf_dir = SF
+    if "--sf" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+
+    agg = run_profiled(names, sf_dir)
+
+    def mb(b: int) -> str:
+        return f"{b / 1e6:8.1f}"
+
+    print(
+        "| query | tasks | input MB | shuffle write MB | shuffle read MB "
+        "| spill MB |",
+        file=sys.stderr,
+    )
+    print("|---|---|---|---|---|---|", file=sys.stderr)
+    for name, a in sorted(
+        agg.items(), key=lambda kv: -kv[1]["shuffle_write_bytes"]
+    ):
+        print(json.dumps({"query": name, "sf_dir": sf_dir, **a}))
+        spill = a["memory_spill_bytes"] + a["disk_spill_bytes"]
+        print(
+            f"| {name} | {a['tasks']} | {mb(a['input_bytes'])} "
+            f"| {mb(a['shuffle_write_bytes'])} "
+            f"| {mb(a['shuffle_read_bytes'])} | {mb(spill)} |",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()

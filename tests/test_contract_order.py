@@ -195,3 +195,25 @@ def test_window_spends_no_slot_on_unchanged_green_queries():
     head = list(contract_specs())[:WINDOW]
     wasted = [n for n in head if n in green and n not in CHANGED_THIS_ROUND]
     assert not wasted, f"window slots on unchanged already-green queries: {wasted}"
+
+
+def test_canon_rejects_nested_cells():
+    """The local canon must fail on exactly the result shapes the external
+    harness rejects (VERDICT r8: the stringify-first canon passed a nested
+    query the driver errored on). The driver-parity probe in
+    tests/_compare.py sorts RAW columns first — pandas throws TypeError on
+    ndarray cells there, same as the driver."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from ._compare import canon
+
+    flat = pd.DataFrame({"a": [2, 1], "b": ["y", "x"]})
+    assert canon(flat) == [("1", "x"), ("2", "y")]
+
+    nested = pd.DataFrame(
+        {"a": [np.array(["u", "v"]), np.array(["w"])], "b": [1, 2]}
+    )
+    with pytest.raises(TypeError):
+        canon(nested)
