@@ -82,6 +82,20 @@ def run_profiled(names: list[str] | None, sf_dir: str) -> dict[str, dict]:
         else:
             log_files.append(p)
     assert log_files, f"no event log under {log_dir}"
+
+    def lines():
+        for log_file in log_files:
+            with open(log_file) as fh:
+                yield from fh
+
+    return parse_events(lines(), names)
+
+
+def parse_events(lines, names: list[str]) -> dict[str, dict]:
+    """Attribute task metrics to job groups: JobStart carries the group in
+    its Properties and the job's Stage IDs; TaskEnd rows carry per-task
+    metrics keyed by Stage ID. Unit-tested against a synthetic log in
+    tests/test_plans_perf.py."""
     stage_owner: dict[int, str] = {}
     agg: dict[str, dict] = {
         n: {
@@ -94,37 +108,33 @@ def run_profiled(names: list[str] | None, sf_dir: str) -> dict[str, dict]:
         }
         for n in names
     }
-    for log_file in log_files:
-        with open(log_file) as fh:
-            for line in fh:
-                ev = json.loads(line)
-                kind = ev.get("Event")
-                if kind == "SparkListenerJobStart":
-                    group = (ev.get("Properties") or {}).get(
-                        "spark.jobGroup.id"
-                    )
-                    if group in agg:
-                        for sid in ev.get("Stage IDs", []):
-                            stage_owner[sid] = group
-                elif kind == "SparkListenerTaskEnd":
-                    owner = stage_owner.get(ev.get("Stage ID"))
-                    if owner is None:
-                        continue
-                    m = ev.get("Task Metrics") or {}
-                    a = agg[owner]
-                    a["tasks"] += 1
-                    a["input_bytes"] += (m.get("Input Metrics") or {}).get(
-                        "Bytes Read", 0
-                    )
-                    a["shuffle_write_bytes"] += (
-                        m.get("Shuffle Write Metrics") or {}
-                    ).get("Shuffle Bytes Written", 0)
-                    sr = m.get("Shuffle Read Metrics") or {}
-                    a["shuffle_read_bytes"] += sr.get(
-                        "Remote Bytes Read", 0
-                    ) + sr.get("Local Bytes Read", 0)
-                    a["memory_spill_bytes"] += m.get("Memory Bytes Spilled", 0)
-                    a["disk_spill_bytes"] += m.get("Disk Bytes Spilled", 0)
+    for line in lines:
+        ev = json.loads(line)
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart":
+            group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+            if group in agg:
+                for sid in ev.get("Stage IDs", []):
+                    stage_owner[sid] = group
+        elif kind == "SparkListenerTaskEnd":
+            owner = stage_owner.get(ev.get("Stage ID"))
+            if owner is None:
+                continue
+            m = ev.get("Task Metrics") or {}
+            a = agg[owner]
+            a["tasks"] += 1
+            a["input_bytes"] += (m.get("Input Metrics") or {}).get(
+                "Bytes Read", 0
+            )
+            a["shuffle_write_bytes"] += (
+                m.get("Shuffle Write Metrics") or {}
+            ).get("Shuffle Bytes Written", 0)
+            sr = m.get("Shuffle Read Metrics") or {}
+            a["shuffle_read_bytes"] += sr.get("Remote Bytes Read", 0) + sr.get(
+                "Local Bytes Read", 0
+            )
+            a["memory_spill_bytes"] += m.get("Memory Bytes Spilled", 0)
+            a["disk_spill_bytes"] += m.get("Disk Bytes Spilled", 0)
     return agg
 
 

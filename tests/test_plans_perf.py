@@ -487,3 +487,105 @@ def test_headline_ledger_regressions_attributed():
                     "BENCH_HISTORY.md discussion"
                 )
     assert not problems, "\n".join(problems)
+
+
+def test_unhinted_joins_degrade_to_smj_with_identical_results(spark, sf_dir):
+    """The r8 forced-broadcast drops bet that when a dim side outgrows the
+    broadcast threshold at cluster scale, the unhinted join DEGRADES to a
+    shuffle join instead of OOMing the driver. Simulate exactly that:
+    with the broadcast threshold disabled, the plan must contain shuffle
+    joins (SMJ/shuffled-hash) and ZERO broadcast hash joins, and the
+    result must stay bit-identical to the default-threshold run."""
+    from ._compare import canon
+
+    name = "join_volume_shipping"  # Q7: 4 dim joins, all unhinted since r8
+    baseline = canon(SPECS[name].fn(spark, sf_dir).toPandas())
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_thresh = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = SPECS[name].fn(spark, sf_dir)
+        degraded = canon(df.toPandas())
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the fixed-25-row nation dims KEEP their explicit hints (that is
+        # correct at any scale); every remaining broadcast must be one of
+        # those — the unhinted customer/supplier joins must have fallen
+        # back to shuffle joins
+        import re
+
+        for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\]", plan):
+            assert "nationkey" in m.group(1), plan[:2000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        if aqe_thresh is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_thresh
+            )
+    assert degraded == baseline
+
+
+def test_shuffle_profile_event_attribution():
+    """Unit spec for scripts/shuffle_profile.py's event-log parser: task
+    metrics land on the query owning the stage via JobStart's job group;
+    stages from foreign groups (session warm-up, noop commits) and events
+    before any JobStart are dropped, not misattributed."""
+    import json as _json
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    scripts = _Path(__file__).resolve().parent.parent / "scripts"
+    if str(scripts) not in _sys.path:
+        _sys.path.insert(0, str(scripts))
+    from shuffle_profile import parse_events
+
+    def task_end(stage, write=0, read_local=0, read_remote=0, spill=0):
+        return _json.dumps({
+            "Event": "SparkListenerTaskEnd",
+            "Stage ID": stage,
+            "Task Metrics": {
+                "Input Metrics": {"Bytes Read": 10},
+                "Shuffle Write Metrics": {"Shuffle Bytes Written": write},
+                "Shuffle Read Metrics": {
+                    "Local Bytes Read": read_local,
+                    "Remote Bytes Read": read_remote,
+                },
+                "Memory Bytes Spilled": spill,
+                "Disk Bytes Spilled": 0,
+            },
+        })
+
+    def job_start(group, stages):
+        return _json.dumps({
+            "Event": "SparkListenerJobStart",
+            "Stage IDs": stages,
+            "Properties": {"spark.jobGroup.id": group},
+        })
+
+    lines = [
+        task_end(0, write=999),                 # before any JobStart: dropped
+        job_start("q1", [1, 2]),
+        task_end(1, write=100),
+        task_end(2, read_local=40, read_remote=60),
+        job_start("other-group", [3]),          # not a profiled query
+        task_end(3, write=5000),
+        job_start("q2", [4]),
+        task_end(4, write=7, spill=3),
+        task_end(4, write=8),
+    ]
+    agg = parse_events(lines, ["q1", "q2"])
+    assert agg["q1"] == {
+        "tasks": 2, "input_bytes": 20, "shuffle_write_bytes": 100,
+        "shuffle_read_bytes": 100, "memory_spill_bytes": 0,
+        "disk_spill_bytes": 0,
+    }
+    assert agg["q2"] == {
+        "tasks": 2, "input_bytes": 20, "shuffle_write_bytes": 15,
+        "shuffle_read_bytes": 0, "memory_spill_bytes": 3,
+        "disk_spill_bytes": 0,
+    }

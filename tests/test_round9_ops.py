@@ -1,0 +1,140 @@
+"""r9 operator semantics, pinned against independent Python references on
+adversarial constructed inputs (the parquet-oracle suite proves engine
+parity; these prove the SEMANTICS are the intended ones on inputs the
+synthetic tables don't exercise: timestamp ties, bucket edges, rule
+boundary values)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_ohlc_bars_ties_and_boundaries(spark):
+    """open/close must follow (ts, event_id) order even when timestamps
+    collide, and rows exactly on the hour belong to THAT hour's bucket."""
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(i, seconds, value, typ="click"):
+        return Row(
+            event_id=i,
+            ts=t0 + datetime.timedelta(seconds=seconds),
+            user_id=1,
+            event_type=typ,
+            value=float(value),
+            props="{}",
+        )
+
+    rows = [
+        ev(5, 0, 100.0),      # exactly on the hour; ties with event 2 below
+        ev(2, 0, 7.0),        # same ts as event 5 -> smaller id is the open
+        ev(9, 1800, -3.0),    # low
+        ev(4, 3599, 50.0),    # last second of the bucket -> close
+        ev(1, 3600, 999.0),   # next hour: separate bucket
+        ev(8, 100, 1.0, "view"),  # different type: separate group
+    ]
+    df = spark.createDataFrame(rows)
+    df.createOrReplaceTempView("events_ohlc_probe")
+
+    from open_molecule_data_pipeline_spark.operators.ts_extra2 import (
+        ts_ohlc_bars,
+    )
+    import open_molecule_data_pipeline_spark.catalog as catalog
+
+    orig = catalog.table
+    try:
+        catalog.table = lambda s, d, n: spark.table("events_ohlc_probe")
+        # ts_ohlc_bars resolves `table` through its module import
+        import open_molecule_data_pipeline_spark.operators.ts_extra2 as m
+
+        m_table = m.table
+        m.table = catalog.table
+        try:
+            out = {
+                (r.bucket, r.event_type): r
+                for r in ts_ohlc_bars(spark, "ignored").collect()
+            }
+        finally:
+            m.table = m_table
+    finally:
+        catalog.table = orig
+
+    first = out[(t0, "click")]
+    assert first.open_val == 7.0      # event 2 beats event 5 on the tie
+    assert first.close_val == 50.0    # 3599 s is still inside the bucket
+    assert first.high_val == 100.0
+    assert first.low_val == -3.0
+    assert first.n_events == 4
+    nxt = out[(t0 + datetime.timedelta(hours=1), "click")]
+    assert nxt.open_val == nxt.close_val == 999.0 and nxt.n_events == 1
+    view = out[(t0, "view")]
+    assert view.n_events == 1 and view.open_val == 1.0
+
+
+def test_gopher_rules_reference_semantics(spark):
+    """Per-rule pass counts equal an independent pure-Python evaluation of
+    the Gopher predicates over docs constructed to straddle every rule
+    boundary (49/50/51 words, mean word length exactly 3 and 10, 80%
+    alphabetic words, required-word count 1 vs 2, symbol ratio at the
+    10% edge)."""
+    _REQ = ("data", "table", "row", "value", "key")
+
+    docs = [
+        # name, text
+        ("short", "data table " + "x " * 47),              # 49 words
+        ("edge50", "data table " + "abc " * 48),           # 50 words, mwl 3.04
+        ("long_ok", "data table value " + "word " * 60),
+        ("mwl_low", "data table " + "ab " * 58),           # mean < 3
+        ("mwl_high", "data table " + ("z" * 11 + " ") * 58),  # mean > 10
+        ("alpha_low", "data table " + "123 " * 58),        # alpha share low
+        ("req_one", "data " + "blah " * 59),               # 1 required word
+        ("symbols", "data table " + "# " * 30 + "word " * 30),
+    ]
+
+    def py_rules(text):
+        toks = text.split(" ")
+        nw = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        n_hash = text.count("#")
+        n_ellipsis = text.count("...")
+        n_alpha = sum(1 for t in toks if any(c.isalpha() for c in t))
+        n_req = len(set(toks) & set(_REQ))
+        return {
+            "word_count_50_100k": 50 <= nw <= 100000,
+            "mean_word_len_3_10": 3 * nw <= sum_len <= 10 * nw,
+            "symbol_ratio_le_10pct": 10 * (n_hash + n_ellipsis) <= nw,
+            "alpha_words_ge_80pct": 5 * n_alpha >= 4 * nw,
+            "required_words_ge_2": n_req >= 2,
+        }
+
+    expected: dict[str, int] = {}
+    for _, text in docs:
+        for rule, ok in py_rules(text).items():
+            expected[rule] = expected.get(rule, 0) + int(ok)
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="probe",
+                n_chars=len(t))
+            for i, (_, t) in enumerate(docs)
+        ]
+    )
+    df.createOrReplaceTempView("docs_gopher_probe")
+    import open_molecule_data_pipeline_spark.operators.text_pipeline as m
+
+    m_table = m.table
+    m.table = lambda s, d, n: spark.table("docs_gopher_probe")
+    try:
+        rows = m.text_gopher_quality_rules(spark, "ignored").collect()
+    finally:
+        m.table = m_table
+    got = {r.rule: r.n_pass for r in rows}
+    n_docs = {r.rule: r.n_docs for r in rows}
+    assert got == expected
+    assert all(n == len(docs) for n in n_docs.values())
+    # trailing strictness: every text above was built single-spaced so the
+    # python split and Spark's F.split agree on token boundaries
+    assert all("  " not in t.rstrip() and not t.endswith(" ")
+               for _, t in ((n, t.rstrip()) for n, t in docs))
