@@ -73,3 +73,55 @@ def func_soundex_phonetic(spark, sf_dir):
         .distinct()
     )
     return words.select("w", F.soundex("w").alias("sx"))
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL surface: SQL-defined UDF (CREATE TEMPORARY FUNCTION ...
+# RETURN <expr>, SPARK-46246) composed with SQL pipe syntax (FROM ... |>
+# WHERE ... |> EXTEND ... |> AGGREGATE ..., SPARK-49555) — the modern
+# declarative forms a user migrating analytics to this engine would
+# write. A SQL UDF is a Catalyst-inlined EXPRESSION (no Python, no
+# serialization boundary, full codegen/pushdown — the opposite of a
+# row-wise UDF), so the plan is identical to writing the expression
+# inline; the pipe query is Q1-lite over lineitem. Money stays exact:
+# the UDF rounds discounted prices to integer cents BEFORE the sum, so
+# both engines aggregate longs (the oracle inlines the same expression —
+# DuckDB has no SQL-UDF-with-pipe surface to mirror, which is the point:
+# the RESULT contract, not the syntax, is what the oracle checks).
+# --------------------------------------------------------------------------
+
+_SQL_UDF_PIPE_ORACLE = """
+SELECT l_returnflag,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS disc_revenue_cents,
+       cast(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "func_sql_udf_pipe",
+    oracle=_SQL_UDF_PIPE_ORACLE,
+    tags=("functions", "sql"),
+)
+def func_sql_udf_pipe(spark, sf_dir):
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION omdp_disc_cents("
+        "p DOUBLE, d DOUBLE) RETURNS BIGINT "
+        "RETURN cast(round(p * (1 - d) * 100) AS BIGINT)"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "omdp_pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM omdp_pipe_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND omdp_disc_cents(l_extendedprice, l_discount) AS dc
+        |> AGGREGATE sum(dc) AS disc_revenue_cents,
+                     count(*) AS n_items
+           GROUP BY l_returnflag
+        """
+    )

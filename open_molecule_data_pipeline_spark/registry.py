@@ -135,6 +135,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "text_gopher_quality_rules",
     "ml_embedding_truncate_recall",
     "ts_ohlc_bars",
+    "func_sql_udf_pipe",
     # --- positions 53+: the drained r8 window (all driver-green in
     #     CORRECTNESS_r08.json on post-change code), then the r7 window
     #     and older curated tail, kept in order so positions stay stable;
