@@ -751,3 +751,66 @@ def ts_cusum_drift(spark, sf_dir):
         .cast("long")
         .alias("n_drift_hours"),
     )
+
+
+# --------------------------------------------------------------------------
+# NATIVE session windows in batch mode: F.session_window(ts, gap) is
+# Spark's built-in dynamic-gap operator (one partial+final aggregation
+# with in-operator session merging — no lag window, no running sum). The
+# oracle rebuilds the identical sessions with the classic SQL islands
+# construction (lag -> new-session flag -> running sum -> group), proving
+# the built-in against first principles. Boundary pinned EMPIRICALLY
+# (tests/test_round9_ops.py, constructed exact-gap rows — the synthetic
+# tables never produce one, so parity alone can't distinguish > from >=):
+# an event exactly `gap` after its predecessor MERGES into the session —
+# Spark's merge boundary is inclusive — so the islands flag is `> gap`,
+# matching ts_sessionization's convention, and the reported window end is
+# last_ts + gap.
+# --------------------------------------------------------------------------
+
+_SESSION_NATIVE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       cast(count(*) AS BIGINT) AS n_events,
+       {s_lsum('value', 100)} AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "ts_session_window_native",
+    oracle=_SESSION_NATIVE_ORACLE,
+    tags=("timeseries", "session"),
+)
+def ts_session_window_native(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            lsum("value", 100).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

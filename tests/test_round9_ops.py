@@ -138,3 +138,80 @@ def test_gopher_rules_reference_semantics(spark):
     # python split and Spark's F.split agree on token boundaries
     assert all("  " not in t.rstrip() and not t.endswith(" ")
                for _, t in ((n, t.rstrip()) for n, t in docs))
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin the boundary convention the ts_session_window_native oracle
+    encodes — settled EMPIRICALLY by this test, which caught the first
+    draft encoding the opposite: an event exactly `gap` after its
+    predecessor MERGES into the session (Spark's merge boundary is
+    inclusive), and one microsecond beyond the gap opens a new one. The
+    synthetic tables never produce an exact 30:00.000000 gap, so parity
+    alone cannot distinguish > from >= — this constructed case can."""
+    t0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+    def ev(i, us_offset):
+        return Row(
+            event_id=i,
+            ts=t0 + datetime.timedelta(microseconds=us_offset),
+            user_id=1,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    gap_us = 30 * 60 * 1_000_000
+    rows = [
+        ev(1, 0),
+        ev(2, gap_us),              # exactly the gap: SAME session
+        ev(3, gap_us * 2 + 1),      # gap + 1 us after event 2: NEW session
+    ]
+    df = spark.createDataFrame(rows)
+    df.createOrReplaceTempView("events_session_probe")
+    import open_molecule_data_pipeline_spark.operators.timeseries as m
+
+    m_table = m.table
+    m.table = lambda s, d, n: spark.table("events_session_probe")
+    try:
+        out = sorted(
+            m.ts_session_window_native(spark, "ignored").collect(),
+            key=lambda r: r.session_start,
+        )
+    finally:
+        m.table = m_table
+    assert [r.n_events for r in out] == [2, 1]
+    # reported end = last event + gap
+    assert out[0].session_end == t0 + datetime.timedelta(
+        microseconds=gap_us * 2
+    )
+
+    # and the DuckDB islands oracle produces the same sessions on the
+    # same three rows (the >= flag, not >)
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "ts": [
+                    t0,
+                    t0 + datetime.timedelta(microseconds=gap_us),
+                    t0 + datetime.timedelta(microseconds=gap_us * 2 + 1),
+                ],
+                "user_id": [1, 1, 1],
+                "value": [1.0, 1.0, 1.0],
+            }
+        ),
+    )
+    from open_molecule_data_pipeline_spark.operators.timeseries import (
+        _SESSION_NATIVE_ORACLE,
+    )
+
+    oracle = con.execute(_SESSION_NATIVE_ORACLE).df()
+    assert sorted(oracle["n_events"].tolist()) == [1, 2]
+    # sanity: the `> gap` flag (not >=) is what makes the exact-gap pair
+    # one session on BOTH engines
+    assert 2 in oracle["n_events"].tolist()
