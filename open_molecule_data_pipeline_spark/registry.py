@@ -129,7 +129,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     # --- positions 51-52: the two deferred hint-only drops (r10 head) ---
     "join_local_supplier_volume",
     "join_theta_price_band",
-    # --- positions 53-57: queries ADDED in r9 (never sampled; r10 window
+    # --- positions 53-58: queries ADDED in r9 (never sampled; r10 window
     #     head behind the two deferred drops) ---
     "text_bpe_encode_apply",
     "text_gopher_quality_rules",
