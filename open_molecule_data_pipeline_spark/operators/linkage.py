@@ -108,3 +108,92 @@ def dedup_fuzzy_linkage(spark, sf_dir):
         )
         .orderBy("lev")
     )
+
+
+# --------------------------------------------------------------------------
+# Trigram-blocked fuzzy vocabulary search (r9): spell-correct / fuzzy-find
+# probe terms against the corpus vocabulary. The classic search shape:
+# 1. VOCAB: distinct corpus tokens (Heaps-law-small relative to the
+#    corpus, but data-dependent — it shuffles, never broadcasts).
+# 2. BLOCK: candidates are (probe, word) pairs sharing >= 1 character
+#    TRIGRAM — an equi-join of the word-trigram stream against the probe
+#    trigram table (a few dozen literal rows, broadcast by construction).
+#    Cost tracks trigram collisions, never |probes| x |vocab|.
+# 3. VERIFY: exact levenshtein <= 2 on the candidates only.
+# 4. RANK: top-3 per probe by (distance, word).
+# The operator is DEFINED as trigram-blocked (both engines compute the
+# same candidate set, so blocked-out true matches — possible for edit
+# distance 2 on words this short — are excluded by contract on both
+# sides; production systems add a length band and multiple gram sizes to
+# drive recall up). Words under 3 chars have no trigrams and cannot be
+# found — documented, same on both engines.
+# --------------------------------------------------------------------------
+
+_FUZZY_PROBES = ("tabel", "valu", "windoow", "colum", "jion")
+
+
+def _probe_grams() -> list[tuple[str, str]]:
+    pairs = []
+    for p in _FUZZY_PROBES:
+        for i in range(len(p) - 2):
+            pairs.append((p, p[i : i + 3]))
+    return sorted(set(pairs))
+
+
+def _fuzzy_oracle() -> str:
+    values = ", ".join(f"('{p}', '{g}')" for p, g in _probe_grams())
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+),
+vg AS (
+  SELECT w, substr(w, i.i, 3) AS g
+  FROM vocab, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+  WHERE len(w) >= 3
+),
+probes(p, g) AS (VALUES {values}),
+cand AS (
+  SELECT DISTINCT probes.p, vg.w FROM probes JOIN vg ON vg.g = probes.g
+),
+scored AS (
+  SELECT p, w, cast(levenshtein(p, w) AS INTEGER) AS dist
+  FROM cand WHERE levenshtein(p, w) <= 2
+)
+SELECT p AS probe, w AS word, dist
+FROM (
+  SELECT p, w, dist,
+         row_number() OVER (PARTITION BY p ORDER BY dist, w) AS rn
+  FROM scored
+) t WHERE rn <= 3
+"""
+
+
+@register(
+    "text_fuzzy_vocab_search",
+    oracle=_fuzzy_oracle(),
+    tags=("text", "fuzzy", "join"),
+)
+def text_fuzzy_vocab_search(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .filter(F.length("w") >= 3)
+    )
+    vg = vocab.select(
+        "w",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 2), i -> substring(w, i, 3))")
+        ).alias("g"),
+    )
+    probes = spark.createDataFrame(_probe_grams(), "p string, g string")
+    cand = vg.join(F.broadcast(probes), "g").select("p", "w").distinct()
+    scored = cand.withColumn("dist", F.levenshtein("p", "w")).filter(
+        F.col("dist") <= 2
+    )
+    w = W.partitionBy("p").orderBy("dist", "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("p").alias("probe"), F.col("w").alias("word"), "dist")
+    )
