@@ -814,3 +814,75 @@ def ts_session_window_native(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with TOLERANCE (r9): point-in-time enrichment where a match
+# older than the window is too stale to use — the bounded-staleness
+# variant sensor fusion / feature stores need (pandas merge_asof's
+# `tolerance=`). Shape here: every CLICK gets the user's latest PURCHASE
+# within the previous 30 minutes (clicks with no recent purchase stay
+# null — the discriminating case; both event types live on the same
+# clock, so the bound actually bites, unlike a cross-table demo against
+# 1990s TPC-H order dates). Construction: run the unbounded as-of
+# carrying the matched right TIME in the value struct, then null out
+# values where the match falls outside the window. Latest-overall-if-
+# within == latest-within (if the newest match is stale, every older one
+# is staler), so one window pass suffices — no extra join, and no range
+# filter before the union that would break the "latest" semantics. The
+# oracle bounds the LATERAL lookup directly; the two forms are the same
+# query.
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+SELECT c.event_id, c.user_id, c.ts,
+       s.event_id AS purchase_id_30m,
+       round(s.value, 2) AS purchase_value_30m
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT event_id, value
+  FROM events p
+  WHERE p.event_type = 'purchase'
+    AND p.user_id = c.user_id
+    AND p.ts <= c.ts
+    AND p.ts >= c.ts - INTERVAL 30 MINUTE
+  ORDER BY p.ts DESC, p.event_id DESC
+  LIMIT 1
+) s ON true
+"""
+
+
+@register(
+    "ts_asof_tolerance_30m",
+    oracle=_ASOF_TOL_ORACLE,
+    tags=("timeseries", "asof"),
+)
+def ts_asof_tolerance_30m(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        left=clicks,
+        right=purchases,
+        left_on="user_id",
+        right_on="p_user",
+        left_time="ts",
+        right_time="p_ts",
+        value_cols=["p_id", "p_value", "p_ts"],
+        right_tiebreak="p_id",
+    )
+    fresh = F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("p_id")).alias("purchase_id_30m"),
+        F.when(fresh, F.round("p_value", 2)).alias("purchase_value_30m"),
+    )

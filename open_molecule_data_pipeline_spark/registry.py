@@ -129,7 +129,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     # --- positions 51-52: the two deferred hint-only drops (r10 head) ---
     "join_local_supplier_volume",
     "join_theta_price_band",
-    # --- positions 53-59: queries ADDED in r9 (never sampled; r10 window
+    # --- positions 53-60: queries ADDED in r9 (never sampled; r10 window
     #     head behind the two deferred drops) ---
     "text_bpe_encode_apply",
     "text_gopher_quality_rules",
@@ -138,7 +138,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "func_sql_udf_pipe",
     "ts_session_window_native",
     "text_fuzzy_vocab_search",
-    # --- positions 60+: the drained r8 window (all driver-green in
+    "ts_asof_tolerance_30m",
+    # --- positions 61+: the drained r8 window (all driver-green in
     #     CORRECTNESS_r08.json on post-change code), then the r7 window
     #     and older curated tail, kept in order so positions stay stable;
     #     everything else follows in registration order ---
