@@ -1008,3 +1008,44 @@ def stream_union_twin(spark, sf_dir):
         )
     )
     return _run_to_memory(spark, agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# OHLC streaming twin (r9): the batch ts_ohlc_bars aggregation run as a
+# real availableNow stream — min_by/max_by argmin state merging across
+# microbatches is a different state machine from plain min/max/count
+# (the store carries (ordering key, value) pairs per group and merges by
+# key comparison), and this twin proves the packed decimal(38,0) ordering
+# key survives partial-state merge exactly. Same oracle as the batch
+# form; complete output mode (bucket count is bounded by the time span,
+# so state is O(buckets x types), not rows).
+# --------------------------------------------------------------------------
+
+from .ts_extra2 import _OHLC_ORACLE as _OHLC_TWIN_ORACLE  # noqa: E402
+
+
+@register(
+    "stream_ohlc_twin",
+    oracle=_OHLC_TWIN_ORACLE,
+    tags=("streaming", "timeseries", "agg"),
+)
+def stream_ohlc_twin(spark, sf_dir):
+    events = _events_stream(spark, sf_dir)
+    packed = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        * F.expr("cast('100000000000000000000' as decimal(38,0))")
+        + F.col("event_id")
+    )
+    agg = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.min_by("value", packed).alias("open_val"),
+            F.max("value").alias("high_val"),
+            F.min("value").alias("low_val"),
+            F.max_by("value", packed).alias("close_val"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return _run_to_memory(spark, agg, output_mode="complete")
