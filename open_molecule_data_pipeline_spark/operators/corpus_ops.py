@@ -1178,6 +1178,10 @@ FROM before b JOIN after a ON b.lang = a.lang""")
     "text_bpe_encode_apply",
     oracle=_bpe_apply_oracle(),
     tags=("text", "training"),
+    # promoted to the headline bench on creation (r9): the heaviest query
+    # added this round — the driver should be measuring the encode side
+    # of the tokenizer loop alongside the trainer it mirrors
+    bench=True,
 )
 def text_bpe_encode_apply(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
