@@ -690,3 +690,85 @@ def sample_contrastive_triplets(spark, sf_dir):
         F.count("neg_id").alias("n_neg"),
         F.coalesce(F.sum("neg_id"), F.lit(0)).cast("long").alias("sum_neg_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch accounting (r9): the padding-efficiency report for
+# bucketed batching — docs grouped into power-of-two length buckets, fixed
+# batches of _LB_BATCH per bucket, and the report prices what bucketing
+# buys: padded slots = capacity the GPU pays for that carries no tokens
+# (n_batches * batch * cap - real tokens). This is the accounting run
+# before choosing bucket edges for a packing-free training loader (the
+# alternative to text_sequence_packing's exact packing). Buckets are a
+# literal CASE ladder, NOT pow(2, ceil(log2 n)) — integer-exact and
+# immune to libm boundary drift across engines. One scan, one bounded
+# groupBy (bucket count is the ladder length); utilization numerators in
+# decimal(38,0)/HUGEINT (tokens * 1e6 passes int64 at corpus scale;
+# quotient <= 1e6 so the long cast-back is bound-safe).
+# --------------------------------------------------------------------------
+
+_LB_BATCH = 32
+_LB_EDGES = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _lb_bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} <= {e} THEN {e}" for e in _LB_EDGES
+    )
+    return f"CASE {cases} ELSE 2048 END"
+
+
+_LENGTH_BUCKET_ORACLE = f"""
+WITH sig AS (
+  SELECT cast(len(string_split(text, ' ')) AS BIGINT) AS nw FROM documents
+),
+b AS (
+  SELECT cast({_lb_bucket_sql('nw')} AS BIGINT) AS cap,
+         cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(nw) AS BIGINT) AS real_tokens
+  FROM sig GROUP BY 1
+)
+SELECT cap, n_docs, real_tokens,
+       cast((n_docs + {_LB_BATCH} - 1) // {_LB_BATCH} AS BIGINT) AS n_batches,
+       cast(((n_docs + {_LB_BATCH} - 1) // {_LB_BATCH}) * {_LB_BATCH} * cap
+            - real_tokens AS BIGINT) AS padded_slots,
+       cast((cast(real_tokens AS HUGEINT) * 1000000)
+            // (((n_docs + {_LB_BATCH} - 1) // {_LB_BATCH}) * {_LB_BATCH} * cap)
+            AS BIGINT) AS utilization_ppm
+FROM b
+"""
+
+
+@register(
+    "sample_length_bucket_batches",
+    oracle=_LENGTH_BUCKET_ORACLE,
+    tags=("sample", "training", "agg"),
+)
+def sample_length_bucket_batches(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " ")).cast("long")
+    cap = F.expr(_lb_bucket_sql("nw")).cast("long")
+    b = (
+        d.select(nw.alias("nw"))
+        .select("nw", cap.alias("cap"))
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("real_tokens"),
+        )
+    )
+    n_batches = F.expr(f"(n_docs + {_LB_BATCH} - 1) div {_LB_BATCH}")
+    return b.select(
+        "cap",
+        "n_docs",
+        "real_tokens",
+        n_batches.cast("long").alias("n_batches"),
+        (n_batches * _LB_BATCH * F.col("cap") - F.col("real_tokens"))
+        .cast("long")
+        .alias("padded_slots"),
+        F.expr(
+            f"cast((cast(real_tokens AS DECIMAL(38,0)) * 1000000)"
+            f"     div (((n_docs + {_LB_BATCH} - 1) div {_LB_BATCH})"
+            f"          * {_LB_BATCH} * cap) AS BIGINT)"
+        ).alias("utilization_ppm"),
+    )
