@@ -94,9 +94,15 @@ def run_profiled(names: list[str] | None, sf_dir: str) -> dict[str, dict]:
 def parse_events(lines, names: list[str]) -> dict[str, dict]:
     """Attribute task metrics to job groups: JobStart carries the group in
     its Properties and the job's Stage IDs; TaskEnd rows carry per-task
-    metrics keyed by Stage ID. Unit-tested against a synthetic log in
-    tests/test_plans_perf.py."""
+    metrics keyed by Stage ID. Besides byte counters, the per-STAGE task
+    runtimes feed a straggler metric: ``stage_skew`` = max(task ms) /
+    mean(task ms) of the query's worst multi-task stage — ~1.0 means the
+    stage's wall-clock shrinks with cluster width, >>1 means one task
+    serializes it no matter how many executors exist (the hot-key /
+    unsplittable-partition signature bench_skew.py prices). Unit-tested
+    against a synthetic log in tests/test_plans_perf.py."""
     stage_owner: dict[int, str] = {}
+    stage_task_ms: dict[int, list[float]] = {}
     agg: dict[str, dict] = {
         n: {
             "tasks": 0,
@@ -105,6 +111,8 @@ def parse_events(lines, names: list[str]) -> dict[str, dict]:
             "shuffle_read_bytes": 0,
             "memory_spill_bytes": 0,
             "disk_spill_bytes": 0,
+            "max_task_ms": 0,
+            "stage_skew": None,
         }
         for n in names
     }
@@ -117,7 +125,8 @@ def parse_events(lines, names: list[str]) -> dict[str, dict]:
                 for sid in ev.get("Stage IDs", []):
                     stage_owner[sid] = group
         elif kind == "SparkListenerTaskEnd":
-            owner = stage_owner.get(ev.get("Stage ID"))
+            sid = ev.get("Stage ID")
+            owner = stage_owner.get(sid)
             if owner is None:
                 continue
             m = ev.get("Task Metrics") or {}
@@ -135,6 +144,21 @@ def parse_events(lines, names: list[str]) -> dict[str, dict]:
             )
             a["memory_spill_bytes"] += m.get("Memory Bytes Spilled", 0)
             a["disk_spill_bytes"] += m.get("Disk Bytes Spilled", 0)
+            info = ev.get("Task Info") or {}
+            dur = (info.get("Finish Time") or 0) - (info.get("Launch Time") or 0)
+            if dur > 0:
+                a["max_task_ms"] = max(a["max_task_ms"], dur)
+                stage_task_ms.setdefault(sid, []).append(dur)
+    # worst-stage skew per query, over multi-task stages only (a 1-task
+    # stage is trivially "skewed" and means nothing)
+    for sid, durs in stage_task_ms.items():
+        if len(durs) < 2:
+            continue
+        owner = stage_owner[sid]
+        skew = round(max(durs) / (sum(durs) / len(durs)), 2)
+        prev = agg[owner]["stage_skew"]
+        if prev is None or skew > prev:
+            agg[owner]["stage_skew"] = skew
     return agg
 
 
@@ -153,10 +177,10 @@ def main() -> None:
 
     print(
         "| query | tasks | input MB | shuffle write MB | shuffle read MB "
-        "| spill MB |",
+        "| spill MB | max task ms | worst stage skew |",
         file=sys.stderr,
     )
-    print("|---|---|---|---|---|---|", file=sys.stderr)
+    print("|---|---|---|---|---|---|---|---|", file=sys.stderr)
     for name, a in sorted(
         agg.items(), key=lambda kv: -kv[1]["shuffle_write_bytes"]
     ):
@@ -165,7 +189,8 @@ def main() -> None:
         print(
             f"| {name} | {a['tasks']} | {mb(a['input_bytes'])} "
             f"| {mb(a['shuffle_write_bytes'])} "
-            f"| {mb(a['shuffle_read_bytes'])} | {mb(spill)} |",
+            f"| {mb(a['shuffle_read_bytes'])} | {mb(spill)} "
+            f"| {a['max_task_ms']} | {a['stage_skew']} |",
             file=sys.stderr,
         )
 

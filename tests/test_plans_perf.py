@@ -544,10 +544,12 @@ def test_shuffle_profile_event_attribution():
         _sys.path.insert(0, str(scripts))
     from shuffle_profile import parse_events
 
-    def task_end(stage, write=0, read_local=0, read_remote=0, spill=0):
+    def task_end(stage, write=0, read_local=0, read_remote=0, spill=0,
+                 dur_ms=100):
         return _json.dumps({
             "Event": "SparkListenerTaskEnd",
             "Stage ID": stage,
+            "Task Info": {"Launch Time": 1000, "Finish Time": 1000 + dur_ms},
             "Task Metrics": {
                 "Input Metrics": {"Bytes Read": 10},
                 "Shuffle Write Metrics": {"Shuffle Bytes Written": write},
@@ -575,17 +577,21 @@ def test_shuffle_profile_event_attribution():
         job_start("other-group", [3]),          # not a profiled query
         task_end(3, write=5000),
         job_start("q2", [4]),
-        task_end(4, write=7, spill=3),
-        task_end(4, write=8),
+        task_end(4, write=7, spill=3, dur_ms=300),   # straggler: 3x the mean
+        task_end(4, write=8, dur_ms=100),
     ]
     agg = parse_events(lines, ["q1", "q2"])
     assert agg["q1"] == {
         "tasks": 2, "input_bytes": 20, "shuffle_write_bytes": 100,
         "shuffle_read_bytes": 100, "memory_spill_bytes": 0,
-        "disk_spill_bytes": 0,
+        "disk_spill_bytes": 0, "max_task_ms": 100,
+        # q1's stages have ONE task each: no multi-task stage, no skew
+        "stage_skew": None,
     }
     assert agg["q2"] == {
         "tasks": 2, "input_bytes": 20, "shuffle_write_bytes": 15,
         "shuffle_read_bytes": 0, "memory_spill_bytes": 3,
-        "disk_spill_bytes": 0,
+        "disk_spill_bytes": 0, "max_task_ms": 300,
+        # stage 4: max 300 / mean 200 = 1.5
+        "stage_skew": 1.5,
     }
