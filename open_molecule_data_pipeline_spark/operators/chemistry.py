@@ -17,6 +17,7 @@ canonicalization round-trip by hash.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ..functions.molecule import with_canonical_smiles
@@ -164,4 +165,130 @@ def chem_tanimoto_pairs(spark, sf_dir):
         a.join(F.broadcast(b), F.col("mol_a") < F.col("mol_b"))
         .select("mol_a", "mol_b", F.round(sim, 6).alias("tanimoto"))
         .filter(F.col("tanimoto") >= _TANIMOTO_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# Atom census (r9): heavy-atom composition + net formal charge per
+# spelling, computed two INDEPENDENT ways — the Spark side walks the
+# subset-grammar PARSER's atom list (functions/chem.py), the oracle
+# re-derives the counts from the raw SMILES text with RE2 regex algebra
+# (bracket atoms split out, two-letter elements subtracted from their
+# one-letter prefixes since RE2 has no lookahead). Agreement is a
+# differential spec check of the parser's atom enumeration on every
+# fixture spelling — a tokenizer bug (e.g. counting the 'C' inside 'Cl')
+# shows up as a census mismatch even when canonicalization round-trips.
+# Charge spec: count of '+' minus '-' inside bracket atoms (the fixture
+# subset has no digit-multiplied charges; documented).
+# --------------------------------------------------------------------------
+
+_CENSUS_HALOGENS = ("F", "I", "Cl", "Br")
+
+
+def _census_oracle() -> str:
+    values = ",\n  ".join(
+        f"('{g}', '{s}')" for g, s in _SPELLINGS if g != "malformed"
+    )
+    rest_count = "len(regexp_extract_all(rest, '{pat}'))"
+    bel = "list_filter(bel, x -> x IN ({els}))"
+
+    def n_elem(upper: str, lower: str) -> str:
+        parts = [rest_count.format(pat=upper)]
+        if upper == "C":
+            parts.append("- " + rest_count.format(pat="Cl"))
+        if upper == "B":
+            parts.append("- " + rest_count.format(pat="Br"))
+        parts.append("+ " + rest_count.format(pat=lower))
+        parts.append(
+            "+ len(" + bel.format(els=f"'{upper}', '{lower}'") + ")"
+        )
+        return " ".join(parts)
+
+    halogen = " + ".join(
+        rest_count.format(pat=h) for h in _CENSUS_HALOGENS
+    ) + " + len(list_filter(bel, x -> x IN ('F', 'I', 'Cl', 'Br')))"
+    total = (
+        "len(regexp_extract_all(rest, 'Cl|Br|[BCNOPSFI]|[bcnops]')) + len(bel)"
+    )
+    return f"""
+WITH m AS (
+  SELECT grp, smiles FROM (VALUES
+  {values}
+  ) v(grp, smiles)
+),
+p AS (
+  SELECT grp, smiles,
+         regexp_replace(smiles, '\\[[^\\]]*\\]', '', 'g') AS rest,
+         list_transform(regexp_extract_all(smiles, '\\[[^\\]]*\\]'),
+                        b -> regexp_extract(b, '\\[\\d*([A-Za-z][a-z]?)', 1)
+         ) AS bel,
+         coalesce(list_sum(list_transform(
+           regexp_extract_all(smiles, '\\[[^\\]]*\\]'),
+           b -> len(regexp_extract_all(b, '\\+'))
+                - len(regexp_extract_all(b, '-')))), 0) AS net_charge
+  FROM m
+)
+SELECT grp, smiles,
+       cast({n_elem('C', 'c')} AS BIGINT) AS n_c,
+       cast({n_elem('N', 'n')} AS BIGINT) AS n_n,
+       cast({n_elem('O', 'o')} AS BIGINT) AS n_o,
+       cast({n_elem('S', 's')} AS BIGINT) AS n_s,
+       cast({halogen} AS BIGINT) AS n_halogen,
+       cast({total} - ({n_elem('C', 'c')}) - ({n_elem('N', 'n')})
+            - ({n_elem('O', 'o')}) - ({n_elem('S', 's')}) - ({halogen})
+            AS BIGINT) AS n_other,
+       cast(net_charge AS BIGINT) AS net_charge
+FROM p
+"""
+
+
+@register(
+    "chem_atom_census", oracle=_census_oracle(), tags=("chemistry",)
+)
+def chem_atom_census(spark, sf_dir):
+    import re as _re
+
+    from ..functions.chem import parse_smiles
+
+    @F.pandas_udf(
+        "n_c long, n_n long, n_o long, n_s long, n_halogen long, "
+        "n_other long, net_charge long"
+    )
+    def census(col: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in col:
+            counts = {"C": 0, "N": 0, "O": 0, "S": 0, "hal": 0, "other": 0}
+            charge = 0
+            atoms, _ = parse_smiles(s)
+            for a in atoms:
+                label = a.label
+                if label.startswith("["):
+                    body = label[1:-1]
+                    elem = _re.match(r"\d*([A-Za-z][a-z]?)", body).group(1)
+                    charge += body.count("+") - body.count("-")
+                else:
+                    elem = label
+                cap = elem[0].upper() + elem[1:]
+                if cap in ("F", "I", "Cl", "Br"):
+                    counts["hal"] += 1
+                elif cap in ("C", "N", "O", "S"):
+                    counts[cap] += 1
+                else:
+                    counts["other"] += 1
+            rows.append(
+                (counts["C"], counts["N"], counts["O"], counts["S"],
+                 counts["hal"], counts["other"], charge)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["n_c", "n_n", "n_o", "n_s", "n_halogen", "n_other",
+                     "net_charge"],
+        )
+
+    df = spark.createDataFrame(
+        [(g, s) for g, s in _SPELLINGS if g != "malformed"],
+        "grp string, smiles string",
+    )
+    return df.select("grp", "smiles", census("smiles").alias("x")).select(
+        "grp", "smiles", "x.*"
     )
