@@ -215,3 +215,71 @@ def test_session_window_exact_gap_merges(spark):
     # sanity: the `> gap` flag (not >=) is what makes the exact-gap pair
     # one session on BOTH engines
     assert 2 in oracle["n_events"].tolist()
+
+
+def test_fuzzy_search_blocking_contract(spark):
+    """Pin the trigram-blocking recall contract: 'tabel' reaches 'table'
+    (shared trigram 'tab', distance 2), while 'jion' must NOT reach
+    'join' — a distance-2 transposition sharing no trigram is excluded
+    BY DEFINITION, the documented recall limitation of single-gram-size
+    blocking. If the operator ever silently changes to an unblocked scan,
+    this test flags the contract change."""
+    probe_words = {"tabel", "valu", "windoow", "colum", "jion"}
+    docs = [
+        Row(doc_id=1, text="table value window column join data",
+            lang="en", source="probe", n_chars=36),
+    ]
+    df = spark.createDataFrame(docs)
+    df.createOrReplaceTempView("docs_fuzzy_probe")
+    import open_molecule_data_pipeline_spark.operators.linkage as m
+
+    # sanity: the probe list under test is the registered one
+    assert set(m._FUZZY_PROBES) == probe_words
+    m_table = m.table
+    m.table = lambda s, d, n: spark.table("docs_fuzzy_probe")
+    try:
+        rows = m.text_fuzzy_vocab_search(spark, "ignored").collect()
+    finally:
+        m.table = m_table
+    got = {(r.probe, r.word): r.dist for r in rows}
+    assert got[("tabel", "table")] == 2
+    assert got[("valu", "value")] == 1
+    assert got[("windoow", "window")] == 1
+    assert got[("colum", "column")] == 1
+    # jion/join: levenshtein distance 2, but trigram sets are disjoint
+    # ({jio, ion} vs {joi, oin}) — blocked out on both engines
+    assert not any(p == "jion" for p, _ in got)
+
+
+def test_length_bucket_ladder_edges(spark):
+    """Docs exactly ON a bucket edge stay in that bucket (<=); one word
+    over rolls to the next power of two; anything past the last edge
+    lands in the 2048 overflow cap."""
+    def doc(i, nw):
+        text = " ".join(["w"] * nw)
+        return Row(doc_id=i, text=text, lang="en", source="probe",
+                   n_chars=len(text))
+
+    df = spark.createDataFrame(
+        [doc(1, 16), doc(2, 17), doc(3, 512), doc(4, 513), doc(5, 2000)]
+    )
+    df.createOrReplaceTempView("docs_lb_probe")
+    import open_molecule_data_pipeline_spark.operators.training_extra as m
+
+    m_table = m.table
+    m.table = lambda s, d, n: spark.table("docs_lb_probe")
+    try:
+        rows = m.sample_length_bucket_batches(spark, "ignored").collect()
+    finally:
+        m.table = m_table
+    by_cap = {r.cap: r for r in rows}
+    assert by_cap[16].n_docs == 1          # nw=16 stays at the 16 edge
+    assert by_cap[32].n_docs == 1          # nw=17 rolls to 32
+    assert by_cap[512].n_docs == 1
+    assert by_cap[1024].n_docs == 1        # nw=513 rolls to 1024
+    assert by_cap[2048].n_docs == 1        # nw=2000 -> overflow cap
+    # padded accounting at the edge: a full-width doc in a 1-doc batch
+    # still pays (batch - 1) empty rows of cap
+    b16 = by_cap[16]
+    assert b16.n_batches == 1
+    assert b16.padded_slots == 1 * 32 * 16 - 16
