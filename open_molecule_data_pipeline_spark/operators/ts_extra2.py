@@ -544,3 +544,87 @@ def ts_ohlc_bars(spark, sf_dir):
         F.max_by("value", packed).alias("close_val"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding distinct users via MERGEABLE HLL sketches (r9): trailing
+# 3-bucket distinct-user counts where the estimate comes from per-bucket
+# DataSketches HLL unioned over a window frame — the 100 TB form of
+# "distinct over a sliding window". An exact windowed COUNT(DISTINCT)
+# re-touches every raw row per window; the sketch form aggregates each
+# bucket ONCE (map-side combinable) and the slide is a union of
+# fixed-size sketches over the bucket table, whose cardinality is bounded
+# by the time span — the partitionless windows below run over that
+# bounded aggregate, the same sanctioned shape as _util's offsets tables.
+# Verdict oracle (same pattern as agg_hll_sketch_merge): DuckDB computes
+# the EXACT trailing counts and predicts within_5pct = TRUE for every
+# window; Spark computes the estimate and tests it against its own exact
+# twin (distinct pairs exploded to the <=3 bucket-rank windows they
+# serve — map-side fan-out, no theta join against the pair stream). An
+# HLL drift past 5% (lgK=12 => ~1.6% expected) turns a verdict FALSE and
+# the driver row red.
+# --------------------------------------------------------------------------
+
+_SLIDING_HLL_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS b, user_id AS u FROM events
+),
+bk AS (
+  SELECT b, row_number() OVER (ORDER BY b) AS r
+  FROM (SELECT DISTINCT b FROM pairs)
+),
+x AS (
+  SELECT tgt.b AS bucket, p.u
+  FROM pairs p
+  JOIN bk src ON p.b = src.b
+  JOIN bk tgt ON tgt.r BETWEEN src.r AND src.r + 2
+)
+SELECT bucket, cast(count(DISTINCT u) AS BIGINT) AS n_exact,
+       TRUE AS within_5pct
+FROM x GROUP BY bucket
+"""
+
+
+@register(
+    "ts_sliding_distinct_hll",
+    oracle=_SLIDING_HLL_ORACLE,
+    tags=("timeseries", "agg", "sketch"),
+)
+def ts_sliding_distinct_hll(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("b"), F.col("user_id").alias("u")
+    )
+    # one sketch per bucket (partial+final agg over raw rows — the only
+    # pass that touches the full input)
+    sk = e.groupBy("b").agg(F.expr("hll_sketch_agg(u)").alias("sk"))
+    est = sk.select(
+        "b",
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk) OVER "
+            "(ORDER BY b ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))"
+        ).alias("n_est"),
+    )
+    # exact twin: distinct pairs fan out to the <=3 bucket-rank windows
+    # they serve (map-side sequence explode; the bucket-rank dim is
+    # bounded by the time span and the rank window's input is an
+    # aggregate, not the raw scan)
+    bk = sk.select("b").select(
+        "b", F.expr("row_number() OVER (ORDER BY b)").alias("r")
+    )
+    pairs = e.distinct().join(bk, "b")
+    exact = (
+        pairs.select(
+            "u", F.explode(F.expr("sequence(r, r + 2)")).alias("tr")
+        )
+        .groupBy("tr")
+        .agg(F.countDistinct("u").alias("n_exact"))
+        .join(bk.withColumnRenamed("r", "tr"), "tr")
+        .select(F.col("b").alias("bucket"), "n_exact")
+    )
+    return exact.join(est, exact.bucket == est.b).select(
+        "bucket",
+        "n_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact")) * 20 <= F.col("n_exact")
+        ).alias("within_5pct"),
+    )

@@ -129,7 +129,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     # --- positions 51-52: the two deferred hint-only drops (r10 head) ---
     "join_local_supplier_volume",
     "join_theta_price_band",
-    # --- positions 53-63: queries ADDED in r9 (never sampled; r10 window
+    # --- positions 53-64: queries ADDED in r9 (never sampled; r10 window
     #     head behind the two deferred drops) ---
     "text_bpe_encode_apply",
     "text_gopher_quality_rules",
@@ -142,7 +142,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "stream_ohlc_twin",
     "sample_length_bucket_batches",
     "chem_atom_census",
-    # --- positions 64+: the drained r8 window (all driver-green in
+    "ts_sliding_distinct_hll",
+    # --- positions 65+: the drained r8 window (all driver-green in
     #     CORRECTNESS_r08.json on post-change code), then the r7 window
     #     and older curated tail, kept in order so positions stay stable;
     #     everything else follows in registration order ---
