@@ -84,16 +84,21 @@ def func_soundex_phonetic(spark, sf_dir):
 # serialization boundary, full codegen/pushdown — the opposite of a
 # row-wise UDF), so the plan is identical to writing the expression
 # inline; the pipe query is Q1-lite over lineitem. Money stays exact:
-# the UDF rounds discounted prices to integer cents BEFORE the sum, so
-# both engines aggregate longs (the oracle inlines the same expression —
-# DuckDB has no SQL-UDF-with-pipe surface to mirror, which is the point:
-# the RESULT contract, not the syntax, is what the oracle checks).
+# the UDF rounds discounted prices at scale 10000 (price and discount
+# each carry 2 decimal digits, so price*(1-disc) carries 4 — the
+# ``_util.lsum`` rule) BEFORE the sum; every per-row product is then an
+# exactly representable integer with NO .5 ties left to resolve, and
+# both engines aggregate identical longs (the oracle inlines the same
+# expression — DuckDB has no SQL-UDF-with-pipe surface to mirror, which
+# is the point: the RESULT contract, not the syntax, is what the oracle
+# checks). ADVICE r9: the previous scale-100 form had genuine half-cent
+# ties that resolved by double representation; scale 10000 removes them.
 # --------------------------------------------------------------------------
 
 _SQL_UDF_PIPE_ORACLE = """
 SELECT l_returnflag,
-       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
-                     AS BIGINT)) AS BIGINT) AS disc_revenue_cents,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS disc_revenue_e4,
        cast(count(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -108,9 +113,9 @@ GROUP BY l_returnflag
 )
 def func_sql_udf_pipe(spark, sf_dir):
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION omdp_disc_cents("
+        "CREATE OR REPLACE TEMPORARY FUNCTION omdp_disc_e4("
         "p DOUBLE, d DOUBLE) RETURNS BIGINT "
-        "RETURN cast(round(p * (1 - d) * 100) AS BIGINT)"
+        "RETURN cast(round(p * (1 - d) * 10000) AS BIGINT)"
     )
     table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "omdp_pipe_lineitem"
@@ -119,8 +124,8 @@ def func_sql_udf_pipe(spark, sf_dir):
         """
         FROM omdp_pipe_lineitem
         |> WHERE l_shipdate <= DATE '1998-09-02'
-        |> EXTEND omdp_disc_cents(l_extendedprice, l_discount) AS dc
-        |> AGGREGATE sum(dc) AS disc_revenue_cents,
+        |> EXTEND omdp_disc_e4(l_extendedprice, l_discount) AS dc
+        |> AGGREGATE sum(dc) AS disc_revenue_e4,
                      count(*) AS n_items
            GROUP BY l_returnflag
         """

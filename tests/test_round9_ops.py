@@ -186,7 +186,9 @@ def test_session_window_exact_gap_merges(spark):
     )
 
     # and the DuckDB islands oracle produces the same sessions on the
-    # same three rows (the >= flag, not >)
+    # same three rows (the `> gap` flag, not >=: a new session opens
+    # only when the gap STRICTLY exceeds 30 minutes, so the exact-gap
+    # event merges — matching Spark's inclusive session_window bound)
     import duckdb
     import pandas as pd
 
