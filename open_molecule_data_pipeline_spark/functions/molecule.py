@@ -219,5 +219,10 @@ def smiles_descriptors(df: DataFrame, col: str = "smiles") -> DataFrame:
         .withColumn("approx_mw", F.round(mw, 2))
         .withColumn("ring_count", ring_count)
         .withColumn("lipinski_mw_ok", F.round(mw, 2) <= F.lit(500.0))
+        # Lipinski HBA is simply N+O count — already in the regex census.
+        # (HBD needs the implicit-H valence model and lives on the parser
+        # path: operators/chemistry.chem_lipinski_gate.)
+        .withColumn("n_hba", counts["N"] + counts["O"])
+        .withColumn("lipinski_hba_ok", (counts["N"] + counts["O"]) <= 10)
         .withColumn("druglike_size", heavy_atoms.between(3, 50))
     )

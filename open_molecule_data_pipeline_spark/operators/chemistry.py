@@ -292,3 +292,207 @@ def chem_atom_census(spark, sf_dir):
     return df.select("grp", "smiles", census("smiles").alias("x")).select(
         "grp", "smiles", "x.*"
     )
+
+
+# --------------------------------------------------------------------------
+# Lipinski rule-of-five gate + substructure alert screen (r10): the
+# reference PLANS "Lipinski, PAINS filters" (docs/system-plan.md:22,
+# SURVEY.md:163); this closes the row with an executable, oracle-checked
+# path. The Spark side derives every descriptor from the subset parser's
+# atom/bond lists (functions/chem.py) through an implicit-hydrogen valence
+# model:
+#   - bracket atoms carry their explicit H count ([NH4+] -> 4, [O-] -> 0);
+#   - aliphatic organic-subset atoms get valence - sum(bond orders)
+#     (B3 C4 N3 O2 P3 S2, halogens 1; '-'/':' = 1, '=' = 2, '#' = 3),
+#     clamped at 0 (hypervalent spellings like N(=O)=O);
+#   - aromatic 'c' gets 3 - sum(orders); other aromatic atoms get 0
+#     (pyridine-type default; the fixture has no aromatic N/O/S).
+# Lipinski descriptors: HBD = hydrogens on N/O, HBA = count of N+O atoms,
+# MW from the shared approximate mass table + 1.008 per H, reported as
+# integer centi-daltons (no FP tie in the fixture lands near .5). Alerts
+# are structural, from the bond list: nitro (N with >=2 O neighbors, >=1
+# N=O double), azo (N=N between two non-nitro... any two N), peroxide
+# (O-O single). The ORACLE is a hand-derived golden table per molecule
+# GROUP (literature formulas: ethanol C2H6O 46.07, aspirin C9H8O4 180.16,
+# nitrobenzene C6H5NO2 123.11, ...), joined to every fixture SPELLING with
+# the rule flags recomputed in SQL — so the driver checks BOTH the valence
+# model against independent chemistry AND that equivalent spellings
+# produce identical descriptors (spelling invariance).
+# --------------------------------------------------------------------------
+
+_RO5_SPELLINGS = [
+    ("ethanol", "CCO"),
+    ("ethanol", "OCC"),
+    ("toluene", "Cc1ccccc1"),
+    ("toluene", "c1ccc(C)cc1"),
+    ("aminoethanol", "CC(N)O"),
+    ("aminoethanol", "NC(C)O"),
+    ("aspirin", "CC(=O)OC1=CC=CC=C1C(=O)O"),
+    ("aspirin", "OC(=O)C1=CC=CC=C1OC(C)=O"),
+    ("phenol", "Oc1ccccc1"),
+    ("phenol", "c1ccc(O)cc1"),
+    ("ammonium_chloride", "[NH4+].[Cl-]"),
+    ("ammonium_chloride", "[Cl-].[NH4+]"),
+    ("nitrobenzene", "c1ccccc1[N+](=O)[O-]"),
+    ("nitrobenzene", "O=[N+]([O-])c1ccccc1"),
+    ("nitrobenzene", "c1ccccc1N(=O)=O"),
+    ("azobenzene", "c1ccccc1N=Nc1ccccc1"),
+    ("azobenzene", "c1ccc(N=Nc2ccccc2)cc1"),
+    ("hydrogen_peroxide", "OO"),
+    ("heptaol", "OCC(O)C(O)C(O)C(O)C(O)CO"),
+    ("peg_dimethyl", "CO" + "CCO" * 10 + "C"),
+    ("tritetracontane", "C" * 43),
+]
+
+# grp -> (hbd, hba, mw_centi, nitro, azo, peroxide): hand-derived from the
+# literature formulas with the shared mass table (C 12.011 N 14.007
+# O 15.999 Cl 35.45, H 1.008) — NOT a Spark snapshot.
+_RO5_GOLDEN = [
+    ("ethanol", 1, 1, 4607, 0, 0, 0),            # C2H6O   46.069
+    ("toluene", 0, 0, 9214, 0, 0, 0),            # C7H8    92.141
+    ("aminoethanol", 3, 2, 6108, 0, 0, 0),       # C2H7NO  61.084
+    ("aspirin", 1, 4, 18016, 0, 0, 0),           # C9H8O4 180.159
+    ("phenol", 1, 1, 9411, 0, 0, 0),             # C6H6O   94.113
+    ("ammonium_chloride", 4, 1, 5349, 0, 0, 0),  # NH4Cl   53.489
+    ("nitrobenzene", 0, 3, 12311, 1, 0, 0),      # C6H5NO2 123.111
+    ("azobenzene", 0, 2, 18223, 0, 1, 0),        # C12H10N2 182.226
+    ("hydrogen_peroxide", 2, 2, 3401, 0, 0, 1),  # H2O2    34.014
+    ("heptaol", 7, 7, 21220, 0, 0, 0),           # C7H16O7 212.198
+    ("peg_dimethyl", 0, 11, 48660, 0, 0, 0),     # C22H46O11 486.599
+    ("tritetracontane", 0, 0, 60518, 0, 0, 0),   # C43H88  605.177
+]
+
+
+def _ro5_oracle() -> str:
+    spellings = ",\n  ".join(f"('{g}', '{s}')" for g, s in _RO5_SPELLINGS)
+    golden = ",\n  ".join(
+        f"('{g}', {h}, {a}, {m}, {ni}, {az}, {px})"
+        for g, h, a, m, ni, az, px in _RO5_GOLDEN
+    )
+    return f"""
+WITH sp AS (SELECT * FROM (VALUES
+  {spellings}
+) v(grp, smiles)),
+gd AS (SELECT * FROM (VALUES
+  {golden}
+) v(grp, hbd, hba, mw_centi, alert_nitro, alert_azo, alert_peroxide))
+SELECT sp.grp, sp.smiles,
+       cast(hbd AS BIGINT) AS hbd,
+       cast(hba AS BIGINT) AS hba,
+       cast(mw_centi AS BIGINT) AS mw_centi,
+       cast(CASE WHEN mw_centi <= 50000 THEN 1 ELSE 0 END AS BIGINT) AS mw_ok,
+       cast(CASE WHEN hbd <= 5 THEN 1 ELSE 0 END AS BIGINT) AS hbd_ok,
+       cast(CASE WHEN hba <= 10 THEN 1 ELSE 0 END AS BIGINT) AS hba_ok,
+       cast(CASE WHEN mw_centi <= 50000 AND hbd <= 5 AND hba <= 10
+            THEN 1 ELSE 0 END AS BIGINT) AS ro5_pass,
+       cast(alert_nitro AS BIGINT) AS alert_nitro,
+       cast(alert_azo AS BIGINT) AS alert_azo,
+       cast(alert_peroxide AS BIGINT) AS alert_peroxide,
+       cast(CASE WHEN mw_centi <= 50000 AND hbd <= 5 AND hba <= 10
+                  AND alert_nitro + alert_azo + alert_peroxide = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS druglike
+FROM sp JOIN gd USING (grp)
+"""
+
+
+_RO5_VALENCE = {"B": 3, "C": 4, "N": 3, "O": 2, "P": 3, "S": 2,
+                "F": 1, "I": 1, "Cl": 1, "Br": 1, "Si": 4}
+_RO5_MASSES = {"C": 12.011, "N": 14.007, "O": 15.999, "S": 32.06,
+               "P": 30.974, "F": 18.998, "I": 126.90, "Cl": 35.45,
+               "Br": 79.90, "B": 10.81, "Si": 28.09}
+_RO5_ORDER = {"-": 1, ":": 1, "=": 2, "#": 3}
+
+
+def _ro5_descriptors(smiles: str) -> tuple[int, int, int, int, int, int]:
+    """(hbd, hba, mw_centi, nitro, azo, peroxide) from the parsed graph."""
+    import re as _re
+
+    from ..functions.chem import parse_smiles
+
+    atoms, bonds = parse_smiles(smiles)
+    n = len(atoms)
+    elem: list[str] = []
+    hyd: list[int] = []
+    order_sum = [0] * n
+    for (a, b), sym in bonds.items():
+        order_sum[a] += _RO5_ORDER[sym]
+        order_sum[b] += _RO5_ORDER[sym]
+    for i, at in enumerate(atoms):
+        if at.label.startswith("["):
+            body = at.label[1:-1]
+            e = _re.match(r"\d*([A-Za-z][a-z]?)", body).group(1)
+            e = e[0].upper() + e[1:]
+            # H token must follow the element symbol, so the element's own
+            # letters never self-match ([OH2] -> 2, [NH4+] -> 4, [O-] -> 0)
+            mh = _re.match(r"\d*[A-Za-z][a-z]?H(\d*)", body)
+            h = int(mh.group(1) or "1") if mh else 0
+        elif at.aromatic:
+            e = at.label.upper()
+            h = max(0, 3 - order_sum[i]) if at.label == "c" else 0
+        else:
+            e = at.label
+            h = max(0, _RO5_VALENCE.get(e, 0) - order_sum[i])
+        elem.append(e)
+        hyd.append(h)
+    hbd = sum(h for e, h in zip(elem, hyd) if e in ("N", "O"))
+    hba = sum(1 for e in elem if e in ("N", "O"))
+    mw = sum(_RO5_MASSES.get(e, 0.0) for e in elem) + sum(hyd) * 1.008
+    mw_centi = int(round(mw * 100))
+    nitro_n: set[int] = set()
+    for i in range(n):
+        if elem[i] != "N":
+            continue
+        o_nbrs = [j for j in atoms[i].neighbors if elem[j] == "O"]
+        has_double = any(
+            bonds[(min(i, j), max(i, j))] == "=" for j in o_nbrs
+        )
+        if len(o_nbrs) >= 2 and has_double:
+            nitro_n.add(i)
+    azo = int(any(
+        sym == "=" and elem[a] == "N" and elem[b] == "N"
+        for (a, b), sym in bonds.items()
+    ))
+    peroxide = int(any(
+        sym == "-" and elem[a] == "O" and elem[b] == "O"
+        for (a, b), sym in bonds.items()
+    ))
+    return hbd, hba, mw_centi, int(bool(nitro_n)), azo, peroxide
+
+
+@register("chem_lipinski_gate", oracle=_ro5_oracle(), tags=("chemistry", "filter"))
+def chem_lipinski_gate(spark, sf_dir):
+    @F.pandas_udf(
+        "hbd long, hba long, mw_centi long, "
+        "alert_nitro long, alert_azo long, alert_peroxide long"
+    )
+    def ro5(col: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_ro5_descriptors(s) for s in col],
+            columns=["hbd", "hba", "mw_centi",
+                     "alert_nitro", "alert_azo", "alert_peroxide"],
+        )
+
+    df = spark.createDataFrame(_RO5_SPELLINGS, "grp string, smiles string")
+    mw_ok = (F.col("mw_centi") <= 50000).cast("long")
+    hbd_ok = (F.col("hbd") <= 5).cast("long")
+    hba_ok = (F.col("hba") <= 10).cast("long")
+    ro5_pass = ((F.col("mw_centi") <= 50000) & (F.col("hbd") <= 5)
+                & (F.col("hba") <= 10))
+    alert_free = (
+        F.col("alert_nitro") + F.col("alert_azo") + F.col("alert_peroxide")
+        == 0
+    )
+    return (
+        df.select("grp", "smiles", ro5("smiles").alias("x"))
+        .select("grp", "smiles", "x.*")
+        .withColumn("mw_ok", mw_ok)
+        .withColumn("hbd_ok", hbd_ok)
+        .withColumn("hba_ok", hba_ok)
+        .withColumn("ro5_pass", ro5_pass.cast("long"))
+        .withColumn("druglike", (ro5_pass & alert_free).cast("long"))
+        .select(
+            "grp", "smiles", "hbd", "hba", "mw_centi", "mw_ok", "hbd_ok",
+            "hba_ok", "ro5_pass", "alert_nitro", "alert_azo",
+            "alert_peroxide", "druglike",
+        )
+    )

@@ -156,3 +156,66 @@ def test_try_variant_is_none_safe():
     assert try_canonical_smiles(None) is None
     assert try_canonical_smiles("C1CC") is None
     assert try_canonical_smiles("OCC") == "CCO"
+
+
+# ---- r10: Lipinski gate valence model (pure-function pins) ----------------
+
+def test_ro5_bracket_hydrogen_counts():
+    """Bracket-atom H parsing drives HBD: [NH4+] carries 4, [O-] none, and
+    the H token must not self-match the element's own letters."""
+    from open_molecule_data_pipeline_spark.operators.chemistry import (
+        _ro5_descriptors,
+    )
+
+    hbd, hba, mw, ni, az, px = _ro5_descriptors("[NH4+].[Cl-]")
+    assert (hbd, hba) == (4, 1)
+    hbd, hba, *_ = _ro5_descriptors("[OH2]")  # explicit water
+    assert (hbd, hba) == (2, 1)
+    hbd, *_ = _ro5_descriptors("C[O-]")  # methoxide: no H on O
+    assert hbd == 0
+
+
+def test_ro5_hypervalent_clamps_to_zero():
+    """Neutral nitro spelling N(=O)=O sums bond order 5 > valence 3; the
+    implicit-H model must clamp at 0, not go negative."""
+    from open_molecule_data_pipeline_spark.operators.chemistry import (
+        _ro5_descriptors,
+    )
+
+    hbd, hba, mw, nitro, azo, peroxide = _ro5_descriptors("c1ccccc1N(=O)=O")
+    assert hbd == 0 and nitro == 1 and azo == 0 and peroxide == 0
+    # all three nitrobenzene spellings agree descriptor-for-descriptor
+    charged = _ro5_descriptors("c1ccccc1[N+](=O)[O-]")
+    assert charged == (hbd, hba, mw, nitro, azo, peroxide)
+
+
+def test_ro5_alert_exclusivity():
+    """Azo needs N=N between two nitrogens; nitro's N=O must not trip it,
+    and an ester O-C-O must not read as peroxide (O-O specifically)."""
+    from open_molecule_data_pipeline_spark.operators.chemistry import (
+        _ro5_descriptors,
+    )
+
+    *_, nitro, azo, peroxide = _ro5_descriptors("O=[N+]([O-])c1ccccc1")
+    assert (nitro, azo, peroxide) == (1, 0, 0)
+    *_, nitro, azo, peroxide = _ro5_descriptors("c1ccccc1N=Nc1ccccc1")
+    assert (nitro, azo, peroxide) == (0, 1, 0)
+    *_, nitro, azo, peroxide = _ro5_descriptors("CC(=O)OC")  # methyl acetate
+    assert (nitro, azo, peroxide) == (0, 0, 0)
+    *_, nitro, azo, peroxide = _ro5_descriptors("OO")
+    assert (nitro, azo, peroxide) == (0, 0, 1)
+
+
+def test_ro5_spelling_invariance_full_fixture():
+    """Every spelling of a group must yield the identical descriptor tuple
+    — the structural claim the driver oracle also checks, pinned here
+    without a SparkSession."""
+    from open_molecule_data_pipeline_spark.operators.chemistry import (
+        _RO5_GOLDEN,
+        _RO5_SPELLINGS,
+        _ro5_descriptors,
+    )
+
+    golden = {g: tuple(rest) for g, *rest in _RO5_GOLDEN}
+    for grp, smiles in _RO5_SPELLINGS:
+        assert _ro5_descriptors(smiles) == golden[grp], (grp, smiles)

@@ -128,3 +128,6 @@ def test_smiles_descriptors(mols):
     assert not methane.druglike_size  # below the size floor
     paracetamol = out["CID3"]
     assert paracetamol.n_N == 1 and paracetamol.n_C == 8
+    # Lipinski HBA = N + O count (r10): aspirin 0+4, paracetamol 1+2
+    assert aspirin.n_hba == 4 and aspirin.lipinski_hba_ok
+    assert paracetamol.n_hba == 3 and paracetamol.lipinski_hba_ok
