@@ -230,6 +230,188 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sample_contrastive_triplets",
     "sample_poisson_bootstrap",
     "agg_approx_percentile_verdict",
+    # --- r10 structural change (VERDICT r9 #5): the tail below makes
+    #     CONTRACT_ORDER EXHAUSTIVE — every registered query appears
+    #     explicitly (tests/test_contract_order.py asserts it), so a new
+    #     query can never silently fall outside the driver's reach by
+    #     omission. Order preserved from the former registration-order
+    #     fallback; rotate names INTO the head-50 per round as before. ---
+    "agg_pricing_summary",
+    "filter_project",
+    "join_semi_order_priority",
+    "agg_revenue_forecast",
+    "join_left_outer_order_counts",
+    "join_full_outer_nation_presence",
+    "join_anti_customers_without_orders",
+    "agg_distinct_by_segment",
+    "agg_rollup_returns",
+    "agg_cube_orders",
+    "agg_grouping_sets",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_tagged",
+    "setop_distinct_pairs",
+    "subquery_above_avg_balance",
+    "agg_having_filter",
+    "sort_top10_orders",
+    "join_global_sales_opportunity",
+    "join_late_shipment_priority",
+    "agg_customer_order_distribution",
+    "subquery_min_price_part",
+    "agg_important_part_value",
+    "func_string_part",
+    "func_date_orders",
+    "func_math_lineitem",
+    "func_json_events",
+    "func_case_bucket",
+    "func_pivot_events",
+    "func_percentile_segment",
+    "func_array_ops",
+    "window_analytic_misc",
+    "agg_collect_strings",
+    "func_unpivot_stack",
+    "func_map_ops",
+    "func_sample_seeded",
+    "func_approx_percentile",
+    "join_lateral_latest_order",
+    "func_higher_order_arrays",
+    "window_nth_value",
+    "window_count_distinct_over",
+    "join_relational_division",
+    "join_event_cooccurrence",
+    "sample_bernoulli_hash",
+    "func_variant_json",
+    "window_forward_fill",
+    "func_collation_group",
+    "ml_kmeans_assign",
+    "ml_embedding_centroid_per_label",
+    "join_null_safe_eq",
+    "setop_except_all",
+    "setop_intersect_all",
+    "setop_union_missing_cols",
+    "agg_salted_skew",
+    "groupedmap_minmax_norm",
+    "profile_column_stats",
+    "udf_pandas_logistic_score",
+    "mllib_minhash_recall",
+    "mllib_brp_recall",
+    "cdc_merge_upsert",
+    "cdc_table_diff",
+    "cdc_scd2_intervals",
+    "cdc_scd2_pointintime",
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_lsh_buckets",
+    "sim_ann_lsh_topk",
+    "sim_ivf_persisted",
+    "sim_ivf_recall",
+    "dedup_semantic_clusters",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_apply_clusters",
+    "graph_kcore",
+    "graph_pagerank_3iter",
+    "graph_triangle_count",
+    "graph_bfs_khop",
+    "graph_label_propagation",
+    "graph_pagerank_personalized",
+    "window_topk_per_customer",
+    "window_running_revenue",
+    "window_lag_ship_gap",
+    "window_rank_parts",
+    "window_ntile_quartiles",
+    "ts_tumbling_hour",
+    "ts_sessionization",
+    "ts_asof_latest_order",
+    "ts_ewma_smoothed",
+    "ts_gap_fill_interpolate",
+    "join_range_binned",
+    "text_token_stats",
+    "text_word_freq_top20",
+    "text_quality_score",
+    "text_langid_stopword",
+    "text_sequence_packing",
+    "text_tfidf_topterms",
+    "text_quality_filter",
+    "sample_temperature_mix",
+    "dedup_incremental_batch",
+    "sample_nucleus_topp",
+    "text_pii_redact",
+    "sample_stratified_quota",
+    "text_chunk_windows",
+    "text_curriculum_bins",
+    "text_bpe_pair_merges",
+    "text_bloom_decontaminate",
+    "agg_countmin_heavy_hitters",
+    "agg_kmv_distinct",
+    "dq_constraint_report",
+    "profile_skew_keys",
+    "agg_kmv_merge",
+    "profile_psi_drift",
+    "agg_hll_sketch_merge",
+    "dq_observe_metrics",
+    "text_inverted_index_persisted",
+    "dedup_fuzzy_linkage",
+    "format_zorder_layout",
+    "sim_pq_adc_topk",
+    "ml_embedding_quantize_int8",
+    "mm_blob_stats",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "mm_wav_decode",
+    "mm_image_decode",
+    "mm_video_frames",
+    "mm_audio_frames",
+    "mm_pcm_resample",
+    "mm_image_resize_nn",
+    "mm_image_dhash_neardup",
+    "mm_audio_fingerprint_neardup",
+    "mm_audio_silence_trim",
+    "mm_video_scene_cuts",
+    "chem_canonical_smiles",
+    "chem_tanimoto_pairs",
+    "chem_lipinski_gate",
+    "format_roundtrip_csv",
+    "format_roundtrip_json",
+    "format_roundtrip_xml",
+    "format_corrupt_tolerance",
+    "format_schema_evolution",
+    "format_roundtrip_orc",
+    "format_bucketed_join",
+    "layout_zonemap_pruning",
+    "text_html_strip",
+    "text_unicode_clean",
+    "text_flesch_readability",
+    "text_feature_hashing",
+    "ml_knn_classify",
+    "ml_ndcg_linear",
+    "profile_fd_violations",
+    "profile_value_patterns",
+    "format_fixed_width",
+    "format_csv_quoted_multiline",
+    "ts_interval_union_coverage",
+    "sample_systematic_stride",
+    "ts_asof_nearest_click",
+    "window_moving_regression",
+    "ts_markov_transitions",
+    "layout_compaction_binpack",
+    "func_soundex_phonetic",
+    "stream_tumbling_twin",
+    "stream_session_twin",
+    "stream_dedup_twin",
+    "stream_sliding_twin",
+    "stream_stateful_count_twin",
+    "stream_join_twin",
+    "stream_static_join_twin",
+    "stream_union_twin",
+    "ingest_sdf_demo",
+    "molecule_descriptors_demo",
+    "ingest_http_offset_demo",
+    "ingest_http_stream_demo",
+    "ingest_warc_demo",
+    "ingest_arrow_demo",
 )
 
 

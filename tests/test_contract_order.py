@@ -217,3 +217,22 @@ def test_canon_rejects_nested_cells():
     )
     with pytest.raises(TypeError):
         canon(nested)
+
+
+def test_contract_order_is_exhaustive():
+    """VERDICT r9 #5: every registered contract query must appear
+    EXPLICITLY in CONTRACT_ORDER (positions 51+ are fine). Before r10 the
+    registry fell back to registration order for unlisted names — correct,
+    but a future addition that forgot the rotation queue could silently
+    sit wherever module import order put it. Now omission is a lint
+    failure, so placement is always a deliberate decision."""
+    specs = load_all()
+    listed = set(CONTRACT_ORDER)
+    missing = [n for n, s in specs.items() if s.contract and n not in listed]
+    assert not missing, (
+        f"registered queries absent from CONTRACT_ORDER: {missing} — "
+        "add each at an explicit position (head-50 if new this round)"
+    )
+    # and no phantom names that registration no longer backs
+    phantom = [n for n in CONTRACT_ORDER if n not in specs]
+    assert not phantom, f"CONTRACT_ORDER names with no registration: {phantom}"

@@ -180,6 +180,83 @@ def test_no_partitionless_windows_in_source():
     assert not offenders, offenders
 
 
+# (file, enclosing function) -> bounded-input rationale. The ONLY sanctioned
+# Spark-side SQL-text partitionless windows (VERDICT r9 #8: the allowlist is
+# the single source of truth — a new unlisted site fails the lint below).
+_PARTITIONLESS_SQL_EXEMPT = {
+    ("ts_extra2.py", "ts_sliding_distinct_hll"): (
+        "both windows range over the hour-bucket AGGREGATE table, one row "
+        "per hour — cardinality grows with the time span, never with raw "
+        "row count (rationale at ts_extra2.py ts_sliding_distinct_hll)"
+    ),
+}
+
+
+def test_no_partitionless_sql_windows_in_spark_side_text():
+    """Companion to the source lint above for SQL-TEXT windows: an
+    ``OVER (ORDER BY ...)`` with no PARTITION BY inside a string that Spark
+    executes (``F.expr(...)`` / ``spark.sql(...)``) is the same
+    single-task funnel as ``Window.orderBy``. Oracle strings are DuckDB-side
+    and exempt by construction — the AST walk only visits strings passed to
+    ``expr``/``sql`` calls (directly, via f-string pieces, or via a
+    module-level constant referenced by name)."""
+    import ast
+    import re
+    from pathlib import Path
+
+    ops = Path(__file__).resolve().parent.parent / "open_molecule_data_pipeline_spark"
+    pat = re.compile(r"OVER\s*\(\s*ORDER\s+BY", re.I)
+    offenders: list[str] = []
+    hits: set[tuple[str, str]] = set()
+    for path in sorted(ops.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        module_strs: dict[str, str] = {}
+        for node in tree.body:
+            if (
+                isinstance(node, ast.Assign)
+                and isinstance(node.value, ast.Constant)
+                and isinstance(node.value.value, str)
+            ):
+                for tgt in node.targets:
+                    if isinstance(tgt, ast.Name):
+                        module_strs[tgt.id] = node.value.value
+        func_of: dict[int, str] = {}
+        for fn in ast.walk(tree):
+            if isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for ch in ast.walk(fn):
+                    func_of.setdefault(id(ch), fn.name)
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            name = f.attr if isinstance(f, ast.Attribute) else (
+                f.id if isinstance(f, ast.Name) else None
+            )
+            if name not in ("expr", "sql"):
+                continue
+            texts: list[str] = []
+            for arg in node.args:
+                if isinstance(arg, ast.Name) and arg.id in module_strs:
+                    texts.append(module_strs[arg.id])
+                for c in ast.walk(arg):
+                    if isinstance(c, ast.Constant) and isinstance(c.value, str):
+                        texts.append(c.value)
+            for text in texts:
+                if pat.search(text):
+                    key = (path.name, func_of.get(id(node), "<module>"))
+                    if key in _PARTITIONLESS_SQL_EXEMPT:
+                        hits.add(key)
+                    else:
+                        offenders.append(
+                            f"{path.name}:{node.lineno} in {key[1]}: "
+                            f"{text.strip()[:80]!r}"
+                        )
+    assert not offenders, offenders
+    # stale-allowlist guard: every exemption must still match a real site
+    stale = set(_PARTITIONLESS_SQL_EXEMPT) - hits
+    assert not stale, f"stale _PARTITIONLESS_SQL_EXEMPT entries: {stale}"
+
+
 def test_ntile_and_packing_plans_have_no_global_window(spark, sf_dir):
     """The two-pass rewrites must not contain a partitionless Window node:
     every Window in the plan either partitions by __pid or runs over the
