@@ -130,3 +130,59 @@ def func_sql_udf_pipe(spark, sf_dir):
            GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# URL parsing (r10): Spark's Hive-compatible ``parse_url`` vs an
+# independent RFC-3986 regex derivation in DuckDB — a real spec check of
+# the native function (like soundex above), including its edge contract:
+# PATH on a path-less URL is the EMPTY STRING while absent QUERY/REF/
+# USERINFO are NULL (DuckDB's regexp_extract returns '' on no match, so
+# the oracle wraps exactly the null-returning parts in nullif). The
+# fixture covers ports, userinfo, encoded spaces, fragments, and
+# query-param extraction ('x'). Complements dedup_url_normalize (which
+# canonicalizes); this exposes the raw component API a crawl pipeline
+# uses for host-level grouping and robots/TLD policies.
+# --------------------------------------------------------------------------
+
+_URL_FIXTURE = [
+    "https://example.com/path/a?x=1&y=2#frag",
+    "http://sub.example.org:8080/p?q=hello%20world",
+    "https://example.com/",
+    "ftp://files.example.net/pub/file.txt",
+    "https://user:pw@secure.example.com:8443/login?next=/home&x=9",
+    "http://example.com?x=1",
+    "https://example.com/a/b/c",
+]
+
+
+def _url_oracle() -> str:
+    values = ",\n  ".join(f"('{u}')" for u in _URL_FIXTURE)
+    return f"""
+SELECT url,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://(?:[^/?#@]*@)?([^:/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+       nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS query,
+       nullif(regexp_extract(url, '[?&]x=([^&#]*)', 1), '') AS px,
+       nullif(regexp_extract(url, '#(.*)$', 1), '') AS ref,
+       nullif(regexp_extract(url, '^[a-z]+://([^/?#@]*)@', 1), '') AS ui
+FROM (VALUES
+  {values}
+) t(url)
+"""
+
+
+@register("func_url_parse", oracle=_url_oracle(), tags=("functions", "string"))
+def func_url_parse(spark, sf_dir):
+    df = spark.createDataFrame([(u,) for u in _URL_FIXTURE], "url string")
+    return df.selectExpr(
+        "url",
+        "parse_url(url, 'PROTOCOL') AS proto",
+        "parse_url(url, 'HOST') AS host",
+        "parse_url(url, 'PATH') AS path",
+        "parse_url(url, 'QUERY') AS query",
+        "parse_url(url, 'QUERY', 'x') AS px",
+        "parse_url(url, 'REF') AS ref",
+        "parse_url(url, 'USERINFO') AS ui",
+    )

@@ -904,3 +904,133 @@ def ml_svm_subgradient(spark, sf_dir):
     # same multi-pass scan-width guard as the IRLS text
     spread(table(spark, sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
     return spark.sql(_svm_sql())
+
+
+# --------------------------------------------------------------------------
+# Ridge regression (r10) — the L2-regularized twin of
+# ml_ols_normal_equations: same ONE-pass exact-int64 moment aggregation
+# (shuffle carries 9 numbers per group at any scale), but the normal
+# matrix gets +lambda on the SLOPE diagonal entries only (the intercept
+# is unpenalized, the standard convention), shrinking b1/b2 toward zero
+# on ill-conditioned groups. The solve is the same 3x3 Cramer text with
+# Sqq -> (Sqq + lam), Sdd -> (Sdd + lam), run textually identical on
+# both engines. Output includes the OLS slopes beside the ridge slopes
+# so the shrinkage is part of the verified contract (|b_ridge| <=
+# |b_ols| whenever the moments are well-conditioned — pinned in pytest).
+# --------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1000.0
+
+_RIDGE_SOLVE_EXPRS = (
+    """round((n * (Sqy * Sddl - Sdy * Sqd) - Sy * (Sq * Sddl - Sqd * Sd)
+       + Sd * (Sq * Sdy - Sqy * Sd)) / detR, 6) AS b1_ridge""",
+    """round((n * (Sqql * Sdy - Sqd * Sqy) - Sq * (Sq * Sdy - Sqy * Sd)
+       + Sy * (Sq * Sqd - Sqql * Sd)) / detR, 6) AS b2_ridge""",
+    """round((n * (Sqy * Sdd - Sdy * Sqd) - Sy * (Sq * Sdd - Sqd * Sd)
+       + Sd * (Sq * Sdy - Sqy * Sd)) / detA, 6) AS b1_ols""",
+    """round((n * (Sqq * Sdy - Sqd * Sqy) - Sq * (Sq * Sdy - Sqy * Sd)
+       + Sy * (Sq * Sqd - Sqq * Sd)) / detA, 6) AS b2_ols""",
+)
+
+_RIDGE_DET_EXPRS = (
+    """n * (Sqql * Sddl - Sqd * Sqd) - Sq * (Sq * Sddl - Sqd * Sd)
+  + Sd * (Sq * Sqd - Sqql * Sd) AS detR""",
+    """n * (Sqq * Sdd - Sqd * Sqd) - Sq * (Sq * Sdd - Sqd * Sd)
+  + Sd * (Sq * Sqd - Sqq * Sd) AS detA""",
+)
+
+_RIDGE_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         cast(count(*) AS BIGINT) AS n,
+         sum(cast(l_quantity AS DECIMAL(38,0))) AS q1,
+         sum(cast(round(l_discount * 100) AS DECIMAL(38,0))) AS d100,
+         sum(cast(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS p100,
+         sum(cast(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT)
+             AS DECIMAL(38,0))) AS qq,
+         sum(cast(cast(round(l_discount * 100) AS BIGINT)
+             * cast(round(l_discount * 100) AS BIGINT)
+             AS DECIMAL(38,0))) AS dd,
+         sum(cast(cast(l_quantity AS BIGINT)
+             * cast(round(l_discount * 100) AS BIGINT)
+             AS DECIMAL(38,0))) AS qd,
+         sum(cast(cast(l_quantity AS BIGINT)
+             * cast(round(l_extendedprice * 100) AS BIGINT)
+             AS DECIMAL(38,0))) AS qp,
+         sum(cast(cast(round(l_discount * 100) AS BIGINT)
+             * cast(round(l_extendedprice * 100) AS BIGINT)
+             AS DECIMAL(38,0))) AS dp
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag,
+         cast(n AS DOUBLE) AS n,
+         cast(q1 AS DOUBLE) AS Sq,
+         d100 / cast(100 AS DOUBLE) AS Sd,
+         p100 / cast(100 AS DOUBLE) AS Sy,
+         cast(qq AS DOUBLE) AS Sqq,
+         dd / cast(10000 AS DOUBLE) AS Sdd,
+         qd / cast(100 AS DOUBLE) AS Sqd,
+         qp / cast(100 AS DOUBLE) AS Sqy,
+         dp / cast(10000 AS DOUBLE) AS Sdy,
+         cast(qq AS DOUBLE) + {_RIDGE_LAMBDA} AS Sqql,
+         dd / cast(10000 AS DOUBLE) + {_RIDGE_LAMBDA} AS Sddl
+  FROM m
+),
+solved AS (
+  SELECT l_returnflag, n, Sq, Sd, Sy, Sqq, Sdd, Sqd, Sqy, Sdy, Sqql, Sddl,
+         {",".join(_RIDGE_DET_EXPRS)}
+  FROM d
+)
+SELECT l_returnflag, cast(n AS BIGINT) AS n, {",".join(_RIDGE_SOLVE_EXPRS)}
+FROM solved
+"""
+
+
+@register(
+    "ml_ridge_regression",
+    oracle=_RIDGE_ORACLE,
+    tags=("ml", "agg", "stats"),
+)
+def ml_ridge_regression(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast(dec)).alias("q1"),
+        F.sum(d100.cast(dec)).alias("d100"),
+        F.sum(p100.cast(dec)).alias("p100"),
+        F.sum((q * q).cast(dec)).alias("qq"),
+        F.sum((d100 * d100).cast(dec)).alias("dd"),
+        F.sum((q * d100).cast(dec)).alias("qd"),
+        F.sum((q * p100).cast(dec)).alias("qp"),
+        F.sum((d100 * p100).cast(dec)).alias("dp"),
+    )
+    d = m.select(
+        "l_returnflag",
+        F.col("n").alias("n_long"),
+        F.col("n").cast("double").alias("n"),
+        F.col("q1").cast("double").alias("Sq"),
+        (F.col("d100") / F.lit(100).cast("double")).alias("Sd"),
+        (F.col("p100") / F.lit(100).cast("double")).alias("Sy"),
+        F.col("qq").cast("double").alias("Sqq"),
+        (F.col("dd") / F.lit(10000).cast("double")).alias("Sdd"),
+        (F.col("qd") / F.lit(100).cast("double")).alias("Sqd"),
+        (F.col("qp") / F.lit(100).cast("double")).alias("Sqy"),
+        (F.col("dp") / F.lit(10000).cast("double")).alias("Sdy"),
+    ).withColumn(
+        "Sqql", F.expr(f"Sqq + {_RIDGE_LAMBDA}")
+    ).withColumn(
+        "Sddl", F.expr(f"Sdd + {_RIDGE_LAMBDA}")
+    )
+    solved = d.selectExpr(
+        "l_returnflag", "n_long", "n", "Sq", "Sd", "Sy", "Sqq", "Sdd",
+        "Sqd", "Sqy", "Sdy", "Sqql", "Sddl", *_RIDGE_DET_EXPRS,
+    )
+    return solved.selectExpr(
+        "l_returnflag", "n_long AS n", *_RIDGE_SOLVE_EXPRS
+    )

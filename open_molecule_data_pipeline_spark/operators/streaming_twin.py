@@ -1049,3 +1049,47 @@ def stream_ohlc_twin(spark, sf_dir):
         )
     )
     return _run_to_memory(spark, agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# VWAP streaming twin (r10): the batch ts_vwap_hourly aggregation as a
+# real availableNow stream — turnover/volume are plain commutative long
+# sums so partial-state merge is trivial, but the JSON-path volume
+# extraction (get_json_object in the hot path) now runs inside the
+# streaming microbatch, proving the JVM JSON parser sits on the
+# streaming side of the state store too. The final ratio is computed
+# AFTER the stream completes, on the bounded per-hour state — identical
+# arithmetic to the batch form, same oracle.
+# --------------------------------------------------------------------------
+
+from .ts_extra3 import _VWAP_ORACLE as _VWAP_TWIN_ORACLE  # noqa: E402
+
+
+@register(
+    "stream_vwap_twin",
+    oracle=_VWAP_TWIN_ORACLE,
+    tags=("streaming", "timeseries", "json"),
+)
+def stream_vwap_twin(spark, sf_dir):
+    events = _events_stream(spark, sf_dir)
+    vol = F.get_json_object("props", "$.k").cast("long")
+    agg = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.sum(F.round(F.col("value") * vol * 100).cast("long")).alias(
+            "turnover_e2"
+        ),
+        F.sum(vol).alias("volume"),
+    )
+    done = _run_to_memory(spark, agg, output_mode="complete")
+    return done.select(
+        "bucket",
+        "turnover_e2",
+        "volume",
+        F.round(
+            F.col("turnover_e2").cast("double")
+            / F.lit(100).cast("double")
+            / F.col("volume").cast("double"),
+            6,
+        ).alias("vwap"),
+    )

@@ -1,0 +1,287 @@
+"""Financial-style event analytics (r10): VWAP bars, time-weighted
+averages, max drawdown.
+
+Three shapes every metrics/trading pipeline needs, each expressed so the
+plan survives 100 TB:
+
+- ``ts_vwap_hourly``: volume-weighted average price per hour — one
+  partial+final aggregation over the raw scan (zero joins, zero windows);
+  the "volume" rides in the ``props`` JSON column, so this is also the
+  JSON-path-extraction-in-the-hot-path demo (JVM ``get_json_object``,
+  never Python). Money math follows the house ``lsum`` rule: per-row
+  value*volume rounded at scale 100 into an exact int64 turnover, one
+  double division at the end.
+
+- ``ts_time_weighted_avg``: last-observation-carried-forward integral
+  per (user, day) — each event's value holds until the next event; TWA =
+  sum(value_i * dur_i) / sum(dur_i) with durations in exact microseconds
+  from a lead() window PARTITIONED by (user, day). The int64 numerator is
+  bounded by day_span_us * max_scaled_value ~ 8.6e10 * ~1e4 ≈ 8.6e14 per
+  group REGARDLESS of event count (durations within a day sum to the day
+  span), so no DECIMAL accumulator is needed — documented bound, not
+  hope.
+
+- ``window_max_drawdown``: running peak-minus-equity per user over the
+  cumulative value series — the classic risk metric, and the canonical
+  "two stacked windows" pattern (cumulative sum, then running max), both
+  partitioned by user_id. State per partition is O(1); no global window.
+
+All three run fully in whole-stage codegen; oracles mirror the exact
+integer arithmetic so cross-engine hashes are bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# VWAP per hour
+# --------------------------------------------------------------------------
+
+_VWAP_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket,
+       cast(sum(cast(round(value * cast(json_extract(props, '$.k') AS BIGINT)
+                           * 100) AS BIGINT)) AS BIGINT) AS turnover_e2,
+       cast(sum(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS volume,
+       round(cast(sum(cast(round(value * cast(json_extract(props, '$.k')
+                                              AS BIGINT) * 100) AS BIGINT))
+                  AS DOUBLE)
+             / cast(100 AS DOUBLE)
+             / cast(sum(cast(json_extract(props, '$.k') AS BIGINT))
+                    AS DOUBLE), 6) AS vwap
+FROM events
+GROUP BY date_trunc('hour', ts)
+"""
+
+
+@register(
+    "ts_vwap_hourly",
+    oracle=_VWAP_ORACLE,
+    tags=("timeseries", "agg", "json"),
+)
+def ts_vwap_hourly(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    turnover_e2 = F.sum(F.round(F.col("value") * vol * 100).cast("long"))
+    volume = F.sum(vol)
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            turnover_e2.alias("turnover_e2"),
+            volume.alias("volume"),
+        )
+        .select(
+            "bucket",
+            "turnover_e2",
+            "volume",
+            F.round(
+                F.col("turnover_e2").cast("double")
+                / F.lit(100).cast("double")
+                / F.col("volume").cast("double"),
+                6,
+            ).alias("vwap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (LOCF integral) per user-day
+# --------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH x AS (
+  SELECT user_id,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+         epoch_us(ts) AS t,
+         cast(round(value * 100) AS BIGINT) AS v_e2
+  FROM events
+),
+seg AS (
+  SELECT user_id, d, v_e2,
+         lead(t) OVER (PARTITION BY user_id, d ORDER BY t) - t AS dur_us
+  FROM x
+)
+SELECT user_id, d,
+       cast(count(*) AS BIGINT) AS n_segments,
+       cast(sum(dur_us) AS BIGINT) AS span_us,
+       round(cast(sum(v_e2 * dur_us) AS DOUBLE)
+             / cast(sum(dur_us) AS DOUBLE)
+             / cast(100 AS DOUBLE), 6) AS twa
+FROM seg
+WHERE dur_us IS NOT NULL
+GROUP BY user_id, d
+HAVING sum(dur_us) > 0
+"""
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle=_TWA_ORACLE,
+    tags=("timeseries", "window", "agg"),
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("d"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    # events.ts has microsecond precision and ties are absent in the
+    # testdata; ordering by t alone matches the oracle (a tie would make
+    # dur_us = 0 and contribute nothing to either sum anyway).
+    w = W.partitionBy("user_id", "d").orderBy("t")
+    seg = e.withColumn("dur_us", F.lead("t").over(w) - F.col("t")).filter(
+        F.col("dur_us").isNotNull()
+    )
+    return (
+        seg.groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_us").alias("span_us"),
+            F.sum(F.col("v_e2") * F.col("dur_us")).alias("num_e2us"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "d",
+            "n_segments",
+            "span_us",
+            F.round(
+                F.col("num_e2us").cast("double")
+                / F.col("span_us").cast("double")
+                / F.lit(100).cast("double"),
+                6,
+            ).alias("twa"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Max drawdown per user
+# --------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH eq AS (
+  SELECT user_id, event_id, ts,
+         sum(cast(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS equity_e2
+  FROM events
+),
+pk AS (
+  SELECT user_id, equity_e2,
+         max(equity_e2) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS peak_e2
+  FROM eq
+)
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(max(peak_e2 - equity_e2) AS BIGINT) AS max_drawdown_e2,
+       cast(max(equity_e2) AS BIGINT) AS peak_equity_e2
+FROM pk
+GROUP BY user_id
+"""
+
+
+@register(
+    "window_max_drawdown",
+    oracle=_DRAWDOWN_ORACLE,
+    tags=("window", "timeseries", "frame"),
+)
+def window_max_drawdown(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    cum = W.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    eq = e.withColumn("equity_e2", F.sum("v_e2").over(cum)).withColumn(
+        "peak_e2", F.max("equity_e2").over(cum)
+    )
+    return eq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.col("peak_e2") - F.col("equity_e2")).alias("max_drawdown_e2"),
+        F.max("equity_e2").alias("peak_equity_e2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly flags via median absolute deviation (r10): the
+# stddev-based ts_rate_anomaly breaks down when the contamination itself
+# inflates sigma; MAD is the 50%-breakdown robust scale. Two aggregation
+# passes (median, then median of |v - med|), each a bounded per-type
+# aggregate broadcast back onto the fact — no window, no sort of the raw
+# stream, so the plan is two shuffles of (type, value) pairs at any
+# scale. The outlier predicate |v - med| > 3 * 1.4826 * mad runs the
+# identical IEEE ops on both engines (inputs are the same 2-dp doubles),
+# so the comparison can never disagree cross-engine.
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       round(m.med, 6) AS med,
+       round(d.mad, 6) AS mad,
+       cast(count(*) AS BIGINT) AS n_total,
+       cast(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(cast(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / cast(count(*) AS DOUBLE), 6) AS outlier_rate
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type, m.med, d.mad
+"""
+
+
+@register(
+    "ts_anomaly_robust_mad",
+    oracle=_MAD_ORACLE,
+    tags=("timeseries", "agg", "stats"),
+)
+def ts_anomaly_robust_mad(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = (
+        F.abs(F.col("value") - F.col("med"))
+        > F.lit(3) * F.lit(1.4826) * F.col("mad")
+    ).cast("long")
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(is_out).alias("n_outliers"),
+    ).select(
+        "event_type",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_total",
+        "n_outliers",
+        F.round(
+            F.col("n_outliers").cast("double") / F.col("n_total").cast("double"),
+            6,
+        ).alias("outlier_rate"),
+    )

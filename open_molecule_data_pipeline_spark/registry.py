@@ -30,55 +30,89 @@ QUERIES: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # ``__spark_entry__.queries()``, so the contract ordering is curated and
-# ROTATED each round: the window keeps every query ADDED or CHANGED this
-# round, and fills the remaining slots with queries the external gate has
-# never sampled. Cumulative driver-verified through r8: 309 of 310
-# contract queries (union of green rows in CORRECTNESS_r01..r08) — every
-# contract query has now been sampled at least once; the single non-green
-# is ``func_array_membership`` (driver-harness canonicalizer error on its
-# two array-typed output columns, VERDICT r8 #1 — fixed this round by
-# flattening both outputs with array_join, oracle mirrored with
-# array_to_string). With the backlog drained, the r9 window is pure
-# RE-PROOF: 50 slots for code changed in r8/r9 that no driver row has
-# exercised yet (VERDICT r8 "What's missing" #2), ordered semantics-first:
-#   1     func_array_membership (r9: array outputs flattened; last red row)
-#   2     recursive_month_spine (r8: ORACLE TEXT CHANGED — loop bound
-#         carried through the recursion instead of a per-iteration scalar
-#         subquery rescanning orders)
-#   3-4   both BPE trainers (r8: tokenize-once + array-fold rewrite)
-#   5     agg_approx_distinct (r8: split into 3 narrow aggs)
-#   6     text_bm25_topk (r8: corpus stats off doc lengths, not the
-#         exploded token stream)
-#   7-15  the xxhash64-rekeyed dedup/corpus family (r8: 8-byte long band/
-#         gram/span keys replacing 32-char md5 hex)
-#   16-28 the DECIMAL(38,0) accumulator family (r8: int64 overflow
-#         hardening of quadratic/cubic fixed-point sums)
-#   29    stream_mv_twin (r8: sweeper guard on live result dirs)
-#   30-50 hint-only broadcast drops (r8: forced broadcasts of SF-scaling
-#         join sides removed; AQE keeps identical local plans, so these
-#         are the lowest-risk re-proofs and fill the remaining slots)
-# Two more hint-only drops (``join_local_supplier_volume``,
-# ``join_theta_price_band``) did not fit; they sit at positions 51-52,
-# are doubly driver-green on the old code, and head the r10 window if
-# still unproven then. ``text_lm_bigram_backoff`` and the r8-window
-# ``func_*``/``sample_*`` rows were sampled AFTER the r8 commits landed,
-# so their CORRECTNESS_r08 greens already prove the post-change code — no
-# slot spent. Operator families whose sentinels rotate OUT of the window
-# are already externally proven by >= 2 green rows in past CORRECTNESS
-# files; tests/test_contract_order.py enforces exactly that invariant
-# (in-window OR cumulatively green). Everything else follows in
-# registration order. Names listed here but not registered are ignored
-# (keeps the list forward-compatible while modules evolve).
+# ROTATED each round. Window policy (amended r10): the head-50 takes, in
+# priority order, (1) queries whose code CHANGED since their last driver
+# row, (2) queries NEVER driver-sampled, then — only when that backlog
+# does not fill 50 slots — (3) LEAST-PROVEN re-proofs, i.e. queries with
+# the minimal cumulative green count, oldest last-green first (r10: 27
+# such slots, 26 of them queries whose only green row dates to ROUND 1 —
+# the catalog/session/tuning layers under them have changed repeatedly
+# since). tests/test_contract_order.py enforces all three rules plus
+# exhaustiveness: EVERY registered query appears explicitly below.
+#
+# r10 head-50 layout:
+#   1-2    the two r8 hint-only broadcast drops whose re-proof was
+#          deferred from the r9 window (VERDICT r9 #1)
+#   3-14   the 12 queries ADDED in r9 (sweep-green + judge-verified,
+#          never driver-sampled; func_sql_udf_pipe additionally changed
+#          in r10 — money rescaled to 1e4 per ADVICE r9)
+#   15-23  the 9 queries ADDED in r10 (Lipinski gate, VWAP + streaming
+#          twin, time-weighted avg, max drawdown, k-fold assign, ridge,
+#          MAD anomaly, parse_url spec check)
+#   24-50  least-proven fillers per rule (3) above
+# Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- slot 1: the last never-green query, fixed this round (r9) ---
+    # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
+    "join_local_supplier_volume",
+    "join_theta_price_band",
+    # --- 3-14: r9 additions, never driver-sampled ---
+    "text_bpe_encode_apply",
+    "text_gopher_quality_rules",
+    "ml_embedding_truncate_recall",
+    "ts_ohlc_bars",
+    "func_sql_udf_pipe",
+    "ts_session_window_native",
+    "text_fuzzy_vocab_search",
+    "ts_asof_tolerance_30m",
+    "stream_ohlc_twin",
+    "sample_length_bucket_batches",
+    "chem_atom_census",
+    "ts_sliding_distinct_hll",
+    # --- 15-23: r10 additions ---
+    "chem_lipinski_gate",
+    "ts_vwap_hourly",
+    "ts_time_weighted_avg",
+    "window_max_drawdown",
+    "sample_kfold_assign",
+    "ml_ridge_regression",
+    "ts_anomaly_robust_mad",
+    "func_url_parse",
+    "stream_vwap_twin",
+    # --- 24-50: least-proven re-proofs (single green row, r1-era) ---
+    "agg_collect_strings",
+    "agg_cube_orders",
+    "agg_customer_order_distribution",
+    "agg_distinct_by_segment",
+    "agg_grouping_sets",
+    "agg_having_filter",
+    "agg_important_part_value",
+    "agg_revenue_forecast",
+    "func_array_ops",
+    "func_case_bucket",
+    "func_date_orders",
+    "func_math_lineitem",
+    "func_percentile_segment",
+    "func_pivot_events",
+    "func_string_part",
+    "func_unpivot_stack",
+    "join_global_sales_opportunity",
+    "join_late_shipment_priority",
+    "join_left_outer_order_counts",
+    "join_semi_order_priority",
+    "setop_distinct_pairs",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_tagged",
+    "subquery_min_price_part",
+    "window_analytic_misc",
+    "cdc_merge_upsert",
+    # --- 51+: prior curated order (not sampled this round) ---
     "func_array_membership",
-    # --- slots 2-6: r8 semantic rewrites, highest exposure first ---
     "recursive_month_spine",
     "text_bpe_train_batched",
     "text_bpe_train_merges",
     "agg_approx_distinct",
     "text_bm25_topk",
-    # --- slots 7-15: xxhash64-rekeyed dedup/corpus internals (r8) ---
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_containment",
@@ -88,7 +122,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "dedup_boilerplate_lines",
     "text_decontamination_overlap",
     "corpus_pipeline_report",
-    # --- slots 16-28: DECIMAL(38,0) accumulator hardening (r8) ---
     "ml_kmeans_lloyd_3iter",
     "ml_logreg_irls",
     "ml_svm_subgradient",
@@ -102,9 +135,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "graph_clustering_coefficient",
     "text_zipf_coverage",
     "agg_weighted_mean_twostage",
-    # --- slot 29: streaming MV twin sweeper guard (r8) ---
     "stream_mv_twin",
-    # --- slots 30-50: hint-only forced-broadcast drops (r8, plan-only) ---
     "text_lm_unigram_score",
     "sample_hash_topk_per_group",
     "join_returned_revenue",
@@ -126,27 +157,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "join_shipping_priority",
     "join_salted_skew",
     "join_bloom_semijoin",
-    # --- positions 51-52: the two deferred hint-only drops (r10 head) ---
-    "join_local_supplier_volume",
-    "join_theta_price_band",
-    # --- positions 53-64: queries ADDED in r9 (never sampled; r10 window
-    #     head behind the two deferred drops) ---
-    "text_bpe_encode_apply",
-    "text_gopher_quality_rules",
-    "ml_embedding_truncate_recall",
-    "ts_ohlc_bars",
-    "func_sql_udf_pipe",
-    "ts_session_window_native",
-    "text_fuzzy_vocab_search",
-    "ts_asof_tolerance_30m",
-    "stream_ohlc_twin",
-    "sample_length_bucket_batches",
-    "chem_atom_census",
-    "ts_sliding_distinct_hll",
-    # --- positions 65+: the drained r8 window (all driver-green in
-    #     CORRECTNESS_r08.json on post-change code), then the r7 window
-    #     and older curated tail, kept in order so positions stay stable;
-    #     everything else follows in registration order ---
     "sim_ivf_topk",
     "agg_misra_gries_verdict",
     "agg_kmv_intersect",
@@ -230,46 +240,14 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sample_contrastive_triplets",
     "sample_poisson_bootstrap",
     "agg_approx_percentile_verdict",
-    # --- r10 structural change (VERDICT r9 #5): the tail below makes
-    #     CONTRACT_ORDER EXHAUSTIVE — every registered query appears
-    #     explicitly (tests/test_contract_order.py asserts it), so a new
-    #     query can never silently fall outside the driver's reach by
-    #     omission. Order preserved from the former registration-order
-    #     fallback; rotate names INTO the head-50 per round as before. ---
     "agg_pricing_summary",
     "filter_project",
-    "join_semi_order_priority",
-    "agg_revenue_forecast",
-    "join_left_outer_order_counts",
     "join_full_outer_nation_presence",
     "join_anti_customers_without_orders",
-    "agg_distinct_by_segment",
     "agg_rollup_returns",
-    "agg_cube_orders",
-    "agg_grouping_sets",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_tagged",
-    "setop_distinct_pairs",
     "subquery_above_avg_balance",
-    "agg_having_filter",
     "sort_top10_orders",
-    "join_global_sales_opportunity",
-    "join_late_shipment_priority",
-    "agg_customer_order_distribution",
-    "subquery_min_price_part",
-    "agg_important_part_value",
-    "func_string_part",
-    "func_date_orders",
-    "func_math_lineitem",
     "func_json_events",
-    "func_case_bucket",
-    "func_pivot_events",
-    "func_percentile_segment",
-    "func_array_ops",
-    "window_analytic_misc",
-    "agg_collect_strings",
-    "func_unpivot_stack",
     "func_map_ops",
     "func_sample_seeded",
     "func_approx_percentile",
@@ -295,7 +273,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "udf_pandas_logistic_score",
     "mllib_minhash_recall",
     "mllib_brp_recall",
-    "cdc_merge_upsert",
     "cdc_table_diff",
     "cdc_scd2_intervals",
     "cdc_scd2_pointintime",
@@ -372,7 +349,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "mm_video_scene_cuts",
     "chem_canonical_smiles",
     "chem_tanimoto_pairs",
-    "chem_lipinski_gate",
     "format_roundtrip_csv",
     "format_roundtrip_json",
     "format_roundtrip_xml",
@@ -469,6 +445,8 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.dq_extra",
     "open_molecule_data_pipeline_spark.operators.formats_extra",
     "open_molecule_data_pipeline_spark.operators.ts_extra2",
+    "open_molecule_data_pipeline_spark.operators.ts_extra3",
+    "open_molecule_data_pipeline_spark.operators.readability",
     "open_molecule_data_pipeline_spark.operators.lakehouse",
     "open_molecule_data_pipeline_spark.operators.funcs_extra4",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",

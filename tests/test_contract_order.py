@@ -121,80 +121,50 @@ def test_contract_preserves_all_other_queries():
 # already-driver-green names allowed inside the head-50 window (re-proof
 # slots). Update per round alongside the CONTRACT_ORDER head comment.
 CHANGED_THIS_ROUND = {
-    # r9: array outputs flattened to comma-joined strings so the driver
-    # canonicalizer can hash them (VERDICT r8 #1) — never driver-green,
-    # listed for documentation only.
-    "func_array_membership",
-    # r8 semantic rewrites whose driver rows predate the change
-    # (VERDICT r8 "What's missing" #2): recursion bound carry, BPE
-    # fold-automaton, narrow-agg split, BM25 corpus stats off doc lengths.
-    "recursive_month_spine",
-    "text_bpe_train_batched",
-    "text_bpe_train_merges",
-    "agg_approx_distinct",
-    "text_bm25_topk",
-    # r8: xxhash64-rekeyed dedup/corpus internals
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_duplicate_spans",
-    "dedup_paragraphs",
-    "dedup_prefix_filter_join",
-    "dedup_boilerplate_lines",
-    "text_decontamination_overlap",
-    "corpus_pipeline_report",
-    # r8: DECIMAL(38,0) accumulator hardening
-    "ml_kmeans_lloyd_3iter",
-    "ml_logreg_irls",
-    "ml_svm_subgradient",
-    "ml_pca_power_iteration",
-    "ml_ols_normal_equations",
-    "ml_decision_stump",
-    "ml_auc_roc",
-    "ml_pr_curve",
-    "ts_downsample_lttb",
-    "sim_pq_encode",
-    "graph_clustering_coefficient",
-    "text_zipf_coverage",
-    "agg_weighted_mean_twostage",
-    # r8: sweeper guard on live streaming MV result dirs
-    "stream_mv_twin",
-    # r8: hint-only forced-broadcast drops (plan-only; AQE keeps identical
-    # local plans). Two more — join_local_supplier_volume,
-    # join_theta_price_band — did not fit the window and sit at 51-52.
-    "text_lm_unigram_score",
-    "sample_hash_topk_per_group",
-    "join_returned_revenue",
-    "agg_promo_share",
-    "agg_supplier_variety",
-    "join_large_orders",
-    "join_disjunctive_predicates",
-    "join_volume_shipping",
-    "agg_market_share",
-    "agg_profit_by_nation_year",
-    "join_top_supplier",
-    "subquery_small_quantity_revenue",
-    "join_waiting_suppliers",
-    "join_promo_stock_suppliers",
-    "text_dsir_weights",
-    "sample_importance_resample",
-    "graph_jaccard_neighbors",
-    "cdc_deletion_vectors",
-    "join_shipping_priority",
-    "join_salted_skew",
-    "join_bloom_semijoin",
+    # r8 hint-only forced-broadcast drops whose re-proof was deferred to
+    # the r10 window (VERDICT r9 #1): code changed in r8, both still
+    # driver-green only on PRE-change code.
+    "join_local_supplier_volume",
+    "join_theta_price_band",
+    # r10: SQL-UDF money rescaled from cents to 1e-4 units (ADVICE r9) —
+    # never driver-green yet (r9 addition), listed for documentation.
+    "func_sql_udf_pipe",
 }
 
 
 def test_window_spends_no_slot_on_unchanged_green_queries():
-    """VERDICT r6 #1 discipline, codified: every head-50 slot must be a
-    first-time verification (never driver-green) or an explicit re-proof
-    of code changed this round — an unchanged already-green query in the
-    window wastes a slot the backlog needs."""
-    green = set(_cumulative_green_counts())
-    head = list(contract_specs())[:WINDOW]
-    wasted = [n for n in head if n in green and n not in CHANGED_THIS_ROUND]
-    assert not wasted, f"window slots on unchanged already-green queries: {wasted}"
+    """Window policy, codified (amended r10): every head-50 slot must be
+    (1) an explicit re-proof of code changed since its last driver row
+    (CHANGED_THIS_ROUND), (2) a first-time verification (never
+    driver-green), or — only when that backlog leaves slots free — (3) a
+    LEAST-PROVEN re-proof: no query outside the window may have a
+    strictly lower cumulative green count than any rule-(3) filler
+    inside it (maximal marginal verification value; ties broken by the
+    curator, oldest-last-green preferred)."""
+    green = _cumulative_green_counts()
+    specs = contract_specs()
+    head = list(specs)[:WINDOW]
+    outside = list(specs)[WINDOW:]
+    fillers = [n for n in head if green.get(n, 0) > 0 and n not in CHANGED_THIS_ROUND]
+    if fillers:
+        backlog = [
+            n for n in specs
+            if green.get(n, 0) == 0 or n in CHANGED_THIS_ROUND
+        ]
+        assert len(backlog) < WINDOW, (
+            f"window has {len(fillers)} re-proof fillers while the "
+            f"changed/never-green backlog alone exceeds the window: {backlog}"
+        )
+        max_filler = max(green[n] for n in fillers)
+        min_outside = min(
+            (green.get(n, 0) for n in outside if n not in CHANGED_THIS_ROUND),
+            default=max_filler,
+        )
+        assert max_filler <= min_outside, (
+            "least-proven rule violated: a filler with green count "
+            f"{max_filler} sits in the window while a query with count "
+            f"{min_outside} sits outside"
+        )
 
 
 def test_canon_rejects_nested_cells():

@@ -1,0 +1,175 @@
+"""Edge-semantics pins for the r10 operators (parity with the DuckDB
+oracle is covered by test_oracle_parity; these pin the CONTRACTS that
+parity alone would not catch if both engines drifted together)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_twa_excludes_single_event_days(spark):
+    """A user-day with one event has no LOCF segment (zero span) and must
+    be absent from the output, not present with NULL/0 — the documented
+    denominator contract."""
+    from open_molecule_data_pipeline_spark.operators.ts_extra3 import (
+        ts_time_weighted_avg,
+    )
+    import open_molecule_data_pipeline_spark.catalog as cat
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, 10.0),
+        (2, "2024-01-01 01:00:00", 10, 30.0),  # user 10: one 1h segment
+        (3, "2024-01-01 12:00:00", 20, 99.0),  # user 20: single event
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    orig = cat.table
+    try:
+        cat.table = lambda s, d, n: df
+        import open_molecule_data_pipeline_spark.operators.ts_extra3 as m
+
+        m_table = m.table
+        m.table = cat.table
+        try:
+            out = {r.user_id: r for r in ts_time_weighted_avg(spark, "x").collect()}
+        finally:
+            m.table = m_table
+    finally:
+        cat.table = orig
+    assert set(out) == {10}
+    # the only segment carries value 10.0 for the full hour -> TWA = 10
+    assert out[10].twa == pytest.approx(10.0)
+    assert out[10].span_us == 3_600_000_000
+
+
+def test_drawdown_peak_never_decreases(spark, sf_dir):
+    """max_drawdown_e2 >= 0 always, and a user whose equity is monotone
+    nondecreasing has drawdown exactly 0 — pinned on a synthetic series
+    plus nonnegativity on the real table."""
+    from open_molecule_data_pipeline_spark.operators.ts_extra3 import (
+        window_max_drawdown,
+    )
+    import open_molecule_data_pipeline_spark.operators.ts_extra3 as m
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 5.0),
+        (2, "2024-01-01 01:00:00", 1, 3.0),   # rising equity: 5, 8
+        (3, "2024-01-01 00:00:00", 2, 5.0),
+        (4, "2024-01-01 01:00:00", 2, -2.0),  # drop of 2.00 from peak
+        (5, "2024-01-01 02:00:00", 2, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = {r.user_id: r for r in window_max_drawdown(spark, "x").collect()}
+    finally:
+        m.table = orig
+    assert out[1].max_drawdown_e2 == 0
+    assert out[2].max_drawdown_e2 == 200  # 2.00 in centi-units
+    assert out[2].peak_equity_e2 == 1300
+
+    real = window_max_drawdown(spark, sf_dir).agg(
+        F.min("max_drawdown_e2")
+    ).collect()[0][0]
+    assert real >= 0
+
+
+def test_kfold_deterministic_and_balanced(spark, sf_dir):
+    """Same input -> identical folds across runs; every fold non-empty and
+    the largest/smallest fold ratio stays under 2 (the md5 split is
+    near-uniform, not Bernoulli-noisy)."""
+    from open_molecule_data_pipeline_spark.operators.readability import (
+        sample_kfold_assign,
+    )
+
+    a = {r.fold: r.n_docs for r in sample_kfold_assign(spark, sf_dir).collect()}
+    b = {r.fold: r.n_docs for r in sample_kfold_assign(spark, sf_dir).collect()}
+    assert a == b
+    assert set(a) == {0, 1, 2, 3, 4}
+    assert max(a.values()) < 2 * min(a.values())
+
+
+def test_ridge_shrinks_slopes(spark, sf_dir):
+    """With lambda on the slope diagonal, |b_ridge| <= |b_ols| + eps for
+    both features in every group on this data (well-conditioned moments;
+    the shrinkage direction is the point of the operator)."""
+    from open_molecule_data_pipeline_spark.operators.ml_extra import (
+        ml_ridge_regression,
+    )
+
+    for r in ml_ridge_regression(spark, sf_dir).collect():
+        assert abs(r.b1_ridge) <= abs(r.b1_ols) + 1e-6, r
+        assert abs(r.b2_ridge) <= abs(r.b2_ols) + 1e-6, r
+
+
+def test_mad_ignores_injected_outliers(spark):
+    """The defining robustness property: adding a single extreme outlier
+    must leave the median and MAD of the group unchanged (stddev-based
+    scoring would inflate sigma and mask it)."""
+    import open_molecule_data_pipeline_spark.operators.ts_extra3 as m
+    from open_molecule_data_pipeline_spark.operators.ts_extra3 import (
+        ts_anomaly_robust_mad,
+    )
+
+    base = [(i, "a", 10.0 + (i % 5)) for i in range(101)]
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        orig = m.table
+        try:
+            m.table = lambda s, d, n: df
+            return {r.event_type: r for r in ts_anomaly_robust_mad(spark, "x").collect()}
+        finally:
+            m.table = orig
+
+    clean = run(base)["a"]
+    spiked = run(base + [(999, "a", 1e6)])["a"]
+    assert spiked.med == clean.med
+    assert spiked.mad == clean.mad
+    assert spiked.n_outliers == clean.n_outliers + 1
+
+
+def test_url_parse_edge_contract(spark):
+    """PATH on a path-less URL is '' (empty string) while absent QUERY is
+    NULL — the Hive-compat contract the oracle mirrors with nullif."""
+    from open_molecule_data_pipeline_spark.operators.funcs_extra4 import (
+        func_url_parse,
+    )
+
+    rows = {r.url: r for r in func_url_parse(spark, "x").collect()}
+    bare = rows["http://example.com?x=1"]
+    assert bare.path == "" and bare.query == "x=1" and bare.px == "1"
+    clean = rows["https://example.com/a/b/c"]
+    assert clean.query is None and clean.ref is None and clean.ui is None
+    auth = rows["https://user:pw@secure.example.com:8443/login?next=/home&x=9"]
+    assert auth.host == "secure.example.com" and auth.ui == "user:pw"
+
+
+def test_vwap_turnover_is_exact_integer(spark, sf_dir):
+    """turnover_e2 must be an exact int64 (scaled-integer rule): the sum
+    of per-hour turnovers equals the single global turnover computed the
+    same way — associativity holds exactly for integers (it would not
+    for double sums)."""
+    from open_molecule_data_pipeline_spark.operators.ts_extra3 import (
+        ts_vwap_hourly,
+    )
+    from open_molecule_data_pipeline_spark.catalog import table
+
+    hourly = ts_vwap_hourly(spark, sf_dir).agg(
+        F.sum("turnover_e2").alias("t"), F.sum("volume").alias("v")
+    ).collect()[0]
+    e = table(spark, sf_dir, "events")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    glob = e.agg(
+        F.sum(F.round(F.col("value") * vol * 100).cast("long")).alias("t"),
+        F.sum(vol).alias("v"),
+    ).collect()[0]
+    assert hourly.t == glob.t and hourly.v == glob.v
