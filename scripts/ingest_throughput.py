@@ -7,7 +7,7 @@ batches with a single-threaded Python generator per source (reference
 PubChem mirrors), runs the full distributed parse+normalize+sink pipeline,
 and prints records/sec.
 
-Usage: PYTHONPATH=/root/repo python scripts/ingest_throughput.py [n_records]
+Usage: PYTHONPATH=/root/repo python scripts/ingest_throughput.py [n_records] [n_files]
 """
 
 from __future__ import annotations
@@ -30,7 +30,9 @@ ALPHABET = ["C", "CC", "CCO", "c1ccccc1", "CC(=O)O", "CCN(CC)CC", "CC(C)O"]
 
 def main() -> None:
     n_records = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_files = 16
+    # n_files > cores exercises the multi-wave scheduling a 353-archive
+    # PubChem mirror sees (VERDICT r9 #6); one gzip member = one task
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     work = Path(tempfile.mkdtemp(prefix="omdp_ingest_bench_"))
     try:
         raw = work / "raw"
