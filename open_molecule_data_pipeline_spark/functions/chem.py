@@ -362,3 +362,75 @@ def try_canonical_smiles(s: str | None) -> str | None:
         return canonical_smiles(s)
     except SmilesError:
         return None
+
+
+def murcko_scaffold(s: str) -> str | None:
+    """Murcko framework: rings + linkers, canonicalized; None if acyclic.
+
+    The basic Bemis-Murcko variant: iteratively prune degree-1 atoms
+    (terminal substituents, including exocyclic =O after its neighbor
+    becomes terminal-free) until none remain — what survives is exactly
+    the ring systems plus the linker paths between them (a linker atom
+    always has degree >= 2 on the pruned graph). Acyclic molecules prune
+    to nothing -> None. The surviving induced subgraph is re-labeled and
+    emitted through the same canonical writer as :func:`canonical_smiles`,
+    so equivalent spellings yield the identical scaffold string.
+    """
+    atoms, bonds = parse_smiles(s)
+    alive = set(range(len(atoms)))
+    deg = {i: len(atoms[i].neighbors) for i in alive}
+    leaves = [i for i in alive if deg[i] <= 1]
+    adj: dict[int, set[int]] = {i: set(atoms[i].neighbors) for i in alive}
+    while leaves:
+        u = leaves.pop()
+        if u not in alive:
+            continue
+        alive.discard(u)
+        for v in adj[u]:
+            if v in alive:
+                adj[v].discard(u)
+                if len(adj[v]) <= 1:
+                    leaves.append(v)
+    if not alive:
+        return None
+    # rebuild a compact atom/bond graph for the induced subgraph
+    remap = {old: new for new, old in enumerate(sorted(alive))}
+    new_atoms = []
+    for old in sorted(alive):
+        a = atoms[old]
+        new_atoms.append(
+            _Atom(a.label, a.aromatic, 0, [])
+        )
+    new_bonds: dict[tuple[int, int], str] = {}
+    for (a, b), sym in bonds.items():
+        if a in alive and b in alive:
+            na, nb = remap[a], remap[b]
+            key = (na, nb) if na < nb else (nb, na)
+            new_bonds[key] = sym
+            new_atoms[na].neighbors.append(nb)
+            new_atoms[nb].neighbors.append(na)
+    # components may have split (two ring systems joined only through a
+    # pruned atom cannot occur — pruning never removes a cut atom of two
+    # rings, its degree stays >= 2 — but '.'-separated multi-component
+    # inputs can each carry rings)
+    ranks = _canonical_ranks(new_atoms, new_bonds)
+    comp_of = [-1] * len(new_atoms)
+    comps: list[list[int]] = []
+    for seed in range(len(new_atoms)):
+        if comp_of[seed] >= 0:
+            continue
+        members, frontier = [], [seed]
+        comp_of[seed] = len(comps)
+        while frontier:
+            u = frontier.pop()
+            members.append(u)
+            for v in new_atoms[u].neighbors:
+                if comp_of[v] < 0:
+                    comp_of[v] = len(comps)
+                    frontier.append(v)
+        comps.append(members)
+    parts = sorted(
+        _write_component(members, new_atoms, new_bonds, ranks)
+        for members in comps
+    )
+    return ".".join(parts)

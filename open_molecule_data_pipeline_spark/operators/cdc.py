@@ -432,3 +432,96 @@ def ts_cohort_retention_matrix(spark, sf_dir):
             F.col("active_users") / F.col("cohort_users").cast("double"), 6
         ).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time travel over an ops log (r10): reconstruct table state AS OF every
+# version — the Delta/Iceberg VERSION AS OF read expressed relationally.
+# A deterministic upsert/delete log is derived from orders (key =
+# o_custkey, version = o_orderkey % 6 + 1, every 17th op a delete;
+# within (key, version) the highest o_orderkey wins — the commit-order
+# tie rule). Reconstruction is the SCD2 construction run on the log:
+# latest-op-per-(key,version) via one ranked window, validity interval
+# [version, next_version) via lead() PARTITIONED by key, then each live
+# row fans out to the <= 6 versions it serves through a JVM
+# sequence+explode (bounded by the version count, never a theta join).
+# At 100 TB the per-key windows shuffle once on key; the version spine
+# is a constant — the same plan Delta's log replay induces.
+# --------------------------------------------------------------------------
+
+_TIME_TRAVEL_ORACLE = """
+WITH ops AS (
+  SELECT o_custkey AS k,
+         (o_orderkey % 6) + 1 AS ver,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+         cast(round(o_totalprice * 100) AS BIGINT) AS val_e2
+  FROM orders
+),
+latest AS (
+  SELECT k, ver, op, val_e2
+  FROM (
+    SELECT k, ver, op, val_e2,
+           row_number() OVER (PARTITION BY k, ver ORDER BY seq DESC) AS rn
+    FROM ops
+  ) x WHERE rn = 1
+),
+iv AS (
+  SELECT k, ver, op, val_e2,
+         coalesce(lead(ver) OVER (PARTITION BY k ORDER BY ver), 7) AS nxt
+  FROM latest
+),
+live AS (
+  SELECT k, val_e2, t.v
+  FROM iv, generate_series(1, 6) t(v)
+  WHERE op = 'U' AND t.v >= ver AND t.v < nxt
+)
+SELECT v AS version,
+       cast(count(*) AS BIGINT) AS n_live_keys,
+       cast(sum(val_e2) AS BIGINT) AS total_value_e2
+FROM live
+GROUP BY v
+"""
+
+
+@register(
+    "cdc_time_travel",
+    oracle=_TIME_TRAVEL_ORACLE,
+    tags=("cdc", "window"),
+)
+def cdc_time_travel(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    ops = o.select(
+        F.col("o_custkey").alias("k"),
+        (F.col("o_orderkey") % 6 + 1).alias("ver"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("val_e2"),
+    )
+    ranked = ops.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("k", "ver").orderBy(F.col("seq").desc())
+        ),
+    ).filter(F.col("rn") == 1)
+    iv = ranked.withColumn(
+        "nxt",
+        F.coalesce(
+            F.lead("ver").over(Window.partitionBy("k").orderBy("ver")),
+            F.lit(7),
+        ),
+    )
+    live = (
+        iv.filter(F.col("op") == "U")
+        .withColumn(
+            "version",
+            F.explode(
+                F.sequence(F.col("ver"), F.least(F.col("nxt") - 1, F.lit(6)))
+            ),
+        )
+    )
+    return live.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_live_keys"),
+        F.sum("val_e2").alias("total_value_e2"),
+    )

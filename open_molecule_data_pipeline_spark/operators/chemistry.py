@@ -496,3 +496,101 @@ def chem_lipinski_gate(spark, sf_dir):
             "alert_peroxide", "druglike",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Murcko scaffold extraction (r10): rings + linkers per molecule — the
+# standard compound-library clustering key (Bemis & Murcko 1996, basic
+# framework variant: iterative terminal-atom pruning; exocyclic =O goes
+# with its substituent). The Spark side prunes the PARSED graph and
+# re-canonicalizes the surviving induced subgraph through the same
+# writer as chem_canonical_smiles, so equivalent spellings provably
+# yield one scaffold string. The oracle is a golden table per molecule
+# GROUP: ring content hand-verified (aspirin -> the Kekulé benzene,
+# phenylbutylamine -> benzene, diphenylmethane/azobenzene keep their
+# linkers, acyclic molecules -> NULL), spellings join in so invariance
+# is driver-checked. Acyclic -> (NULL, 0).
+# --------------------------------------------------------------------------
+
+_MURCKO_SPELLINGS = [
+    ("aspirin", "CC(=O)OC1=CC=CC=C1C(=O)O"),
+    ("aspirin", "OC(=O)C1=CC=CC=C1OC(C)=O"),
+    ("toluene", "Cc1ccccc1"),
+    ("toluene", "c1ccc(C)cc1"),
+    ("phenol", "Oc1ccccc1"),
+    ("phenol", "c1ccc(O)cc1"),
+    ("ethanol", "CCO"),
+    ("ethanol", "OCC"),
+    ("biphenyl", "c1ccccc1-c1ccccc1"),
+    ("biphenyl", "c1ccc(-c2ccccc2)cc1"),
+    ("diphenylmethane", "c1ccccc1Cc1ccccc1"),
+    ("azobenzene", "c1ccccc1N=Nc1ccccc1"),
+    ("azobenzene", "c1ccc(N=Nc2ccccc2)cc1"),
+    ("phenylbutylamine", "NCCCCc1ccccc1"),
+    ("naphthalene", "c1ccc2ccccc2c1"),
+    ("naphthalene", "c1cc2ccccc2cc1"),
+    ("ammonium_chloride", "[NH4+].[Cl-]"),
+    ("dicyclohexylethane", "C1CCCCC1CCC1CCCCC1"),
+]
+
+_MURCKO_GOLDEN = [
+    ("aspirin", "C=1C=CC=CC=1", 6),
+    ("toluene", "c1ccccc1", 6),
+    ("phenol", "c1ccccc1", 6),
+    ("ethanol", None, 0),
+    ("biphenyl", "c1ccc(cc1)-c1ccccc1", 12),
+    ("diphenylmethane", "C(c1ccccc1)c1ccccc1", 13),
+    ("azobenzene", "N(=Nc1ccccc1)c1ccccc1", 14),
+    ("phenylbutylamine", "c1ccccc1", 6),
+    ("naphthalene", "c1ccc2ccccc2c1", 10),
+    ("ammonium_chloride", None, 0),
+    ("dicyclohexylethane", "C1CCC(CC1)CCC1CCCCC1", 14),
+]
+
+
+def _murcko_oracle() -> str:
+    spellings = ",\n  ".join(
+        f"('{g}', '{s}')" for g, s in _MURCKO_SPELLINGS
+    )
+    golden = ",\n  ".join(
+        "('{}', {}, {})".format(g, "NULL" if sc is None else f"'{sc}'", n)
+        for g, sc, n in _MURCKO_GOLDEN
+    )
+    return f"""
+WITH sp AS (SELECT * FROM (VALUES
+  {spellings}
+) v(grp, smiles)),
+gd AS (SELECT * FROM (VALUES
+  {golden}
+) v(grp, scaffold, n_scaffold_atoms))
+SELECT sp.grp, sp.smiles, gd.scaffold,
+       cast(gd.n_scaffold_atoms AS BIGINT) AS n_scaffold_atoms
+FROM sp JOIN gd USING (grp)
+"""
+
+
+@register(
+    "chem_murcko_scaffold",
+    oracle=_murcko_oracle(),
+    tags=("chemistry", "dedup"),
+)
+def chem_murcko_scaffold(spark, sf_dir):
+    import re as _re
+
+    from ..functions.chem import murcko_scaffold, parse_smiles
+
+    @F.pandas_udf("scaffold string, n_scaffold_atoms long")
+    def scaf(col: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in col:
+            m = murcko_scaffold(s)
+            if m is None:
+                rows.append((None, 0))
+            else:
+                rows.append((m, len(parse_smiles(m)[0])))
+        return pd.DataFrame(rows, columns=["scaffold", "n_scaffold_atoms"])
+
+    df = spark.createDataFrame(_MURCKO_SPELLINGS, "grp string, smiles string")
+    return df.select("grp", "smiles", scaf("smiles").alias("x")).select(
+        "grp", "smiles", "x.*"
+    )

@@ -46,10 +46,10 @@ QUERIES: dict[str, QuerySpec] = {}
 #   3-14   the 12 queries ADDED in r9 (sweep-green + judge-verified,
 #          never driver-sampled; func_sql_udf_pipe additionally changed
 #          in r10 — money rescaled to 1e4 per ADVICE r9)
-#   15-23  the 9 queries ADDED in r10 (Lipinski gate, VWAP + streaming
+#   15-25  the 11 queries ADDED in r10 (Lipinski gate, VWAP + streaming
 #          twin, time-weighted avg, max drawdown, k-fold assign, ridge,
-#          MAD anomaly, parse_url spec check)
-#   24-50  least-proven fillers per rule (3) above
+#          MAD anomaly, parse_url spec check, time travel, Murcko)
+#   26-50  least-proven fillers per rule (3) above
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
     # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
@@ -68,7 +68,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sample_length_bucket_batches",
     "chem_atom_census",
     "ts_sliding_distinct_hll",
-    # --- 15-23: r10 additions ---
+    # --- 15-25: r10 additions ---
     "chem_lipinski_gate",
     "ts_vwap_hourly",
     "ts_time_weighted_avg",
@@ -78,7 +78,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ts_anomaly_robust_mad",
     "func_url_parse",
     "stream_vwap_twin",
-    # --- 24-50: least-proven re-proofs (single green row, r1-era) ---
+    "cdc_time_travel",
+    "chem_murcko_scaffold",
+    # --- 26-50: least-proven re-proofs (single green row, r1-era) ---
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
@@ -104,9 +106,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "setop_intersect",
     "setop_union_tagged",
     "subquery_min_price_part",
+    # --- 51+: prior curated order (not sampled this round; the two
+    #     fillers displaced by the late r10 adds lead it) ---
     "window_analytic_misc",
     "cdc_merge_upsert",
-    # --- 51+: prior curated order (not sampled this round) ---
     "func_array_membership",
     "recursive_month_spine",
     "text_bpe_train_batched",

@@ -173,3 +173,65 @@ def test_vwap_turnover_is_exact_integer(spark, sf_dir):
         F.sum(vol).alias("v"),
     ).collect()[0]
     assert hourly.t == glob.t and hourly.v == glob.v
+
+
+def test_murcko_pruning_properties():
+    """Structural pins independent of the golden table: scaffold is
+    idempotent (scaffold(scaffold(s)) == scaffold(s)), acyclic inputs
+    yield None, and the scaffold's atoms are a subset of the molecule's
+    (never grows)."""
+    from open_molecule_data_pipeline_spark.functions.chem import (
+        murcko_scaffold,
+        parse_smiles,
+    )
+
+    for s in ["CC(=O)OC1=CC=CC=C1C(=O)O", "NCCCCc1ccccc1",
+              "c1ccccc1Cc1ccccc1", "C1CCCCC1CCC1CCCCC1"]:
+        m = murcko_scaffold(s)
+        assert m is not None
+        assert murcko_scaffold(m) == m, s
+        assert len(parse_smiles(m)[0]) <= len(parse_smiles(s)[0])
+    for s in ["CCO", "CC(N)O", "[NH4+].[Cl-]", "C"]:
+        assert murcko_scaffold(s) is None, s
+
+
+def test_murcko_exocyclic_double_bond_pruned():
+    """The basic framework variant drops exocyclic =O with its
+    substituent: cyclohexanone prunes to cyclohexane's ring, not to a
+    ring-plus-carbonyl."""
+    from open_molecule_data_pipeline_spark.functions.chem import murcko_scaffold
+
+    assert murcko_scaffold("O=C1CCCCC1") == murcko_scaffold("C1CCCCC1")
+
+
+def test_time_travel_versions_monotone_until_deletes(spark, sf_dir):
+    """State reconstruction sanity: every version 1..6 present; the live
+    count at version v equals the number of keys whose latest op <= v is
+    an upsert — cross-checked by replaying the log in pandas."""
+    from open_molecule_data_pipeline_spark.operators.cdc import cdc_time_travel
+    from open_molecule_data_pipeline_spark.catalog import table
+
+    out = {r.version: r for r in cdc_time_travel(spark, sf_dir).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+    pdf = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).toPandas()
+    pdf["ver"] = pdf.o_orderkey % 6 + 1
+    pdf["op"] = (pdf.o_orderkey % 17 == 0).map({True: "D", False: "U"})
+    pdf["val"] = (pdf.o_totalprice * 100).round().astype("int64")
+    latest = (
+        pdf.sort_values("o_orderkey")
+        .groupby(["o_custkey", "ver"], as_index=False)
+        .last()
+    )
+    for v in (1, 6):
+        state = (
+            latest[latest.ver <= v]
+            .sort_values("ver")
+            .groupby("o_custkey", as_index=False)
+            .last()
+        )
+        live = state[state.op == "U"]
+        assert out[v].n_live_keys == len(live)
+        assert out[v].total_value_e2 == int(live.val.sum())
