@@ -1034,3 +1034,90 @@ def ml_ridge_regression(spark, sf_dir):
     return solved.selectExpr(
         "l_returnflag", "n_long AS n", *_RIDGE_SOLVE_EXPRS
     )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding (r10): the feature-engineering op that
+# turns a categorical column into the (smoothed) mean of the target
+# EXCLUDING the row itself — the standard leakage guard. Category stats
+# are one map-side-combinable aggregation broadcast back onto the fact;
+# the per-row LOO value ((n_pos - y_i + prior * m) / (n - 1 + m)) is
+# pure codegen. To keep the contract output bounded and the double sum
+# deterministic, each row's encoding is quantized to ppm FIRST (identical
+# IEEE ops both engines) and the int64 ppm sum per (category, target) is
+# the verified artifact — per-row doubles never cross an engine-ordered
+# sum. Category = l_shipmode, target = returned (l_returnflag = 'R'),
+# smoothing m = 50 toward the global return rate.
+# --------------------------------------------------------------------------
+
+_TENC_M = 50
+
+_TENC_ORACLE = f"""
+WITH f AS (
+  SELECT o_orderpriority AS cat,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+g AS (SELECT cast(sum(y) AS BIGINT) AS gpos, cast(count(*) AS BIGINT) AS gn FROM f),
+c AS (
+  SELECT cat, cast(sum(y) AS BIGINT) AS npos, cast(count(*) AS BIGINT) AS n
+  FROM f GROUP BY cat
+),
+enc AS (
+  SELECT f.cat, f.y,
+         cast(round(
+           (cast(c.npos - f.y AS DOUBLE)
+            + {_TENC_M} * (cast(g.gpos AS DOUBLE) / cast(g.gn AS DOUBLE)))
+           / cast(c.n - 1 + {_TENC_M} AS DOUBLE) * 1000000
+         ) AS BIGINT) AS enc_ppm
+  FROM f, c, g WHERE f.cat = c.cat
+)
+SELECT cat, cast(y AS BIGINT) AS y,
+       cast(count(*) AS BIGINT) AS n_rows,
+       cast(sum(enc_ppm) AS BIGINT) AS enc_ppm_sum,
+       cast(min(enc_ppm) AS BIGINT) AS enc_ppm_min,
+       cast(max(enc_ppm) AS BIGINT) AS enc_ppm_max
+FROM enc GROUP BY cat, y
+"""
+
+
+@register(
+    "ml_target_encode_loo",
+    oracle=_TENC_ORACLE,
+    tags=("ml", "training", "agg"),
+)
+def ml_target_encode_loo(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    f = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = f.groupBy().agg(
+        F.sum("y").alias("gpos"), F.count(F.lit(1)).alias("gn")
+    )
+    c = f.groupBy("cat").agg(
+        F.sum("y").alias("npos"), F.count(F.lit(1)).alias("n")
+    )
+    enc_ppm = F.round(
+        (
+            (F.col("npos") - F.col("y")).cast("double")
+            + F.lit(_TENC_M)
+            * (F.col("gpos").cast("double") / F.col("gn").cast("double"))
+        )
+        / (F.col("n") - 1 + F.lit(_TENC_M)).cast("double")
+        * 1000000
+    ).cast("long")
+    enc = (
+        f.join(F.broadcast(c), "cat")
+        .crossJoin(F.broadcast(g))
+        .withColumn("enc_ppm", enc_ppm)
+    )
+    return enc.groupBy("cat", "y").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("enc_ppm").alias("enc_ppm_sum"),
+        F.min("enc_ppm").alias("enc_ppm_min"),
+        F.max("enc_ppm").alias("enc_ppm_max"),
+    ).select(
+        "cat", F.col("y").cast("long").alias("y"),
+        "n_rows", "enc_ppm_sum", "enc_ppm_min", "enc_ppm_max",
+    )

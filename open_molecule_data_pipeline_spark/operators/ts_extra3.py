@@ -285,3 +285,90 @@ def ts_anomaly_robust_mad(spark, sf_dir):
             6,
         ).alias("outlier_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation (r10): recency / frequency / monetary per user with
+# quartile scores — the classic CRM / engagement-tier operator. Raw R/F/M
+# are exact integers (days since last event at the corpus watermark,
+# event count, centi-value sum). Scores come from THREE BROADCAST
+# THRESHOLDS per dimension (exact interpolated p25/p50/p75 over the
+# per-user aggregate — ONE extra aggregation, not a global window; at
+# 100 TB the per-user table still aggregates map-side and the threshold
+# row is 9 numbers). Spark `percentile` and DuckDB `quantile_cont` share
+# interpolation semantics (func_percentile_segment pins it), and raw
+# values are integers, so the CASE comparisons are bit-stable.
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+u AS (
+  SELECT user_id,
+         cast(date_diff('day', max(ts), (SELECT m FROM mx)) AS BIGINT) AS r_days,
+         cast(count(*) AS BIGINT) AS f_events,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM events GROUP BY user_id
+),
+th AS (
+  SELECT quantile_cont(r_days, 0.25) AS r25, quantile_cont(r_days, 0.5) AS r50,
+         quantile_cont(r_days, 0.75) AS r75,
+         quantile_cont(f_events, 0.25) AS f25, quantile_cont(f_events, 0.5) AS f50,
+         quantile_cont(f_events, 0.75) AS f75,
+         quantile_cont(m_cents, 0.25) AS m25, quantile_cont(m_cents, 0.5) AS m50,
+         quantile_cont(m_cents, 0.75) AS m75
+  FROM u
+)
+SELECT user_id, r_days, f_events, m_cents,
+       cast(CASE WHEN r_days <= r25 THEN 4 WHEN r_days <= r50 THEN 3
+                 WHEN r_days <= r75 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+       cast(CASE WHEN f_events <= f25 THEN 1 WHEN f_events <= f50 THEN 2
+                 WHEN f_events <= f75 THEN 3 ELSE 4 END AS BIGINT) AS f_score,
+       cast(CASE WHEN m_cents <= m25 THEN 1 WHEN m_cents <= m50 THEN 2
+                 WHEN m_cents <= m75 THEN 3 ELSE 4 END AS BIGINT) AS m_score
+FROM u, th
+"""
+
+
+@register(
+    "ts_rfm_scores",
+    oracle=_RFM_ORACLE,
+    tags=("timeseries", "agg", "stats"),
+)
+def ts_rfm_scores(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    mx = e.groupBy().agg(F.max("ts").alias("m"))
+    u = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("m"), F.max("ts")).cast("long").alias("r_days"),
+            F.count(F.lit(1)).alias("f_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("m_cents"),
+        )
+    )
+    th = u.groupBy().agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{int(q*100)}")
+            for c in ("r_days", "f_events", "m_cents")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    scored = u.crossJoin(F.broadcast(th))
+    r = F.when(F.col("r_days") <= F.col("r25"), 4).when(
+        F.col("r_days") <= F.col("r50"), 3
+    ).when(F.col("r_days") <= F.col("r75"), 2).otherwise(1)
+    f_ = F.when(F.col("f_events") <= F.col("f25"), 1).when(
+        F.col("f_events") <= F.col("f50"), 2
+    ).when(F.col("f_events") <= F.col("f75"), 3).otherwise(4)
+    m_ = F.when(F.col("m_cents") <= F.col("m25"), 1).when(
+        F.col("m_cents") <= F.col("m50"), 2
+    ).when(F.col("m_cents") <= F.col("m75"), 3).otherwise(4)
+    return scored.select(
+        "user_id",
+        "r_days",
+        "f_events",
+        "m_cents",
+        r.cast("long").alias("r_score"),
+        f_.cast("long").alias("f_score"),
+        m_.cast("long").alias("m_score"),
+    )

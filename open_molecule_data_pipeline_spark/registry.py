@@ -34,8 +34,8 @@ QUERIES: dict[str, QuerySpec] = {}
 # priority order, (1) queries whose code CHANGED since their last driver
 # row, (2) queries NEVER driver-sampled, then — only when that backlog
 # does not fill 50 slots — (3) LEAST-PROVEN re-proofs, i.e. queries with
-# the minimal cumulative green count, oldest last-green first (r10: 27
-# such slots, 26 of them queries whose only green row dates to ROUND 1 —
+# the minimal cumulative green count, oldest last-green first (r10: 22
+# such slots, all of them queries whose only green row dates to ROUND 1 —
 # the catalog/session/tuning layers under them have changed repeatedly
 # since). tests/test_contract_order.py enforces all three rules plus
 # exhaustiveness: EVERY registered query appears explicitly below.
@@ -46,10 +46,11 @@ QUERIES: dict[str, QuerySpec] = {}
 #   3-14   the 12 queries ADDED in r9 (sweep-green + judge-verified,
 #          never driver-sampled; func_sql_udf_pipe additionally changed
 #          in r10 — money rescaled to 1e4 per ADVICE r9)
-#   15-25  the 11 queries ADDED in r10 (Lipinski gate, VWAP + streaming
+#   15-28  the 14 queries ADDED in r10 (Lipinski gate, VWAP + streaming
 #          twin, time-weighted avg, max drawdown, k-fold assign, ridge,
-#          MAD anomaly, parse_url spec check, time travel, Murcko)
-#   26-50  least-proven fillers per rule (3) above
+#          MAD anomaly, parse_url spec check, time travel, Murcko,
+#          RFM scores, LOO target encoding, footer-stats audit)
+#   29-50  least-proven fillers per rule (3) above
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
     # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
@@ -68,7 +69,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sample_length_bucket_batches",
     "chem_atom_census",
     "ts_sliding_distinct_hll",
-    # --- 15-25: r10 additions ---
+    # --- 15-28: r10 additions ---
     "chem_lipinski_gate",
     "ts_vwap_hourly",
     "ts_time_weighted_avg",
@@ -80,7 +81,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "stream_vwap_twin",
     "cdc_time_travel",
     "chem_murcko_scaffold",
-    # --- 26-50: least-proven re-proofs (single green row, r1-era) ---
+    "ts_rfm_scores",
+    "ml_target_encode_loo",
+    "layout_footer_stats",
+    # --- 29-50: least-proven re-proofs (single green row, r1-era) ---
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
@@ -103,11 +107,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "join_semi_order_priority",
     "setop_distinct_pairs",
     "setop_except",
+    # --- 51+: prior curated order (not sampled this round; the two
+    #     fillers displaced by the late r10 adds lead it) ---
     "setop_intersect",
     "setop_union_tagged",
     "subquery_min_price_part",
-    # --- 51+: prior curated order (not sampled this round; the two
-    #     fillers displaced by the late r10 adds lead it) ---
     "window_analytic_misc",
     "cdc_merge_upsert",
     "func_array_membership",
@@ -450,6 +454,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.ts_extra2",
     "open_molecule_data_pipeline_spark.operators.ts_extra3",
     "open_molecule_data_pipeline_spark.operators.readability",
+    "open_molecule_data_pipeline_spark.operators.parquet_meta",
     "open_molecule_data_pipeline_spark.operators.lakehouse",
     "open_molecule_data_pipeline_spark.operators.funcs_extra4",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",

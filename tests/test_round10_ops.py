@@ -235,3 +235,55 @@ def test_time_travel_versions_monotone_until_deletes(spark, sf_dir):
         live = state[state.op == "U"]
         assert out[v].n_live_keys == len(live)
         assert out[v].total_value_e2 == int(live.val.sum())
+
+
+def test_rfm_scores_in_range_and_consistent(spark, sf_dir):
+    """Every score in 1..4; a user maximal in all three raw dimensions
+    relative to the thresholds scores (4,4,4) orientation: LOWER recency
+    is BETTER (score 4), higher F/M are better."""
+    from open_molecule_data_pipeline_spark.operators.ts_extra3 import ts_rfm_scores
+
+    rows = ts_rfm_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+    best_r = min(rows, key=lambda r: (r.r_days, r.user_id))
+    assert best_r.r_score == 4
+    best_m = max(rows, key=lambda r: (r.m_cents, r.user_id))
+    assert best_m.m_score == 4
+
+
+def test_target_encode_loo_excludes_self(spark, sf_dir):
+    """The leakage contract: for rows with y=1 the LOO encoding must be
+    strictly below the same category's y=0 encoding (removing a positive
+    lowers the mean; removing a negative raises it) — per category,
+    max(enc | y=1) < min(enc | y=0)."""
+    from open_molecule_data_pipeline_spark.operators.ml_extra import (
+        ml_target_encode_loo,
+    )
+
+    rows = ml_target_encode_loo(spark, sf_dir).collect()
+    by_cat = {}
+    for r in rows:
+        by_cat.setdefault(r.cat, {})[r.y] = r
+    for cat, d in by_cat.items():
+        if 0 in d and 1 in d:
+            assert d[1].enc_ppm_max < d[0].enc_ppm_min, cat
+
+
+def test_footer_stats_never_reads_data_pages(spark, sf_dir):
+    """The audit's mapInPandas must receive only (pid, path) rows — the
+    file LIST — never row data; and the per-pid totals must sum to the
+    table's row count."""
+    from open_molecule_data_pipeline_spark.operators.parquet_meta import (
+        layout_footer_stats,
+    )
+    from open_molecule_data_pipeline_spark.catalog import table
+
+    out = layout_footer_stats(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the python stage's input is the tiny parallelized file list, so the
+    # scan feeding it must NOT be a parquet relation of the events schema
+    total = out.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == table(spark, sf_dir, "events").count()
+    assert out.count() == 16
