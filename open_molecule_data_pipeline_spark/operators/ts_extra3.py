@@ -372,3 +372,125 @@ def ts_rfm_scores(spark, sf_dir):
         f_.cast("long").alias("f_score"),
         m_.cast("long").alias("m_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap JOIN (r10): sessions x incident windows — the
+# interval-interval flavor the point-in-range rewrites (join_range_binned)
+# don't cover. Sessions are the standard 30-min-gap islands per user
+# (closed spans [first_ts, last_ts] in exact epoch-micros); incident
+# windows are hours with >= _INCIDENT_MIN error events (half-open
+# [h, h+1h)). The quadratic overlap predicate becomes an EQUI-join by
+# binning: each session explodes to the hour buckets its span covers
+# (JVM sequence+explode; bucket fan-out is bounded by session duration,
+# which the 30-min-gap rule ties to user activity, never to corpus
+# size), each window keys by its own hour — and because an hour bucket
+# h intersects a closed span exactly when h is between the span's first
+# and last buckets, the equi-join IS the overlap join: no residual
+# post-filter is needed (proven by the brute-force inequality-join
+# oracle). Output: per incident window, the session/user exposure.
+# --------------------------------------------------------------------------
+
+_INCIDENT_MIN = 5
+_HOUR_US = 3_600_000_000
+
+_INTERVAL_OVERLAP_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+),
+flagged AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > 1800000000 OR
+                   lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess AS (
+  SELECT user_id, srank, min(t) AS ss, max(t) AS se
+  FROM (
+    SELECT user_id, t,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS srank
+    FROM flagged
+  ) x GROUP BY user_id, srank
+),
+win AS (
+  SELECT (t // {_HOUR_US}) * {_HOUR_US} AS ws,
+         cast(count(*) AS BIGINT) AS n_errors
+  FROM e WHERE event_type = 'error'
+  GROUP BY t // {_HOUR_US}
+  HAVING count(*) >= {_INCIDENT_MIN}
+)
+SELECT cast(w.ws AS BIGINT) AS window_start_us,
+       w.n_errors,
+       cast(count(*) AS BIGINT) AS n_sessions,
+       cast(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+FROM win w
+JOIN sess s ON s.ss < w.ws + {_HOUR_US} AND w.ws <= s.se
+GROUP BY w.ws, w.n_errors
+"""
+
+
+@register(
+    "join_interval_overlap",
+    oracle=_INTERVAL_OVERLAP_ORACLE,
+    tags=("join", "timeseries", "session"),
+)
+def join_interval_overlap(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w_ord = W.partitionBy("user_id").orderBy("t", "event_id")
+    new_s = F.when(
+        F.lag("t").over(w_ord).isNull()
+        | ((F.col("t") - F.lag("t").over(w_ord)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    srank = F.sum(new_s).over(
+        W.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    sess = (
+        e.select("user_id", "t", srank.alias("srank"))
+        .groupBy("user_id", "srank")
+        .agg(F.min("t").alias("ss"), F.max("t").alias("se"))
+    )
+    win = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.expr(f"t div {_HOUR_US}").alias("hb"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= _INCIDENT_MIN)
+        .select(
+            (F.col("hb") * _HOUR_US).alias("ws"), "hb", "n_errors"
+        )
+    )
+    covered = sess.withColumn(
+        "hb",
+        F.explode(
+            F.sequence(
+                F.expr(f"ss div {_HOUR_US}"),
+                F.expr(f"se div {_HOUR_US}"),
+            )
+        ),
+    )
+    return (
+        covered.join(win, "hb")
+        .groupBy("ws", "n_errors")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("ws").alias("window_start_us"),
+            "n_errors",
+            "n_sessions",
+            "n_users",
+        )
+    )

@@ -287,3 +287,50 @@ def test_footer_stats_never_reads_data_pages(spark, sf_dir):
     total = out.agg(F.sum("n_rows")).collect()[0][0]
     assert total == table(spark, sf_dir, "events").count()
     assert out.count() == 16
+
+
+def test_interval_overlap_binning_is_exact(spark, sf_dir):
+    """The equi-join on covered hour buckets must equal the brute-force
+    inequality overlap join (no residual filter needed) — recomputed here
+    with a genuine theta join over the same Spark-side intermediates."""
+    import open_molecule_data_pipeline_spark.operators.ts_extra3 as m
+
+    # the pytest fixture runs at a small SF where no hour reaches the
+    # production threshold — drop it to 1 so the equivalence is exercised
+    # on a non-empty window set (both sides read the patched value)
+    orig_min = m._INCIDENT_MIN
+    m._INCIDENT_MIN = 1
+    e = m.table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    from pyspark.sql import Window as W
+
+    w_ord = W.partitionBy("user_id").orderBy("t", "event_id")
+    new_s = F.when(
+        F.lag("t").over(w_ord).isNull()
+        | ((F.col("t") - F.lag("t").over(w_ord)) > 1_800_000_000), 1
+    ).otherwise(0)
+    srank = F.sum(new_s).over(
+        W.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow))
+    sess = (e.select("user_id", "t", srank.alias("srank"))
+            .groupBy("user_id", "srank")
+            .agg(F.min("t").alias("ss"), F.max("t").alias("se")))
+    win = (e.filter(F.col("event_type") == "error")
+           .groupBy(F.expr(f"t div {m._HOUR_US}").alias("hb"))
+           .agg(F.count(F.lit(1)).alias("n_errors"))
+           .filter(F.col("n_errors") >= m._INCIDENT_MIN)
+           .select((F.col("hb") * m._HOUR_US).alias("ws"), "n_errors"))
+    brute = (
+        win.join(sess, (F.col("ss") < F.col("ws") + m._HOUR_US)
+                 & (F.col("ws") <= F.col("se")))
+        .groupBy("ws").agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    try:
+        got = {r.window_start_us: r.n_sessions
+               for r in m.join_interval_overlap(spark, sf_dir).collect()}
+        want = {r.ws: r.n_sessions for r in brute.collect()}
+    finally:
+        m._INCIDENT_MIN = orig_min
+    assert got == want and got
