@@ -63,6 +63,7 @@ GROUP BY date_trunc('hour', ts)
     "ts_vwap_hourly",
     oracle=_VWAP_ORACLE,
     tags=("timeseries", "agg", "json"),
+    bench=True,  # r10 promotion: the JSON-extraction-in-hot-path headline
 )
 def ts_vwap_hourly(spark, sf_dir):
     e = table(spark, sf_dir, "events")
