@@ -563,3 +563,55 @@ def ingest_arrow_demo(spark, sf_dir):
         ]
     )
     return read_arrow_ipc(spark, str(path), schema)
+
+
+# --------------------------------------------------------------------------
+# Python Data Source WRITER demo (r10): the reference's gzip-NDJSON batch
+# sink (reference pipeline/io.py) exposed as a first-class
+# ``df.write.format("omdp_ndjson")`` target — two-phase staged-rename
+# commit, per-task files, _SUCCESS manifest with row counts
+# (sinks/python_datasource_sink.py). The contract query round-trips a
+# deterministic molecule batch through the sink and reads the gzip files
+# back with Spark's JSON reader, returning the rows PLUS the manifest
+# total — so the driver hash proves payload fidelity AND that the commit
+# protocol accounted for every row.
+# --------------------------------------------------------------------------
+
+_NDJSON_SINK_DEMO_ORACLE = """
+SELECT * FROM (VALUES
+  ('CID1', 'CCO', 3),
+  ('CID2', 'Cc1ccccc1', 3),
+  ('CID3', 'CC(N)O', 3)
+) t(identifier, smiles, manifest_rows)
+"""
+
+
+@register(
+    "ingest_ndjson_pyds_sink_demo",
+    oracle=_NDJSON_SINK_DEMO_ORACLE,
+    tags=("ingest", "datasource", "formats"),
+)
+def ingest_ndjson_pyds_sink_demo(spark, sf_dir):
+    import json as _json
+    from pathlib import Path
+
+    from ..sinks.python_datasource_sink import register_ndjson_sink
+    from .file_formats import _scratch
+
+    register_ndjson_sink(spark)
+    rows = [("CID1", "CCO"), ("CID2", "Cc1ccccc1"), ("CID3", "CC(N)O")]
+    df = spark.createDataFrame(rows, "identifier string, smiles string")
+    out = _scratch("pyds_ndjson", sf_dir)
+    (
+        df.coalesce(2)
+        .write.format("omdp_ndjson")
+        .option("path", str(out))
+        .mode("append")
+        .save()
+    )
+    manifest = _json.loads((Path(str(out)) / "_SUCCESS").read_text())
+    total = sum(manifest.values())
+    back = spark.read.json(f"{out}/*.ndjson.gz")
+    return back.select(
+        "identifier", "smiles", F.lit(total).cast("int").alias("manifest_rows")
+    )

@@ -34,7 +34,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # priority order, (1) queries whose code CHANGED since their last driver
 # row, (2) queries NEVER driver-sampled, then — only when that backlog
 # does not fill 50 slots — (3) LEAST-PROVEN re-proofs, i.e. queries with
-# the minimal cumulative green count, oldest last-green first (r10: 21
+# the minimal cumulative green count, oldest last-green first (r10: 20
 # such slots, all of them queries whose only green row dates to ROUND 1 —
 # the catalog/session/tuning layers under them have changed repeatedly
 # since). tests/test_contract_order.py enforces all three rules plus
@@ -46,12 +46,12 @@ QUERIES: dict[str, QuerySpec] = {}
 #   3-14   the 12 queries ADDED in r9 (sweep-green + judge-verified,
 #          never driver-sampled; func_sql_udf_pipe additionally changed
 #          in r10 — money rescaled to 1e4 per ADVICE r9)
-#   15-29  the 15 queries ADDED in r10 (Lipinski gate, VWAP + streaming
+#   15-30  the 16 queries ADDED in r10 (Lipinski gate, VWAP + streaming
 #          twin, time-weighted avg, max drawdown, k-fold assign, ridge,
 #          MAD anomaly, parse_url spec check, time travel, Murcko,
 #          RFM scores, LOO target encoding, footer-stats audit,
-#          interval-overlap join)
-#   30-50  least-proven fillers per rule (3) above
+#          interval-overlap join, Python-DataSource NDJSON sink demo)
+#   31-50  least-proven fillers per rule (3) above
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
     # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
@@ -70,7 +70,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sample_length_bucket_batches",
     "chem_atom_census",
     "ts_sliding_distinct_hll",
-    # --- 15-29: r10 additions ---
+    # --- 15-30: r10 additions ---
     "chem_lipinski_gate",
     "ts_vwap_hourly",
     "ts_time_weighted_avg",
@@ -86,7 +86,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ml_target_encode_loo",
     "layout_footer_stats",
     "join_interval_overlap",
-    # --- 30-50: least-proven re-proofs (single green row, r1-era) ---
+    "ingest_ndjson_pyds_sink_demo",
+    # --- 31-50: least-proven re-proofs (single green row, r1-era) ---
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
@@ -107,10 +108,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "join_late_shipment_priority",
     "join_left_outer_order_counts",
     "join_semi_order_priority",
-    "setop_except",
     # --- 51+: prior curated order (not sampled this round; the two
     #     fillers displaced by the late r10 adds lead it) ---
     "setop_distinct_pairs",
+    "setop_except",
     "setop_intersect",
     "setop_union_tagged",
     "subquery_min_price_part",

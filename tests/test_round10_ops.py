@@ -334,3 +334,54 @@ def test_interval_overlap_binning_is_exact(spark, sf_dir):
     finally:
         m._INCIDENT_MIN = orig_min
     assert got == want and got
+
+
+def test_ndjson_pyds_sink_two_phase_commit(spark, tmp_path):
+    """Writer protocol pins: staged files are promoted on commit (no
+    _staging remains), the _SUCCESS manifest row counts sum to the input,
+    and compress=false emits plain NDJSON."""
+    import json as _json
+
+    from open_molecule_data_pipeline_spark.sinks.python_datasource_sink import (
+        register_ndjson_sink,
+    )
+
+    register_ndjson_sink(spark)
+    df = spark.createDataFrame(
+        [(i, f"m{i}") for i in range(10)], "i long, s string"
+    )
+    out = tmp_path / "nd"
+    (
+        df.repartition(3)
+        .write.format("omdp_ndjson")
+        .option("path", str(out))
+        .option("compress", "false")
+        .mode("append")
+        .save()
+    )
+    assert not (out / "_staging").exists()
+    manifest = _json.loads((out / "_SUCCESS").read_text())
+    assert sum(manifest.values()) == 10
+    files = sorted(out.glob("part-*.ndjson"))
+    assert files and set(manifest) == {f.name for f in files}
+    rows = [
+        _json.loads(line)
+        for f in files
+        for line in f.read_text().splitlines()
+    ]
+    assert sorted(r["i"] for r in rows) == list(range(10))
+
+
+def test_ndjson_pyds_sink_requires_path(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from open_molecule_data_pipeline_spark.sinks.python_datasource_sink import (
+        register_ndjson_sink,
+    )
+
+    register_ndjson_sink(spark)
+    df = spark.createDataFrame([(1,)], "i long")
+    with _pytest.raises(Exception) as ei:
+        df.write.format("omdp_ndjson").mode("append").save()
+    assert "path" in str(ei.value)
