@@ -1086,10 +1086,13 @@ def stream_vwap_twin(spark, sf_dir):
         "bucket",
         "turnover_e2",
         "volume",
+        # same nullif guard as the batch twin (ts_extra3.ts_vwap_hourly):
+        # a zero-volume hour has no defined VWAP, and ANSI mode turns a
+        # bare /0 into a job-killing error (seen at sf0.001).
         F.round(
             F.col("turnover_e2").cast("double")
             / F.lit(100).cast("double")
-            / F.col("volume").cast("double"),
+            / F.nullif(F.col("volume"), F.lit(0)).cast("double"),
             6,
         ).alias("vwap"),
     )

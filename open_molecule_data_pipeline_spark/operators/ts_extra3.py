@@ -52,7 +52,7 @@ SELECT date_trunc('hour', ts) AS bucket,
                                               AS BIGINT) * 100) AS BIGINT))
                   AS DOUBLE)
              / cast(100 AS DOUBLE)
-             / cast(sum(cast(json_extract(props, '$.k') AS BIGINT))
+             / cast(nullif(sum(cast(json_extract(props, '$.k') AS BIGINT)), 0)
                     AS DOUBLE), 6) AS vwap
 FROM events
 GROUP BY date_trunc('hour', ts)
@@ -80,10 +80,13 @@ def ts_vwap_hourly(spark, sf_dir):
             "bucket",
             "turnover_e2",
             "volume",
+            # nullif guard: an hour whose entire volume is 0 (possible in
+            # any real feed — and present at sf0.001) has no defined VWAP;
+            # under ANSI mode a bare division would ERROR the whole job.
             F.round(
                 F.col("turnover_e2").cast("double")
                 / F.lit(100).cast("double")
-                / F.col("volume").cast("double"),
+                / F.nullif(F.col("volume"), F.lit(0)).cast("double"),
                 6,
             ).alias("vwap"),
         )
