@@ -1,0 +1,248 @@
+"""Two-sample inference tests (r10): Welch's t and Kolmogorov–Smirnov.
+
+The A/B-test pair every experimentation pipeline runs over an events
+stream — does metric ``value`` differ between two event populations?
+
+- ``profile_welch_ttest``: Welch's unequal-variance t statistic plus the
+  Welch–Satterthwaite degrees of freedom between two event types. The
+  whole query is ONE partial+final aggregation over the scan (conditional
+  sums — no join, no shuffle beyond the 1-row agg): per-group n / Σv / Σv²
+  accumulate as exact int64 on the scaled values (v_e2 = round(value·100);
+  Σv² ≤ 1e10·n — int64-safe through sf1000), and every double op after
+  that is a fixed scalar expression over those ints, bit-identical across
+  engines (sqrt is IEEE-correctly-rounded; no libm transcendentals).
+
+- ``profile_ks_twosample``: the exact KS distance D = max|F₁(x) − F₂(x)|.
+  ECDF differences are kept in EXACT integers: at each distinct value,
+  d = c₁·n₂ − c₂·n₁ (c_i = per-value counts), and the running sum of d is
+  n₁n₂·(F₁−F₂). The running sum over distinct values is the scale hazard —
+  a partitionless window — so it runs through the two-pass range-partition
+  form (``_util.two_pass_global_window``), the same rewrite ntile and
+  sequence packing use: at 100 TB the distinct-value table shards across
+  the cluster and only the per-range offsets (≤ shuffle-partition rows)
+  see a global window. One double division at the very end.
+
+Reference parity: the reference engine has no stats layer (its analysis
+packages are docstring-only scaffolds, cf. reference
+``docs/system-plan.md``); these extend the engine-addition surface of
+SURVEY.md §2B (aggregations/profiling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import two_pass_global_window
+
+# The two compared populations. Chosen so both sides are large (~2k rows
+# at sf0.01) and neither is a superset of the other.
+_GROUP_A = "click"
+_GROUP_B = "purchase"
+
+_WELCH_ORACLE = f"""
+WITH g AS (
+  SELECT
+    cast(count(CASE WHEN event_type = '{_GROUP_A}' THEN 1 END) AS BIGINT) AS n1,
+    cast(sum(CASE WHEN event_type = '{_GROUP_A}'
+                  THEN cast(round(value * 100) AS BIGINT) END) AS BIGINT) AS s1,
+    cast(sum(CASE WHEN event_type = '{_GROUP_A}'
+                  THEN cast(round(value * 100) AS BIGINT)
+                       * cast(round(value * 100) AS BIGINT) END) AS BIGINT) AS q1,
+    cast(count(CASE WHEN event_type = '{_GROUP_B}' THEN 1 END) AS BIGINT) AS n2,
+    cast(sum(CASE WHEN event_type = '{_GROUP_B}'
+                  THEN cast(round(value * 100) AS BIGINT) END) AS BIGINT) AS s2,
+    cast(sum(CASE WHEN event_type = '{_GROUP_B}'
+                  THEN cast(round(value * 100) AS BIGINT)
+                       * cast(round(value * 100) AS BIGINT) END) AS BIGINT) AS q2
+  FROM events
+  WHERE event_type IN ('{_GROUP_A}', '{_GROUP_B}')
+), d AS (
+  SELECT n1, n2,
+         cast(s1 AS DOUBLE) / cast(n1 AS DOUBLE) / cast(100 AS DOUBLE) AS m1,
+         cast(s2 AS DOUBLE) / cast(n2 AS DOUBLE) / cast(100 AS DOUBLE) AS m2,
+         (cast(q1 AS DOUBLE)
+          - cast(s1 AS DOUBLE) * cast(s1 AS DOUBLE) / cast(n1 AS DOUBLE))
+           / (cast(n1 AS DOUBLE) - cast(1 AS DOUBLE))
+           / cast(10000 AS DOUBLE) AS var1,
+         (cast(q2 AS DOUBLE)
+          - cast(s2 AS DOUBLE) * cast(s2 AS DOUBLE) / cast(n2 AS DOUBLE))
+           / (cast(n2 AS DOUBLE) - cast(1 AS DOUBLE))
+           / cast(10000 AS DOUBLE) AS var2
+  FROM g
+), e AS (
+  SELECT n1, n2, m1, m2, var1, var2,
+         var1 / cast(n1 AS DOUBLE) AS se1,
+         var2 / cast(n2 AS DOUBLE) AS se2
+  FROM d
+)
+SELECT n1, n2,
+       round(m1, 6) AS mean_a,
+       round(m2, 6) AS mean_b,
+       round(var1, 6) AS var_a,
+       round(var2, 6) AS var_b,
+       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+       round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (cast(n1 AS DOUBLE) - cast(1 AS DOUBLE))
+                + se2 * se2 / (cast(n2 AS DOUBLE) - cast(1 AS DOUBLE))),
+             3) AS welch_df
+FROM e
+"""
+
+
+@register(
+    "profile_welch_ttest",
+    oracle=_WELCH_ORACLE,
+    tags=("profile", "stats", "agg"),
+)
+def profile_welch_ttest(spark, sf_dir):
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_GROUP_A, _GROUP_B)
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+
+    def moments(group: str, tag: str):
+        cond = F.col("event_type") == group
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("long").alias(f"n{tag}"),
+            F.sum(F.when(cond, v)).cast("long").alias(f"s{tag}"),
+            F.sum(F.when(cond, v * v)).cast("long").alias(f"q{tag}"),
+        ]
+
+    g = e.groupBy().agg(*moments(_GROUP_A, "1"), *moments(_GROUP_B, "2"))
+
+    def mean(tag: str):
+        return (
+            F.col(f"s{tag}").cast("double")
+            / F.col(f"n{tag}").cast("double")
+            / F.lit(100).cast("double")
+        )
+
+    def var(tag: str):
+        n_d = F.col(f"n{tag}").cast("double")
+        s_d = F.col(f"s{tag}").cast("double")
+        return (
+            (F.col(f"q{tag}").cast("double") - s_d * s_d / n_d)
+            / (n_d - F.lit(1).cast("double"))
+            / F.lit(10000).cast("double")
+        )
+
+    d = g.select(
+        "n1",
+        "n2",
+        mean("1").alias("m1"),
+        mean("2").alias("m2"),
+        var("1").alias("var1"),
+        var("2").alias("var2"),
+    ).select(
+        "*",
+        (F.col("var1") / F.col("n1").cast("double")).alias("se1"),
+        (F.col("var2") / F.col("n2").cast("double")).alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    one = F.lit(1).cast("double")
+    return d.select(
+        "n1",
+        "n2",
+        F.round("m1", 6).alias("mean_a"),
+        F.round("m2", 6).alias("mean_b"),
+        F.round("var1", 6).alias("var_a"),
+        F.round("var2", 6).alias("var_b"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se), 6).alias("t_stat"),
+        F.round(
+            se
+            * se
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1").cast("double") - one)
+                + F.col("se2") * F.col("se2") / (F.col("n2").cast("double") - one)
+            ),
+            3,
+        ).alias("welch_df"),
+    )
+
+
+_KS_ORACLE = f"""
+WITH base AS (
+  SELECT event_type AS t, cast(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('{_GROUP_A}', '{_GROUP_B}')
+), cnt AS (
+  SELECT v,
+         cast(sum(CASE WHEN t = '{_GROUP_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         cast(sum(CASE WHEN t = '{_GROUP_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM base GROUP BY v
+), tot AS (
+  SELECT cast(sum(ca) AS BIGINT) AS na, cast(sum(cb) AS BIGINT) AS nb FROM cnt
+), run AS (
+  SELECT v,
+         cast(sum(ca * tot.nb - cb * tot.na)
+              OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS r
+  FROM cnt, tot
+), best AS (
+  SELECT abs(r) AS ks_num, v FROM run ORDER BY abs(r) DESC, v ASC LIMIT 1
+)
+SELECT tot.na AS n_a, tot.nb AS n_b,
+       best.ks_num AS ks_num,
+       round(cast(best.ks_num AS DOUBLE)
+             / (cast(tot.na AS DOUBLE) * cast(tot.nb AS DOUBLE)), 6) AS ks_stat,
+       round(cast(best.v AS DOUBLE) / cast(100 AS DOUBLE), 2) AS ks_at_value
+FROM best, tot
+"""
+
+
+@register(
+    "profile_ks_twosample",
+    oracle=_KS_ORACLE,
+    tags=("profile", "stats", "window"),
+)
+def profile_ks_twosample(spark, sf_dir):
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_GROUP_A, _GROUP_B)
+    )
+    cnt = (
+        e.select(
+            F.col("event_type").alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("t") == _GROUP_A, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("t") == _GROUP_B, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    tot = cnt.groupBy().agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    # d = ca*nb - cb*na; its running sum over v-order equals
+    # na*nb*(F1(v) - F2(v)) — exact int64 throughout (|d| <= 2*na*nb).
+    diffs = cnt.crossJoin(F.broadcast(tot)).select(
+        "v", "na", "nb", (F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("d")
+    )
+    run = two_pass_global_window(diffs, ["v"], value_col="d", out_col="r")
+    # argmax of |r| with the SMALLEST v on ties: struct-max on
+    # (|r|, -v) is deterministic and never funnels rows to one task.
+    best = run.groupBy("na", "nb").agg(
+        F.max(F.struct(F.abs(F.col("r")).alias("a"), (-F.col("v")).alias("nv"))).alias(
+            "m"
+        )
+    )
+    return best.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("m.a").alias("ks_num"),
+        F.round(
+            F.col("m.a").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double")),
+            6,
+        ).alias("ks_stat"),
+        F.round((-F.col("m.nv")).cast("double") / F.lit(100).cast("double"), 2).alias(
+            "ks_at_value"
+        ),
+    )

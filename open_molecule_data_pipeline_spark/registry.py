@@ -51,7 +51,10 @@ QUERIES: dict[str, QuerySpec] = {}
 #          MAD anomaly, parse_url spec check, time travel, Murcko,
 #          RFM scores, LOO target encoding, footer-stats audit,
 #          interval-overlap join, Python-DataSource NDJSON sink demo)
-#   31-50  least-proven fillers per rule (3) above
+#   31-37  the 7 late-r10 additions (Welch t-test, KS two-sample,
+#          mutual-information rank, lift/gains deciles, HITS,
+#          changepoint binseg, IVFADC)
+#   38-50  least-proven fillers per rule (3) above
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
     # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
@@ -87,7 +90,17 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "layout_footer_stats",
     "join_interval_overlap",
     "ingest_ndjson_pyds_sink_demo",
-    # --- 31-50: least-proven re-proofs (single green row, r1-era) ---
+    # --- 31-38: late-r10 additions (inference stats, feature eval,
+    #     HITS, changepoint, IVFADC) + the r10 VWAP zero-volume fix
+    #     re-proof rides on ts_vwap_hourly/stream_vwap_twin above ---
+    "profile_welch_ttest",
+    "profile_ks_twosample",
+    "ml_mutual_info_rank",
+    "ml_lift_gains_deciles",
+    "graph_hits_authorities",
+    "ts_changepoint_binseg",
+    "sim_ivfpq_adc_topk",
+    # --- 38-50: least-proven re-proofs (single green row, r1-era) ---
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
@@ -101,6 +114,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "func_date_orders",
     "func_math_lineitem",
     "func_percentile_segment",
+    # --- 51+: prior curated order (not sampled this round; the
+    #     fillers displaced by the late r10 adds lead it) ---
     "func_pivot_events",
     "func_string_part",
     "func_unpivot_stack",
@@ -108,8 +123,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "join_late_shipment_priority",
     "join_left_outer_order_counts",
     "join_semi_order_priority",
-    # --- 51+: prior curated order (not sampled this round; the two
-    #     fillers displaced by the late r10 adds lead it) ---
     "setop_distinct_pairs",
     "setop_except",
     "setop_intersect",
@@ -460,6 +473,11 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.parquet_meta",
     "open_molecule_data_pipeline_spark.operators.lakehouse",
     "open_molecule_data_pipeline_spark.operators.funcs_extra4",
+    "open_molecule_data_pipeline_spark.operators.inference_stats",
+    "open_molecule_data_pipeline_spark.operators.feature_eval",
+    "open_molecule_data_pipeline_spark.operators.graph_rank",
+    "open_molecule_data_pipeline_spark.operators.changepoint",
+    "open_molecule_data_pipeline_spark.operators.ivfpq",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )

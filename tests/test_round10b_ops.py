@@ -1,0 +1,238 @@
+"""Edge-semantics pins for the late-r10 operators (inference stats,
+feature eval, HITS, changepoint, IVFADC). Oracle parity is covered by
+test_oracle_parity; these pin contracts an engines-drift-together bug
+would not catch, via independent recomputation or hand-worked fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _events_pdf(sf_dir):
+    return pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+
+
+def test_welch_ttest_matches_independent_formula(spark, sf_dir):
+    """Recompute Welch's t and the Satterthwaite df from the parquet with
+    plain Python (exact int sums, float64 scalars) — an implementation
+    that shares no code with either engine."""
+    from open_molecule_data_pipeline_spark.operators.inference_stats import (
+        _GROUP_A,
+        _GROUP_B,
+        profile_welch_ttest,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    got = profile_welch_ttest(spark, sf_dir).collect()[0]
+
+    stats = {}
+    for g in (_GROUP_A, _GROUP_B):
+        v = [int(round(x * 100)) for x in pdf[pdf.event_type == g].value]
+        n, s, q = len(v), sum(v), sum(x * x for x in v)
+        m = s / n / 100.0
+        var = (q - s * s / n) / (n - 1) / 1e4
+        stats[g] = (n, m, var)
+    (n1, m1, v1), (n2, m2, v2) = stats[_GROUP_A], stats[_GROUP_B]
+    se1, se2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+
+    assert (got.n1, got.n2) == (n1, n2)
+    assert got.t_stat == round(t, 6)
+    assert got.welch_df == round(df, 3)
+    # df must land strictly between min(n)-1 and n1+n2-2 (Welch's bound)
+    assert min(n1, n2) - 1 <= got.welch_df <= n1 + n2 - 2
+
+
+def test_ks_matches_independent_ecdf(spark, sf_dir):
+    """Exact-integer KS recomputed with a dict-based ECDF sweep."""
+    from open_molecule_data_pipeline_spark.operators.inference_stats import (
+        _GROUP_A,
+        _GROUP_B,
+        profile_ks_twosample,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    a = sorted(int(round(x * 100)) for x in pdf[pdf.event_type == _GROUP_A].value)
+    b = sorted(int(round(x * 100)) for x in pdf[pdf.event_type == _GROUP_B].value)
+    na, nb = len(a), len(b)
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    run, best, best_v = 0, -1, None
+    for v in sorted(set(a) | set(b)):
+        run += ca.get(v, 0) * nb - cb.get(v, 0) * na
+        if abs(run) > best:
+            best, best_v = abs(run), v
+    got = profile_ks_twosample(spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert got.ks_num == best
+    assert got.ks_at_value == round(best_v / 100.0, 2)
+    assert 0.0 <= got.ks_stat <= 1.0
+
+
+def test_ks_identical_samples_is_zero(spark):
+    """D must be exactly 0 when the two populations are the same multiset
+    (every prefix difference cancels)."""
+    import open_molecule_data_pipeline_spark.operators.inference_stats as m
+
+    rows = [(i, t, float(i % 7)) for i in range(42) for t in ("click", "purchase")]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        got = m.profile_ks_twosample(spark, "x").collect()[0]
+    finally:
+        m.table = orig
+    assert got.ks_num == 0 and got.ks_stat == 0.0
+
+
+def test_mutual_info_zero_for_constant_and_ln4_for_separating(spark):
+    """dim0 constant -> MI exactly 0; dim1 perfectly separating 4 balanced
+    labels across the 4 bins -> MI == ln(4) (maximum possible)."""
+    import open_molecule_data_pipeline_spark.operators.feature_eval as m
+
+    rows = []
+    sep = {0: -0.2, 1: -0.05, 2: 0.05, 3: 0.5}  # bins 0,1,2,3
+    for i in range(16):
+        lbl = i % 4
+        rows.append((i, [0.0, sep[lbl], 0.0, 0.0], lbl))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = {r.feature_idx: r for r in m.ml_mutual_info_rank(spark, "x").collect()}
+    finally:
+        m.table = orig
+    assert out[0].mi_nats == 0.0 and out[0].n_cells == 4  # 1 bin x 4 labels
+    assert out[1].mi_nats == round(math.log(4), 6) and out[1].n_cells == 4
+
+
+def test_lift_gains_decile_invariants(spark, sf_dir):
+    from open_molecule_data_pipeline_spark.operators.feature_eval import (
+        ml_lift_gains_deciles,
+    )
+
+    rows = sorted(
+        ml_lift_gains_deciles(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    total = sum(r.n_rows for r in rows)
+    # equal-count cut: sizes differ by at most 1
+    assert max(r.n_rows for r in rows) - min(r.n_rows for r in rows) <= 1
+    last = rows[-1]
+    assert last.cum_rows == total
+    assert last.cum_pos == sum(r.n_pos for r in rows)
+    assert last.gain == 1.0 and last.lift == 1.0
+    # cumulative columns are consistent running sums
+    for i, r in enumerate(rows):
+        assert r.cum_rows == sum(x.n_rows for x in rows[: i + 1])
+        assert r.cum_pos == sum(x.n_pos for x in rows[: i + 1])
+    # gains are monotone nondecreasing
+    assert all(rows[i].gain <= rows[i + 1].gain for i in range(9))
+
+
+def test_hits_hand_computed(spark):
+    """u1->{A}, u2->{A,B}: a1 = (A:2, B:1); h1 = (u1:2, u2:3);
+    a2 = (A: h(u1)+h(u2) = 5, B: h(u2) = 3). Duplicate events must not
+    double-count an edge."""
+    import open_molecule_data_pipeline_spark.operators.graph_rank as m
+
+    rows = [(1, 1, "A"), (2, 2, "A"), (3, 2, "B"), (4, 2, "B")]  # dup u2->B
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = {r.event_type: r for r in m.graph_hits_authorities(spark, "x").collect()}
+    finally:
+        m.table = orig
+    assert out["A"].in_degree == 2 and out["A"].authority_raw == 5
+    assert out["B"].in_degree == 1 and out["B"].authority_raw == 3
+    assert out["A"].authority_norm == 1.0
+    assert out["B"].authority_norm == 0.6
+
+
+def test_changepoint_finds_injected_level_shift(spark):
+    """50 points at 10.0 then 50 at 20.0: the SSE-minimizing split is
+    exactly k=50 with sse_split == 0 and sse_gain == the full SSE."""
+    import open_molecule_data_pipeline_spark.operators.changepoint as m
+
+    rows = [
+        (i, "a", f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", 10.0 if i < 50 else 20.0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        got = m.ts_changepoint_binseg(spark, "x").collect()[0]
+    finally:
+        m.table = orig
+    assert got.n_points == 100
+    assert got.split_k == 50
+    assert got.sse_split == 0.0
+    # total SSE of the 10/20 split series: n/4 * (diff_e2)^2 / 1e4 = 2500000/1e4...
+    # exact: sum (v - 15)^2 = 100 * 25 = 2500 (in value units)
+    assert got.sse_gain == 2500.0
+
+
+def test_ivfpq_topk_shape_and_ordering(spark, sf_dir):
+    from open_molecule_data_pipeline_spark.operators.ivfpq import (
+        N_QUERIES,
+        sim_ivfpq_adc_topk,
+    )
+
+    rows = sim_ivfpq_adc_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert all(r.neighbor_id != q for r in rs)
+        assert all(r.adc_dist >= 0 for r in rs)
+        assert rs[0].adc_dist <= rs[1].adc_dist <= rs[2].adc_dist
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
+    """Every returned neighbor's coarse cell must be one of its query's
+    NPROBE probed cells — the IVF pruning contract (a bug that scored all
+    cells would still pass shape checks)."""
+    import open_molecule_data_pipeline_spark.operators.ivfpq as m
+
+    v = m._vectors(spark, sf_dir)
+    cent = m._centroids(v)
+    d2c = F.round(F.expr(m._D2.format(a="e", b="ce")), 6)
+    cd = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", d2c.alias("d2c")
+    )
+    assign = {
+        r.vec_id: r.w.cent_id
+        for r in cd.groupBy("vec_id")
+        .agg(F.min(F.struct("d2c", "cent_id")).alias("w"))
+        .collect()
+    }
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("vec_id").orderBy("d2c", "cent_id")
+    mx = max(assign)
+    probed: dict[int, set] = {}
+    for r in (
+        cd.filter(F.col("vec_id") >= mx - (m.N_QUERIES - 1))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= m.NPROBE)
+        .collect()
+    ):
+        probed.setdefault(r.vec_id, set()).add(r.cent_id)
+    for r in m.sim_ivfpq_adc_topk(spark, sf_dir).collect():
+        assert assign[r.neighbor_id] in probed[r.query_id], (
+            r.query_id,
+            r.neighbor_id,
+        )
