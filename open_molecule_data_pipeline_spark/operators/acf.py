@@ -1,0 +1,131 @@
+"""Autocorrelation function (r10): ACF at lags 1..3 per event series.
+
+``ts_acf_lags`` is the first panel of every time-series workup (is the
+series mean-reverting? is there short-range structure worth a model?).
+The textbook estimator r_L = Σ(v_k − m)(v_{k+L} − m) / Σ(v − m)² is
+computed WITHOUT ever materializing the mean-centered series: expand the
+numerator to raw moments p − m(c₁+c₂) + cnt·m², where
+
+  p   = Σ v_k·v_{k+L}     (exact int64: |v_e2| ≤ 1e5 ⇒ products ≤ 1e10)
+  c₁  = Σ v_k, c₂ = Σ v_{k+L}, cnt = n − L   (exact int64)
+
+and m, the denominator, come from the per-series totals (n, S, Q). One
+window pass (PARTITION BY series) emits all three lead columns, a bounded
+3-element explode fans them into (lag, v, v_lead) rows, and everything
+downstream is a groupBy plus a broadcast join of the series-count-sized
+totals. Doubles appear only in the final shared expression over exact
+ints — bit-identical across engines.
+
+Per-series windows shard by the series key (real telemetry: series count
+>> cores); a single monster series would take the two-pass range form,
+same note as changepoint.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+MAX_LAG = 3
+
+_ACF_ORACLE = f"""
+WITH x AS (
+  SELECT event_type AS et, ts, event_id,
+         cast(round(value * 100) AS BIGINT) AS v
+  FROM events
+), led AS (
+  SELECT et, v,
+         lead(v, 1) OVER w AS v1,
+         lead(v, 2) OVER w AS v2,
+         lead(v, 3) OVER w AS v3
+  FROM x
+  WINDOW w AS (PARTITION BY et ORDER BY ts, event_id)
+), pairs AS (
+  SELECT et, 1 AS lag, v, v1 AS vl FROM led WHERE v1 IS NOT NULL
+  UNION ALL
+  SELECT et, 2 AS lag, v, v2 AS vl FROM led WHERE v2 IS NOT NULL
+  UNION ALL
+  SELECT et, 3 AS lag, v, v3 AS vl FROM led WHERE v3 IS NOT NULL
+), g AS (
+  SELECT et, lag,
+         cast(count(*) AS BIGINT) AS cnt,
+         cast(sum(v * vl) AS BIGINT) AS p,
+         cast(sum(v) AS BIGINT) AS c1,
+         cast(sum(vl) AS BIGINT) AS c2
+  FROM pairs GROUP BY et, lag
+), tot AS (
+  SELECT et, cast(count(*) AS BIGINT) AS n,
+         cast(sum(v) AS BIGINT) AS s,
+         cast(sum(v * v) AS BIGINT) AS q
+  FROM x GROUP BY et
+)
+SELECT g.et AS event_type, g.lag, g.cnt AS n_pairs,
+       round((cast(g.p AS DOUBLE)
+              - (cast(tot.s AS DOUBLE) / cast(tot.n AS DOUBLE))
+                * cast(g.c1 + g.c2 AS DOUBLE)
+              + cast(g.cnt AS DOUBLE)
+                * (cast(tot.s AS DOUBLE) / cast(tot.n AS DOUBLE))
+                * (cast(tot.s AS DOUBLE) / cast(tot.n AS DOUBLE)))
+             / (cast(tot.q AS DOUBLE)
+                - cast(tot.s AS DOUBLE) * cast(tot.s AS DOUBLE)
+                  / cast(tot.n AS DOUBLE)), 6) AS acf
+FROM g JOIN tot ON g.et = tot.et
+"""
+
+
+@register(
+    "ts_acf_lags",
+    oracle=_ACF_ORACLE,
+    tags=("timeseries", "stats", "window"),
+)
+def ts_acf_lags(spark, sf_dir):
+    x = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = W.partitionBy("et").orderBy("ts", "event_id")
+    led = x.select(
+        "et",
+        "v",
+        *[F.lead("v", lag).over(w).alias(f"v{lag}") for lag in range(1, MAX_LAG + 1)],
+    )
+    lag_structs = F.array(
+        *[
+            F.struct(F.lit(lag).alias("lag"), F.col(f"v{lag}").alias("vl"))
+            for lag in range(1, MAX_LAG + 1)
+        ]
+    )
+    pairs = (
+        led.select("et", "v", F.explode(lag_structs).alias("p"))
+        .select("et", "v", "p.lag", "p.vl")
+        .where(F.col("vl").isNotNull())
+    )
+    g = pairs.groupBy("et", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("v") * F.col("vl")).cast("long").alias("p"),
+        F.sum("v").cast("long").alias("c1"),
+        F.sum("vl").cast("long").alias("c2"),
+    )
+    tot = x.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = d("s") / d("n")
+    num = d("p") - m * (F.col("c1") + F.col("c2")).cast("double") + d("cnt") * m * m
+    den = d("q") - d("s") * d("s") / d("n")
+    return (
+        g.join(F.broadcast(tot), "et")
+        .select(
+            F.col("et").alias("event_type"),
+            "lag",
+            F.col("cnt").alias("n_pairs"),
+            F.round(num / den, 6).alias("acf"),
+        )
+    )

@@ -197,3 +197,84 @@ def graph_jaccard_neighbors(spark, sf_dir):
     return scored.orderBy(
         F.col("jaccard_ppm").desc(), "a", "c"
     ).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (r10) — the degree-weighted sibling of
+# graph_jaccard_neighbors: AA(a,c) = Σ_{z ∈ N(a)∩N(c)} 1/ln(deg(z)),
+# which discounts common neighbors that are promiscuous hubs. Same
+# candidate discipline: pairs come from the wedge join (cost = wedge
+# count, never |V|²), existing edges drop via anti join, bounded
+# TakeOrdered returns the top-20. Per-wedge weights are quantized to ppm
+# int64 AT THE MIDDLE NODE (deg is an exact int → 1e6/ln(d) is one shared
+# double expression → round is deterministic), so the per-pair score sum
+# is exact integer arithmetic; a middle node always has deg >= 2, so
+# ln(d) > 0 by construction.
+# --------------------------------------------------------------------------
+
+_AA_ORACLE = f"""
+WITH edges AS ({_EDGE_SQL}),
+und AS (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+),
+deg AS (
+  SELECT a AS node, cast(count(*) AS BIGINT) AS d FROM und GROUP BY a
+),
+wedges AS (
+  SELECT x.a AS a, y.b AS c, x.b AS mid
+  FROM und x JOIN und y ON y.a = x.b AND x.a < y.b
+),
+weighted AS (
+  SELECT w.a, w.c,
+         cast(round(1000000 / ln(cast(dm.d AS DOUBLE))) AS BIGINT) AS w6
+  FROM wedges w JOIN deg dm ON dm.node = w.mid
+),
+scored AS (
+  SELECT a, c, cast(count(*) AS BIGINT) AS n_common,
+         cast(sum(w6) AS BIGINT) AS aa_ppm
+  FROM weighted GROUP BY a, c
+),
+cand AS (
+  SELECT s.a, s.c, s.n_common, s.aa_ppm
+  FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = s.a AND e.v = s.c)
+)
+SELECT a, c, n_common, aa_ppm
+FROM cand
+ORDER BY aa_ppm DESC, a, c
+LIMIT 20
+"""
+
+
+@register("graph_adamic_adar", oracle=_AA_ORACLE, tags=("graph", "join"))
+def graph_adamic_adar(spark, sf_dir):
+    edges = _edges(spark, sf_dir).persist()
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    x = und.select("a", F.col("b").alias("mid"))
+    y = und.select(F.col("a").alias("mid"), F.col("b").alias("c"))
+    wedges = x.join(y, "mid").filter(F.col("a") < F.col("c"))
+    dm = deg.select(F.col("node").alias("mid"), F.col("d").alias("dm"))
+    # deg grows with the graph: no forced broadcast (same AQE note as
+    # graph_jaccard_neighbors)
+    weighted = wedges.join(dm, "mid").select(
+        "a",
+        "c",
+        F.round(F.lit(1000000) / F.log(F.col("dm").cast("double")))
+        .cast("long")
+        .alias("w6"),
+    )
+    scored = weighted.groupBy("a", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("w6").cast("long").alias("aa_ppm"),
+    )
+    cand = scored.join(
+        edges,
+        (scored["a"] == edges["u"]) & (scored["c"] == edges["v"]),
+        "left_anti",
+    )
+    return cand.orderBy(F.col("aa_ppm").desc(), "a", "c").limit(20)

@@ -246,3 +246,107 @@ def profile_ks_twosample(spark, sf_dir):
             "ks_at_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA across ALL event types (the k-group generalization of the
+# Welch pair above — fixed-effects F test, classic equal-variance form).
+# Same exactness scheme: per-group n/Σv/Σv² accumulate as int64 on the
+# scaled values; the per-group between-term S_g²/n_g is computed in double
+# from those ints and rounded to an int64 BEFORE the cross-group sum (5
+# groups here, but the quantize-then-sum rule removes any order hazard at
+# ANY group count); F, df, and eta² are scalar double ops at the end.
+# Magnitude bound: S_g²/n_g <= (n_g·v̄_e2)²/n_g = n_g·v̄² ≈ 2e7·1e10 = 2e17
+# at sf100 — inside int64.
+# --------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         cast(count(*) AS BIGINT) AS n,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         cast(sum(cast(round(value * 100) AS BIGINT)
+                  * cast(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY event_type
+), terms AS (
+  SELECT n, s, q,
+         cast(round(cast(s AS DOUBLE) * cast(s AS DOUBLE)
+                    / cast(n AS DOUBLE)) AS BIGINT) AS t
+  FROM g
+), agg AS (
+  SELECT cast(count(*) AS BIGINT) AS k,
+         cast(sum(n) AS BIGINT) AS nn,
+         cast(sum(s) AS BIGINT) AS ss,
+         cast(sum(q) AS BIGINT) AS qq,
+         cast(sum(t) AS BIGINT) AS tt
+  FROM terms
+), d AS (
+  SELECT k, nn,
+         cast(tt AS DOUBLE)
+           - cast(ss AS DOUBLE) * cast(ss AS DOUBLE) / cast(nn AS DOUBLE)
+           AS ssb,
+         cast(qq AS DOUBLE) - cast(tt AS DOUBLE) AS ssw,
+         cast(qq AS DOUBLE)
+           - cast(ss AS DOUBLE) * cast(ss AS DOUBLE) / cast(nn AS DOUBLE)
+           AS sst
+  FROM agg
+)
+SELECT k AS n_groups, nn AS n_total,
+       k - 1 AS df_between, nn - k AS df_within,
+       round((ssb / cast(k - 1 AS DOUBLE))
+             / (ssw / cast(nn - k AS DOUBLE)), 6) AS f_stat,
+       round(ssb / sst, 6) AS eta_sq,
+       round(ssb / cast(10000 AS DOUBLE), 4) AS ss_between,
+       round(ssw / cast(10000 AS DOUBLE), 4) AS ss_within
+FROM d
+"""
+
+
+@register(
+    "profile_anova_oneway",
+    oracle=_ANOVA_ORACLE,
+    tags=("profile", "stats", "agg"),
+)
+def profile_anova_oneway(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("q"),
+    )
+    term = F.round(
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ).cast("long")
+    agg = g.select("n", "s", "q", term.alias("t")).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("q").cast("long").alias("qq"),
+        F.sum("t").cast("long").alias("tt"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    grand = dd("ss") * dd("ss") / dd("nn")
+    d = agg.select(
+        "k",
+        "nn",
+        (dd("tt") - grand).alias("ssb"),
+        (dd("qq") - dd("tt")).alias("ssw"),
+        (dd("qq") - grand).alias("sst"),
+    )
+    one4 = F.lit(10000).cast("double")
+    return d.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_total"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("nn") - F.col("k")).alias("df_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw") / (F.col("nn") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_sq"),
+        F.round(F.col("ssb") / one4, 4).alias("ss_between"),
+        F.round(F.col("ssw") / one4, 4).alias("ss_within"),
+    )

@@ -772,3 +772,103 @@ def sample_length_bucket_batches(spark, sf_dir):
             f"          * {_LB_BATCH} * cap) AS BIGINT)"
         ).alias("utilization_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source unigram KL divergence (r10): KL(P_source || P_corpus) over
+# the shared Laplace-smoothed vocabulary — the corpus-mix diagnostic that
+# quantifies how far each source's token distribution sits from the blend
+# (the number a temperature-mixing policy is reacting to). Same exactness
+# scheme as text_dsir_weights directly above: all probabilities derive
+# from exact int64 counts; the per-(source, token) term
+# p_s·ln(p_s/p_c) is quantized to nano-nats BEFORE the cross-vocabulary
+# sum, so the per-source KL is an exact integer sum (vocab is Heaps-law
+# small; |term| ≤ ~1e9·1e5 rows per source stays far inside int64). The
+# (source × vocab) grid is vocab crossJoin broadcast(distinct sources) —
+# source cardinality is constant-bounded, so the grid is linear in vocab.
+# --------------------------------------------------------------------------
+
+_KL_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, cast(count(*) AS BIGINT) AS cr FROM toks GROUP BY tok),
+v AS (SELECT cast(count(*) AS BIGINT) AS nv,
+             cast(sum(cr) AS BIGINT) AS tr FROM vocab),
+srcs AS (SELECT DISTINCT source FROM documents),
+st AS (
+  SELECT source, cast(count(*) AS BIGINT) AS ts_n FROM toks GROUP BY source
+),
+sc AS (
+  SELECT source, tok, cast(count(*) AS BIGINT) AS cs
+  FROM toks GROUP BY source, tok
+),
+grid AS (
+  SELECT s.source, vb.tok, vb.cr,
+         coalesce(c.cs, 0) AS cs, st.ts_n, v.nv, v.tr
+  FROM vocab vb
+  CROSS JOIN srcs s
+  LEFT JOIN sc c ON c.source = s.source AND c.tok = vb.tok
+  JOIN st ON st.source = s.source, v
+),
+terms AS (
+  SELECT source,
+         cast(round(((cs + 1) / cast(ts_n + nv AS DOUBLE))
+                    * ln(((cs + 1) / cast(ts_n + nv AS DOUBLE))
+                         / ((cr + 1) / cast(tr + nv AS DOUBLE)))
+                    * 1000000000) AS BIGINT) AS t9
+  FROM grid
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_vocab,
+       round(cast(sum(t9) AS BIGINT)
+             / cast(1000000000 AS DOUBLE), 6) AS kl_nats
+FROM terms GROUP BY source
+"""
+
+
+@register(
+    "text_source_kl_divergence",
+    oracle=_KL_ORACLE,
+    tags=("text", "training", "stats"),
+)
+def text_source_kl_divergence(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    v = vocab.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum("cr").cast("long").alias("tr"),
+    )
+    srcs = d.select("source").distinct()  # constant-bounded aggregate
+    st = toks.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ts_n"))
+    sc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(srcs))
+        .join(sc, ["source", "tok"], "left")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source",
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+            "cr",
+            "ts_n",
+            "nv",
+            "tr",
+        )
+    )
+    p_s = (F.col("cs") + 1) / (F.col("ts_n") + F.col("nv")).cast("double")
+    p_c = (F.col("cr") + 1) / (F.col("tr") + F.col("nv")).cast("double")
+    t9 = F.round(p_s * F.log(p_s / p_c) * 1000000000).cast("long")
+    return (
+        grid.select("source", t9.alias("t9"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vocab"),
+            F.round(
+                F.sum("t9").cast("double") / F.lit(1000000000).cast("double"), 6
+            ).alias("kl_nats"),
+        )
+    )

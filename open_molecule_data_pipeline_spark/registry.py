@@ -51,10 +51,11 @@ QUERIES: dict[str, QuerySpec] = {}
 #          MAD anomaly, parse_url spec check, time travel, Murcko,
 #          RFM scores, LOO target encoding, footer-stats audit,
 #          interval-overlap join, Python-DataSource NDJSON sink demo)
-#   31-37  the 7 late-r10 additions (Welch t-test, KS two-sample,
+#   31-41  the 11 late-r10 additions (Welch t-test, KS two-sample,
 #          mutual-information rank, lift/gains deciles, HITS,
-#          changepoint binseg, IVFADC)
-#   38-50  least-proven fillers per rule (3) above
+#          changepoint binseg, IVFADC, one-way ANOVA, ACF lags,
+#          Adamic-Adar, per-source KL divergence)
+#   42-50  least-proven fillers per rule (3) above
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
     # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
@@ -100,7 +101,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "graph_hits_authorities",
     "ts_changepoint_binseg",
     "sim_ivfpq_adc_topk",
-    # --- 38-50: least-proven re-proofs (single green row, r1-era) ---
+    "profile_anova_oneway",
+    "ts_acf_lags",
+    "graph_adamic_adar",
+    "text_source_kl_divergence",
+    # --- 42-50: least-proven re-proofs (single green row, r1-era) ---
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
@@ -110,12 +115,12 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "agg_important_part_value",
     "agg_revenue_forecast",
     "func_array_ops",
+    # --- 51+: prior curated order (not sampled this round; the
+    #     fillers displaced by the late r10 adds lead it) ---
     "func_case_bucket",
     "func_date_orders",
     "func_math_lineitem",
     "func_percentile_segment",
-    # --- 51+: prior curated order (not sampled this round; the
-    #     fillers displaced by the late r10 adds lead it) ---
     "func_pivot_events",
     "func_string_part",
     "func_unpivot_stack",
@@ -478,6 +483,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.graph_rank",
     "open_molecule_data_pipeline_spark.operators.changepoint",
     "open_molecule_data_pipeline_spark.operators.ivfpq",
+    "open_molecule_data_pipeline_spark.operators.acf",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )

@@ -236,3 +236,109 @@ def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
             r.query_id,
             r.neighbor_id,
         )
+
+
+def test_anova_f_matches_independent_formula(spark, sf_dir):
+    """One-way F recomputed groupwise with plain Python from the parquet."""
+    from open_molecule_data_pipeline_spark.operators.inference_stats import (
+        profile_anova_oneway,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    groups = {}
+    for g, sub in pdf.groupby("event_type"):
+        v = [int(round(x * 100)) for x in sub.value]
+        groups[g] = (len(v), sum(v), sum(x * x for x in v))
+    k = len(groups)
+    nn = sum(n for n, _, _ in groups.values())
+    ss = sum(s for _, s, _ in groups.values())
+    qq = sum(q for _, _, q in groups.values())
+    tt = sum(round(s * s / n) for n, s, _ in groups.values())
+    ssb = tt - ss * ss / nn
+    ssw = qq - tt
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    got = profile_anova_oneway(spark, sf_dir).collect()[0]
+    assert (got.n_groups, got.n_total) == (k, nn)
+    assert got.f_stat == round(f, 6)
+    assert 0.0 <= got.eta_sq <= 1.0
+    # the identity SST = SSB + SSW must hold to rounding
+    assert abs(got.ss_between + got.ss_within - (qq - ss * ss / nn) / 1e4) < 1e-2
+
+
+def test_acf_constant_shift_series(spark):
+    """A pure alternating series (+1, -1, ...) has acf(1) == -1 - 1/(n-1)
+    ... rather than pin closed forms, pin the two structural contracts:
+    lag-L pair count is n - L, and a strictly alternating series yields
+    negative acf at lag 1 and positive at lag 2."""
+    import open_molecule_data_pipeline_spark.operators.acf as m
+
+    rows = [
+        (i, "a", f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+         1.0 if i % 2 == 0 else -1.0)
+        for i in range(60)
+    ]
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F2.col("ts").cast("timestamp_ntz"))
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = {r.lag: r for r in m.ts_acf_lags(spark, "x").collect()}
+    finally:
+        m.table = orig
+    assert out[1].n_pairs == 59 and out[2].n_pairs == 58 and out[3].n_pairs == 57
+    assert out[1].acf < -0.9
+    assert out[2].acf > 0.9
+    assert out[3].acf < -0.9
+
+
+def test_adamic_adar_discounts_hub_middles(spark, sf_dir):
+    """Every returned pair must be non-adjacent, have n_common >= 1, and
+    its aa_ppm must equal the sum over actual common neighbors of
+    round(1e6/ln(deg)) — recomputed via an independent pandas walk."""
+    import math as _math
+
+    import open_molecule_data_pipeline_spark.operators.graph_metrics as m
+
+    edges = {(r.u, r.v) for r in m._edges(spark, sf_dir).collect()}
+    nbrs: dict[int, set] = {}
+    for u, vv in edges:
+        nbrs.setdefault(u, set()).add(vv)
+        nbrs.setdefault(vv, set()).add(u)
+    got = m.graph_adamic_adar(spark, sf_dir).collect()
+    assert got, "no candidate pairs at this sf"
+    for r in got:
+        assert (r.a, r.c) not in edges and (r.c, r.a) not in edges
+        common = nbrs[r.a] & nbrs[r.c]
+        assert len(common) == r.n_common >= 1
+        expect = sum(round(1e6 / _math.log(len(nbrs[z]))) for z in common)
+        assert r.aa_ppm == expect
+
+
+def test_source_kl_nonnegative_and_identical_source_is_zero(spark):
+    """KL >= 0 always (Gibbs), and a 'source' whose token distribution
+    IS the corpus distribution scores (near-)zero while a disjoint-token
+    source scores strictly higher."""
+    import open_molecule_data_pipeline_spark.operators.training_extra as m
+
+    rows = (
+        [(i, "a b c d", "x", "en", 7) for i in range(8)]
+        + [(100 + i, "a b c d", "y", "en", 7) for i in range(8)]
+        + [(200 + i, "zz zz zz zz", "z", "en", 11) for i in range(2)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = {r.source: r for r in m.text_source_kl_divergence(spark, "x").collect()}
+    finally:
+        m.table = orig
+    # x and y are identical slices of the blend; z is disjoint
+    assert out["x"].kl_nats == out["y"].kl_nats
+    assert all(r.kl_nats >= 0 for r in out.values())
+    assert out["z"].kl_nats > out["x"].kl_nats
+    assert out["x"].n_vocab == out["z"].n_vocab == 5  # shared vocab grid
