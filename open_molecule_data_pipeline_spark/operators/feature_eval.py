@@ -250,3 +250,185 @@ def ml_lift_gains_deciles(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) classifier + per-class F1 report (r10): the
+# missing eval-family piece between the confusion matrix
+# (ml_naive_bayes_confusion) and the scalar metrics (AUC/PR/NDCG) — a
+# real trained-distributed classifier whose quality report is per-class
+# precision/recall/F1.
+#
+# Train: per-label centroid = per-dimension mean, where the per-dim SUM
+# is quantized to int64 micro-units FIRST (the house rule: no
+# engine-ordered double sums), so the centroid is count-exact. Both
+# engines compute it from the same position-exploded (label, pos, x)
+# relation. Predict: d² to each of the |labels| broadcast centroids, with
+# each per-dimension term quantized to nano-units before the 64-term sum
+# (again: exact int64, order-free), argmin with label-ascending ties.
+# Report: confusion counts -> per-class TP/FP/FN -> precision/recall/F1
+# with nullif guards (an empty predicted class yields NULL precision,
+# never a /0 error — the VWAP lesson).
+#
+# Scale shape: explode is a bounded 64x fanout (column count, not rows);
+# the centroid table is |labels| x 64 rows, broadcast; one groupBy per
+# phase. At 100 TB this is the shape you actually run: a linear scan
+# against a broadcast model.
+# --------------------------------------------------------------------------
+
+_NC_ORACLE = """
+WITH x AS (
+  SELECT vec_id, label, r.i AS pos,
+         cast(embedding[r.i + 1] AS DOUBLE) AS xv
+  FROM embeddings, range(64) r(i)
+), csum AS (
+  SELECT label, pos,
+         cast(sum(cast(round(xv * 1000000) AS BIGINT)) AS BIGINT) AS s6,
+         cast(count(*) AS BIGINT) AS n
+  FROM x GROUP BY label, pos
+), cent AS (
+  SELECT label AS clabel, pos,
+         cast(s6 AS DOUBLE) / cast(n AS DOUBLE) / cast(1000000 AS DOUBLE)
+           AS cv
+  FROM csum
+), d2 AS (
+  SELECT x.vec_id, x.label, cent.clabel,
+         cast(sum(cast(round((x.xv - cent.cv) * (x.xv - cent.cv)
+                             * 1000000000) AS BIGINT)) AS BIGINT) AS d9
+  FROM x JOIN cent ON cent.pos = x.pos
+  GROUP BY x.vec_id, x.label, cent.clabel
+), pred AS (
+  SELECT vec_id, label, clabel AS pred FROM (
+    SELECT vec_id, label, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d9, clabel) AS rn
+    FROM d2
+  ) t WHERE rn = 1
+), conf AS (
+  SELECT label, pred, cast(count(*) AS BIGINT) AS n FROM pred GROUP BY label, pred
+), classes AS (
+  SELECT label AS c FROM conf
+  UNION
+  SELECT pred FROM conf
+), per AS (
+  SELECT c,
+         cast(coalesce((SELECT sum(n) FROM conf WHERE label = c), 0) AS BIGINT)
+           AS n_true,
+         cast(coalesce((SELECT sum(n) FROM conf
+                        WHERE label = c AND pred = c), 0) AS BIGINT) AS tp,
+         cast(coalesce((SELECT sum(n) FROM conf
+                        WHERE pred = c AND label <> c), 0) AS BIGINT) AS fp,
+         cast(coalesce((SELECT sum(n) FROM conf
+                        WHERE label = c AND pred <> c), 0) AS BIGINT) AS fn
+  FROM classes
+)
+SELECT c AS label, n_true, tp, fp, fn,
+       round(cast(tp AS DOUBLE) / cast(nullif(tp + fp, 0) AS DOUBLE), 6)
+         AS precision_,
+       round(cast(tp AS DOUBLE) / cast(nullif(tp + fn, 0) AS DOUBLE), 6)
+         AS recall_,
+       round(cast(2 * tp AS DOUBLE)
+             / cast(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1
+FROM per
+"""
+
+
+@register(
+    "ml_nearest_centroid_f1",
+    oracle=_NC_ORACLE,
+    tags=("ml", "eval", "embeddings"),
+)
+def ml_nearest_centroid_f1(spark, sf_dir):
+    emb = spread(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        ),
+        "vec_id",
+    )
+    x = emb.select("vec_id", "label", F.posexplode("e").alias("pos", "xv"))
+    csum = x.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("xv") * 1000000).cast("long")).cast("long").alias("s6"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cent = csum.select(
+        F.col("label").alias("clabel"),
+        "pos",
+        (
+            F.col("s6").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1000000).cast("double")
+        ).alias("cv"),
+    )
+    d2 = (
+        x.join(F.broadcast(cent), "pos")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round((F.col("xv") - F.col("cv")) * (F.col("xv") - F.col("cv")) * 1000000000)
+            .cast("long")
+            .alias("t9"),
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum("t9").cast("long").alias("d9"))
+    )
+    pred = (
+        d2.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("d9", "clabel")).alias("w"))
+        .select("label", F.col("w.clabel").alias("pred"))
+    )
+    conf = pred.groupBy("label", "pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    classes = (
+        conf.select(F.col("label").alias("c"))
+        .unionByName(conf.select(F.col("pred").alias("c")))
+        .distinct()
+    )
+    by_true = conf.groupBy(F.col("label").alias("c")).agg(
+        F.sum("n").cast("long").alias("n_true"),
+        F.sum(F.when(F.col("pred") == F.col("label"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tp_t"),
+    )
+    by_pred = conf.groupBy(F.col("pred").alias("c")).agg(
+        F.sum(F.when(F.col("label") != F.col("pred"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+    )
+    per = (
+        classes.join(F.broadcast(by_true), "c", "left")
+        .join(F.broadcast(by_pred), "c", "left")
+        .select(
+            "c",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("tp_t", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            (F.coalesce("n_true", F.lit(0)) - F.coalesce("tp_t", F.lit(0))).alias(
+                "fn"
+            ),
+        )
+    )
+    return per.select(
+        F.col("c").alias("label"),
+        "n_true",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)).cast("double"),
+            6,
+        ).alias("precision_"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)).cast("double"),
+            6,
+        ).alias("recall_"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)).cast(
+                "double"
+            ),
+            6,
+        ).alias("f1"),
+    )

@@ -350,3 +350,106 @@ def profile_anova_oneway(spark, sf_dir):
         F.round(F.col("ssb") / one4, 4).alias("ss_between"),
         F.round(F.col("ssw") / one4, 4).alias("ss_within"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (r10) — the rank-based (distribution-free) counterpart
+# of the Welch test above, sharing its group pair. Average-rank tie
+# handling stays EXACT by working in doubled-rank units: at each distinct
+# value, avg_rank·2 = 2·(#pooled values strictly below) + (#ties) + 1 —
+# all int64 from the grouped counts, with the strictly-below prefix from
+# the same two-pass range-partition running sum the KS test uses. Then
+# 2·R_A = Σ c_A·r2 and U_A·2 = 2·R_A − n_A(n_A+1), still exact ints (U is
+# half-integral under ties, so the doubled form is the lossless one);
+# AUC = U_A/(n_A·n_B) is the one double division at the end — the same
+# Mann-Whitney/AUC identity ml_auc_roc exploits, here as the hypothesis-
+# test view over the events pair.
+# --------------------------------------------------------------------------
+
+_MWU_ORACLE = f"""
+WITH base AS (
+  SELECT event_type AS t, cast(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('{_GROUP_A}', '{_GROUP_B}')
+), cnt AS (
+  SELECT v,
+         cast(sum(CASE WHEN t = '{_GROUP_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         cast(sum(CASE WHEN t = '{_GROUP_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM base GROUP BY v
+), tot AS (
+  SELECT cast(sum(ca) AS BIGINT) AS na, cast(sum(cb) AS BIGINT) AS nb FROM cnt
+), run AS (
+  SELECT v, ca, ca + cb AS c,
+         cast(sum(ca + cb) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM cnt
+), r AS (
+  SELECT cast(sum(ca * (2 * (cum - c) + c + 1)) AS BIGINT) AS r2a FROM run
+)
+SELECT tot.na AS n_a, tot.nb AS n_b,
+       r.r2a - tot.na * (tot.na + 1) AS u2_a,
+       2 * tot.na * tot.nb - (r.r2a - tot.na * (tot.na + 1)) AS u2_b,
+       round(cast(r.r2a - tot.na * (tot.na + 1) AS DOUBLE)
+             / cast(2 AS DOUBLE), 1) AS u_a,
+       round(cast(r.r2a - tot.na * (tot.na + 1) AS DOUBLE)
+             / (cast(2 AS DOUBLE) * cast(tot.na AS DOUBLE)
+                * cast(tot.nb AS DOUBLE)), 6) AS auc
+FROM r, tot
+"""
+
+
+@register(
+    "profile_mannwhitney_u",
+    oracle=_MWU_ORACLE,
+    tags=("profile", "stats", "window"),
+)
+def profile_mannwhitney_u(spark, sf_dir):
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_GROUP_A, _GROUP_B)
+    )
+    cnt = (
+        e.select(
+            F.col("event_type").alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("t") == _GROUP_A, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("t") == _GROUP_B, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    run = two_pass_global_window(
+        cnt.withColumn("c", F.col("ca") + F.col("cb")),
+        ["v"],
+        value_col="c",
+        out_col="cum",
+    )
+    # avg-rank*2 at v: 2*(pooled strictly below) + ties + 1, all exact ints
+    r2 = 2 * (F.col("cum") - F.col("c")) + F.col("c") + 1
+    agg = run.groupBy().agg(
+        F.sum(F.col("ca") * r2).cast("long").alias("r2a"),
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    u2a = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        u2a.alias("u2_a"),
+        (2 * F.col("na") * F.col("nb") - u2a).alias("u2_b"),
+        F.round(u2a.cast("double") / F.lit(2).cast("double"), 1).alias("u_a"),
+        F.round(
+            u2a.cast("double")
+            / (
+                F.lit(2).cast("double")
+                * F.col("na").cast("double")
+                * F.col("nb").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )

@@ -215,3 +215,101 @@ def join_bloom_semijoin(spark, sf_dir):
         F.sum("exact_hit").alias("exact_matches"),
         (F.sum("bloom_hit") - F.sum("exact_hit")).alias("false_positives"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clustering depth (r10) — the Iceberg/Delta re-clustering trigger metric:
+# for each file's zone [min,max], how many files' zones overlap it
+# (including itself). avg_depth == 1 means perfectly clustered (every
+# range query opens one file); avg_depth == n_files means the layout is
+# useless for skipping. Computed for BOTH layouts side by side — the
+# value-sorted layout (two-pass rank slice, same build as
+# layout_zonemap_pruning) and a hash layout (event_id % N) — so the
+# output IS the re-cluster decision: the depth gap is what a sort/Z-order
+# rewrite would buy. Relational end to end: the zonemap tables are
+# N_FILES-row aggregates, the overlap self-join runs on the broadcast of
+# a bounded aggregate, and no files are written (the metric concerns the
+# zone geometry, not the bytes).
+# --------------------------------------------------------------------------
+
+_DEPTH_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, cast(round(value * 100) AS BIGINT) AS v FROM events
+),
+laid AS (
+  SELECT 'sorted' AS layout, v,
+         ((row_number() OVER (ORDER BY v, event_id) - 1) * {_N_FILES})
+           // (SELECT count(*) FROM base) AS fid
+  FROM base
+  UNION ALL
+  SELECT 'hashed' AS layout, v, event_id % {_N_FILES} AS fid FROM base
+),
+zm AS (
+  SELECT layout, fid, min(v) AS min_v, max(v) AS max_v
+  FROM laid GROUP BY layout, fid
+),
+depth AS (
+  SELECT a.layout, a.fid, cast(count(*) AS BIGINT) AS d
+  FROM zm a JOIN zm b
+    ON a.layout = b.layout AND a.min_v <= b.max_v AND b.min_v <= a.max_v
+  GROUP BY a.layout, a.fid
+)
+SELECT layout,
+       cast(count(*) AS BIGINT) AS n_files,
+       round(cast(sum(d) AS DOUBLE) / cast(count(*) AS DOUBLE), 6)
+         AS avg_depth,
+       cast(max(d) AS BIGINT) AS max_depth,
+       cast(min(d) AS BIGINT) AS min_depth
+FROM depth GROUP BY layout
+"""
+
+
+@register(
+    "layout_clustering_depth",
+    oracle=_DEPTH_ORACLE,
+    tags=("formats", "layout", "profile"),
+)
+def layout_clustering_depth(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    n = e.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    srt = (
+        two_pass_global_window(e, ["v", "event_id"], out_col="rn")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit("sorted").alias("layout"),
+            "v",
+            F.expr(f"((rn - 1) * {_N_FILES}) div __n").alias("fid"),
+        )
+    )
+    hsh = e.select(
+        F.lit("hashed").alias("layout"),
+        "v",
+        (F.col("event_id") % _N_FILES).alias("fid"),
+    )
+    zm = (
+        srt.unionByName(hsh)
+        .groupBy("layout", "fid")
+        .agg(F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+    )
+    a = zm.alias("a")
+    b = zm.alias("b")
+    depth = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.layout") == F.col("b.layout"))
+            & (F.col("a.min_v") <= F.col("b.max_v"))
+            & (F.col("b.min_v") <= F.col("a.max_v")),
+        )
+        .groupBy(F.col("a.layout").alias("layout"), F.col("a.fid").alias("fid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return depth.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.round(
+            F.sum("d").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_depth"),
+        F.max("d").cast("long").alias("max_depth"),
+        F.min("d").cast("long").alias("min_depth"),
+    )

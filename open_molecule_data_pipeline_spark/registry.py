@@ -51,11 +51,12 @@ QUERIES: dict[str, QuerySpec] = {}
 #          MAD anomaly, parse_url spec check, time travel, Murcko,
 #          RFM scores, LOO target encoding, footer-stats audit,
 #          interval-overlap join, Python-DataSource NDJSON sink demo)
-#   31-41  the 11 late-r10 additions (Welch t-test, KS two-sample,
+#   31-44  the 14 late-r10 additions (Welch t-test, KS two-sample,
 #          mutual-information rank, lift/gains deciles, HITS,
 #          changepoint binseg, IVFADC, one-way ANOVA, ACF lags,
-#          Adamic-Adar, per-source KL divergence)
-#   42-50  least-proven fillers per rule (3) above
+#          Adamic-Adar, per-source KL divergence, clustering depth,
+#          Mann-Whitney U, nearest-centroid F1)
+#   45-50  least-proven fillers per rule (3) above
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
     # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
@@ -105,18 +106,21 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "ts_acf_lags",
     "graph_adamic_adar",
     "text_source_kl_divergence",
-    # --- 42-50: least-proven re-proofs (single green row, r1-era) ---
+    "layout_clustering_depth",
+    "profile_mannwhitney_u",
+    "ml_nearest_centroid_f1",
+    # --- 45-50: least-proven re-proofs (single green row, r1-era) ---
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
     "agg_distinct_by_segment",
     "agg_grouping_sets",
     "agg_having_filter",
+    # --- 51+: prior curated order (not sampled this round; the
+    #     fillers displaced by the late r10 adds lead it) ---
     "agg_important_part_value",
     "agg_revenue_forecast",
     "func_array_ops",
-    # --- 51+: prior curated order (not sampled this round; the
-    #     fillers displaced by the late r10 adds lead it) ---
     "func_case_bucket",
     "func_date_orders",
     "func_math_lineitem",

@@ -342,3 +342,97 @@ def test_source_kl_nonnegative_and_identical_source_is_zero(spark):
     assert all(r.kl_nats >= 0 for r in out.values())
     assert out["z"].kl_nats > out["x"].kl_nats
     assert out["x"].n_vocab == out["z"].n_vocab == 5  # shared vocab grid
+
+
+def test_clustering_depth_separates_layouts(spark, sf_dir):
+    """The sorted layout must be (near-)perfectly clustered while the
+    hashed layout must be fully overlapped — the metric's whole point."""
+    from open_molecule_data_pipeline_spark.operators.skipping import (
+        _N_FILES,
+        layout_clustering_depth,
+    )
+
+    out = {r.layout: r for r in layout_clustering_depth(spark, sf_dir).collect()}
+    srt, hsh = out["sorted"], out["hashed"]
+    assert srt.n_files == hsh.n_files == _N_FILES
+    # hashed: every file spans ~the full value range -> all overlap all
+    assert hsh.avg_depth == float(_N_FILES)
+    assert hsh.min_depth == hsh.max_depth == _N_FILES
+    # sorted: adjacent files may share a boundary value, nothing more
+    assert srt.max_depth <= 3
+    assert srt.avg_depth < 2.0
+    assert srt.min_depth >= 1
+
+
+def test_mannwhitney_matches_independent_ranksum(spark, sf_dir):
+    """U recomputed with a plain-Python average-rank walk; also pin the
+    identities U_A + U_B == n_A·n_B and AUC == U_A/(n_A·n_B)."""
+    from open_molecule_data_pipeline_spark.operators.inference_stats import (
+        _GROUP_A,
+        _GROUP_B,
+        profile_mannwhitney_u,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    a = [int(round(x * 100)) for x in pdf[pdf.event_type == _GROUP_A].value]
+    b = [int(round(x * 100)) for x in pdf[pdf.event_type == _GROUP_B].value]
+    pooled = sorted([(v, "a") for v in a] + [(v, "b") for v in b])
+    # average ranks in doubled units
+    r2a = 0
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        r2 = (i + 1) + j  # 2 * avg(1-based ranks i+1..j)
+        r2a += sum(r2 for k in range(i, j) if pooled[k][1] == "a")
+        i = j
+    u2a = r2a - len(a) * (len(a) + 1)
+    got = profile_mannwhitney_u(spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.u2_a == u2a
+    assert got.u2_a + got.u2_b == 2 * len(a) * len(b)
+    assert got.auc == round(u2a / (2 * len(a) * len(b)), 6)
+
+
+def test_nearest_centroid_f1_confusion_identities(spark, sf_dir):
+    """Σ tp+fn == corpus size (every row has one true class), Σ tp+fp ==
+    corpus size (every row gets one prediction), and each F1 is the
+    harmonic mean of its own precision/recall."""
+    from open_molecule_data_pipeline_spark.operators.feature_eval import (
+        ml_nearest_centroid_f1,
+    )
+
+    rows = ml_nearest_centroid_f1(spark, sf_dir).collect()
+    n = sum(r.n_true for r in rows)
+    assert sum(r.tp + r.fn for r in rows) == n
+    assert sum(r.tp + r.fp for r in rows) == n
+    for r in rows:
+        assert r.n_true == r.tp + r.fn
+        if r.tp + r.fp > 0 and r.tp + r.fn > 0 and r.tp > 0:
+            p, q = r.precision_, r.recall_
+            assert abs(r.f1 - 2 * p * q / (p + q)) < 1e-5
+        if r.tp + r.fp == 0:
+            assert r.precision_ is None
+
+
+def test_nearest_centroid_separable_fixture_is_perfect(spark):
+    """Three well-separated clusters -> diagonal confusion, all F1 == 1."""
+    import open_molecule_data_pipeline_spark.operators.feature_eval as m
+
+    rows = []
+    for i in range(30):
+        lbl = i % 3
+        base = {0: -0.3, 1: 0.0, 2: 0.3}[lbl]
+        vec = [base + (0.001 * ((i * 7 + d) % 5)) for d in range(64)]
+        rows.append((i, vec, lbl))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = m.ml_nearest_centroid_f1(spark, "x").collect()
+    finally:
+        m.table = orig
+    assert len(out) == 3
+    for r in out:
+        assert r.fp == 0 and r.fn == 0 and r.f1 == 1.0
