@@ -129,3 +129,112 @@ def ts_acf_lags(spark, sf_dir):
             F.round(num / den, 6).alias("acf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast error / MASE (r10): the baseline every forecast
+# model must beat. Per series, the hourly-mean sequence is "forecast" by
+# its own value 24 hours earlier (seasonal naive, period = 24) and by the
+# previous hour (naive-1, the MASE scaling denominator); MASE =
+# MAE_seasonal / MAE_naive1 < 1 means daily seasonality carries real
+# signal. Works entirely on the per-(series, hour) AGGREGATE table (rows
+# bounded by series x time span), with per-bucket means kept as exact
+# (sum_e2, count) int pairs; each absolute error is one deterministic
+# double from those ints, quantized to e6 int64 before the per-series
+# sum. Lags come from lag() over the bucket table keyed by a DENSE hour
+# index (epoch_us div 3600e6), so a missing hour breaks the lag chain
+# honestly (no forecast row) instead of silently comparing non-adjacent
+# hours.
+# --------------------------------------------------------------------------
+
+_MASE_ORACLE = """
+WITH b AS (
+  SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT et, h, s, n,
+         lag(s, 1) OVER w AS s1, lag(n, 1) OVER w AS n1,
+         lag(h, 1) OVER w AS h1,
+         lag(s, 24) OVER w AS s24, lag(n, 24) OVER w AS n24,
+         lag(h, 24) OVER w AS h24
+  FROM b WINDOW w AS (PARTITION BY et ORDER BY h)
+), err AS (
+  SELECT et,
+         CASE WHEN h1 = h - 1 THEN
+           cast(round(abs(cast(s AS DOUBLE) / cast(n AS DOUBLE)
+                          - cast(s1 AS DOUBLE) / cast(n1 AS DOUBLE))
+                      * 10000) AS BIGINT) END AS e1,
+         CASE WHEN h24 = h - 24 THEN
+           cast(round(abs(cast(s AS DOUBLE) / cast(n AS DOUBLE)
+                          - cast(s24 AS DOUBLE) / cast(n24 AS DOUBLE))
+                      * 10000) AS BIGINT) END AS e24
+  FROM lagged
+)
+SELECT et AS event_type,
+       cast(count(e24) AS BIGINT) AS n_seasonal,
+       cast(count(e1) AS BIGINT) AS n_naive,
+       round(cast(sum(e24) AS DOUBLE) / cast(count(e24) AS DOUBLE)
+             / cast(1000000 AS DOUBLE), 6) AS mae_seasonal,
+       round(cast(sum(e1) AS DOUBLE) / cast(count(e1) AS DOUBLE)
+             / cast(1000000 AS DOUBLE), 6) AS mae_naive1,
+       round((cast(sum(e24) AS DOUBLE) / cast(count(e24) AS DOUBLE))
+             / (cast(sum(e1) AS DOUBLE) / cast(count(e1) AS DOUBLE)), 6)
+         AS mase
+FROM err GROUP BY et
+"""
+
+
+@register(
+    "ts_seasonal_naive_mase",
+    oracle=_MASE_ORACLE,
+    tags=("timeseries", "eval", "window"),
+)
+def ts_seasonal_naive_mase(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            F.col("event_type").alias("et"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("et", "h")
+        .agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    w = W.partitionBy("et").orderBy("h")
+    lagged = b.select(
+        "et",
+        "h",
+        "s",
+        "n",
+        F.lag("s", 1).over(w).alias("s1"),
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("h", 1).over(w).alias("h1"),
+        F.lag("s", 24).over(w).alias("s24"),
+        F.lag("n", 24).over(w).alias("n24"),
+        F.lag("h", 24).over(w).alias("h24"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean_now = d("s") / d("n")
+    e1 = F.when(
+        F.col("h1") == F.col("h") - 1,
+        F.round(F.abs(mean_now - d("s1") / d("n1")) * 10000).cast("long"),
+    )
+    e24 = F.when(
+        F.col("h24") == F.col("h") - 24,
+        F.round(F.abs(mean_now - d("s24") / d("n24")) * 10000).cast("long"),
+    )
+    err = lagged.select("et", e1.alias("e1"), e24.alias("e24"))
+    mae_s = F.sum("e24").cast("double") / F.count("e24").cast("double")
+    mae_1 = F.sum("e1").cast("double") / F.count("e1").cast("double")
+    return err.groupBy(F.col("et").alias("event_type")).agg(
+        F.count("e24").cast("long").alias("n_seasonal"),
+        F.count("e1").cast("long").alias("n_naive"),
+        F.round(mae_s / F.lit(1000000).cast("double"), 6).alias("mae_seasonal"),
+        F.round(mae_1 / F.lit(1000000).cast("double"), 6).alias("mae_naive1"),
+        F.round(mae_s / mae_1, 6).alias("mase"),
+    )

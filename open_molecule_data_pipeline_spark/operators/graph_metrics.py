@@ -278,3 +278,89 @@ def graph_adamic_adar(spark, sf_dir):
         "left_anti",
     )
     return cand.orderBy(F.col("aa_ppm").desc(), "a", "c").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (r10): Newman's r — the Pearson correlation between
+# the degrees at the two ends of an edge, over the directed double cover
+# (each undirected edge counted both ways, the standard convention).
+# r > 0: hubs attach to hubs; r < 0: hub-and-spoke. One groupBy for
+# degrees, one high-card join per endpoint, then a single partial+final
+# aggregation of five EXACT int64 moments (Σx, Σy, Σxy, Σx², Σy²; deg ≤
+# ~1e5 even at sf100 ⇒ products ≤ 1e10, sums ≤ ~1e17 — inside int64);
+# r is one shared double expression over those ints.
+# --------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH edges AS ({_EDGE_SQL}),
+und AS (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+),
+deg AS (
+  SELECT a AS node, cast(count(*) AS BIGINT) AS d FROM und GROUP BY a
+),
+m AS (
+  SELECT cast(count(*) AS BIGINT) AS m,
+         cast(sum(da.d) AS BIGINT) AS sx,
+         cast(sum(db.d) AS BIGINT) AS sy,
+         cast(sum(da.d * db.d) AS BIGINT) AS sxy,
+         cast(sum(da.d * da.d) AS BIGINT) AS sxx,
+         cast(sum(db.d * db.d) AS BIGINT) AS syy
+  FROM und
+  JOIN deg da ON da.node = und.a
+  JOIN deg db ON db.node = und.b
+), nodes AS (
+  SELECT cast(count(*) AS BIGINT) AS n_nodes FROM deg
+)
+SELECT m.m AS n_directed_edges, nodes.n_nodes,
+       round((cast(m.m AS DOUBLE) * cast(m.sxy AS DOUBLE)
+              - cast(m.sx AS DOUBLE) * cast(m.sy AS DOUBLE))
+             / sqrt((cast(m.m AS DOUBLE) * cast(m.sxx AS DOUBLE)
+                     - cast(m.sx AS DOUBLE) * cast(m.sx AS DOUBLE))
+                    * (cast(m.m AS DOUBLE) * cast(m.syy AS DOUBLE)
+                       - cast(m.sy AS DOUBLE) * cast(m.sy AS DOUBLE))), 6)
+         AS assortativity
+FROM m, nodes
+"""
+
+
+@register(
+    "graph_assortativity",
+    oracle=_ASSORT_ORACLE,
+    tags=("graph", "stats"),
+)
+def graph_assortativity(spark, sf_dir):
+    edges = _edges(spark, sf_dir).persist()
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    m = (
+        und.join(da, "a")
+        .join(db, "b")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("dx").cast("long").alias("sx"),
+            F.sum("dy").cast("long").alias("sy"),
+            F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        )
+    )
+    nodes = deg.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("m") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("m") * d("sxx") - d("sx") * d("sx"))
+        * (d("m") * d("syy") - d("sy") * d("sy"))
+    )
+    return m.crossJoin(F.broadcast(nodes)).select(
+        F.col("m").alias("n_directed_edges"),
+        "n_nodes",
+        F.round(num / den, 6).alias("assortativity"),
+    )

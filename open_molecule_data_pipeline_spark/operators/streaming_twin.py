@@ -1096,3 +1096,90 @@ def stream_vwap_twin(spark, sf_dir):
             6,
         ).alias("vwap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch t-test streaming twin (r10): the profile_welch_ttest moments as a
+# real availableNow stream — the point is that the ENTIRE sufficient
+# statistic is six commutative int64 sums (n/Σv/Σv² per arm), i.e. the
+# canonical "stats on streams" shape: state is one row regardless of
+# input size, partial-state merge is addition, and the t/df scalars are
+# computed AFTER the stream completes on that one-row state. Same oracle
+# as the batch query (identical arithmetic).
+# --------------------------------------------------------------------------
+
+from .inference_stats import _GROUP_A as _TT_A  # noqa: E402
+from .inference_stats import _GROUP_B as _TT_B  # noqa: E402
+from .inference_stats import _WELCH_ORACLE as _TTEST_TWIN_ORACLE  # noqa: E402
+
+
+@register(
+    "stream_ttest_twin",
+    oracle=_TTEST_TWIN_ORACLE,
+    tags=("streaming", "stats"),
+)
+def stream_ttest_twin(spark, sf_dir):
+    events = _events_stream(spark, sf_dir).where(
+        F.col("event_type").isin(_TT_A, _TT_B)
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+
+    def moments(group: str, tag: str):
+        cond = F.col("event_type") == group
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("long").alias(f"n{tag}"),
+            F.sum(F.when(cond, v)).cast("long").alias(f"s{tag}"),
+            F.sum(F.when(cond, v * v)).cast("long").alias(f"q{tag}"),
+        ]
+
+    agg = events.groupBy().agg(*moments(_TT_A, "1"), *moments(_TT_B, "2"))
+    done = _run_to_memory(spark, agg, output_mode="complete")
+
+    def mean(tag: str):
+        return (
+            F.col(f"s{tag}").cast("double")
+            / F.col(f"n{tag}").cast("double")
+            / F.lit(100).cast("double")
+        )
+
+    def var(tag: str):
+        n_d = F.col(f"n{tag}").cast("double")
+        s_d = F.col(f"s{tag}").cast("double")
+        return (
+            (F.col(f"q{tag}").cast("double") - s_d * s_d / n_d)
+            / (n_d - F.lit(1).cast("double"))
+            / F.lit(10000).cast("double")
+        )
+
+    d = done.select(
+        "n1",
+        "n2",
+        mean("1").alias("m1"),
+        mean("2").alias("m2"),
+        var("1").alias("var1"),
+        var("2").alias("var2"),
+    ).select(
+        "*",
+        (F.col("var1") / F.col("n1").cast("double")).alias("se1"),
+        (F.col("var2") / F.col("n2").cast("double")).alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    one = F.lit(1).cast("double")
+    return d.select(
+        "n1",
+        "n2",
+        F.round("m1", 6).alias("mean_a"),
+        F.round("m2", 6).alias("mean_b"),
+        F.round("var1", 6).alias("var_a"),
+        F.round("var2", 6).alias("var_b"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se), 6).alias("t_stat"),
+        F.round(
+            se
+            * se
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1").cast("double") - one)
+                + F.col("se2") * F.col("se2") / (F.col("n2").cast("double") - one)
+            ),
+            3,
+        ).alias("welch_df"),
+    )

@@ -872,3 +872,76 @@ def text_source_kl_divergence(spark, sf_dir):
             ).alias("kl_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal train/eval split with an embargo gap (r10): the time-series
+# ML-ops split — train strictly before (cutoff − embargo), eval at/after
+# cutoff, and the embargo day in between DROPPED so no eval label can
+# leak into training features through lookback windows (the financial-ML
+# "purged split"). The cutoff derives from the observed time range (80%
+# point of [min_ts, max_ts], snapped to exact microseconds), so the query
+# is self-contained at any scale factor; the one-row bounds aggregate is
+# broadcast. Output is the split audit every training job logs: per-split
+# event/user counts and actual time ranges — the eval_min >= cutoff and
+# train_max < cutoff − embargo invariants ARE the leakage proof.
+# --------------------------------------------------------------------------
+
+_TEMPORAL_SPLIT_ORACLE = """
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+), cut AS (
+  SELECT lo + ((hi - lo) * 8) // 10 AS cutoff_us,
+         cast(86400000000 AS BIGINT) AS embargo_us
+  FROM bounds
+), tagged AS (
+  SELECT CASE
+           WHEN epoch_us(ts) < cutoff_us - embargo_us THEN 'train'
+           WHEN epoch_us(ts) >= cutoff_us THEN 'eval'
+           ELSE 'embargo'
+         END AS split,
+         user_id, ts
+  FROM events, cut
+)
+SELECT split,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts
+FROM tagged GROUP BY split
+"""
+
+
+@register(
+    "sample_temporal_split_embargo",
+    oracle=_TEMPORAL_SPLIT_ORACLE,
+    tags=("sampling", "training", "timeseries"),
+)
+def sample_temporal_split_embargo(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    bounds = e.groupBy().agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("lo"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("hi"),
+    )
+    cut = bounds.select(
+        (
+            F.col("lo")
+            + F.expr("((hi - lo) * 8) div 10")
+        ).alias("cutoff_us"),
+        F.lit(86400000000).cast("long").alias("embargo_us"),
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tagged = e.crossJoin(F.broadcast(cut)).select(
+        F.when(us < F.col("cutoff_us") - F.col("embargo_us"), "train")
+        .when(us >= F.col("cutoff_us"), "eval")
+        .otherwise("embargo")
+        .alias("split"),
+        "user_id",
+        "ts",
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

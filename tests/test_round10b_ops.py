@@ -436,3 +436,85 @@ def test_nearest_centroid_separable_fixture_is_perfect(spark):
     assert len(out) == 3
     for r in out:
         assert r.fp == 0 and r.fn == 0 and r.f1 == 1.0
+
+
+def test_assortativity_bounds_and_star_fixture(spark, sf_dir):
+    """r must lie in [-1, 1]; a star graph is maximally disassortative
+    (r -> -1 exactly for a pure star of >= 3 leaves... for k leaves the
+    double-cover Pearson is exactly -1 since x and y are perfectly
+    anti-aligned over the edge list)."""
+    import open_molecule_data_pipeline_spark.operators.graph_metrics as m
+
+    got = m.graph_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= got.assortativity <= 1.0
+    assert got.n_directed_edges % 2 == 0  # double cover
+
+    # synthetic star via a patched edge builder: center 0, leaves 1..5
+    orig = m._edges
+    try:
+        star = spark.createDataFrame([(0, i) for i in range(1, 6)], "u long, v long")
+        m._edges = lambda s, d: star
+        r = m.graph_assortativity(spark, "x").collect()[0]
+    finally:
+        m._edges = orig
+    assert r.assortativity == -1.0
+    assert r.n_nodes == 6
+
+
+def test_temporal_split_leakage_invariants(spark, sf_dir):
+    """train_max < embargo_min <= eval_min, the embargo gap spans >= 1 day
+    between train and eval, and the three splits partition the corpus."""
+    from open_molecule_data_pipeline_spark.operators.training_extra import (
+        sample_temporal_split_embargo,
+    )
+
+    out = {r.split: r for r in sample_temporal_split_embargo(spark, sf_dir).collect()}
+    assert set(out) == {"train", "embargo", "eval"}
+    pdf = _events_pdf(sf_dir)
+    assert sum(r.n_events for r in out.values()) == len(pdf)
+    tr, em, ev = out["train"], out["embargo"], out["eval"]
+    assert tr.max_ts < em.min_ts <= em.max_ts < ev.min_ts
+    gap_us = (ev.min_ts - tr.max_ts).total_seconds() * 1e6
+    assert gap_us >= 86400000000 * 0.999  # >= ~1 day between train and eval
+
+
+def test_mase_lag_chain_breaks_on_missing_hours(spark):
+    """A series with a missing hour must NOT produce a naive-1 error row
+    across the gap — the dense-hour-index contract."""
+    import open_molecule_data_pipeline_spark.operators.acf as m
+    from pyspark.sql import functions as F2
+
+    # hours 0,1,2 then 4 (hour 3 missing): naive-1 pairs = (1,2) and... (2->4 skipped)
+    rows = [
+        (1, "a", "2024-01-01 00:30:00", 10.0),
+        (2, "a", "2024-01-01 01:30:00", 12.0),
+        (3, "a", "2024-01-01 02:30:00", 14.0),
+        (4, "a", "2024-01-01 04:30:00", 16.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F2.col("ts").cast("timestamp_ntz"))
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        got = m.ts_seasonal_naive_mase(spark, "x").collect()[0]
+    finally:
+        m.table = orig
+    assert got.n_naive == 2  # (h0->h1), (h1->h2); the h2->h4 jump is excluded
+    assert got.n_seasonal == 0  # no 24h-back bucket exists
+    assert got.mae_naive1 == 2.0
+
+
+def test_stream_ttest_twin_equals_batch(spark, sf_dir):
+    """The streaming twin's one-row state must reproduce the batch t-test
+    exactly (same sufficient statistic, same final arithmetic)."""
+    from open_molecule_data_pipeline_spark.operators.inference_stats import (
+        profile_welch_ttest,
+    )
+    from open_molecule_data_pipeline_spark.operators.streaming_twin import (
+        stream_ttest_twin,
+    )
+
+    batch = profile_welch_ttest(spark, sf_dir).collect()[0]
+    stream = stream_ttest_twin(spark, sf_dir).collect()[0]
+    assert batch.asDict() == stream.asDict()
