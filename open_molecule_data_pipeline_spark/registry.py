@@ -51,13 +51,14 @@ QUERIES: dict[str, QuerySpec] = {}
 #          MAD anomaly, parse_url spec check, time travel, Murcko,
 #          RFM scores, LOO target encoding, footer-stats audit,
 #          interval-overlap join, Python-DataSource NDJSON sink demo)
-#   31-48  the 18 late-r10 additions (Welch t-test, KS two-sample,
+#   31-49  the 19 late-r10 additions (Welch t-test, KS two-sample,
 #          mutual-information rank, lift/gains deciles, HITS,
 #          changepoint binseg, IVFADC, one-way ANOVA, ACF lags,
 #          Adamic-Adar, per-source KL divergence, clustering depth,
 #          Mann-Whitney U, nearest-centroid F1, streaming t-test twin,
-#          assortativity, temporal embargo split, seasonal-naive MASE)
-#   49-50  least-proven fillers per rule (3) above
+#          assortativity, temporal embargo split, seasonal-naive MASE,
+#          WordPiece apply)
+#   50     least-proven filler per rule (3) above
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
     # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
@@ -114,12 +115,13 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "graph_assortativity",
     "sample_temporal_split_embargo",
     "ts_seasonal_naive_mase",
-    # --- 49-50: least-proven re-proofs (single green row, r1-era) ---
+    "text_wordpiece_apply",
+    # --- 50: least-proven re-proof filler (single green row, r1-era) ---
     "agg_collect_strings",
-    "agg_cube_orders",
     # --- 51+: prior curated order (not sampled this round; the
     #     fillers displaced by the late r10 adds lead it; any r10
-    #     additions past slot 48 queue here for the r11 head) ---
+    #     additions past slot 49 queue here for the r11 head) ---
+    "agg_cube_orders",
     "agg_customer_order_distribution",
     "agg_distinct_by_segment",
     "agg_grouping_sets",
@@ -494,6 +496,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.changepoint",
     "open_molecule_data_pipeline_spark.operators.ivfpq",
     "open_molecule_data_pipeline_spark.operators.acf",
+    "open_molecule_data_pipeline_spark.operators.wordpiece",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )

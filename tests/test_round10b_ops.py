@@ -518,3 +518,28 @@ def test_stream_ttest_twin_equals_batch(spark, sf_dir):
     batch = profile_welch_ttest(spark, sf_dir).collect()[0]
     stream = stream_ttest_twin(spark, sf_dir).collect()[0]
     assert batch.asDict() == stream.asDict()
+
+
+def test_wordpiece_hand_worked_segmentation(spark):
+    """Tiny corpus where the greedy longest-match segmentation is worked
+    by hand: vocab singles + top substrings; 'lowest' -> low|e|s|t etc.
+    Also pins that every word segments fully (all chars are in-vocab)."""
+    import open_molecule_data_pipeline_spark.operators.wordpiece as m
+
+    rows = [(1, "hello world hell low", "en", "x", 1),
+            (2, "low lower lowest hell", "en", "x", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        got = m.text_wordpiece_apply(spark, "x").collect()[0]
+    finally:
+        m.table = orig
+    # with TOP_PIECES=32 every 2-4-gram of this tiny corpus is in-vocab,
+    # so greedy longest-match takes 4-char bites: hell|o worl|d hell low
+    # low lowe|r lowe|st hell -> 12 pieces / 8 words
+    assert got.n_words == 8
+    assert got.n_pieces == 12
+    assert got.pieces_per_word == round(12 / 8, 6)
