@@ -238,3 +238,110 @@ def ts_seasonal_naive_mase(spark, sf_dir):
         F.round(mae_1 / F.lit(1000000).cast("double"), 6).alias("mae_naive1"),
         F.round(mae_s / mae_1, 6).alias("mase"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation between two event series (r10): Pearson r between the
+# hourly-mean series of two event types at lags −3..+3 hours — does one
+# stream lead the other? Alignment uses the dense hour index (epoch_us
+# div 3600e6), pairs come from an EQUI-join on the shifted hour (a
+# bounded 7-element lag explode on the x side — never a theta join), and
+# the moments are exact int64 over per-bucket means quantized to
+# hundredth-cents (m4 = round(s·100/n): bounded by 5e6, so Σx·y ≤
+# ~2.5e13·buckets stays int64 at any scale factor — bucket count grows
+# with the time span, not rows). Pearson is one shared double expression
+# per lag at the end.
+# --------------------------------------------------------------------------
+
+_XCORR_A = "click"
+_XCORR_B = "purchase"
+_XCORR_MAX_LAG = 3
+
+_XCORR_ORACLE = f"""
+WITH b AS (
+  SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h,
+         cast(round(cast(sum(cast(round(value * 100) AS BIGINT)) AS DOUBLE)
+                    * 100 / cast(count(*) AS DOUBLE)) AS BIGINT) AS m4
+  FROM events WHERE event_type IN ('{_XCORR_A}', '{_XCORR_B}')
+  GROUP BY 1, 2
+), x AS (SELECT h, m4 FROM b WHERE et = '{_XCORR_A}'),
+y AS (SELECT h, m4 FROM b WHERE et = '{_XCORR_B}'),
+lags AS (SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1})) AS lag),
+pairs AS (
+  SELECT lags.lag, x.m4 AS xv, y.m4 AS yv
+  FROM x, lags
+  JOIN y ON y.h = x.h + lags.lag
+), g AS (
+  SELECT lag,
+         cast(count(*) AS BIGINT) AS n,
+         cast(sum(xv) AS BIGINT) AS sx,
+         cast(sum(yv) AS BIGINT) AS sy,
+         cast(sum(xv * yv) AS BIGINT) AS sxy,
+         cast(sum(xv * xv) AS BIGINT) AS sxx,
+         cast(sum(yv * yv) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n AS n_pairs,
+       round((cast(n AS DOUBLE) * cast(sxy AS DOUBLE)
+              - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))
+             / sqrt((cast(n AS DOUBLE) * cast(sxx AS DOUBLE)
+                     - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))
+                    * (cast(n AS DOUBLE) * cast(syy AS DOUBLE)
+                       - cast(sy AS DOUBLE) * cast(sy AS DOUBLE))), 6)
+         AS xcorr
+FROM g
+"""
+
+
+@register(
+    "ts_cross_correlation",
+    oracle=_XCORR_ORACLE,
+    tags=("timeseries", "stats"),
+)
+def ts_cross_correlation(spark, sf_dir):
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_XCORR_A, _XCORR_B)
+    )
+    b = (
+        e.select(
+            F.col("event_type").alias("et"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("et", "h")
+        .agg(
+            F.round(
+                F.sum("v").cast("double") * 100 / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("m4")
+        )
+    )
+    x = b.where(F.col("et") == _XCORR_A).select("h", F.col("m4").alias("xv"))
+    y = b.where(F.col("et") == _XCORR_B).select(
+        F.col("h").alias("yh"), F.col("m4").alias("yv")
+    )
+    lags = F.sequence(
+        F.lit(-_XCORR_MAX_LAG), F.lit(_XCORR_MAX_LAG)
+    )
+    xl = x.select("h", "xv", F.explode(lags).alias("lag")).select(
+        "lag", "xv", (F.col("h") + F.col("lag")).alias("yh")
+    )
+    pairs = xl.join(y, "yh")
+    g = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return g.select(
+        "lag", F.col("n").alias("n_pairs"), F.round(num / den, 6).alias("xcorr")
+    )

@@ -453,3 +453,111 @@ def profile_mannwhitney_u(spark, sf_dir):
             6,
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Levene's test, mean form (r10): homogeneity of variances across ALL
+# event types — the diagnostic that decides whether the classic ANOVA
+# above is trustworthy (its F assumes equal variances) or whether the
+# Welch route is required. Levene = one-way ANOVA applied to the absolute
+# deviations z = |v − mean(group)|. Two passes over the scan: group
+# means from exact int64 (s, n); per-row deviations quantized to int64 at
+# e4 BEFORE any cross-row sum (z4 ≤ 5e8); Σz² accumulates in
+# DECIMAL(38,0) (z4² ≤ 2.5e17 per row — int64 would wrap past ~36 rows
+# per group; the house decimal-accumulator rule from pq.py), then the
+# same quantize-the-between-term ANOVA algebra as profile_anova_oneway.
+# --------------------------------------------------------------------------
+
+_LEVENE_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         cast(count(*) AS BIGINT) AS n,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_type,
+         cast(round(abs(cast(round(e.value * 100) AS BIGINT)
+                        - cast(g.s AS DOUBLE) / cast(g.n AS DOUBLE))
+                    * 100) AS BIGINT) AS z4
+  FROM events e JOIN g ON g.event_type = e.event_type
+), zg AS (
+  SELECT event_type,
+         cast(count(*) AS BIGINT) AS n,
+         cast(sum(z4) AS BIGINT) AS s,
+         cast(cast(sum(z4 * z4) AS HUGEINT) AS DOUBLE) AS q
+  FROM z GROUP BY event_type
+), terms AS (
+  SELECT n, s, q,
+         cast(round(cast(s AS DOUBLE) * cast(s AS DOUBLE)
+                    / cast(n AS DOUBLE)) AS BIGINT) AS t
+  FROM zg
+), agg AS (
+  SELECT cast(count(*) AS BIGINT) AS k,
+         cast(sum(n) AS BIGINT) AS nn,
+         cast(sum(s) AS BIGINT) AS ss,
+         sum(q) AS qq,
+         cast(sum(t) AS BIGINT) AS tt
+  FROM terms
+)
+SELECT k AS n_groups, nn AS n_total,
+       k - 1 AS df_between, nn - k AS df_within,
+       round(((cast(tt AS DOUBLE)
+               - cast(ss AS DOUBLE) * cast(ss AS DOUBLE) / cast(nn AS DOUBLE))
+              / cast(k - 1 AS DOUBLE))
+             / ((qq - cast(tt AS DOUBLE)) / cast(nn - k AS DOUBLE)), 6)
+         AS levene_w
+FROM agg
+"""
+
+
+@register(
+    "profile_levene_test",
+    oracle=_LEVENE_ORACLE,
+    tags=("profile", "stats", "agg"),
+)
+def profile_levene_test(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+    )
+    z4 = F.round(
+        F.abs(v - F.col("s").cast("double") / F.col("n").cast("double")) * 100
+    ).cast("long")
+    z = e.join(F.broadcast(g), "event_type").select(
+        "event_type", z4.alias("z4")
+    )
+    zg = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z4").cast("long").alias("s"),
+        # exact decimal accumulator: z4^2 <= 2.5e17 per row wraps int64
+        F.sum((F.col("z4") * F.col("z4")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q"),
+    )
+    term = F.round(
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ).cast("long")
+    agg = zg.select("n", "s", "q", term.alias("t")).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum("t").cast("long").alias("tt"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ssb = d("tt") - d("ss") * d("ss") / d("nn")
+    ssw = F.col("qq") - d("tt")
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_total"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("nn") - F.col("k")).alias("df_within"),
+        F.round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("nn") - F.col("k")).cast("double")),
+            6,
+        ).alias("levene_w"),
+    )

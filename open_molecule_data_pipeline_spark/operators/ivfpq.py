@@ -277,3 +277,86 @@ def sim_ivfpq_adc_topk(spark, sf_dir):
             ).alias("adc_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVFADC recall@3 eval (r10): every ANN variant in this repo ships with a
+# measured-quality eval against exact ground truth (sim_ivf_recall,
+# sim_ivf_sampled_quantizer, mllib_*_recall, ml_embedding_truncate_recall)
+# — this is the IVFADC one. Ground truth = exact full-vector L2 top-3
+# over the same LAST-10 query batch (same metric space as the ADC
+# ranking, distances as micro-quantized int64 so the exact ranking is
+# integer-deterministic). The reported recall prices BOTH losses at
+# once: IVF pruning (candidates outside the probed cells) and PQ
+# quantization (codes ranking differently than raw vectors). Both sides
+# of the recall join are 3·N_QUERIES rows — constants — so it
+# broadcasts by construction.
+# --------------------------------------------------------------------------
+
+_IVFPQ_RECALL_ORACLE = f"""
+WITH ivf AS ({_IVFPQ_ORACLE}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, e AS qe FROM v
+  WHERE vec_id >= (SELECT max(vec_id) - {N_QUERIES - 1} FROM embeddings)
+), exact AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY cast(round({_SQL_D2.format(a="q.qe", b="c.e")}
+                                 * 1000000) AS BIGINT), c.vec_id) AS rn
+    FROM qs q JOIN v c ON c.vec_id <> q.query_id
+  ) t WHERE rn <= 3
+)
+SELECT exact.query_id,
+       cast(count(ivf.neighbor_id) AS BIGINT) AS n_hit,
+       round(count(ivf.neighbor_id) / cast(3 AS DOUBLE), 6) AS recall
+FROM exact LEFT JOIN ivf
+  ON exact.query_id = ivf.query_id AND exact.neighbor_id = ivf.neighbor_id
+GROUP BY exact.query_id
+"""
+
+
+@register(
+    "sim_ivfpq_recall",
+    oracle=_IVFPQ_RECALL_ORACLE,
+    tags=("similarity", "ivf", "pq", "eval"),
+)
+def sim_ivfpq_recall(spark, sf_dir):
+    ivf = F.broadcast(
+        sim_ivfpq_adc_topk(spark, sf_dir).select(
+            "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+        )
+    )
+    v = _vectors(spark, sf_dir)
+    mx = v.groupBy().agg(F.max("vec_id").alias("mx"))
+    qs = (
+        v.crossJoin(F.broadcast(mx))
+        .filter(F.col("vec_id") >= F.col("mx") - (N_QUERIES - 1))
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    d6 = F.round(F.expr(_D2.format(a="qe", b="e")) * 1000000).cast("long")
+    we = W.partitionBy("query_id").orderBy("d6", "vec_id")
+    exact = (
+        v.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d6.alias("d6"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    joined = exact.join(
+        ivf,
+        (exact.query_id == ivf.query_id)
+        & (exact.neighbor_id == ivf.ivf_neighbor),
+        "left",
+    ).select(exact.query_id, "ivf_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count("ivf_neighbor").cast("long").alias("n_hit"),
+        F.round(F.count("ivf_neighbor") / F.lit(3).cast("double"), 6).alias(
+            "recall"
+        ),
+    )

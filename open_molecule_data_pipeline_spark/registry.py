@@ -51,14 +51,17 @@ QUERIES: dict[str, QuerySpec] = {}
 #          MAD anomaly, parse_url spec check, time travel, Murcko,
 #          RFM scores, LOO target encoding, footer-stats audit,
 #          interval-overlap join, Python-DataSource NDJSON sink demo)
-#   31-49  the 19 late-r10 additions (Welch t-test, KS two-sample,
+#   31-50  the 20 late-r10 additions (Welch t-test, KS two-sample,
 #          mutual-information rank, lift/gains deciles, HITS,
-#          changepoint binseg, IVFADC, one-way ANOVA, ACF lags,
-#          Adamic-Adar, per-source KL divergence, clustering depth,
-#          Mann-Whitney U, nearest-centroid F1, streaming t-test twin,
-#          assortativity, temporal embargo split, seasonal-naive MASE,
-#          WordPiece apply)
-#   50     least-proven filler per rule (3) above
+#          changepoint binseg, IVFADC + its recall eval, one-way ANOVA,
+#          ACF lags, Adamic-Adar, per-source KL divergence, clustering
+#          depth, Mann-Whitney U, nearest-centroid F1, streaming t-test
+#          twin, assortativity, temporal embargo split, seasonal-naive
+#          MASE, WordPiece apply). The window is now fully spent on
+#          changed/never-green queries (no rule-(3) fillers); the two
+#          r10 additions past slot 50 (ts_cross_correlation,
+#          profile_levene_test) lead position 51+ and are the r11
+#          rotation's first picks.
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
     # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
@@ -116,11 +119,13 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sample_temporal_split_embargo",
     "ts_seasonal_naive_mase",
     "text_wordpiece_apply",
-    # --- 50: least-proven re-proof filler (single green row, r1-era) ---
-    "agg_collect_strings",
+    "sim_ivfpq_recall",
     # --- 51+: prior curated order (not sampled this round; the
-    #     fillers displaced by the late r10 adds lead it; any r10
-    #     additions past slot 49 queue here for the r11 head) ---
+    #     fillers displaced by the late r10 adds lead it; r10
+    #     additions past slot 50 queue FIRST for the r11 head) ---
+    "ts_cross_correlation",  # r10 add past the window — r11 head
+    "profile_levene_test",  # r10 add past the window — r11 head
+    "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
     "agg_distinct_by_segment",

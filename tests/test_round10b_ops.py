@@ -543,3 +543,70 @@ def test_wordpiece_hand_worked_segmentation(spark):
     assert got.n_words == 8
     assert got.n_pieces == 12
     assert got.pieces_per_word == round(12 / 8, 6)
+
+
+def test_ivfpq_recall_bounds_and_ground_truth_shape(spark, sf_dir):
+    """recall in {0, 1/3, 2/3, 1} per query; n_hit <= 3; and the exact
+    ground truth must rank the self-match out."""
+    from open_molecule_data_pipeline_spark.operators.ivfpq import (
+        N_QUERIES,
+        sim_ivfpq_recall,
+    )
+
+    rows = sim_ivfpq_recall(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hit <= 3
+        assert r.recall == round(r.n_hit / 3, 6)
+
+
+def test_xcorr_self_correlation_is_one(spark):
+    """When the 'two' series are copies of each other, xcorr at lag 0
+    must be exactly 1 and the lag-0 pair count equals the bucket count."""
+    import open_molecule_data_pipeline_spark.operators.acf as m
+    from pyspark.sql import functions as F2
+
+    rows = []
+    for h in range(12):
+        for et in ("click", "purchase"):
+            # same bucket means for both series, varying by hour
+            rows.append((h * 2 + (et == "click"), et,
+                         f"2024-01-01 {h:02d}:15:00", 10.0 + (h % 5)))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F2.col("ts").cast("timestamp_ntz"))
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = {r.lag: r for r in m.ts_cross_correlation(spark, "x").collect()}
+    finally:
+        m.table = orig
+    assert out[0].xcorr == 1.0
+    assert out[0].n_pairs == 12
+    # shifted lags lose one pair per step off each edge
+    assert out[1].n_pairs == 11 and out[-1].n_pairs == 11
+
+
+def test_levene_matches_independent_formula(spark, sf_dir):
+    """Levene W recomputed with plain Python using the same quantization
+    pipeline (z4 = round(|v_e2 - mean|*100))."""
+    from open_molecule_data_pipeline_spark.operators.inference_stats import (
+        profile_levene_test,
+    )
+
+    pdf = _events_pdf(sf_dir)
+    groups = {}
+    for gname, sub in pdf.groupby("event_type"):
+        v = [int(round(x * 100)) for x in sub.value]
+        m = sum(v) / len(v)
+        z = [round(abs(x - m) * 100) for x in v]
+        groups[gname] = (len(z), sum(z), sum(x * x for x in z))
+    k = len(groups)
+    nn = sum(n for n, _, _ in groups.values())
+    ss = sum(s for _, s, _ in groups.values())
+    qq = float(sum(q for _, _, q in groups.values()))
+    tt = sum(round(s * s / n) for n, s, _ in groups.values())
+    w = ((tt - ss * ss / nn) / (k - 1)) / ((qq - tt) / (nn - k))
+    got = profile_levene_test(spark, sf_dir).collect()[0]
+    assert (got.n_groups, got.n_total) == (k, nn)
+    assert got.levene_w == round(w, 6)
