@@ -525,3 +525,92 @@ def cdc_time_travel(spark, sf_dir):
         F.count(F.lit(1)).alias("n_live_keys"),
         F.sum("val_e2").alias("total_value_e2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vacuum eligibility report (r10): the other half of time travel — given
+# the same deterministic ops log as cdc_time_travel and a retention
+# watermark (versions >= _VACUUM_KEEP stay queryable), classify every log
+# entry as RETAINED or vacuumable, split by WHY it is vacuumable:
+#   dup_superseded — not the latest op for its (key, version): invisible
+#     at every version, reclaimable regardless of retention;
+#   expired — latest for its (key, version) but its validity interval
+#     [ver, next_ver) ends at or before the watermark: only versions no
+#     one can query still reference it.
+# This is Delta/Iceberg VACUUM expressed relationally: "file referenced
+# by any retained snapshot" becomes "interval intersects [watermark,
+# inf)". Per-key windows shuffle once on key (same plan as the time
+# travel read); everything else is exact integer counts per version.
+# --------------------------------------------------------------------------
+
+_VACUUM_KEEP = 4  # retain versions >= 4 (of the 1..6 spine)
+
+_VACUUM_ORACLE = f"""
+WITH ops AS (
+  SELECT o_custkey AS k,
+         (o_orderkey % 6) + 1 AS ver,
+         o_orderkey AS seq
+  FROM orders
+),
+ranked AS (
+  SELECT k, ver, seq,
+         row_number() OVER (PARTITION BY k, ver ORDER BY seq DESC) AS rn
+  FROM ops
+),
+latest AS (
+  SELECT k, ver,
+         lead(ver) OVER (PARTITION BY k ORDER BY ver) AS next_ver
+  FROM ranked WHERE rn = 1
+),
+tagged AS (
+  SELECT ver, 'dup_superseded' AS status FROM ranked WHERE rn > 1
+  UNION ALL
+  SELECT ver,
+         CASE WHEN next_ver IS NOT NULL AND next_ver <= {_VACUUM_KEEP}
+              THEN 'expired' ELSE 'retained' END AS status
+  FROM latest
+)
+SELECT ver AS version, status, cast(count(*) AS BIGINT) AS n_ops
+FROM tagged GROUP BY ver, status
+"""
+
+
+@register(
+    "cdc_vacuum_report",
+    oracle=_VACUUM_ORACLE,
+    tags=("cdc", "lakehouse"),
+)
+def cdc_vacuum_report(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    ops = o.select(
+        F.col("o_custkey").alias("k"),
+        ((F.col("o_orderkey") % 6) + 1).alias("ver"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    wr = W.partitionBy("k", "ver").orderBy(F.col("seq").desc())
+    ranked = ops.withColumn("rn", F.row_number().over(wr))
+    wl = W.partitionBy("k").orderBy("ver")
+    latest = (
+        ranked.where(F.col("rn") == 1)
+        .select("k", "ver")
+        .withColumn("next_ver", F.lead("ver").over(wl))
+    )
+    dup = ranked.where(F.col("rn") > 1).select(
+        "ver", F.lit("dup_superseded").alias("status")
+    )
+    kept = latest.select(
+        "ver",
+        F.when(
+            F.col("next_ver").isNotNull() & (F.col("next_ver") <= _VACUUM_KEEP),
+            "expired",
+        )
+        .otherwise("retained")
+        .alias("status"),
+    )
+    return (
+        dup.unionByName(kept)
+        .groupBy(F.col("ver").alias("version"), "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ops"))
+    )

@@ -364,3 +364,153 @@ def graph_assortativity(spark, sf_dir):
         "n_nodes",
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Modularity Q of a node partition (r10): the community-quality score —
+# Q = Σ_c [ L_c/m − (D_c/2m)² ] with L_c intra-community edges, D_c the
+# community degree sum, m total undirected edges. Evaluated on the
+# nation co-region graph for TWO partitions side by side: 'region' (the
+# generative communities — Q near its max for this graph) and 'hash'
+# (nation % 7 — a null partition, Q ≈ 0), so the single output table
+# demonstrates both the metric and its null calibration. All moments are
+# exact int64 (L_c, D_c, m are counts); Q is one shared double
+# expression per partition row.
+# --------------------------------------------------------------------------
+
+_MOD_ORACLE = """
+WITH edges AS (
+  SELECT a.n_nationkey AS u, b.n_nationkey AS v
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+),
+parts AS (
+  SELECT n_nationkey AS node, 'region' AS part,
+         cast(n_regionkey AS BIGINT) AS cid
+  FROM nation
+  UNION ALL
+  SELECT n_nationkey, 'hash', cast(n_nationkey % 7 AS BIGINT) FROM nation
+),
+m AS (SELECT cast(count(*) AS BIGINT) AS m FROM edges),
+deg AS (
+  SELECT node, cast(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) t GROUP BY node
+),
+dsum AS (
+  SELECT p.part, p.cid, cast(sum(deg.d) AS BIGINT) AS dc
+  FROM parts p JOIN deg ON deg.node = p.node
+  GROUP BY p.part, p.cid
+),
+lc AS (
+  SELECT pu.part, pu.cid, cast(count(*) AS BIGINT) AS l
+  FROM edges e
+  JOIN parts pu ON pu.node = e.u
+  JOIN parts pv ON pv.node = e.v AND pv.part = pu.part
+  WHERE pu.cid = pv.cid
+  GROUP BY pu.part, pu.cid
+),
+terms AS (
+  SELECT d.part, d.cid, coalesce(lc.l, 0) AS l, d.dc, m.m
+  FROM dsum d LEFT JOIN lc ON lc.part = d.part AND lc.cid = d.cid, m
+)
+,
+q9 AS (
+  SELECT part,
+         cast(round((cast(l AS DOUBLE) / cast(m AS DOUBLE)
+                     - (cast(dc AS DOUBLE)
+                        / (cast(2 AS DOUBLE) * cast(m AS DOUBLE)))
+                       * (cast(dc AS DOUBLE)
+                          / (cast(2 AS DOUBLE) * cast(m AS DOUBLE))))
+                    * 1000000000) AS BIGINT) AS t9,
+         m
+  FROM terms
+)
+SELECT part AS partition_name,
+       cast(count(*) AS BIGINT) AS n_communities,
+       max(m) AS m_edges,
+       round(cast(sum(t9) AS DOUBLE) / cast(1000000000 AS DOUBLE), 6)
+         AS modularity_q
+FROM q9 GROUP BY part
+"""
+
+
+@register(
+    "graph_modularity",
+    oracle=_MOD_ORACLE,
+    tags=("graph", "stats"),
+)
+def graph_modularity(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_nationkey").alias("u"), F.col("b.n_nationkey").alias("v"))
+    edges = edges.localCheckpoint(eager=True)
+    parts = n.select(
+        F.col("n_nationkey").alias("node"),
+        F.lit("region").alias("part"),
+        F.col("n_regionkey").cast("long").alias("cid"),
+    ).unionByName(
+        n.select(
+            F.col("n_nationkey").alias("node"),
+            F.lit("hash").alias("part"),
+            (F.col("n_nationkey") % 7).cast("long").alias("cid"),
+        )
+    )
+    m = edges.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dsum = (
+        parts.join(deg, "node")
+        .groupBy("part", "cid")
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    pu = parts.select(
+        F.col("node").alias("u"), F.col("part"), F.col("cid").alias("cu")
+    )
+    pv = parts.select(
+        F.col("node").alias("v2"), F.col("part").alias("pv_part"),
+        F.col("cid").alias("cv"),
+    )
+    lc = (
+        edges.join(F.broadcast(pu), "u")
+        .join(
+            F.broadcast(pv),
+            (F.col("v") == F.col("v2")) & (F.col("part") == F.col("pv_part")),
+        )
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy("part", F.col("cu").alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l"))
+    )
+    terms = (
+        dsum.join(F.broadcast(lc), ["part", "cid"], "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "part",
+            F.coalesce("l", F.lit(0)).alias("l"),
+            "dc",
+            "m",
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    half = d("dc") / (F.lit(2).cast("double") * d("m"))
+    # per-community terms quantized to nano-units BEFORE the sum: the hash
+    # partition's Q is ~0, where a raw double sum could land on +-1e-17
+    # and round to 0.0 vs -0.0 depending on engine sum order
+    t9 = F.round((d("l") / d("m") - half * half) * 1000000000).cast("long")
+    return terms.select("part", "m", t9.alias("t9")).groupBy(
+        F.col("part").alias("partition_name")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("m").cast("long").alias("m_edges"),
+        F.round(
+            F.sum("t9").cast("double") / F.lit(1000000000).cast("double"), 6
+        ).alias("modularity_q"),
+    )

@@ -74,3 +74,67 @@ def sample_kfold_assign(spark, sf_dir):
             F.col("n_docs").cast("double") / F.col("total").cast("double"), 6
         ).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# GROUP k-fold (r10): the leakage-safe variant of sample_kfold_assign —
+# the fold is a function of the GROUP key (user_id), so every event of a
+# user lands in exactly one fold and no user straddles a train/eval
+# boundary (the grouped-CV contract; per-row hashing would leak user
+# state across folds). Same engine-portable md5-hex-pair arithmetic as
+# the doc-level k-fold; the per-fold audit carries event AND user counts
+# so the output itself shows the group discipline (sum of n_users over
+# folds == total distinct users — only true when groups are fold-pure).
+# --------------------------------------------------------------------------
+
+_GROUP_KFOLD_ORACLE = f"""
+WITH h AS (
+  SELECT user_id, event_type,
+         md5(cast(user_id AS VARCHAR)) AS hx
+  FROM events
+),
+f AS (
+  SELECT user_id, event_type,
+         ((instr('{_HEX}', substr(hx, 1, 1)) - 1) * 16
+          + (instr('{_HEX}', substr(hx, 2, 1)) - 1)) % {_KFOLD_K} AS fold
+  FROM h
+)
+SELECT fold,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       cast(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       round(cast(count(*) AS DOUBLE)
+             / cast((SELECT count(*) FROM events) AS DOUBLE), 6) AS share
+FROM f
+GROUP BY fold
+"""
+
+
+@register(
+    "sample_group_kfold",
+    oracle=_GROUP_KFOLD_ORACLE,
+    tags=("sample", "training", "split"),
+)
+def sample_group_kfold(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    fold = (
+        (F.instr(F.lit(_HEX), F.substring(hx, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(_HEX), F.substring(hx, 2, 1)) - 1)
+    ) % _KFOLD_K
+    folds = e.select(fold.cast("long").alias("fold"), "user_id", "event_type")
+    total = e.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    per_fold = folds.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+    return per_fold.join(F.broadcast(total)).select(
+        "fold",
+        "n_events",
+        "n_users",
+        "n_types",
+        F.round(
+            F.col("n_events").cast("double") / F.col("total").cast("double"), 6
+        ).alias("share"),
+    )

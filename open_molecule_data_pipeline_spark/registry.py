@@ -125,6 +125,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #     additions past slot 50 queue FIRST for the r11 head) ---
     "ts_cross_correlation",  # r10 add past the window — r11 head
     "profile_levene_test",  # r10 add past the window — r11 head
+    "cdc_vacuum_report",  # r10 add past the window — r11 head
+    "sample_group_kfold",  # r10 add past the window — r11 head
+    "graph_modularity",  # r10 add past the window — r11 head
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",

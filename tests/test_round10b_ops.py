@@ -610,3 +610,55 @@ def test_levene_matches_independent_formula(spark, sf_dir):
     got = profile_levene_test(spark, sf_dir).collect()[0]
     assert (got.n_groups, got.n_total) == (k, nn)
     assert got.levene_w == round(w, 6)
+
+
+def test_vacuum_report_conservation_and_retention(spark, sf_dir):
+    """Statuses partition the ops log (counts sum to the log size), every
+    version >= the watermark has zero 'expired' rows, and version 6 (the
+    head) is never expired."""
+    import pyarrow.parquet as _pq
+
+    from open_molecule_data_pipeline_spark.operators.cdc import (
+        _VACUUM_KEEP,
+        cdc_vacuum_report,
+    )
+
+    rows = cdc_vacuum_report(spark, sf_dir).collect()
+    orders = _pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    assert sum(r.n_ops for r in rows) == orders.num_rows
+    for r in rows:
+        if r.status == "expired":
+            # an op expires only if its SUCCESSOR is <= the watermark,
+            # so expired ops live strictly below it
+            assert r.version < _VACUUM_KEEP
+        assert r.status in ("retained", "expired", "dup_superseded")
+
+
+def test_group_kfold_users_are_fold_pure(spark, sf_dir):
+    """The group contract: folds partition USERS — the per-fold distinct
+    user counts must sum to the corpus distinct user count (impossible if
+    any user straddled folds)."""
+    from open_molecule_data_pipeline_spark.operators.readability import (
+        sample_group_kfold,
+    )
+
+    rows = sample_group_kfold(spark, sf_dir).collect()
+    pdf = _events_pdf(sf_dir)
+    assert sum(r.n_events for r in rows) == len(pdf)
+    assert sum(r.n_users for r in rows) == pdf.user_id.nunique()
+
+
+def test_modularity_region_beats_hash_and_bounds(spark, sf_dir):
+    """Q in [-1, 1]; the generative (region) partition must score far
+    above the null hash partition, which sits near 0."""
+    from open_molecule_data_pipeline_spark.operators.graph_metrics import (
+        graph_modularity,
+    )
+
+    out = {r.partition_name: r for r in graph_modularity(spark, sf_dir).collect()}
+    reg, hsh = out["region"], out["hash"]
+    assert -1.0 <= hsh.modularity_q <= 1.0
+    assert -1.0 <= reg.modularity_q <= 1.0
+    assert reg.modularity_q > 0.5
+    assert abs(hsh.modularity_q) < 0.25
+    assert reg.m_edges == hsh.m_edges
