@@ -561,3 +561,188 @@ def profile_levene_test(spark, sf_dir):
             6,
         ).alias("levene_w"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (r10): is a series random around its median,
+# or does it trend/mean-revert? Per event series, each value becomes
+# above(1)/below(0) its series median (exact lower-median from the
+# ranked distinct-value counts — ties AT the median are dropped, the
+# standard convention), a "run" starts wherever the flag changes
+# (lag() over the per-series window), and the z statistic compares the
+# observed run count with its null mean/variance — all from exact int64
+# (n1, n0, runs); doubles only in the final shared expression. Trending
+# series produce FEWER runs than chance (z << 0), oscillating series
+# more (z >> 0).
+# --------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH x AS (
+  SELECT event_type AS et, ts, event_id,
+         cast(round(value * 100) AS BIGINT) AS v
+  FROM events
+), med AS (
+  SELECT et, cast(median(v) AS DOUBLE) AS md FROM x GROUP BY et
+), flagged AS (
+  SELECT x.et, x.ts, x.event_id,
+         CASE WHEN cast(x.v AS DOUBLE) > med.md THEN 1 ELSE 0 END AS f
+  FROM x JOIN med ON med.et = x.et
+  WHERE cast(x.v AS DOUBLE) <> med.md
+), runs AS (
+  SELECT et, f,
+         CASE WHEN lag(f) OVER (PARTITION BY et ORDER BY ts, event_id)
+                   IS DISTINCT FROM f THEN 1 ELSE 0 END AS new_run
+  FROM flagged
+), g AS (
+  SELECT et,
+         cast(sum(f) AS BIGINT) AS n1,
+         cast(count(*) - sum(f) AS BIGINT) AS n0,
+         cast(sum(new_run) AS BIGINT) AS r
+  FROM runs GROUP BY et
+)
+SELECT et AS event_type, n1 AS n_above, n0 AS n_below, r AS n_runs,
+       round((cast(r AS DOUBLE)
+              - (cast(2 AS DOUBLE) * cast(n1 AS DOUBLE) * cast(n0 AS DOUBLE)
+                 / (cast(n1 AS DOUBLE) + cast(n0 AS DOUBLE))
+                 + cast(1 AS DOUBLE)))
+             / sqrt((cast(2 AS DOUBLE) * cast(n1 AS DOUBLE) * cast(n0 AS DOUBLE)
+                     * (cast(2 AS DOUBLE) * cast(n1 AS DOUBLE)
+                        * cast(n0 AS DOUBLE)
+                        - cast(n1 AS DOUBLE) - cast(n0 AS DOUBLE)))
+                    / ((cast(n1 AS DOUBLE) + cast(n0 AS DOUBLE))
+                       * (cast(n1 AS DOUBLE) + cast(n0 AS DOUBLE))
+                       * (cast(n1 AS DOUBLE) + cast(n0 AS DOUBLE)
+                          - cast(1 AS DOUBLE)))), 6) AS z_stat
+FROM g
+"""
+
+
+@register(
+    "profile_runs_test",
+    oracle=_RUNS_ORACLE,
+    tags=("profile", "stats", "window"),
+)
+def profile_runs_test(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    x = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    med = x.groupBy("et").agg(
+        F.median("v").cast("double").alias("md")
+    )
+    flagged = (
+        x.join(F.broadcast(med), "et")
+        .where(F.col("v").cast("double") != F.col("md"))
+        .select(
+            "et",
+            "ts",
+            "event_id",
+            F.when(F.col("v").cast("double") > F.col("md"), 1)
+            .otherwise(0)
+            .alias("f"),
+        )
+    )
+    w = W.partitionBy("et").orderBy("ts", "event_id")
+    runs = flagged.select(
+        "et",
+        "f",
+        F.when(
+            ~F.lag("f").over(w).eqNullSafe(F.col("f")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    g = runs.groupBy("et").agg(
+        F.sum("f").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("f")).cast("long").alias("n0"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    two = F.lit(2).cast("double")
+    one = F.lit(1).cast("double")
+    nn = d("n1") + d("n0")
+    mu = two * d("n1") * d("n0") / nn + one
+    var = (
+        two * d("n1") * d("n0") * (two * d("n1") * d("n0") - d("n1") - d("n0"))
+    ) / (nn * nn * (nn - one))
+    return g.select(
+        F.col("et").alias("event_type"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round((d("r") - mu) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient (r10): value-concentration per event series — the
+# inequality summary (0 = perfectly even, ->1 = one event carries all
+# value) every revenue/usage dashboard reports. Uses the rank identity
+# G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) on the per-series rank order
+# (row_number PARTITIONED by series; order among equal values is
+# irrelevant to the sum, so the event_id tie-break is cosmetic). All
+# sums exact int64: rank·value ≤ ~4e6·5e4 per row and Σ ≤ ~8e17 at
+# sf100 (a larger deployment moves the accumulator to DECIMAL(38,0) per
+# the pq.py rule — noted, not needed here). One shared double expression
+# per series at the end.
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH x AS (
+  SELECT event_type AS et,
+         cast(round(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cast(round(value * 100) AS BIGINT),
+                                     event_id) AS i
+  FROM events
+), g AS (
+  SELECT et,
+         cast(count(*) AS BIGINT) AS n,
+         cast(sum(v) AS BIGINT) AS s,
+         cast(sum(i * v) AS BIGINT) AS ws
+  FROM x GROUP BY et
+)
+SELECT et AS event_type, n, s AS sum_cents,
+       round((cast(2 AS DOUBLE) * cast(ws AS DOUBLE)
+              - (cast(n AS DOUBLE) + cast(1 AS DOUBLE)) * cast(s AS DOUBLE))
+             / (cast(n AS DOUBLE) * cast(s AS DOUBLE)), 6) AS gini
+FROM g
+"""
+
+
+@register(
+    "profile_gini_coefficient",
+    oracle=_GINI_ORACLE,
+    tags=("profile", "stats", "window"),
+)
+def profile_gini_coefficient(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("event_type").orderBy(v, "event_id")
+    x = e.select(
+        F.col("event_type").alias("et"),
+        v.alias("v"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    g = x.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("v")).cast("long").alias("ws"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    two = F.lit(2).cast("double")
+    one = F.lit(1).cast("double")
+    return g.select(
+        F.col("et").alias("event_type"),
+        "n",
+        F.col("s").alias("sum_cents"),
+        F.round(
+            (two * d("ws") - (d("n") + one) * d("s")) / (d("n") * d("s")), 6
+        ).alias("gini"),
+    )

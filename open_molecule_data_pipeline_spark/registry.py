@@ -128,6 +128,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "cdc_vacuum_report",  # r10 add past the window — r11 head
     "sample_group_kfold",  # r10 add past the window — r11 head
     "graph_modularity",  # r10 add past the window — r11 head
+    "profile_runs_test",  # r10 add past the window — r11 head
+    "profile_gini_coefficient",  # r10 add past the window — r11 head
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",

@@ -662,3 +662,52 @@ def test_modularity_region_beats_hash_and_bounds(spark, sf_dir):
     assert reg.modularity_q > 0.5
     assert abs(hsh.modularity_q) < 0.25
     assert reg.m_edges == hsh.m_edges
+
+
+def test_runs_test_detects_trend_and_oscillation(spark):
+    """A monotone series has exactly 2 runs (z << 0); a perfectly
+    alternating series has the maximum run count (z >> 0)."""
+    import open_molecule_data_pipeline_spark.operators.inference_stats as m
+    from pyspark.sql import functions as F2
+
+    def run(values, et):
+        return [(i, et, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", v)
+                for i, v in enumerate(values)]
+
+    rows = run([float(i) for i in range(40)], "trend") + run(
+        [1.0 if i % 2 == 0 else 9.0 for i in range(40)], "osc"
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F2.col("ts").cast("timestamp_ntz"))
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = {r.event_type: r for r in m.profile_runs_test(spark, "x").collect()}
+    finally:
+        m.table = orig
+    assert out["trend"].n_runs == 2 and out["trend"].z_stat < -5
+    assert out["osc"].n_runs == 40 and out["osc"].z_stat > 5
+    # median-tie rows dropped: the 40-pt trend keeps 20+20 (even n, exact
+    # interpolated median excludes nobody)
+    assert out["trend"].n_above == out["trend"].n_below == 20
+
+
+def test_gini_bounds_and_extremes(spark):
+    """Equal values -> G == 0 exactly; a single holder of all value among
+    n participants -> G == (n-1)/n."""
+    import open_molecule_data_pipeline_spark.operators.inference_stats as m
+
+    rows = [(i, "equal", 5.0) for i in range(10)]
+    rows += [(100 + i, "concentrated", 0.01 if i < 9 else 1000.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = {r.event_type: r
+               for r in m.profile_gini_coefficient(spark, "x").collect()}
+    finally:
+        m.table = orig
+    assert out["equal"].gini == 0.0
+    # 9 holders of 1 cent + 1 holder of 100000 cents: G -> (n-1)/n * (1 - tiny)
+    assert 0.85 < out["concentrated"].gini < 0.9
