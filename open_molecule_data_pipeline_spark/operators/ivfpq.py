@@ -178,6 +178,10 @@ def _residual_subspaces(df, vec_col: str):
     "sim_ivfpq_adc_topk",
     oracle=_IVFPQ_ORACLE,
     tags=("similarity", "ivf", "pq"),
+    # promoted to the headline bench on creation (r10): the composed
+    # IVFADC index is the flagship ANN plan — the driver should measure
+    # the full build+probe pipeline alongside the IVF and PQ halves
+    bench=True,
 )
 def sim_ivfpq_adc_topk(spark, sf_dir):
     v = _vectors(spark, sf_dir)

@@ -834,3 +834,112 @@ def agg_weighted_mean_twostage(spark, sf_dir):
             num / F.nullif(den, F.lit(0)).cast("double") / 100, 6
         ).alias("weighted_mean_price")
     )
+
+
+# --------------------------------------------------------------------------
+# Exponential (base-2) histogram quantiles (r10): the OpenTelemetry/HDR
+# sketch shape — every positive value lands in bucket floor(log2(v)), so
+# the whole distribution compresses to <= 64 mergeable counters per
+# series and any quantile is answerable within a guaranteed 2x relative
+# error (the bucket's upper bound). The log2 is EXACT integer arithmetic
+# in both engines: bucket = length(binary-string(v_cents)) − 1 (Spark
+# bin() / DuckDB printf('%b')) — no libm, no 1-ulp edge at powers of
+# two. Cumulative counts run over the per-series BUCKET table (<= 64
+# rows per series — aggregate-sized window input), and the exact median
+# rides along from the same scan so the output itself exhibits the
+# 2x-error contract the pytest pin asserts.
+# --------------------------------------------------------------------------
+
+_EXPHIST_ORACLE = """
+WITH x AS (
+  SELECT event_type AS et, cast(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value > 0
+), b AS (
+  SELECT et, length(printf('%b', v)) - 1 AS bucket,
+         cast(count(*) AS BIGINT) AS n
+  FROM x GROUP BY et, length(printf('%b', v)) - 1
+), c AS (
+  SELECT et, bucket, n,
+         cast(sum(n) OVER (PARTITION BY et ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM b
+), tot AS (
+  SELECT et, cast(sum(n) AS BIGINT) AS nt,
+         cast(count(*) AS BIGINT) AS n_buckets
+  FROM b GROUP BY et
+), med AS (
+  SELECT et, cast(median(v) AS DOUBLE) AS p50_cents FROM x GROUP BY et
+), pick AS (
+  SELECT c.et,
+         min(CASE WHEN c.cum >= (tot.nt + 1) // 2 THEN c.bucket END) AS b50,
+         min(CASE WHEN c.cum >= (95 * tot.nt + 99) // 100 THEN c.bucket END)
+           AS b95
+  FROM c JOIN tot ON tot.et = c.et
+  GROUP BY c.et
+)
+SELECT pick.et AS event_type, tot.nt AS n, tot.n_buckets,
+       round((cast(2 AS DOUBLE) ** (pick.b50 + 1) - cast(1 AS DOUBLE))
+             / cast(100 AS DOUBLE), 2) AS hist_p50_le,
+       round((cast(2 AS DOUBLE) ** (pick.b95 + 1) - cast(1 AS DOUBLE))
+             / cast(100 AS DOUBLE), 2) AS hist_p95_le,
+       round(med.p50_cents / cast(100 AS DOUBLE), 3) AS exact_p50
+FROM pick
+JOIN tot ON tot.et = pick.et
+JOIN med ON med.et = pick.et
+"""
+
+
+@register(
+    "agg_exponential_histogram",
+    oracle=_EXPHIST_ORACLE,
+    tags=("agg", "sketch", "profile"),
+)
+def agg_exponential_histogram(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    x = table(spark, sf_dir, "events").where(F.col("value") > 0).select(
+        F.col("event_type").alias("et"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    b = (
+        x.select("et", (F.length(F.expr("bin(v)")) - 1).alias("bucket"))
+        .groupBy("et", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        W.partitionBy("et")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = b.withColumn("cum", F.sum("n").over(w).cast("long"))
+    tot = b.groupBy("et").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    med = x.groupBy("et").agg(F.median("v").cast("double").alias("p50_cents"))
+    joined = c.join(F.broadcast(tot), "et")
+    pick = joined.groupBy("et").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(nt + 1) div 2"), F.col("bucket"))
+        ).alias("b50"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(95 * nt + 99) div 100"), F.col("bucket"))
+        ).alias("b95"),
+    )
+    two = F.lit(2.0)
+    ub = lambda b_: (F.pow(two, F.col(b_) + 1) - 1.0) / F.lit(100.0)  # noqa: E731
+    return (
+        pick.join(F.broadcast(tot), "et")
+        .join(F.broadcast(med), "et")
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("nt").alias("n"),
+            "n_buckets",
+            F.round(ub("b50"), 2).alias("hist_p50_le"),
+            F.round(ub("b95"), 2).alias("hist_p95_le"),
+            F.round(F.col("p50_cents") / F.lit(100).cast("double"), 3).alias(
+                "exact_p50"
+            ),
+        )
+    )

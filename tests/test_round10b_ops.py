@@ -711,3 +711,21 @@ def test_gini_bounds_and_extremes(spark):
     assert out["equal"].gini == 0.0
     # 9 holders of 1 cent + 1 holder of 100000 cents: G -> (n-1)/n * (1 - tiny)
     assert 0.85 < out["concentrated"].gini < 0.9
+
+
+def test_exponential_histogram_two_x_error_contract(spark, sf_dir):
+    """The sketch's guarantee: the bucket upper bound is >= the exact
+    quantile and < 2x(exact+1) — the base-2 bucket contract; bucket count
+    stays <= 64 per series regardless of row count."""
+    from open_molecule_data_pipeline_spark.operators.stats import (
+        agg_exponential_histogram,
+    )
+
+    rows = agg_exponential_histogram(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_buckets <= 64
+        assert r.hist_p50_le >= r.exact_p50
+        # upper bound of the crossing bucket is < 2*(true quantile)+epsilon
+        assert r.hist_p50_le <= 2 * r.exact_p50 + 0.02
+        assert r.hist_p95_le >= r.hist_p50_le
