@@ -806,3 +806,72 @@ def dedup_lsh_recall_vs_exact(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document n-gram novelty (r10): the inverse view of the dedup
+# ladder — what fraction of a document's 3-gram shingles appears in NO
+# other document? High-novelty docs carry unique content; low-novelty
+# docs are boilerplate/near-dup suspects even when no pair crosses the
+# LSH similarity threshold (the corpus-level "how much of this doc is
+# new" signal training-data curators rank on). Same shingle construction
+# as the Jaccard/MinHash family (_SHINGLES_SPARK/_SHINGLES_DUCK), doc-
+# DISTINCT shingles so within-doc repetition doesn't inflate either
+# count. One groupBy over the shingle table (high-cardinality key) and
+# one join back — no pairwise stage at all, so this is the cheapest
+# member of the dedup family at scale.
+# --------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, lang, unnest({_SHINGLES_DUCK}) AS s
+  FROM base WHERE len(toks) >= 3
+),
+gc AS (
+  SELECT s, cast(count(*) AS BIGINT) AS n_docs FROM sh GROUP BY s
+)
+SELECT sh.doc_id, sh.lang,
+       cast(count(*) AS BIGINT) AS n_grams,
+       cast(sum(CASE WHEN gc.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(cast(sum(CASE WHEN gc.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / cast(count(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN gc ON gc.s = sh.s
+GROUP BY sh.doc_id, sh.lang
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("text", "dedup"))
+def text_ngram_novelty(spark, sf_dir):
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    base = d.withColumn("toks", F.split("text", " ")).filter(F.size("toks") >= 3)
+    sh = (
+        base.select(
+            "doc_id", "lang", F.explode(F.expr(_SHINGLES_SPARK)).alias("s")
+        )
+        .distinct()
+    )
+    gc = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        sh.join(gc, "s")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -131,6 +131,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "profile_runs_test",  # r10 add past the window — r11 head
     "profile_gini_coefficient",  # r10 add past the window — r11 head
     "agg_exponential_histogram",  # r10 add past the window — r11 head
+    "text_ngram_novelty",  # r10 add past the window — r11 head
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",

@@ -728,3 +728,30 @@ def test_exponential_histogram_two_x_error_contract(spark, sf_dir):
         # upper bound of the crossing bucket is < 2*(true quantile)+epsilon
         assert r.hist_p50_le <= 2 * r.exact_p50 + 0.02
         assert r.hist_p95_le >= r.hist_p50_le
+
+
+def test_ngram_novelty_extremes(spark):
+    """A doc sharing every shingle with a twin scores 0; a doc with
+    wholly unique text scores 1; within-doc repetition doesn't inflate
+    counts (distinct shingles per doc)."""
+    import open_molecule_data_pipeline_spark.operators.dedup as m
+
+    rows = [
+        (1, "a b c d e", "en", "x", 9),
+        (2, "a b c d e", "en", "x", 9),          # exact twin of doc 1
+        (3, "q r s t u v", "en", "x", 11),        # wholly unique
+        (4, "m n o m n o m n o", "en", "x", 17),  # self-repeating, unique
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = m.table
+    try:
+        m.table = lambda s, d, n: df
+        out = {r.doc_id: r for r in m.text_ngram_novelty(spark, "x").collect()}
+    finally:
+        m.table = orig
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    # doc 4: shingles {m n o, n o m, o m n} distinct -> 3 grams, all unique
+    assert out[4].n_grams == 3 and out[4].novelty == 1.0
