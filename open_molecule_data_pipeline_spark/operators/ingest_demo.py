@@ -602,13 +602,16 @@ def ingest_ndjson_pyds_sink_demo(spark, sf_dir):
     rows = [("CID1", "CCO"), ("CID2", "Cc1ccccc1"), ("CID3", "CC(N)O")]
     df = spark.createDataFrame(rows, "identifier string, smiles string")
     out = _scratch("pyds_ndjson", sf_dir)
-    (
-        df.coalesce(2)
-        .write.format("omdp_ndjson")
-        .option("path", str(out))
-        .mode("append")
-        .save()
-    )
+    # overwrite mode (r11): exercises the commit-time stale-file sweep —
+    # the second write below must leave data files == manifest exactly.
+    for _ in range(2):
+        (
+            df.coalesce(2)
+            .write.format("omdp_ndjson")
+            .option("path", str(out))
+            .mode("overwrite")
+            .save()
+        )
     manifest = _json.loads((Path(str(out)) / "_SUCCESS").read_text())
     total = sum(manifest.values())
     back = spark.read.json(f"{out}/*.ndjson.gz")

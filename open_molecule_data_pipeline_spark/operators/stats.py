@@ -838,7 +838,8 @@ def agg_weighted_mean_twostage(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Exponential (base-2) histogram quantiles (r10): the OpenTelemetry/HDR
-# sketch shape — every positive value lands in bucket floor(log2(v)), so
+# sketch shape — every admitted value (>= one cent after quantization;
+# sub-cent rows are outside the domain) lands in bucket floor(log2(v)), so
 # the whole distribution compresses to <= 64 mergeable counters per
 # series and any quantile is answerable within a guaranteed 2x relative
 # error (the bucket's upper bound). The log2 is EXACT integer arithmetic
@@ -853,7 +854,7 @@ def agg_weighted_mean_twostage(spark, sf_dir):
 _EXPHIST_ORACLE = """
 WITH x AS (
   SELECT event_type AS et, cast(round(value * 100) AS BIGINT) AS v
-  FROM events WHERE value > 0
+  FROM events WHERE round(value * 100) >= 1
 ), b AS (
   SELECT et, length(printf('%b', v)) - 1 AS bucket,
          cast(count(*) AS BIGINT) AS n
@@ -898,9 +899,18 @@ JOIN med ON med.et = pick.et
 def agg_exponential_histogram(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    x = table(spark, sf_dir, "events").where(F.col("value") > 0).select(
-        F.col("event_type").alias("et"),
-        F.round(F.col("value") * 100).cast("long").alias("v"),
+    # Admission gate is on the QUANTIZED value (ADVICE r10): 0 < value
+    # < 0.005 rounds to v_cents = 0, whose bucket length(bin(0))-1 = 0
+    # would collide with v = 1 and void the 2x-relative-error bound —
+    # sub-cent rows are outside the sketch's domain, so exclude them in
+    # both engines rather than silently mis-bucket them.
+    x = (
+        table(spark, sf_dir, "events")
+        .where(F.round(F.col("value") * 100) >= 1)
+        .select(
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
     )
     b = (
         x.select("et", (F.length(F.expr("bin(v)")) - 1).alias("bucket"))

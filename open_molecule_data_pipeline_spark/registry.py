@@ -34,104 +34,36 @@ QUERIES: dict[str, QuerySpec] = {}
 # priority order, (1) queries whose code CHANGED since their last driver
 # row, (2) queries NEVER driver-sampled, then — only when that backlog
 # does not fill 50 slots — (3) LEAST-PROVEN re-proofs, i.e. queries with
-# the minimal cumulative green count, oldest last-green first (r10: 20
-# such slots, all of them queries whose only green row dates to ROUND 1 —
-# the catalog/session/tuning layers under them have changed repeatedly
-# since). tests/test_contract_order.py enforces all three rules plus
+# the minimal cumulative green count, oldest last-green first.
+# tests/test_contract_order.py enforces all three rules plus
 # exhaustiveness: EVERY registered query appears explicitly below.
 #
-# r10 head-50 layout:
-#   1-2    the two r8 hint-only broadcast drops whose re-proof was
-#          deferred from the r9 window (VERDICT r9 #1)
-#   3-14   the 12 queries ADDED in r9 (sweep-green + judge-verified,
-#          never driver-sampled; func_sql_udf_pipe additionally changed
-#          in r10 — money rescaled to 1e4 per ADVICE r9)
-#   15-30  the 16 queries ADDED in r10 (Lipinski gate, VWAP + streaming
-#          twin, time-weighted avg, max drawdown, k-fold assign, ridge,
-#          MAD anomaly, parse_url spec check, time travel, Murcko,
-#          RFM scores, LOO target encoding, footer-stats audit,
-#          interval-overlap join, Python-DataSource NDJSON sink demo)
-#   31-50  the 20 late-r10 additions (Welch t-test, KS two-sample,
-#          mutual-information rank, lift/gains deciles, HITS,
-#          changepoint binseg, IVFADC + its recall eval, one-way ANOVA,
-#          ACF lags, Adamic-Adar, per-source KL divergence, clustering
-#          depth, Mann-Whitney U, nearest-centroid F1, streaming t-test
-#          twin, assortativity, temporal embargo split, seasonal-naive
-#          MASE, WordPiece apply). The window is now fully spent on
-#          changed/never-green queries (no rule-(3) fillers); the two
-#          r10 additions past slot 50 (ts_cross_correlation,
-#          profile_levene_test) lead position 51+ and are the r11
-#          rotation's first picks.
+# r11 head-50 layout:
+#   1      ingest_ndjson_pyds_sink_demo — overwrite-mode sweep added to
+#          the PyDS sink commit (ADVICE r10 medium); demo now writes
+#          twice with mode("overwrite") to exercise it
+#   2-10   the 9 late-r10 additions never driver-sampled (VERDICT r10
+#          #1); agg_exponential_histogram additionally changed in r11
+#          (sub-cent admission gate, ADVICE r10)
+#   11-50  rule-(3) least-proven fillers: all 26 remaining queries whose
+#          only green row dates to ROUND 1, then the oldest r2-green
+#          cohort (alphabetical within the tie). r11 additions displace
+#          fillers from the TAIL of this block as they land.
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- 1-2: deferred r8 hint-only broadcast drops (VERDICT r9 #1) ---
-    "join_local_supplier_volume",
-    "join_theta_price_band",
-    # --- 3-14: r9 additions, never driver-sampled ---
-    "text_bpe_encode_apply",
-    "text_gopher_quality_rules",
-    "ml_embedding_truncate_recall",
-    "ts_ohlc_bars",
-    "func_sql_udf_pipe",
-    "ts_session_window_native",
-    "text_fuzzy_vocab_search",
-    "ts_asof_tolerance_30m",
-    "stream_ohlc_twin",
-    "sample_length_bucket_batches",
-    "chem_atom_census",
-    "ts_sliding_distinct_hll",
-    # --- 15-30: r10 additions ---
-    "chem_lipinski_gate",
-    "ts_vwap_hourly",
-    "ts_time_weighted_avg",
-    "window_max_drawdown",
-    "sample_kfold_assign",
-    "ml_ridge_regression",
-    "ts_anomaly_robust_mad",
-    "func_url_parse",
-    "stream_vwap_twin",
-    "cdc_time_travel",
-    "chem_murcko_scaffold",
-    "ts_rfm_scores",
-    "ml_target_encode_loo",
-    "layout_footer_stats",
-    "join_interval_overlap",
+    # --- 1: changed in r11 (PyDS sink overwrite sweep) ---
     "ingest_ndjson_pyds_sink_demo",
-    # --- 31-38: late-r10 additions (inference stats, feature eval,
-    #     HITS, changepoint, IVFADC) + the r10 VWAP zero-volume fix
-    #     re-proof rides on ts_vwap_hourly/stream_vwap_twin above ---
-    "profile_welch_ttest",
-    "profile_ks_twosample",
-    "ml_mutual_info_rank",
-    "ml_lift_gains_deciles",
-    "graph_hits_authorities",
-    "ts_changepoint_binseg",
-    "sim_ivfpq_adc_topk",
-    "profile_anova_oneway",
-    "ts_acf_lags",
-    "graph_adamic_adar",
-    "text_source_kl_divergence",
-    "layout_clustering_depth",
-    "profile_mannwhitney_u",
-    "ml_nearest_centroid_f1",
-    "stream_ttest_twin",
-    "graph_assortativity",
-    "sample_temporal_split_embargo",
-    "ts_seasonal_naive_mase",
-    "text_wordpiece_apply",
-    "sim_ivfpq_recall",
-    # --- 51+: prior curated order (not sampled this round; the
-    #     fillers displaced by the late r10 adds lead it; r10
-    #     additions past slot 50 queue FIRST for the r11 head) ---
-    "ts_cross_correlation",  # r10 add past the window — r11 head
-    "profile_levene_test",  # r10 add past the window — r11 head
-    "cdc_vacuum_report",  # r10 add past the window — r11 head
-    "sample_group_kfold",  # r10 add past the window — r11 head
-    "graph_modularity",  # r10 add past the window — r11 head
-    "profile_runs_test",  # r10 add past the window — r11 head
-    "profile_gini_coefficient",  # r10 add past the window — r11 head
-    "agg_exponential_histogram",  # r10 add past the window — r11 head
-    "text_ngram_novelty",  # r10 add past the window — r11 head
+    # --- 2-10: late-r10 additions, never driver-sampled ---
+    "ts_cross_correlation",
+    "profile_levene_test",
+    "cdc_vacuum_report",
+    "sample_group_kfold",
+    "graph_modularity",
+    "profile_runs_test",
+    "profile_gini_coefficient",
+    "agg_exponential_histogram",
+    "text_ngram_novelty",
+    # --- 11-50: least-proven fillers (green only in r1, then oldest r2) ---
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
@@ -159,6 +91,69 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "subquery_min_price_part",
     "window_analytic_misc",
     "cdc_merge_upsert",
+    "cdc_scd2_intervals",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "func_approx_percentile",
+    "func_map_ops",
+    "func_sample_seeded",
+    "func_variant_json",
+    "graph_pagerank_3iter",
+    "groupedmap_minmax_norm",
+    "ml_embedding_centroid_per_label",
+    "mm_blob_stats",
+    # --- 51+: prior curated order (not sampled this round) ---
+    "join_local_supplier_volume",
+    "join_theta_price_band",
+    "text_bpe_encode_apply",
+    "text_gopher_quality_rules",
+    "ml_embedding_truncate_recall",
+    "ts_ohlc_bars",
+    "func_sql_udf_pipe",
+    "ts_session_window_native",
+    "text_fuzzy_vocab_search",
+    "ts_asof_tolerance_30m",
+    "stream_ohlc_twin",
+    "sample_length_bucket_batches",
+    "chem_atom_census",
+    "ts_sliding_distinct_hll",
+    "chem_lipinski_gate",
+    "ts_vwap_hourly",
+    "ts_time_weighted_avg",
+    "window_max_drawdown",
+    "sample_kfold_assign",
+    "ml_ridge_regression",
+    "ts_anomaly_robust_mad",
+    "func_url_parse",
+    "stream_vwap_twin",
+    "cdc_time_travel",
+    "chem_murcko_scaffold",
+    "ts_rfm_scores",
+    "ml_target_encode_loo",
+    "layout_footer_stats",
+    "join_interval_overlap",
+    "profile_welch_ttest",
+    "profile_ks_twosample",
+    "ml_mutual_info_rank",
+    "ml_lift_gains_deciles",
+    "graph_hits_authorities",
+    "ts_changepoint_binseg",
+    "sim_ivfpq_adc_topk",
+    "profile_anova_oneway",
+    "ts_acf_lags",
+    "graph_adamic_adar",
+    "text_source_kl_divergence",
+    "layout_clustering_depth",
+    "profile_mannwhitney_u",
+    "ml_nearest_centroid_f1",
+    "stream_ttest_twin",
+    "graph_assortativity",
+    "sample_temporal_split_embargo",
+    "ts_seasonal_naive_mase",
+    "text_wordpiece_apply",
+    "sim_ivfpq_recall",
     "func_array_membership",
     "recursive_month_spine",
     "text_bpe_train_batched",
@@ -300,9 +295,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "subquery_above_avg_balance",
     "sort_top10_orders",
     "func_json_events",
-    "func_map_ops",
-    "func_sample_seeded",
-    "func_approx_percentile",
     "join_lateral_latest_order",
     "func_higher_order_arrays",
     "window_nth_value",
@@ -310,38 +302,29 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "join_relational_division",
     "join_event_cooccurrence",
     "sample_bernoulli_hash",
-    "func_variant_json",
     "window_forward_fill",
     "func_collation_group",
     "ml_kmeans_assign",
-    "ml_embedding_centroid_per_label",
     "join_null_safe_eq",
     "setop_except_all",
     "setop_intersect_all",
     "setop_union_missing_cols",
     "agg_salted_skew",
-    "groupedmap_minmax_norm",
     "profile_column_stats",
     "udf_pandas_logistic_score",
     "mllib_minhash_recall",
     "mllib_brp_recall",
     "cdc_table_diff",
-    "cdc_scd2_intervals",
     "cdc_scd2_pointintime",
-    "dedup_exact",
-    "dedup_minhash_signature",
-    "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_lsh_buckets",
     "sim_ann_lsh_topk",
     "sim_ivf_persisted",
     "sim_ivf_recall",
     "dedup_semantic_clusters",
-    "dedup_embedding_cosine",
     "dedup_clusters",
     "dedup_apply_clusters",
     "graph_kcore",
-    "graph_pagerank_3iter",
     "graph_triangle_count",
     "graph_bfs_khop",
     "graph_label_propagation",
@@ -386,7 +369,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "format_zorder_layout",
     "sim_pq_adc_topk",
     "ml_embedding_quantize_int8",
-    "mm_blob_stats",
     "mm_frame_sample",
     "mm_feature_extract",
     "mm_wav_decode",

@@ -16,7 +16,10 @@ Python Data Source writer API (``pyspark.sql.datasource``):
   with per-file row counts (the two-phase protocol that makes task
   retries/speculation safe — an aborted attempt's staging file is
   simply never promoted, and ``abort`` sweeps the staging dir);
-- ``compress`` option toggles gzip (default on, like the reference).
+- ``compress`` option toggles gzip (default on, like the reference);
+- ``mode("overwrite")`` sweeps pre-existing part files not in the new
+  manifest at commit time (append leaves them), so the directory's
+  data files always equal the ``_SUCCESS`` accounting.
 
 At scale this is the object-store-safe commit pattern in miniature:
 data moves in parallel, only cheap renames serialize on the driver.
@@ -91,12 +94,24 @@ class NdjsonWriter(DataSourceWriter):
         return _FileCommit(staged, os.path.join(self.path, base), n)
 
     def commit(self, messages) -> None:
+        import glob as _glob
         import shutil
 
         manifest = {}
         for m in messages:
             os.replace(m.staged, m.final)
             manifest[os.path.basename(m.final)] = m.rows
+        if self.overwrite:
+            # mode("overwrite") contract (ADVICE r10): after commit the
+            # directory's data files are exactly this write's. New files
+            # carry fresh UUID names so they are promoted first; then any
+            # pre-existing part file absent from the new manifest is
+            # swept, so glob readers can never see rows the rewritten
+            # _SUCCESS does not account for.
+            for pattern in ("*.ndjson", "*.ndjson.gz"):
+                for stale in _glob.glob(os.path.join(self.path, pattern)):
+                    if os.path.basename(stale) not in manifest:
+                        os.remove(stale)
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             json.dump(manifest, fh, sort_keys=True)

@@ -40,15 +40,27 @@ FAMILY_TAGS = (
 )
 
 
+# The round whose driver window CONTRACT_ORDER currently encodes. The
+# green-count scan below considers only rounds STRICTLY BEFORE this one:
+# the window was planned against that history, and the current round's
+# own CORRECTNESS artifact (dropped by the driver mid-round) must not
+# retroactively invalidate the window it verified (ADVICE r10). Bump in
+# the same commit as each rotation.
+WINDOW_ROUND = 11
+
+
 def _cumulative_green_counts() -> dict[str, int]:
-    """query -> number of green rows across all committed CORRECTNESS files."""
+    """query -> green rows across CORRECTNESS files from rounds < WINDOW_ROUND."""
     import glob
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
     counts: dict[str, int] = {}
     for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        if int(re.search(r"r(\d+)", Path(path).name).group(1)) >= WINDOW_ROUND:
+            continue
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 if row.get("rows_match") and not row.get("err"):
@@ -121,14 +133,14 @@ def test_contract_preserves_all_other_queries():
 # already-driver-green names allowed inside the head-50 window (re-proof
 # slots). Update per round alongside the CONTRACT_ORDER head comment.
 CHANGED_THIS_ROUND = {
-    # r8 hint-only forced-broadcast drops whose re-proof was deferred to
-    # the r10 window (VERDICT r9 #1): code changed in r8, both still
-    # driver-green only on PRE-change code.
-    "join_local_supplier_volume",
-    "join_theta_price_band",
-    # r10: SQL-UDF money rescaled from cents to 1e-4 units (ADVICE r9) —
-    # never driver-green yet (r9 addition), listed for documentation.
-    "func_sql_udf_pipe",
+    # r11: PyDS NDJSON sink gained the overwrite-mode stale-file sweep
+    # (ADVICE r10 medium); the demo now writes twice with
+    # mode("overwrite") to exercise it — driver-green only on PRE-change
+    # code (r10), so it takes a re-proof slot.
+    "ingest_ndjson_pyds_sink_demo",
+    # r11: sub-cent admission gate (ADVICE r10) — never driver-green yet
+    # (late-r10 addition), listed for documentation.
+    "agg_exponential_histogram",
 }
 
 
