@@ -196,3 +196,249 @@ def text_inverted_index_persisted(spark, sf_dir):
         .filter(F.col("rn") <= _IDX_TOP)
         .select(F.col("w").alias("term"), "doc_id", "tf")
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + IVF-ANN fused with Reciprocal Rank Fusion
+# (r11, VERDICT r10 #2) — the RAG-serving query shape. A bounded query
+# batch carries BOTH a term set (sparse arm) and an embedding (dense
+# arm; embeddings.vec_id is row-aligned with documents.doc_id in the
+# synthetic corpus, so the two arms rank the same item space):
+#
+# - sparse arm = the proven BM25 pipeline above, generalized to a
+#   per-query term table: tf is ONE (doc_id, term) partial aggregation
+#   over the union-term filter (corpus-side cost is independent of the
+#   number of queries), df/qt/corpus-stats all broadcast;
+# - dense arm = the proven sampled-quantizer IVF index
+#   (similarity.py ``_sampled_scored``/``_assign_probe``): broadcast
+#   centroids, argmin assignment, probe only NPROBE inverted lists;
+# - fusion = RRF: score(q, d) = sum over arms of 1/(60 + rank). Both
+#   candidate lists are bounded (R per query per arm), so the
+#   full-outer fuse join and the final top-k touch O(|Q| * R) rows —
+#   constants — regardless of corpus size. Rank order inside each arm
+#   uses the arm's own proven tie rules (rounded score DESC, doc_id),
+#   so the fused ordering is deterministic in both engines; absent-arm
+#   ranks surface as 0 (never legitimately 0 for a present arm).
+# --------------------------------------------------------------------------
+
+from .similarity import NPROBE as _NPROBE  # noqa: E402
+from .similarity import _assign_probe, _sampled_scored  # noqa: E402
+from .similarity import _DOT as _SIM_DOT  # noqa: E402
+from .similarity import K_CENT as _K_CENT  # noqa: E402
+
+_RRF_K = 60
+_RRF_R = 10  # per-arm candidate depth
+_RRF_OUT = 5  # fused top-k per query
+_RRF_QUERY_TERMS: dict[int, tuple[str, ...]] = {
+    0: ("dup", "vector", "key"),
+    1: ("spark", "scan", "slow"),
+    2: ("merge", "window", "big"),
+}
+_RRF_NQ = len(_RRF_QUERY_TERMS)
+_RRF_UNION = sorted({w for ts in _RRF_QUERY_TERMS.values() for w in ts})
+_RRF_UNION_SQL = ", ".join(f"'{t}'" for t in _RRF_UNION)
+_RRF_QT_SQL = ", ".join(
+    f"({q}, '{w}')" for q, ts in sorted(_RRF_QUERY_TERMS.items()) for w in ts
+)
+
+_HYBRID_RRF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, e AS cent_e FROM v
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id
+  LIMIT {_K_CENT}
+),
+cd AS (
+  SELECT v.vec_id, cent.cent_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_dot_product(v.e, cent.cent_e)
+             / (sqrt(list_dot_product(v.e, v.e))
+                * sqrt(list_dot_product(cent.cent_e, cent.cent_e))), 6) DESC,
+             cent.cent_id
+         ) AS crn
+  FROM v CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cent_id FROM cd WHERE crn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cent_id FROM cd
+  WHERE crn <= {_NPROBE} AND vec_id < {_RRF_NQ}
+),
+dscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS cos
+  FROM probe p
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN v c ON c.vec_id = a.vec_id AND c.vec_id <> q.vec_id
+),
+dense AS (
+  SELECT query_id, doc_id, rn FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, doc_id) AS rn
+    FROM dscored
+  ) t WHERE rn <= {_RRF_R}
+),
+qt(query_id, w) AS (VALUES {_RRF_QT_SQL}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         cast(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, cast(count(*) AS BIGINT) AS tf, max(dl) AS dl
+  FROM toks WHERE w IN ({_RRF_UNION_SQL}) GROUP BY doc_id, w
+),
+dfreq AS (
+  SELECT w, cast(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE w IN ({_RRF_UNION_SQL}) GROUP BY w
+),
+sscored AS (
+  SELECT qt.query_id, t.doc_id,
+         sum(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({_K1} + 1))
+           / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl
+                              / (cast(s.sum_dl AS DOUBLE) / s.n_docs)))
+         ) AS score
+  FROM tf t
+  JOIN dfreq d ON t.w = d.w
+  JOIN qt ON qt.w = t.w
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, t.doc_id
+),
+sparse AS (
+  SELECT query_id, doc_id, rn FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id) AS rn
+    FROM sscored
+  ) t WHERE rn <= {_RRF_R}
+),
+fused AS (
+  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         coalesce(d.doc_id, s.doc_id) AS doc_id,
+         cast(coalesce(d.rn, 0) AS BIGINT) AS rank_dense,
+         cast(coalesce(s.rn, 0) AS BIGINT) AS rank_sparse,
+         coalesce(cast(1 AS DOUBLE) / ({_RRF_K} + d.rn), 0)
+           + coalesce(cast(1 AS DOUBLE) / ({_RRF_K} + s.rn), 0) AS rrf
+  FROM dense d
+  FULL JOIN sparse s ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, round(rrf, 6) AS rrf, rank_dense, rank_sparse
+FROM (
+  SELECT query_id, doc_id, rrf, rank_dense, rank_sparse,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS frn
+  FROM fused
+) t WHERE frn <= {_RRF_OUT}
+"""
+
+
+@register(
+    "text_hybrid_rrf_topk",
+    oracle=_HYBRID_RRF_ORACLE,
+    tags=("text", "similarity", "retrieval"),
+)
+def text_hybrid_rrf_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    # ---- dense arm: sampled-quantizer IVF top-R per query -------------
+    assign, probe = _assign_probe(_sampled_scored(spark, sf_dir))
+    probe = probe.filter(F.col("query_id") < _RRF_NQ)
+    dot = F.expr(_SIM_DOT.format(a="qe", b="ce"))
+    dscored = (
+        assign.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            (dot / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    wd = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
+    dense = (
+        dscored.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _RRF_R)
+        .select("query_id", "doc_id", F.col("rn").alias("drn"))
+    )
+
+    # ---- sparse arm: per-query BM25 over a broadcast term table -------
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    tk = F.split("text", " ")
+    toks = d.select(
+        "doc_id",
+        F.explode(tk).alias("w"),
+        F.size(tk).cast("long").alias("dl"),
+    )
+    stats = d.select(F.size(tk).cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    hits = toks.filter(F.col("w").isin(*_RRF_UNION))
+    tf = hits.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    qt = spark.createDataFrame(
+        [(q, w) for q, ts in sorted(_RRF_QUERY_TERMS.items()) for w in ts],
+        "query_id long, w string",
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * (_K1 + 1))
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / avgdl))
+    )
+    sscored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(qt), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    ws = W.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), "doc_id"
+    )
+    sparse = (
+        sscored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _RRF_R)
+        .select("query_id", "doc_id", F.col("rn").alias("srn"))
+    )
+
+    # ---- RRF fusion over the two bounded candidate lists --------------
+    fused = dense.join(sparse, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("drn", F.lit(0)).cast("long").alias("rank_dense"),
+        F.coalesce("srn", F.lit(0)).cast("long").alias("rank_sparse"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("drn")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("srn")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("frn", F.row_number().over(wf))
+        .filter(F.col("frn") <= _RRF_OUT)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("rrf", 6).alias("rrf"),
+            "rank_dense",
+            "rank_sparse",
+        )
+    )

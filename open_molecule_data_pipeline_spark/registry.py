@@ -63,7 +63,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "profile_gini_coefficient",
     "agg_exponential_histogram",
     "text_ngram_novelty",
-    # --- 11-50: least-proven fillers (green only in r1, then oldest r2) ---
+    # --- 11+: r11 additions (each displaces one filler from the tail) ---
+    "text_hybrid_rrf_topk",
+    # --- least-proven fillers (green only in r1, then oldest r2) ---
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
@@ -103,8 +105,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "graph_pagerank_3iter",
     "groupedmap_minmax_norm",
     "ml_embedding_centroid_per_label",
+    # --- 51+: displaced fillers, then prior curated order ---
     "mm_blob_stats",
-    # --- 51+: prior curated order (not sampled this round) ---
     "join_local_supplier_volume",
     "join_theta_price_band",
     "text_bpe_encode_apply",
