@@ -38,22 +38,74 @@ QUERIES: dict[str, QuerySpec] = {}
 # tests/test_contract_order.py enforces all three rules plus
 # exhaustiveness: EVERY registered query appears explicitly below.
 #
-# r11 head-50 layout:
-#   1      ingest_ndjson_pyds_sink_demo — overwrite-mode sweep added to
-#          the PyDS sink commit (ADVICE r10 medium); demo now writes
-#          twice with mode("overwrite") to exercise it
-#   2-10   the 9 late-r10 additions never driver-sampled (VERDICT r10
-#          #1); agg_exponential_histogram additionally changed in r11
-#          (sub-cent admission gate, ADVICE r10)
-#   11-50  rule-(3) least-proven fillers: all 26 remaining queries whose
-#          only green row dates to ROUND 1, then the oldest r2-green
-#          cohort (alphabetical within the tie). r11 additions displace
-#          fillers from the TAIL of this block as they land.
+# r12 head-50 layout:
+#   1-2    sim_ivfpq_rerank_topk / sim_ivfpq_rerank_recall — landed late
+#          in r11 without registration (VERDICT r11 What's-wrong #1);
+#          never driver-sampled, judge-verified green at sf0.01
+#   3+     r12 additions displace fillers from the TAIL of the filler
+#          block as they land
+#   rest   rule-(3) least-proven fillers: every query at cumulative
+#          green count 1, oldest last-green first — the full r2 cohort
+#          (14), the full r3 cohort (25), then the r4 cohort's
+#          alphabetical head (9)
 # Positions 51+ preserve the prior curated order; everything is listed.
 CONTRACT_ORDER: tuple[str, ...] = (
-    # --- 1: changed in r11 (PyDS sink overwrite sweep) ---
+    # --- 1-2: r11 additions never driver-sampled (VERDICT r12 #1) ---
+    "sim_ivfpq_rerank_topk",
+    "sim_ivfpq_rerank_recall",
+    # --- 3+: r12 additions land here, displacing tail fillers ---
+    # --- least-proven fillers: count==1, oldest last-green first
+    #     (full r2 + r3 cohorts, then r4 alphabetical head) ---
+    "mm_blob_stats",
+    "mm_feature_extract",
+    "mm_wav_decode",
+    "sample_bernoulli_hash",
+    "setop_except_all",
+    "sim_lsh_buckets",
+    "text_langid_stopword",
+    "text_quality_score",
+    "text_token_stats",
+    "text_word_freq_top20",
+    "ts_asof_latest_order",
+    "ts_sessionization",
+    "window_forward_fill",
+    "window_topk_per_customer",
+    "cdc_table_diff",
+    "dedup_incremental_batch",
+    "format_corrupt_tolerance",
+    "format_roundtrip_json",
+    "format_roundtrip_xml",
+    "format_schema_evolution",
+    "format_zorder_layout",
+    "ingest_sdf_demo",
+    "mllib_brp_recall",
+    "mllib_minhash_recall",
+    "mm_image_decode",
+    "mm_video_frames",
+    "profile_column_stats",
+    "sample_stratified_quota",
+    "sample_temperature_mix",
+    "setop_intersect_all",
+    "stream_dedup_twin",
+    "stream_session_twin",
+    "stream_sliding_twin",
+    "stream_stateful_count_twin",
+    "text_chunk_windows",
+    "text_curriculum_bins",
+    "text_pii_redact",
+    "text_tfidf_topterms",
+    "ts_ewma_smoothed",
+    "agg_countmin_heavy_hitters",
+    "agg_hll_sketch_merge",
+    "agg_kmv_distinct",
+    "agg_kmv_merge",
+    "agg_salted_skew",
+    "cdc_scd2_pointintime",
+    "chem_tanimoto_pairs",
+    "dedup_fuzzy_linkage",
+    "dq_constraint_report",
+    # --- 51+: prior curated order (names moved to the head removed) ---
     "ingest_ndjson_pyds_sink_demo",
-    # --- 2-10: late-r10 additions, never driver-sampled ---
     "ts_cross_correlation",
     "profile_levene_test",
     "cdc_vacuum_report",
@@ -63,9 +115,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "profile_gini_coefficient",
     "agg_exponential_histogram",
     "text_ngram_novelty",
-    # --- 11+: r11 additions (each displaces one filler from the tail) ---
     "text_hybrid_rrf_topk",
-    # --- least-proven fillers (green only in r1, then oldest r2) ---
     "agg_collect_strings",
     "agg_cube_orders",
     "agg_customer_order_distribution",
@@ -105,8 +155,6 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "graph_pagerank_3iter",
     "groupedmap_minmax_norm",
     "ml_embedding_centroid_per_label",
-    # --- 51+: displaced fillers, then prior curated order ---
-    "mm_blob_stats",
     "join_local_supplier_volume",
     "join_theta_price_band",
     "text_bpe_encode_apply",
@@ -303,23 +351,12 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "window_count_distinct_over",
     "join_relational_division",
     "join_event_cooccurrence",
-    "sample_bernoulli_hash",
-    "window_forward_fill",
     "func_collation_group",
     "ml_kmeans_assign",
     "join_null_safe_eq",
-    "setop_except_all",
-    "setop_intersect_all",
     "setop_union_missing_cols",
-    "agg_salted_skew",
-    "profile_column_stats",
     "udf_pandas_logistic_score",
-    "mllib_minhash_recall",
-    "mllib_brp_recall",
-    "cdc_table_diff",
-    "cdc_scd2_pointintime",
     "sim_topk_bruteforce",
-    "sim_lsh_buckets",
     "sim_ann_lsh_topk",
     "sim_ivf_persisted",
     "sim_ivf_recall",
@@ -331,51 +368,25 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "graph_bfs_khop",
     "graph_label_propagation",
     "graph_pagerank_personalized",
-    "window_topk_per_customer",
     "window_running_revenue",
     "window_lag_ship_gap",
     "window_rank_parts",
     "window_ntile_quartiles",
     "ts_tumbling_hour",
-    "ts_sessionization",
-    "ts_asof_latest_order",
-    "ts_ewma_smoothed",
     "ts_gap_fill_interpolate",
     "join_range_binned",
-    "text_token_stats",
-    "text_word_freq_top20",
-    "text_quality_score",
-    "text_langid_stopword",
     "text_sequence_packing",
-    "text_tfidf_topterms",
     "text_quality_filter",
-    "sample_temperature_mix",
-    "dedup_incremental_batch",
     "sample_nucleus_topp",
-    "text_pii_redact",
-    "sample_stratified_quota",
-    "text_chunk_windows",
-    "text_curriculum_bins",
     "text_bpe_pair_merges",
     "text_bloom_decontaminate",
-    "agg_countmin_heavy_hitters",
-    "agg_kmv_distinct",
-    "dq_constraint_report",
     "profile_skew_keys",
-    "agg_kmv_merge",
     "profile_psi_drift",
-    "agg_hll_sketch_merge",
     "dq_observe_metrics",
     "text_inverted_index_persisted",
-    "dedup_fuzzy_linkage",
-    "format_zorder_layout",
     "sim_pq_adc_topk",
     "ml_embedding_quantize_int8",
     "mm_frame_sample",
-    "mm_feature_extract",
-    "mm_wav_decode",
-    "mm_image_decode",
-    "mm_video_frames",
     "mm_audio_frames",
     "mm_pcm_resample",
     "mm_image_resize_nn",
@@ -384,12 +395,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "mm_audio_silence_trim",
     "mm_video_scene_cuts",
     "chem_canonical_smiles",
-    "chem_tanimoto_pairs",
     "format_roundtrip_csv",
-    "format_roundtrip_json",
-    "format_roundtrip_xml",
-    "format_corrupt_tolerance",
-    "format_schema_evolution",
     "format_roundtrip_orc",
     "format_bucketed_join",
     "layout_zonemap_pruning",
@@ -411,14 +417,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "layout_compaction_binpack",
     "func_soundex_phonetic",
     "stream_tumbling_twin",
-    "stream_session_twin",
-    "stream_dedup_twin",
-    "stream_sliding_twin",
-    "stream_stateful_count_twin",
     "stream_join_twin",
     "stream_static_join_twin",
     "stream_union_twin",
-    "ingest_sdf_demo",
     "molecule_descriptors_demo",
     "ingest_http_offset_demo",
     "ingest_http_stream_demo",

@@ -102,12 +102,17 @@ class NdjsonWriter(DataSourceWriter):
             os.replace(m.staged, m.final)
             manifest[os.path.basename(m.final)] = m.rows
         if self.overwrite:
-            # mode("overwrite") contract (ADVICE r10): after commit the
-            # directory's data files are exactly this write's. New files
-            # carry fresh UUID names so they are promoted first; then any
-            # pre-existing part file absent from the new manifest is
-            # swept, so glob readers can never see rows the rewritten
-            # _SUCCESS does not account for.
+            # mode("overwrite") contract (ADVICE r10, wording tightened
+            # per ADVICE r11): AFTER commit returns, the directory's data
+            # files are exactly this write's manifest — including the
+            # empty-DataFrame case, which commits an empty manifest and
+            # clears every existing part file (intended: overwrite-with-
+            # empty means truncate). New files carry fresh UUID names and
+            # are promoted first, THEN stale files are swept, so a glob
+            # reader racing the commit may transiently see old+new files
+            # together; the guarantee is post-commit only. (Sweeping
+            # first would instead expose a zero-file window — strictly
+            # worse for readers that treat "no parts" as "empty table".)
             for pattern in ("*.ndjson", "*.ndjson.gz"):
                 for stale in _glob.glob(os.path.join(self.path, pattern)):
                     if os.path.basename(stale) not in manifest:

@@ -46,7 +46,7 @@ FAMILY_TAGS = (
 # own CORRECTNESS artifact (dropped by the driver mid-round) must not
 # retroactively invalidate the window it verified (ADVICE r10). Bump in
 # the same commit as each rotation.
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 
 def _cumulative_green_counts() -> dict[str, int]:
@@ -132,15 +132,10 @@ def test_contract_preserves_all_other_queries():
 # Queries whose implementation CHANGED this round: the only
 # already-driver-green names allowed inside the head-50 window (re-proof
 # slots). Update per round alongside the CONTRACT_ORDER head comment.
-CHANGED_THIS_ROUND = {
-    # r11: PyDS NDJSON sink gained the overwrite-mode stale-file sweep
-    # (ADVICE r10 medium); the demo now writes twice with
-    # mode("overwrite") to exercise it — driver-green only on PRE-change
-    # code (r10), so it takes a re-proof slot.
-    "ingest_ndjson_pyds_sink_demo",
-    # r11: sub-cent admission gate (ADVICE r10) — never driver-green yet
-    # (late-r10 addition), listed for documentation.
-    "agg_exponential_histogram",
+CHANGED_THIS_ROUND: set[str] = {
+    # r12: no already-driver-green query's implementation changed this
+    # round; the head is the never-sampled r11 rerank pair plus new r12
+    # additions, the rest least-proven fillers.
 }
 
 
