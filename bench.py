@@ -18,6 +18,15 @@ import sys
 import time
 from pathlib import Path
 
+# Headline-set cap (VERDICT r10 #6 / r11 #5, policy since r12): at most
+# HEADLINE_CAP queries carry ``bench=True``. The set is meant to stay a
+# representative cross-family sample whose total wall time the driver can
+# re-run per round, not an ever-growing census — promoting a query means
+# DEMOTING a sibling whose cost/plan the newcomer subsumes (r12 example:
+# text_hybrid_rrf_topk in, its own sparse arm text_bm25_topk out).
+# tests/test_plans_perf.py lints len(bench=True) <= HEADLINE_CAP.
+HEADLINE_CAP = 34
+
 REPO_ROOT = str(Path(__file__).resolve().parent)
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)

@@ -75,7 +75,10 @@ LIMIT {_TOPK}
 
 
 @register(
-    "text_bm25_topk", oracle=_BM25_ORACLE, tags=("text", "similarity"), bench=True
+    # demoted from the headline set r12 (cap policy, bench.py): its plan
+    # is a strict subset of text_hybrid_rrf_topk's sparse arm, which took
+    # its slot — the hybrid query prices the BM25 corpus pass AND more.
+    "text_bm25_topk", oracle=_BM25_ORACLE, tags=("text", "similarity")
 )
 def text_bm25_topk(spark, sf_dir):
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
@@ -347,9 +350,12 @@ FROM (
 
 
 @register(
+    # promoted to the headline set r12 (VERDICT r11 #7): the flagship
+    # RAG-serving shape, replacing its own sparse arm text_bm25_topk.
     "text_hybrid_rrf_topk",
     oracle=_HYBRID_RRF_ORACLE,
     tags=("text", "similarity", "retrieval"),
+    bench=True,
 )
 def text_hybrid_rrf_topk(spark, sf_dir):
     from pyspark.sql import Window as W
@@ -441,4 +447,74 @@ def text_hybrid_rrf_topk(spark, sf_dir):
             "rank_dense",
             "rank_sparse",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid-fusion arm-overlap eval (r12, VERDICT r11 #7): the quality
+# companion to ``text_hybrid_rrf_topk``, mirroring the measured-quality
+# discipline of ``sim_ivfpq_recall``. The fused top-5 rows already carry
+# each arm's rank (0 = outside that arm's top-R pool), so the eval is a
+# pure per-query aggregation over the O(|Q| * OUT) fused output — it adds
+# ZERO corpus-side cost beyond the hybrid query itself:
+#
+# - n_from_dense / n_from_sparse: fused results present in that arm's
+#   top-R candidate pool (their sum >= n_out; a fused row always comes
+#   from at least one arm);
+# - n_both: results BOTH arms surfaced — the consensus RRF rewards;
+# - overlap_dense5 / overlap_sparse5 (+ fractions): |fused top-5 ∩ arm's
+#   own top-5|, i.e. how far the fused list diverges from serving either
+#   arm alone. overlap < 5 on both arms simultaneously is the measurable
+#   value-add of fusion (neither arm alone reproduces the served list).
+# --------------------------------------------------------------------------
+
+_HYBRID_OVERLAP_ORACLE = f"""
+WITH fused_out AS ({_HYBRID_RRF_ORACLE})
+SELECT query_id,
+       cast(count(*) AS BIGINT) AS n_out,
+       cast(sum(CASE WHEN rank_dense > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_from_dense,
+       cast(sum(CASE WHEN rank_sparse > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_from_sparse,
+       cast(sum(CASE WHEN rank_dense > 0 AND rank_sparse > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       cast(sum(CASE WHEN rank_dense BETWEEN 1 AND {_RRF_OUT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS overlap_dense5,
+       cast(sum(CASE WHEN rank_sparse BETWEEN 1 AND {_RRF_OUT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS overlap_sparse5,
+       round(sum(CASE WHEN rank_dense BETWEEN 1 AND {_RRF_OUT}
+                 THEN 1 ELSE 0 END) / cast({_RRF_OUT} AS DOUBLE), 6)
+         AS frac_dense5,
+       round(sum(CASE WHEN rank_sparse BETWEEN 1 AND {_RRF_OUT}
+                 THEN 1 ELSE 0 END) / cast({_RRF_OUT} AS DOUBLE), 6)
+         AS frac_sparse5
+FROM fused_out
+GROUP BY query_id
+"""
+
+
+@register(
+    "text_hybrid_rrf_arm_overlap",
+    oracle=_HYBRID_OVERLAP_ORACLE,
+    tags=("text", "similarity", "retrieval", "eval"),
+)
+def text_hybrid_rrf_arm_overlap(spark, sf_dir):
+    fused = text_hybrid_rrf_topk(spark, sf_dir)
+    in5 = lambda c: (F.col(c) >= 1) & (F.col(c) <= _RRF_OUT)  # noqa: E731
+    cnt = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    return fused.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+        cnt(F.col("rank_dense") > 0).alias("n_from_dense"),
+        cnt(F.col("rank_sparse") > 0).alias("n_from_sparse"),
+        cnt((F.col("rank_dense") > 0) & (F.col("rank_sparse") > 0)).alias(
+            "n_both"
+        ),
+        cnt(in5("rank_dense")).alias("overlap_dense5"),
+        cnt(in5("rank_sparse")).alias("overlap_sparse5"),
+        F.round(
+            cnt(in5("rank_dense")) / F.lit(_RRF_OUT).cast("double"), 6
+        ).alias("frac_dense5"),
+        F.round(
+            cnt(in5("rank_sparse")) / F.lit(_RRF_OUT).cast("double"), 6
+        ).alias("frac_sparse5"),
     )

@@ -54,6 +54,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sim_ivfpq_rerank_topk",
     "sim_ivfpq_rerank_recall",
     # --- 3+: r12 additions land here, displacing tail fillers ---
+    "text_hybrid_rrf_arm_overlap",
     # --- least-proven fillers: count==1, oldest last-green first
     #     (full r2 + r3 cohorts, then r4 alphabetical head) ---
     "mm_blob_stats",
@@ -103,8 +104,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "cdc_scd2_pointintime",
     "chem_tanimoto_pairs",
     "dedup_fuzzy_linkage",
+    # --- 51+: displaced tail fillers, then prior curated order ---
     "dq_constraint_report",
-    # --- 51+: prior curated order (names moved to the head removed) ---
     "ingest_ndjson_pyds_sink_demo",
     "ts_cross_correlation",
     "profile_levene_test",

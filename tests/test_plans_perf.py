@@ -672,3 +672,19 @@ def test_shuffle_profile_event_attribution():
         # stage 4: max 300 / mean 200 = 1.5
         "stage_skew": 1.5,
     }
+
+
+def test_headline_set_capped():
+    """bench.py HEADLINE_CAP policy (VERDICT r11 #5): the headline set is
+    a bounded cross-family sample — promotion requires demotion. The cap
+    held at 34 through r11 by accident; this lint makes it policy."""
+    import bench
+    from open_molecule_data_pipeline_spark.registry import load_all
+
+    names = sorted(n for n, s in load_all().items() if s.bench)
+    assert len(names) <= bench.HEADLINE_CAP, (
+        f"{len(names)} headline queries exceed HEADLINE_CAP="
+        f"{bench.HEADLINE_CAP}; demote a subsumed sibling: {names}"
+    )
+    # the flagship RAG shape stays promoted (VERDICT r11 #7)
+    assert "text_hybrid_rrf_topk" in names
