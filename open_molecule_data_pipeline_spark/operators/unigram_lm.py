@@ -1,0 +1,265 @@
+"""Unigram-LM (SentencePiece-style) tokenizer trainer, one EM round
+(r12, VERDICT r11 #4): the third member of the subword-training triad
+next to the BPE merge trainer (corpus_ops.py) and the WordPiece greedy
+apply (wordpiece.py).
+
+Kudo's unigram model segments a word into the piece sequence maximizing
+``sum(log p(piece))``; training alternates an E-step (Viterbi-segment
+the corpus under the current piece probabilities) with an M-step
+(re-estimate probabilities from the segmentation counts). One full EM
+round is implemented here; the output is the trained vocabulary update
+(seed vs re-estimated log-probs) — exactly what iteration 2 would
+consume.
+
+Scale design — the trainer runs on the WORD-FREQUENCY TABLE, not the
+token stream (the same trick production SentencePiece uses): one
+partial-aggregated ``groupBy(word)`` pass is the only corpus-side cost;
+Viterbi then runs once per DISTINCT word (Heaps-law sublinear in corpus
+size) and every M-step count is weighted by the word's corpus
+frequency. The vocabulary rides as ONE broadcast map column.
+
+All Viterbi arithmetic is exact int64: seed log-probs are quantized to
+micro-units (``round(ln(c/T) * 1e6)``, the naive-bayes precedent), so
+the DP ``max`` and the backtrace's achiever test compare identical
+integers on both engines:
+
+- forward: ``aggregate`` over word positions appends
+  ``best[i] = max over piece length l in 1..4 of best[i-l] + lp(piece)``
+  to an int64 array — whole-stage codegen, zero Python, O(len * 4)
+  lookups into the broadcast map;
+- backtrace: a second fold walks from ``pos = len`` choosing the
+  LONGEST length whose candidate score equals ``best[pos]`` (ties are
+  exact-integer, the rule is engine-identical), emitting pieces;
+- M-step: ``explode(pieces)`` weighted by word frequency -> one small
+  groupBy -> re-quantized log-probs.
+
+The oracle replays the identical DP in DuckDB: a recursive CTE builds
+the forward table carrying the trailing 4 best scores as columns (piece
+length is capped at 4, so no array state is needed), a non-recursive
+achiever table materializes the backtrace step per (word, pos), and a
+second recursive CTE walks it — an exact cross-engine check of a
+dynamic program, the same discipline as the WordPiece recursive-CTE
+replay.
+
+Output: top-20 pieces by re-estimated count — piece, weighted count,
+seed and re-estimated micro-log-probs, and the EM delta in micro-units
+(> 0 means the piece gained probability mass, the signal iteration 2
+acts on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import spread
+
+TOP_SEED = 32  # trained seed pieces (len 2-4) beside the char alphabet
+TOP_OUT = 20  # emitted vocabulary rows
+_MAXL = 4  # max piece length
+_NEG = -1_000_000_000_000_000  # "piece not in vocab" sentinel (int64)
+
+_UNI_ORACLE = f"""
+WITH RECURSIVE
+words AS (
+  SELECT w, cast(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) t WHERE length(w) > 0 GROUP BY w
+),
+chars AS (
+  SELECT p, cast(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split_regex(w, '')) AS p, cnt FROM words
+  ) t WHERE length(p) > 0 GROUP BY p
+),
+poss AS (
+  SELECT unnest(range(1, (SELECT max(length(w)) + 1 FROM words))) AS i
+),
+lens AS (SELECT unnest(range(2, {_MAXL} + 1)) AS l),
+subs AS (
+  SELECT substr(w, poss.i, lens.l) AS p, cnt
+  FROM words, lens, poss
+  WHERE poss.i + lens.l - 1 <= length(w)
+),
+top AS (
+  SELECT p, c FROM (SELECT p, cast(sum(cnt) AS BIGINT) AS c FROM subs GROUP BY p)
+  ORDER BY c DESC, p LIMIT {TOP_SEED}
+),
+vocab AS (SELECT p, c FROM chars UNION ALL SELECT p, c FROM top),
+tot AS (SELECT cast(sum(c) AS BIGINT) AS T FROM vocab),
+vlp AS (
+  SELECT p, cast(round(ln(cast(c AS DOUBLE) / cast(T AS DOUBLE)) * 1000000)
+                 AS BIGINT) AS lpq
+  FROM vocab, tot
+),
+fwd AS (
+  SELECT w, 0 AS pos, cast(0 AS BIGINT) AS b0, cast(NULL AS BIGINT) AS b1,
+         cast(NULL AS BIGINT) AS b2, cast(NULL AS BIGINT) AS b3
+  FROM words
+  UNION ALL
+  SELECT f.w, f.pos + 1,
+         greatest(
+           coalesce(f.b0 + v1.lpq, {_NEG}),
+           CASE WHEN f.pos >= 1 THEN coalesce(f.b1 + v2.lpq, {_NEG})
+                ELSE {_NEG} END,
+           CASE WHEN f.pos >= 2 THEN coalesce(f.b2 + v3.lpq, {_NEG})
+                ELSE {_NEG} END,
+           CASE WHEN f.pos >= 3 THEN coalesce(f.b3 + v4.lpq, {_NEG})
+                ELSE {_NEG} END),
+         f.b0, f.b1, f.b2
+  FROM fwd f
+  LEFT JOIN vlp v1 ON v1.p = substr(f.w, f.pos + 1, 1)
+  LEFT JOIN vlp v2 ON f.pos >= 1 AND v2.p = substr(f.w, f.pos, 2)
+  LEFT JOIN vlp v3 ON f.pos >= 2 AND v3.p = substr(f.w, f.pos - 1, 3)
+  LEFT JOIN vlp v4 ON f.pos >= 3 AND v4.p = substr(f.w, f.pos - 2, 4)
+  WHERE f.pos < length(f.w)
+),
+fwdt AS (SELECT w, pos, b0 AS best FROM fwd),
+cand AS (
+  SELECT f.w, f.pos, l.l,
+         fb.best + coalesce(v.lpq, {_NEG}) AS cand, f.best AS best
+  FROM fwdt f
+  JOIN (VALUES (1), (2), (3), (4)) AS l(l) ON l.l <= f.pos
+  JOIN fwdt fb ON fb.w = f.w AND fb.pos = f.pos - l.l
+  LEFT JOIN vlp v ON v.p = substr(f.w, f.pos - l.l + 1, l.l)
+  WHERE f.pos >= 1
+),
+steppiece AS (
+  SELECT w, pos, max(l) AS lstar FROM cand WHERE cand = best GROUP BY w, pos
+),
+back AS (
+  SELECT w, length(w) AS pos FROM words
+  UNION ALL
+  SELECT b.w, b.pos - s.lstar
+  FROM back b JOIN steppiece s ON s.w = b.w AND s.pos = b.pos
+  WHERE b.pos > 0
+),
+pieces AS (
+  SELECT b.w, substr(b.w, b.pos - s.lstar + 1, s.lstar) AS piece
+  FROM back b JOIN steppiece s ON s.w = b.w AND s.pos = b.pos
+),
+mm AS (
+  SELECT p.piece, cast(sum(words.cnt) AS BIGINT) AS n
+  FROM pieces p JOIN words ON words.w = p.w GROUP BY p.piece
+),
+mt AS (SELECT cast(sum(n) AS BIGINT) AS tot FROM mm)
+SELECT mm.piece, mm.n, vlp.lpq AS seed_lpq,
+       cast(round(ln(cast(mm.n AS DOUBLE) / cast(mt.tot AS DOUBLE)) * 1000000)
+            AS BIGINT) AS new_lpq,
+       cast(round(ln(cast(mm.n AS DOUBLE) / cast(mt.tot AS DOUBLE)) * 1000000)
+            AS BIGINT) - vlp.lpq AS delta_lpq
+FROM mm JOIN vlp ON vlp.p = mm.piece CROSS JOIN mt
+ORDER BY mm.n DESC, mm.piece LIMIT {TOP_OUT}
+"""
+
+_FWD_EXPR = f"""
+aggregate(
+  sequence(1, length(w)),
+  array(cast(0 as bigint)),
+  (acc, i) -> array_append(acc,
+    array_max(transform(sequence(1, least({_MAXL}, i)), l ->
+      element_at(acc, i - l + 1)
+      + coalesce(element_at(vm, substring(w, i - l + 1, l)),
+                 cast({_NEG} as bigint))))),
+  acc -> acc)
+"""
+
+# the LONGEST l in 1..min(4, pos) whose candidate score equals best[pos]
+_LSTAR = f"""
+array_max(filter(transform(sequence(1, least({_MAXL}, acc.pos)), l ->
+  if(element_at(bests, acc.pos - l + 1)
+     + coalesce(element_at(vm, substring(w, acc.pos - l + 1, l)),
+                cast({_NEG} as bigint))
+     = element_at(bests, acc.pos + 1), l, -1)), v -> v > 0))
+"""
+
+_BWD_EXPR = f"""
+aggregate(
+  sequence(1, length(w)),
+  named_struct('pos', length(w), 'ps', cast(array() as array<string>)),
+  (acc, x) -> if(acc.pos = 0, acc,
+    named_struct(
+      'pos', acc.pos - ({_LSTAR}),
+      'ps', array_append(acc.ps,
+              substring(w, acc.pos - ({_LSTAR}) + 1, {_LSTAR})))),
+  acc -> acc.ps)
+"""
+
+_Q = "cast(round(ln(cast({n} as double) / cast({t} as double)) * 1000000) as bigint)"
+
+
+@register(
+    "text_unigram_lm_train",
+    oracle=_UNI_ORACLE,
+    tags=("text", "training"),
+)
+def text_unigram_lm_train(spark, sf_dir):
+    d = spread(table(spark, sf_dir, "documents").select("text"), "text")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    chars = (
+        words.select(F.explode(F.split("w", "")).alias("p"), "cnt")
+        .filter(F.length("p") > 0)
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    subs = words.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(2, {_MAXL}), l ->"
+                " CASE WHEN length(w) >= l THEN"
+                "   transform(sequence(1, length(w) - l + 1),"
+                "             s -> substring(w, s, l))"
+                " ELSE array() END))"
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    top = (
+        subs.groupBy("p")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.desc("c"), "p")
+        .limit(TOP_SEED)
+    )
+    vocab = chars.unionByName(top)
+    tot = vocab.agg(F.sum("c").cast("long").alias("T"))
+    vlp = vocab.crossJoin(F.broadcast(tot)).select(
+        "p", F.expr(_Q.format(n="c", t="T")).alias("lpq")
+    )
+    vm = vlp.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("p", "lpq"))).alias("vm")
+    )
+    seg = (
+        words.crossJoin(F.broadcast(vm))
+        .withColumn("bests", F.expr(_FWD_EXPR))
+        .withColumn("pieces", F.expr(_BWD_EXPR))
+    )
+    mm = (
+        seg.select(F.explode("pieces").alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+    mt = mm.agg(F.sum("n").cast("long").alias("tot"))
+    new_lpq = F.expr(_Q.format(n="n", t="tot"))
+    return (
+        mm.join(
+            F.broadcast(
+                vlp.select(F.col("p").alias("piece"), F.col("lpq").alias("seed_lpq"))
+            ),
+            "piece",
+        )
+        .crossJoin(F.broadcast(mt))
+        .select(
+            "piece",
+            "n",
+            "seed_lpq",
+            new_lpq.alias("new_lpq"),
+            (new_lpq - F.col("seed_lpq")).alias("delta_lpq"),
+        )
+        .orderBy(F.desc("n"), "piece")
+        .limit(TOP_OUT)
+    )

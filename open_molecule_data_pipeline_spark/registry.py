@@ -55,6 +55,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "sim_ivfpq_rerank_recall",
     # --- 3+: r12 additions land here, displacing tail fillers ---
     "text_hybrid_rrf_arm_overlap",
+    "text_unigram_lm_train",
     # --- least-proven fillers: count==1, oldest last-green first
     #     (full r2 + r3 cohorts, then r4 alphabetical head) ---
     "mm_blob_stats",
@@ -103,8 +104,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "agg_salted_skew",
     "cdc_scd2_pointintime",
     "chem_tanimoto_pairs",
-    "dedup_fuzzy_linkage",
     # --- 51+: displaced tail fillers, then prior curated order ---
+    "dedup_fuzzy_linkage",
     "dq_constraint_report",
     "ingest_ndjson_pyds_sink_demo",
     "ts_cross_correlation",
@@ -495,6 +496,7 @@ _QUERY_MODULES = (
     "open_molecule_data_pipeline_spark.operators.ivfpq",
     "open_molecule_data_pipeline_spark.operators.acf",
     "open_molecule_data_pipeline_spark.operators.wordpiece",
+    "open_molecule_data_pipeline_spark.operators.unigram_lm",
     "open_molecule_data_pipeline_spark.operators.streaming_twin",
     "open_molecule_data_pipeline_spark.operators.ingest_demo",
 )
