@@ -421,6 +421,10 @@ def decode_media(payload: bytes, media_type: str):
         return decode_wav(payload)
     if media_type == "image/png":
         return decode_png(payload)
+    if media_type in ("image/jpeg", "image/jpg"):
+        from .jpeg import decode_jpeg  # baseline-sequential grayscale
+
+        return decode_jpeg(payload)
     if media_type in ("image/bmp", "image/x-ms-bmp"):
         return decode_bmp(payload)
     if media_type in ("image/x-portable-pixmap", "image/x-ppm"):

@@ -92,3 +92,112 @@ def test_hybrid_overlap_counts_are_consistent(spark, sf_dir):
         assert 0 <= r.overlap_dense5 <= r.n_from_dense
         assert 0 <= r.overlap_sparse5 <= r.n_from_sparse
         assert abs(r.frac_dense5 - r.overlap_dense5 / 5) < 1e-9
+
+
+# ---------------------------------------------------------------- JPEG ----
+
+
+def test_jpeg_general_coefficient_roundtrip():
+    """Arbitrary quantized coefficient blocks (multiple ACs, long zero
+    runs forcing ZRL, negative values) must round-trip through the real
+    entropy codec to exactly the reference dequant+IDCT pixels."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        _QTABLE,
+        _idct_block,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(42)
+    blocks = []
+    for _ in range(6):
+        blk = np.zeros(64, dtype=int)
+        idxs = rng.choice(64, size=rng.randint(1, 12), replace=False)
+        blk[idxs] = rng.randint(-30, 31, size=len(idxs))
+        blocks.append([int(v) for v in blk])
+    dec = decode_jpeg(encode_jpeg_baseline(blocks, 3, 2))
+    assert (dec["width"], dec["height"], dec["channels"]) == (24, 16, 1)
+    ref = np.zeros((16, 24))
+    for bi, blk in enumerate(blocks):
+        co = (np.array(blk, float) * np.array(_QTABLE)).reshape(8, 8)
+        px = np.clip(np.round(_idct_block(co) + 128), 0, 255)
+        ref[(bi // 3) * 8 : (bi // 3) * 8 + 8, (bi % 3) * 8 : (bi % 3) * 8 + 8] = px
+    assert (dec["pixels"] == ref.astype(np.uint8)).all()
+
+
+def test_jpeg_dc_only_block_is_flat():
+    """Hand-computable case: a DC-only block decodes to the flat value
+    128 + DC*q/8 everywhere (the IDCT's DC basis), incl. negative DC."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    for dc, want in ((3, 128 + 12), (-2, 128 - 8), (0, 128)):
+        blk = [0] * 64
+        blk[0] = dc
+        dec = decode_jpeg(encode_jpeg_baseline([blk], 1, 1))
+        assert (dec["pixels"] == want).all(), (dc, dec["pixels"][0, 0])
+
+
+def test_jpeg_ac44_sign_pattern():
+    """The (4,4) basis has the closed-form sign pattern s(x)*s(y) with
+    s = [+,-,-,+,+,-,-,+]; pixel = 128 + s(x)s(y)*2 for AC(4,4)=1 —
+    pins the zigzag slot (position 39, so the encoder must emit two ZRL
+    codes) and the IDCT normalization at once."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        ZIGZAG,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    assert ZIGZAG.index(4 * 8 + 4) == 39
+    blk = [0] * 64
+    blk[4 * 8 + 4] = 1
+    px = decode_jpeg(encode_jpeg_baseline([blk], 1, 1))["pixels"]
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+    for x in range(8):
+        for y in range(8):
+            assert px[y, x] == 128 + 2 * s[x] * s[y]
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """Coefficients chosen so the entropy stream contains 0xFF bytes:
+    the encoder must stuff 0x00 and the decoder must un-stuff. Probed
+    over many blocks of extreme values (all-ones bit patterns)."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    blocks = []
+    for i in range(8):
+        blk = [0] * 64
+        blk[0] = 255 if i % 2 else -255  # large alternating DC diffs
+        blk[1] = -1
+        blocks.append(blk)
+    blob = encode_jpeg_baseline(blocks, 4, 2)
+    dec = decode_jpeg(blob)  # would throw / mismatch on stuffing bugs
+    assert dec["pixels"].shape == (16, 32)
+
+
+def test_jpeg_rejects_progressive_and_color():
+    """Honest gates: SOF2 (progressive) raises NotImplementedError; a
+    truncated header fails loudly, never returns garbage."""
+    import pytest
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    blk = [0] * 64
+    blob = bytearray(encode_jpeg_baseline([blk], 1, 1))
+    i = blob.index(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(Exception):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
