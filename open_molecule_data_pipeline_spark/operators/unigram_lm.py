@@ -60,8 +60,7 @@ TOP_OUT = 20  # emitted vocabulary rows
 _MAXL = 4  # max piece length
 _NEG = -1_000_000_000_000_000  # "piece not in vocab" sentinel (int64)
 
-_UNI_ORACLE = f"""
-WITH RECURSIVE
+_TRAIN_CTES = f"""
 words AS (
   SELECT w, cast(count(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -143,6 +142,11 @@ mm AS (
   FROM pieces p JOIN words ON words.w = p.w GROUP BY p.piece
 ),
 mt AS (SELECT cast(sum(n) AS BIGINT) AS tot FROM mm)
+"""
+
+_UNI_ORACLE = f"""
+WITH RECURSIVE
+{_TRAIN_CTES}
 SELECT mm.piece, mm.n, vlp.lpq AS seed_lpq,
        cast(round(ln(cast(mm.n AS DOUBLE) / cast(mt.tot AS DOUBLE)) * 1000000)
             AS BIGINT) AS new_lpq,
@@ -188,12 +192,10 @@ aggregate(
 _Q = "cast(round(ln(cast({n} as double) / cast({t} as double)) * 1000000) as bigint)"
 
 
-@register(
-    "text_unigram_lm_train",
-    oracle=_UNI_ORACLE,
-    tags=("text", "training"),
-)
-def text_unigram_lm_train(spark, sf_dir):
+def _train_parts(spark, sf_dir):
+    """Shared training pipeline: word-frequency table -> seed vocab ->
+    Viterbi E-step -> M-step counts. Returns the intermediate frames the
+    trainer reports on and the apply query re-segments with."""
     d = spread(table(spark, sf_dir, "documents").select("text"), "text")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -244,6 +246,16 @@ def text_unigram_lm_train(spark, sf_dir):
         .agg(F.sum("cnt").cast("long").alias("n"))
     )
     mt = mm.agg(F.sum("n").cast("long").alias("tot"))
+    return words, chars, vlp, mm, mt
+
+
+@register(
+    "text_unigram_lm_train",
+    oracle=_UNI_ORACLE,
+    tags=("text", "training"),
+)
+def text_unigram_lm_train(spark, sf_dir):
+    words, chars, vlp, mm, mt = _train_parts(spark, sf_dir)
     new_lpq = F.expr(_Q.format(n="n", t="tot"))
     return (
         mm.join(
