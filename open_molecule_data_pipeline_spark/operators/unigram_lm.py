@@ -275,3 +275,157 @@ def text_unigram_lm_train(spark, sf_dir):
         .orderBy(F.desc("n"), "piece")
         .limit(TOP_OUT)
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM APPLY (r12): segment the corpus with the EM-updated model and
+# report the per-lang encode accounting — the number a tokenizer swap is
+# judged by (mirrors ``text_bpe_encode_apply`` for the BPE machine).
+#
+# The serving model is the M-step distribution with the standard
+# SentencePiece guard: multi-char pieces the Viterbi E-step never used are
+# PRUNED, while unused single chars are floored at count 1 so segmentation
+# can never dead-end. The apply-side Viterbi is FORWARD-ONLY: the fold
+# carries (best score, piece count) per position, advancing the count via
+# the same longest-achiever rule the trainer's backtrace uses — applied
+# forward it unrolls to the identical segmentation, so no backtrace pass
+# is needed on either engine. Output per lang: word/piece counts,
+# pieces-per-word, and the corpus negative log-likelihood in exact
+# micro-units (the model-quality number, all-integer so cross-engine
+# hashable).
+# --------------------------------------------------------------------------
+
+# candidate score for piece length l ending at position i (fold-local)
+_CAND2 = (
+    "element_at(acc, i - l + 1).b"
+    " + coalesce(element_at(vm2, substring(w, i - l + 1, l)),"
+    f" cast({_NEG} as bigint))"
+)
+_BEST2 = (
+    f"array_max(transform(sequence(1, least({_MAXL}, i)), l -> {_CAND2}))"
+)
+_FWD2_EXPR = f"""
+aggregate(
+  sequence(1, length(w)),
+  array(named_struct('b', cast(0 as bigint), 'np', 0)),
+  (acc, i) -> array_append(acc, named_struct(
+    'b', {_BEST2},
+    'np', element_at(acc,
+            i - array_max(filter(transform(sequence(1, least({_MAXL}, i)),
+                                           l -> if({_CAND2} = {_BEST2}, l, -1)),
+                                 v -> v > 0)) + 1).np + 1)),
+  acc -> element_at(acc, length(w) + 1))
+"""
+
+_APPLY_ORACLE = f"""
+WITH RECURSIVE
+{_TRAIN_CTES},
+wl AS (
+  SELECT lang, w, cast(count(*) AS BIGINT) AS cnt FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+  ) t WHERE length(w) > 0 GROUP BY lang, w
+),
+m2 AS (
+  SELECT coalesce(mm.piece, ch.p) AS p, cast(coalesce(mm.n, 1) AS BIGINT) AS n
+  FROM mm FULL JOIN chars ch ON ch.p = mm.piece
+),
+t2 AS (SELECT cast(sum(n) AS BIGINT) AS T2 FROM m2),
+vlp2 AS (
+  SELECT p, cast(round(ln(cast(n AS DOUBLE) / cast(T2 AS DOUBLE)) * 1000000)
+                 AS BIGINT) AS lpq
+  FROM m2, t2
+),
+fwd2 AS (
+  SELECT w, 0 AS pos, cast(0 AS BIGINT) AS b0, cast(NULL AS BIGINT) AS b1,
+         cast(NULL AS BIGINT) AS b2, cast(NULL AS BIGINT) AS b3,
+         0 AS np0, cast(NULL AS INTEGER) AS np1,
+         cast(NULL AS INTEGER) AS np2, cast(NULL AS INTEGER) AS np3
+  FROM words
+  UNION ALL
+  SELECT w, pos + 1,
+         greatest(c1, c2, c3, c4),
+         b0, b1, b2,
+         CASE WHEN c4 = greatest(c1, c2, c3, c4) THEN np3 + 1
+              WHEN c3 = greatest(c1, c2, c3, c4) THEN np2 + 1
+              WHEN c2 = greatest(c1, c2, c3, c4) THEN np1 + 1
+              ELSE np0 + 1 END,
+         np0, np1, np2
+  FROM (
+    SELECT f.w, f.pos, f.b0, f.b1, f.b2, f.np0, f.np1, f.np2, f.np3,
+           coalesce(f.b0 + v1.lpq, {_NEG}) AS c1,
+           CASE WHEN f.pos >= 1 THEN coalesce(f.b1 + v2.lpq, {_NEG})
+                ELSE {_NEG} END AS c2,
+           CASE WHEN f.pos >= 2 THEN coalesce(f.b2 + v3.lpq, {_NEG})
+                ELSE {_NEG} END AS c3,
+           CASE WHEN f.pos >= 3 THEN coalesce(f.b3 + v4.lpq, {_NEG})
+                ELSE {_NEG} END AS c4
+    FROM fwd2 f
+    LEFT JOIN vlp2 v1 ON v1.p = substr(f.w, f.pos + 1, 1)
+    LEFT JOIN vlp2 v2 ON f.pos >= 1 AND v2.p = substr(f.w, f.pos, 2)
+    LEFT JOIN vlp2 v3 ON f.pos >= 2 AND v3.p = substr(f.w, f.pos - 1, 3)
+    LEFT JOIN vlp2 v4 ON f.pos >= 3 AND v4.p = substr(f.w, f.pos - 2, 4)
+    WHERE f.pos < length(f.w)
+  ) s
+),
+fin AS (SELECT w, b0 AS best, np0 AS np FROM fwd2 WHERE pos = length(w))
+SELECT wl.lang,
+       cast(sum(wl.cnt) AS BIGINT) AS n_words,
+       cast(sum(wl.cnt * fin.np) AS BIGINT) AS n_pieces,
+       round(sum(wl.cnt * fin.np) / cast(sum(wl.cnt) AS DOUBLE), 6)
+         AS pieces_per_word,
+       cast(-sum(wl.cnt * fin.best) AS BIGINT) AS nll_micro
+FROM wl JOIN fin ON fin.w = wl.w
+GROUP BY wl.lang
+"""
+
+
+@register(
+    "text_unigram_lm_apply",
+    oracle=_APPLY_ORACLE,
+    tags=("text", "training"),
+)
+def text_unigram_lm_apply(spark, sf_dir):
+    words, chars, vlp, mm, mt = _train_parts(spark, sf_dir)
+    m2 = (
+        mm.join(chars.select("p"), mm.piece == F.col("p"), "full")
+        .select(
+            F.coalesce("piece", "p").alias("p"),
+            F.coalesce("n", F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    t2 = m2.agg(F.sum("n").cast("long").alias("T2"))
+    vlp2 = m2.crossJoin(F.broadcast(t2)).select(
+        "p", F.expr(_Q.format(n="n", t="T2")).alias("lpq")
+    )
+    vm2 = vlp2.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("p", "lpq"))).alias("vm2")
+    )
+    d = spread(table(spark, sf_dir, "documents").select("lang", "text"), "lang")
+    wl = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    fin = (
+        words.select("w")
+        .crossJoin(F.broadcast(vm2))
+        .select("w", F.expr(_FWD2_EXPR).alias("fin"))
+        .select("w", F.col("fin.b").alias("best"), F.col("fin.np").alias("np"))
+    )
+    return (
+        wl.join(F.broadcast(fin), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("np")).cast("long").alias("n_pieces"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("np"))
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("pieces_per_word"),
+            (-F.sum(F.col("cnt") * F.col("best"))).cast("long").alias(
+                "nll_micro"
+            ),
+        )
+    )

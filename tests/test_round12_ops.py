@@ -201,3 +201,57 @@ def test_jpeg_rejects_progressive_and_color():
         decode_jpeg(bytes(blob))
     with pytest.raises(Exception):
         decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_unigram_apply_forward_np_equals_backtrace(spark):
+    """The apply fold carries the piece count forward via the same
+    longest-achiever rule the trainer's backtrace walks — on any model
+    the two must agree. Checked on a word with a score tie AND a
+    missing-bigram dead end."""
+    from open_molecule_data_pipeline_spark.operators.unigram_lm import (
+        _BWD_EXPR,
+        _FWD_EXPR,
+        _FWD2_EXPR,
+    )
+
+    vm = {"a": -2_000_000, "b": -3_000_000, "aa": -4_000_000, "ab": -5_000_000}
+    for word in ("aab", "aaab", "ba", "aaaa"):
+        df = spark.createDataFrame([(word,)], "w string").withColumn(
+            "vm",
+            F.map_from_entries(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("p"),
+                            F.lit(q).cast("long").alias("lpq"),
+                        )
+                        for p, q in vm.items()
+                    ]
+                )
+            ),
+        )
+        row = (
+            df.withColumn("vm2", F.col("vm"))
+            .withColumn("bests", F.expr(_FWD_EXPR))
+            .withColumn("pieces", F.expr(_BWD_EXPR))
+            .withColumn("fin", F.expr(_FWD2_EXPR))
+            .collect()[0]
+        )
+        assert row.fin.np == len(row.pieces), (word, row.fin, row.pieces)
+        assert row.fin.b == row.bests[-1]
+
+
+def test_unigram_apply_prunes_unused_pieces_keeps_alphabet(spark, sf_dir):
+    """The serving model drops multi-char pieces the E-step never used
+    and floors unused chars at count 1 — segmentation can never dead-end,
+    so n_pieces is finite and nll is a genuine (negative-log) cost."""
+    from open_molecule_data_pipeline_spark.operators.unigram_lm import (
+        text_unigram_lm_apply,
+    )
+
+    rows = text_unigram_lm_apply(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pieces >= r.n_words > 0
+        assert r.nll_micro > 0
+        assert abs(r.pieces_per_word - r.n_pieces / r.n_words) < 1e-6
