@@ -126,16 +126,20 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
-def encode_jpeg_baseline(blocks, bw: int, bh: int) -> bytes:
+def encode_jpeg_baseline(blocks, bw: int, bh: int, qtable=None) -> bytes:
     """Encode quantized-coefficient ``blocks`` (bw*bh arrays of 64 ints,
-    natural order, raster block order) as a grayscale baseline JFIF."""
+    natural order, raster block order) as a grayscale baseline JFIF.
+    ``qtable`` (natural order) defaults to the module table — passing a
+    different one re-encodes the same image at a different quantization
+    (the re-encode dedup fixture relies on this)."""
+    qtable = _QTABLE if qtable is None else qtable
     assert len(blocks) == bw * bh
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
     out += (1).to_bytes(2, "big") + (1).to_bytes(2, "big") + b"\x00\x00"
     # DQT: Pq=0/Tq=0, values in zigzag order
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
-    out += bytes(_QTABLE[ZIGZAG[k]] for k in range(64))
+    out += bytes(qtable[ZIGZAG[k]] for k in range(64))
     # SOF0: 8-bit, 1 component, 1x1 sampling, quant table 0
     h, w = bh * 8, bw * 8
     out += b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
@@ -420,3 +424,126 @@ def mm_image_jpeg_decode(spark, sf_dir):
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Decode-normalized dedup of re-encoded JPEGs (r12): the JPEG feed into
+# the image-dedup ladder. Docs pair as (2p, 2p+1): both carry the SAME
+# underlying image, but the odd file is re-encoded with a halved quant
+# table and doubled coefficients — byte-level different (different DQT,
+# different entropy stream), pixel-level identical after decode. A
+# blob-hash dedup misses such pairs; this operator decodes inside the
+# Arrow batch, digests the normalized pixel array (md5, 16 bytes/image)
+# and equi-joins on (dims, digest) — the cheapest possible dedup join, a
+# plain hash shuffle of constant-width rows, linear at 100 TB.
+#
+# The oracle needs no pixels: over this fixture, pixel equality is
+# EQUIVALENT to dequantized-coefficient equality — the four s-sign
+# classes of the (DC,(4,0)-less) basis give pixel values through an
+# invertible (Hadamard) system, so it groups docs on the closed-form
+# dequantized coefficient string instead. Both engines therefore compute
+# the same partition of docs through entirely different machinery (real
+# codec vs closed form) — a decode-correctness check disguised as a
+# dedup query.
+# --------------------------------------------------------------------------
+
+_RENC_ORACLE = """
+WITH coef AS (
+  SELECT doc_id, bw, bh,
+         string_agg(
+           cast(32 * (m % 25 - 12) AS VARCHAR) || ':'
+             || cast(16 * ((m // 25) % 13 - 6) AS VARCHAR),
+           ',' ORDER BY i) AS key
+  FROM (
+    SELECT doc_id, bw, bh, i,
+           (s0 * s0 + 7919 * s0) // 256 AS m
+    FROM (
+      SELECT doc_id, bw, bh, i,
+             ((doc_id // 2) * 100000 + i) % 2147483647 AS s0
+      FROM (
+        SELECT doc_id,
+               2 + (doc_id // 2) % 3 AS bw,
+               1 + (doc_id // 2) % 2 AS bh,
+               unnest(range((2 + (doc_id // 2) % 3)
+                            * (1 + (doc_id // 2) % 2))) AS i
+        FROM documents
+      ) g
+    ) g2
+  ) g3
+  GROUP BY doc_id, bw, bh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(a.bw * a.bh AS INTEGER) AS n_blocks
+FROM coef a
+JOIN coef b
+  ON a.bw = b.bw AND a.bh = b.bh AND a.key = b.key
+     AND a.doc_id < b.doc_id
+"""
+
+
+def _renc_blocks(doc_id: int):
+    """Fixture: (2p, 2p+1) share dequantized coefficients; the odd file
+    uses a halved quant table with doubled quantized values."""
+    base, odd = doc_id // 2, doc_id % 2
+    bw, bh = 2 + base % 3, 1 + base % 2
+    scale = 2 if odd else 1
+    qtable = [32 // scale] + [16 // scale] * 63
+    blocks = []
+    for i in range(bw * bh):
+        s0 = (base * 100000 + i) % 2147483647
+        m = (s0 * s0 + 7919 * s0) // 256
+        blk = [0] * 64
+        blk[0] = (m % 25 - 12) * scale
+        blk[4 * 8 + 4] = ((m // 25) % 13 - 6) * scale
+        blocks.append(blk)
+    return blocks, bw, bh, qtable
+
+
+@register(
+    "mm_image_jpeg_renc_dedup",
+    oracle=_RENC_ORACLE,
+    tags=("multimodal", "image", "dedup"),
+)
+def mm_image_jpeg_renc_dedup(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                blocks, bw, bh, qtable = _renc_blocks(doc_id)
+                blob = encode_jpeg_baseline(blocks, bw, bh, qtable=qtable)
+                dec = decode_media(bytes(blob), "image/jpeg")
+                digest = hashlib.md5(dec["pixels"].tobytes()).hexdigest()
+                rows.append((doc_id, dec["width"], dec["height"], digest))
+            yield pd.DataFrame(rows, columns=["doc_id", "w", "h", "digest"])
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    hashes = d.mapInPandas(run, schema=schema)
+    a = hashes.select(
+        F.col("doc_id").alias("doc_a"), "w", "h", "digest"
+    )
+    b = hashes.select(
+        F.col("doc_id").alias("doc_b"), "w", "h", "digest"
+    )
+    return (
+        a.join(b, ["w", "h", "digest"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            ((F.col("w") / 8) * (F.col("h") / 8)).cast("int").alias("n_blocks"),
+        )
+    )

@@ -255,3 +255,24 @@ def test_unigram_apply_prunes_unused_pieces_keeps_alphabet(spark, sf_dir):
         assert r.n_pieces >= r.n_words > 0
         assert r.nll_micro > 0
         assert abs(r.pieces_per_word - r.n_pieces / r.n_words) < 1e-6
+
+
+def test_jpeg_reencode_pair_bytes_differ_pixels_equal():
+    """The re-encode dedup fixture's point: (2p, 2p+1) files differ at
+    the byte level (different DQT + entropy stream) yet decode to
+    identical pixel arrays — the case blob-hash dedup misses."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        _renc_blocks,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    for base in range(5):
+        blobs, pixels = [], []
+        for doc_id in (2 * base, 2 * base + 1):
+            blocks, bw, bh, qtable = _renc_blocks(doc_id)
+            blob = encode_jpeg_baseline(blocks, bw, bh, qtable=qtable)
+            blobs.append(blob)
+            pixels.append(decode_jpeg(blob)["pixels"])
+        assert blobs[0] != blobs[1]
+        assert (pixels[0] == pixels[1]).all()
