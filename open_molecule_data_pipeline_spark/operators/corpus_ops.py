@@ -1279,3 +1279,105 @@ def text_bpe_encode_apply(spark, sf_dir):
             "      * 1000000) div sum(nb) AS BIGINT)"
         ).alias("compression_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI phrase detection (r12) — the word2phrase preprocessing step every
+# large corpus pipeline runs before tokenizer training: adjacent word
+# pairs whose pointwise mutual information ln(c_ab * N / (c_a * c_b))
+# clears a threshold become merge candidates ("new_york"). Corpus cost is
+# two partial-aggregated passes (bigram counts, unigram counts) over the
+# token stream — both JVM Generate + hash agg, zero Python; the scoring
+# join runs on the DISTINCT bigram/unigram tables (Heaps-sublinear), with
+# unigram counts broadcast twice. PMI is rounded to 6 dp before ranking
+# (the BM25/IVF rounded-score convention) and ties break on the words, so
+# the top-20 verdict is deterministic in both engines. A c_ab >= 5
+# support floor drops noise pairs, mirroring word2phrase's min-count.
+# --------------------------------------------------------------------------
+
+_PMI_MINC = 5
+_PMI_TOP = 20
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+uni AS (
+  SELECT w, cast(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(ts) AS w FROM toks
+  ) t WHERE length(w) > 0 GROUP BY w
+),
+n AS (SELECT cast(sum(c) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT w1, w2, cast(count(*) AS BIGINT) AS c_ab FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM toks, unnest(range(1, len(ts))) AS r(i)
+  ) t WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY w1, w2
+)
+SELECT w1, w2, c_ab, u1.c AS c_a, u2.c AS c_b,
+       round(ln(cast(c_ab AS DOUBLE) * n.n
+                / (cast(u1.c AS DOUBLE) * cast(u2.c AS DOUBLE))), 6) AS pmi
+FROM big
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2
+CROSS JOIN n
+WHERE c_ab >= {_PMI_MINC}
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOP}
+"""
+
+
+@register(
+    "text_bigram_pmi_phrases",
+    oracle=_PMI_ORACLE,
+    tags=("text", "training"),
+)
+def text_bigram_pmi_phrases(spark, sf_dir):
+    from ._util import spread
+
+    d = spread(table(spark, sf_dir, "documents").select("text"), "text")
+    ts = d.select(F.split("text", " ").alias("ts"))
+    uni = (
+        ts.select(F.explode("ts").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("long").alias("n"))
+    big = (
+        ts.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("w1"),
+                        F.element_at("ts", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double")
+            * F.col("n")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        big.filter(F.col("c_ab") >= _PMI_MINC)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )

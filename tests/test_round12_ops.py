@@ -276,3 +276,31 @@ def test_jpeg_reencode_pair_bytes_differ_pixels_equal():
             pixels.append(decode_jpeg(blob)["pixels"])
         assert blobs[0] != blobs[1]
         assert (pixels[0] == pixels[1]).all()
+
+
+def test_pmi_hand_worked_fixture(spark):
+    """PMI on a corpus small enough to hand-compute: 'a b' appears in
+    every doc (c_ab=6, c_a=c_b=6, N=18 incl. filler 'x') ->
+    pmi = ln(6*18/36) = ln(3)."""
+    import math
+
+    from open_molecule_data_pipeline_spark.operators.corpus_ops import (
+        text_bigram_pmi_phrases,
+    )
+    import open_molecule_data_pipeline_spark.catalog as catalog
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [(i, "a b x") for i in range(6)], "doc_id long, text string"
+        )
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = text_bigram_pmi_phrases(spark, td).collect()
+    got = {(r.w1, r.w2): r for r in rows}
+    ab = got[("a", "b")]
+    assert (ab.c_ab, ab.c_a, ab.c_b) == (6, 6, 6)
+    assert abs(ab.pmi - round(math.log(3), 6)) < 1e-9
+    bx = got[("b", "x")]
+    assert abs(bx.pmi - round(math.log(6 * 18 / 36), 6)) < 1e-9
