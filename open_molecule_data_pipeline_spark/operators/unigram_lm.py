@@ -384,7 +384,9 @@ GROUP BY wl.lang
     oracle=_APPLY_ORACLE,
     tags=("text", "training"),
 )
-def text_unigram_lm_apply(spark, sf_dir):
+def _model2(spark, sf_dir):
+    """EM-updated serving model: M-step counts, unused multi-char pieces
+    pruned, unused chars floored at 1; returns (words, one-row map df)."""
     words, chars, vlp, mm, mt = _train_parts(spark, sf_dir)
     m2 = (
         mm.join(chars.select("p"), mm.piece == F.col("p"), "full")
@@ -400,6 +402,11 @@ def text_unigram_lm_apply(spark, sf_dir):
     vm2 = vlp2.groupBy().agg(
         F.map_from_entries(F.collect_list(F.struct("p", "lpq"))).alias("vm2")
     )
+    return words, vm2
+
+
+def text_unigram_lm_apply(spark, sf_dir):
+    words, vm2 = _model2(spark, sf_dir)
     d = spread(table(spark, sf_dir, "documents").select("lang", "text"), "lang")
     wl = (
         d.select("lang", F.explode(F.split("text", " ")).alias("w"))
@@ -428,4 +435,119 @@ def text_unigram_lm_apply(spark, sf_dir):
                 "nll_micro"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Perplexity quality filter (r12) — the CCNet/RedPajama shape: score every
+# document by its mean per-token negative log-likelihood under the trained
+# LM and surface the worst (likely-junk) documents. Here the LM is the
+# EM-updated unigram model above, so the whole loop — train on the corpus,
+# filter the corpus with the trained model — is driver-checked end to end.
+#
+# Cost shape at 100 TB: one (doc_id, word) partial-aggregated pass (the
+# BM25 tf shape), the per-distinct-word Viterbi cost table broadcast back,
+# then a per-doc sum — no Python, one corpus shuffle. Mean NLL is emitted
+# in exact integer micro-units via floor division (Spark long `div` and
+# DuckDB BIGINT `//` both floor on the non-negative operands used here).
+# --------------------------------------------------------------------------
+
+_PPL_TOP = 15
+
+_PPL_ORACLE = f"""
+WITH RECURSIVE
+{_TRAIN_CTES},
+m2 AS (
+  SELECT coalesce(mm.piece, ch.p) AS p, cast(coalesce(mm.n, 1) AS BIGINT) AS n
+  FROM mm FULL JOIN chars ch ON ch.p = mm.piece
+),
+t2 AS (SELECT cast(sum(n) AS BIGINT) AS T2 FROM m2),
+vlp2 AS (
+  SELECT p, cast(round(ln(cast(n AS DOUBLE) / cast(T2 AS DOUBLE)) * 1000000)
+                 AS BIGINT) AS lpq
+  FROM m2, t2
+),
+fwd2 AS (
+  SELECT w, 0 AS pos, cast(0 AS BIGINT) AS b0, cast(NULL AS BIGINT) AS b1,
+         cast(NULL AS BIGINT) AS b2, cast(NULL AS BIGINT) AS b3
+  FROM words
+  UNION ALL
+  SELECT f.w, f.pos + 1,
+         greatest(
+           coalesce(f.b0 + v1.lpq, {_NEG}),
+           CASE WHEN f.pos >= 1 THEN coalesce(f.b1 + v2.lpq, {_NEG})
+                ELSE {_NEG} END,
+           CASE WHEN f.pos >= 2 THEN coalesce(f.b2 + v3.lpq, {_NEG})
+                ELSE {_NEG} END,
+           CASE WHEN f.pos >= 3 THEN coalesce(f.b3 + v4.lpq, {_NEG})
+                ELSE {_NEG} END),
+         f.b0, f.b1, f.b2
+  FROM fwd2 f
+  LEFT JOIN vlp2 v1 ON v1.p = substr(f.w, f.pos + 1, 1)
+  LEFT JOIN vlp2 v2 ON f.pos >= 1 AND v2.p = substr(f.w, f.pos, 2)
+  LEFT JOIN vlp2 v3 ON f.pos >= 2 AND v3.p = substr(f.w, f.pos - 1, 3)
+  LEFT JOIN vlp2 v4 ON f.pos >= 3 AND v4.p = substr(f.w, f.pos - 2, 4)
+  WHERE f.pos < length(f.w)
+),
+wcost AS (SELECT w, -b0 AS cost FROM fwd2 WHERE pos = length(w)),
+dw AS (
+  SELECT doc_id, lang, w, cast(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+  ) t WHERE length(w) > 0 GROUP BY doc_id, lang, w
+),
+per_doc AS (
+  SELECT dw.doc_id, dw.lang,
+         cast(sum(dw.c) AS BIGINT) AS toks,
+         cast(sum(dw.c * wcost.cost) AS BIGINT) AS nll_micro
+  FROM dw JOIN wcost ON wcost.w = dw.w
+  GROUP BY dw.doc_id, dw.lang
+)
+SELECT doc_id, lang, toks, nll_micro,
+       nll_micro // toks AS mean_nll_micro
+FROM per_doc
+ORDER BY mean_nll_micro DESC, doc_id
+LIMIT {_PPL_TOP}
+"""
+
+
+@register(
+    "text_unigram_ppl_filter",
+    oracle=_PPL_ORACLE,
+    tags=("text", "training"),
+)
+def text_unigram_ppl_filter(spark, sf_dir):
+    words, vm2 = _model2(spark, sf_dir)
+    wcost = (
+        words.select("w")
+        .crossJoin(F.broadcast(vm2))
+        .select("w", (-F.expr(_FWD2_EXPR + ".b")).alias("cost"))
+    )
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
+    dw = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_doc = (
+        dw.join(F.broadcast(wcost), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("toks"),
+            F.sum(F.col("c") * F.col("cost")).cast("long").alias("nll_micro"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "lang",
+            "toks",
+            "nll_micro",
+            F.expr("nll_micro div toks").alias("mean_nll_micro"),
+        )
+        .orderBy(F.desc("mean_nll_micro"), "doc_id")
+        .limit(_PPL_TOP)
     )
