@@ -150,3 +150,51 @@ def profile_value_patterns(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("col", "mask", "cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (r12) — the data-governance gate a training pipeline
+# runs before releasing or joining user-adjacent tables: every
+# quasi-identifier combination (here nation x market segment) must cover
+# at least K individuals, else the rows are re-identifiable. Per group:
+# size, risk flag, and the size of the one-level generalization
+# (suppressing the nation, falling back to segment-only) that would
+# absorb a risky group — the standard remediation ladder. Shape at 100 TB:
+# one two-level partial aggregation (group sizes, then segment rollup
+# broadcast back); no row-level data leaves the executors.
+# --------------------------------------------------------------------------
+
+_KANON_K = 10
+
+_KANON_ORACLE = f"""
+WITH g AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         cast(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+s AS (
+  SELECT mktsegment, cast(sum(n) AS BIGINT) AS gen_n FROM g GROUP BY mktsegment
+)
+SELECT g.nationkey, g.mktsegment, g.n,
+       cast(CASE WHEN g.n < {_KANON_K} THEN 1 ELSE 0 END AS INTEGER)
+         AS risky,
+       s.gen_n
+FROM g JOIN s ON s.mktsegment = g.mktsegment
+"""
+
+
+@register("dq_k_anonymity", oracle=_KANON_ORACLE, tags=("agg",))
+def dq_k_anonymity(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = g.groupBy("mktsegment").agg(F.sum("n").cast("long").alias("gen_n"))
+    return g.join(F.broadcast(s), "mktsegment").select(
+        "nationkey",
+        "mktsegment",
+        "n",
+        (F.col("n") < _KANON_K).cast("int").alias("risky"),
+        "gen_n",
+    )

@@ -1510,3 +1510,74 @@ def mm_video_scene_cuts(spark, sf_dir):
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Audio zero-crossing rate (r12) — the classic cheap speech/music/noise
+# discriminator an audio-corpus pipeline computes right after decode (high
+# ZCR ~ fricatives/noise, low ~ voiced speech/tones): per clip, count sign
+# transitions ((s[i-1] < 0) != (s[i] < 0), zero counted non-negative) over
+# the real WAV decode path, report the count and an exact-integer ppm rate
+# (crossings * 1e6 // (n - 1)). Same fixture and Arrow-batched shape as
+# ``mm_wav_decode``; the oracle replays the closed-form PCM signal.
+# --------------------------------------------------------------------------
+
+_ZCR_ORACLE = """
+SELECT doc_id,
+       cast(n AS BIGINT) AS n_samples,
+       cast(sum(CASE WHEN ((doc_id * 31 + (i - 1) * 7) % 65536 - 32768 < 0)
+                      <> ((doc_id * 31 + i * 7) % 65536 - 32768 < 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS crossings,
+       cast(sum(CASE WHEN ((doc_id * 31 + (i - 1) * 7) % 65536 - 32768 < 0)
+                      <> ((doc_id * 31 + i * 7) % 65536 - 32768 < 0)
+                THEN 1 ELSE 0 END) * 1000000 // (n - 1) AS BIGINT)
+         AS zcr_ppm
+FROM (
+  SELECT doc_id, 50 + doc_id % 50 AS n,
+         unnest(range(1, 50 + doc_id % 50)) AS i
+  FROM documents
+) g
+GROUP BY doc_id, n
+"""
+
+
+@register("mm_audio_zcr", oracle=_ZCR_ORACLE, tags=("multimodal", "audio"))
+def mm_audio_zcr(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("crossings", T.LongType()),
+            T.StructField("zcr_ppm", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                n = 50 + doc_id % 50
+                idx = np.arange(n, dtype=np.int64)
+                samples = ((doc_id * 31 + idx * 7) % 65536) - 32768
+                blob = encode_wav_pcm16(samples, sample_rate=_WAV_RATE)
+                dec = decode_media(bytes(blob), "audio/wav")
+                fr = dec["frames"].astype(np.int64)
+                neg = fr < 0
+                crossings = int((neg[:-1] != neg[1:]).sum())
+                rows.append(
+                    (
+                        doc_id,
+                        dec["n_samples"],
+                        crossings,
+                        crossings * 1000000 // (dec["n_samples"] - 1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "crossings", "zcr_ppm"]
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
