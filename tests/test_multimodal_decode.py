@@ -76,8 +76,17 @@ def test_decode_media_dispatch():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     assert decode_media(encode_png(img), "image/png")["width"] == 2
     assert decode_media(encode_bmp(img), "image/bmp")["height"] == 2
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "image/jpeg")  # no JPEG codec
+    # r12: image/jpeg now dispatches to the real baseline codec
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    blk = [0] * 64
+    blk[0] = 2
+    jp = decode_media(encode_jpeg_baseline([blk], 1, 1), "image/jpeg")
+    assert jp["width"] == 8 and (jp["pixels"] == 128 + 8).all()
+    with pytest.raises(Exception):  # truncated JPEG fails loudly
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "video/mp4")
 
