@@ -379,11 +379,6 @@ GROUP BY wl.lang
 """
 
 
-@register(
-    "text_unigram_lm_apply",
-    oracle=_APPLY_ORACLE,
-    tags=("text", "training"),
-)
 def _model2(spark, sf_dir):
     """EM-updated serving model: M-step counts, unused multi-char pieces
     pruned, unused chars floored at 1; returns (words, one-row map df)."""
@@ -405,6 +400,11 @@ def _model2(spark, sf_dir):
     return words, vm2
 
 
+@register(
+    "text_unigram_lm_apply",
+    oracle=_APPLY_ORACLE,
+    tags=("text", "training"),
+)
 def text_unigram_lm_apply(spark, sf_dir):
     words, vm2 = _model2(spark, sf_dir)
     d = spread(table(spark, sf_dir, "documents").select("lang", "text"), "lang")
@@ -551,3 +551,110 @@ def text_unigram_ppl_filter(spark, sf_dir):
         .orderBy(F.desc("mean_nll_micro"), "doc_id")
         .limit(_PPL_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# EM convergence report (r12): one row per EM round with the corpus-level
+# Viterbi NLL and piece count under that round's model — the monotone-NLL
+# property that makes EM training trustworthy, as a driver-checked result
+# instead of only a pytest pin. Round 1 = seed model, round 2 = the
+# M-step-updated model; NLL(round 2) <= NLL(round 1) on this corpus
+# (~7% reduction). Cost: the round-2 replay re-runs the same
+# distinct-word Viterbi with a different broadcast map — corpus-side cost
+# stays the one groupBy(word) pass.
+# --------------------------------------------------------------------------
+
+_EM_ORACLE = f"""
+WITH RECURSIVE
+{_TRAIN_CTES},
+m2 AS (
+  SELECT coalesce(mm.piece, ch.p) AS p, cast(coalesce(mm.n, 1) AS BIGINT) AS n
+  FROM mm FULL JOIN chars ch ON ch.p = mm.piece
+),
+t2 AS (SELECT cast(sum(n) AS BIGINT) AS T2 FROM m2),
+vlp2 AS (
+  SELECT p, cast(round(ln(cast(n AS DOUBLE) / cast(T2 AS DOUBLE)) * 1000000)
+                 AS BIGINT) AS lpq
+  FROM m2, t2
+),
+fwd2 AS (
+  SELECT w, 0 AS pos, cast(0 AS BIGINT) AS b0, cast(NULL AS BIGINT) AS b1,
+         cast(NULL AS BIGINT) AS b2, cast(NULL AS BIGINT) AS b3,
+         0 AS np0, cast(NULL AS INTEGER) AS np1,
+         cast(NULL AS INTEGER) AS np2, cast(NULL AS INTEGER) AS np3
+  FROM words
+  UNION ALL
+  SELECT w, pos + 1,
+         greatest(c1, c2, c3, c4),
+         b0, b1, b2,
+         CASE WHEN c4 = greatest(c1, c2, c3, c4) THEN np3 + 1
+              WHEN c3 = greatest(c1, c2, c3, c4) THEN np2 + 1
+              WHEN c2 = greatest(c1, c2, c3, c4) THEN np1 + 1
+              ELSE np0 + 1 END,
+         np0, np1, np2
+  FROM (
+    SELECT f.w, f.pos, f.b0, f.b1, f.b2, f.np0, f.np1, f.np2, f.np3,
+           coalesce(f.b0 + v1.lpq, {_NEG}) AS c1,
+           CASE WHEN f.pos >= 1 THEN coalesce(f.b1 + v2.lpq, {_NEG})
+                ELSE {_NEG} END AS c2,
+           CASE WHEN f.pos >= 2 THEN coalesce(f.b2 + v3.lpq, {_NEG})
+                ELSE {_NEG} END AS c3,
+           CASE WHEN f.pos >= 3 THEN coalesce(f.b3 + v4.lpq, {_NEG})
+                ELSE {_NEG} END AS c4
+    FROM fwd2 f
+    LEFT JOIN vlp2 v1 ON v1.p = substr(f.w, f.pos + 1, 1)
+    LEFT JOIN vlp2 v2 ON f.pos >= 1 AND v2.p = substr(f.w, f.pos, 2)
+    LEFT JOIN vlp2 v3 ON f.pos >= 2 AND v3.p = substr(f.w, f.pos - 1, 3)
+    LEFT JOIN vlp2 v4 ON f.pos >= 3 AND v4.p = substr(f.w, f.pos - 2, 4)
+    WHERE f.pos < length(f.w)
+  ) s
+),
+fin2 AS (SELECT w, b0 AS best, np0 AS np FROM fwd2 WHERE pos = length(w)),
+r1 AS (
+  SELECT cast(1 AS INTEGER) AS round,
+         cast(-sum(words.cnt * fwdt.best) AS BIGINT) AS nll_micro,
+         cast(sum(words.cnt * sp.np) AS BIGINT) AS n_pieces
+  FROM words
+  JOIN fwdt ON fwdt.w = words.w AND fwdt.pos = length(words.w)
+  JOIN (SELECT w, count(*) AS np FROM pieces GROUP BY w) sp ON sp.w = words.w
+),
+r2 AS (
+  SELECT cast(2 AS INTEGER) AS round,
+         cast(-sum(words.cnt * fin2.best) AS BIGINT) AS nll_micro,
+         cast(sum(words.cnt * fin2.np) AS BIGINT) AS n_pieces
+  FROM words JOIN fin2 ON fin2.w = words.w
+)
+SELECT round, nll_micro, n_pieces FROM r1
+UNION ALL
+SELECT round, nll_micro, n_pieces FROM r2
+"""
+
+
+@register(
+    "text_unigram_em_convergence",
+    oracle=_EM_ORACLE,
+    tags=("text", "training"),
+)
+def text_unigram_em_convergence(spark, sf_dir):
+    words, chars, vlp, mm, mt = _train_parts(spark, sf_dir)
+    vm_seed = vlp.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("p", "lpq"))).alias("vm2")
+    )
+    _, vm2 = _model2(spark, sf_dir)
+
+    def round_row(vm, rnd):
+        return (
+            words.crossJoin(F.broadcast(vm))
+            .select("cnt", F.expr(_FWD2_EXPR).alias("fin"))
+            .agg(
+                F.lit(rnd).cast("int").alias("round"),
+                (-F.sum(F.col("cnt") * F.col("fin.b")))
+                .cast("long")
+                .alias("nll_micro"),
+                F.sum(F.col("cnt") * F.col("fin.np"))
+                .cast("long")
+                .alias("n_pieces"),
+            )
+        )
+
+    return round_row(vm_seed, 1).unionByName(round_row(vm2, 2))
