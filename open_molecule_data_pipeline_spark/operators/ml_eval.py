@@ -439,3 +439,178 @@ def ml_ndcg_linear(spark, sf_dir):
             F.expr("(ldcg * 1000000) div ildcg").alias("ndcg_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Two-round gradient boosting (r12) — the GBT training loop the single
+# stump above is one iteration of: round 1 fits a variance-reduction
+# stump on the target (price cents vs quantity), round 2 fits a second
+# stump on the RESIDUALS against a different feature (discount pct) —
+# exactly how LightGBM/XGBoost descend, one histogram stump per round on
+# the gradient of the loss so far.
+#
+# Exact-integer discipline (the stump's playbook): maximizing variance
+# reduction == maximizing S_L^2/n_L + S_R^2/n_R; comparisons rank on the
+# exact floored quotient num // den with num = S_L^2 * n_R + S_R^2 * n_L
+# (DECIMAL(38,0) on the Spark side, HUGEINT in the oracle — both floor
+# for these non-negative operands; the quotient is ~1e17 cents^2, so the
+# integer part alone separates thresholds); the reported gain is the
+# floored quotient MINUS the unsplit node's floored S^2/n (the variance
+# reduction — int64-safe at any scale), ties by threshold.
+# Leaf predictions are floor-divided cents (both engines floor here), so
+# round-2 residuals are exact int64 and the whole two-round report is
+# bit-identical across engines. Shape at scale: each round is ONE
+# partial-aggregated histogram (<= 50 rows) + a bounded theta join —
+# rows never shuffle, the loop moves O(bins) numbers per round.
+# --------------------------------------------------------------------------
+
+
+def _gbt_round_sql(pts: str, feat: str, target: str, rnd: int) -> str:
+    """One stump round over `pts(f, v)`: argmax variance-reduction split."""
+    return f"""
+  SELECT cast({rnd} AS INTEGER) AS round, '{feat}' AS feature,
+         b AS threshold, nl AS n_left, nr AS n_right,
+         sl AS sum_left, sr AS sum_right,
+         -- TRUNCATED division (matches Spark `div`): DuckDB // floors,
+         -- which differs on the negative residual sums of round 2
+         cast(CASE WHEN sl < 0 THEN -((-sl) // nl) ELSE sl // nl END
+              AS BIGINT) AS pred_left,
+         cast(CASE WHEN sr < 0 THEN -((-sr) // nr) ELSE sr // nr END
+              AS BIGINT) AS pred_right,
+         -- variance REDUCTION vs the unsplit node (both terms floored
+         -- on non-negative operands): fits int64 at any derivation scale,
+         -- unlike the raw quotient which nears 2^63 already at sf0.01
+         cast(num // den
+              - (cast(sl + sr AS HUGEINT) * (sl + sr)) // (nl + nr)
+              AS BIGINT) AS gain_red
+  FROM (
+    SELECT b, nl, nr, sl, sr,
+           (cast(sl AS HUGEINT) * sl * nr
+            + cast(sr AS HUGEINT) * sr * nl) AS num,
+           cast(nl AS HUGEINT) * nr AS den
+    FROM (
+      SELECT c.b,
+             c.ln AS nl, t.n - c.ln AS nr,
+             c.ls AS sl, t.s - c.ls AS sr
+      FROM (
+        SELECT a.f AS b, cast(sum(h.n) AS BIGINT) AS ln,
+               cast(sum(h.s) AS BIGINT) AS ls
+        FROM (SELECT f, cast(count(*) AS BIGINT) AS n,
+                     cast(sum(v) AS BIGINT) AS s FROM {pts} GROUP BY f) a
+        JOIN (SELECT f, cast(count(*) AS BIGINT) AS n,
+                     cast(sum(v) AS BIGINT) AS s FROM {pts} GROUP BY f) h
+          ON h.f <= a.f
+        GROUP BY a.f
+      ) c
+      CROSS JOIN (SELECT cast(count(*) AS BIGINT) AS n,
+                         cast(sum(v) AS BIGINT) AS s FROM {pts}) t
+      WHERE c.ln < t.n
+    ) sp
+  ) sc
+  ORDER BY gain_red DESC, threshold
+  LIMIT 1
+"""
+
+
+_GBT_ORACLE = f"""
+WITH pts1 AS (
+  SELECT cast(round(l_quantity) AS BIGINT) AS f,
+         cast(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+r1 AS ({_gbt_round_sql("pts1", "quantity", "v", 1)}),
+pts2 AS (
+  SELECT cast(round(l_discount * 100) AS BIGINT) AS f,
+         cast(round(l_extendedprice * 100) AS BIGINT)
+           - (CASE WHEN cast(round(l_quantity) AS BIGINT) <= r1.threshold
+                   THEN r1.pred_left ELSE r1.pred_right END) AS v
+  FROM lineitem CROSS JOIN r1
+),
+r2 AS ({_gbt_round_sql("pts2", "discount_pct", "v", 2)})
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+"""
+
+
+def _gbt_round_df(pts, feat: str, rnd: int):
+    """Spark twin of ``_gbt_round_sql``: pts has columns (f, v)."""
+    hist = pts.groupBy("f").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    tot = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("tn"),
+        F.sum("v").cast("long").alias("ts"),
+    )
+    a = hist.select(F.col("f").alias("b"))
+    cum = (
+        a.join(F.broadcast(hist), hist.f <= a.b)
+        .groupBy("b")
+        .agg(F.sum("n").cast("long").alias("nl"), F.sum("s").cast("long").alias("sl"))
+    )
+    sp = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("tn"))
+        .select(
+            "b",
+            "nl",
+            (F.col("tn") - F.col("nl")).alias("nr"),
+            "sl",
+            (F.col("ts") - F.col("sl")).alias("sr"),
+        )
+    )
+    sc = sp.select(
+        "b",
+        "nl",
+        "nr",
+        "sl",
+        "sr",
+        F.expr(
+            "cast(sl as decimal(38,0)) * sl * nr"
+            " + cast(sr as decimal(38,0)) * sr * nl"
+        ).alias("num"),
+        F.expr("cast(nl as decimal(38,0)) * nr").alias("den"),
+    )
+    return (
+        sc.select(
+            F.lit(rnd).cast("int").alias("round"),
+            F.lit(feat).alias("feature"),
+            F.col("b").alias("threshold"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.col("sl").alias("sum_left"),
+            F.col("sr").alias("sum_right"),
+            F.expr("sl div nl").cast("long").alias("pred_left"),
+            F.expr("sr div nr").cast("long").alias("pred_right"),
+            F.expr(
+                "cast(num div den - (cast(sl + sr as decimal(38,0))"
+                " * (sl + sr)) div (nl + nr) as bigint)"
+            ).alias("gain_red"),
+        )
+        .orderBy(F.desc("gain_red"), "threshold")
+        .limit(1)
+    )
+
+
+@register("ml_gbt_two_rounds", oracle=_GBT_ORACLE, tags=("ml", "agg"))
+def ml_gbt_two_rounds(spark, sf_dir):
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey")
+    pts1 = li.select(
+        F.round("l_quantity").cast("long").alias("f"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    r1 = _gbt_round_df(pts1, "quantity", 1)
+    pts2 = (
+        li.crossJoin(F.broadcast(r1.select("threshold", "pred_left", "pred_right")))
+        .select(
+            F.round(F.col("l_discount") * 100).cast("long").alias("f"),
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                - F.when(
+                    F.round("l_quantity").cast("long") <= F.col("threshold"),
+                    F.col("pred_left"),
+                ).otherwise(F.col("pred_right"))
+            ).alias("v"),
+        )
+    )
+    r2 = _gbt_round_df(pts2, "discount_pct", 2)
+    return r1.unionByName(r2)

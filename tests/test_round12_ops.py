@@ -350,3 +350,22 @@ def test_ppl_filter_ranks_whole_corpus_consistently(spark, sf_dir):
         assert r.toks > 0 and r.nll_micro > 0
     means = [r.mean_nll_micro for r in rows]
     assert means == sorted(means, reverse=True)
+
+
+def test_gbt_two_rounds_invariants(spark, sf_dir):
+    """Boosting mechanics: both stumps find a strictly positive variance
+    reduction; round 2's leaf sums reconstruct the total residual, whose
+    magnitude is bounded by the row count (each round-1 prediction is a
+    floored mean, < 1 cent off per row)."""
+    from open_molecule_data_pipeline_spark.operators.ml_eval import (
+        ml_gbt_two_rounds,
+    )
+
+    rows = {r.round: r for r in ml_gbt_two_rounds(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].feature == "quantity" and rows[2].feature == "discount_pct"
+    for r in rows.values():
+        assert r.gain_red > 0
+        assert r.n_left > 0 and r.n_right > 0
+    n = rows[2].n_left + rows[2].n_right
+    assert abs(rows[2].sum_left + rows[2].sum_right) < n
