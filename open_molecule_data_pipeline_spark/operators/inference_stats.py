@@ -746,3 +746,131 @@ def profile_gini_coefficient(spark, sf_dir):
             (two * d("ws") - (d("n") + one) * d("s")) / (d("n") * d("s")), 6
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation with ties (r12) — the missing nonparametric
+# next to KS/Mann-Whitney/ANOVA/Levene/runs: per event series, the rank
+# correlation between time and value, i.e. the standard monotonic-trend
+# screen (Spearman(ts, value) ~ +-1 = drifting series, ~0 = stationary).
+#
+# Ties are handled exactly: doubled average ranks 2*cum_less + cnt + 1
+# (the Mann-Whitney doubled-rank trick) computed on the DISTINCT-value
+# table — per-group cumulative counts come from ONE global two-pass
+# running sum ordered by (group, value) minus broadcast per-group
+# offsets, so no partitionless window ever sees row-scale data. rho is
+# then Pearson over the doubled ranks (the statistically correct form
+# under ties): exact int64/DECIMAL(38) moments, one final double-precision
+# formula shared textually with the oracle, rounded to 6 dp.
+# --------------------------------------------------------------------------
+
+_SPEAR_RHO = (
+    "round((cast({n} as double) * cast({sxy} as double)"
+    " - cast({sx} as double) * cast({sy} as double))"
+    " / nullif(sqrt((cast({n} as double) * cast({sxx} as double)"
+    "                - cast({sx} as double) * cast({sx} as double))"
+    "               * (cast({n} as double) * cast({syy} as double)"
+    "                  - cast({sy} as double) * cast({sy} as double))), 0.0)"
+    ", 6)"
+)
+
+_SPEARMAN_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type AS g, epoch_us(ts) AS x,
+         cast(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+dx AS (
+  SELECT g, x, cast(count(*) AS BIGINT) AS c FROM pts GROUP BY g, x
+),
+rx AS (
+  SELECT g, x,
+         2 * (sum(c) OVER (PARTITION BY g ORDER BY x) - c) + c + 1 AS r
+  FROM dx
+),
+dy AS (
+  SELECT g, y, cast(count(*) AS BIGINT) AS c FROM pts GROUP BY g, y
+),
+ry AS (
+  SELECT g, y,
+         2 * (sum(c) OVER (PARTITION BY g ORDER BY y) - c) + c + 1 AS r
+  FROM dy
+),
+ranked AS (
+  SELECT pts.g, rx.r AS rx, ry.r AS ry
+  FROM pts JOIN rx ON rx.g = pts.g AND rx.x = pts.x
+           JOIN ry ON ry.g = pts.g AND ry.y = pts.y
+),
+mom AS (
+  SELECT g, cast(count(*) AS BIGINT) AS n,
+         cast(sum(rx) AS BIGINT) AS sx, cast(sum(ry) AS BIGINT) AS sy,
+         sum(cast(rx AS HUGEINT) * ry) AS sxy,
+         sum(cast(rx AS HUGEINT) * rx) AS sxx,
+         sum(cast(ry AS HUGEINT) * ry) AS syy
+  FROM ranked GROUP BY g
+)
+SELECT g AS event_type, n, sx, sy,
+       {_SPEAR_RHO.format(n="n", sxy="sxy", sx="sx", sy="sy",
+                          sxx="sxx", syy="syy")} AS rho
+FROM mom
+"""
+
+
+def _doubled_ranks(pts, col: str):
+    """Distinct-value doubled average ranks per group, scale-safe: one
+    global two-pass running count over (g, col) minus per-group offsets."""
+    from ._util import two_pass_global_window
+
+    d = pts.groupBy("g", col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    run = two_pass_global_window(d, ["g", col], value_col="c", out_col="cum")
+    goff = run.groupBy("g").agg(
+        (F.max("cum") - F.sum("c")).cast("long").alias("off")
+    )
+    return (
+        run.join(F.broadcast(goff), "g")
+        .select(
+            "g",
+            col,
+            (
+                2 * (F.col("cum") - F.col("c") - F.col("off"))
+                + F.col("c")
+                + 1
+            ).cast("long").alias("r"),
+        )
+    )
+
+
+@register(
+    "profile_spearman_trend",
+    oracle=_SPEARMAN_ORACLE,
+    tags=("agg", "timeseries"),
+)
+def profile_spearman_trend(spark, sf_dir):
+    from ._util import spread
+
+    ev = spread(table(spark, sf_dir, "events"), "event_id")
+    pts = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    rx = _doubled_ranks(pts, "x").withColumnRenamed("r", "rx")
+    ry = _doubled_ranks(pts, "y").withColumnRenamed("r", "ry")
+    ranked = pts.join(rx, ["g", "x"]).join(ry, ["g", "y"])
+    dec = lambda a, b: F.sum(  # noqa: E731
+        (F.col(a).cast("decimal(38,0)") * F.col(b))
+    )
+    mom = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        dec("rx", "ry").alias("sxy"),
+        dec("rx", "rx").alias("sxx"),
+        dec("ry", "ry").alias("syy"),
+    )
+    rho = F.expr(
+        _SPEAR_RHO.format(n="n", sxy="sxy", sx="sx", sy="sy", sxx="sxx", syy="syy")
+    )
+    return mom.select(
+        F.col("g").alias("event_type"), "n", "sx", "sy", rho.alias("rho")
+    )

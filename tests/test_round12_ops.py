@@ -369,3 +369,35 @@ def test_gbt_two_rounds_invariants(spark, sf_dir):
         assert r.n_left > 0 and r.n_right > 0
     n = rows[2].n_left + rows[2].n_right
     assert abs(rows[2].sum_left + rows[2].sum_right) < n
+
+
+def test_spearman_hand_cases(spark, tmp_path):
+    """Perfect monotone series -> rho = 1, perfect inverse -> -1, and a
+    tied series agrees with the closed-form Pearson-on-average-ranks."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.inference_stats import (
+        profile_spearman_trend,
+    )
+
+    base = 1704067200_000000  # 2024-01-01 in micros
+    rows = []
+    for i in range(8):
+        rows.append(("up", base + i * 1_000_000, 1.0 + i))
+        rows.append(("down", base + i * 1_000_000, 9.0 - i))
+    # tied: values [1,1,2,2] over increasing ts -> rho = sqrt(0.8)
+    for i, v in enumerate([1.0, 1.0, 2.0, 2.0]):
+        rows.append(("tied", base + i * 1_000_000, v))
+    df = spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr(
+        "event_id", "event_type", "timestamp_micros(tsm) as ts", "value"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {
+        r.event_type: r for r in profile_spearman_trend(spark, str(tmp_path)).collect()
+    }
+    assert got["up"].rho == 1.0
+    assert got["down"].rho == -1.0
+    assert abs(got["tied"].rho - round(0.8**0.5, 6)) < 1e-9
