@@ -874,3 +874,96 @@ def profile_spearman_trend(spark, sf_dir):
     return mom.select(
         F.col("g").alias("event_type"), "n", "sx", "sy", rho.alias("rho")
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend slope (r12) — the median-of-pairwise-slopes
+# estimator (the robust companion to the Spearman trend screen above:
+# Spearman says WHETHER a series drifts, Theil-Sen says HOW FAST,
+# insensitive to outliers). Computed on the hourly bucket table, so the
+# O(T^2) pair join is bounded by the TIME RANGE in hours (~720 buckets
+# -> ~260k pairs per series), independent of corpus row count — more
+# rows only sharpen the bucket means, they never grow the join. Exact
+# integer end to end: bucket means and pair slopes are truncated-division
+# micro-cent quantities (oracle mirrors Spark's `div` truncation on
+# negative deltas via the abs trick), and the median is the LOWER median
+# selected by deterministic row_number over the bounded pair table.
+# --------------------------------------------------------------------------
+
+_SEN_ORACLE = """
+WITH b AS (
+  SELECT event_type AS g, epoch_us(ts) // 3600000000 AS h,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         cast(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+v AS (SELECT g, h, (s * 1000000) // c AS vm FROM b),
+pairs AS (
+  SELECT a.g, a.h AS h1, bb.h AS h2,
+         CASE WHEN bb.vm - a.vm < 0
+              THEN -((a.vm - bb.vm) // (bb.h - a.h))
+              ELSE (bb.vm - a.vm) // (bb.h - a.h) END AS slope
+  FROM v a JOIN v bb ON bb.g = a.g AND bb.h > a.h
+),
+ranked AS (
+  SELECT g, slope,
+         row_number() OVER (PARTITION BY g ORDER BY slope, h1, h2) AS rn,
+         count(*) OVER (PARTITION BY g) AS m
+  FROM pairs
+)
+SELECT r.g AS event_type,
+       cast((SELECT count(*) FROM v WHERE v.g = r.g) AS BIGINT) AS n_buckets,
+       cast(r.m AS BIGINT) AS n_pairs,
+       cast(r.slope AS BIGINT) AS sen_slope_micro_per_hour
+FROM ranked r WHERE r.rn = (r.m + 1) // 2
+"""
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle=_SEN_ORACLE,
+    tags=("timeseries", "agg"),
+)
+def ts_theil_sen_slope(spark, sf_dir):
+    from ._util import spread
+
+    ev = spread(table(spark, sf_dir, "events"), "event_id")
+    b = ev.groupBy(
+        F.col("event_type").alias("g"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    v = b.select("g", "h", F.expr("(s * 1000000) div c").alias("vm"))
+    a = v.select("g", F.col("h").alias("h1"), F.col("vm").alias("v1"))
+    bb = v.select("g", F.col("h").alias("h2"), F.col("vm").alias("v2"))
+    # bounded theta join: <= T(T-1)/2 pairs per series, T = range hours
+    pairs = (
+        a.join(bb, "g")
+        .filter(F.col("h2") > F.col("h1"))
+        .select(
+            "g",
+            "h1",
+            "h2",
+            F.expr("(v2 - v1) div (h2 - h1)").alias("slope"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("g").orderBy("slope", "h1", "h2")
+    wm = W.partitionBy("g")
+    nb = v.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    ranked = pairs.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "m", F.count(F.lit(1)).over(wm)
+    )
+    return (
+        ranked.filter(F.expr("rn = (m + 1) div 2"))
+        .join(F.broadcast(nb), "g")
+        .select(
+            F.col("g").alias("event_type"),
+            "n_buckets",
+            F.col("m").cast("long").alias("n_pairs"),
+            F.col("slope").cast("long").alias("sen_slope_micro_per_hour"),
+        )
+    )

@@ -401,3 +401,31 @@ def test_spearman_hand_cases(spark, tmp_path):
     assert got["up"].rho == 1.0
     assert got["down"].rho == -1.0
     assert abs(got["tied"].rho - round(0.8**0.5, 6)) < 1e-9
+
+
+def test_theil_sen_hand_case(spark, tmp_path):
+    """Hand-worked: hourly means 100,200,300,400 cents -> all pairwise
+    slopes are exactly 100 cents/h -> Sen slope = 100e6 micro/h; with one
+    outlier bucket the median is unmoved (robustness, the op's point)."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.inference_stats import (
+        ts_theil_sen_slope,
+    )
+
+    base = 1704067200_000000
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append(("lin", base + i * 3_600_000_000, v))
+    for i, v in enumerate([1.0, 2.0, 3.0, 400.0]):  # outlier at the end
+        rows.append(("out", base + i * 3_600_000_000, v))
+    df = spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts", "value")
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {r.event_type: r for r in ts_theil_sen_slope(spark, str(tmp_path)).collect()}
+    assert got["lin"].sen_slope_micro_per_hour == 100_000_000
+    assert got["lin"].n_pairs == 6
+    # lower median of the outlier series' slopes {100,100,100}e6 ∪ big
+    assert got["out"].sen_slope_micro_per_hour == 100_000_000
