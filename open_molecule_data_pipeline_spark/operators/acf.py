@@ -345,3 +345,62 @@ def ts_cross_correlation(spark, sf_dir):
     return g.select(
         "lag", F.col("n").alias("n_pairs"), F.round(num / den, 6).alias("xcorr")
     )
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation (r12) — the second panel of the Box-Jenkins
+# workup next to ``ts_acf_lags``: PACF at lag L is the correlation left
+# at lag L after removing what shorter lags explain, the plot an AR-order
+# choice is read from. Durbin-Levinson unrolled to lag 3 over the ACF
+# values (phi11 = r1; phi22 = (r2 - r1^2)/(1 - r1^2); phi33 from the
+# order-2 coefficients). The ACF inputs are the 6-dp ROUNDED values of
+# the proven ACF query — both engines share those exact rounded doubles,
+# so the closed-form PACF arithmetic is bit-identical (same textual
+# formula, nullif-guarded denominators for degenerate series). Corpus
+# cost = the ACF pass itself; everything after runs on one row per
+# series.
+# --------------------------------------------------------------------------
+
+_PACF_FORMULAS = """
+  r1 AS phi11,
+  round((r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0), 6) AS phi22,
+  round(
+    (r3
+     - (r1 * (1 - (r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0))) * r2
+     - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0)) * r1)
+    / nullif(
+        1
+        - (r1 * (1 - (r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0))) * r1
+        - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0)) * r2, 0.0), 6
+  ) AS phi33
+"""
+
+_PACF_ORACLE = f"""
+WITH acf AS ({_ACF_ORACLE}),
+piv AS (
+  SELECT event_type,
+         max(CASE WHEN lag = 1 THEN acf END) AS r1,
+         max(CASE WHEN lag = 2 THEN acf END) AS r2,
+         max(CASE WHEN lag = 3 THEN acf END) AS r3
+  FROM acf GROUP BY event_type
+)
+SELECT event_type, {_PACF_FORMULAS}
+FROM piv
+"""
+
+
+@register(
+    "ts_pacf_durbin_levinson",
+    oracle=_PACF_ORACLE,
+    tags=("timeseries", "stats"),
+)
+def ts_pacf_durbin_levinson(spark, sf_dir):
+    acf = ts_acf_lags(spark, sf_dir)
+    piv = acf.groupBy("event_type").agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+    )
+    return piv.selectExpr("event_type", *[
+        e.strip() for e in _PACF_FORMULAS.split(",\n") if e.strip()
+    ])

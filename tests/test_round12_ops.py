@@ -429,3 +429,23 @@ def test_theil_sen_hand_case(spark, tmp_path):
     assert got["lin"].n_pairs == 6
     # lower median of the outlier series' slopes {100,100,100}e6 ∪ big
     assert got["out"].sen_slope_micro_per_hour == 100_000_000
+
+
+def test_pacf_ar1_hand_case(spark, tmp_path):
+    """For an AR(1)-like geometric ACF the PACF must cut off after lag 1:
+    with r_L = r1^L exactly, phi22 = phi33 = 0 by the Durbin-Levinson
+    recursion. Verified on the formula layer: feed a pivoted ACF row
+    through the same expressions the query uses."""
+    from open_molecule_data_pipeline_spark.operators.acf import _PACF_FORMULAS
+
+    r1 = 0.6
+    df = spark.createDataFrame(
+        [("s", r1, round(r1**2, 6), round(r1**3, 6))],
+        "event_type string, r1 double, r2 double, r3 double",
+    )
+    row = df.selectExpr(
+        "event_type", *[e.strip() for e in _PACF_FORMULAS.split(",\n") if e.strip()]
+    ).collect()[0]
+    assert row.phi11 == r1
+    assert abs(row.phi22) < 1e-5
+    assert abs(row.phi33) < 1e-5
