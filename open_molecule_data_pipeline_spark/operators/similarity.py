@@ -914,3 +914,143 @@ def ml_embedding_truncate_recall(spark, sf_dir):
             F.count("tr_neighbor") / F.lit(K).cast("double"), 6
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF index maintenance (r12) — the nightly-embedding-ingest
+# shape, mirroring ``dedup_incremental_batch`` on the ANN side: the
+# persisted inverted lists (``sim_ivf_persisted``) gain a NEW BATCH of
+# vectors (vec_id % 10 == 7 plays the delta) WITHOUT a rebuild. The
+# coarse quantizer is trained on — and frozen to — the BASE corpus; the
+# delta is assigned with those same broadcast centroids and APPENDED into
+# the same cent_id partition layout (two writer jobs, one layout), so a
+# probe reads base+delta lists through the identical partition-pruned
+# path and the index serves the new batch immediately. ``from_delta``
+# marks served neighbors that arrived in the append — standing proof the
+# delta is queryable. The oracle computes the same frozen-quantizer IVF
+# over the union corpus analytically. Scale: the append touches only the
+# delta's rows and partitions; nothing about the base index is rewritten.
+# --------------------------------------------------------------------------
+
+_INC_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+norm AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nn FROM v),
+cent AS (
+  SELECT vec_id AS cent_id, e AS ce, nn AS cn FROM norm
+  WHERE vec_id % 10 <> 7
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {K_CENT}
+),
+cd AS (
+  SELECT n.vec_id, c.cent_id,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY round(list_dot_product(n.e, c.ce) / (n.nn * c.cn), 6)
+                    DESC, c.cent_id) AS crn
+  FROM norm n CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, cent_id FROM cd WHERE crn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cent_id FROM cd
+  WHERE crn <= {NPROBE} AND vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(qv.e, cv.e) / (qv.nn * cv.nn), 6) AS cos,
+         cast(CASE WHEN a.vec_id % 10 = 7 THEN 1 ELSE 0 END AS INTEGER)
+           AS from_delta
+  FROM probe p
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN norm qv ON qv.vec_id = p.query_id
+  JOIN norm cv ON cv.vec_id = a.vec_id AND cv.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, from_delta FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= 3
+"""
+
+
+@register(
+    "sim_ivf_incremental_append",
+    oracle=_INC_ORACLE,
+    tags=("similarity", "ivf", "formats"),
+)
+def sim_ivf_incremental_append(spark, sf_dir):
+    from .file_formats import _scratch
+
+    e = _emb_with_norm(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    delta = e.filter(F.col("vec_id") % 10 == 7)
+    # frozen quantizer: trained on the BASE corpus only
+    cent = (
+        base.select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_e"),
+            F.col("vv").alias("kk"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "cent_id")
+        .limit(K_CENT)
+        .drop("h")
+    )
+    cdot = F.expr(_DOT.format(a="embedding", b="cent_e"))
+    ccos = F.round(cdot / (F.col("vv") * F.col("kk")), 6)
+    argmax_key = F.struct(F.col("ccos"), (-F.col("cent_id")).alias("neg_cent"))
+
+    def assigned(part):
+        return (
+            part.crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "vv", "cent_id", ccos.alias("ccos"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by("cent_id", argmax_key).alias("cent_id"),
+                F.any_value("embedding").alias("ce"),
+                F.any_value("vv").alias("cn"),
+            )
+            .select(F.col("vec_id").alias("neighbor_id"), "ce", "cn", "cent_id")
+        )
+
+    out = _scratch("ivf_inc", sf_dir)
+    assigned(base).write.mode("overwrite").partitionBy("cent_id").parquet(str(out))
+    # the incremental step: only the delta's rows move, same layout
+    assigned(delta).write.mode("append").partitionBy("cent_id").parquet(str(out))
+
+    lists = spark.read.parquet(str(out)).select(
+        "neighbor_id", F.col("ce"), "cn", F.col("cent_id").cast("long")
+    )
+    # probe with the same frozen centroids
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    wq = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "vv", "cent_id", ccos.alias("ccos"))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("vv").alias("qn"),
+            "cent_id",
+        )
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = (
+        lists.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+            (F.col("neighbor_id") % 10 == 7).cast("int").alias("from_delta"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cos", "from_delta")
+    )

@@ -449,3 +449,17 @@ def test_pacf_ar1_hand_case(spark, tmp_path):
     assert row.phi11 == r1
     assert abs(row.phi22) < 1e-5
     assert abs(row.phi33) < 1e-5
+
+
+def test_ivf_incremental_append_serves_delta(spark, sf_dir):
+    """The point of the append: at least one served neighbor comes from
+    the delta batch, and every delta neighbor's flag is consistent with
+    its vec_id (the index answers for vectors the base build never saw)."""
+    from open_molecule_data_pipeline_spark.operators.similarity import (
+        sim_ivf_incremental_append,
+    )
+
+    rows = sim_ivf_incremental_append(spark, sf_dir).collect()
+    assert rows
+    assert all((r.neighbor_id % 10 == 7) == bool(r.from_delta) for r in rows)
+    assert any(r.from_delta for r in rows)
