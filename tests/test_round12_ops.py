@@ -1,5 +1,10 @@
-"""Round-12 operator pins: Unigram-LM trainer Viterbi fold semantics and
-the hybrid-RRF arm-overlap eval invariants."""
+"""Round-12 operator pins: Unigram-LM family (Viterbi fold hand-DP +
+tie rule, EM bookkeeping, EM monotone-NLL, apply forward-np identity,
+perplexity-filter argmax), hybrid-RRF arm-overlap invariants, JPEG codec
+(coefficient round-trip, basis hand-cases, stuffing, gates, re-encode
+bytes-differ/pixels-equal), PMI hand fixture, GBT boosting invariants,
+Spearman hand cases, Theil-Sen hand cases, PACF AR(1) cutoff, and the
+incremental-IVF delta-served pin."""
 
 from __future__ import annotations
 
