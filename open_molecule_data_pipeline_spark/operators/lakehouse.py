@@ -143,3 +143,73 @@ def layout_compaction_binpack(spark, sf_dir):
         F.sum("cents").alias("sum_cents"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition overwrite (r12) — the backfill idiom: INSERT OVERWRITE
+# that replaces ONLY the partitions the incoming data touches, leaving
+# every other partition's files untouched (Spark's
+# ``partitionOverwriteMode=dynamic`` write option; STATIC mode — the
+# default — would truncate the whole table). The fixture stages a bad
+# first load (one event_type's hourly rollup computed with a corrupted
+# filter), then backfills just that type's partition with corrected rows
+# through a dynamic-mode overwrite; the driver-hashed result is the final
+# table state, which must equal the clean rollup — possible only if the
+# backfill replaced the bad partition AND spared the good ones.
+# tests/test_round12_ops.py additionally pins the file-level semantics:
+# untouched partitions keep byte-identical files across the backfill.
+# At 100 TB this is the difference between rewriting one day/source
+# directory and rewriting the table.
+# --------------------------------------------------------------------------
+
+_DYN_OVERWRITE_ORACLE = """
+SELECT event_type,
+       epoch_us(ts) // 3600000000 AS h,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _hourly_rollup(ev):
+    return ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "sum_cents"
+        ),
+    )
+
+
+@register(
+    "format_dynamic_partition_overwrite",
+    oracle=_DYN_OVERWRITE_ORACLE,
+    tags=("formats", "cdc"),
+)
+def format_dynamic_partition_overwrite(spark, sf_dir):
+    from ..catalog import table
+    from .file_formats import _scratch
+
+    ev = table(spark, sf_dir, "events")
+    out = _scratch("dynow", sf_dir)
+    # bad first load: the 'click' partition's rollup drops sub-dollar rows
+    bad = _hourly_rollup(
+        ev.filter(
+            (F.col("event_type") != "click") | (F.col("value") >= 1.0)
+        )
+    )
+    bad.write.mode("overwrite").partitionBy("event_type").parquet(str(out))
+    # backfill: recompute ONLY the click partition, overwrite dynamically
+    fix = _hourly_rollup(ev.filter(F.col("event_type") == "click"))
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(str(out))
+    )
+    return spark.read.parquet(str(out)).select(
+        "event_type", "h", "n", "sum_cents"
+    )

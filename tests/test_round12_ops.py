@@ -468,3 +468,49 @@ def test_ivf_incremental_append_serves_delta(spark, sf_dir):
     assert rows
     assert all((r.neighbor_id % 10 == 7) == bool(r.from_delta) for r in rows)
     assert any(r.from_delta for r in rows)
+
+
+def test_dynamic_overwrite_spares_untouched_partitions(spark, sf_dir):
+    """File-level semantics of partitionOverwriteMode=dynamic: after the
+    click-partition backfill, every OTHER partition's data files are
+    byte-identical to the first load (same names, same contents); the
+    click partition's files are replaced."""
+    import glob
+    import hashlib
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.file_formats import _scratch
+    from open_molecule_data_pipeline_spark.operators.lakehouse import (
+        _hourly_rollup,
+    )
+    from open_molecule_data_pipeline_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    ev = table(spark, sf_dir, "events")
+    out = _scratch("dynow_pin", sf_dir)
+    bad = _hourly_rollup(
+        ev.filter((F.col("event_type") != "click") | (F.col("value") >= 1.0))
+    )
+    bad.write.mode("overwrite").partitionBy("event_type").parquet(str(out))
+
+    def snap():
+        state = {}
+        for f in glob.glob(os.path.join(str(out), "event_type=*", "*.parquet")):
+            state[f] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return state
+
+    before = snap()
+    fix = _hourly_rollup(ev.filter(F.col("event_type") == "click"))
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(str(out))
+    )
+    after = snap()
+    others_b = {f: h for f, h in before.items() if "event_type=click" not in f}
+    others_a = {f: h for f, h in after.items() if "event_type=click" not in f}
+    assert others_a == others_b, "untouched partitions must keep their files"
+    click_b = {f for f in before if "event_type=click" in f}
+    click_a = {f for f in after if "event_type=click" in f}
+    assert click_a and not (click_a & click_b), "click partition replaced"
