@@ -518,3 +518,90 @@ def text_hybrid_rrf_arm_overlap(spark, sf_dir):
             cnt(in5("rank_sparse")) / F.lit(_RRF_OUT).cast("double"), 6
         ).alias("frac_sparse5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Positional-index phrase search (r12): exact multi-word phrase matching
+# — the inverted-index feature BM25/RRF above cannot express, since bag-
+# of-words scoring is position-blind. Postings here carry token POSITIONS
+# (posexplode); an n-word phrase match is the positional intersection
+# p_{k+1} = p_k + 1 chained across the phrase's terms, i.e. the join a
+# positional index serves. Correct for self-overlapping phrases (counts
+# every start position — a replace()-based count would merge overlaps).
+# Scale shape: postings are filtered to the phrase's terms BEFORE any
+# join (the same corpus-side reduction as the BM25 tf pass), the chain
+# joins on (doc_id, position) equality, and the per-phrase top-10 is a
+# bounded rank. Three phrases of lengths 2, 2, 3 ride through one plan.
+# --------------------------------------------------------------------------
+
+_PHRASES = (("table", "hash"), ("vector", "small"), ("slow", "hash", "batch"))
+_PHRASE_TOP = 10
+
+_PHRASE_TERMS = sorted({w for p in _PHRASES for w in p})
+
+
+def _phrase_oracle() -> str:
+    arms = []
+    for p in _PHRASES:
+        label = " ".join(p)
+        conds = " AND ".join(
+            f"ts[i + {k}] = '{w}'" for k, w in enumerate(p)
+        )
+        arms.append(f"""
+  SELECT '{label}' AS phrase, doc_id, cast(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+  ) g
+  WHERE i + {len(p) - 1} <= len(ts) AND {conds}
+  GROUP BY doc_id""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH hits AS ({body})
+SELECT phrase, doc_id, n FROM (
+  SELECT phrase, doc_id, n,
+         row_number() OVER (PARTITION BY phrase
+                            ORDER BY n DESC, doc_id) AS rn
+  FROM hits
+) t WHERE rn <= {_PHRASE_TOP}
+"""
+
+
+@register(
+    "text_phrase_search_positional",
+    oracle=_phrase_oracle(),
+    tags=("text", "functions"),
+)
+def text_phrase_search_positional(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    postings = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w").isin(*_PHRASE_TERMS))
+    arms = []
+    for p in _PHRASES:
+        cur = postings.filter(F.col("w") == p[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for k, w in enumerate(p[1:], start=1):
+            nxt = postings.filter(F.col("w") == w).select(
+                "doc_id", F.col("pos").alias(f"p{k}")
+            )
+            cur = cur.join(nxt, "doc_id").filter(
+                F.col(f"p{k}") == F.col(f"p{k-1}") + 1
+            )
+        arms.append(
+            cur.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit(" ".join(p)).alias("phrase"), "doc_id", "n")
+        )
+    hits = arms[0]
+    for a in arms[1:]:
+        hits = hits.unionByName(a)
+    w = W.partitionBy("phrase").orderBy(F.desc("n"), "doc_id")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PHRASE_TOP)
+        .select("phrase", "doc_id", "n")
+    )

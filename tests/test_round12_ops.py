@@ -514,3 +514,34 @@ def test_dynamic_overwrite_spares_untouched_partitions(spark, sf_dir):
     click_b = {f for f in before if "event_type=click" in f}
     click_a = {f for f in after if "event_type=click" in f}
     assert click_a and not (click_a & click_b), "click partition replaced"
+
+
+def test_phrase_search_counts_overlapping_starts(spark, tmp_path):
+    """'a a' in 'a a a' must count 2 (every start position) — the case a
+    replace()-based substring count merges; and a 3-word phrase split
+    across two docs must not match."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.retrieval import (
+        _PHRASES,
+        text_phrase_search_positional,
+    )
+
+    p2 = _PHRASES[0]  # ("table", "hash")
+    docs = [
+        (0, " ".join([p2[0], p2[1], p2[0], p2[1]])),     # 2 non-overlap hits
+        (1, f"{p2[0]} {p2[0]} {p2[1]}"),                 # 1 hit at pos 2
+        (2, p2[0]),                                      # partial only
+        (3, f"x {p2[0]} {p2[1]} y"),                     # 1 interior hit
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    rows = text_phrase_search_positional(spark, str(tmp_path)).collect()
+    got = {(r.phrase, r.doc_id): r.n for r in rows}
+    label = " ".join(p2)
+    assert got[(label, 0)] == 2
+    assert got[(label, 1)] == 1
+    assert got[(label, 3)] == 1
+    assert (label, 2) not in got
