@@ -514,3 +514,75 @@ def graph_modularity(spark, sf_dir):
             F.sum("t9").cast("double") / F.lit(1000000000).cast("double"), 6
         ).alias("modularity_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# Power-law degree-exponent estimate (r12) — the scale-free screen run on
+# any graph before choosing partitioning/skew strategy (alpha ~ 2-3 means
+# hub-dominated degree skew; the answer decides whether joins on node
+# keys need salting). Continuous MLE per Clauset-Shalizi-Newman:
+# alpha = 1 + n_tail / sum(ln(k_i / (kmin - 0.5))) over degrees k >= kmin
+# (kmin = 2 fixed). Per-node ln terms are quantized to nano-units BEFORE
+# the sum (the established order-free-exact pattern), so the cross-engine
+# hash is stable. Cost: the distinct-edge build + one degree groupBy.
+# --------------------------------------------------------------------------
+
+_KMIN = 2
+
+_PLAW_ORACLE = f"""
+WITH e AS ({_EDGE_SQL}),
+deg AS (
+  SELECT node, cast(count(*) AS BIGINT) AS k FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) t GROUP BY node
+),
+tail AS (
+  SELECT k, cast(round(ln(cast(k AS DOUBLE) / {_KMIN - 0.5}) * 1000000000)
+                 AS BIGINT) AS lnq
+  FROM deg WHERE k >= {_KMIN}
+)
+SELECT cast((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       cast(count(*) AS BIGINT) AS n_tail,
+       cast(max(k) AS BIGINT) AS k_max,
+       round(1 + cast(count(*) AS DOUBLE) * 1000000000
+                 / cast(sum(lnq) AS DOUBLE), 6) AS alpha
+FROM tail
+"""
+
+
+@register(
+    "graph_powerlaw_alpha",
+    oracle=_PLAW_ORACLE,
+    tags=("graph", "agg"),
+)
+def graph_powerlaw_alpha(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    tail = deg.filter(F.col("k") >= _KMIN).select(
+        "k",
+        F.expr(
+            f"cast(round(ln(cast(k as double) / {_KMIN - 0.5})"
+            " * 1000000000) as bigint)"
+        ).alias("lnq"),
+    )
+    return (
+        tail.agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.max("k").cast("long").alias("k_max"),
+            F.round(
+                1
+                + F.count(F.lit(1)).cast("double")
+                * 1000000000
+                / F.sum("lnq").cast("double"),
+                6,
+            ).alias("alpha"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select("n_nodes", "n_tail", "k_max", "alpha")
+    )
