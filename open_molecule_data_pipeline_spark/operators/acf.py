@@ -404,3 +404,181 @@ def ts_pacf_durbin_levinson(spark, sf_dir):
     return piv.selectExpr("event_type", *[
         e.strip() for e in _PACF_FORMULAS.split(",\n") if e.strip()
     ])
+
+
+# --------------------------------------------------------------------------
+# Granger-causality screen (r12) — the causal sibling of the lagged
+# cross-correlation above: does series A's PAST improve the prediction of
+# B beyond B's own past? For every ordered (cause, effect) pair of hourly
+# mean series: restricted OLS (b_t ~ 1 + b_{t-1}) vs full OLS
+# (b_t ~ 1 + b_{t-1} + a_{t-1}), compared by the standard F statistic
+# F = (SSE_r - SSE_f) / (SSE_f / (n - 3)).
+#
+# One aggregation pass per pair collects the ten exact moments
+# (DECIMAL(38,0) sums of cents-quantized bucket means; the hour chain
+# must be dense on BOTH series — the MASE lag-validity rule); both models
+# then solve in closed form (3x3 Cramer for the full model — the
+# ml_ols_normal_equations text — and the 2x2 for the restricted), with
+# SSE from the normal-equations identity SSE = Syy - beta'X'y. Every
+# double expression is textually shared across engines. Rows per pair are
+# bounded by the time range in hours, so the screen's cost is the hourly
+# bucket build however large the corpus.
+# --------------------------------------------------------------------------
+
+_GRANGER_EXPRS = """
+  cast(n AS BIGINT) AS n,
+  round(
+    (nd * (Sx11 * Sx2y - Sx12 * Sx1y) - Sx1 * (Sx1 * Sx2y - Sx1y * Sx2)
+     + Sy * (Sx1 * Sx12 - Sx11 * Sx2))
+    / nullif(nd * (Sx11 * Sx22 - Sx12 * Sx12)
+             - Sx1 * (Sx1 * Sx22 - Sx12 * Sx2)
+             + Sx2 * (Sx1 * Sx12 - Sx11 * Sx2), 0.0), 6) AS gamma,
+  round(
+    ((Syy - ((Sy * Sx11 - Sx1 * Sx1y) / nullif(nd * Sx11 - Sx1 * Sx1, 0.0))
+            * Sy
+          - ((nd * Sx1y - Sx1 * Sy) / nullif(nd * Sx11 - Sx1 * Sx1, 0.0))
+            * Sx1y)
+     - (Syy
+        - ((Sy * (Sx11 * Sx22 - Sx12 * Sx12)
+            - Sx1 * (Sx1y * Sx22 - Sx12 * Sx2y)
+            + Sx2 * (Sx1y * Sx12 - Sx11 * Sx2y))
+           / nullif(nd * (Sx11 * Sx22 - Sx12 * Sx12)
+                    - Sx1 * (Sx1 * Sx22 - Sx12 * Sx2)
+                    + Sx2 * (Sx1 * Sx12 - Sx11 * Sx2), 0.0)) * Sy
+        - ((nd * (Sx1y * Sx22 - Sx2y * Sx12) - Sy * (Sx1 * Sx22 - Sx12 * Sx2)
+            + Sx2 * (Sx1 * Sx2y - Sx1y * Sx2))
+           / nullif(nd * (Sx11 * Sx22 - Sx12 * Sx12)
+                    - Sx1 * (Sx1 * Sx22 - Sx12 * Sx2)
+                    + Sx2 * (Sx1 * Sx12 - Sx11 * Sx2), 0.0)) * Sx1y
+        - ((nd * (Sx11 * Sx2y - Sx12 * Sx1y) - Sx1 * (Sx1 * Sx2y - Sx1y * Sx2)
+            + Sy * (Sx1 * Sx12 - Sx11 * Sx2))
+           / nullif(nd * (Sx11 * Sx22 - Sx12 * Sx12)
+                    - Sx1 * (Sx1 * Sx22 - Sx12 * Sx2)
+                    + Sx2 * (Sx1 * Sx12 - Sx11 * Sx2), 0.0)) * Sx2y))
+    / nullif(
+       (Syy
+        - ((Sy * (Sx11 * Sx22 - Sx12 * Sx12)
+            - Sx1 * (Sx1y * Sx22 - Sx12 * Sx2y)
+            + Sx2 * (Sx1y * Sx12 - Sx11 * Sx2y))
+           / nullif(nd * (Sx11 * Sx22 - Sx12 * Sx12)
+                    - Sx1 * (Sx1 * Sx22 - Sx12 * Sx2)
+                    + Sx2 * (Sx1 * Sx12 - Sx11 * Sx2), 0.0)) * Sy
+        - ((nd * (Sx1y * Sx22 - Sx2y * Sx12) - Sy * (Sx1 * Sx22 - Sx12 * Sx2)
+            + Sx2 * (Sx1 * Sx2y - Sx1y * Sx2))
+           / nullif(nd * (Sx11 * Sx22 - Sx12 * Sx12)
+                    - Sx1 * (Sx1 * Sx22 - Sx12 * Sx2)
+                    + Sx2 * (Sx1 * Sx12 - Sx11 * Sx2), 0.0)) * Sx1y
+        - ((nd * (Sx11 * Sx2y - Sx12 * Sx1y) - Sx1 * (Sx1 * Sx2y - Sx1y * Sx2)
+            + Sy * (Sx1 * Sx12 - Sx11 * Sx2))
+           / nullif(nd * (Sx11 * Sx22 - Sx12 * Sx12)
+                    - Sx1 * (Sx1 * Sx22 - Sx12 * Sx2)
+                    + Sx2 * (Sx1 * Sx12 - Sx11 * Sx2), 0.0)) * Sx2y)
+       / (nd - 3), 0.0), 6) AS f_stat
+"""
+
+_GRANGER_ORACLE = f"""
+WITH b AS (
+  SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h,
+         (cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
+          // cast(count(*) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+lagd AS (
+  SELECT et, h, v, lag(v) OVER w AS v1, lag(h) OVER w AS h1
+  FROM b WINDOW w AS (PARTITION BY et ORDER BY h)
+),
+valid AS (SELECT et, h, v, v1 FROM lagd WHERE h1 = h - 1),
+rows_ AS (
+  SELECT a.et AS cause, bb.et AS effect,
+         bb.v AS y, bb.v1 AS x1, a.v1 AS x2
+  FROM valid bb JOIN valid a ON a.h = bb.h AND a.et <> bb.et
+),
+m AS (
+  SELECT cause, effect, cast(count(*) AS BIGINT) AS n,
+         sum(cast(x1 AS DECIMAL(38,0))) AS mx1,
+         sum(cast(x2 AS DECIMAL(38,0))) AS mx2,
+         sum(cast(y AS DECIMAL(38,0))) AS my,
+         sum(cast(x1 * x1 AS DECIMAL(38,0))) AS mx11,
+         sum(cast(x2 * x2 AS DECIMAL(38,0))) AS mx22,
+         sum(cast(x1 * x2 AS DECIMAL(38,0))) AS mx12,
+         sum(cast(x1 * y AS DECIMAL(38,0))) AS mx1y,
+         sum(cast(x2 * y AS DECIMAL(38,0))) AS mx2y,
+         sum(cast(y * y AS DECIMAL(38,0))) AS myy
+  FROM rows_ GROUP BY cause, effect
+),
+d AS (
+  SELECT cause, effect, n, cast(n AS DOUBLE) AS nd,
+         cast(mx1 AS DOUBLE) AS Sx1, cast(mx2 AS DOUBLE) AS Sx2,
+         cast(my AS DOUBLE) AS Sy, cast(mx11 AS DOUBLE) AS Sx11,
+         cast(mx22 AS DOUBLE) AS Sx22, cast(mx12 AS DOUBLE) AS Sx12,
+         cast(mx1y AS DOUBLE) AS Sx1y, cast(mx2y AS DOUBLE) AS Sx2y,
+         cast(myy AS DOUBLE) AS Syy
+  FROM m WHERE n > 3
+)
+SELECT cause, effect, {_GRANGER_EXPRS}
+FROM d
+"""
+
+
+@register(
+    "ts_granger_screen",
+    oracle=_GRANGER_ORACLE,
+    tags=("timeseries", "stats"),
+)
+def ts_granger_screen(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            F.col("event_type").alias("et"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("et", "h")
+        .agg(F.expr("sum(c) div count(*)").cast("long").alias("v"))
+    )
+    w = W.partitionBy("et").orderBy("h")
+    valid = (
+        b.select(
+            "et", "h", "v",
+            F.lag("v").over(w).alias("v1"),
+            F.lag("h").over(w).alias("h1"),
+        )
+        .filter(F.col("h1") == F.col("h") - 1)
+        .drop("h1")
+    )
+    bb = valid.select(
+        F.col("et").alias("effect"), "h",
+        F.col("v").alias("y"), F.col("v1").alias("x1"),
+    )
+    a = valid.select(F.col("et").alias("cause"), "h", F.col("v1").alias("x2"))
+    rows = bb.join(a, "h").filter(F.col("cause") != F.col("effect"))
+    dec = lambda expr: F.expr(f"sum(cast({expr} as decimal(38,0)))")  # noqa: E731
+    m = rows.groupBy("cause", "effect").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec("x1").alias("mx1"), dec("x2").alias("mx2"), dec("y").alias("my"),
+        dec("x1 * x1").alias("mx11"), dec("x2 * x2").alias("mx22"),
+        dec("x1 * x2").alias("mx12"), dec("x1 * y").alias("mx1y"),
+        dec("x2 * y").alias("mx2y"), dec("y * y").alias("myy"),
+    )
+    d = m.filter(F.col("n") > 3).selectExpr(
+        "cause", "effect", "n", "cast(n as double) as nd",
+        "cast(mx1 as double) as Sx1", "cast(mx2 as double) as Sx2",
+        "cast(my as double) as Sy", "cast(mx11 as double) as Sx11",
+        "cast(mx22 as double) as Sx22", "cast(mx12 as double) as Sx12",
+        "cast(mx1y as double) as Sx1y", "cast(mx2y as double) as Sx2y",
+        "cast(myy as double) as Syy",
+    )
+    return d.selectExpr(
+        "cause", "effect", "cast(n AS BIGINT) AS n", *_granger_projections()
+    )
+
+
+def _granger_projections():
+    """The gamma and f_stat projections from _GRANGER_EXPRS as separate
+    expression strings (the shared text minus the leading n column)."""
+    body = _GRANGER_EXPRS
+    i_gamma = body.index("round(")
+    i_f = body.index("round(", body.index("AS gamma") )
+    gamma = body[i_gamma:body.index("AS gamma")] + "AS gamma"
+    f_stat = body[i_f:body.index("AS f_stat")] + "AS f_stat"
+    return [gamma, f_stat]

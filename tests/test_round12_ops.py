@@ -584,3 +584,36 @@ def test_dtw_fold_matches_textbook_dp(spark):
     assert got == want
     # identical series -> zero cost; the hand case [1,2,3] vs [1,2,3]
     assert got[1] == 0
+
+
+def test_granger_self_predicting_series(spark, tmp_path):
+    """A series that IS lagged-copy-predictable from another must show a
+    large F: effect = cause shifted by one hour (plus a constant), so
+    a_{t-1} predicts b_t exactly and SSE_f ~ 0. The reverse direction
+    (cause from effect) carries no extra signal on an i.i.d.-ish cause."""
+    import os
+    import random
+
+    from open_molecule_data_pipeline_spark.operators.acf import (
+        ts_granger_screen,
+    )
+
+    base = 1704067200_000000
+    rng = random.Random(3)
+    a = [rng.randint(100, 999) for _ in range(40)]
+    rows = []
+    for i in range(40):
+        rows.append(("cause", base + i * 3_600_000_000, float(a[i])))
+        if i >= 1:
+            rows.append(("effect", base + i * 3_600_000_000, float(a[i - 1] + 5)))
+    df = spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts", "value")
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {(r.cause, r.effect): r for r in ts_granger_screen(spark, str(tmp_path)).collect()}
+    fwd = got[("cause", "effect")]
+    rev = got[("effect", "cause")]
+    assert fwd.f_stat > 1000, fwd  # near-perfect prediction
+    assert abs(fwd.gamma - 1.0) < 1e-3  # coefficient recovers the copy
+    assert rev.f_stat < fwd.f_stat / 100
