@@ -614,3 +614,137 @@ def ml_gbt_two_rounds(spark, sf_dir):
     )
     r2 = _gbt_round_df(pts2, "discount_pct", 2)
     return r1.unionByName(r2)
+
+
+# --------------------------------------------------------------------------
+# k-center greedy seeding (r12) — Gonzalez's farthest-first traversal,
+# the 2-approximation for the k-center objective and the deterministic
+# stand-in for k-means++ seeding (and the standard coreset picker for
+# embedding-space data selection). Four unrolled rounds: start from the
+# smallest-md5 vector (the sampled-quantizer convention), then repeatedly
+# take the point FARTHEST from the chosen set; finish with the coverage
+# radius (the k-center objective value) and its witness point.
+#
+# Exactness: squared distances quantize each of the 64 per-dimension
+# terms to nano-units BEFORE the sum (the feature_eval.py house rule), so
+# every argmax compares identical int64s; ties break on vec_id. Scale
+# shape: each round is corpus x ONE broadcast row -> max_by; the final
+# plan is a single corpus scan with four broadcast joins — rows never
+# shuffle, the loop moves one vector per round.
+# --------------------------------------------------------------------------
+
+_KC_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " cast(round((cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double)) * 1000000000) as bigint)),"
+    " cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+_KC_D2_SQL = (
+    "list_sum(list_transform(range(1, 65), i ->"
+    " cast(round((cast({a}[i] AS DOUBLE) - cast({b}[i] AS DOUBLE))"
+    " * (cast({a}[i] AS DOUBLE) - cast({b}[i] AS DOUBLE))"
+    " * 1000000000) AS BIGINT)))"
+)
+
+
+def _kc_oracle() -> str:
+    d = lambda a, b: _KC_D2_SQL.format(a=a, b=b)  # noqa: E731
+    return f"""
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+c1 AS (
+  SELECT vec_id, e FROM v
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 1
+),
+s1 AS (
+  SELECT v.vec_id, v.e, {d("v.e", "c1.e")} AS dmin FROM v CROSS JOIN c1
+),
+c2 AS (SELECT vec_id, e, dmin FROM s1 ORDER BY dmin DESC, vec_id LIMIT 1),
+s2 AS (
+  SELECT s1.vec_id, s1.e, least(s1.dmin, {d("s1.e", "c2.e")}) AS dmin
+  FROM s1 CROSS JOIN c2
+),
+c3 AS (SELECT vec_id, e, dmin FROM s2 ORDER BY dmin DESC, vec_id LIMIT 1),
+s3 AS (
+  SELECT s2.vec_id, s2.e, least(s2.dmin, {d("s2.e", "c3.e")}) AS dmin
+  FROM s2 CROSS JOIN c3
+),
+c4 AS (SELECT vec_id, e, dmin FROM s3 ORDER BY dmin DESC, vec_id LIMIT 1),
+s4 AS (
+  SELECT s3.vec_id, least(s3.dmin, {d("s3.e", "c4.e")}) AS dmin
+  FROM s3 CROSS JOIN c4
+),
+rad AS (SELECT vec_id, dmin FROM s4 ORDER BY dmin DESC, vec_id LIMIT 1)
+SELECT cast(1 AS INTEGER) AS step, vec_id, cast(0 AS BIGINT) AS d2_nano
+FROM c1
+UNION ALL SELECT 2, vec_id, cast(dmin AS BIGINT) FROM c2
+UNION ALL SELECT 3, vec_id, cast(dmin AS BIGINT) FROM c3
+UNION ALL SELECT 4, vec_id, cast(dmin AS BIGINT) FROM c4
+UNION ALL SELECT 5, vec_id, cast(dmin AS BIGINT) FROM rad
+"""
+
+
+@register(
+    "ml_kcenter_greedy_seed",
+    oracle=_kc_oracle(),
+    tags=("ml", "similarity"),
+)
+def ml_kcenter_greedy_seed(spark, sf_dir):
+    from ._util import spread
+
+    v = spread(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("e")
+        ),
+        "vec_id",
+    )
+    c1 = (
+        v.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    d2 = F.expr(_KC_D2.format(a="e", b="ce"))
+    cur = v.crossJoin(F.broadcast(c1)).select(
+        "vec_id", "e", d2.alias("dmin")
+    )
+    steps = [
+        c1.select(
+            F.lit(1).cast("int").alias("step"),
+            F.col("cid").alias("vec_id"),
+            F.lit(0).cast("long").alias("d2_nano"),
+        )
+    ]
+    for step in (2, 3, 4):
+        ck = (
+            cur.orderBy(F.desc("dmin"), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("e").alias("ce"),
+                F.col("dmin").alias("cd"),
+            )
+        )
+        steps.append(
+            ck.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("cid").alias("vec_id"),
+                F.col("cd").alias("d2_nano"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(ck.drop("cd"))).select(
+            "vec_id", "e", F.least("dmin", d2).alias("dmin")
+        )
+    rad = (
+        cur.orderBy(F.desc("dmin"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(5).cast("int").alias("step"),
+            "vec_id",
+            F.col("dmin").alias("d2_nano"),
+        )
+    )
+    out = steps[0]
+    for s_ in steps[1:] + [rad]:
+        out = out.unionByName(s_)
+    return out

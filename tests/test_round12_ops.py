@@ -617,3 +617,18 @@ def test_granger_self_predicting_series(spark, tmp_path):
     assert fwd.f_stat > 1000, fwd  # near-perfect prediction
     assert abs(fwd.gamma - 1.0) < 1e-3  # coefficient recovers the copy
     assert rev.f_stat < fwd.f_stat / 100
+
+
+def test_kcenter_greedy_invariants(spark, sf_dir):
+    """Gonzalez traversal invariants: selection distances are
+    non-increasing across rounds 2-4, the coverage radius is <= the last
+    selection distance, and all four centers are distinct."""
+    from open_molecule_data_pipeline_spark.operators.ml_eval import (
+        ml_kcenter_greedy_seed,
+    )
+
+    rows = {r.step: r for r in ml_kcenter_greedy_seed(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[2].d2_nano >= rows[3].d2_nano >= rows[4].d2_nano > 0
+    assert rows[5].d2_nano <= rows[4].d2_nano
+    assert len({rows[s].vec_id for s in (1, 2, 3, 4)}) == 4
