@@ -582,3 +582,125 @@ def _granger_projections():
     gamma = body[i_gamma:body.index("AS gamma")] + "AS gamma"
     f_stat = body[i_f:body.index("AS f_stat")] + "AS f_stat"
     return [gamma, f_stat]
+
+
+# --------------------------------------------------------------------------
+# Periodogram seasonality detector (r12) — which cycle dominates a
+# series? DFT power P(p) = (sum w*cos(2*pi*h/p))^2 + (sum w*sin(...))^2
+# at the candidate periods {6, 12, 24, 48, 168} hours, per event series;
+# the argmax period is the seasonality a downstream model (or the
+# seasonal-naive MASE above) should use. Exactness discipline:
+# mean-centering is done WITHOUT division — w = n*v - S (every power
+# scales by n^2 uniformly, argmax invariant); cos/sin take (h mod p) so
+# both engines evaluate small identical angles, and each factor is
+# quantized to milli-units before the int64 product-sum; the final power
+# compare runs in DECIMAL(38) (A,B <= ~5e15 -> squares ~2.5e31). One
+# bucket pass x 5 periods, rows bounded by range hours x periods.
+# --------------------------------------------------------------------------
+
+_PERIODS = (6, 12, 24, 48, 168)
+
+_PGRAM_ORACLE = f"""
+WITH b AS (
+  SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h,
+         (cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
+          // cast(count(*) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT et, cast(count(*) AS BIGINT) AS n, cast(sum(v) AS BIGINT) AS s
+  FROM b GROUP BY et
+),
+terms AS (
+  SELECT b.et, p.p,
+         (tot.n * b.v - tot.s) AS w,
+         cast(round(cos(2 * pi() * (b.h % p.p) / p.p) * 1000) AS BIGINT)
+           AS cq,
+         cast(round(sin(2 * pi() * (b.h % p.p) / p.p) * 1000) AS BIGINT)
+           AS sq
+  FROM b
+  JOIN tot ON tot.et = b.et
+  CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in _PERIODS)}]) AS p) p
+),
+ab AS (
+  SELECT et, p,
+         cast(sum(w * cq) AS BIGINT) AS a_milli,
+         cast(sum(w * sq) AS BIGINT) AS b_milli
+  FROM terms GROUP BY et, p
+),
+ranked AS (
+  SELECT et, p, a_milli, b_milli,
+         row_number() OVER (
+           PARTITION BY et
+           ORDER BY cast(a_milli AS HUGEINT) * a_milli
+                    + cast(b_milli AS HUGEINT) * b_milli DESC, p) AS rn
+  FROM ab
+)
+SELECT et AS event_type, cast(p AS INTEGER) AS period_hours,
+       a_milli, b_milli
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "ts_periodogram_top_period",
+    oracle=_PGRAM_ORACLE,
+    tags=("timeseries", "stats"),
+)
+def ts_periodogram_top_period(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            F.col("event_type").alias("et"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("et", "h")
+        .agg(F.expr("sum(c) div count(*)").cast("long").alias("v"))
+    )
+    tot = b.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    periods = F.array(*[F.lit(p) for p in _PERIODS])
+    terms = (
+        b.join(F.broadcast(tot), "et")
+        .select(
+            "et",
+            (F.col("n") * F.col("v") - F.col("s")).alias("w"),
+            "h",
+            F.explode(periods).alias("p"),
+        )
+        .select(
+            "et",
+            "p",
+            "w",
+            F.expr(
+                "cast(round(cos(2 * pi() * (h % p) / p) * 1000) as bigint)"
+            ).alias("cq"),
+            F.expr(
+                "cast(round(sin(2 * pi() * (h % p) / p) * 1000) as bigint)"
+            ).alias("sq"),
+        )
+    )
+    ab = terms.groupBy("et", "p").agg(
+        F.sum(F.col("w") * F.col("cq")).cast("long").alias("a_milli"),
+        F.sum(F.col("w") * F.col("sq")).cast("long").alias("b_milli"),
+    )
+    power = F.expr(
+        "cast(a_milli as decimal(38,0)) * a_milli"
+        " + cast(b_milli as decimal(38,0)) * b_milli"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("et").orderBy(power.desc(), "p")
+    )
+    return (
+        ab.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("p").cast("int").alias("period_hours"),
+            "a_milli",
+            "b_milli",
+        )
+    )

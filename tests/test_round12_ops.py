@@ -632,3 +632,32 @@ def test_kcenter_greedy_invariants(spark, sf_dir):
     assert rows[2].d2_nano >= rows[3].d2_nano >= rows[4].d2_nano > 0
     assert rows[5].d2_nano <= rows[4].d2_nano
     assert len({rows[s].vec_id for s in (1, 2, 3, 4)}) == 4
+
+
+def test_periodogram_finds_planted_cycle(spark, tmp_path):
+    """A series with a planted 24h cosine must surface period 24; a flat
+    series is mean-centered to exact zeros (w = n*v - S), so both DFT
+    sums vanish at every candidate period."""
+    import math
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.acf import (
+        ts_periodogram_top_period,
+    )
+
+    base = 1704067200_000000
+    rows = []
+    for i in range(168):
+        rows.append(
+            ("daily", base + i * 3_600_000_000,
+             100.0 + 50.0 * math.cos(2 * math.pi * i / 24))
+        )
+        rows.append(("flat", base + i * 3_600_000_000, 42.0))
+    df = spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts", "value")
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {r.event_type: r for r in ts_periodogram_top_period(spark, str(tmp_path)).collect()}
+    assert got["daily"].period_hours == 24
+    assert got["flat"].a_milli == 0 and got["flat"].b_milli == 0
