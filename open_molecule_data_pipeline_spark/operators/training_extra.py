@@ -945,3 +945,78 @@ def sample_temporal_split_embargo(spark, sf_dir):
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder (Hamilton) quota apportionment (r12) — the exact-
+# composition step a mixture RATE (sample_temperature_mix) cannot give:
+# given a batch budget of N examples and per-language corpus weights,
+# integer per-language quotas that sum to EXACTLY N. base = floor(N*w/W);
+# the N - sum(base) leftover seats go to the largest remainders
+# (N*w mod W, ties by language — both engines compare identical int64s,
+# so the apportionment is deterministic). The whole computation runs on
+# the language-count table (bounded); the corpus cost is one groupBy.
+# --------------------------------------------------------------------------
+
+_QUOTA_N = 1000
+
+_QUOTA_ORACLE = f"""
+WITH w AS (
+  SELECT lang, cast(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT cast(sum(n_docs) AS BIGINT) AS W FROM w),
+base AS (
+  SELECT lang, n_docs,
+         ({_QUOTA_N} * n_docs) // tot.W AS base_q,
+         ({_QUOTA_N} * n_docs) % tot.W AS rem
+  FROM w, tot
+),
+r AS (SELECT {_QUOTA_N} - cast(sum(base_q) AS BIGINT) AS seats FROM base),
+ranked AS (
+  SELECT lang, n_docs, base_q, rem,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM base
+)
+SELECT lang, n_docs, cast(base_q AS BIGINT) AS base_q,
+       cast(base_q + CASE WHEN rk <= r.seats THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked, r
+"""
+
+
+@register(
+    "sample_quota_largest_remainder",
+    oracle=_QUOTA_ORACLE,
+    tags=("sample", "agg"),
+)
+def sample_quota_largest_remainder(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = w.agg(F.sum("n_docs").cast("long").alias("W"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"({_QUOTA_N} * n_docs) div W").alias("base_q"),
+        F.expr(f"({_QUOTA_N} * n_docs) % W").alias("rem"),
+    )
+    seats = base.agg(
+        (F.lit(_QUOTA_N) - F.sum("base_q")).cast("long").alias("seats")
+    )
+    # the language table is bounded, so the global remainder rank is a
+    # constant-size window (not a row-scale one)
+    rk = F.row_number().over(W.orderBy(F.desc("rem"), "lang"))
+    return (
+        base.withColumn("rk", rk)
+        .crossJoin(F.broadcast(seats))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("base_q").cast("long").alias("base_q"),
+            (
+                F.col("base_q")
+                + (F.col("rk") <= F.col("seats")).cast("long")
+            ).cast("long").alias("quota"),
+        )
+    )

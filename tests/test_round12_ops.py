@@ -661,3 +661,20 @@ def test_periodogram_finds_planted_cycle(spark, tmp_path):
     got = {r.event_type: r for r in ts_periodogram_top_period(spark, str(tmp_path)).collect()}
     assert got["daily"].period_hours == 24
     assert got["flat"].a_milli == 0 and got["flat"].b_milli == 0
+
+
+def test_quota_apportionment_sums_exactly(spark, sf_dir):
+    """Hamilton's method contract: quotas sum to EXACTLY the budget, each
+    quota is base or base+1, and quotas are monotone in weights."""
+    from open_molecule_data_pipeline_spark.operators.training_extra import (
+        _QUOTA_N,
+        sample_quota_largest_remainder,
+    )
+
+    rows = sample_quota_largest_remainder(spark, sf_dir).collect()
+    assert sum(r.quota for r in rows) == _QUOTA_N
+    for r in rows:
+        assert r.quota in (r.base_q, r.base_q + 1)
+    by_w = sorted(rows, key=lambda r: r.n_docs)
+    for a, b in zip(by_w, by_w[1:]):
+        assert a.base_q <= b.base_q
