@@ -990,8 +990,6 @@ FROM ranked, r
     tags=("sample", "agg"),
 )
 def sample_quota_largest_remainder(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     d = table(spark, sf_dir, "documents")
     w = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     tot = w.agg(F.sum("n_docs").cast("long").alias("W"))
@@ -1004,11 +1002,25 @@ def sample_quota_largest_remainder(spark, sf_dir):
     seats = base.agg(
         (F.lit(_QUOTA_N) - F.sum("base_q")).cast("long").alias("seats")
     )
-    # the language table is bounded, so the global remainder rank is a
-    # constant-size window (not a row-scale one)
-    rk = F.row_number().over(W.orderBy(F.desc("rem"), "lang"))
+    # remainder rank WITHOUT a global window (the repo bans partitionless
+    # windows outright): broadcast theta self-join over the bounded
+    # language table — rk = 1 + |rows strictly ahead in (rem DESC, lang)|,
+    # the text_zipf_coverage rank pattern
+    other = base.select(
+        F.col("lang").alias("o_lang"), F.col("rem").alias("o_rem")
+    )
+    rk = (
+        base.join(
+            F.broadcast(other),
+            (F.col("o_rem") > F.col("rem"))
+            | ((F.col("o_rem") == F.col("rem")) & (F.col("o_lang") < F.col("lang"))),
+            "left",
+        )
+        .groupBy("lang", "n_docs", "base_q", "rem")
+        .agg((F.count("o_lang") + 1).cast("long").alias("rk"))
+    )
     return (
-        base.withColumn("rk", rk)
+        rk
         .crossJoin(F.broadcast(seats))
         .select(
             "lang",
