@@ -479,8 +479,13 @@ _GRANGER_EXPRS = """
 _GRANGER_ORACLE = f"""
 WITH b AS (
   SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h,
-         (cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
-          // cast(count(*) AS BIGINT)) AS v
+         -- hourly-mean cents: mirror Spark `div` truncation (DuckDB //
+         -- floors; diverges on negative sums, ADVICE r12)
+         (CASE WHEN sum(cast(round(value * 100) AS BIGINT)) < 0
+               THEN -((-cast(sum(cast(round(value * 100) AS BIGINT))
+                             AS BIGINT)) // cast(count(*) AS BIGINT))
+               ELSE cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
+                    // cast(count(*) AS BIGINT) END) AS v
   FROM events GROUP BY 1, 2
 ),
 lagd AS (
@@ -603,8 +608,13 @@ _PERIODS = (6, 12, 24, 48, 168)
 _PGRAM_ORACLE = f"""
 WITH b AS (
   SELECT event_type AS et, epoch_us(ts) // 3600000000 AS h,
-         (cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
-          // cast(count(*) AS BIGINT)) AS v
+         -- hourly-mean cents: mirror Spark `div` truncation (DuckDB //
+         -- floors; diverges on negative sums, ADVICE r12)
+         (CASE WHEN sum(cast(round(value * 100) AS BIGINT)) < 0
+               THEN -((-cast(sum(cast(round(value * 100) AS BIGINT))
+                             AS BIGINT)) // cast(count(*) AS BIGINT))
+               ELSE cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
+                    // cast(count(*) AS BIGINT) END) AS v
   FROM events GROUP BY 1, 2
 ),
 tot AS (

@@ -87,7 +87,11 @@ b AS (
   FROM events GROUP BY 1, 2
 ),
 ser AS (
-  SELECT g, list(s // c ORDER BY d) AS vs,
+  -- daily-mean cents: Spark `div` truncates toward zero while DuckDB
+  -- BIGINT // floors — mirror truncation so negative sums (possible if
+  -- the generator ever emits negative values) cannot diverge silently
+  SELECT g, list(CASE WHEN s < 0 THEN -((-s) // c) ELSE s // c END
+                 ORDER BY d) AS vs,
          cast(count(*) AS BIGINT) AS t
   FROM b GROUP BY g
 ),

@@ -457,7 +457,10 @@ def ml_ndcg_linear(spark, sf_dir):
 # integer part alone separates thresholds); the reported gain is the
 # floored quotient MINUS the unsplit node's floored S^2/n (the variance
 # reduction — int64-safe at any scale), ties by threshold.
-# Leaf predictions are floor-divided cents (both engines floor here), so
+# Leaf predictions are truncated-division cents (Spark `div` truncates
+# toward zero; the oracle mirrors that truncation on negative round-2
+# residual sums via the CASE abs-trick below — do NOT "fix" it to a
+# plain floor), so
 # round-2 residuals are exact int64 and the whole two-round report is
 # bit-identical across engines. Shape at scale: each round is ONE
 # partial-aggregated histogram (<= 50 rows) + a bounded theta join —
