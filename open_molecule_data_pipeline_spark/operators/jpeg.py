@@ -3,13 +3,17 @@ VERDICT r11 #3 / carried r10 #7): real crawls are JPEG-heavy, so the
 multimodal decode boundary gains a baseline-sequential JPEG decoder
 next to PNG/BMP/PPM (multimodal.py).
 
-Decoder (:func:`decode_jpeg`) is a complete baseline-grayscale
-implementation: marker parse (APPn/DQT/DHT/SOF0/SOS), canonical Huffman
-table construction from DHT bits/values, entropy decode with byte
-un-stuffing (DC prediction, AC run/size, EOB, ZRL), zigzag -> natural
-dequantization, float64 2-D IDCT, level shift + clamp. Chroma
-subsampling / progressive scans are out of scope (the encoder below
-never emits them; a foreign progressive file fails loudly).
+Decoder (:func:`decode_jpeg`) is a complete baseline implementation for
+grayscale (1 component, 1x1) and — since r13 — YCbCr 4:2:0 color
+(3 components, Y 2x2 / chroma 1x1): marker parse (APPn/DQT/DHT/SOF0/
+SOS, multiple quant + Huffman tables), canonical Huffman table
+construction from DHT bits/values, entropy decode with byte un-stuffing
+(per-component DC prediction, AC run/size, EOB, ZRL), interleaved MCU
+scan, zigzag -> natural dequantization, float64 2-D IDCT, level shift +
+clamp, JFIF replication chroma upsampling, libjpeg fixed-point integer
+YCbCr->RGB. Progressive scans and other sampling layouts are out of
+scope (the encoders below never emit them; a foreign file fails
+loudly).
 
 Encoder (:func:`encode_jpeg_baseline`) writes a spec-valid single-
 component JFIF file from QUANTIZED coefficient blocks — coefficient-
@@ -72,6 +76,17 @@ ZIGZAG = _zigzag_order()
 # of 8 so DC-only / (4,4)-only blocks decode to exact integers (docstring)
 _QTABLE = [32] + [16] * 63
 _DC_Q, _AC44_Q = _QTABLE[0], _QTABLE[4 * 8 + 4]
+# chroma quant table (color path): DC step 40 — a DIFFERENT multiple of 8
+# so the two DQT tables are distinguishable end to end
+_QTABLE_C = [40] + [16] * 63
+
+# libjpeg-style fixed-point YCbCr->RGB constants (x65536); the decoder
+# and both closed-form oracles share these exact integers, with floor
+# semantics (numpy >>16 == DuckDB BIGINT // 65536, both floor)
+_FIX_R_CR = 91881  # 1.40200
+_FIX_G_CB = 22554  # 0.34414
+_FIX_G_CR = 46802  # 0.71414
+_FIX_B_CB = 116130  # 1.77200
 
 # canonical Huffman alphabets: symbol order IS the code order
 _DC_SYMS = list(range(12))  # categories 0..11, all 4-bit codes
@@ -126,6 +141,70 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
+def _encode_block(bw_: "_BitWriter", blk, pred: int) -> int:
+    """Entropy-encode one quantized block (natural order) against the
+    module's canonical tables; returns the new DC predictor."""
+    diff = int(blk[0]) - pred
+    pred = int(blk[0])
+    t = _category(diff)
+    code, ln = _DC_CODES[t]
+    bw_.put(code, ln)
+    if t:
+        bw_.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if blk[ZIGZAG[k]]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(blk[ZIGZAG[k]])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODES[0xF0]
+            bw_.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = _AC_CODES[(run << 4) | s]
+        bw_.put(code, ln)
+        bw_.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = _AC_CODES[0x00]
+        bw_.put(code, ln)
+    return pred
+
+
+def _dqt_segment(qtable, table_id: int) -> bytes:
+    """One DQT segment (Pq=0) with values in zigzag order."""
+    return (
+        b"\xff\xdb"
+        + (67).to_bytes(2, "big")
+        + bytes([table_id])
+        + bytes(qtable[ZIGZAG[k]] for k in range(64))
+    )
+
+
+def _dht_segments(table_ids=(0,)) -> bytes:
+    """DC+AC DHT segments for each requested table id (same canonical
+    bits/values for every id — legal, and the decoder always rebuilds
+    its tables from the DHT segment, never from shared constants)."""
+    out = bytearray()
+    for tid in table_ids:
+        for cls, bits, syms in ((0, _DC_BITS, _DC_SYMS), (1, _AC_BITS, _AC_SYMS)):
+            out += b"\xff\xc4" + (3 + 16 + len(syms)).to_bytes(2, "big")
+            out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(syms)
+    return bytes(out)
+
+
+_JFIF_APP0 = (
+    b"\xff\xe0"
+    + (16).to_bytes(2, "big")
+    + b"JFIF\x00\x01\x01\x00"
+    + (1).to_bytes(2, "big")
+    + (1).to_bytes(2, "big")
+    + b"\x00\x00"
+)
+
+
 def encode_jpeg_baseline(blocks, bw: int, bh: int, qtable=None) -> bytes:
     """Encode quantized-coefficient ``blocks`` (bw*bh arrays of 64 ints,
     natural order, raster block order) as a grayscale baseline JFIF.
@@ -135,53 +214,61 @@ def encode_jpeg_baseline(blocks, bw: int, bh: int, qtable=None) -> bytes:
     qtable = _QTABLE if qtable is None else qtable
     assert len(blocks) == bw * bh
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
-    out += (1).to_bytes(2, "big") + (1).to_bytes(2, "big") + b"\x00\x00"
-    # DQT: Pq=0/Tq=0, values in zigzag order
-    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
-    out += bytes(qtable[ZIGZAG[k]] for k in range(64))
+    out += _JFIF_APP0
+    out += _dqt_segment(qtable, 0)
     # SOF0: 8-bit, 1 component, 1x1 sampling, quant table 0
     h, w = bh * 8, bw * 8
     out += b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
     out += h.to_bytes(2, "big") + w.to_bytes(2, "big")
     out += b"\x01" + b"\x01\x11\x00"
-    # DHT: DC class 0 id 0, AC class 1 id 0
-    for cls, bits, syms in ((0, _DC_BITS, _DC_SYMS), (1, _AC_BITS, _AC_SYMS)):
-        out += b"\xff\xc4" + (3 + 16 + len(syms)).to_bytes(2, "big")
-        out += bytes([cls << 4]) + bytes(bits) + bytes(syms)
+    out += _dht_segments((0,))
     # SOS: 1 component, DC table 0 / AC table 0
     out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
     bw_ = _BitWriter()
     pred = 0
     for blk in blocks:
-        diff = int(blk[0]) - pred
-        pred = int(blk[0])
-        t = _category(diff)
-        code, ln = _DC_CODES[t]
-        bw_.put(code, ln)
-        if t:
-            bw_.put(diff if diff > 0 else diff + (1 << t) - 1, t)
-        run = 0
-        last_nz = max(
-            (k for k in range(1, 64) if blk[ZIGZAG[k]]), default=0
-        )
-        for k in range(1, last_nz + 1):
-            v = int(blk[ZIGZAG[k]])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = _AC_CODES[0xF0]
-                bw_.put(code, ln)
-                run -= 16
-            s = _category(v)
-            code, ln = _AC_CODES[(run << 4) | s]
-            bw_.put(code, ln)
-            bw_.put(v if v > 0 else v + (1 << s) - 1, s)
-            run = 0
-        if last_nz < 63:
-            code, ln = _AC_CODES[0x00]
-            bw_.put(code, ln)
+        pred = _encode_block(bw_, blk, pred)
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(
+    y_blocks, cb_blocks, cr_blocks, mw: int, mh: int,
+    qtab_y=None, qtab_c=None,
+) -> bytes:
+    """Encode a 4:2:0 YCbCr baseline JFIF from quantized-coefficient
+    blocks. ``y_blocks`` holds 4 luma blocks per MCU in MCU-raster order
+    (2x2 raster inside each MCU: TL, TR, BL, BR); ``cb_blocks`` /
+    ``cr_blocks`` hold one chroma block per MCU. Luma uses quant table 0
+    and Huffman tables 0, chroma table 1 / Huffman tables 1 — so the
+    decoder's multi-table DQT/DHT paths are exercised end to end."""
+    qtab_y = _QTABLE if qtab_y is None else qtab_y
+    qtab_c = _QTABLE_C if qtab_c is None else qtab_c
+    n_mcu = mw * mh
+    assert len(y_blocks) == 4 * n_mcu
+    assert len(cb_blocks) == len(cr_blocks) == n_mcu
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _JFIF_APP0
+    out += _dqt_segment(qtab_y, 0)
+    out += _dqt_segment(qtab_c, 1)
+    # SOF0: 8-bit, 3 components — Y 2x2 sampling qt0, Cb/Cr 1x1 qt1
+    h, w = mh * 16, mw * 16
+    out += b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    out += _dht_segments((0, 1))
+    # SOS: 3 components — Y tables 0/0, chroma tables 1/1
+    out += b"\xff\xda" + (12).to_bytes(2, "big")
+    out += b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(n_mcu):
+        for k in range(4):
+            preds[0] = _encode_block(bw_, y_blocks[4 * m + k], preds[0])
+        preds[1] = _encode_block(bw_, cb_blocks[m], preds[1])
+        preds[2] = _encode_block(bw_, cr_blocks[m], preds[2])
     bw_.flush()
     out += bw_.out
     out += b"\xff\xd9"  # EOI
@@ -227,7 +314,12 @@ def _idct_block(coeffs):
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline-sequential grayscale JPEG decode (see module docstring)."""
+    """Baseline-sequential JPEG decode: grayscale (1 component, 1x1) or
+    YCbCr 4:2:0 color (3 components, Y 2x2 / chroma 1x1). Color output
+    adds ``planes`` (pre-conversion Y/Cb/Cr, chroma NOT upsampled) next
+    to the fixed-point-converted RGB ``pixels`` — decode-normalized
+    dedup digests the planes, skipping the lossy RGB rounding entirely.
+    Progressive scans and other sampling layouts fail loudly."""
     import numpy as np
 
     assert payload[:2] == b"\xff\xd8", "not a JPEG (SOI missing)"
@@ -235,7 +327,8 @@ def decode_jpeg(payload: bytes) -> dict:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = 0
-    tq = td = ta = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, hsamp, vsamp, tq)
+    scan: list[tuple[int, int]] = []  # per scan component: (td, ta)
     while pos < len(payload):
         assert payload[pos] == 0xFF, "marker expected"
         m = payload[pos + 1]
@@ -278,20 +371,26 @@ def decode_jpeg(payload: bytes) -> dict:
             assert seg[0] == 8, "8-bit precision only"
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
-            assert seg[5] == 1, "grayscale (1 component) only"
-            assert seg[7] == 0x11, "1x1 sampling only"
-            tq = seg[8]
+            nc = seg[5]
+            comps = [
+                (
+                    seg[6 + 3 * i],
+                    seg[7 + 3 * i] >> 4,
+                    seg[7 + 3 * i] & 15,
+                    seg[8 + 3 * i],
+                )
+                for i in range(nc)
+            ]
         elif m in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("non-baseline JPEG (progressive?)")
         elif m == 0xDA:  # SOS — entropy data follows
-            assert seg[0] == 1
-            td, ta = seg[2] >> 4, seg[2] & 15
+            ns = seg[0]
+            scan = [(seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15) for i in range(ns)]
             pos += seglen
             break
         pos += seglen
-    assert w and h and tq in qt, "incomplete JPEG header"
-    q = qt[tq]
-    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+    assert w and h and comps and scan, "incomplete JPEG header"
+    assert len(scan) == len(comps), "scan/frame component mismatch"
     rd = _BitReader(payload[pos:])
 
     def sym(tab):
@@ -304,10 +403,10 @@ def decode_jpeg(payload: bytes) -> dict:
                 return s
             assert ln <= 16, "invalid Huffman stream"
 
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
-    pred = 0
-    for bi in range(bw_ * bh_):
+    def decode_block(ci: int, pred: int):
+        """One 8x8 block of component ci -> (uint8 pixel block, new pred)."""
+        dc_tab, ac_tab = huff[(0, scan[ci][0])], huff[(1, scan[ci][1])]
+        q = qt[comps[ci][3]]
         zz = [0] * 64
         t = sym(dc_tab)
         pred += _extend(rd.bits(t), t)
@@ -327,13 +426,64 @@ def decode_jpeg(payload: bytes) -> dict:
         for k in range(64):
             coeffs[ZIGZAG[k] // 8][ZIGZAG[k] % 8] = zz[k] * q[ZIGZAG[k]]
         px = np.clip(np.round(_idct_block(coeffs) + 128), 0, 255)
-        r, c = (bi // bw_) * 8, (bi % bw_) * 8
-        img[r : r + 8, c : c + 8] = px.astype(np.uint8)
+        return px.astype(np.uint8), pred
+
+    if len(comps) == 1:
+        assert comps[0][1:3] == (1, 1), "grayscale must be 1x1 sampling"
+        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+        pred = 0
+        for bi in range(bw_ * bh_):
+            px, pred = decode_block(0, pred)
+            r, c = (bi // bw_) * 8, (bi % bw_) * 8
+            img[r : r + 8, c : c + 8] = px
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "pixels": img[:h, :w],
+        }
+
+    if len(comps) != 3 or [c[1:3] for c in comps] != [(2, 2), (1, 1), (1, 1)]:
+        raise NotImplementedError(
+            "only grayscale (1x1) and YCbCr 4:2:0 (2x2,1x1,1x1) sampling"
+        )
+    mx, my = (w + 15) // 16, (h + 15) // 16
+    yp = np.zeros((my * 16, mx * 16), dtype=np.uint8)
+    cbp = np.zeros((my * 8, mx * 8), dtype=np.uint8)
+    crp = np.zeros((my * 8, mx * 8), dtype=np.uint8)
+    preds = [0, 0, 0]
+    for m in range(mx * my):
+        r0, c0 = (m // mx) * 16, (m % mx) * 16
+        for k in range(4):  # 2x2 luma raster: TL, TR, BL, BR
+            px, preds[0] = decode_block(0, preds[0])
+            rr, cc = r0 + (k // 2) * 8, c0 + (k % 2) * 8
+            yp[rr : rr + 8, cc : cc + 8] = px
+        px, preds[1] = decode_block(1, preds[1])
+        cbp[r0 // 2 : r0 // 2 + 8, c0 // 2 : c0 // 2 + 8] = px
+        px, preds[2] = decode_block(2, preds[2])
+        crp[r0 // 2 : r0 // 2 + 8, c0 // 2 : c0 // 2 + 8] = px
+    # JFIF simple (replication) upsampling, then libjpeg fixed-point
+    # YCbCr->RGB: every term integer, >>16 is an exact floor shared with
+    # the SQL oracle's // 65536
+    yv = yp.astype(np.int64)
+    cb = np.repeat(np.repeat(cbp, 2, 0), 2, 1).astype(np.int64) - 128
+    cr = np.repeat(np.repeat(crp, 2, 0), 2, 1).astype(np.int64) - 128
+    r = yv + ((_FIX_R_CR * cr + 32768) >> 16)
+    g = yv - ((_FIX_G_CB * cb + _FIX_G_CR * cr + 32768) >> 16)
+    b = yv + ((_FIX_B_CB * cb + 32768) >> 16)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
     return {
         "width": w,
         "height": h,
-        "channels": 1,
-        "pixels": img[:h, :w],
+        "channels": 3,
+        "pixels": rgb[:h, :w],
+        "planes": {
+            "y": yp[:h, :w],
+            "cb": cbp[:ch, :cw],
+            "cr": crp[:ch, :cw],
+        },
     }
 
 
@@ -545,5 +695,302 @@ def mm_image_jpeg_renc_dedup(spark, sf_dir):
             "doc_a",
             "doc_b",
             ((F.col("w") / 8) * (F.col("h") / 8)).cast("int").alias("n_blocks"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Color (YCbCr 4:2:0) decode query (r13, VERDICT r12 #2): the last gap
+# between the multimodal dedup ladder and real-crawl images — crawls are
+# overwhelmingly color JPEG. The coefficient-fixture trick extends per
+# channel: each Y block carries DC=a and AC(4,4)=b (exact-int IDCT as in
+# the grayscale docstring), each chroma block DC=c and AC(4,4)=d, so the
+# pre-conversion planes are closed-form. Chroma is NOT flat — the AC term
+# rides through the 2x2 replication upsample, so the upsampling path is
+# exercised in the VALUE domain, not just shape. RGB then goes through
+# the libjpeg fixed-point integer conversion (constants above), which the
+# oracle mirrors with BIGINT // 65536 (both floor). Coefficient ranges
+# keep every channel inside [97, 159] — clamp-free, so the closed form
+# is exact.
+#
+# Per-MCU sums: the AC(4,4) basis sign pattern s(x)s(y) splits the 8x8
+# chroma plane into 32 "+" and 32 "-" positions; each chroma pixel covers
+# 4 full-res pixels, so e.g. sum(R) over one MCU = sum_Y + 128*(f(u+) +
+# f(u-)) with u± = 5*crdc ± 2*crac and f the fixed-point Cr->R term.
+# --------------------------------------------------------------------------
+
+
+def synth_color_blocks(doc_id: int):
+    """Deterministic per-doc 4:2:0 coefficient image (closed form):
+    MCU j's four Y blocks carry DC=(doc_id+3j+k)%5-2, AC44=(doc_id+j+k)%3-1;
+    chroma DCs/ACs use shifted seeds so Cb != Cr from MCU 0 on."""
+    mw, mh = 1 + doc_id % 3, 1 + doc_id % 2
+    yb, cbb, crb = [], [], []
+    for j in range(mw * mh):
+        for k in range(4):
+            blk = [0] * 64
+            blk[0] = (doc_id + 3 * j + k) % 5 - 2
+            blk[4 * 8 + 4] = (doc_id + j + k) % 3 - 1
+            yb.append(blk)
+        cb = [0] * 64
+        cb[0] = (doc_id + 2 * j + 1) % 5 - 2
+        cb[4 * 8 + 4] = (doc_id + j + 2) % 3 - 1
+        cbb.append(cb)
+        cr = [0] * 64
+        cr[0] = (doc_id + 3 * j + 3) % 5 - 2
+        cr[4 * 8 + 4] = (doc_id + 2 * j + 1) % 3 - 1
+        crb.append(cr)
+    return yb, cbb, crb, mw, mh
+
+
+_COLOR_ORACLE = """
+WITH mj AS (
+  SELECT doc_id, 1 + doc_id % 3 AS mw, 1 + doc_id % 2 AS mh,
+         unnest(range((1 + doc_id % 3) * (1 + doc_id % 2))) AS j
+  FROM documents
+),
+ysum AS (
+  SELECT doc_id, j,
+         sum(64 * (128 + 4 * ((doc_id + 3 * j + k) % 5 - 2))) AS ys
+  FROM (SELECT doc_id, j, unnest([0, 1, 2, 3]) AS k FROM mj) yk
+  GROUP BY doc_id, j
+),
+ch AS (
+  SELECT doc_id, j,
+    5 * ((doc_id + 2*j + 1) % 5 - 2) + 2 * ((doc_id + j + 2) % 3 - 1) AS vp,
+    5 * ((doc_id + 2*j + 1) % 5 - 2) - 2 * ((doc_id + j + 2) % 3 - 1) AS vm,
+    5 * ((doc_id + 3*j + 3) % 5 - 2) + 2 * ((doc_id + 2*j + 1) % 3 - 1) AS up,
+    5 * ((doc_id + 3*j + 3) % 5 - 2) - 2 * ((doc_id + 2*j + 1) % 3 - 1) AS um
+  FROM mj
+),
+per_mcu AS (
+  SELECT y.doc_id, y.ys, c.vp, c.vm, c.up, c.um
+  FROM ysum y JOIN ch c ON y.doc_id = c.doc_id AND y.j = c.j
+)
+SELECT doc_id,
+  cast(16 * (1 + doc_id % 3) AS INTEGER) AS width,
+  cast(16 * (1 + doc_id % 2) AS INTEGER) AS height,
+  -- every fixed-point term is offset by +1024*65536 before the integer
+  -- division and re-centered after: the numerator is then non-negative,
+  -- so DuckDB's truncating // equals the decoder's floor (>>16) exactly
+  cast(sum(ys + 128 * (((91881*up + 32768 + 67108864) // 65536 - 1024)
+                       + ((91881*um + 32768 + 67108864) // 65536 - 1024)))
+       AS BIGINT) AS sum_r,
+  cast(sum(ys - 128 * (((22554*vp + 46802*up + 32768 + 67108864) // 65536
+                        - 1024)
+                       + ((22554*vm + 46802*um + 32768 + 67108864) // 65536
+                          - 1024)))
+       AS BIGINT) AS sum_g,
+  cast(sum(ys + 128 * (((116130*vp + 32768 + 67108864) // 65536 - 1024)
+                       + ((116130*vm + 32768 + 67108864) // 65536 - 1024)))
+       AS BIGINT) AS sum_b,
+  cast(128 + 4 * (doc_id % 5 - 2) + 2 * (doc_id % 3 - 1)
+       + (91881 * (5 * ((doc_id + 3) % 5 - 2) + 2 * ((doc_id + 1) % 3 - 1))
+          + 32768 + 67108864) // 65536 - 1024 AS BIGINT) AS r00,
+  cast(128 + 4 * (doc_id % 5 - 2) + 2 * (doc_id % 3 - 1)
+       - ((22554 * (5 * ((doc_id + 1) % 5 - 2) + 2 * ((doc_id + 2) % 3 - 1))
+           + 46802 * (5 * ((doc_id + 3) % 5 - 2) + 2 * ((doc_id + 1) % 3 - 1))
+           + 32768 + 67108864) // 65536 - 1024) AS BIGINT) AS g00,
+  cast(128 + 4 * (doc_id % 5 - 2) + 2 * (doc_id % 3 - 1)
+       + (116130 * (5 * ((doc_id + 1) % 5 - 2) + 2 * ((doc_id + 2) % 3 - 1))
+          + 32768 + 67108864) // 65536 - 1024 AS BIGINT) AS b00
+FROM per_mcu
+GROUP BY doc_id
+"""
+
+
+@register(
+    "mm_image_jpeg_color_decode",
+    oracle=_COLOR_ORACLE,
+    tags=("multimodal", "image"),
+)
+def mm_image_jpeg_color_decode(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("r00", T.LongType()),
+            T.StructField("g00", T.LongType()),
+            T.StructField("b00", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                yb, cbb, crb, mw, mh = synth_color_blocks(doc_id)
+                blob = encode_jpeg_color(yb, cbb, crb, mw, mh)
+                dec = decode_media(bytes(blob), "image/jpeg")
+                px = dec["pixels"].astype("int64")
+                rows.append(
+                    (
+                        doc_id,
+                        dec["width"],
+                        dec["height"],
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(px[0, 0, 0]),
+                        int(px[0, 0, 1]),
+                        int(px[0, 0, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "r00", "g00", "b00",
+                ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Decode-normalized dedup over COLOR re-encodes (r13): the color sibling
+# of mm_image_jpeg_renc_dedup. Docs pair as (2p, 2p+1) carrying the same
+# underlying image; the odd file is re-encoded with BOTH quant tables
+# halved and quantized coefficients doubled — different DQTs, different
+# entropy streams, identical dequantized coefficients, hence identical
+# decoded planes. The digest normalizes on the PRE-conversion Y/Cb/Cr
+# planes (not RGB): plane equality <=> dequantized-coefficient equality
+# by the same per-plane DC/AC-recoverability argument as grayscale
+# (clamp-free ranges), while RGB adds only a deterministic function on
+# top. The oracle groups docs on the closed-form dequantized coefficient
+# string — both engines compute the same partition through entirely
+# different machinery.
+# --------------------------------------------------------------------------
+
+_COLOR_RENC_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id // 2 AS base, 1 + (doc_id // 2) % 2 AS mw
+  FROM documents
+),
+yk AS (
+  SELECT doc_id, base, mw, j, unnest([0, 1, 2, 3]) AS k
+  FROM (SELECT doc_id, base, mw, unnest(range(mw)) AS j FROM d) jj
+),
+ystr AS (
+  SELECT doc_id, base, mw, j,
+         string_agg(cast(32 * (m % 25 - 12) AS VARCHAR) || ':'
+                    || cast(16 * ((m // 25) % 13 - 6) AS VARCHAR),
+                    ',' ORDER BY k) AS ys
+  FROM (
+    SELECT doc_id, base, mw, j, k, (s0 * s0 + 7919 * s0) // 256 AS m
+    FROM (SELECT *, (base * 100000 + 4 * j + k) % 2147483647 AS s0 FROM yk) q
+  ) q2
+  GROUP BY doc_id, base, mw, j
+),
+mcu AS (
+  SELECT doc_id, mw, j,
+         ys || '|' || cast(40 * (m1 % 17 - 8) AS VARCHAR)
+            || ':' || cast(16 * ((m1 // 17) % 9 - 4) AS VARCHAR)
+            || ':' || cast(40 * ((m1 // 153) % 17 - 8) AS VARCHAR)
+            || ':' || cast(16 * ((m1 // 2601) % 9 - 4) AS VARCHAR) AS mstr
+  FROM (
+    SELECT doc_id, mw, j, ys, (s1 * s1 + 7919 * s1) // 256 AS m1
+    FROM (SELECT *, (base * 100000 + 977 * j + 31) % 2147483647 AS s1
+          FROM ystr) q
+  ) q2
+),
+keyed AS (
+  SELECT doc_id, mw, string_agg(mstr, ';' ORDER BY j) AS key
+  FROM mcu GROUP BY doc_id, mw
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(a.mw AS INTEGER) AS n_mcu
+FROM keyed a
+JOIN keyed b ON a.mw = b.mw AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def _color_renc_blocks(doc_id: int):
+    """Color re-encode fixture: (2p, 2p+1) share dequantized coefficients;
+    the odd file halves BOTH quant tables and doubles quantized values.
+    Seeds squared-mix like the grayscale fixture; ranges keep every plane
+    clamp-free (Y in [68,188], chroma in [80,176])."""
+    base, odd = doc_id // 2, doc_id % 2
+    mw, mh = 1 + base % 2, 1
+    scale = 2 if odd else 1
+    qt_y = [32 // scale] + [16 // scale] * 63
+    qt_c = [40 // scale] + [16 // scale] * 63
+    yb, cbb, crb = [], [], []
+    for j in range(mw * mh):
+        for k in range(4):
+            s0 = (base * 100000 + 4 * j + k) % 2147483647
+            m = (s0 * s0 + 7919 * s0) // 256
+            blk = [0] * 64
+            blk[0] = (m % 25 - 12) * scale
+            blk[4 * 8 + 4] = ((m // 25) % 13 - 6) * scale
+            yb.append(blk)
+        s1 = (base * 100000 + 977 * j + 31) % 2147483647
+        m1 = (s1 * s1 + 7919 * s1) // 256
+        cb = [0] * 64
+        cb[0] = (m1 % 17 - 8) * scale
+        cb[4 * 8 + 4] = ((m1 // 17) % 9 - 4) * scale
+        cbb.append(cb)
+        cr = [0] * 64
+        cr[0] = ((m1 // 153) % 17 - 8) * scale
+        cr[4 * 8 + 4] = ((m1 // 2601) % 9 - 4) * scale
+        crb.append(cr)
+    return yb, cbb, crb, mw, mh, qt_y, qt_c
+
+
+@register(
+    "mm_image_jpeg_color_renc_dedup",
+    oracle=_COLOR_RENC_ORACLE,
+    tags=("multimodal", "image", "dedup"),
+)
+def mm_image_jpeg_color_renc_dedup(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                yb, cbb, crb, mw, mh, qt_y, qt_c = _color_renc_blocks(doc_id)
+                blob = encode_jpeg_color(
+                    yb, cbb, crb, mw, mh, qtab_y=qt_y, qtab_c=qt_c
+                )
+                dec = decode_media(bytes(blob), "image/jpeg")
+                pl = dec["planes"]
+                digest = hashlib.md5(
+                    pl["y"].tobytes() + pl["cb"].tobytes() + pl["cr"].tobytes()
+                ).hexdigest()
+                rows.append((doc_id, dec["width"], dec["height"], digest))
+            yield pd.DataFrame(rows, columns=["doc_id", "w", "h", "digest"])
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    hashes = d.mapInPandas(run, schema=schema)
+    a = hashes.select(F.col("doc_id").alias("doc_a"), "w", "h", "digest")
+    b = hashes.select(F.col("doc_id").alias("doc_b"), "w", "h", "digest")
+    return (
+        a.join(b, ["w", "h", "digest"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("w") / 16).cast("int").alias("n_mcu"),
         )
     )

@@ -188,9 +188,11 @@ def test_jpeg_byte_stuffing_roundtrip():
     assert dec["pixels"].shape == (16, 32)
 
 
-def test_jpeg_rejects_progressive_and_color():
+def test_jpeg_rejects_progressive():
     """Honest gates: SOF2 (progressive) raises NotImplementedError; a
-    truncated header fails loudly, never returns garbage."""
+    truncated header fails loudly, never returns garbage. (Color 4:2:0
+    is SUPPORTED since r13 — its sampling gate is pinned in
+    test_round13_ops.py::test_jpeg_color_rejects_unsupported_sampling.)"""
     import pytest
 
     from open_molecule_data_pipeline_spark.operators.jpeg import (

@@ -1,0 +1,176 @@
+"""Round-13 operator pins: color JPEG (YCbCr 4:2:0 — upsampling
+hand-cases, fixed-point RGB conversion, per-component DC prediction,
+unsupported-sampling gate, color re-encode bytes-differ/planes-equal),
+plus the other r13 additions' hand fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _flat_block(dc=0, ac44=0):
+    blk = [0] * 64
+    blk[0] = dc
+    blk[4 * 8 + 4] = ac44
+    return blk
+
+
+def _one_mcu(y=None, cb=None, cr=None):
+    """Encode one 4:2:0 MCU (16x16) from per-component (dc, ac44) specs."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_color,
+    )
+
+    yb = [_flat_block(*(y or (0, 0))) for _ in range(4)]
+    return encode_jpeg_color(
+        yb, [_flat_block(*(cb or (0, 0)))], [_flat_block(*(cr or (0, 0)))], 1, 1
+    )
+
+
+def test_jpeg_color_chroma_upsampling_hand_case():
+    """Chroma AC(4,4) through 2x2 replication: full-res pixels (0,0),
+    (0,1), (1,0), (1,1) all read chroma-plane (0,0) (cb' = +4), while
+    (0,2) reads chroma (0,1) where the basis sign flips (cb' = -4).
+    Fixed-point B/G terms hand-computed: +4 -> B+7/G-1; -4 -> B-7/G+1."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    dec = decode_jpeg(_one_mcu(cb=(0, 2)))  # Cb AC44=2 -> chroma amp ±4
+    assert dec["channels"] == 3
+    px = dec["pixels"].astype(int)
+    for r, c in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        assert tuple(px[r, c]) == (128, 127, 135), (r, c, px[r, c])
+    # chroma (0,1): s(1) = -1 -> cb' = -4; floor((-431752)/65536) = -7
+    for r, c in ((0, 2), (1, 3)):
+        assert tuple(px[r, c]) == (128, 129, 121), (r, c, px[r, c])
+    # pre-conversion planes exposed for dedup normalization
+    assert dec["planes"]["cb"][0, 0] == 132
+    assert dec["planes"]["cb"][0, 1] == 124
+    assert (dec["planes"]["y"] == 128).all()
+    assert (dec["planes"]["cr"] == 128).all()
+
+
+def test_jpeg_color_fixed_point_rgb_hand_case():
+    """Flat chroma DC blocks: Cr DC=2 -> cr' = +10 (chroma qDC=40);
+    R = Y + floor((91881*10 + 32768)/65536) = Y + 14;
+    G = Y - floor((46802*10 + 32768)/65536) = Y - 7."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    px = decode_jpeg(_one_mcu(y=(1, 0), cr=(2, 0)))["pixels"].astype(int)
+    # Y = 128 + 4*1 = 132 everywhere (luma qDC=32)
+    assert (px[:, :, 0] == 132 + 14).all()
+    assert (px[:, :, 1] == 132 - 7).all()
+    assert (px[:, :, 2] == 132).all()  # cb' = 0
+
+
+def test_jpeg_color_negative_term_floors_not_truncates():
+    """cr' = -10: the R term is floor(-886042/65536) = -14 (truncation
+    would give -13) — pins the >>16 floor the oracle mirrors with the
+    +1024*65536 offset trick."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    px = decode_jpeg(_one_mcu(cr=(-2, 0)))["pixels"].astype(int)
+    assert (px[:, :, 0] == 128 - 14).all()
+    assert (px[:, :, 1] == 128 + 7).all()
+
+
+def test_jpeg_color_dc_prediction_per_component():
+    """2-MCU image with different DCs per MCU and per component: each
+    component carries its own predictor across MCUs (Y also across the
+    4 in-MCU blocks)."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    yb = [_flat_block(dc) for dc in (2, -1, 0, 3, -2, 1, 2, 0)]
+    cbb = [_flat_block(1), _flat_block(-2)]
+    crb = [_flat_block(-1), _flat_block(2)]
+    dec = decode_jpeg(encode_jpeg_color(yb, cbb, crb, 2, 1))
+    pl = dec["planes"]
+    # luma blocks: 4*dc on the 128 level, TL/TR/BL/BR per MCU
+    assert pl["y"][0, 0] == 128 + 8  # MCU0 TL, dc=2
+    assert pl["y"][0, 8] == 128 - 4  # MCU0 TR, dc=-1
+    assert pl["y"][8, 0] == 128 + 0  # MCU0 BL
+    assert pl["y"][8, 8] == 128 + 12  # MCU0 BR
+    assert pl["y"][0, 16] == 128 - 8  # MCU1 TL, dc=-2
+    assert pl["y"][8, 24] == 128 + 0  # MCU1 BR
+    # chroma: 5*dc (qDC=40), one block per MCU
+    assert pl["cb"][0, 0] == 128 + 5 and pl["cb"][0, 8] == 128 - 10
+    assert pl["cr"][0, 0] == 128 - 5 and pl["cr"][0, 8] == 128 + 10
+
+
+def test_jpeg_color_rejects_unsupported_sampling():
+    """4:2:2 (Y sampling 2x1) raises NotImplementedError — only
+    grayscale 1x1 and 4:2:0 are in scope; nothing decodes to garbage."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    blob = bytearray(_one_mcu())
+    i = blob.index(b"\xff\xc0")
+    assert blob[i + 11] == 0x22
+    blob[i + 11] = 0x21  # Y sampling 2x1 -> 4:2:2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_color_renc_pair_bytes_differ_planes_equal():
+    """Color re-encode fixture point: (2p, 2p+1) blobs differ at the
+    byte level (both DQTs halved, entropy stream reshaped) yet decode
+    to identical Y/Cb/Cr planes — blob-hash dedup misses the pair, the
+    decode-normalized digest catches it."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        _color_renc_blocks,
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    for base in range(6):
+        blobs, planes, rgbs = [], [], []
+        for doc_id in (2 * base, 2 * base + 1):
+            yb, cbb, crb, mw, mh, qt_y, qt_c = _color_renc_blocks(doc_id)
+            blob = encode_jpeg_color(
+                yb, cbb, crb, mw, mh, qtab_y=qt_y, qtab_c=qt_c
+            )
+            blobs.append(blob)
+            dec = decode_jpeg(blob)
+            planes.append(dec["planes"])
+            rgbs.append(dec["pixels"])
+        assert blobs[0] != blobs[1]
+        for k in ("y", "cb", "cr"):
+            assert (planes[0][k] == planes[1][k]).all(), (base, k)
+        # RGB is a deterministic function of the planes
+        assert (rgbs[0] == rgbs[1]).all()
+
+
+def test_jpeg_color_fixture_clamp_free():
+    """The closed-form oracle is exact only if no channel clamps: synth
+    fixture channels stay within [97, 159], renc planes within
+    [68, 188] / [80, 176]."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        synth_color_blocks,
+    )
+
+    for doc_id in range(24):
+        yb, cbb, crb, mw, mh = synth_color_blocks(doc_id)
+        px = decode_jpeg(encode_jpeg_color(yb, cbb, crb, mw, mh))["pixels"]
+        assert px.min() >= 97 and px.max() <= 159
+
+
+def test_jpeg_grayscale_path_unchanged():
+    """Regression: the 1-component path still decodes the r12 fixtures
+    bit-for-bit (the color refactor shares the block decoder)."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        synth_coeff_blocks,
+    )
+
+    for doc_id in range(6):
+        blocks, bw, bh = synth_coeff_blocks(doc_id)
+        dec = decode_jpeg(encode_jpeg_baseline(blocks, bw, bh))
+        assert dec["channels"] == 1
+        a = (doc_id + 0) % 5 - 2
+        b = (doc_id + 0) % 3 - 1
+        assert int(dec["pixels"][0, 0]) == 128 + 4 * a + 2 * b
