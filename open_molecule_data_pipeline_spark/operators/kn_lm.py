@@ -1,0 +1,233 @@
+"""Kneser-Ney bigram LM + perplexity filter (r13, VERDICT r12 #3):
+CCNet/RedPajama filter corpora on a SMOOTHED n-gram LM, not a unigram —
+this closes the fidelity gap at the same plan shape as
+``text_unigram_ppl_filter`` (unigram_lm.py).
+
+Model (interpolated Kneser-Ney with absolute discount D = 0.75):
+
+    P(w2|w1) = (c(w1,w2) - D) / c(w1)  +  lambda(w1) * P_cont(w2)
+    lambda(w1) = D * N1+(w1,*) / c(w1)         (mass freed by discounting)
+    P_cont(w2) = N1+(*,w2) / N1+(*,*)          (continuation probability)
+
+where N1+ counts DISTINCT bigram types. Training and scoring share the
+corpus (the same self-scoring contract as the unigram filter), so every
+scored bigram is seen: c(w1,w2) >= 1 > D and the max(c-D, 0) branch of
+the textbook formula never activates — documented, and P < 1 strictly,
+so every per-bigram cost is a positive integer after micro-quantization.
+
+Scale design: bigrams are built MAP-SIDE from the split-token array
+(``arrays_zip`` of two slices — zero shuffle, no positional self-join),
+then ONE partial-aggregated groupBy(w1,w2) pass is the corpus-side
+model cost; every other model table (history counts, continuation
+counts, the bigram-type total) derives from the distinct-bigram table,
+which is Heaps-sublinear in corpus size. Scoring is one
+(doc, w1, w2) partial agg joined to the per-bigram cost table — the
+join is NOT hint-broadcast: distinct bigram types at 100 TB outgrow
+any broadcast budget, so the plan leaves AQE free to pick broadcast at
+small scale and a plain hash join at large (the one deliberate shape
+difference from the unigram filter's broadcast word-cost table).
+
+All log-probabilities are micro-quantized int64 (``round(-ln(P)*1e6)``)
+from identical rational inputs on both engines — the unigram-LM /
+naive-bayes precedent; integer sums from there on.
+
+Scoring contract: a document's first token is not scored (no history);
+documents with fewer than two tokens produce no bigrams and are
+excluded. ``mean_nll_micro`` uses truncated division (both engines
+truncate; the numerator is a sum of positives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import spread
+
+_D = 0.75  # absolute discount
+_KN_TOP_MODEL = 20  # bigrams emitted by the model query
+_KN_TOP_DOCS = 15  # docs emitted by the filter (unigram filter's shape)
+
+# shared SQL: the bigram stream + model tables (DuckDB side)
+_KN_CTES = """
+lf AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(2, len(t) + 1), i -> t[i - 1])) AS w1,
+         unnest(list_transform(range(2, len(t) + 1), i -> t[i])) AS w2
+  FROM lf
+),
+big AS (
+  SELECT w1, w2, cast(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+),
+hist AS (
+  SELECT w1, cast(sum(c12) AS BIGINT) AS c1,
+         cast(count(*) AS BIGINT) AS n1p
+  FROM big GROUP BY w1
+),
+cont AS (
+  SELECT w2, cast(count(*) AS BIGINT) AS npre FROM big GROUP BY w2
+),
+nb AS (SELECT cast(count(*) AS BIGINT) AS nbig FROM big),
+cost AS (
+  SELECT b.w1, b.w2, b.c12, h.c1, h.n1p, c.npre,
+         cast(round(-ln(
+           (cast(b.c12 AS DOUBLE) - 0.75) / cast(h.c1 AS DOUBLE)
+           + 0.75 * cast(h.n1p AS DOUBLE) / cast(h.c1 AS DOUBLE)
+             * cast(c.npre AS DOUBLE) / cast(nb.nbig AS DOUBLE)
+         ) * 1000000) AS BIGINT) AS cost_micro
+  FROM big b
+  JOIN hist h ON b.w1 = h.w1
+  JOIN cont c ON b.w2 = c.w2, nb
+)
+"""
+
+_MODEL_ORACLE = f"""
+WITH {_KN_CTES}
+SELECT w1, w2, c12, c1, n1p AS n1p_w1, npre AS npre_w2, cost_micro
+FROM cost
+ORDER BY c12 DESC, w1, w2
+LIMIT {_KN_TOP_MODEL}
+"""
+
+_PPL_ORACLE = f"""
+WITH {_KN_CTES},
+dbg AS (
+  SELECT doc_id, lang, w1, w2, cast(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY doc_id, lang, w1, w2
+),
+per_doc AS (
+  SELECT d.doc_id, d.lang,
+         cast(sum(d.c) AS BIGINT) AS n_bigrams,
+         cast(sum(d.c * cost.cost_micro) AS BIGINT) AS nll_micro
+  FROM dbg d JOIN cost ON cost.w1 = d.w1 AND cost.w2 = d.w2
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_bigrams, nll_micro,
+       nll_micro // n_bigrams AS mean_nll_micro
+FROM per_doc
+ORDER BY mean_nll_micro DESC, doc_id
+LIMIT {_KN_TOP_DOCS}
+"""
+
+
+def _bigram_stream(spark, sf_dir):
+    """(doc_id, lang, w1, w2) bigram stream, built map-side from the
+    token array — no shuffle, no positional self-join."""
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
+    return (
+        d.withColumn(
+            "t", F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        )
+        .filter(F.size("t") >= 2)
+        .withColumn(
+            "bg",
+            F.expr(
+                "arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.explode("bg").alias("p"),
+        )
+        .select(
+            "doc_id", "lang", F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
+        )
+    )
+
+
+def _cost_table(bg):
+    """Per-bigram KN cost table from the bigram stream (all derived
+    tables live on the distinct-bigram table, Heaps-sublinear)."""
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    hist = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("npre"))
+    nb = big.agg(F.count(F.lit(1)).cast("long").alias("nbig"))
+    return (
+        big.join(hist, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "cost_micro",
+            F.round(
+                -F.log(
+                    (F.col("c12").cast("double") - F.lit(_D)) / F.col("c1")
+                    + F.lit(_D) * F.col("n1p") / F.col("c1")
+                    * F.col("npre") / F.col("nbig")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+
+
+@register(
+    "text_kn_bigram_model",
+    oracle=_MODEL_ORACLE,
+    tags=("text", "training"),
+)
+def text_kn_bigram_model(spark, sf_dir):
+    """Top bigrams under the trained KN model with their count
+    decomposition — the inspection view of the trainer."""
+    cost = _cost_table(_bigram_stream(spark, sf_dir))
+    return (
+        cost.select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.col("n1p").alias("n1p_w1"),
+            F.col("npre").alias("npre_w2"),
+            "cost_micro",
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(_KN_TOP_MODEL)
+    )
+
+
+@register(
+    "text_kn_bigram_ppl",
+    oracle=_PPL_ORACLE,
+    tags=("text", "training"),
+)
+def text_kn_bigram_ppl(spark, sf_dir):
+    """CCNet-fidelity perplexity filter: per-doc mean NLL under the
+    interpolated KN bigram LM; worst (highest-perplexity) docs first."""
+    bg = _bigram_stream(spark, sf_dir)
+    cost = _cost_table(bg).select("w1", "w2", "cost_micro")
+    dbg = bg.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = (
+        dbg.join(cost, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("cost_micro"))
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "nll_micro",
+            F.expr("nll_micro div n_bigrams").alias("mean_nll_micro"),
+        )
+        .orderBy(F.desc("mean_nll_micro"), "doc_id")
+        .limit(_KN_TOP_DOCS)
+    )

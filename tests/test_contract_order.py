@@ -46,7 +46,7 @@ FAMILY_TAGS = (
 # own CORRECTNESS artifact (dropped by the driver mid-round) must not
 # retroactively invalidate the window it verified (ADVICE r10). Bump in
 # the same commit as each rotation.
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 
 def _cumulative_green_counts() -> dict[str, int]:
@@ -133,9 +133,16 @@ def test_contract_preserves_all_other_queries():
 # already-driver-green names allowed inside the head-50 window (re-proof
 # slots). Update per round alongside the CONTRACT_ORDER head comment.
 CHANGED_THIS_ROUND: set[str] = {
-    # r12: no already-driver-green query's implementation changed this
-    # round; the head is the never-sampled r11 rerank pair plus new r12
-    # additions, the rest least-proven fillers.
+    # r13: the color-JPEG refactor touched the grayscale pair's module
+    # (shared encoder/decoder helpers); the three ts oracles gained the
+    # div-truncation mirror (ADVICE r12); ml_gbt_two_rounds hosts the
+    # reworded leaf-prediction docstring (same file, re-proof is cheap).
+    "mm_image_jpeg_decode",
+    "mm_image_jpeg_renc_dedup",
+    "ts_dtw_pairwise",
+    "ts_granger_screen",
+    "ts_periodogram_top_period",
+    "ml_gbt_two_rounds",
 }
 
 

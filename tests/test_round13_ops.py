@@ -174,3 +174,59 @@ def test_jpeg_grayscale_path_unchanged():
         a = (doc_id + 0) % 5 - 2
         b = (doc_id + 0) % 3 - 1
         assert int(dec["pixels"][0, 0]) == 128 + 4 * a + 2 * b
+
+
+def _write_docs(spark, td, rows):
+    import os
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.write.parquet(os.path.join(td, "documents.parquet"))
+
+
+def test_kn_bigram_hand_worked_backoff(spark):
+    """Interpolated KN on a 2-doc corpus small enough to hand-compute:
+    bigrams (a,b)x2, (b,a), (a,c), (b,b) -> 4 types.
+    P(b|a) = (2-.75)/3 + .75*(2/3)*(2/4) = 2/3;
+    P(a|b) = .25/2 + .75*(2/2)*(1/4) = 0.3125;
+    and the discount mass telescopes: sum over the full vocab of
+    P(.|a) = P(b|a) + P(c|a) + lambda(a)*Pcont(a) = 1 exactly."""
+    import math
+    import tempfile
+
+    from open_molecule_data_pipeline_spark.operators.kn_lm import (
+        text_kn_bigram_model,
+        text_kn_bigram_ppl,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(
+            spark, td, [(0, "en", "a b a c"), (1, "en", "a b b")]
+        )
+        model = {(r.w1, r.w2): r for r in text_kn_bigram_model(spark, td).collect()}
+        docs = {r.doc_id: r for r in text_kn_bigram_ppl(spark, td).collect()}
+
+    ab = model[("a", "b")]
+    assert (ab.c12, ab.c1, ab.n1p_w1, ab.npre_w2) == (2, 3, 2, 2)
+    p_ab = (2 - 0.75) / 3 + 0.75 * (2 / 3) * (2 / 4)
+    assert abs(p_ab - 2 / 3) < 1e-12
+    assert ab.cost_micro == round(-math.log(p_ab) * 1e6)
+
+    ba, ac, bb = model[("b", "a")], model[("a", "c")], model[("b", "b")]
+    p_ba = (1 - 0.75) / 2 + 0.75 * (2 / 2) * (1 / 4)
+    p_ac = (1 - 0.75) / 3 + 0.75 * (2 / 3) * (1 / 4)
+    p_bb = (1 - 0.75) / 2 + 0.75 * (2 / 2) * (2 / 4)
+    assert ba.cost_micro == round(-math.log(p_ba) * 1e6)
+    assert ac.cost_micro == round(-math.log(p_ac) * 1e6)
+    assert bb.cost_micro == round(-math.log(p_bb) * 1e6)
+
+    # discount mass conservation over history 'a' (vocab = {a, b, c}):
+    # unseen continuation a gets lambda(a) * Pcont(a)
+    lam_a = 0.75 * 2 / 3
+    p_aa_backoff = lam_a * (1 / 4)
+    assert abs((p_ab + p_ac + p_aa_backoff) - 1.0) < 1e-12
+
+    d0, d1 = docs[0], docs[1]
+    assert d0.n_bigrams == 3 and d1.n_bigrams == 2
+    assert d0.nll_micro == ab.cost_micro + ba.cost_micro + ac.cost_micro
+    assert d1.nll_micro == ab.cost_micro + bb.cost_micro
+    assert d0.mean_nll_micro == d0.nll_micro // 3
