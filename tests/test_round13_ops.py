@@ -230,3 +230,67 @@ def test_kn_bigram_hand_worked_backoff(spark):
     assert d0.nll_micro == ab.cost_micro + ba.cost_micro + ac.cost_micro
     assert d1.nll_micro == ab.cost_micro + bb.cost_micro
     assert d0.mean_nll_micro == d0.nll_micro // 3
+
+
+def test_louvain_gain_matches_brute_q_delta():
+    """The scaled gain 2m(k_ub - k_ua) - k_u(D_b - D_a + k_u) equals
+    2m^2 * (Q_after - Q_before) for ONE node's move with all other
+    assignments fixed — checked by brute-force Q recomputation on a
+    hand graph (two triangles joined by a bridge, adversarial seed)."""
+    from itertools import combinations
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    m = len(edges)
+    nodes = sorted({x for e in edges for x in e})
+    k = {n: sum(1 for e in edges if n in e) for n in nodes}
+
+    def q(cid):
+        by_c = {}
+        for n in nodes:
+            by_c.setdefault(cid[n], []).append(n)
+        total = 0.0
+        for members in by_c.values():
+            ms = set(members)
+            lc = sum(1 for a, b in edges if a in ms and b in ms)
+            dc = sum(k[n] for n in members)
+            total += lc / m - (dc / (2 * m)) ** 2
+        return total
+
+    seed = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2}  # community 1 straddles
+    d_sum = {}
+    for n, c in seed.items():
+        d_sum[c] = d_sum.get(c, 0) + k[n]
+    for u in nodes:
+        a = seed[u]
+        kuc = {}
+        for x, y in edges:
+            if x == u:
+                kuc[seed[y]] = kuc.get(seed[y], 0) + 1
+            elif y == u:
+                kuc[seed[x]] = kuc.get(seed[x], 0) + 1
+        for b in set(seed.values()) - {a}:
+            gain = 2 * m * (kuc.get(b, 0) - kuc.get(a, 0)) - k[u] * (
+                d_sum.get(b, 0) - d_sum[a] + k[u]
+            )
+            moved = dict(seed)
+            moved[u] = b
+            brute = (q(moved) - q(seed)) * 2 * m * m
+            assert abs(gain - brute) < 1e-9, (u, a, b, gain, brute)
+
+
+def test_louvain_pass_increases_q_on_fixture(spark, sf_dir):
+    """Driver-visible Q-increases property: the locally-dominant-matching
+    pass strictly raises modularity from the 64-community hash seed on
+    the supplier-part graph (q1_nano > q0_nano on every output row) and
+    applies at least one matched move. (The naive apply-all synchronous
+    pass DROPS Q here — the matching is load-bearing.)"""
+    from open_molecule_data_pipeline_spark.operators.graph_metrics import (
+        graph_louvain_pass,
+    )
+
+    rows = graph_louvain_pass(spark, sf_dir).collect()
+    assert rows, "no communities returned"
+    for r in rows:
+        assert r.q1_nano > r.q0_nano, (r.q0_nano, r.q1_nano)
+        assert r.n_moves >= 1
+    assert rows[0].n_communities <= 64
