@@ -1431,3 +1431,260 @@ def corpus_pipeline_report(spark, sf_dir):
         .unionByName(stage(exact, 2, "exact_dedup"))
         .unionByName(s3)
     )
+
+
+# --------------------------------------------------------------------------
+# Full-funnel pipeline report v2 (r13, VERDICT r12 #5): the production
+# training-data chain as ONE accounting artifact — langid gate ->
+# quality gate -> exact dedup -> near-dup (signature) -> decontamination
+# -> re-tokenize -> pack — one row per stage with doc/token counts that
+# telescope. Every stage reuses a separately-verified operator's shape:
+# the quality rules and exact dedup from corpus_pipeline_report, the
+# one-permutation MinHash signature from dedup.py (full-signature
+# equality = the high-threshold near-dup rung; band-graph clustering is
+# verified separately in dedup_clusters), 8-gram decontamination against
+# a held-out eval set (doc_id % 97 == 0, taken from RAW docs — the eval
+# set is external to the funnel), the established regex token classes
+# (ml_extra.py) for the tokenizer basis change, and contiguous-stream
+# packing accounting (blocks = ceil(total/512)).
+#
+# Stage semantics: stages 0-5 filter docs (both counts non-increasing);
+# stage 6 keeps stage-5 docs but re-bases n_tokens to the BPE-ish regex
+# count; stage 7 re-bases n_docs to packed 512-token blocks. The
+# telescoping invariants are pinned in pytest; the driver hash checks
+# every number.
+#
+# Scale shape: one corpus scan feeds per-doc signals; exact/near dedup
+# shuffle 8-16-byte keys; decontamination is one shingle equi-join
+# against the (tiny) eval-gram set — each engine uses its own gram hash
+# (values never leave the join); everything else is bounded aggs.
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH sig0 AS (
+  SELECT doc_id, lang, text,
+         cast(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         cast(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct,
+         cast(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+l1 AS (
+  SELECT * FROM sig0 WHERE lang IN ('en', 'es', 'fr', 'de')
+),
+kept AS (
+  SELECT * FROM l1
+  WHERE n_tok BETWEEN 20 AND 1000
+    AND 1 - cast(n_distinct AS DOUBLE) / n_tok <= 0.9
+    AND cast(n_chars AS DOUBLE) / n_tok BETWEEN 2.0 AND 12.0
+),
+exact AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        AS rn
+    FROM kept
+  ) t WHERE rn = 1
+),
+msig AS (
+  SELECT doc_id,
+         list_min(list_transform(hs, h -> substr(h, 1, 4)))
+      || list_min(list_transform(hs, h -> substr(h, 5, 4)))
+      || list_min(list_transform(hs, h -> substr(h, 9, 4)))
+      || list_min(list_transform(hs, h -> substr(h, 13, 4)))
+      || list_min(list_transform(hs, h -> substr(h, 17, 4)))
+      || list_min(list_transform(hs, h -> substr(h, 21, 4)))
+      || list_min(list_transform(hs, h -> substr(h, 25, 4)))
+      || list_min(list_transform(hs, h -> substr(h, 29, 4))) AS msig
+  FROM (
+    SELECT doc_id, list_transform(
+             list_filter(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]),
+               s -> s is not null),
+             s -> md5(s)) AS hs
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM exact)
+  ) h
+),
+near AS (
+  SELECT e.* FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY msig ORDER BY doc_id)
+        AS rn
+    FROM msig
+  ) r JOIN exact e ON e.doc_id = r.doc_id
+  WHERE r.rn = 1
+),
+evalg AS (
+  SELECT DISTINCT md5(array_to_string(tk[(i+1):(i+8)], ' ')) AS g
+  FROM (
+    SELECT string_split(text, ' ') AS tk, n_tok, unnest(range(n_tok - 7)) AS i
+    FROM sig0 WHERE doc_id % 97 = 0 AND n_tok >= 8
+  ) t
+),
+dirty AS (
+  SELECT DISTINCT doc_id
+  FROM (
+    SELECT doc_id, md5(array_to_string(tk[(i+1):(i+8)], ' ')) AS g
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS tk, n_tok,
+             unnest(range(n_tok - 7)) AS i
+      FROM near WHERE n_tok >= 8
+    ) t0
+  ) t JOIN evalg ON evalg.g = t.g
+),
+clean AS (
+  SELECT * FROM near
+  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+tok6 AS (
+  SELECT doc_id,
+         cast(len(regexp_extract_all(text, '[A-Za-z]+'))
+              + len(regexp_extract_all(text, '[0-9]+'))
+              + len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+              AS BIGINT) AS n_bpe
+  FROM clean
+),
+t6 AS (
+  SELECT cast(count(*) AS BIGINT) AS n_docs,
+         cast(coalesce(sum(n_bpe), 0) AS BIGINT) AS n_tokens
+  FROM tok6
+)
+SELECT * FROM (
+  SELECT 0 AS stage, 'raw' AS name, cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(n_tok) AS BIGINT) AS n_tokens FROM sig0
+  UNION ALL
+  SELECT 1, 'langid_gate', cast(count(*) AS BIGINT),
+         cast(sum(n_tok) AS BIGINT) FROM l1
+  UNION ALL
+  SELECT 2, 'quality_gate', cast(count(*) AS BIGINT),
+         cast(sum(n_tok) AS BIGINT) FROM kept
+  UNION ALL
+  SELECT 3, 'exact_dedup', cast(count(*) AS BIGINT),
+         cast(sum(n_tok) AS BIGINT) FROM exact
+  UNION ALL
+  SELECT 4, 'neardup_signature', cast(count(*) AS BIGINT),
+         cast(sum(n_tok) AS BIGINT) FROM near
+  UNION ALL
+  SELECT 5, 'decontaminated', cast(count(*) AS BIGINT),
+         cast(sum(n_tok) AS BIGINT) FROM clean
+  UNION ALL
+  SELECT 6, 'tokenized', n_docs, n_tokens FROM t6
+  UNION ALL
+  SELECT 7, 'packed', (n_tokens + 511) // 512, n_tokens FROM t6
+) z
+"""
+
+
+@register(
+    "corpus_funnel_report",
+    oracle=_FUNNEL_ORACLE,
+    tags=("text", "dedup", "quality"),
+)
+def corpus_funnel_report(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from .dedup import _SHINGLES_SPARK, _sig_spark
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig0 = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    l1 = sig0.filter(F.col("lang").isin("en", "es", "fr", "de"))
+    kept = l1.filter(
+        F.col("n_tok").between(20, 1000)
+        & (1 - F.col("n_distinct").cast("double") / F.col("n_tok") <= 0.9)
+        & (F.col("n_chars").cast("double") / F.col("n_tok")).between(2.0, 12.0)
+    )
+    exact = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy(F.xxhash64("text")).orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    msig = (
+        exact.withColumn("toks", toks)
+        .withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .withColumn("hs", F.expr("transform(shingles, s -> md5(s))"))
+        .select(
+            "doc_id",
+            F.concat(*[F.expr(_sig_spark(k)) for k in range(8)]).alias("msig"),
+        )
+    )
+    near = (
+        msig.withColumn(
+            "rn", F.row_number().over(W.partitionBy("msig").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .join(exact, "doc_id")
+        .persist()
+    )
+    tk = F.split("text", " ")
+    gram = lambda df: df.filter(F.col("n_tok") >= 8).select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tok") - 8).cast("int")),
+                lambda i: F.xxhash64(F.array_join(F.slice(tk, i + 1, 8), " ")),
+            )
+        ).alias("g"),
+    )
+    evalg = gram(sig0.filter(F.col("doc_id") % 97 == 0)).select("g").distinct()
+    dirty = (
+        gram(near).join(evalg, "g").select("doc_id").distinct()
+    )
+    clean = (
+        near.filter(F.col("doc_id") % 97 != 0)
+        .join(dirty, "doc_id", "left_anti")
+        .persist()
+    )
+    n = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), 0))  # noqa: E731
+    tok6 = clean.select(
+        "doc_id",
+        (n("[A-Za-z]+") + n("[0-9]+") + n("[^A-Za-z0-9 ]"))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+    t6 = tok6.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_bpe"), F.lit(0)).cast("long").alias("n_tokens"),
+    ).persist()
+
+    def stage(df, num, name):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(num).alias("stage"),
+            F.lit(name).alias("name"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    s6 = t6.select(
+        F.lit(6).alias("stage"), F.lit("tokenized").alias("name"),
+        "n_docs", "n_tokens",
+    )
+    s7 = t6.select(
+        F.lit(7).alias("stage"),
+        F.lit("packed").alias("name"),
+        F.expr("(n_tokens + 511) div 512").alias("n_docs"),
+        "n_tokens",
+    )
+    return (
+        stage(sig0, 0, "raw")
+        .unionByName(stage(l1, 1, "langid_gate"))
+        .unionByName(stage(kept, 2, "quality_gate"))
+        .unionByName(stage(exact, 3, "exact_dedup"))
+        .unionByName(stage(near, 4, "neardup_signature"))
+        .unionByName(stage(clean, 5, "decontaminated"))
+        .unionByName(s6)
+        .unionByName(s7)
+    )

@@ -294,3 +294,23 @@ def test_louvain_pass_increases_q_on_fixture(spark, sf_dir):
         assert r.q1_nano > r.q0_nano, (r.q0_nano, r.q1_nano)
         assert r.n_moves >= 1
     assert rows[0].n_communities <= 64
+
+
+def test_funnel_report_stage_counts_telescope(spark, sf_dir):
+    """Full-funnel invariants: stages 0-5 are doc filters (both counts
+    non-increasing), stage 6 keeps stage-5 docs while re-basing tokens,
+    stage 7 re-bases docs to ceil(tokens/512) packed blocks."""
+    from open_molecule_data_pipeline_spark.operators.corpus_refinery import (
+        corpus_funnel_report,
+    )
+
+    rows = {r.stage: r for r in corpus_funnel_report(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(8))
+    for s in range(1, 6):
+        assert rows[s].n_docs <= rows[s - 1].n_docs, s
+        assert rows[s].n_tokens <= rows[s - 1].n_tokens, s
+    assert rows[6].n_docs == rows[5].n_docs
+    assert rows[7].n_tokens == rows[6].n_tokens
+    assert rows[7].n_docs == (rows[6].n_tokens + 511) // 512
+    # decontamination really removed the eval docs
+    assert rows[5].n_docs < rows[4].n_docs or rows[4].n_docs == 0
