@@ -231,3 +231,243 @@ def text_kn_bigram_ppl(spark, sf_dir):
         .orderBy(F.desc("mean_nll_micro"), "doc_id")
         .limit(_KN_TOP_DOCS)
     )
+
+
+# --------------------------------------------------------------------------
+# Held-out KN scoring with the FULL backoff ladder (r13): the self-scoring
+# filter above never exercises the textbook max(c-D, 0) = 0 branch. Here
+# the model trains on EVEN doc_ids and scores ODD docs, so every backoff
+# branch executes and is driver-counted:
+#
+#   seen bigram:              P = (c12-D)/c1 + lam(w1)*Pcont(w2)
+#   unseen pair, seen w1:     P = lam(w1)*Pcont(w2)        (discount mass)
+#   unseen history w1:        P = Pcont(w2)                (pure backoff)
+#   w2 never a continuation:  P = 1/(nbig+1)               (UNK floor)
+#
+# Output is the per-language accounting: how many scored bigrams hit each
+# branch plus the exact integer NLL — the held-out-perplexity shape CCNet
+# actually runs (train on Wikipedia, score the crawl). The synthetic
+# corpus shares its vocabulary across docs, so hist/unk counts are ~0
+# there; a hand fixture in pytest drives all four branches with
+# hand-computed costs.
+# --------------------------------------------------------------------------
+
+_OOV_ORACLE = """
+WITH lf AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(2, len(t) + 1), i -> t[i - 1])) AS w1,
+         unnest(list_transform(range(2, len(t) + 1), i -> t[i])) AS w2
+  FROM lf
+),
+tbg AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+big AS (SELECT w1, w2, cast(count(*) AS BIGINT) AS c12 FROM tbg GROUP BY w1, w2),
+hist AS (
+  SELECT w1, cast(sum(c12) AS BIGINT) AS c1, cast(count(*) AS BIGINT) AS n1p
+  FROM big GROUP BY w1
+),
+cont AS (SELECT w2, cast(count(*) AS BIGINT) AS npre FROM big GROUP BY w2),
+nb AS (SELECT cast(count(*) AS BIGINT) AS nbig FROM big),
+sbg AS (
+  SELECT lang, w1, w2, cast(count(*) AS BIGINT) AS c
+  FROM bg WHERE doc_id % 2 = 1 GROUP BY lang, w1, w2
+),
+scored AS (
+  SELECT s.lang, s.c,
+         CASE WHEN cont.npre IS NULL THEN 'unk'
+              WHEN hist.c1 IS NULL THEN 'hist'
+              WHEN big.c12 IS NULL THEN 'lambda'
+              ELSE 'seen' END AS branch,
+         cast(round(-ln(
+           CASE WHEN cont.npre IS NULL THEN 1.0 / (nb.nbig + 1)
+                WHEN hist.c1 IS NULL
+                  THEN cast(cont.npre AS DOUBLE) / cast(nb.nbig AS DOUBLE)
+                WHEN big.c12 IS NULL
+                  THEN 0.75 * cast(hist.n1p AS DOUBLE) / cast(hist.c1 AS DOUBLE)
+                       * cast(cont.npre AS DOUBLE) / cast(nb.nbig AS DOUBLE)
+                ELSE (cast(big.c12 AS DOUBLE) - 0.75) / cast(hist.c1 AS DOUBLE)
+                     + 0.75 * cast(hist.n1p AS DOUBLE) / cast(hist.c1 AS DOUBLE)
+                       * cast(cont.npre AS DOUBLE) / cast(nb.nbig AS DOUBLE)
+           END) * 1000000) AS BIGINT) AS cost
+  FROM sbg s
+  LEFT JOIN hist ON hist.w1 = s.w1
+  LEFT JOIN big ON big.w1 = s.w1 AND big.w2 = s.w2
+  LEFT JOIN cont ON cont.w2 = s.w2, nb
+)
+SELECT lang,
+       cast(sum(c) AS BIGINT) AS n_bigrams,
+       cast(sum(CASE WHEN branch = 'seen' THEN c ELSE 0 END) AS BIGINT)
+           AS n_seen,
+       cast(sum(CASE WHEN branch = 'lambda' THEN c ELSE 0 END) AS BIGINT)
+           AS n_lambda,
+       cast(sum(CASE WHEN branch = 'hist' THEN c ELSE 0 END) AS BIGINT)
+           AS n_hist,
+       cast(sum(CASE WHEN branch = 'unk' THEN c ELSE 0 END) AS BIGINT)
+           AS n_unk,
+       cast(sum(c * cost) AS BIGINT) AS nll_micro,
+       cast(sum(c * cost) AS BIGINT) // cast(sum(c) AS BIGINT)
+           AS mean_nll_micro
+FROM scored
+GROUP BY lang
+"""
+
+
+@register(
+    "text_kn_oov_backoff",
+    oracle=_OOV_ORACLE,
+    tags=("text", "training"),
+)
+def text_kn_oov_backoff(spark, sf_dir):
+    """Held-out KN scoring: train on even doc_ids, score odd docs —
+    every backoff branch (seen / discount-mass / history-backoff / UNK
+    floor) executes and is counted per language."""
+    bg = _bigram_stream(spark, sf_dir)
+    tbg = bg.filter(F.col("doc_id") % 2 == 0)
+    big = tbg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    hist = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("npre"))
+    nb = big.agg(F.count(F.lit(1)).cast("long").alias("nbig"))
+    sbg = (
+        bg.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    j = (
+        sbg.join(hist, "w1", "left")
+        .join(big, ["w1", "w2"], "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(nb))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p_seen = (d("c12") - F.lit(0.75)) / d("c1") + F.lit(0.75) * d("n1p") / d(
+        "c1"
+    ) * d("npre") / d("nbig")
+    p_lambda = F.lit(0.75) * d("n1p") / d("c1") * d("npre") / d("nbig")
+    p_hist = d("npre") / d("nbig")
+    p_unk = F.lit(1.0) / (d("nbig") + 1)
+    branch = (
+        F.when(F.col("npre").isNull(), F.lit("unk"))
+        .when(F.col("c1").isNull(), F.lit("hist"))
+        .when(F.col("c12").isNull(), F.lit("lambda"))
+        .otherwise(F.lit("seen"))
+    )
+    p = (
+        F.when(F.col("npre").isNull(), p_unk)
+        .when(F.col("c1").isNull(), p_hist)
+        .when(F.col("c12").isNull(), p_lambda)
+        .otherwise(p_seen)
+    )
+    scored = j.select(
+        "lang",
+        "c",
+        branch.alias("branch"),
+        F.round(-F.log(p) * 1_000_000).cast("long").alias("cost"),
+    )
+    cnt = lambda b: F.sum(  # noqa: E731
+        F.when(F.col("branch") == b, F.col("c")).otherwise(F.lit(0))
+    ).cast("long")
+    return scored.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        cnt("seen").alias("n_seen"),
+        cnt("lambda").alias("n_lambda"),
+        cnt("hist").alias("n_hist"),
+        cnt("unk").alias("n_unk"),
+        F.sum(F.col("c") * F.col("cost")).cast("long").alias("nll_micro"),
+        F.expr("sum(c * cost) div sum(c)").cast("long").alias("mean_nll_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity buckets (r13): the artifact CCNet actually ships —
+# every language's documents split into head/middle/tail terciles by LM
+# perplexity, with per-bucket doc/token accounting. Thresholds are exact
+# interpolated per-lang percentiles (p33/p67) computed as ONE bounded
+# aggregation and broadcast back (the ts_rfm_scores discipline: Spark
+# `percentile` == DuckDB `quantile_cont` on integer inputs — never a
+# per-lang window over the corpus). Perplexity = the self-scored KN
+# mean NLL from text_kn_bigram_ppl's plan.
+# --------------------------------------------------------------------------
+
+_BUCKETS_ORACLE = f"""
+WITH {_KN_CTES},
+dbg AS (
+  SELECT doc_id, lang, w1, w2, cast(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY doc_id, lang, w1, w2
+),
+per_doc AS (
+  SELECT d.doc_id, d.lang,
+         cast(sum(d.c) AS BIGINT) AS n_bigrams,
+         cast(sum(d.c * cost.cost_micro) AS BIGINT)
+             // cast(sum(d.c) AS BIGINT) AS mnll
+  FROM dbg d JOIN cost ON cost.w1 = d.w1 AND cost.w2 = d.w2
+  GROUP BY d.doc_id, d.lang
+),
+th AS (
+  SELECT lang, quantile_cont(mnll, 0.33) AS t33,
+         quantile_cont(mnll, 0.67) AS t67
+  FROM per_doc GROUP BY lang
+)
+SELECT p.lang,
+       CASE WHEN p.mnll <= th.t33 THEN 'head'
+            WHEN p.mnll <= th.t67 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(p.n_bigrams) AS BIGINT) AS n_bigrams,
+       cast(min(p.mnll) AS BIGINT) AS min_mnll,
+       cast(max(p.mnll) AS BIGINT) AS max_mnll
+FROM per_doc p JOIN th ON th.lang = p.lang
+GROUP BY p.lang, bucket
+"""
+
+
+@register(
+    "text_ccnet_ppl_buckets",
+    oracle=_BUCKETS_ORACLE,
+    tags=("text", "training"),
+)
+def text_ccnet_ppl_buckets(spark, sf_dir):
+    """Per-language head/middle/tail perplexity terciles with doc/token
+    accounting — the CCNet bucket artifact."""
+    bg = _bigram_stream(spark, sf_dir)
+    cost = _cost_table(bg).select("w1", "w2", "cost_micro")
+    dbg = bg.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = (
+        dbg.join(cost, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.expr("sum(c * cost_micro) div sum(c)")
+            .cast("long")
+            .alias("mnll"),
+        )
+    )
+    th = per_doc.groupBy("lang").agg(
+        F.expr("percentile(mnll, 0.33)").alias("t33"),
+        F.expr("percentile(mnll, 0.67)").alias("t67"),
+    )
+    bucket = (
+        F.when(F.col("mnll") <= F.col("t33"), F.lit("head"))
+        .when(F.col("mnll") <= F.col("t67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        per_doc.join(F.broadcast(th), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.min("mnll").cast("long").alias("min_mnll"),
+            F.max("mnll").cast("long").alias("max_mnll"),
+        )
+    )

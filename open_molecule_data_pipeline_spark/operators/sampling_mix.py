@@ -1,0 +1,300 @@
+"""Training-corpus mixing and selection operators (split from
+training_extra.py r13, hygiene only): temperature-weighted source
+mixing, nucleus (top-p) corpus selection, deterministic shuffle/shard
+export, and exact largest-remainder quota apportionment. All sampling
+is deterministic md5-nibble Bernoulli / hex-rank — no RNG state, same
+rows every run and engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+_ALPHA_DOC = "rate_k = floor(16 * sqrt(n_source / n_max))"  # alpha = 0.5
+
+_TEMPERATURE_ORACLE = """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+m AS (SELECT max(n) AS mx FROM counts),
+rated AS (
+  SELECT source, n,
+         cast(floor(16 * sqrt(n / cast(m.mx AS DOUBLE))) AS INTEGER) AS rate_k
+  FROM counts, m
+),
+kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN rated r ON d.source = r.source
+  WHERE substr(md5(cast(d.doc_id AS VARCHAR)), 1, 1)
+        < substr('0123456789abcdefg', r.rate_k + 1, 1)
+  GROUP BY d.source
+)
+SELECT r.source,
+       cast(r.n AS BIGINT) AS n_total,
+       cast(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       r.rate_k
+FROM rated r LEFT JOIN kept k ON r.source = k.source
+"""
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=_TEMPERATURE_ORACLE,
+    tags=("sample", "training"),
+)
+def sample_temperature_mix(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("mx"))
+    rated = counts.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n",
+        F.floor(
+            16 * F.sqrt(F.col("n") / F.col("mx").cast("double"))
+        ).cast("int").alias("rate_k"),
+    )
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    thresh = F.substring(F.lit("0123456789abcdefg"), F.col("rate_k") + 1, 1)
+    kept = (
+        d.join(F.broadcast(rated), "source")
+        .filter(nibble < thresh)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rated.join(F.broadcast(kept), "source", "left").select(
+        "source",
+        F.col("n").cast("long").alias("n_total"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        "rate_k",
+    )
+
+
+# --------------------------------------------------------------------------
+# Nucleus (top-p) corpus selection: per language, keep the highest-quality
+# documents until their cumulative mass reaches p of the language total —
+# the "quality nucleus" cut used to skim the best slice of a crawl (quality
+# proxy here: n_chars; in production a model score column, same plan). The
+# keep predicate 2 * mass_before < total is pure int64 — no float
+# thresholds to disagree on. The running sum partitions by lang; at real
+# scale the same two-pass rewrite as two_pass_global_window applies within
+# each language (range-partition on the sort key, broadcast per-partition
+# offsets), which keeps any one task's window bounded.
+# --------------------------------------------------------------------------
+
+_TOPP_NUM = 1  # p = _TOPP_NUM / _TOPP_DEN of total mass per language
+_TOPP_DEN = 2
+
+_NUCLEUS_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(n_chars) OVER (PARTITION BY lang) AS total,
+         count(*) OVER (PARTITION BY lang) AS n_total
+  FROM documents
+)
+SELECT lang,
+       cast(n_total AS BIGINT) AS n_docs,
+       cast(count(*) AS BIGINT) AS n_selected,
+       cast(sum(n_chars) AS BIGINT) AS chars_selected,
+       round(sum(n_chars) * 100.0 / total, 6) AS pct_of_mass
+FROM ranked
+WHERE (cum - n_chars) * {_TOPP_DEN} < total * {_TOPP_NUM}
+GROUP BY lang, total, n_total
+"""
+
+
+@register(
+    "sample_nucleus_topp", oracle=_NUCLEUS_ORACLE, tags=("sample", "training")
+)
+def sample_nucleus_topp(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w_run = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w_run).alias("cum"),
+        F.sum("n_chars").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_total"),
+    )
+    kept = ranked.filter(
+        (F.col("cum") - F.col("n_chars")) * _TOPP_DEN
+        < F.col("total") * _TOPP_NUM
+    )
+    return kept.groupBy("lang", "total", "n_total").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_chars").alias("chars_selected"),
+        F.round(F.sum("n_chars") * 100.0 / F.col("total"), 6).alias(
+            "pct_of_mass"
+        ),
+    ).select(
+        "lang",
+        F.col("n_total").alias("n_docs"),
+        "n_selected",
+        "chars_selected",
+        "pct_of_mass",
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training shuffle + sharding: the export step that turns a
+# curated corpus into N training shards with a reproducible pseudo-random
+# order (order by md5 — a fixed uniform permutation, identical on every
+# run and every engine, no RNG state to coordinate across executors).
+# Per-shard windows are partitioned by shard (the parallel unit — a real
+# export uses thousands of shards, so no global window ever forms) and the
+# order checksum folds each doc's shard position into an exact int64 so a
+# hash match PROVES byte-identical shard ordering, not just membership.
+# --------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         md5(cast(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, n_chars, hx,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8 AS shard
+  FROM h
+),
+pos AS (
+  SELECT shard, doc_id, n_chars, hx,
+         row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS rn
+  FROM sh
+)
+SELECT cast(shard AS INTEGER) AS shard,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum((doc_id * rn) % 1000003) AS BIGINT) AS order_checksum,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       cast(min_by(doc_id, hx) AS BIGINT) AS first_doc
+FROM pos
+GROUP BY shard
+"""
+
+
+@register(
+    "sample_shuffle_shards", oracle=_SHUFFLE_ORACLE, tags=("sample", "training")
+)
+def sample_shuffle_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    sh = d.select(
+        "doc_id",
+        "n_chars",
+        hx.alias("hx"),
+        ((F.instr(F.lit("0123456789abcdef"), F.substring(hx, 1, 1)) - 1) % 8)
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    pos = sh.withColumn("rn", F.row_number().over(w))
+    return pos.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") * F.col("rn")) % 1000003)
+        .cast("long")
+        .alias("order_checksum"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min_by("doc_id", "hx").cast("long").alias("first_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder (Hamilton) quota apportionment (r12) — the exact-
+# composition step a mixture RATE (sample_temperature_mix) cannot give:
+# given a batch budget of N examples and per-language corpus weights,
+# integer per-language quotas that sum to EXACTLY N. base = floor(N*w/W);
+# the N - sum(base) leftover seats go to the largest remainders
+# (N*w mod W, ties by language — both engines compare identical int64s,
+# so the apportionment is deterministic). The whole computation runs on
+# the language-count table (bounded); the corpus cost is one groupBy.
+# --------------------------------------------------------------------------
+
+_QUOTA_N = 1000
+
+_QUOTA_ORACLE = f"""
+WITH w AS (
+  SELECT lang, cast(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT cast(sum(n_docs) AS BIGINT) AS W FROM w),
+base AS (
+  SELECT lang, n_docs,
+         ({_QUOTA_N} * n_docs) // tot.W AS base_q,
+         ({_QUOTA_N} * n_docs) % tot.W AS rem
+  FROM w, tot
+),
+r AS (SELECT {_QUOTA_N} - cast(sum(base_q) AS BIGINT) AS seats FROM base),
+ranked AS (
+  SELECT lang, n_docs, base_q, rem,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM base
+)
+SELECT lang, n_docs, cast(base_q AS BIGINT) AS base_q,
+       cast(base_q + CASE WHEN rk <= r.seats THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked, r
+"""
+
+
+@register(
+    "sample_quota_largest_remainder",
+    oracle=_QUOTA_ORACLE,
+    tags=("sample", "agg"),
+)
+def sample_quota_largest_remainder(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = w.agg(F.sum("n_docs").cast("long").alias("W"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"({_QUOTA_N} * n_docs) div W").alias("base_q"),
+        F.expr(f"({_QUOTA_N} * n_docs) % W").alias("rem"),
+    )
+    seats = base.agg(
+        (F.lit(_QUOTA_N) - F.sum("base_q")).cast("long").alias("seats")
+    )
+    # remainder rank WITHOUT a global window (the repo bans partitionless
+    # windows outright): broadcast theta self-join over the bounded
+    # language table — rk = 1 + |rows strictly ahead in (rem DESC, lang)|,
+    # the text_zipf_coverage rank pattern
+    other = base.select(
+        F.col("lang").alias("o_lang"), F.col("rem").alias("o_rem")
+    )
+    rk = (
+        base.join(
+            F.broadcast(other),
+            (F.col("o_rem") > F.col("rem"))
+            | ((F.col("o_rem") == F.col("rem")) & (F.col("o_lang") < F.col("lang"))),
+            "left",
+        )
+        .groupBy("lang", "n_docs", "base_q", "rem")
+        .agg((F.count("o_lang") + 1).cast("long").alias("rk"))
+    )
+    return (
+        rk
+        .crossJoin(F.broadcast(seats))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("base_q").cast("long").alias("base_q"),
+            (
+                F.col("base_q")
+                + (F.col("rk") <= F.col("seats")).cast("long")
+            ).cast("long").alias("quota"),
+        )
+    )

@@ -320,7 +320,7 @@ def test_source_kl_nonnegative_and_identical_source_is_zero(spark):
     """KL >= 0 always (Gibbs), and a 'source' whose token distribution
     IS the corpus distribution scores (near-)zero while a disjoint-token
     source scores strictly higher."""
-    import open_molecule_data_pipeline_spark.operators.training_extra as m
+    import open_molecule_data_pipeline_spark.operators.corpus_weights as m
 
     rows = (
         [(i, "a b c d", "x", "en", 7) for i in range(8)]
@@ -463,7 +463,7 @@ def test_assortativity_bounds_and_star_fixture(spark, sf_dir):
 def test_temporal_split_leakage_invariants(spark, sf_dir):
     """train_max < embargo_min <= eval_min, the embargo gap spans >= 1 day
     between train and eval, and the three splits partition the corpus."""
-    from open_molecule_data_pipeline_spark.operators.training_extra import (
+    from open_molecule_data_pipeline_spark.operators.sampling_splits import (
         sample_temporal_split_embargo,
     )
 

@@ -668,7 +668,7 @@ def test_periodogram_finds_planted_cycle(spark, tmp_path):
 def test_quota_apportionment_sums_exactly(spark, sf_dir):
     """Hamilton's method contract: quotas sum to EXACTLY the budget, each
     quota is base or base+1, and quotas are monotone in weights."""
-    from open_molecule_data_pipeline_spark.operators.training_extra import (
+    from open_molecule_data_pipeline_spark.operators.sampling_mix import (
         _QUOTA_N,
         sample_quota_largest_remainder,
     )

@@ -314,3 +314,56 @@ def test_funnel_report_stage_counts_telescope(spark, sf_dir):
     assert rows[7].n_docs == (rows[6].n_tokens + 511) // 512
     # decontamination really removed the eval docs
     assert rows[5].n_docs < rows[4].n_docs or rows[4].n_docs == 0
+
+
+def test_kn_oov_backoff_all_branches_hand_worked(spark):
+    """All four scoring branches on a hand corpus. Train (doc 0):
+    'a b c a' -> bigrams (a,b),(b,c),(c,a), nbig=3, every c1=n1p=npre=1.
+    Score (doc 1): 'a b a c z b q' ->
+      (a,b) seen:   P=.25/1 + .75*(1/3) = 1/2  -> cost ln(2)
+      (b,a) lambda: P=.75*(1/3) = 1/4          -> cost ln(4)
+      (a,c) lambda: P=1/4
+      (c,z) unk:    P=1/(3+1) = 1/4
+      (z,b) hist:   P=npre(b)/3 = 1/3          -> cost ln(3)
+      (b,q) unk:    P=1/4"""
+    import math
+    import tempfile
+
+    from open_molecule_data_pipeline_spark.operators.kn_lm import (
+        text_kn_oov_backoff,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(
+            spark, td, [(0, "en", "a b c a"), (1, "en", "a b a c z b q")]
+        )
+        rows = text_kn_oov_backoff(spark, td).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_bigrams, r.n_seen, r.n_lambda, r.n_hist, r.n_unk) == (
+        6, 1, 2, 1, 2,
+    )
+    c2 = round(math.log(2) * 1e6)
+    c3 = round(math.log(3) * 1e6)
+    c4 = round(math.log(4) * 1e6)
+    assert r.nll_micro == c2 + 3 * c4 + c3 + c4
+    assert r.mean_nll_micro == r.nll_micro // 6
+
+
+def test_ccnet_buckets_partition_and_order(spark, sf_dir):
+    """Per language: the three buckets partition the docs, and the
+    perplexity ranges are ordered head <= middle <= tail."""
+    from open_molecule_data_pipeline_spark.operators.kn_lm import (
+        text_ccnet_ppl_buckets,
+        text_kn_bigram_ppl,  # noqa: F401 (same plan family)
+    )
+
+    rows = text_ccnet_ppl_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, bk in by_lang.items():
+        assert set(bk) <= {"head", "middle", "tail"}
+        if {"head", "middle", "tail"} <= set(bk):
+            assert bk["head"].max_mnll <= bk["middle"].min_mnll, lang
+            assert bk["middle"].max_mnll <= bk["tail"].min_mnll, lang

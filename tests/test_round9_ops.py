@@ -266,7 +266,7 @@ def test_length_bucket_ladder_edges(spark):
         [doc(1, 16), doc(2, 17), doc(3, 512), doc(4, 513), doc(5, 2000)]
     )
     df.createOrReplaceTempView("docs_lb_probe")
-    import open_molecule_data_pipeline_spark.operators.training_extra as m
+    import open_molecule_data_pipeline_spark.operators.sampling_splits as m
 
     m_table = m.table
     m.table = lambda s, d, n: spark.table("docs_lb_probe")
