@@ -367,3 +367,50 @@ def test_ccnet_buckets_partition_and_order(spark, sf_dir):
         if {"head", "middle", "tail"} <= set(bk):
             assert bk["head"].max_mnll <= bk["middle"].min_mnll, lang
             assert bk["middle"].max_mnll <= bk["tail"].min_mnll, lang
+
+
+def test_binary_quant_pack_and_hamming_hand_case(spark):
+    """Sign packing hand-case: a vector with dims {0, 2, 33} positive
+    packs to lo = 0b101 = 5, hi = 1<<1 = 2; Hamming between it and the
+    all-negative vector is exactly its popcount (3)."""
+    from pyspark.sql import functions as F
+
+    from open_molecule_data_pipeline_spark.operators.binquant import (
+        _PACK_SPARK,
+    )
+
+    emb = [0.0] * 64
+    emb[0] = 0.5
+    emb[2] = 0.1
+    emb[33] = 0.9
+    df = spark.createDataFrame(
+        [(0, emb), (1, [-1.0] * 64)], "vec_id long, embedding array<double>"
+    ).select(
+        "vec_id",
+        F.expr(_PACK_SPARK.format(off=0)).alias("lo"),
+        F.expr(_PACK_SPARK.format(off=32)).alias("hi"),
+    )
+    rows = {r.vec_id: r for r in df.collect()}
+    assert (rows[0].lo, rows[0].hi) == (5, 2)
+    assert (rows[1].lo, rows[1].hi) == (0, 0)
+
+
+def test_binary_quant_topk_shape_and_recall_bounds(spark, sf_dir):
+    """Every query returns exactly K reranked rows with Hamming in
+    [0, 64], never itself; the recall companion is n_hit/K in [0, 1]."""
+    from open_molecule_data_pipeline_spark.operators.binquant import (
+        K,
+        sim_binary_quant_hamming,
+        sim_binary_quant_recall,
+    )
+
+    rows = sim_binary_quant_hamming(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert 0 <= r.hamming <= 64
+        assert r.neighbor_id != r.query_id
+    assert all(len(v) == K for v in per_q.values())
+    for r in sim_binary_quant_recall(spark, sf_dir).collect():
+        assert 0 <= r.n_hit <= K
+        assert abs(r.recall - r.n_hit / K) < 1e-9
