@@ -626,9 +626,8 @@ def graph_powerlaw_alpha(spark, sf_dir):
 _LOUVAIN_K = 64  # seed hash communities
 
 
-def _louvain_oracle() -> str:
-    return f"""
-WITH e AS (
+_LOUVAIN_CTES = f"""
+e AS (
   SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v FROM lineitem
 ),
 ud AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
@@ -722,6 +721,12 @@ sizes AS (
   SELECT cid, cast(count(*) AS BIGINT) AS n_nodes FROM c1 GROUP BY cid
 ),
 tot AS (SELECT cast(count(*) AS BIGINT) AS n_communities FROM sizes)
+"""
+
+
+def _louvain_oracle() -> str:
+    return f"""
+WITH {_LOUVAIN_CTES}
 SELECT s.cid, s.n_nodes, tot.n_communities, nmv.n_moves, q.q0_nano, q.q1_nano
 FROM sizes s CROSS JOIN tot CROSS JOIN nmv CROSS JOIN q
 ORDER BY s.n_nodes DESC, s.cid
@@ -729,12 +734,8 @@ LIMIT 15
 """
 
 
-@register(
-    "graph_louvain_pass",
-    oracle=_louvain_oracle(),
-    tags=("graph", "iterative"),
-)
-def graph_louvain_pass(spark, sf_dir):
+def _louvain_state(spark, sf_dir):
+    """Shared Louvain-pass state: (e, deg, m, c0, c1, kept)."""
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
@@ -815,6 +816,16 @@ def graph_louvain_pass(spark, sf_dir):
         .select("node", F.coalesce("b", F.col("a")).alias("cid"))
         .localCheckpoint(eager=True)
     )
+    return e, deg, m, c0, c1, kept
+
+
+@register(
+    "graph_louvain_pass",
+    oracle=_louvain_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_louvain_pass(spark, sf_dir):
+    e, deg, m, c0, c1, kept = _louvain_state(spark, sf_dir)
 
     def q_nano(parts):
         """Nano-quantized modularity of a (node, cid) partition."""
@@ -864,4 +875,72 @@ def graph_louvain_pass(spark, sf_dir):
         .orderBy(F.desc("n_nodes"), "cid")
         .limit(15)
         .select("cid", "n_nodes", "n_communities", "n_moves", "q0_nano", "q1_nano")
+    )
+
+
+# --------------------------------------------------------------------------
+# Louvain level aggregation (r13): the OTHER half of one Louvain level —
+# after the move pass, coarsen the graph to the community level: super-
+# nodes = communities, edge weight = inter-community edge count, and a
+# self-loop row per community carrying its intra-edge count. Level 2 of
+# Louvain runs the same move pass on exactly this weighted graph. Edge
+# weights conserve the original edge count (sum over rows == m, pinned
+# in pytest) — the telescoping invariant of the coarsening.
+#
+# Scale shape: the coarsen is ONE edge join against the (node -> cid)
+# assignment (broadcastable: |assignment| = |V| 16-byte rows; at 100 TB
+# it is a plain hash join) + one bounded (<= 64x64 community-pair) agg.
+# --------------------------------------------------------------------------
+
+_COARSEN_ORACLE = f"""
+WITH {_LOUVAIN_CTES},
+ce AS (
+  SELECT least(pu.cid, pv.cid) AS ca, greatest(pu.cid, pv.cid) AS cb,
+         cast(count(*) AS BIGINT) AS w
+  FROM e
+  JOIN c1 pu ON pu.node = e.u
+  JOIN c1 pv ON pv.node = e.v
+  GROUP BY 1, 2
+),
+nsup AS (
+  SELECT cast(count(DISTINCT cid) AS BIGINT) AS n_super FROM c1
+),
+wtot AS (SELECT cast(sum(w) AS BIGINT) AS w_total FROM ce)
+SELECT ce.ca, ce.cb, ce.w, nsup.n_super, wtot.w_total
+FROM ce CROSS JOIN nsup CROSS JOIN wtot
+ORDER BY ce.w DESC, ce.ca, ce.cb
+LIMIT 15
+"""
+
+
+@register(
+    "graph_louvain_coarsen",
+    oracle=_COARSEN_ORACLE,
+    tags=("graph", "iterative"),
+)
+def graph_louvain_coarsen(spark, sf_dir):
+    """Community-level multigraph after the Louvain move pass: top
+    super-edges by weight, super-node count, and the conserved total
+    weight (== m)."""
+    e, deg, m, c0, c1, kept = _louvain_state(spark, sf_dir)
+    pu = c1.select(F.col("node").alias("u"), F.col("cid").alias("cu"))
+    pv = c1.select(F.col("node").alias("v"), F.col("cid").alias("cv"))
+    ce = (
+        e.join(pu, "u")
+        .join(pv, "v")
+        .select(
+            F.least("cu", "cv").alias("ca"),
+            F.greatest("cu", "cv").alias("cb"),
+        )
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    nsup = c1.agg(F.countDistinct("cid").cast("long").alias("n_super"))
+    wtot = ce.agg(F.sum("w").cast("long").alias("w_total"))
+    return (
+        ce.crossJoin(F.broadcast(nsup))
+        .crossJoin(F.broadcast(wtot))
+        .orderBy(F.desc("w"), "ca", "cb")
+        .limit(15)
+        .select("ca", "cb", "w", "n_super", "w_total")
     )

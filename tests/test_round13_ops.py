@@ -414,3 +414,22 @@ def test_binary_quant_topk_shape_and_recall_bounds(spark, sf_dir):
     for r in sim_binary_quant_recall(spark, sf_dir).collect():
         assert 0 <= r.n_hit <= K
         assert abs(r.recall - r.n_hit / K) < 1e-9
+
+
+def test_louvain_coarsen_conserves_edges(spark, sf_dir):
+    """Coarsening telescopes: total super-edge weight equals the
+    original undirected edge count m, and every returned row carries
+    the same conserved totals."""
+    from open_molecule_data_pipeline_spark.operators.graph_metrics import (
+        _louvain_state,
+        graph_louvain_coarsen,
+    )
+
+    e, *_ = _louvain_state(spark, sf_dir)
+    m = e.count()
+    rows = graph_louvain_coarsen(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.w_total == m
+        assert r.ca <= r.cb
+        assert 1 <= r.n_super <= 64
