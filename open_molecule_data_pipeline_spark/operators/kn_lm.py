@@ -471,3 +471,86 @@ def text_ccnet_ppl_buckets(spark, sf_dir):
             F.max("mnll").cast("long").alias("max_mnll"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Min-K% Prob contamination audit (r13): the membership-inference screen
+# (Shi et al. 2023) used to detect benchmark/eval contamination — a
+# document the model has memorized scores HIGH probability even on its
+# least-likely tokens, so rank docs by the mean NLL of their k=20%
+# highest-cost bigrams, ascending (most suspicious first). Here the
+# "model" is the corpus-trained KN bigram LM, making the audit
+# self-contained and exact.
+#
+# Shape: the per-occurrence (doc, bigram) cost stream ranks inside a
+# per-DOC window (partition size = doc length, bounded by the data's
+# max doc length, never |corpus|), keeps the top ceil(n/5) costs, and
+# aggregates. Ties order by (cost desc, w1, w2); tied duplicates are
+# value-identical so the sum is order-free.
+# --------------------------------------------------------------------------
+
+_MINK_TOP = 15
+
+_MINK_ORACLE = f"""
+WITH {_KN_CTES},
+occ AS (
+  SELECT bg.doc_id, bg.lang, cost.cost_micro
+  FROM bg JOIN cost ON cost.w1 = bg.w1 AND cost.w2 = bg.w2
+),
+sized AS (
+  SELECT doc_id, lang, cost_micro,
+         cast(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cost_micro DESC) AS rn
+  FROM occ
+),
+mink AS (
+  SELECT doc_id, lang, n, (n + 4) // 5 AS k,
+         cast(sum(cost_micro) AS BIGINT) AS s
+  FROM sized
+  WHERE rn <= (n + 4) // 5
+  GROUP BY doc_id, lang, n
+)
+SELECT doc_id, lang, n AS n_bigrams, cast(k AS BIGINT) AS k_used,
+       s // k AS mink_mean_cost_micro
+FROM mink
+ORDER BY mink_mean_cost_micro, doc_id
+LIMIT {_MINK_TOP}
+"""
+
+
+@register(
+    "text_min_k_prob_audit",
+    oracle=_MINK_ORACLE,
+    tags=("text", "training", "quality"),
+)
+def text_min_k_prob_audit(spark, sf_dir):
+    """Min-K% Prob: docs ranked by the mean cost of their 20% highest-
+    cost bigrams, ascending — the contamination / membership screen."""
+    from pyspark.sql import Window as W
+
+    bg = _bigram_stream(spark, sf_dir)
+    cost = _cost_table(bg).select("w1", "w2", "cost_micro")
+    occ = bg.join(cost, ["w1", "w2"]).select("doc_id", "lang", "cost_micro")
+    wn = W.partitionBy("doc_id")
+    wr = W.partitionBy("doc_id").orderBy(F.desc("cost_micro"))
+    sized = occ.select(
+        "doc_id",
+        "lang",
+        "cost_micro",
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    mink = (
+        sized.where(F.col("rn") <= F.expr("(n + 4) div 5"))
+        .groupBy("doc_id", "lang", "n")
+        .agg(F.sum("cost_micro").cast("long").alias("s"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").alias("n_bigrams"),
+            F.expr("(n + 4) div 5").cast("long").alias("k_used"),
+            F.expr("s div ((n + 4) div 5)").alias("mink_mean_cost_micro"),
+        )
+    )
+    return mink.orderBy("mink_mean_cost_micro", "doc_id").limit(_MINK_TOP)

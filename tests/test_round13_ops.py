@@ -433,3 +433,44 @@ def test_louvain_coarsen_conserves_edges(spark, sf_dir):
         assert r.w_total == m
         assert r.ca <= r.cb
         assert 1 <= r.n_super <= 64
+
+
+def test_min_k_prob_audit_brute_force_recompute(spark):
+    """Min-K%% on a hand corpus, cross-checked by a Python brute force:
+    per doc take the ceil(n/5) highest per-occurrence costs (costs read
+    back from the model query) and compare mean and ordering — the
+    memorized-looking doc (one repeated bigram) flags first."""
+    import tempfile
+
+    from open_molecule_data_pipeline_spark.operators.kn_lm import (
+        text_kn_bigram_model,
+        text_min_k_prob_audit,
+    )
+
+    docs = [
+        (0, "en", "a b a b a b a b a b a b"),  # 11 bigrams, 2 types
+        (1, "en", "a b c d e f"),  # 5 bigrams, all distinct
+        (2, "en", "c d e f a b c d"),  # mixed
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(spark, td, docs)
+        cost = {
+            (r.w1, r.w2): r.cost_micro
+            for r in text_kn_bigram_model(spark, td).collect()
+        }
+        out = {r.doc_id: r for r in text_min_k_prob_audit(spark, td).collect()}
+
+    expect = {}
+    for doc_id, _, text in docs:
+        t = text.split()
+        cs = sorted(
+            (cost[(t[i], t[i + 1])] for i in range(len(t) - 1)), reverse=True
+        )
+        k = (len(cs) + 4) // 5
+        expect[doc_id] = (len(cs), k, sum(cs[:k]) // k)
+    for doc_id, (n, k, mean) in expect.items():
+        r = out[doc_id]
+        assert (r.n_bigrams, r.k_used, r.mink_mean_cost_micro) == (n, k, mean)
+    # the repeated-bigram doc scores lowest (most suspicious)
+    means = {d: out[d].mink_mean_cost_micro for d in out}
+    assert means[0] == min(means.values())
