@@ -150,3 +150,200 @@ def text_wordpiece_apply(spark, sf_dir):
             F.sum("np").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("pieces_per_word"),
     )
+
+
+# --------------------------------------------------------------------------
+# WordPiece TRAINING (r13): completes the train/apply asymmetry — the
+# apply above ran over a frequency stand-in vocabulary; this is the
+# actual WordPiece selection rule (Schuster & Nakajima 2012; the BERT
+# trainer): per round, merge the adjacent pair maximizing the LIKELIHOOD
+# score freq(a,b) / (freq(a) * freq(b)) — the corpus-LM log-likelihood
+# gain of fusing a and b — instead of BPE's raw freq(a,b). Same machine
+# as text_bpe_train_merges (corpus_ops.py): tokenize ONCE, per round ONE
+# pair-count aggregation over the corpus (map-side combinable), a 1-row
+# top-k, and a broadcast merge-fold rewrite; the ranking delta vs BPE is
+# the point — the two trainers diverge on real corpora from round 1
+# (rare-but-exclusive pairs beat frequent-but-promiscuous ones).
+#
+# Cross-engine determinism: the score is one IEEE division of exactly-
+# representable int64 counts (cast to double; the product freq_a*freq_b
+# is formed IN DOUBLES so it cannot overflow int64 at 100 TB — two
+# exactly-rounded ops, bit-identical in both engines); ties break
+# (score desc, a, b). The reported score_nano = round(score * 1e9) is
+# computed from the same doubles on both sides.
+# --------------------------------------------------------------------------
+
+_WPT_ROUNDS = 3
+
+
+def _wpt_oracle() -> str:
+    parts = ["WITH t0 AS (SELECT ' ' || text || ' ' AS s FROM documents)"]
+    for r in range(1, _WPT_ROUNDS + 1):
+        parts.append(f""",
+tk{r} AS (SELECT string_split(trim(s), ' ') AS toks FROM t{r - 1}),
+uni{r} AS (
+  SELECT t AS tok, cast(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(toks) AS t FROM tk{r}) GROUP BY t
+),
+pr{r} AS (
+  SELECT toks[i + 1] AS a, toks[i + 2] AS b, cast(count(*) AS BIGINT) AS fab
+  FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i
+        FROM tk{r} WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+top{r} AS (
+  SELECT p.a, p.b, p.fab, ua.f AS fa, ub.f AS fb,
+         cast(p.fab AS DOUBLE) / (cast(ua.f AS DOUBLE) * cast(ub.f AS DOUBLE))
+           AS score
+  FROM pr{r} p
+  JOIN uni{r} ua ON ua.tok = p.a
+  JOIN uni{r} ub ON ub.tok = p.b
+  ORDER BY score DESC, p.a, p.b LIMIT 1
+),
+t{r} AS (
+  SELECT regexp_replace(
+           s,
+           (SELECT ' ' || a || ' ' || b || ' ' FROM top{r}),
+           (SELECT ' ' || a || '_' || b || ' ' FROM top{r}),
+           'g') AS s
+  FROM t{r - 1}
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, a AS tok_a, b AS tok_b, fab AS freq_pair,"
+        f" fa AS freq_a, fb AS freq_b,"
+        f" cast(round(score * 1000000000) AS BIGINT) AS score_nano"
+        f" FROM top{r}"
+        for r in range(1, _WPT_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@register(
+    "text_wordpiece_train", oracle=_wpt_oracle(), tags=("text", "training")
+)
+def text_wordpiece_train(spark, sf_dir):
+    """Three WordPiece merge rounds over the corpus: likelihood-scored
+    pair selection (freq_ab / (freq_a * freq_b)) with the tokenize-once
+    array-fold rewrite shared with the BPE trainer."""
+    from .corpus_ops import _bpe_merge_fold
+
+    d = table(spark, sf_dir, "documents")
+    cur = d.repartition(spark.sparkContext.defaultParallelism).select(
+        F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    results = []
+    cached = []
+    for r in range(1, _WPT_ROUNDS + 1):
+        tk = F.col("toks")
+        pairs = (
+            cur.filter(F.size(tk) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(tk) - 2),
+                        lambda i: F.struct(
+                            F.element_at(tk, i + 1).alias("a"),
+                            F.element_at(tk, i + 2).alias("b"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).cast("long").alias("fab"))
+            # persist, not localCheckpoint: both consumers (the unigram
+            # derivation and the score join) reuse ONE corpus-wide pair
+            # aggregation per round, and InMemoryRelation keeps stats
+            # visible to AQE (a checkpointed RDD scan would force SMJ
+            # everywhere). The pair table is vocab-squared-bounded
+            # (Heaps-sublinear), MEMORY_AND_DISK spills if not.
+            .persist()
+        )
+        cached.append(pairs)
+        # unigram counts DERIVED instead of re-aggregated: every token
+        # occurrence except a document's LAST starts exactly one adjacent
+        # pair, so freq(t) = sum(fab where a = t) + #docs-ending-in-t.
+        # The first term groups the already-aggregated vocab-sized pair
+        # table (corpus-independent); the second is one row per DOCUMENT,
+        # not per token — together they replace a full corpus token
+        # explode per round. The oracle counts unigrams DIRECTLY from the
+        # token stream, so parity doubles as a proof of this identity.
+        lasts = (
+            cur.filter(F.size(tk) >= 1)
+            .select(F.element_at(tk, -1).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("fl"))
+        )
+        uni = (
+            pairs.groupBy(F.col("a").alias("tok"))
+            .agg(F.sum("fab").alias("fp"))
+            .join(lasts, "tok", "full_outer")
+            .select(
+                "tok",
+                (
+                    F.coalesce(F.col("fp"), F.lit(0))
+                    + F.coalesce(F.col("fl"), F.lit(0))
+                ).alias("f"),
+            )
+        )
+        # the unigram joins are NOT hint-broadcast: distinct tokens at
+        # 100 TB outgrow any broadcast budget (the kn_lm.py precedent) —
+        # AQE picks broadcast at small scale, plain hash join at large
+        ua = uni.select(F.col("tok").alias("a"), F.col("f").alias("fa"))
+        ub = uni.select(F.col("tok").alias("b"), F.col("f").alias("fb"))
+        scored = (
+            pairs.join(ua, "a")
+            .join(ub, "b")
+            .withColumn(
+                "score",
+                F.col("fab").cast("double")
+                / (F.col("fa").cast("double") * F.col("fb").cast("double")),
+            )
+        )
+        top = (
+            scored.orderBy(F.desc("score"), "a", "b")
+            .limit(1)
+            .select(
+                "a",
+                "b",
+                "fab",
+                "fa",
+                "fb",
+                F.round(F.col("score") * 1_000_000_000)
+                .cast("long")
+                .alias("score_nano"),
+                F.array(
+                    F.struct(
+                        F.col("a").alias("a"),
+                        F.col("b").alias("b"),
+                        F.col("fab").cast("long").alias("freq"),
+                        F.lit(1).cast("long").alias("kr"),
+                        F.concat(F.col("a"), F.lit("_"), F.col("b")).alias("m"),
+                    )
+                ).alias("kept"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        results.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                F.col("fab").alias("freq_pair"),
+                F.col("fa").alias("freq_a"),
+                F.col("fb").alias("freq_b"),
+                "score_nano",
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top.select("kept")))
+            .select(_bpe_merge_fold(F.col("toks"), F.col("kept")).alias("toks"))
+            .localCheckpoint(eager=False)
+        )
+    out = results[0]
+    for rdf in results[1:]:
+        out = out.unionByName(rdf)
+    # every per-round top is already an EAGER checkpoint, so nothing in
+    # the returned lineage still reads the cached pair tables
+    for p in cached:
+        p.unpersist()
+    return out

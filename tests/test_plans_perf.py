@@ -292,6 +292,11 @@ _CONSTANT_BOUNDED_BROADCASTS = {
     "mllib_brp_neighbors",
     "mllib_brp_recall",
     "sim_ann_lsh_topk",
+    # BQ (r13): both hinted sides are constant-bounded — the N_QUERIES
+    # query batch (vec_id < N_QUERIES) and the rerank shortlist (two
+    # row_number <= K/R_CAND filters above the scan)
+    "sim_binary_quant_hamming",
+    "sim_binary_quant_recall",
     "sim_ivf_recall",
     "sim_ivf_sampled_quantizer",
     "sim_pq_adc_topk",

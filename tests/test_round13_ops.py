@@ -474,3 +474,84 @@ def test_min_k_prob_audit_brute_force_recompute(spark):
     # the repeated-bigram doc scores lowest (most suspicious)
     means = {d: out[d].mink_mean_cost_micro for d in out}
     assert means[0] == min(means.values())
+
+
+def test_wordpiece_train_brute_force_and_bpe_divergence(spark):
+    """3 WordPiece rounds on a corpus crafted so (1) round 1 picks the
+    rare-but-exclusive pair (z,w) score 1.0 over the 3x-frequent (x,y)
+    score 3/12 — the defining divergence from BPE's frequency rule;
+    (2) round 2 merges (x,y) under the self-blocking leftmost rule
+    ("x y x y x y" -> "x_y x y x_y", middle occurrence deferred); and
+    (3) the 1-token doc "y" exercises the derived-unigram last-token
+    correction (it contributes freq but no pairs). Verified against a
+    pure-Python recompute of the full train loop."""
+    import tempfile
+
+    from open_molecule_data_pipeline_spark.operators.wordpiece import (
+        text_wordpiece_train,
+    )
+
+    corpus = ["x y x y x y z w", "y"]
+
+    def merge_once(toks, a, b):
+        out, i, blocked = [], 0, False
+        while i < len(toks):
+            if (
+                not blocked
+                and i + 1 < len(toks)
+                and toks[i] == a
+                and toks[i + 1] == b
+            ):
+                out.append(a + "_" + b)
+                i += 2
+                blocked = True
+            else:
+                out.append(toks[i])
+                i += 1
+                blocked = False
+        return out
+
+    docs = [c.split(" ") for c in corpus]
+    expect = []
+    for _ in range(3):
+        pairs, uni = {}, {}
+        for t in docs:
+            for tok in t:
+                uni[tok] = uni.get(tok, 0) + 1
+            for i in range(len(t) - 1):
+                pairs[(t[i], t[i + 1])] = pairs.get((t[i], t[i + 1]), 0) + 1
+        best = min(
+            pairs.items(),
+            key=lambda kv: (-kv[1] / (uni[kv[0][0]] * uni[kv[0][1]]), kv[0]),
+        )
+        (a, b), fab = best
+        expect.append((a, b, fab, uni[a], uni[b],
+                       round(fab / (uni[a] * uni[b]) * 1e9)))
+        docs = [merge_once(t, a, b) for t in docs]
+
+    # the crafted divergence: frequency would pick (x, y) in round 1
+    assert expect[0][:2] == ("z", "w")
+    assert max(fab for (_, _, fab, _, _, _) in [expect[0]]) == 1
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(
+            spark, td, [(i, "en", c) for i, c in enumerate(corpus)]
+        )
+        rows = sorted(
+            text_wordpiece_train(spark, td).collect(), key=lambda r: r.round
+        )
+    got = [
+        (r.tok_a, r.tok_b, r.freq_pair, r.freq_a, r.freq_b, r.score_nano)
+        for r in rows
+    ]
+    assert got == expect
+    assert expect[0][5] == 1_000_000_000  # score(z, w) = 1 exactly
+    # round 2 merges (x, y); its freq_b = 4 counts the 1-token doc's 'y'
+    # (the last-token correction), and 0.25 beat (y, z_w)'s 0.25 only on
+    # the lexical tie-break — both load-bearing
+    assert got[1] == ("x", "y", 3, 3, 4, 250_000_000)
+    # self-blocking left the middle occurrence unmerged, so round 3's
+    # pair stream still contains a surviving (x, y)
+    assert merge_once("x y x y x y z_w".split(), "x", "y") == [
+        "x_y", "x", "y", "x_y", "z_w",
+    ]
