@@ -714,3 +714,68 @@ def ts_periodogram_top_period(spark, sf_dir):
             "b_milli",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau test (r13) — the decision rule the ACF panel
+# above feeds: is the series distinguishable from white noise at all?
+# Q = n(n+2) * sum_{k=1..3} r_k^2 / (n - k), compared against the
+# chi-square 95% critical value at 3 df (7.814728). Q is an O(1)
+# composition over the ACF panel's per-series rows (bounded by the
+# series-type count, not corpus size): like the PACF above, it consumes
+# the QUANTIZED r_k (round 6), so every downstream double expression is
+# textually shared and bit-identical across engines. n recovers from
+# lag 1's pair count (n = n_pairs + 1).
+# --------------------------------------------------------------------------
+
+_LB_CRIT = "7.814728"  # chi2 inv-cdf at p=0.95, df=3
+
+_LB_FORMULAS = f"""
+  round(cast(n AS DOUBLE) * (n + 2)
+        * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+           + r3 * r3 / nullif(n - 3, 0)), 6) AS lb_q,
+  CASE WHEN round(cast(n AS DOUBLE) * (n + 2)
+        * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+           + r3 * r3 / nullif(n - 3, 0)), 6) > {_LB_CRIT}
+       THEN 1 ELSE 0 END AS reject_white_noise
+"""
+
+_LB_ORACLE = f"""
+WITH acf AS ({_ACF_ORACLE}),
+piv AS (
+  SELECT event_type,
+         max(CASE WHEN lag = 1 THEN n_pairs END) + 1 AS n,
+         max(CASE WHEN lag = 1 THEN acf END) AS r1,
+         max(CASE WHEN lag = 2 THEN acf END) AS r2,
+         max(CASE WHEN lag = 3 THEN acf END) AS r3
+  FROM acf GROUP BY event_type
+)
+SELECT event_type, n, r1, r2, r3, {_LB_FORMULAS}
+FROM piv
+"""
+
+
+@register(
+    "ts_ljung_box",
+    oracle=_LB_ORACLE,
+    tags=("timeseries", "stats"),
+)
+def ts_ljung_box(spark, sf_dir):
+    """Ljung-Box Q over ACF lags 1..3 per series with the 5%-level
+    white-noise rejection flag; the statistic composes on the exact-int
+    ACF machinery (`ts_acf_lags`)."""
+    acf = ts_acf_lags(spark, sf_dir)
+    piv = acf.groupBy("event_type").agg(
+        (F.max(F.when(F.col("lag") == 1, F.col("n_pairs"))) + 1).alias("n"),
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+    )
+    return piv.selectExpr(
+        "event_type",
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        *[e.strip() for e in _LB_FORMULAS.split(",\n") if e.strip()],
+    )

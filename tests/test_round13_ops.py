@@ -555,3 +555,35 @@ def test_wordpiece_train_brute_force_and_bpe_divergence(spark):
     assert merge_once("x y x y x y z_w".split(), "x", "y") == [
         "x_y", "x", "y", "x_y", "z_w",
     ]
+
+
+def test_ljung_box_hand_case(spark, tmp_path):
+    """Hand-worked on 12-point hourly series (values in cents after the
+    x100 quantization): the alternating series [1,2]*6 has
+    r = (-11/12, 10/12, -3/4) and Q = 12*14*(r1^2/11 + r2^2/10 + r3^2/9)
+    = 35.0 exactly -> reject white noise; the shuffled series' Q = 6.06
+    sits under the chi2(3) 5% critical value 7.814728 -> keep."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.acf import ts_ljung_box
+
+    base = 1704067200_000000
+    rows = []
+    for i in range(12):
+        rows.append(("alt", base + i * 3_600_000_000, [1.0, 2.0][i % 2]))
+    wn = [1.0, 2.0, 2.0, 1.0, 2.0, 1.0, 1.0, 2.0, 1.0, 1.0, 2.0, 2.0]
+    for i, v in enumerate(wn):
+        rows.append(("wn", base + i * 3_600_000_000, v))
+    df = spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts", "value")
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    got = {r.event_type: r for r in ts_ljung_box(spark, str(tmp_path)).collect()}
+    a, w = got["alt"], got["wn"]
+    assert (a.n, w.n) == (12, 12)
+    assert (a.r1, a.r2, a.r3) == (-0.916667, 0.833333, -0.75)
+    assert a.lb_q == 35.0 and a.reject_white_noise == 1
+    assert (w.r1, w.r2, w.r3) == (-0.25, -0.333333, 0.416667)
+    assert abs(w.lb_q - 6.061954) < 1e-9 and w.reject_white_noise == 0
