@@ -198,3 +198,111 @@ def dq_k_anonymity(spark, sf_dir):
         (F.col("n") < _KANON_K).cast("int").alias("risky"),
         "gen_n",
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (r13): the Deequ `isContainedIn`/foreign-key
+# check over the star schema's five FK edges. Per edge, the child side is
+# FIRST reduced to its distinct-key table with occurrence counts (one
+# map-side-combinable aggregation — orphan detection never anti-joins the
+# raw row stream), then one anti-join each way: child keys without a
+# parent (orphans, weighted back to row counts by the carried cnt) and
+# parent keys without children (childless — 257 real childless orders in
+# the fixture, the non-degenerate case). Parent key columns are unique by
+# construction, so the parent side joins as-is; AQE broadcasts the small
+# parents (nation) and hash-joins the big ones.
+# --------------------------------------------------------------------------
+
+_RI_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for fk, child, ckey, parent, pkey in _RI_EDGES:
+        parts.append(f"""
+SELECT '{fk}' AS fk,
+       (SELECT cast(count(*) AS BIGINT) FROM {child}) AS child_rows,
+       (SELECT cast(count(DISTINCT {ckey}) AS BIGINT) FROM {child})
+         AS child_keys,
+       (SELECT cast(count(*) AS BIGINT) FROM {child} WHERE {ckey} IS NULL)
+         AS null_keys,
+       (SELECT cast(coalesce(sum(cnt), 0) AS BIGINT) FROM
+         (SELECT {ckey} AS k, count(*) AS cnt FROM {child}
+          WHERE {ckey} IS NOT NULL GROUP BY {ckey}) ck
+         WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = ck.k))
+         AS orphan_rows,
+       (SELECT cast(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT {ckey} AS k FROM {child}
+          WHERE {ckey} IS NOT NULL) ck
+         WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = ck.k))
+         AS orphan_keys,
+       (SELECT cast(count(*) AS BIGINT) FROM {parent} p
+         WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                           WHERE c.{ckey} = p.{pkey}))
+         AS childless_parents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _ri_edge_report(spark, sf_dir, edge):
+    """One FK edge's report row: distinct-key reduction, then the two
+    key-table anti-joins (orphans weighted back by carried counts)."""
+    fk, child, ckey, parent, pkey = edge
+    c = table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+    p = table(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+    ck = c.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = ck.agg(
+        F.sum("cnt").cast("long").alias("child_rows"),
+        F.count(F.when(F.col("k").isNotNull(), 1)).cast("long").alias(
+            "child_keys"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("null_keys"),
+    )
+    orphans = (
+        ck.filter(F.col("k").isNotNull())
+        .join(p, "k", "left_anti")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("long")
+            .alias("orphan_rows"),
+            F.count(F.lit(1)).cast("long").alias("orphan_keys"),
+        )
+    )
+    childless = (
+        p.join(ck.filter(F.col("k").isNotNull()), "k", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("childless_parents"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(childless))
+        .select(
+            F.lit(fk).alias("fk"),
+            "child_rows",
+            "child_keys",
+            "null_keys",
+            "orphan_rows",
+            "orphan_keys",
+            "childless_parents",
+        )
+    )
+
+
+@register("dq_referential_integrity", oracle=_ri_oracle(), tags=("quality", "agg"))
+def dq_referential_integrity(spark, sf_dir):
+    """FK audit over the schema's five edges: orphan child keys/rows,
+    null keys, childless parents — one distinct-key reduction plus two
+    key-table anti-joins per edge."""
+    outs = [_ri_edge_report(spark, sf_dir, e) for e in _RI_EDGES]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

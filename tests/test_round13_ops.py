@@ -587,3 +587,31 @@ def test_ljung_box_hand_case(spark, tmp_path):
     assert a.lb_q == 35.0 and a.reject_white_noise == 1
     assert (w.r1, w.r2, w.r3) == (-0.25, -0.333333, 0.416667)
     assert abs(w.lb_q - 6.061954) < 1e-9 and w.reject_white_noise == 0
+
+
+def test_referential_integrity_edge_hand_case(spark, tmp_path):
+    """One FK edge on a crafted fixture exercising every counter: orders
+    custkeys [1,1,2,NULL,99,99,98] against customers {1,2,3} ->
+    7 child rows, 4 distinct non-null keys, 1 null key, 3 orphan rows
+    over 2 orphan keys (99, 98), and customer 3 childless."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.dq_extra import (
+        _ri_edge_report,
+    )
+
+    spark.createDataFrame(
+        [(i, k) for i, k in enumerate([1, 1, 2, None, 99, 99, 98])],
+        "o_orderkey long, o_custkey long",
+    ).write.parquet(os.path.join(str(tmp_path), "orders.parquet"))
+    spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    ).write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+
+    edge = ("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey")
+    r = _ri_edge_report(spark, str(tmp_path), edge).collect()[0]
+    assert (
+        r.child_rows, r.child_keys, r.null_keys,
+        r.orphan_rows, r.orphan_keys, r.childless_parents,
+    ) == (7, 4, 1, 3, 2, 1)
