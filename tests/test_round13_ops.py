@@ -615,3 +615,64 @@ def test_referential_integrity_edge_hand_case(spark, tmp_path):
         r.child_rows, r.child_keys, r.null_keys,
         r.orphan_rows, r.orphan_keys, r.childless_parents,
     ) == (7, 4, 1, 3, 2, 1)
+
+
+def test_matrix_profile_hand_case(spark, tmp_path):
+    """Planted-motif series: pattern [1,2,3,4] at hours 0-3 and 8-11 ->
+    motif (0, 8) with distance 0 exactly; the discord is verified against
+    a brute-force Python matrix profile. The constant series pins the
+    tie-breaks: all windows identical -> motif = earliest non-overlapping
+    pair (0, 4), discord = earliest window, both at distance 0."""
+    import os
+    from itertools import combinations
+
+    from open_molecule_data_pipeline_spark.operators.matrix_profile import (
+        ts_matrix_profile_motif,
+    )
+
+    base = 1704067200_000000
+    base_h = base // 3_600_000_000
+    planted = [1.0, 2.0, 3.0, 4.0, 9.0, 1.0, 9.0, 5.0, 1.0, 2.0, 3.0, 4.0]
+    rows = []
+    for i, v in enumerate(planted):
+        rows.append(("planted", base + i * 3_600_000_000, v))
+    for i in range(12):
+        rows.append(("flat", base + i * 3_600_000_000, 5.0))
+    df = spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts", "value")
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    got = {
+        r.event_type: r
+        for r in ts_matrix_profile_motif(spark, str(tmp_path)).collect()
+    }
+
+    # brute force on the planted series (cents)
+    vs = [int(v * 100) for v in planted]
+    wins = {i: vs[i : i + 4] for i in range(9)}
+    dist = {
+        (i, j): sum((a - b) ** 2 for a, b in zip(wins[i], wins[j]))
+        for i, j in combinations(range(9), 2)
+        if j >= i + 4
+    }
+    motif = min(dist.items(), key=lambda kv: (kv[1], kv[0]))
+    nn = {
+        i: min(d for (a, b), d in dist.items() if i in (a, b))
+        for i in range(9)
+    }
+    discord = max(nn.items(), key=lambda kv: (kv[1], -kv[0]))
+
+    p = got["planted"]
+    assert (p.motif_a_hour, p.motif_b_hour, p.motif_sqdist) == (
+        base_h + motif[0][0], base_h + motif[0][1], motif[1])
+    assert motif == ((0, 8), 0)  # the plant worked
+    assert (p.discord_hour, p.discord_nn_sqdist) == (
+        base_h + discord[0], discord[1])
+    assert discord[1] > 0
+
+    f = got["flat"]
+    assert (f.motif_a_hour, f.motif_b_hour, f.motif_sqdist) == (
+        base_h, base_h + 4, 0)
+    assert (f.discord_hour, f.discord_nn_sqdist) == (base_h, 0)
