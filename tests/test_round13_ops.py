@@ -676,3 +676,53 @@ def test_matrix_profile_hand_case(spark, tmp_path):
     assert (f.motif_a_hour, f.motif_b_hour, f.motif_sqdist) == (
         base_h, base_h + 4, 0)
     assert (f.discord_hour, f.discord_nn_sqdist) == (base_h, 0)
+
+
+def test_bagged_stumps_hand_case(spark, tmp_path):
+    """8-row fixture, feature -0.1 (class 0, rows 0-3) vs +0.1 (class 1,
+    rows 4-7): every md5-bootstrap bag contains both classes (membership
+    precomputed by hand), so all 5 stumps find the perfect boundary
+    (bin 97 = (400000 div 4096), left 0 / right 1), every OOB error is
+    0, and the majority vote is perfect on all 8 rows. OOB sizes are
+    the hand-computed complements [3,4,3,3,4]."""
+    import hashlib
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.ensemble import (
+        ml_bagged_stumps,
+    )
+
+    # hand-verified memberships (first 2 md5 hex chars of "vid-bag" < a1)
+    inb = {
+        v: [1 if hashlib.md5(f"{v}-{b}".encode()).hexdigest()[:2] < "a1"
+            else 0 for b in range(5)]
+        for v in range(8)
+    }
+    oob_sizes = [sum(1 - inb[v][b] for v in range(8)) for b in range(5)]
+    assert oob_sizes == [3, 4, 3, 3, 4]
+    assert all(
+        any(inb[v][b] for v in range(4))
+        and any(inb[v][b] for v in range(4, 8))
+        for b in range(5)
+    )
+
+    rows = [
+        (v, [-0.1 if v < 4 else 0.1, 0.0], 0 if v < 4 else 1)
+        for v in range(8)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+
+    got = sorted(
+        ml_bagged_stumps(spark, str(tmp_path)).collect(), key=lambda r: r.bag
+    )
+    assert len(got) == 6
+    for b in range(5):
+        r = got[b]
+        assert (r.bag, r.split_bin, r.left_class, r.right_class) == (
+            b, 97, 0, 1)
+        assert (r.eval_rows, r.errors, r.err_ppm) == (oob_sizes[b], 0, 0)
+    ens = got[5]
+    assert (ens.bag, ens.split_bin, ens.eval_rows, ens.errors,
+            ens.err_ppm) == (99, None, 8, 0, 0)
