@@ -944,3 +944,91 @@ def graph_louvain_coarsen(spark, sf_dir):
         .limit(15)
         .select("ca", "cb", "w", "n_super", "w_total")
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-seeded random walks (r13): the DeepWalk/node2vec INPUT stage — a
+# walk corpus over the co-occurrence graph, one 4-step walk per node.
+# The RNG is the repo's seeded-hash discipline (sample_bernoulli_hash):
+# at step t, walk w moves to the neighbor v minimizing
+# md5(walk || '-' || t || '-' || v) — a uniform choice over the adjacency
+# that is REPRODUCIBLE across runs, engines, and partitionings (the
+# property actual RNG walks lack, and the reason production walk
+# generators hash instead of sampling). Different walks traversing the
+# same node at the same step stay independent because the walk id salts
+# the hash.
+#
+# Scale shape: one equi-join frontier x adjacency + one per-walk argmin
+# per step (window partitioned by walk id — corpus-cardinality key, no
+# skew beyond max degree), k = 4 steps. Walk count scales with nodes,
+# per-step cost with frontier x mean degree — the linear DeepWalk plan.
+# --------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+
+
+def _walk_oracle() -> str:
+    base = f"""
+WITH edges AS ({_EDGE_SQL}),
+adj AS (
+  SELECT u AS cur, v AS nxt FROM edges
+  UNION ALL
+  SELECT v, u FROM edges
+),
+w0 AS (SELECT DISTINCT cur AS walk, cur AS n0 FROM adj)"""
+    prev = "w0"
+    for t in range(1, _WALK_STEPS + 1):
+        cols = ", ".join(f"n{i}" for i in range(t))
+        base += f""",
+w{t} AS (
+  SELECT walk, {cols}, nxt AS n{t} FROM (
+    SELECT p.walk, {", ".join("p.n%d" % i for i in range(t))}, a.nxt,
+           row_number() OVER (
+             PARTITION BY p.walk
+             ORDER BY md5(cast(p.walk AS VARCHAR) || '-' || '{t}' || '-'
+                          || cast(a.nxt AS VARCHAR)), a.nxt) AS rn
+    FROM {prev} p JOIN adj a ON a.cur = p.n{t - 1}
+  ) s WHERE rn = 1
+)"""
+        prev = f"w{t}"
+    cols = ", ".join(f"n{i}" for i in range(_WALK_STEPS + 1))
+    return base + f"\nSELECT walk, {cols} FROM {prev}"
+
+
+@register(
+    "graph_hash_random_walks",
+    oracle=_walk_oracle(),
+    tags=("graph", "training"),
+)
+def graph_hash_random_walks(spark, sf_dir):
+    """One deterministic 4-step hash-seeded walk per node over the part
+    co-occurrence graph — the DeepWalk walk-corpus generator."""
+    from pyspark.sql import Window
+
+    e = _edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("cur"), F.col("v").alias("nxt")).unionAll(
+        e.select(F.col("v"), F.col("u"))
+    )
+    frontier = adj.select(
+        F.col("cur").alias("walk"), F.col("cur").alias("n0")
+    ).distinct()
+    for t in range(1, _WALK_STEPS + 1):
+        h = F.md5(
+            F.concat(
+                F.col("walk").cast("string"),
+                F.lit(f"-{t}-"),
+                F.col("nxt").cast("string"),
+            )
+        )
+        wn = Window.partitionBy("walk").orderBy(h, "nxt")
+        frontier = (
+            frontier.join(adj, F.col(f"n{t - 1}") == F.col("cur"))
+            .withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select(
+                "walk",
+                *[f"n{i}" for i in range(t)],
+                F.col("nxt").alias(f"n{t}"),
+            )
+        )
+    return frontier

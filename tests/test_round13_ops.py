@@ -726,3 +726,42 @@ def test_bagged_stumps_hand_case(spark, tmp_path):
     ens = got[5]
     assert (ens.bag, ens.split_bin, ens.eval_rows, ens.errors,
             ens.err_ppm) == (99, None, 8, 0, 0)
+
+
+def test_hash_random_walks_replay(spark, tmp_path):
+    """Triangle graph {100, 150, 200} (partkeys passing the %50 thin):
+    every 4-step walk is replayed in Python with the same md5 rule and
+    must match node-for-node; determinism means a rerun is identical."""
+    import hashlib
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.graph_metrics import (
+        graph_hash_random_walks,
+    )
+
+    rows = [(1, 100), (1, 150), (2, 150), (2, 200), (3, 100), (3, 200)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+
+    adj = {100: [150, 200], 150: [100, 200], 200: [150, 100]}
+
+    def replay(start):
+        cur, path = start, [start]
+        for t in range(1, 5):
+            cur = min(
+                adj[cur],
+                key=lambda v: (
+                    hashlib.md5(f"{start}-{t}-{v}".encode()).hexdigest(), v),
+            )
+            path.append(cur)
+        return path
+
+    got = {r.walk: [r.n0, r.n1, r.n2, r.n3, r.n4]
+           for r in graph_hash_random_walks(spark, str(tmp_path)).collect()}
+    assert set(got) == {100, 150, 200}
+    for start in (100, 150, 200):
+        assert got[start] == replay(start), start
+    rerun = {r.walk: [r.n0, r.n1, r.n2, r.n3, r.n4]
+             for r in graph_hash_random_walks(spark, str(tmp_path)).collect()}
+    assert rerun == got
