@@ -765,3 +765,46 @@ def test_hash_random_walks_replay(spark, tmp_path):
     rerun = {r.walk: [r.n0, r.n1, r.n2, r.n3, r.n4]
              for r in graph_hash_random_walks(spark, str(tmp_path)).collect()}
     assert rerun == got
+
+
+def test_lcs_fold_matches_textbook_dp(spark):
+    """The nested-fold LCS (max-of-three form) against the textbook DP
+    on 120 random token-array pairs, plus the hand case the operator
+    exists for: a reordered near-dup ('a b c d e' vs 'd e a b c') keeps
+    4/5 of its tokens in common as a bag but only LCS 3 as a sequence."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from open_molecule_data_pipeline_spark.operators.rouge import _LCS_EXPR
+
+    def lcs(a, b):
+        n, m = len(a), len(b)
+        L = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                L[i][j] = (
+                    L[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(L[i - 1][j], L[i][j - 1])
+                )
+        return L[n][m]
+
+    rng = random.Random(13)
+    cases = [
+        (
+            [rng.choice("abcd") for _ in range(rng.randint(1, 12))],
+            [rng.choice("abcd") for _ in range(rng.randint(1, 12))],
+        )
+        for _ in range(120)
+    ]
+    cases.append((list("abcde"), list("deabc")))
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)],
+        "i long, ta array<string>, tb array<string>",
+    )
+    got = {r.i: r.lcs for r in df.withColumn(
+        "lcs", F.expr(_LCS_EXPR)).collect()}
+    for i, (a, b) in enumerate(cases):
+        assert got[i] == lcs(a, b), (i, a, b, got[i], lcs(a, b))
+    assert got[len(cases) - 1] == 3
