@@ -306,3 +306,95 @@ def dq_referential_integrity(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (r13): k-anonymity's necessary complement (Machanavajjhala
+# et al. 2007) — a group can be large (k-safe) yet still leak if everyone in
+# it shares the SENSITIVE value. Same quasi-identifier groups as
+# dq_k_anonymity (nation x market segment); sensitive attribute = the
+# account-balance sign/band (negative / low / high), a 3-value proxy for
+# the reference's financial-standing column. Per group: distinct sensitive
+# values l, entropy of the sensitive distribution in micro-nats (the
+# entropy-l-diversity variant, integer-exact via per-value quantized
+# -p*ln(p) terms), and the diversity flag l >= L. Shape: one two-level
+# partial aggregation ((qid, sensitive) counts -> qid rollup), everything
+# after is group-table-sized.
+# --------------------------------------------------------------------------
+
+_LDIV_L = 2
+
+_LDIV_ORACLE = f"""
+WITH s AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS sens,
+         cast(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT nationkey, mktsegment, cast(sum(n) AS BIGINT) AS nt
+  FROM s GROUP BY nationkey, mktsegment
+),
+terms AS (
+  SELECT s.nationkey, s.mktsegment, s.n,
+         cast(round(-(cast(s.n AS DOUBLE) / cast(t.nt AS DOUBLE))
+                    * ln(cast(s.n AS DOUBLE) / cast(t.nt AS DOUBLE))
+                    * 1000000) AS BIGINT) AS e6
+  FROM s JOIN tot t
+    ON t.nationkey = s.nationkey AND t.mktsegment = s.mktsegment
+),
+g AS (
+  SELECT nationkey, mktsegment,
+         cast(sum(n) AS BIGINT) AS n_rows,
+         cast(count(*) AS BIGINT) AS l_distinct,
+         cast(sum(e6) AS BIGINT) AS entropy_micro
+  FROM terms GROUP BY nationkey, mktsegment
+)
+SELECT nationkey, mktsegment, n_rows, l_distinct, entropy_micro,
+       cast(CASE WHEN l_distinct >= {_LDIV_L} THEN 1 ELSE 0 END AS INTEGER)
+         AS diverse
+FROM g
+"""
+
+
+@register("dq_l_diversity", oracle=_LDIV_ORACLE, tags=("quality", "agg"))
+def dq_l_diversity(spark, sf_dir):
+    """Distinct-l and entropy-l diversity of the sensitive balance band
+    per quasi-identifier group, with the l >= 2 flag."""
+    c = table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    s = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        sens.alias("sens"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = s.groupBy("nationkey", "mktsegment").agg(
+        F.sum("n").cast("long").alias("nt")
+    )
+    # per-(group, sensitive) -p*ln(p) term quantized BEFORE the group sum
+    # (the chi2 lsum playbook - no float-sum order dependence)
+    p = F.col("n").cast("double") / F.col("nt").cast("double")
+    terms = s.join(F.broadcast(tot), ["nationkey", "mktsegment"]).select(
+        "nationkey",
+        "mktsegment",
+        "n",
+        F.round(-p * F.log(p) * 1_000_000).cast("long").alias("e6"),
+    )
+    g = terms.groupBy("nationkey", "mktsegment").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.sum("e6").cast("long").alias("entropy_micro"),
+    )
+    return g.select(
+        "nationkey",
+        "mktsegment",
+        "n_rows",
+        "l_distinct",
+        "entropy_micro",
+        (F.col("l_distinct") >= _LDIV_L).cast("int").alias("diverse"),
+    )

@@ -808,3 +808,37 @@ def test_lcs_fold_matches_textbook_dp(spark):
     for i, (a, b) in enumerate(cases):
         assert got[i] == lcs(a, b), (i, a, b, got[i], lcs(a, b))
     assert got[len(cases) - 1] == 3
+
+
+def test_l_diversity_hand_case(spark, tmp_path):
+    """Two groups: (0, A) has balances {-10, 100, 100, 9000} -> all
+    three bands, l = 3, entropy = -(1/4)ln(1/4)*2 - (1/2)ln(1/2) in
+    micro-nats; (0, B) is uniform-sensitive (all 'low') -> l = 1,
+    entropy 0, NOT diverse despite k = 3 rows (the leak k-anonymity
+    misses)."""
+    import math
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.dq_extra import (
+        dq_l_diversity,
+    )
+
+    rows = (
+        [(i, "n", 0, b, "A") for i, b in enumerate([-10.0, 100.0, 100.0, 9000.0])]
+        + [(10 + i, "n", 0, 100.0, "B") for i in range(3)]
+    )
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+
+    got = {r.mktsegment: r for r in dq_l_diversity(spark, str(tmp_path)).collect()}
+    a, b = got["A"], got["B"]
+    assert (a.n_rows, a.l_distinct, a.diverse) == (4, 3, 1)
+    exp = (
+        round(-(0.25) * math.log(0.25) * 1e6) * 2
+        + round(-(0.5) * math.log(0.5) * 1e6)
+    )
+    assert a.entropy_micro == exp
+    assert (b.n_rows, b.l_distinct, b.entropy_micro, b.diverse) == (3, 1, 0, 0)
