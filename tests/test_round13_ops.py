@@ -842,3 +842,69 @@ def test_l_diversity_hand_case(spark, tmp_path):
     )
     assert a.entropy_micro == exp
     assert (b.n_rows, b.l_distinct, b.entropy_micro, b.diverse) == (3, 1, 0, 0)
+
+
+def test_hurst_brute_force_and_trend(spark, tmp_path):
+    """Brute-force Python replay of the full R/S protocol (exact-int
+    cumdev, micro quantization, integer means, 4-point closed-form
+    slope) on two 96-hour series; theory pin: the pure trend v_k = k
+    has R/S growing ~W so its Hurst estimate lands near 1."""
+    import math
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.hurst import (
+        ts_hurst_rescaled_range,
+    )
+
+    base = 1704067200_000000
+    trend = [float(k) for k in range(96)]
+    zig = [float((k * 7) % 5 - 2) for k in range(96)]
+    rows = []
+    for name, vs in (("trend", trend), ("zig", zig)):
+        for k, v in enumerate(vs):
+            rows.append((name, base + k * 3_600_000_000, v))
+    spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts",
+                 "value").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet"))
+
+    def replay(vs):
+        cents = [round(v * 100) for v in vs]
+        out = {}
+        for w in (8, 16, 32, 64):
+            rss = []
+            for c0 in range(0, len(cents) - w + 1, w):
+                ch = cents[c0 : c0 + w]
+                s, q = sum(ch), sum(x * x for x in ch)
+                if w * q - s * s <= 0:
+                    continue
+                pref, devs = 0, []
+                for k, x in enumerate(ch, 1):
+                    pref += x
+                    devs.append(w * pref - k * s)
+                rss.append(round((max(devs) - min(devs))
+                                 / math.sqrt(w * q - s * s) * 1e6))
+            if rss:
+                out[w] = (len(rss), sum(rss) // len(rss))
+        xs = [math.log(w) for w in (8, 16, 32, 64)]
+        ys = [math.log(out[w][1] / 1e6) for w in (8, 16, 32, 64)]
+        n = 4.0
+        slope = (n * sum(x * y for x, y in zip(xs, ys))
+                 - sum(xs) * sum(ys)) / (
+            n * sum(x * x for x in xs) - sum(xs) ** 2)
+        return out, round(slope, 6)
+
+    got = {}
+    for r in ts_hurst_rescaled_range(spark, str(tmp_path)).collect():
+        got.setdefault(r.event_type, {})[r.w] = (
+            r.n_chunks, r.mean_rs_micro, r.hurst)
+    for name, vs in (("trend", trend), ("zig", zig)):
+        out, slope = replay(vs)
+        for w in (8, 16, 32, 64):
+            n_chunks, mean_rs = out[w]
+            assert got[name][w][:2] == (n_chunks, mean_rs), (name, w)
+            assert abs(got[name][w][2] - slope) < 2e-6, (name, w)
+    assert got["trend"][8][2] > 0.9
+    assert got["zig"][8][2] < got["trend"][8][2]
