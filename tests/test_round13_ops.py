@@ -908,3 +908,39 @@ def test_hurst_brute_force_and_trend(spark, tmp_path):
             assert abs(got[name][w][2] - slope) < 2e-6, (name, w)
     assert got["trend"][8][2] > 0.9
     assert got["zig"][8][2] < got["trend"][8][2]
+
+
+def test_hampel_hand_case(spark, tmp_path):
+    """Spike detection: constant 10-cent series with one 1000 spike ->
+    the spike window has MAD 0 and flags (|x-med| = 990 > 0); the spike
+    does NOT drag the median, so its honest neighbors stay unflagged
+    (the robustness a rolling z-score lacks). Values are judged only
+    after a full 7-row frame."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.windows_extra import (
+        window_hampel_outliers,
+    )
+
+    base = 1704067200_000000
+    vals = [0.10] * 8 + [10.0] + [0.10] * 6
+    rows = [("s", base + i * 3_600_000_000, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts",
+                 "value").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet"))
+
+    got = sorted(window_hampel_outliers(spark, str(tmp_path)).collect(),
+                 key=lambda r: r.h)
+    # 15 hours, frames full from hour index 6 -> 9 judged rows
+    assert len(got) == 9
+    flags = [r.outlier for r in got]
+    vs = [r.v for r in got]
+    assert vs == [10, 10, 1000, 10, 10, 10, 10, 10, 10]
+    # only the spike itself flags; windows containing the spike keep
+    # med = 10 (majority), MAD = 0, and honest 10s have dev 0
+    assert flags == [0, 0, 1, 0, 0, 0, 0, 0, 0]
+    spike = got[2]
+    assert (spike.med2, spike.mad4) == (20, 0)
