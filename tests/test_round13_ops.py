@@ -944,3 +944,78 @@ def test_hampel_hand_case(spark, tmp_path):
     assert flags == [0, 0, 1, 0, 0, 0, 0, 0, 0]
     spike = got[2]
     assert (spike.med2, spike.mad4) == (20, 0)
+
+
+def test_mmr_demotes_near_duplicate(spark, tmp_path):
+    """Planted redundancy: c10 and c11 are near-identical high-relevance
+    candidates, c12 is less relevant but orthogonal. Pure relevance
+    would return (c10, c11, c12); MMR picks c10 then DEMOTES its twin
+    in favor of the diverse c12. Full greedy replayed in Python with
+    the same micro-quantized 700/300 integer scoring."""
+    import math
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.mmr import (
+        _K_MMR, _R, _WDIV, _WREL, sim_rerank_mmr,
+    )
+
+    # one query (vec_id 0); candidates 10..17 (>= N_QUERIES so they are
+    # corpus-only). 4-dim vectors. c10 and c11 point the SAME direction
+    # (sim = 1.0) and c12 is equally relevant but in another plane
+    # (sim(10,12) = cos^2 45deg = 0.5): relevance alone ranks
+    # (10, 11, ...) by the id tie-break; MMR must put 12 second.
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        10: [0.7071, 0.7071, 0.0, 0.0],
+        11: [0.7071, 0.7071, 0.0, 0.0],  # exact twin of c10
+        12: [0.7071, 0.0, 0.7071, 0.0],  # equally relevant, diverse
+        13: [0.60, 0.0, 0.0, 0.80],
+        14: [0.50, 0.50, 0.0, 0.70],
+        15: [0.30, 0.9, 0.3, 0.0],
+        16: [0.20, 0.0, 0.9, 0.3],
+        17: [0.10, 0.4, 0.4, 0.8],
+    }
+    # other queries 1..9 exist in the fixture (N_QUERIES = 10) but far
+    # from everything; give them orthogonal-ish junk
+    for i in range(1, 10):
+        v = [0.0] * 4
+        v[i % 4] = -1.0
+        vecs[i] = v
+    spark.createDataFrame(
+        [(k, [float(x) for x in v], 0) for k, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a))
+                          * math.sqrt(sum(x * x for x in b))) * 1e6)
+
+    def replay(qid):
+        others = [k for k in vecs if k != qid]
+        rel = {k: cos6(vecs[qid], vecs[k]) for k in others}
+        pool = sorted(others, key=lambda k: (-rel[k], k))[:_R]
+        sel, out = [], []
+        for t in range(1, _K_MMR + 1):
+            best = None
+            for k in pool:
+                if k in sel:
+                    continue
+                ms = max((cos6(vecs[k], vecs[j]) for j in sel), default=0)
+                sc = _WREL * rel[k] - _WDIV * ms
+                if best is None or (sc, -k) > (best[0], -best[1]):
+                    best = (sc, k, ms)
+            sel.append(best[1])
+            out.append((t, best[1], rel[best[1]], best[2], best[0]))
+        return out
+
+    got = {}
+    for r in sim_rerank_mmr(spark, str(tmp_path)).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.neighbor_id, r.rel6, r.maxsim6, r.mmr_milli))
+    for qid in range(10):
+        assert sorted(got[qid]) == replay(qid), qid
+    q0 = [nid for _, nid, *_ in sorted(got[0])]
+    assert q0[0] == 10          # top relevance first
+    assert q0[1] == 12          # the diverse candidate beats the twin
+    assert 11 not in q0[:2]
