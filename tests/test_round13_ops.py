@@ -1019,3 +1019,60 @@ def test_mmr_demotes_near_duplicate(spark, tmp_path):
     assert q0[0] == 10          # top relevance first
     assert q0[1] == 12          # the diverse candidate beats the twin
     assert 11 not in q0[:2]
+
+
+def test_isotonic_minimax_equals_sequential_pav(spark):
+    """The minimax identity against a sequential pool-adjacent-violators
+    implementation on 40 random bin configurations plus the textbook
+    case [.1, .3, .2, .4] -> [.1, .25, .25, .4] (bins 2-3 pooled,
+    weighted). Also pins monotonicity and weighted-mean preservation."""
+    import random
+
+    from open_molecule_data_pipeline_spark.operators.isotonic import (
+        _isotonic_from_bins,
+    )
+
+    def pav_rates(blocks):
+        st = []  # (nbins, w, s)
+        for w, s in blocks:
+            st.append([1, w, s])
+            while len(st) > 1 and st[-1][2] * st[-2][1] < st[-2][2] * st[-1][1]:
+                b2, w2, s2 = st.pop()
+                st[-1][0] += b2
+                st[-1][1] += w2
+                st[-1][2] += s2
+        rates = []
+        for nb, w, s in st:
+            rates.extend([s / w] * nb)
+        return rates
+
+    rng = random.Random(7)
+    cases = [[(10, 1), (10, 3), (10, 2), (10, 4)]]
+    for _ in range(40):
+        nb = rng.randint(1, 10)
+        cases.append(
+            [(rng.randint(1, 20), 0) for _ in range(nb)]
+        )
+        cases[-1] = [(w, rng.randint(0, w)) for w, _ in cases[-1]]
+    for case in cases:
+        bins = spark.createDataFrame(
+            [(i, w, s) for i, (w, s) in enumerate(case)],
+            "bin long, w long, s long",
+        )
+        got = {r.bin: r for r in _isotonic_from_bins(bins).collect()}
+        want = pav_rates(case)
+        iso = [got[i].iso_rate_ppm for i in range(len(case))]
+        for i, r in enumerate(want):
+            assert iso[i] == round(r * 1e6), (case, i)
+        assert iso == sorted(iso)  # monotone
+        # pooling preserves the weighted total
+        assert sum(got[i].positives for i in range(len(case))) == sum(
+            s for _, s in case)
+    # the textbook case, explicitly
+    bins = spark.createDataFrame(
+        [(0, 10, 1), (1, 10, 3), (2, 10, 2), (3, 10, 4)],
+        "bin long, w long, s long",
+    )
+    iso = [r.iso_rate_ppm for r in sorted(
+        _isotonic_from_bins(bins).collect(), key=lambda r: r.bin)]
+    assert iso == [100000, 250000, 250000, 400000]
