@@ -298,3 +298,136 @@ def sample_quota_largest_remainder(spark, sf_dir):
             ).cast("long").alias("quota"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman optimal allocation (r13): the variance-weighted upgrade of the
+# Hamilton quota above — survey sampling's optimal stratified design
+# (Neyman 1934) puts sample where the VARIANCE is, n_h ~ N_h * S_h, not
+# where the rows are. Integer-exact protocol: per stratum the population
+# std of cents-quantized value is s_milli = round(sqrt((N*Q - S^2)/N^2)
+# * 1000) (exact power sums; one sqrt + one division, bit-identical),
+# the Neyman weight is the int64 N_h * s_milli, and the largest-remainder
+# apportionment then runs in PURE INTEGER arithmetic exactly as in
+# sample_quota_largest_remainder. One corpus pass (the moments agg);
+# everything after is stratum-table-sized. The allocated n_h feed the
+# proven hash-top-k-per-group applier.
+# --------------------------------------------------------------------------
+
+_NEYMAN_N = 200
+
+_NEYMAN_ORACLE = f"""
+WITH m AS (
+  SELECT event_type AS stratum,
+         cast(count(*) AS BIGINT) AS n_rows,
+         cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         cast(sum(cast(round(value * 100) AS BIGINT)
+                  * cast(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT stratum, n_rows,
+         cast(round(sqrt(cast(n_rows * q - s * s AS DOUBLE)
+                         / (cast(n_rows AS DOUBLE) * cast(n_rows AS DOUBLE)))
+                    * 1000) AS BIGINT) AS std_milli
+  FROM m
+),
+ww AS (SELECT stratum, n_rows, std_milli, n_rows * std_milli AS wt FROM w),
+tot AS (SELECT cast(sum(wt) AS BIGINT) AS W FROM ww),
+base AS (
+  SELECT stratum, n_rows, std_milli, wt,
+         ({_NEYMAN_N} * wt) // tot.W AS base_q,
+         ({_NEYMAN_N} * wt) % tot.W AS rem
+  FROM ww, tot
+),
+r AS (SELECT {_NEYMAN_N} - cast(sum(base_q) AS BIGINT) AS seats FROM base),
+ranked AS (
+  SELECT stratum, n_rows, std_milli, wt, base_q, rem,
+         row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+  FROM base
+)
+SELECT stratum, n_rows, std_milli, cast(wt AS BIGINT) AS weight,
+       cast(base_q AS BIGINT) AS base_q,
+       cast(base_q + CASE WHEN rk <= r.seats THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc
+FROM ranked, r
+"""
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=_NEYMAN_ORACLE,
+    tags=("sample", "agg", "stats"),
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Variance-optimal stratified sample sizes (n_h ~ N_h * S_h) by
+    integer largest-remainder apportionment over quantized std weights."""
+    e = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    m = e.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("q"),
+    )
+    w = m.select(
+        "stratum",
+        "n_rows",
+        F.round(
+            F.sqrt(
+                (F.col("n_rows") * F.col("q") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+                / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("std_milli"),
+    ).withColumn("wt", F.col("n_rows") * F.col("std_milli"))
+    tot = w.agg(F.sum("wt").cast("long").alias("W"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "std_milli",
+        "wt",
+        F.expr(f"({_NEYMAN_N} * wt) div W").alias("base_q"),
+        F.expr(f"({_NEYMAN_N} * wt) % W").alias("rem"),
+    )
+    seats = base.agg(
+        (F.lit(_NEYMAN_N) - F.sum("base_q")).cast("long").alias("seats")
+    )
+    # remainder rank via the broadcast theta self-join (no partitionless
+    # window — same pattern as sample_quota_largest_remainder above)
+    other = base.select(
+        F.col("stratum").alias("o_st"), F.col("rem").alias("o_rem")
+    )
+    ranked = (
+        base.join(
+            F.broadcast(other),
+            (F.col("o_rem") > F.col("rem"))
+            | (
+                (F.col("o_rem") == F.col("rem"))
+                & (F.col("o_st") < F.col("stratum"))
+            ),
+            "left",
+        )
+        .groupBy("stratum", "n_rows", "std_milli", "wt", "base_q", "rem")
+        .agg((F.count("o_st") + 1).cast("long").alias("rk"))
+    )
+    return (
+        ranked
+        .crossJoin(F.broadcast(seats))
+        .select(
+            "stratum",
+            "n_rows",
+            "std_milli",
+            F.col("wt").cast("long").alias("weight"),
+            F.col("base_q").cast("long"),
+            (
+                F.col("base_q")
+                + F.when(F.col("rk") <= F.col("seats"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alloc"),
+        )
+    )

@@ -1076,3 +1076,39 @@ def test_isotonic_minimax_equals_sequential_pav(spark):
     iso = [r.iso_rate_ppm for r in sorted(
         _isotonic_from_bins(bins).collect(), key=lambda r: r.bin)]
     assert iso == [100000, 250000, 250000, 400000]
+
+
+def test_neyman_allocation_hand_case(spark, tmp_path):
+    """Three equal-size strata (50 rows each): constant A (std 0),
+    B alternating 1/3 (std 1.00 -> 100000 milli-cents), C alternating
+    1/9 (std 4.00). Weights 0 : 5e6 : 2e7 -> exact quotas 0/40/160 with
+    no remainder seats. Proportional would say 66/67/67 - the defining
+    Neyman property is that the zero-variance stratum needs NO sample."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.sampling_mix import (
+        sample_neyman_allocation,
+    )
+
+    base = 1704067200_000000
+    rows = []
+    for i in range(50):
+        rows.append(("A", 1.0))
+        rows.append(("B", [1.0, 3.0][i % 2]))
+        rows.append(("C", [1.0, 9.0][i % 2]))
+    spark.createDataFrame(
+        [(i, g, base + i * 1_000_000, v) for i, (g, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts",
+                 "value").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet"))
+
+    got = {r.stratum: r for r in
+           sample_neyman_allocation(spark, str(tmp_path)).collect()}
+    assert (got["A"].std_milli, got["B"].std_milli, got["C"].std_milli) == (
+        0, 100_000, 400_000)
+    assert (got["A"].weight, got["B"].weight, got["C"].weight) == (
+        0, 5_000_000, 20_000_000)
+    assert (got["A"].n_alloc, got["B"].n_alloc, got["C"].n_alloc) == (
+        0, 40, 160)
+    assert sum(r.n_alloc for r in got.values()) == 200
