@@ -1112,3 +1112,32 @@ def test_neyman_allocation_hand_case(spark, tmp_path):
     assert (got["A"].n_alloc, got["B"].n_alloc, got["C"].n_alloc) == (
         0, 40, 160)
     assert sum(r.n_alloc for r in got.values()) == 200
+
+
+def test_lsh_band_tuning_monotone_tradeoff(spark, sf_dir):
+    """The recall/precision trade the report exists to show: as r grows
+    (wider bands), the candidate set SHRINKS (every (r, b) candidate
+    shares r consecutive signatures, hence at least one single
+    signature, so each scheme's candidates nest inside r = 1's) and the
+    candidates' mean true Jaccard RISES. Thresholds are the injected
+    literals (1/b)^(1/r)."""
+    from open_molecule_data_pipeline_spark.operators.lsh_tuning import (
+        text_lsh_band_tuning,
+    )
+
+    rows = sorted(
+        text_lsh_band_tuning(spark, sf_dir).collect(), key=lambda x: x.r
+    )
+    assert [(x.r, x.b) for x in rows] == [(1, 8), (2, 4), (4, 2), (8, 1)]
+    assert [x.threshold_ppm for x in rows] == [
+        125000, 500000, 840896, 1000000]
+    counts = [x.n_candidates for x in rows]
+    assert counts == sorted(counts, reverse=True)  # nesting property
+    assert counts[0] > 0
+    # the junk-vs-verified gap (mean jaccard between adjacent schemes is
+    # NOT theoretically monotone - only the candidate SETS nest - but the
+    # r=1 union scheme must sit far below the banded schemes)
+    means = {x.r: x.mean_jaccard_ppm for x in rows
+             if x.mean_jaccard_ppm is not None}
+    if 1 in means and 2 in means:
+        assert means[1] < means[2]
