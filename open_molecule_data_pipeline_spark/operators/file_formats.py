@@ -323,3 +323,79 @@ def format_bucketed_join(spark, sf_dir):
         # metastore tables dangling at swept _scratch paths.
         for tbl in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# --------------------------------------------------------------------------
+# Typed-parquet fidelity round-trip (r13): every logical type the
+# warehouse relies on pushed through the parquet writer and back —
+# DECIMAL(12,2) (parquet FIXED_LEN_BYTE_ARRAY/INT64 decimal logical
+# type, not the source double), DATE, TIMESTAMP, BINARY, BOOLEAN, and
+# SMALLINT — then aggregated into exact integers. The other round-trips
+# in this family prove FORMATS (csv/json/xml/orc); this one proves the
+# TYPE SYSTEM survives the default format end to end (decimal scale
+# preserved, date/timestamp epoch math stable, binary bytes intact via
+# a distinct-count over md5 prefixes). The oracle computes the same
+# aggregates straight from the source rows: any writer/reader type
+# coercion (e.g. decimal widened to double, date shifted by timezone)
+# breaks the hash.
+# --------------------------------------------------------------------------
+
+_TYPED_ORACLE = """
+WITH t AS (
+  SELECT cast(cast(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(12,2)) AS price,
+         cast(l_shipdate AS DATE) AS day,
+         l_shipdate AS ts,
+         substr(md5(cast(l_orderkey AS VARCHAR)), 1, 4) AS binhex,
+         l_returnflag = 'R' AS flag,
+         cast(l_linenumber AS SMALLINT) AS ln
+  FROM lineitem
+)
+SELECT cast(count(*) AS BIGINT) AS n,
+       cast(round(sum(price) * 100) AS BIGINT) AS sum_price_cents,
+       cast(min(day) AS VARCHAR) AS min_day,
+       cast(max(day) AS VARCHAR) AS max_day,
+       cast(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+       cast(sum(ln) AS BIGINT) AS sum_line,
+       cast(count(DISTINCT binhex) AS BIGINT) AS n_bin,
+       cast(min(epoch_us(ts)) AS BIGINT) AS min_ts_us
+FROM t
+"""
+
+
+@register(
+    "format_roundtrip_typed_parquet", oracle=_TYPED_ORACLE, tags=("formats",)
+)
+def format_roundtrip_typed_parquet(spark, sf_dir):
+    """decimal/date/timestamp/binary/boolean/smallint through a parquet
+    write + read, aggregated exactly — the type-fidelity check."""
+    li = table(spark, sf_dir, "lineitem")
+    typed = li.select(
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_shipdate").cast("date").alias("day"),
+        F.col("l_shipdate").alias("ts"),
+        F.unhex(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 4)
+        ).alias("bin"),
+        (F.col("l_returnflag") == "R").alias("flag"),
+        F.col("l_linenumber").cast("smallint").alias("ln"),
+    )
+    out = _scratch("typed", sf_dir)
+    typed.write.mode("overwrite").parquet(str(out))
+    back = spark.read.parquet(str(out))
+    # the read-back schema must be the written one, not a widened cousin
+    assert dict(back.dtypes)["price"] == "decimal(12,2)", back.dtypes
+    assert dict(back.dtypes)["day"] == "date", back.dtypes
+    assert dict(back.dtypes)["bin"] == "binary", back.dtypes
+    assert dict(back.dtypes)["ln"] == "smallint", back.dtypes
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("price") * 100).cast("long").alias("sum_price_cents"),
+        F.min("day").cast("string").alias("min_day"),
+        F.max("day").cast("string").alias("max_day"),
+        F.sum(F.col("flag").cast("long")).cast("long").alias("n_flag"),
+        F.sum("ln").cast("long").alias("sum_line"),
+        F.countDistinct(F.hex(F.col("bin"))).cast("long").alias("n_bin"),
+        F.min(F.expr("unix_micros(cast(ts as timestamp))"))
+        .cast("long")
+        .alias("min_ts_us"),
+    )

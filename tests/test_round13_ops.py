@@ -1141,3 +1141,26 @@ def test_lsh_band_tuning_monotone_tradeoff(spark, sf_dir):
              if x.mean_jaccard_ppm is not None}
     if 1 in means and 2 in means:
         assert means[1] < means[2]
+
+
+def test_typed_parquet_roundtrip_schema_and_values(spark, sf_dir):
+    """The read-back schema must be the written one (decimal(12,2),
+    date, binary, smallint asserted inside the operator) and the
+    aggregates must reflect every source row."""
+    import re
+
+    import duckdb
+
+    from open_molecule_data_pipeline_spark.operators.file_formats import (
+        format_roundtrip_typed_parquet,
+    )
+
+    r = format_roundtrip_typed_parquet(spark, sf_dir).collect()[0]
+    n_src = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert r.n == n_src
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", r.min_day)
+    assert r.min_day <= r.max_day
+    assert 0 < r.n_bin <= r.n
+    assert r.sum_price_cents > 0 and r.min_ts_us > 0
