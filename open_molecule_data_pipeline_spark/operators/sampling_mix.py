@@ -369,6 +369,14 @@ def sample_neyman_allocation(spark, sf_dir):
         F.sum(v).cast("long").alias("s"),
         F.sum(v * v).cast("long").alias("q"),
     )
+    return neyman_from_moments(m)
+
+
+def neyman_from_moments(m):
+    """Apportionment from the (stratum, n_rows, s, q) moments table —
+    shared by the batch query and its streaming twin (the moments are
+    the entire sufficient statistic, so the stream carries 5 rows of
+    state and this runs after completion)."""
     w = m.select(
         "stratum",
         "n_rows",

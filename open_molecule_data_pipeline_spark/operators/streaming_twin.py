@@ -1183,3 +1183,36 @@ def stream_ttest_twin(spark, sf_dir):
             3,
         ).alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocation streaming twin (r13): the variance-optimal stratified
+# design (sample_neyman_allocation, sampling_mix.py) computed from a real
+# availableNow stream. The per-stratum moments (n, Σv, Σv²) are the
+# ENTIRE sufficient statistic — the canonical "survey design on live
+# telemetry" shape: streaming state is one row per stratum regardless of
+# input size, partial-state merge is addition, and the std quantization +
+# integer largest-remainder apportionment run AFTER the stream completes
+# on that 5-row state, sharing the batch query's code path (and oracle)
+# verbatim.
+# --------------------------------------------------------------------------
+
+from .sampling_mix import _NEYMAN_ORACLE as _NEYMAN_TWIN_ORACLE  # noqa: E402
+from .sampling_mix import neyman_from_moments  # noqa: E402
+
+
+@register(
+    "stream_neyman_twin",
+    oracle=_NEYMAN_TWIN_ORACLE,
+    tags=("streaming", "sample", "stats"),
+)
+def stream_neyman_twin(spark, sf_dir):
+    events = _events_stream(spark, sf_dir)
+    v = F.round(F.col("value") * 100).cast("long")
+    agg = events.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("q"),
+    )
+    done = _run_to_memory(spark, agg, output_mode="complete")
+    return neyman_from_moments(done)

@@ -1164,3 +1164,24 @@ def test_typed_parquet_roundtrip_schema_and_values(spark, sf_dir):
     assert r.min_day <= r.max_day
     assert 0 < r.n_bin <= r.n
     assert r.sum_price_cents > 0 and r.min_ts_us > 0
+
+
+def test_stream_neyman_twin_matches_batch(spark, sf_dir):
+    """The streaming twin's post-completion allocation must equal the
+    batch query row-for-row: the per-stratum moments are the entire
+    sufficient statistic, so a stream that merges them additively loses
+    nothing."""
+    from open_molecule_data_pipeline_spark.operators.sampling_mix import (
+        sample_neyman_allocation,
+    )
+    from open_molecule_data_pipeline_spark.operators.streaming_twin import (
+        stream_neyman_twin,
+    )
+
+    batch = {r.stratum: r for r in
+             sample_neyman_allocation(spark, sf_dir).collect()}
+    stream = {r.stratum: r for r in
+              stream_neyman_twin(spark, sf_dir).collect()}
+    assert set(batch) == set(stream)
+    for k in batch:
+        assert tuple(batch[k]) == tuple(stream[k]), k
