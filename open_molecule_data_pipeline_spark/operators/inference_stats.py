@@ -967,3 +967,114 @@ def ts_theil_sen_slope(spark, sf_dir):
             F.col("slope").cast("long").alias("sen_slope_micro_per_hour"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality screen (r13): the moment-based test every
+# parametric step above (Welch t, ANOVA, OLS bands) quietly assumes —
+# JB = n/6 * (skew^2 + excess_kurtosis^2/4), chi-square(2) under
+# normality, rejected at 5% when JB > 5.991465. Protocol: the four
+# power sums are EXACT (S1..S3 int64; S4 in decimal(38,0)/HUGEINT —
+# cents^4 reaches 1e20), central moments expand from them in one shared
+# double expression per engine (no float summation anywhere), and skew/
+# kurtosis/JB are quantized at 1e-6. One map-side-combinable corpus
+# pass; everything after is series-count-sized.
+# --------------------------------------------------------------------------
+
+_JB_CRIT = "5.991465"  # chi2 inv-cdf at p=0.95, df=2
+
+_JB_SKEW = """
+  round((cast(s3 AS DOUBLE) / n
+         - 3 * (cast(s1 AS DOUBLE) / n) * (cast(s2 AS DOUBLE) / n)
+         + 2 * (cast(s1 AS DOUBLE) / n) * (cast(s1 AS DOUBLE) / n)
+             * (cast(s1 AS DOUBLE) / n))
+        / pow(cast(s2 AS DOUBLE) / n
+              - (cast(s1 AS DOUBLE) / n) * (cast(s1 AS DOUBLE) / n), 1.5),
+        6) AS skew
+"""
+
+_JB_KURT = """
+  round((cast(s4 AS DOUBLE) / n
+         - 4 * (cast(s1 AS DOUBLE) / n) * (cast(s3 AS DOUBLE) / n)
+         + 6 * (cast(s1 AS DOUBLE) / n) * (cast(s1 AS DOUBLE) / n)
+             * (cast(s2 AS DOUBLE) / n)
+         - 3 * (cast(s1 AS DOUBLE) / n) * (cast(s1 AS DOUBLE) / n)
+             * (cast(s1 AS DOUBLE) / n) * (cast(s1 AS DOUBLE) / n))
+        / ((cast(s2 AS DOUBLE) / n
+            - (cast(s1 AS DOUBLE) / n) * (cast(s1 AS DOUBLE) / n))
+           * (cast(s2 AS DOUBLE) / n
+              - (cast(s1 AS DOUBLE) / n) * (cast(s1 AS DOUBLE) / n)))
+        - 3, 6) AS kurt_excess
+"""
+
+_JB_ORACLE = f"""
+WITH x AS (
+  SELECT event_type, cast(round(value * 100) AS BIGINT) AS v FROM events
+),
+m AS (
+  SELECT event_type,
+         cast(count(*) AS BIGINT) AS n,
+         cast(sum(v) AS BIGINT) AS s1,
+         cast(sum(v * v) AS BIGINT) AS s2,
+         cast(sum(v * v * v) AS BIGINT) AS s3,
+         sum(cast(v * v AS HUGEINT) * cast(v * v AS HUGEINT)) AS s4
+  FROM x GROUP BY event_type
+),
+g AS (SELECT event_type, n, {_JB_SKEW}, {_JB_KURT} FROM m)
+SELECT event_type, n, skew, kurt_excess,
+       round(n / 6.0 * (skew * skew + kurt_excess * kurt_excess / 4), 6)
+         AS jb,
+       cast(CASE WHEN n / 6.0 * (skew * skew + kurt_excess * kurt_excess / 4)
+                      > {_JB_CRIT} THEN 1 ELSE 0 END AS INTEGER)
+         AS reject_normal
+FROM g
+"""
+
+
+@register(
+    "profile_jarque_bera",
+    oracle=_JB_ORACLE,
+    tags=("stats", "profile", "timeseries"),
+)
+def profile_jarque_bera(spark, sf_dir):
+    """JB normality screen per event series from exact power sums;
+    skew/kurtosis quantized, 5% chi2(2) rejection flag."""
+    e = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    v2 = v * v
+    m = e.select(F.col("event_type"), v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).cast("long").alias("s3"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,0)")
+            * (F.col("v") * F.col("v")).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    g = m.selectExpr("event_type", "n", _JB_SKEW, _JB_KURT)
+    jb = F.round(
+        F.col("n") / 6.0
+        * (
+            F.col("skew") * F.col("skew")
+            + F.col("kurt_excess") * F.col("kurt_excess") / 4
+        ),
+        6,
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "skew",
+        "kurt_excess",
+        jb.alias("jb"),
+        (
+            F.col("n") / 6.0
+            * (
+                F.col("skew") * F.col("skew")
+                + F.col("kurt_excess") * F.col("kurt_excess") / 4
+            )
+            > float(_JB_CRIT)
+        )
+        .cast("int")
+        .alias("reject_normal"),
+    )

@@ -1185,3 +1185,41 @@ def test_stream_neyman_twin_matches_batch(spark, sf_dir):
     assert set(batch) == set(stream)
     for k in batch:
         assert tuple(batch[k]) == tuple(stream[k]), k
+
+
+def test_jarque_bera_hand_case(spark, tmp_path):
+    """Symmetric light-tailed series [1,2,3,2] * 25: skew exactly 0,
+    m4/m2^2 = 2 -> excess kurtosis -1, JB = 100/6 * (0 + 1/4) = 4.1667
+    -> NOT rejected; the one-sided spike series is wildly non-normal ->
+    rejected. Cross-checked against scipy-free closed forms."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.inference_stats import (
+        profile_jarque_bera,
+    )
+
+    base = 1704067200_000000
+    rows = []
+    sym = [1.0, 2.0, 3.0, 2.0] * 25
+    for i, v in enumerate(sym):
+        rows.append(("sym", base + i * 1_000_000, v))
+    spike = [1.0] * 99 + [100.0]
+    for i, v in enumerate(spike):
+        rows.append(("spike", base + i * 1_000_000, v))
+    spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts",
+                 "value").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet"))
+
+    got = {r.event_type: r for r in
+           profile_jarque_bera(spark, str(tmp_path)).collect()}
+    s = got["sym"]
+    # cents [100,200,300,200]: mean 200, m2 = 5000, m3 = 0, m4 = 5e7
+    # -> kurt = 5e7/25e6 - 3 = -1
+    assert (s.n, s.skew, s.kurt_excess) == (100, 0.0, -1.0)
+    assert abs(s.jb - round(100 / 6 * 0.25, 6)) < 1e-9
+    assert s.reject_normal == 0
+    sp = got["spike"]
+    assert sp.reject_normal == 1 and sp.jb > 1000 and sp.skew > 5
