@@ -614,3 +614,69 @@ def cdc_vacuum_report(spark, sf_dir):
         .groupBy(F.col("ver").alias("version"), "status")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ops"))
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-chain log integrity (r13): the tamper-evidence primitive for an
+# append-only ops log — every entity's events fold into a rolling
+# md5 chain h_k = md5(h_{k-1} || '-' || payload_k) seeded with
+# md5(entity_id), so the chain HEAD commits to the entire history in
+# order: any edited, dropped, or reordered row changes the head (the
+# audit property a mutable-table CDC pipeline ships downstream instead
+# of re-shipping the log). Chains are sequential BY DESIGN, so the
+# parallel unit is the ENTITY: one groupBy collects each customer's
+# orders (bounded per entity), one in-memory fold computes the head —
+# no global sequential pass exists. The oracle folds the identical
+# algebra via list_reduce seeded by prepending md5(entity) (the LCS/
+# rouge.py seed trick, probed exact on DuckDB v1.0).
+# --------------------------------------------------------------------------
+
+_CHAIN_ORACLE = """
+WITH payload AS (
+  SELECT o_custkey,
+         cast(o_orderkey AS VARCHAR) || '-'
+           || cast(cast(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+           AS p,
+         o_orderkey
+  FROM orders
+),
+chains AS (
+  SELECT o_custkey AS custkey,
+         cast(count(*) AS BIGINT) AS n_orders,
+         list_reduce(
+           list_concat([md5(cast(o_custkey AS VARCHAR))],
+                       list(p ORDER BY o_orderkey)),
+           (acc, x) -> md5(acc || '-' || x)) AS chain_head
+  FROM payload GROUP BY o_custkey
+)
+SELECT custkey, n_orders, chain_head FROM chains
+"""
+
+
+@register("cdc_hash_chain_audit", oracle=_CHAIN_ORACLE, tags=("cdc", "quality"))
+def cdc_hash_chain_audit(spark, sf_dir):
+    """Per-customer rolling md5 chain head over the order log — the
+    tamper-evidence commitment for an append-only history."""
+    o = table(spark, sf_dir, "orders")
+    payload = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("-"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+            ).alias("p"),
+        ).alias("e"),
+    )
+    chains = payload.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.aggregate(
+            F.array_sort(F.collect_list("e")),
+            F.md5(F.col("custkey").cast("string")),
+            lambda acc, x: F.md5(F.concat(acc, F.lit("-"), x["p"])),
+        ).alias("chain_head"),
+    )
+    return chains.select("custkey", "n_orders", "chain_head")

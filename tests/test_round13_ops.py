@@ -1223,3 +1223,44 @@ def test_jarque_bera_hand_case(spark, tmp_path):
     assert s.reject_normal == 0
     sp = got["spike"]
     assert sp.reject_normal == 1 and sp.jb > 1000 and sp.skew > 5
+
+
+def test_hash_chain_audit_replay_and_tamper(spark, tmp_path):
+    """Python hashlib replay of a 3-order chain, plus the property the
+    chain exists for: editing ONE amount, dropping a row, or swapping
+    two rows each change the head."""
+    import hashlib
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.cdc import (
+        cdc_hash_chain_audit,
+    )
+
+    def head(custkey, orders):
+        h = hashlib.md5(str(custkey).encode()).hexdigest()
+        for k, cents in orders:
+            h = hashlib.md5(f"{h}-{k}-{cents}".encode()).hexdigest()
+        return h
+
+    def run(rows):
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet"))
+        return {r.custkey: r for r in
+                cdc_hash_chain_audit(spark, str(tmp_path)).collect()}
+
+    base = [(1, 7, 1.00), (2, 7, 2.50), (3, 7, 0.99), (10, 8, 5.00)]
+    got = run(base)
+    assert got[7].n_orders == 3
+    assert got[7].chain_head == head(7, [(1, 100), (2, 250), (3, 99)])
+    assert got[8].chain_head == head(8, [(10, 500)])
+
+    h0 = got[7].chain_head
+    edited = run([(1, 7, 1.00), (2, 7, 2.51), (3, 7, 0.99), (10, 8, 5.00)])
+    assert edited[7].chain_head != h0
+    dropped = run([(1, 7, 1.00), (3, 7, 0.99), (10, 8, 5.00)])
+    assert dropped[7].chain_head != h0
+    # swapping orderkeys reorders the fold even with identical payload set
+    swapped = run([(2, 7, 1.00), (1, 7, 2.50), (3, 7, 0.99), (10, 8, 5.00)])
+    assert swapped[7].chain_head != h0
