@@ -554,3 +554,198 @@ def text_min_k_prob_audit(spark, sf_dir):
         )
     )
     return mink.orderBy("mink_mean_cost_micro", "doc_id").limit(_MINK_TOP)
+
+
+# --------------------------------------------------------------------------
+# TRIGRAM Kneser-Ney perplexity filter (r13): the full CCNet shape — the
+# production filters run order-3+ smoothed LMs, where the bigram above
+# is the fidelity floor. Interpolated KN with the proper backoff chain:
+#
+#   P(w3|w1 w2) = (c123 - D)/c12 + D * N1+(w1 w2 *)/c12 * Pbo(w3|w2)
+#   Pbo(w3|w2)  = (N1+(* w2 w3) - D)/N1+(* w2 *)
+#                 + D * N1+(w2 *)/N1+(* w2 *) * Pcont(w3)
+#   Pcont(w3)   = N1+(* w3)/N1+(* *)          (over (w2,w3) bigram TYPES)
+#
+# where the MIDDLE level counts CONTINUATIONS (distinct-w1 types), not
+# raw frequencies — the defining KN property, now exercised at two
+# levels. Self-scoring (train = score corpus) keeps every max(x-D, 0)
+# branch inactive: c123 >= 1 > D at the top and N1+(* w2 w3) >= 1 > D in
+# the middle, so every probability is strictly in (0, 1) and every cost
+# a positive integer after micro-quantization (the bigram precedent).
+#
+# Scale: the trigram stream is built MAP-SIDE (arrays_zip of three
+# slices); ONE groupBy(w1,w2,w3) pass is the corpus-side cost; every
+# model table (c12/N1+(w1w2*), continuation tables, bigram types) lives
+# on the distinct-trigram table — Heaps-sublinear. The scoring join is
+# un-hinted (AQE broadcasts at small scale; trigram types outgrow any
+# broadcast budget at 100 TB).
+# --------------------------------------------------------------------------
+
+_KN3_TOP_DOCS = 15
+
+_KN3_CTES = """
+lf3 AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(3, len(t) + 1), i -> t[i - 2])) AS w1,
+         unnest(list_transform(range(3, len(t) + 1), i -> t[i - 1])) AS w2,
+         unnest(list_transform(range(3, len(t) + 1), i -> t[i])) AS w3
+  FROM lf3
+),
+tri AS (
+  SELECT w1, w2, w3, cast(count(*) AS BIGINT) AS c123
+  FROM tg GROUP BY w1, w2, w3
+),
+h12 AS (
+  SELECT w1, w2, cast(sum(c123) AS BIGINT) AS c12,
+         cast(count(*) AS BIGINT) AS n12
+  FROM tri GROUP BY w1, w2
+),
+cont23 AS (
+  SELECT w2, w3, cast(count(*) AS BIGINT) AS n1p23 FROM tri GROUP BY w2, w3
+),
+mid2 AS (
+  SELECT w2, cast(sum(n1p23) AS BIGINT) AS ndot2,
+         cast(count(*) AS BIGINT) AS nm2
+  FROM cont23 GROUP BY w2
+),
+bt AS (SELECT DISTINCT w2, w3 FROM tg),
+cw3 AS (SELECT w3, cast(count(*) AS BIGINT) AS npre3 FROM bt GROUP BY w3),
+nbt AS (SELECT cast(count(*) AS BIGINT) AS nbig FROM bt),
+cost3 AS (
+  SELECT t.w1, t.w2, t.w3,
+         cast(round(-ln(
+           (cast(t.c123 AS DOUBLE) - 0.75) / cast(h.c12 AS DOUBLE)
+           + 0.75 * cast(h.n12 AS DOUBLE) / cast(h.c12 AS DOUBLE)
+             * ((cast(c.n1p23 AS DOUBLE) - 0.75) / cast(m2.ndot2 AS DOUBLE)
+                + 0.75 * cast(m2.nm2 AS DOUBLE) / cast(m2.ndot2 AS DOUBLE)
+                  * cast(w.npre3 AS DOUBLE) / cast(nbt.nbig AS DOUBLE))
+         ) * 1000000) AS BIGINT) AS cost_micro
+  FROM tri t
+  JOIN h12 h ON h.w1 = t.w1 AND h.w2 = t.w2
+  JOIN cont23 c ON c.w2 = t.w2 AND c.w3 = t.w3
+  JOIN mid2 m2 ON m2.w2 = t.w2
+  JOIN cw3 w ON w.w3 = t.w3, nbt
+)
+"""
+
+_KN3_PPL_ORACLE = f"""
+WITH {_KN3_CTES},
+dtg AS (
+  SELECT doc_id, lang, w1, w2, w3, cast(count(*) AS BIGINT) AS c
+  FROM tg GROUP BY doc_id, lang, w1, w2, w3
+),
+per_doc AS (
+  SELECT d.doc_id, d.lang,
+         cast(sum(d.c) AS BIGINT) AS n_trigrams,
+         cast(sum(d.c * cost3.cost_micro) AS BIGINT) AS nll_micro
+  FROM dtg d JOIN cost3
+    ON cost3.w1 = d.w1 AND cost3.w2 = d.w2 AND cost3.w3 = d.w3
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_trigrams, nll_micro,
+       nll_micro // n_trigrams AS mean_nll_micro
+FROM per_doc
+ORDER BY mean_nll_micro DESC, doc_id
+LIMIT {_KN3_TOP_DOCS}
+"""
+
+
+def _trigram_stream(spark, sf_dir):
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
+    return (
+        d.withColumn(
+            "t", F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        )
+        .filter(F.size("t") >= 3)
+        .withColumn(
+            "tg",
+            F.expr(
+                "arrays_zip(slice(t, 1, size(t) - 2),"
+                " slice(t, 2, size(t) - 2), slice(t, 3, size(t) - 2))"
+            ),
+        )
+        .select("doc_id", "lang", F.explode("tg").alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+            F.col("p.2").alias("w3"),
+        )
+    )
+
+
+@register(
+    "text_kn_trigram_ppl",
+    oracle=_KN3_PPL_ORACLE,
+    tags=("text", "training"),
+)
+def text_kn_trigram_ppl(spark, sf_dir):
+    """Per-doc mean NLL under the interpolated trigram KN model (two
+    continuation levels), worst docs first — the order-3 CCNet filter."""
+    tg = _trigram_stream(spark, sf_dir)
+    tri = tg.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c123")
+    )
+    h12 = tri.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("long").alias("c12"),
+        F.count(F.lit(1)).cast("long").alias("n12"),
+    )
+    cont23 = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p23")
+    )
+    mid2 = cont23.groupBy("w2").agg(
+        F.sum("n1p23").cast("long").alias("ndot2"),
+        F.count(F.lit(1)).cast("long").alias("nm2"),
+    )
+    bt = tg.select("w2", "w3").distinct()
+    cw3 = bt.groupBy("w3").agg(F.count(F.lit(1)).cast("long").alias("npre3"))
+    nbt = bt.agg(F.count(F.lit(1)).cast("long").alias("nbig"))
+    pbo = (F.col("n1p23").cast("double") - F.lit(_D)) / F.col("ndot2") + F.lit(
+        _D
+    ) * F.col("nm2") / F.col("ndot2") * F.col("npre3") / F.col("nbig")
+    cost3 = (
+        tri.join(h12, ["w1", "w2"])
+        .join(cont23, ["w2", "w3"])
+        .join(mid2, "w2")
+        .join(cw3, "w3")
+        .crossJoin(F.broadcast(nbt))
+        .withColumn(
+            "cost_micro",
+            F.round(
+                -F.log(
+                    (F.col("c123").cast("double") - F.lit(_D)) / F.col("c12")
+                    + F.lit(_D) * F.col("n12") / F.col("c12") * pbo
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    dtg = tg.groupBy("doc_id", "lang", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = (
+        dtg.join(cost3.select("w1", "w2", "w3", "cost_micro"), ["w1", "w2", "w3"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_trigrams"),
+            F.sum(F.col("c") * F.col("cost_micro"))
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        per_doc.withColumn(
+            "mean_nll_micro", F.expr("nll_micro div n_trigrams")
+        )
+        .orderBy(F.desc("mean_nll_micro"), "doc_id")
+        .limit(_KN3_TOP_DOCS)
+    )

@@ -1264,3 +1264,45 @@ def test_hash_chain_audit_replay_and_tamper(spark, tmp_path):
     # swapping orderkeys reorders the fold even with identical payload set
     swapped = run([(2, 7, 1.00), (1, 7, 2.50), (3, 7, 0.99), (10, 8, 5.00)])
     assert swapped[7].chain_head != h0
+
+
+def test_kn_trigram_hand_worked_two_level_backoff(spark):
+    """Trigram KN on 'a b c a b c' + 'b c d': P(c|a,b) = 0.625 +
+    0.375 * Pbo(c|b) with Pbo(c|b) = 0.25 + 0.75 * (1/4) = 0.4375 ->
+    P = 0.7890625; the middle level uses CONTINUATION counts (distinct
+    w1), not frequencies. Probability mass telescopes to 1 across both
+    backoff levels for history (a, b)."""
+    import math
+    import tempfile
+
+    from open_molecule_data_pipeline_spark.operators.kn_lm import (
+        text_kn_trigram_ppl,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(spark, td, [(0, "en", "a b c a b c"), (1, "en", "b c d")])
+        got = {r.doc_id: r for r in text_kn_trigram_ppl(spark, td).collect()}
+
+    def cost(p):
+        return round(-math.log(p) * 1e6)
+
+    pbo_c_b = (1 - 0.75) / 1 + 0.75 * (1 / 1) * (1 / 4)
+    p_abc = (2 - 0.75) / 2 + 0.75 * (1 / 2) * pbo_c_b
+    assert abs(p_abc - 0.7890625) < 1e-12
+    pbo_a_c = (1 - 0.75) / 2 + 0.75 * (2 / 2) * (1 / 4)
+    p_bca = (1 - 0.75) / 2 + 0.75 * (2 / 2) * pbo_a_c
+    pbo_b_a = (1 - 0.75) / 1 + 0.75 * (1 / 1) * (1 / 4)
+    p_cab = (1 - 0.75) / 1 + 0.75 * (1 / 1) * pbo_b_a
+    p_bcd = p_bca  # symmetric counts
+
+    d0, d1 = got[0], got[1]
+    assert d0.n_trigrams == 4 and d1.n_trigrams == 1
+    assert d0.nll_micro == 2 * cost(p_abc) + cost(p_bca) + cost(p_cab)
+    assert d1.nll_micro == cost(p_bcd)
+    assert d0.mean_nll_micro == d0.nll_micro // 4
+
+    # mass telescopes across BOTH levels for history (a, b): seen mass
+    # (c123-D)/c12 plus lambda * sum over the vocab of Pbo(.|b) = 1
+    vocab_pbo_b = pbo_c_b + 3 * (0.75 * (1 / 1) * (1 / 4))  # a, b, d unseen
+    assert abs(vocab_pbo_b - 1.0) < 1e-12
+    assert abs(((2 - 0.75) / 2 + 0.75 * (1 / 2) * vocab_pbo_b) - 1.0) < 1e-12
