@@ -953,3 +953,75 @@ def agg_exponential_histogram(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exponentially-decayed counts (r13): the recency-weighted popularity
+# metric every ranking/telemetry stack keeps — each event contributes
+# 2^(-(t_max - t)/halflife) with a 24 h half-life, so a week-old event
+# counts ~1% of a fresh one. t_max is the CORPUS max (one 1-row agg
+# broadcast back), making the metric a pure function of the data, not
+# of wall-clock at query time — reproducible across engines and runs.
+# Exactness: the per-event weight is ONE shared pow2 expression over
+# exact microsecond ints, quantized to MICRO units (1e-6) BEFORE
+# summation (the lsum playbook — no float-sum order dependence); the
+# decayed count is an exact int64 sum of those quanta (headroom: 9e12
+# rows per type before int64 saturates — the original nano quanta blew
+# ANSI long overflow at the 10x datapoint, caught by bench_scale), and
+# the value mass runs its sum in decimal(38,0) before scaling back to
+# an int64 cents figure. One corpus pass, map-side combinable.
+# --------------------------------------------------------------------------
+
+_HALFLIFE_US = 24 * 3600 * 1_000_000
+
+_DECAY_ORACLE = f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+w AS (
+  SELECT event_type,
+         cast(round(pow(2.0, -cast(mx.tmax - epoch_us(ts) AS DOUBLE)
+                           / {_HALFLIFE_US}) * 1000000) AS BIGINT) AS w6,
+         cast(round(value * 100) AS BIGINT) AS v
+  FROM events, mx
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_raw,
+       cast(sum(w6) AS BIGINT) AS decayed_count_micro,
+       cast(sum(w6 * v) // 1000000 AS BIGINT) AS decayed_value_cents,
+       cast(sum(w6) // count(*) AS BIGINT) AS freshness_ppm
+FROM w GROUP BY event_type
+"""
+
+
+@register(
+    "agg_exponential_decay_counts",
+    oracle=_DECAY_ORACLE,
+    tags=("agg", "timeseries"),
+)
+def agg_exponential_decay_counts(spark, sf_dir):
+    """Half-life-weighted event counts and value mass per type, anchored
+    at the corpus max timestamp; weights quantized before summation."""
+    e = table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    mx = e.agg(F.max(us).alias("tmax"))
+    w6 = F.round(
+        F.pow(
+            F.lit(2.0),
+            -(F.col("tmax") - us).cast("double") / F.lit(_HALFLIFE_US),
+        )
+        * 1_000_000
+    ).cast("long")
+    w = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        w6.alias("w6"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("w6").cast("long").alias("decayed_count_micro"),
+        # exact decimal sum, scaled back to int64 cents (value*weight
+        # per row reaches 1e13; the decimal sum is exact to ~1e25)
+        F.expr(
+            "cast((sum(cast(w6 * v as decimal(38,0))) div 1000000) as long)"
+        ).alias("decayed_value_cents"),
+        F.expr("sum(w6) div count(1)").cast("long").alias("freshness_ppm"),
+    )

@@ -1306,3 +1306,39 @@ def test_kn_trigram_hand_worked_two_level_backoff(spark):
     vocab_pbo_b = pbo_c_b + 3 * (0.75 * (1 / 1) * (1 / 4))  # a, b, d unseen
     assert abs(vocab_pbo_b - 1.0) < 1e-12
     assert abs(((2 - 0.75) / 2 + 0.75 * (1 / 2) * vocab_pbo_b) - 1.0) < 1e-12
+
+
+def test_exponential_decay_hand_case(spark, tmp_path):
+    """Three events at t_max, t_max - 24h, t_max - 48h: weights exactly
+    1, 1/2, 1/4 (half-life boundaries are exact powers of two), so the
+    decayed count is 1.75e9 nano and the value mass weights each cent
+    amount by its age."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.stats import (
+        agg_exponential_decay_counts,
+    )
+
+    base = 1704067200_000000
+    day = 24 * 3600 * 1_000_000
+    rows = [
+        ("a", base + 2 * day, 1.00),  # fresh: w = 1
+        ("a", base + 1 * day, 2.00),  # 1 half-life: w = 1/2
+        ("a", base + 0 * day, 4.00),  # 2 half-lives: w = 1/4
+    ]
+    spark.createDataFrame(
+        [(i, g, t, v) for i, (g, t, v) in enumerate(rows)],
+        "event_id long, event_type string, tsm long, value double",
+    ).selectExpr("event_id", "event_type", "timestamp_micros(tsm) as ts",
+                 "value").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet"))
+
+    r = agg_exponential_decay_counts(spark, str(tmp_path)).collect()[0]
+    assert r.n_raw == 3
+    assert r.decayed_count_micro == 1_000_000 + 500_000 + 250_000
+    # mass = (1e6*100 + 5e5*200 + 2.5e5*400) / 1e6 cents
+    assert r.decayed_value_cents == (
+        1_000_000 * 100 + 500_000 * 200 + 250_000 * 400
+    ) // 1_000_000
+    # freshness = mean weight in ppm = 1.75e6 / 3
+    assert r.freshness_ppm == 1_750_000 // 3
