@@ -1028,3 +1028,89 @@ def graph_pagerank_personalized(spark, sf_dir):
             ).alias("rank"),
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# Cluster-quality report (r13): the accounting a dedup pipeline owner
+# reads before TRUSTING the clusters — per connected component: size,
+# representative, how many of its pairs LSH actually measured (edge
+# coverage: a size-k cluster has k(k-1)/2 possible pairs but CC merges
+# over a spanning subgraph), and the measured pairs' mean true Jaccard.
+# A big cluster with low mean Jaccard or low coverage is the classic
+# dedup failure smell — chained borderline pairs gluing unrelated docs,
+# exactly what transitive-closure clustering does silently. Pure
+# composition of the two proven pieces (LSH pair table with verified
+# Jaccards + its connected components); everything after the join is
+# cluster-table-sized.
+# --------------------------------------------------------------------------
+
+_CLUSTER_Q_TOP = 10
+
+_CLUSTER_Q_ORACLE = f"""
+WITH comp AS ({_CLUSTERS_ORACLE}),
+p AS ({_MINHASH_PAIRS_ORACLE}),
+edges AS (
+  SELECT c.cluster_rep, cast(round(p.jaccard * 1000000) AS BIGINT) AS j6
+  FROM p JOIN comp c ON c.doc_id = p.doc_a
+),
+per_edge AS (
+  SELECT cluster_rep, cast(count(*) AS BIGINT) AS n_edges,
+         cast(sum(j6) // count(*) AS BIGINT) AS mean_jaccard_ppm
+  FROM edges GROUP BY cluster_rep
+),
+sizes AS (
+  SELECT cluster_rep, cast(count(*) AS BIGINT) AS n_docs
+  FROM comp GROUP BY cluster_rep
+)
+SELECT s.cluster_rep, s.n_docs, e.n_edges, e.mean_jaccard_ppm,
+       cast(2 * e.n_edges * 1000000 // (s.n_docs * (s.n_docs - 1)) AS BIGINT)
+         AS edge_coverage_ppm
+FROM sizes s JOIN per_edge e ON e.cluster_rep = s.cluster_rep
+ORDER BY s.n_docs DESC, s.cluster_rep
+LIMIT {_CLUSTER_Q_TOP}
+"""
+
+
+@register(
+    "dedup_cluster_quality",
+    oracle=_CLUSTER_Q_ORACLE,
+    tags=("dedup", "graph"),
+)
+def dedup_cluster_quality(spark, sf_dir):
+    """Per-cluster size, measured-edge coverage, and mean true Jaccard
+    of measured pairs — the trust report over the CC dedup clusters."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    edges = pairs.join(
+        comps.select(
+            F.col("node").alias("doc_a"),
+            F.col("component").alias("cluster_rep"),
+        ),
+        "doc_a",
+    ).select(
+        "cluster_rep",
+        F.round(F.col("jaccard") * 1_000_000).cast("long").alias("j6"),
+    )
+    per_edge = edges.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.expr("sum(j6) div count(1)").cast("long").alias("mean_jaccard_ppm"),
+    )
+    sizes = comps.groupBy(F.col("component").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        sizes.join(per_edge, "cluster_rep")
+        .withColumn(
+            "edge_coverage_ppm",
+            F.expr("2 * n_edges * 1000000 div (n_docs * (n_docs - 1))"),
+        )
+        .orderBy(F.desc("n_docs"), "cluster_rep")
+        .limit(_CLUSTER_Q_TOP)
+        .select(
+            "cluster_rep",
+            "n_docs",
+            "n_edges",
+            "mean_jaccard_ppm",
+            "edge_coverage_ppm",
+        )
+    )

@@ -1342,3 +1342,37 @@ def test_exponential_decay_hand_case(spark, tmp_path):
     ) // 1_000_000
     # freshness = mean weight in ppm = 1.75e6 / 3
     assert r.freshness_ppm == 1_750_000 // 3
+
+
+def test_cluster_quality_hand_case(spark, tmp_path):
+    """Crafted corpus: docs 0/1/2 are exact near-dups of one another
+    (one 3-clique component), doc 3/4 a pair. Coverage for the triangle
+    depends on which pairs LSH surfaces (<= 3 of 3); the pair cluster
+    must show n_docs=2, n_edges=1, coverage exactly 1e6, and a high
+    mean Jaccard."""
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.graph import (
+        dedup_cluster_quality,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark and parquet tables here"
+    rows = [
+        (0, "en", text_a),
+        (1, "en", text_a + " extra"),
+        (2, "en", "again " + text_a),
+        (3, "en", text_b),
+        (4, "en", text_b + " too"),
+        (5, "en", "unrelated singleton words that match absolutely nothing"),
+    ]
+    _write_docs(spark, str(tmp_path), rows)
+    got = {r.cluster_rep: r for r in
+           dedup_cluster_quality(spark, str(tmp_path)).collect()}
+    assert 0 in got and got[0].n_docs == 3
+    assert 1 <= got[0].n_edges <= 3
+    assert got[0].edge_coverage_ppm == got[0].n_edges * 2 * 10**6 // 6
+    assert got[0].mean_jaccard_ppm > 500_000
+    assert 3 in got and (got[3].n_docs, got[3].n_edges) == (2, 1)
+    assert got[3].edge_coverage_ppm == 1_000_000
+    assert 5 not in got  # singletons have no edges, hence no row
