@@ -172,9 +172,12 @@ def sim_rerank_mmr(spark, sf_dir):
         .alias("sim6")
     )
     sims = (
+        # embedding fetches are deliberately UN-hinted: the small side is
+        # the bounded candidate-pair table (|Q| x 10 x 9), the embedding
+        # side scales with the corpus — AQE broadcasts the right one
         a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("i") != F.col("j")))
-        .join(F.broadcast(x), "i")
-        .join(F.broadcast(y), "j")
+        .join(x, "i")
+        .join(y, "j")
         .select("query_id", "i", "j", sim6)
         .repartition(4, "query_id")
         .localCheckpoint(eager=True)
@@ -203,13 +206,20 @@ def sim_rerank_mmr(spark, sf_dir):
         sel_j = selected.select(
             "query_id", F.col("neighbor_id").alias("j")
         )
+        # sims' query column is RENAMED before the join: rem and sims
+        # share checkpoint lineage, so joining on same-named columns
+        # resolves to a trivially-true predicate (self-join ambiguity) —
+        # harmless here only because sim6 is query-independent, but the
+        # explicit alias kills the ambiguity and the cross-query fanout
+        sims_t = sims.select(
+            F.col("query_id").alias("sq"), "i", "j", "sim6"
+        )
         m = (
             rem.join(
-                sims,
-                (rem.query_id == sims.query_id)
+                sims_t,
+                (F.col("query_id") == F.col("sq"))
                 & (F.col("neighbor_id") == F.col("i")),
             )
-            .drop(sims.query_id)
             .join(sel_j, ["query_id", "j"])
             .groupBy("query_id", "neighbor_id", "rel6")
             .agg(F.max("sim6").alias("maxsim6"))
