@@ -439,3 +439,112 @@ def neyman_from_moments(m):
             .alias("n_alloc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment assignment + SRM check (r13): the two-step every A/B
+# platform runs — deterministically bucket users into arms (md5 of the
+# user id: stable across sessions, engines, and reruns; no assignment
+# table to store), then test the realized arm counts against the
+# intended split with the chi-square SAMPLE-RATIO-MISMATCH check. SRM
+# is the canary for broken randomization (biased hash, filtered
+# traffic, crash-looping arm): an experiment failing it is invalid
+# regardless of its metric lift. Intended split 50/25/25 via hex-nibble
+# ranges (8/4/4 of 16 — exact rational expectations, no float split
+# points). Chi2 quantized per-arm before the 3-term sum (lsum playbook);
+# the 5% threshold at df=2 is 5.991465.
+# --------------------------------------------------------------------------
+
+_SRM_ARMS = (("control", 0, 8), ("treat_a", 8, 12), ("treat_b", 12, 16))
+
+_SRM_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+assigned AS (
+  SELECT user_id,
+         strpos('0123456789abcdef',
+                substr(md5(cast(user_id AS VARCHAR)), 1, 1)) - 1 AS nib
+  FROM u
+),
+observed AS (
+  SELECT CASE WHEN nib < 8 THEN 'control'
+              WHEN nib < 12 THEN 'treat_a' ELSE 'treat_b' END AS arm,
+         cast(count(*) AS BIGINT) AS n
+  FROM assigned GROUP BY 1
+),
+-- a completely EMPTY arm is the most extreme mismatch and must still
+-- contribute its (0 - e)^2/e term: join onto the intended-arm spine
+arms AS (
+  SELECT s.arm, coalesce(o.n, 0) AS n
+  FROM (VALUES ('control'), ('treat_a'), ('treat_b')) s(arm)
+  LEFT JOIN observed o ON o.arm = s.arm
+),
+tot AS (SELECT cast(sum(n) AS BIGINT) AS nt FROM arms),
+expect AS (
+  SELECT a.arm, a.n,
+         CASE a.arm WHEN 'control' THEN tot.nt * 8.0 / 16
+                    WHEN 'treat_a' THEN tot.nt * 4.0 / 16
+                    ELSE tot.nt * 4.0 / 16 END AS e
+  FROM arms a, tot
+),
+q AS (
+  SELECT arm, n, cast(round(e * 100) AS BIGINT) AS e_cents,
+         cast(round((n - e) * (n - e) / e * 1000000000) AS BIGINT) AS q9
+  FROM expect
+),
+chi AS (SELECT cast(sum(q9) AS BIGINT) AS s FROM q)
+SELECT q.arm, q.n, q.e_cents,
+       round(chi.s / 1000000000.0, 6) AS srm_chi2,
+       cast(CASE WHEN chi.s / 1000000000.0 > 5.991465
+                 THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+FROM q, chi
+"""
+
+
+@register("sample_srm_check", oracle=_SRM_ORACLE, tags=("sample", "stats"))
+def sample_srm_check(spark, sf_dir):
+    """Deterministic 50/25/25 md5 arm assignment over distinct users +
+    the chi-square sample-ratio-mismatch check against the intended
+    split (per-arm contributions quantized before the sum)."""
+    u = table(spark, sf_dir, "events").select("user_id").distinct()
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    arm = (
+        F.when(nib < 8, "control").when(nib < 12, "treat_a").otherwise("treat_b")
+    )
+    observed = u.select(arm.alias("arm")).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # empty arms still owe their (0 - e)^2/e term: intended-arm spine
+    spine = u.sparkSession.createDataFrame(
+        [(a,) for a, _, _ in _SRM_ARMS], "arm string"
+    )
+    arms = spine.join(observed, "arm", "left").select(
+        "arm", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    tot = arms.agg(F.sum("n").cast("long").alias("nt"))
+    e = (
+        F.when(F.col("arm") == "control", F.col("nt") * 8.0 / 16)
+        .when(F.col("arm") == "treat_a", F.col("nt") * 4.0 / 16)
+        .otherwise(F.col("nt") * 4.0 / 16)
+    )
+    q = arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        F.round(e * 100).cast("long").alias("e_cents"),
+        F.round((F.col("n") - e) * (F.col("n") - e) / e * 1_000_000_000)
+        .cast("long")
+        .alias("q9"),
+    )
+    chi = q.agg(F.sum("q9").cast("long").alias("s"))
+    return q.crossJoin(F.broadcast(chi)).select(
+        "arm",
+        "n",
+        "e_cents",
+        F.round(F.col("s") / 1_000_000_000.0, 6).alias("srm_chi2"),
+        (F.col("s") / 1_000_000_000.0 > 5.991465).cast("int").alias("srm_flag"),
+    )

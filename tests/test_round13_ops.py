@@ -1376,3 +1376,43 @@ def test_cluster_quality_hand_case(spark, tmp_path):
     assert 3 in got and (got[3].n_docs, got[3].n_edges) == (2, 1)
     assert got[3].edge_coverage_ppm == 1_000_000
     assert 5 not in got  # singletons have no edges, hence no row
+
+
+def test_srm_check_hand_case(spark, tmp_path):
+    """Assignment replayed with hashlib on a tiny user set; a crafted
+    grossly-lopsided population (users whose md5 first nibble is always
+    < 8 -> all control) must flag SRM, and the chi2 matches the closed
+    form n * (8/16 ratios): chi2 = n*(1-.5)^2/(.5) + n*.25/.25... i.e.
+    with all n users in control: (n-n/2)^2/(n/2) + 2*(n/4) = n."""
+    import hashlib
+    import os
+
+    from open_molecule_data_pipeline_spark.operators.sampling_mix import (
+        sample_srm_check,
+    )
+
+    # pick user ids whose md5 first nibble is < 8 (all land in control)
+    uids, uid = [], 0
+    while len(uids) < 40:
+        if int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) < 8:
+            uids.append(uid)
+        uid += 1
+    base = 1704067200_000000
+    spark.createDataFrame(
+        [(i, u, base + i * 1_000_000, "x", 1.0) for i, u in enumerate(uids)],
+        "event_id long, user_id long, tsm long, event_type string,"
+        " value double",
+    ).selectExpr("event_id", "user_id", "timestamp_micros(tsm) as ts",
+                 "event_type", "value").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet"))
+
+    rows = sample_srm_check(spark, str(tmp_path)).collect()
+    got = {r.arm: r for r in rows}
+    # the EMPTY arms still appear and still owe their (0-e)^2/e terms
+    # (the first cut dropped them — chi2 read 20 instead of 40)
+    assert len(got) == 3
+    assert got["control"].n == 40
+    assert (got["treat_a"].n, got["treat_b"].n) == (0, 0)
+    # all-in-one-arm chi2 = (40-20)^2/20 + 10 + 10 = 40 = n
+    assert abs(got["control"].srm_chi2 - 40.0) < 1e-6
+    assert got["control"].srm_flag == 1
