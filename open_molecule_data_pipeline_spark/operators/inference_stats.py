@@ -1016,7 +1016,7 @@ m AS (
          cast(count(*) AS BIGINT) AS n,
          cast(sum(v) AS BIGINT) AS s1,
          cast(sum(v * v) AS BIGINT) AS s2,
-         cast(sum(v * v * v) AS BIGINT) AS s3,
+         sum(cast(v * v AS HUGEINT) * v) AS s3,
          sum(cast(v * v AS HUGEINT) * cast(v * v AS HUGEINT)) AS s4
   FROM x GROUP BY event_type
 ),
@@ -1046,7 +1046,10 @@ def profile_jarque_bera(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("s1"),
         F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
-        F.sum(F.col("v") * F.col("v") * F.col("v")).cast("long").alias("s3"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,0)")
+            * F.col("v").cast("decimal(38,0)")
+        ).alias("s3"),
         F.sum(
             (F.col("v") * F.col("v")).cast("decimal(38,0)")
             * (F.col("v") * F.col("v")).cast("decimal(38,0)")

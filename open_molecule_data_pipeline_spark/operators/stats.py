@@ -986,7 +986,10 @@ w AS (
 SELECT event_type,
        cast(count(*) AS BIGINT) AS n_raw,
        cast(sum(w6) AS BIGINT) AS decayed_count_micro,
-       cast(sum(w6 * v) // 1000000 AS BIGINT) AS decayed_value_cents,
+       cast(CASE WHEN sum(w6 * v) < 0
+                 THEN -((-sum(w6 * v)) // 1000000)
+                 ELSE sum(w6 * v) // 1000000 END AS BIGINT)
+           AS decayed_value_cents,
        cast(sum(w6) // count(*) AS BIGINT) AS freshness_ppm
 FROM w GROUP BY event_type
 """
