@@ -749,3 +749,235 @@ def text_kn_trigram_ppl(spark, sf_dir):
         .orderBy(F.desc("mean_nll_micro"), "doc_id")
         .limit(_KN3_TOP_DOCS)
     )
+
+
+# --------------------------------------------------------------------------
+# 4-gram interpolated Kneser-Ney + perplexity filter (r14, VERDICT r13
+# #3): the CCNet/KenLM-standard higher order. The recursion adds one
+# more continuation level to the trigram chain:
+#
+#   P4(w4|w1w2w3) = (c(1234)-D)/c(123.)  + D*N1+(123,*)/c(123.)  * P3
+#   P3(w4|w2w3)   = (N1+(*,234)-D)/N1+(*,23,*) + D*Nf(23)/N1+(*,23,*) * P2
+#   P2(w4|w3)     = (N1+(*,34)-D)/N1+(*,3,*)  + D*Nf(3)/N1+(*,3,*)  * Pc
+#   Pc(w4)        = N1+(*,4) / |distinct (w3,w4) types|
+#
+# where every N1+ is a TYPE count. Plan shape (the trigram plan extended
+# one level, same scale argument): ONE groupBy(w1..w4) corpus pass builds
+# the count table; every lower-order table (cont234 -> n34 -> bt4) is a
+# re-aggregation of the DISTINCT-4-gram table, so model-side cost is
+# Heaps-sublinear in corpus size; state roughly doubles per order but
+# stays a function of type counts, not token counts. The scoring join is
+# un-hinted (AQE broadcasts at small scale; 4-gram types outgrow any
+# broadcast budget at 100 TB).
+#
+# Self-scoring contract (as the bigram/trigram filters): every scored
+# 4-gram is seen, so c1234 >= 1 > D and each level's first term is
+# strictly positive — P < 1 and cost_micro is a positive int64.
+# --------------------------------------------------------------------------
+
+_KN4_TOP_DOCS = 15
+
+_KN4_CTES = """
+lf4 AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+fg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(4, len(t) + 1), i -> t[i - 3])) AS w1,
+         unnest(list_transform(range(4, len(t) + 1), i -> t[i - 2])) AS w2,
+         unnest(list_transform(range(4, len(t) + 1), i -> t[i - 1])) AS w3,
+         unnest(list_transform(range(4, len(t) + 1), i -> t[i])) AS w4
+  FROM lf4
+),
+four AS (
+  SELECT w1, w2, w3, w4, cast(count(*) AS BIGINT) AS c1234
+  FROM fg GROUP BY w1, w2, w3, w4
+),
+h123 AS (
+  SELECT w1, w2, w3, cast(sum(c1234) AS BIGINT) AS c123,
+         cast(count(*) AS BIGINT) AS n123
+  FROM four GROUP BY w1, w2, w3
+),
+cont234 AS (
+  SELECT w2, w3, w4, cast(count(*) AS BIGINT) AS n1p234
+  FROM four GROUP BY w2, w3, w4
+),
+mid23 AS (
+  SELECT w2, w3, cast(sum(n1p234) AS BIGINT) AS ndot23,
+         cast(count(*) AS BIGINT) AS nm23
+  FROM cont234 GROUP BY w2, w3
+),
+n34 AS (
+  SELECT w3, w4, cast(count(*) AS BIGINT) AS n1p34
+  FROM cont234 GROUP BY w3, w4
+),
+mid3 AS (
+  SELECT w3, cast(sum(n1p34) AS BIGINT) AS ndot3,
+         cast(count(*) AS BIGINT) AS nm3
+  FROM n34 GROUP BY w3
+),
+cw4 AS (SELECT w4, cast(count(*) AS BIGINT) AS npre4 FROM n34 GROUP BY w4),
+nbt4 AS (SELECT cast(count(*) AS BIGINT) AS nbig FROM n34),
+cost4 AS (
+  SELECT t.w1, t.w2, t.w3, t.w4,
+         cast(round(-ln(
+           (cast(t.c1234 AS DOUBLE) - 0.75) / cast(h.c123 AS DOUBLE)
+           + 0.75 * cast(h.n123 AS DOUBLE) / cast(h.c123 AS DOUBLE)
+             * ((cast(c.n1p234 AS DOUBLE) - 0.75) / cast(m23.ndot23 AS DOUBLE)
+                + 0.75 * cast(m23.nm23 AS DOUBLE) / cast(m23.ndot23 AS DOUBLE)
+                  * ((cast(p.n1p34 AS DOUBLE) - 0.75)
+                       / cast(m3.ndot3 AS DOUBLE)
+                     + 0.75 * cast(m3.nm3 AS DOUBLE)
+                         / cast(m3.ndot3 AS DOUBLE)
+                       * cast(w.npre4 AS DOUBLE)
+                         / cast(nbt4.nbig AS DOUBLE)))
+         ) * 1000000) AS BIGINT) AS cost_micro
+  FROM four t
+  JOIN h123 h ON h.w1 = t.w1 AND h.w2 = t.w2 AND h.w3 = t.w3
+  JOIN cont234 c ON c.w2 = t.w2 AND c.w3 = t.w3 AND c.w4 = t.w4
+  JOIN mid23 m23 ON m23.w2 = t.w2 AND m23.w3 = t.w3
+  JOIN n34 p ON p.w3 = t.w3 AND p.w4 = t.w4
+  JOIN mid3 m3 ON m3.w3 = t.w3
+  JOIN cw4 w ON w.w4 = t.w4, nbt4
+)
+"""
+
+_KN4_PPL_ORACLE = f"""
+WITH {_KN4_CTES},
+dfg AS (
+  SELECT doc_id, lang, w1, w2, w3, w4, cast(count(*) AS BIGINT) AS c
+  FROM fg GROUP BY doc_id, lang, w1, w2, w3, w4
+),
+per_doc AS (
+  SELECT d.doc_id, d.lang,
+         cast(sum(d.c) AS BIGINT) AS n_fourgrams,
+         cast(sum(d.c * cost4.cost_micro) AS BIGINT) AS nll_micro
+  FROM dfg d JOIN cost4
+    ON cost4.w1 = d.w1 AND cost4.w2 = d.w2 AND cost4.w3 = d.w3
+       AND cost4.w4 = d.w4
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_fourgrams, nll_micro,
+       nll_micro // n_fourgrams AS mean_nll_micro
+FROM per_doc
+ORDER BY mean_nll_micro DESC, doc_id
+LIMIT {_KN4_TOP_DOCS}
+"""
+
+
+def _fourgram_stream(spark, sf_dir):
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
+    return (
+        d.withColumn(
+            "t", F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        )
+        .filter(F.size("t") >= 4)
+        .withColumn(
+            "fg",
+            F.expr(
+                "arrays_zip(slice(t, 1, size(t) - 3),"
+                " slice(t, 2, size(t) - 3), slice(t, 3, size(t) - 3),"
+                " slice(t, 4, size(t) - 3))"
+            ),
+        )
+        .select("doc_id", "lang", F.explode("fg").alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+            F.col("p.2").alias("w3"),
+            F.col("p.3").alias("w4"),
+        )
+    )
+
+
+@register(
+    "text_kn_fourgram_ppl",
+    oracle=_KN4_PPL_ORACLE,
+    tags=("text", "training"),
+)
+def text_kn_fourgram_ppl(spark, sf_dir):
+    """Per-doc mean NLL under the interpolated 4-gram KN model (three
+    continuation levels), worst docs first — the KenLM-order CCNet
+    filter."""
+    fg = _fourgram_stream(spark, sf_dir)
+    four = fg.groupBy("w1", "w2", "w3", "w4").agg(
+        F.count(F.lit(1)).cast("long").alias("c1234")
+    )
+    h123 = four.groupBy("w1", "w2", "w3").agg(
+        F.sum("c1234").cast("long").alias("c123"),
+        F.count(F.lit(1)).cast("long").alias("n123"),
+    )
+    cont234 = four.groupBy("w2", "w3", "w4").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p234")
+    )
+    mid23 = cont234.groupBy("w2", "w3").agg(
+        F.sum("n1p234").cast("long").alias("ndot23"),
+        F.count(F.lit(1)).cast("long").alias("nm23"),
+    )
+    n34 = cont234.groupBy("w3", "w4").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p34")
+    )
+    mid3 = n34.groupBy("w3").agg(
+        F.sum("n1p34").cast("long").alias("ndot3"),
+        F.count(F.lit(1)).cast("long").alias("nm3"),
+    )
+    cw4 = n34.groupBy("w4").agg(
+        F.count(F.lit(1)).cast("long").alias("npre4")
+    )
+    nbt4 = n34.agg(F.count(F.lit(1)).cast("long").alias("nbig"))
+    p2 = (F.col("n1p34").cast("double") - F.lit(_D)) / F.col("ndot3") + F.lit(
+        _D
+    ) * F.col("nm3") / F.col("ndot3") * F.col("npre4") / F.col("nbig")
+    p3 = (F.col("n1p234").cast("double") - F.lit(_D)) / F.col(
+        "ndot23"
+    ) + F.lit(_D) * F.col("nm23") / F.col("ndot23") * p2
+    cost4 = (
+        four.join(h123, ["w1", "w2", "w3"])
+        .join(cont234, ["w2", "w3", "w4"])
+        .join(mid23, ["w2", "w3"])
+        .join(n34, ["w3", "w4"])
+        .join(mid3, "w3")
+        .join(cw4, "w4")
+        .crossJoin(F.broadcast(nbt4))
+        .withColumn(
+            "cost_micro",
+            F.round(
+                -F.log(
+                    (F.col("c1234").cast("double") - F.lit(_D))
+                    / F.col("c123")
+                    + F.lit(_D) * F.col("n123") / F.col("c123") * p3
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    dfg = fg.groupBy("doc_id", "lang", "w1", "w2", "w3", "w4").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = (
+        dfg.join(
+            cost4.select("w1", "w2", "w3", "w4", "cost_micro"),
+            ["w1", "w2", "w3", "w4"],
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_fourgrams"),
+            F.sum(F.col("c") * F.col("cost_micro"))
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        per_doc.withColumn(
+            "mean_nll_micro", F.expr("nll_micro div n_fourgrams")
+        )
+        .orderBy(F.desc("mean_nll_micro"), "doc_id")
+        .limit(_KN4_TOP_DOCS)
+    )

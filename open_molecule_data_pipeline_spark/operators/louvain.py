@@ -1,0 +1,491 @@
+"""Multi-level Louvain community detection (VERDICT r13 #2).
+
+Iterates the r13-proven one-level machinery — locally-dominant best-gain
+move pass (``graph_metrics.graph_louvain_pass``) + community-graph
+coarsening (``graph_louvain_coarsen``) — into the full Louvain hierarchy:
+
+    level 0   weighted move sweeps on the raw graph (hash-seeded %64
+              communities, the proven pass's seed), up to ``_SWEEPS[0]``
+              sweeps with ONE scalar convergence probe per sweep (the
+              ``graph.py`` CC-loop discipline: ``kept.count()`` on a
+              checkpointed <=32-row table — zero moves => the remaining
+              sweeps at this level are exact no-ops and are skipped)
+    coarsen   super-nodes = communities; inter-community edge weight =
+              summed crossing weight; a self-loop row per community
+              carries its intra-weight. Total weight is CONSERVED, so
+              the modularity denominator ``m`` is computed once.
+    level 1+  the SAME weighted sweep on the coarsened graph, every
+              super-node starting in its own singleton community. A
+              singleton-start level that keeps zero moves is a global
+              fixpoint: its coarsening reproduces the identical graph,
+              so all deeper levels replay as identities and are skipped.
+
+Modularity is measured on the ORIGINAL graph after every level by
+composing assignments down the hierarchy, with the pass's nano-quantized
+convention (per-community term rounded to 1e-9, then an exact int64
+sum). Each kept move has strictly positive gain, so Q is non-decreasing
+across sweeps AND levels — pinned in tests.
+
+Why the unrolled oracle is exact despite the dynamic Spark loop: every
+sweep is a deterministic function of the current assignment, and a sweep
+from a converged state keeps zero moves and returns the same assignment.
+The DuckDB oracle therefore unrolls the FULL ``_SWEEPS`` schedule as
+static CTEs; Spark's early exits only skip provably-identity suffixes,
+so both engines land on the same hierarchy state.
+
+Scale shape (100 TB): level 0 dominates — per sweep, one adjacency x
+assignment equi-join + one bounded-(<=64)-community-table broadcast
+join, exactly the proven pass's plan; every community-side table is
+bounded by the seed count so the per-sweep shuffles move |E| rows of
+12-byte keys. Levels >=1 operate on the <=64-node community graph —
+driver-free, bounded work regardless of corpus size. The hierarchy depth
+and sweep budget are compile-time constants, so total cost is a small
+constant multiple of the one-pass cost.
+
+Reference parity: the reference repo has no graph/community layer (its
+``analysis/`` package is a docstring-only scaffold, analysis/__init__.py:1);
+this implements the standard Louvain method (Blondel et al. 2008) in the
+deterministic locally-dominant variant suited to parallel engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_K = 64  # level-0 seed communities (matches graph_louvain_pass)
+_SWEEPS = (2, 2, 2)  # move sweeps per level; len() = hierarchy depth
+
+
+# --------------------------------------------------------------------------
+# Oracle: the full hierarchy unrolled as static CTEs.
+# --------------------------------------------------------------------------
+
+
+def _sql_level_pre(level: int) -> str:
+    """edges/adjacency/degree/initial-assignment CTEs for one level."""
+    if level == 0:
+        edges = (
+            "edges_0 AS MATERIALIZED (\n"
+            "  SELECT u AS a, v AS b, cast(1 AS BIGINT) AS w FROM e\n)"
+        )
+        init = f"c_0_0 AS MATERIALIZED (SELECT node, node % {_K} AS cid FROM deg_0)"
+    else:
+        prev_final = f"c_{level - 1}_{_SWEEPS[level - 1]}"
+        edges = f"""edges_{level} AS MATERIALIZED (
+  SELECT least(pa.cid, pb.cid) AS a, greatest(pa.cid, pb.cid) AS b,
+         cast(sum(e.w) AS BIGINT) AS w
+  FROM edges_{level - 1} e
+  JOIN {prev_final} pa ON pa.node = e.a
+  JOIN {prev_final} pb ON pb.node = e.b
+  GROUP BY 1, 2
+)"""
+        init = f"c_{level}_0 AS MATERIALIZED (SELECT node, node AS cid FROM deg_{level})"
+    ud = f"""ud_{level} AS MATERIALIZED (
+  SELECT a AS u, b AS v, w FROM edges_{level} WHERE a <> b
+  UNION ALL
+  SELECT b, a, w FROM edges_{level} WHERE a <> b
+)"""
+    deg = f"""deg_{level} AS MATERIALIZED (
+  SELECT node, cast(sum(kc) AS BIGINT) AS k FROM (
+    SELECT u AS node, w AS kc FROM ud_{level}
+    UNION ALL
+    SELECT a, 2 * w FROM edges_{level} WHERE a = b
+  ) z GROUP BY node
+)"""
+    return ",\n".join([edges, ud, deg, init])
+
+
+def _sql_sweep(level: int, s: int) -> str:
+    """One weighted locally-dominant move sweep: c_{l}_{s} -> c_{l}_{s+1}."""
+    c = f"c_{level}_{s}"
+    t = f"{level}_{s}"
+    return f"""dsum_{t} AS MATERIALIZED (
+  SELECT c.cid, cast(sum(d.k) AS BIGINT) AS dc
+  FROM {c} c JOIN deg_{level} d ON d.node = c.node GROUP BY c.cid
+),
+nbr_{t} AS MATERIALIZED (
+  SELECT ud.u AS node, cv.cid AS b, cast(sum(ud.w) AS BIGINT) AS kub
+  FROM ud_{level} ud JOIN {c} cv ON cv.node = ud.v
+  GROUP BY ud.u, cv.cid
+),
+own_{t} AS MATERIALIZED (
+  SELECT c.node, c.cid AS a, d.k, coalesce(n.kub, 0) AS kua
+  FROM {c} c
+  JOIN deg_{level} d ON d.node = c.node
+  LEFT JOIN nbr_{t} n ON n.node = c.node AND n.b = c.cid
+),
+cand_{t} AS MATERIALIZED (
+  SELECT o.node, o.a, n.b,
+         2 * m.m * (n.kub - o.kua)
+           - o.k * (db.dc - da.dc + o.k) AS gain
+  FROM own_{t} o
+  JOIN nbr_{t} n ON n.node = o.node AND n.b <> o.a
+  JOIN dsum_{t} da ON da.cid = o.a
+  JOIN dsum_{t} db ON db.cid = n.b, m
+),
+moves_{t} AS MATERIALIZED (
+  SELECT node, a, b, gain FROM (
+    SELECT node, a, b, gain,
+           row_number() OVER (PARTITION BY node ORDER BY gain DESC, b) AS rn
+    FROM cand_{t}
+  ) z WHERE rn = 1 AND gain > 0
+),
+winner_{t} AS MATERIALIZED (
+  SELECT c, gain, node FROM (
+    SELECT c, gain, node,
+           row_number() OVER (PARTITION BY c ORDER BY gain DESC, node DESC)
+             AS rn
+    FROM (SELECT a AS c, gain, node FROM moves_{t}
+          UNION ALL
+          SELECT b, gain, node FROM moves_{t}) i
+  ) z WHERE rn = 1
+),
+kept_{t} AS MATERIALIZED (
+  SELECT mv.node, mv.b
+  FROM moves_{t} mv
+  JOIN winner_{t} wa
+    ON wa.c = mv.a AND wa.gain = mv.gain AND wa.node = mv.node
+  JOIN winner_{t} wb
+    ON wb.c = mv.b AND wb.gain = mv.gain AND wb.node = mv.node
+),
+c_{level}_{s + 1} AS MATERIALIZED (
+  SELECT c.node, coalesce(k.b, c.cid) AS cid
+  FROM {c} c LEFT JOIN kept_{t} k ON k.node = c.node
+)"""
+
+
+def _sql_q(tag: str, assign: str) -> str:
+    """Nano-quantized modularity of ``assign`` on the ORIGINAL graph."""
+    return f"""qd_{tag} AS MATERIALIZED (
+  SELECT p.cid, cast(sum(d.k) AS BIGINT) AS dc
+  FROM {assign} p JOIN deg_0 d ON d.node = p.node GROUP BY p.cid
+),
+ql_{tag} AS MATERIALIZED (
+  SELECT pu.cid, cast(count(*) AS BIGINT) AS l
+  FROM e
+  JOIN {assign} pu ON pu.node = e.u
+  JOIN {assign} pv ON pv.node = e.v
+  WHERE pu.cid = pv.cid GROUP BY pu.cid
+),
+q_{tag} AS MATERIALIZED (
+  SELECT cast(sum(
+    cast(round((cast(coalesce(ql.l, 0) AS DOUBLE) / cast(m.m AS DOUBLE)
+                - (cast(qd.dc AS DOUBLE) / (2.0 * cast(m.m AS DOUBLE)))
+                  * (cast(qd.dc AS DOUBLE) / (2.0 * cast(m.m AS DOUBLE))))
+               * 1000000000) AS BIGINT)
+  ) AS BIGINT) AS q
+  FROM qd_{tag} qd LEFT JOIN ql_{tag} ql ON ql.cid = qd.cid, m
+)"""
+
+
+def _multilevel_oracle() -> str:
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v FROM lineitem
+),
+m AS MATERIALIZED (SELECT cast(count(*) AS BIGINT) AS m FROM e)"""
+    ]
+    kept_names = []
+    for level, sweeps in enumerate(_SWEEPS):
+        parts.append(_sql_level_pre(level))
+        for s in range(sweeps):
+            parts.append(_sql_sweep(level, s))
+            kept_names.append(f"kept_{level}_{s}")
+    # composed assignments: comp_l maps ORIGINAL node -> level-l community
+    parts.append(f"comp_0 AS MATERIALIZED (SELECT node, cid FROM c_0_{_SWEEPS[0]})")
+    for level in range(1, len(_SWEEPS)):
+        parts.append(
+            f"""comp_{level} AS MATERIALIZED (
+  SELECT p.node, c.cid
+  FROM comp_{level - 1} p JOIN c_{level}_{_SWEEPS[level]} c ON c.node = p.cid
+)"""
+        )
+    parts.append(_sql_q("seed", "c_0_0"))
+    for level in range(len(_SWEEPS)):
+        parts.append(_sql_q(f"l{level}", f"comp_{level}"))
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT node FROM {k}" for k in kept_names
+    )
+    parts.append(
+        f"nmv AS MATERIALIZED (SELECT cast(count(*) AS BIGINT) AS n_moves FROM (\n"
+        f"    {union}) zz)"
+    )
+    last = len(_SWEEPS) - 1
+    parts.append(
+        f"""sizes AS MATERIALIZED (
+  SELECT cid, cast(count(*) AS BIGINT) AS n_nodes
+  FROM comp_{last} GROUP BY cid
+),
+tot AS MATERIALIZED (SELECT cast(count(*) AS BIGINT) AS n_communities FROM sizes)"""
+    )
+    qcols = ", ".join(
+        f"q_l{level}.q AS q_l{level}_nano" for level in range(len(_SWEEPS))
+    )
+    qfroms = " ".join(
+        f"CROSS JOIN q_l{level}" for level in range(len(_SWEEPS))
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT s.cid, s.n_nodes, tot.n_communities, nmv.n_moves,
+       q_seed.q AS q_seed_nano, {qcols}
+FROM sizes s CROSS JOIN tot CROSS JOIN nmv CROSS JOIN q_seed {qfroms}
+ORDER BY s.n_nodes DESC, s.cid
+LIMIT 15
+"""
+
+
+# --------------------------------------------------------------------------
+# Spark side.
+# --------------------------------------------------------------------------
+
+
+def _wsweep(ud, deg, m, c):
+    """One weighted locally-dominant move sweep.
+
+    Returns ``(c_next, n_kept)``; both sides of the matching constraint
+    (a community may be the source OR destination of at most one kept
+    move per sweep) are enforced exactly as the proven r13 pass. The
+    kept table is checkpointed before counting so the convergence probe
+    is a <=|communities|-row scan, not a plan re-execution.
+    """
+    from pyspark.sql import Window
+
+    dsum = (
+        c.join(deg, "node")
+        .groupBy("cid")
+        .agg(F.sum("k").cast("long").alias("dc"))
+    )
+    nbr = (
+        ud.join(
+            c.select(F.col("node").alias("v"), F.col("cid").alias("b")), "v"
+        )
+        .groupBy(F.col("u").alias("node"), "b")
+        .agg(F.sum("w").cast("long").alias("kub"))
+    )
+    own = (
+        c.select("node", F.col("cid").alias("a"))
+        .join(deg, "node")
+        .join(
+            nbr.select(
+                "node", F.col("b").alias("a"), F.col("kub").alias("kua")
+            ),
+            ["node", "a"],
+            "left",
+        )
+        .select("node", "a", "k", F.coalesce("kua", F.lit(0)).alias("kua"))
+    )
+    da = dsum.select(F.col("cid").alias("a"), F.col("dc").alias("dca"))
+    db = dsum.select(F.col("cid").alias("b"), F.col("dc").alias("dcb"))
+    cand = (
+        own.join(nbr, "node")
+        .where(F.col("b") != F.col("a"))
+        .join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "node",
+            "a",
+            "b",
+            (
+                2 * F.col("m") * (F.col("kub") - F.col("kua"))
+                - F.col("k") * (F.col("dcb") - F.col("dca") + F.col("k"))
+            ).alias("gain"),
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("gain"), F.col("b"))
+    moves = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("gain") > 0))
+        .select("node", "a", "b", "gain")
+    )
+    incident = moves.select(F.col("a").alias("c"), "gain", "node").unionByName(
+        moves.select(F.col("b").alias("c"), "gain", "node")
+    )
+    winner = incident.groupBy("c").agg(
+        F.max(F.struct("gain", "node")).alias("wkey")
+    )
+    kept = (
+        moves.join(
+            F.broadcast(
+                winner.select(F.col("c").alias("a"), F.col("wkey").alias("wa"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                winner.select(F.col("c").alias("b"), F.col("wkey").alias("wb"))
+            ),
+            "b",
+        )
+        .where(
+            (F.struct("gain", "node") == F.col("wa"))
+            & (F.struct("gain", "node") == F.col("wb"))
+        )
+        .select("node", "b")
+        .localCheckpoint(eager=True)
+    )
+    n_kept = kept.count()
+    # c_next stays LAZY: with kept checkpointed (<=|communities| rows,
+    # broadcast), re-deriving the assignment is a degree-table scan plus
+    # broadcast joins — cheaper than materializing |V| rows per sweep.
+    c_next = c.join(F.broadcast(kept), "node", "left").select(
+        "node", F.coalesce("b", F.col("cid")).alias("cid")
+    )
+    return c_next, n_kept
+
+
+def _q_nano(e, deg0, m, parts):
+    """Nano-quantized modularity of a (node, cid) partition of the
+    ORIGINAL graph — identical convention to graph_louvain_pass."""
+    ds2 = (
+        parts.join(deg0, "node")
+        .groupBy("cid")
+        .agg(F.sum("k").cast("long").alias("dc"))
+    )
+    pu = parts.select(F.col("node").alias("u"), F.col("cid").alias("cu"))
+    pv = parts.select(F.col("node").alias("v"), F.col("cid").alias("cv"))
+    lc = (
+        e.join(pu, "u")
+        .join(pv, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l"))
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    half = d("dc") / (F.lit(2).cast("double") * d("m"))
+    t = F.round(
+        (F.coalesce("l", F.lit(0)).cast("double") / d("m") - half * half)
+        * 1000000000
+    ).cast("long")
+    return (
+        ds2.join(F.broadcast(lc), "cid", "left")
+        .crossJoin(F.broadcast(m))
+        .select(t.alias("t"))
+        .agg(F.sum("t").cast("long").alias("q"))
+    )
+
+
+@register(
+    "graph_louvain_multilevel",
+    oracle=_multilevel_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_louvain_multilevel(spark, sf_dir):
+    """Full Louvain hierarchy: sweep-to-convergence per level, coarsen,
+    repeat — final communities with per-level modularity trajectory."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    e = (
+        li.select(
+            (F.col("l_suppkey") * 2).alias("u"),
+            (F.col("l_partkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = e.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
+    edges = e.select(
+        F.col("u").alias("a"),
+        F.col("v").alias("b"),
+        F.lit(1).cast("long").alias("w"),
+    )
+
+    deg0 = None
+    comp = None
+    total_moves = 0
+    qs = []  # per-level composed modularity DataFrames
+    fixpoint = False
+    for level, sweeps in enumerate(_SWEEPS):
+        if fixpoint:
+            # a singleton-start level kept zero moves: coarsening
+            # reproduces the identical graph, so this level (and all
+            # deeper ones) replays as an identity — comp and Q carry.
+            qs.append(qs[-1])
+            continue
+        nonself = edges.where(F.col("a") != F.col("b"))
+        ud = nonself.select(
+            F.col("a").alias("u"), F.col("b").alias("v"), "w"
+        ).unionByName(
+            nonself.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+        )
+        deg = (
+            ud.select(F.col("u").alias("node"), F.col("w").alias("kc"))
+            .unionByName(
+                edges.where(F.col("a") == F.col("b")).select(
+                    F.col("a").alias("node"), (2 * F.col("w")).alias("kc")
+                )
+            )
+            .groupBy("node")
+            .agg(F.sum("kc").cast("long").alias("k"))
+        )
+        if level == 0:
+            deg = deg.localCheckpoint(eager=True)
+            deg0 = deg
+            c = deg.select("node", (F.col("node") % _K).alias("cid"))
+        else:
+            c = deg.select("node", F.col("node").alias("cid"))
+        level_moves = 0
+        for _ in range(sweeps):
+            c, n_kept = _wsweep(ud, deg, m, c)
+            total_moves += n_kept
+            level_moves += n_kept
+            if n_kept == 0:
+                break  # remaining sweeps at this level are no-ops
+        if level == 0:
+            comp = c
+        else:
+            cmap = c.select(
+                F.col("node").alias("cid"), F.col("cid").alias("nc")
+            )
+            comp = comp.join(F.broadcast(cmap), "cid").select(
+                "node", F.col("nc").alias("cid")
+            )
+        qs.append(_q_nano(e, deg0, m, comp))
+        if level >= 1 and level_moves == 0:
+            fixpoint = True  # global fixpoint: deeper levels are identity
+            continue
+        if level + 1 < len(_SWEEPS):
+            pa = c.select(F.col("node").alias("a"), F.col("cid").alias("ca"))
+            pb = c.select(F.col("node").alias("b"), F.col("cid").alias("cb"))
+            edges = (
+                edges.join(pa, "a")
+                .join(pb, "b")
+                .select(
+                    F.least("ca", "cb").alias("a"),
+                    F.greatest("ca", "cb").alias("b"),
+                    "w",
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("w").cast("long").alias("w"))
+                .localCheckpoint(eager=True)
+            )
+
+    q_seed = _q_nano(
+        e, deg0, m, deg0.select("node", (F.col("node") % _K).alias("cid"))
+    ).select(F.col("q").alias("q_seed_nano"))
+    sizes = comp.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    tot = sizes.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities")
+    )
+    out = (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("n_moves", F.lit(total_moves).cast("long"))
+        .crossJoin(F.broadcast(q_seed))
+    )
+    for level, q in enumerate(qs):
+        out = out.crossJoin(
+            F.broadcast(q.select(F.col("q").alias(f"q_l{level}_nano")))
+        )
+    qcols = [f"q_l{level}_nano" for level in range(len(_SWEEPS))]
+    return (
+        out.orderBy(F.desc("n_nodes"), "cid")
+        .limit(15)
+        .select(
+            "cid", "n_nodes", "n_communities", "n_moves", "q_seed_nano", *qcols
+        )
+    )

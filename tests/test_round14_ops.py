@@ -1,0 +1,283 @@
+"""Round-14 operator pins.
+
+Louvain multilevel: a pure-Python replay of the full deterministic
+hierarchy (weighted locally-dominant sweeps + coarsening) must reproduce
+the Spark/oracle output exactly at sf0.001 — sizes, move count, and the
+nano-quantized per-level modularity trajectory — plus the Q-monotone
+pin the r13 verdict prescribed.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+
+def _replay_multilevel(edges0):
+    """Reference replay of graph_louvain_multilevel on an edge list.
+
+    ``edges0``: iterable of (u, v) distinct undirected edges, no
+    self-loops. Returns (sizes: dict cid->n, n_moves, [q_seed, q_l0,
+    q_l1, q_l2] in nano units).
+    """
+    from open_molecule_data_pipeline_spark.operators.louvain import _K, _SWEEPS
+
+    e0 = [(u, v) for u, v in edges0]
+    m = len(e0)
+
+    def degrees(edges):
+        # weighted degree: non-self edges once per endpoint, self 2w
+        deg = defaultdict(int)
+        for a, b, w in edges:
+            if a == b:
+                deg[a] += 2 * w
+            else:
+                deg[a] += w
+                deg[b] += w
+        return dict(deg)
+
+    def sweep(edges, deg, c):
+        """One locally-dominant weighted move sweep; returns (c', kept)."""
+        adj = defaultdict(lambda: defaultdict(int))
+        for a, b, w in edges:
+            if a != b:
+                adj[a][b] += w
+                adj[b][a] += w
+        dsum = defaultdict(int)
+        for n, cid in c.items():
+            dsum[cid] += deg[n]
+        moves = []
+        for n in c:
+            kto = defaultdict(int)  # community -> weight from n
+            for v, w in adj[n].items():
+                kto[c[v]] += w
+            a = c[n]
+            kua = kto.get(a, 0)
+            best = None
+            for b, kub in kto.items():
+                if b == a:
+                    continue
+                gain = 2 * m * (kub - kua) - deg[n] * (
+                    dsum[b] - dsum[a] + deg[n]
+                )
+                # argmax by (gain desc, b asc)
+                if best is None or gain > best[0] or (
+                    gain == best[0] and b < best[1]
+                ):
+                    best = (gain, b)
+            if best is not None and best[0] > 0:
+                moves.append((n, a, best[1], best[0]))
+        winner = {}
+        for n, a, b, g in moves:
+            for cmy in (a, b):
+                if cmy not in winner or (g, n) > (
+                    winner[cmy][3],
+                    winner[cmy][0],
+                ):
+                    winner[cmy] = (n, a, b, g)
+        kept = [
+            mv
+            for mv in moves
+            if winner.get(mv[1]) == mv and winner.get(mv[2]) == mv
+        ]
+        c2 = dict(c)
+        for n, _a, b, _g in kept:
+            c2[n] = b
+        return c2, kept
+
+    def coarsen(edges, c):
+        ce = defaultdict(int)
+        for a, b, w in edges:
+            ca, cb = c[a], c[b]
+            ce[(min(ca, cb), max(ca, cb))] += w
+        return [(a, b, w) for (a, b), w in ce.items()]
+
+    def q_nano(assign):
+        deg0 = degrees([(u, v, 1) for u, v in e0])
+        dsum = defaultdict(int)
+        for n, cid in assign.items():
+            dsum[cid] += deg0[n]
+        lc = defaultdict(int)
+        for u, v in e0:
+            if assign[u] == assign[v]:
+                lc[assign[u]] += 1
+        total = 0
+        for cid, dc in dsum.items():
+            half = dc / (2.0 * m)
+            t = round((lc.get(cid, 0) / m - half * half) * 1000000000)
+            total += int(t)
+        return total
+
+    edges = [(u, v, 1) for u, v in e0]
+    total_moves = 0
+    comp = None
+    qs = []
+    q_seed = None
+    for level, sweeps in enumerate(_SWEEPS):
+        deg = degrees(edges)
+        if level == 0:
+            c = {n: n % _K for n in deg}
+            q_seed = q_nano(c)
+        else:
+            c = {n: n for n in deg}
+        for _ in range(sweeps):
+            c, kept = sweep(edges, deg, c)
+            total_moves += len(kept)
+            if not kept:
+                break
+        comp = dict(c) if level == 0 else {n: c[cid] for n, cid in comp.items()}
+        qs.append(q_nano(comp))
+        if level + 1 < len(_SWEEPS):
+            edges = coarsen(edges, c)
+    sizes = defaultdict(int)
+    for n, cid in comp.items():
+        sizes[cid] += 1
+    return dict(sizes), total_moves, [q_seed] + qs
+
+
+def _lineitem_edges(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    return sorted(
+        {(int(s) * 2, int(p) * 2 + 1) for s, p in zip(t.l_suppkey, t.l_partkey)}
+    )
+
+
+def test_louvain_multilevel_matches_python_replay(spark, sf_dir):
+    from open_molecule_data_pipeline_spark.operators.louvain import (
+        graph_louvain_multilevel,
+    )
+
+    rows = graph_louvain_multilevel(spark, sf_dir).collect()
+    assert rows, "no communities returned"
+    sizes, n_moves, qvals = _replay_multilevel(_lineitem_edges(sf_dir))
+    r0 = rows[0]
+    assert r0.n_moves == n_moves
+    assert r0.n_communities == len(sizes)
+    assert [r0.q_seed_nano, r0.q_l0_nano, r0.q_l1_nano, r0.q_l2_nano] == qvals
+    # top-15 by (n_nodes desc, cid asc) must match the replay exactly
+    expect = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [(r.cid, r.n_nodes) for r in rows]
+    assert got == expect
+
+
+def test_louvain_multilevel_q_monotone(spark, sf_dir):
+    """VERDICT r13 #2 pin: every kept move has strictly positive gain,
+    so modularity is non-decreasing across the hierarchy."""
+    from open_molecule_data_pipeline_spark.operators.louvain import (
+        graph_louvain_multilevel,
+    )
+
+    r = graph_louvain_multilevel(spark, sf_dir).collect()[0]
+    traj = [r.q_seed_nano, r.q_l0_nano, r.q_l1_nano, r.q_l2_nano]
+    assert traj == sorted(traj), traj
+    assert r.n_moves > 0  # the fixture graph is not already at fixpoint
+    # moves strictly improved Q at level 0
+    assert r.q_l0_nano > r.q_seed_nano
+
+
+def _kn4_replay(docs):
+    """Pure-Python interpolated 4-gram KN replay: returns
+    {(doc_id, lang): (n_fourgrams, nll_micro)} plus the model tables
+    for the hand-pin."""
+    import math
+    from collections import Counter
+
+    D = 0.75
+    fg = []  # (doc_id, lang, 4-gram)
+    for doc_id, lang, text in docs:
+        t = [w for w in text.split(" ") if w]
+        for i in range(len(t) - 3):
+            fg.append((doc_id, lang, tuple(t[i : i + 4])))
+    four = Counter(g for _, _, g in fg)
+    h123 = Counter()
+    n123 = Counter()
+    for (w1, w2, w3, w4), c in four.items():
+        h123[(w1, w2, w3)] += c
+        n123[(w1, w2, w3)] += 1
+    cont234 = Counter()
+    for (w1, w2, w3, w4) in four:
+        cont234[(w2, w3, w4)] += 1
+    mid23_sum = Counter()
+    mid23_n = Counter()
+    for (w2, w3, w4), c in cont234.items():
+        mid23_sum[(w2, w3)] += c
+        mid23_n[(w2, w3)] += 1
+    n34 = Counter()
+    for (w2, w3, w4) in cont234:
+        n34[(w3, w4)] += 1
+    mid3_sum = Counter()
+    mid3_n = Counter()
+    for (w3, w4), c in n34.items():
+        mid3_sum[w3] += c
+        mid3_n[w3] += 1
+    npre4 = Counter()
+    for (w3, w4) in n34:
+        npre4[w4] += 1
+    nbig = len(n34)
+
+    def cost(g):
+        w1, w2, w3, w4 = g
+        pc = npre4[w4] / nbig
+        p2 = (n34[(w3, w4)] - D) / mid3_sum[w3] + D * mid3_n[w3] / mid3_sum[
+            w3
+        ] * pc
+        p3 = (cont234[(w2, w3, w4)] - D) / mid23_sum[(w2, w3)] + D * mid23_n[
+            (w2, w3)
+        ] / mid23_sum[(w2, w3)] * p2
+        p4 = (four[g] - D) / h123[(w1, w2, w3)] + D * n123[
+            (w1, w2, w3)
+        ] / h123[(w1, w2, w3)] * p3
+        return round(-math.log(p4) * 1_000_000)
+
+    per_doc = {}
+    for doc_id, lang, g in fg:
+        n, s = per_doc.get((doc_id, lang), (0, 0))
+        per_doc[(doc_id, lang)] = (n + 1, s + cost(g))
+    return per_doc
+
+
+def test_kn_fourgram_ppl_matches_python_replay(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.kn_lm import (
+        text_kn_fourgram_ppl,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    per_doc = _kn4_replay(
+        [(int(r.doc_id), r.lang, r.text) for r in t.itertuples()]
+    )
+    expect = sorted(
+        (
+            (n, s, s // n, doc_id, lang)
+            for (doc_id, lang), (n, s) in per_doc.items()
+        ),
+        key=lambda x: (-x[2], x[3]),
+    )[:15]
+    rows = text_kn_fourgram_ppl(spark, sf_dir).collect()
+    got = [
+        (r.n_fourgrams, r.nll_micro, r.mean_nll_micro, r.doc_id, r.lang)
+        for r in rows
+    ]
+    assert got == [(n, s, m, d, g) for n, s, m, d, g in expect]
+
+
+def test_kn_fourgram_backoff_hand_case():
+    """Hand-worked chain on a 6-token corpus: 'a b c d' + 'a b c e'
+    (one doc each, same lang). For g = (a,b,c,d):
+      four=1, c123=2, n123=2 -> top = (1-.75)/2 = .125, lam = .75*2/2 = .75
+      cont234[(b,c,d)]=1, mid23[(b,c)] = sum 2, n 2 -> p3 term .125, lam3 .75
+      n34[(c,d)]=1, mid3[c] = sum 2, n 2 -> p2 term .125, lam2 .75
+      npre4[d]=1, nbig=2 -> pc = .5
+      p2 = .125 + .75*.5     = .5
+      p3 = .125 + .75*.5     = .5
+      p4 = .125 + .75*.5     = .5  -> cost = round(ln(2)*1e6) = 693147
+    """
+    per_doc = _kn4_replay([(1, "en", "a b c d"), (2, "en", "a b c e")])
+    assert per_doc[(1, "en")] == (1, 693147)
+    assert per_doc[(2, "en")] == (1, 693147)
