@@ -580,7 +580,10 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 
 
 @register(
-    "graph_pagerank_3iter", oracle=_pr_oracle(), tags=("graph", "iterative"), bench=True
+    # demoted from the headline set r14 (VERDICT r13 #4): its
+    # join+agg-iteration plan shape is subsumed by graph_louvain_pass,
+    # now the heaviest registered query and the promoted tracker
+    "graph_pagerank_3iter", oracle=_pr_oracle(), tags=("graph", "iterative")
 )
 def graph_pagerank_3iter(spark, sf_dir):
     from ..catalog import table

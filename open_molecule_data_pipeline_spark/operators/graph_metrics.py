@@ -823,6 +823,9 @@ def _louvain_state(spark, sf_dir):
     "graph_louvain_pass",
     oracle=_louvain_oracle(),
     tags=("graph", "iterative"),
+    # promoted to the headline set r14 (VERDICT r13 #4): heaviest
+    # registered plan — round-over-round tracking should cover it
+    bench=True,
 )
 def graph_louvain_pass(spark, sf_dir):
     e, deg, m, c0, c1, kept = _louvain_state(spark, sf_dir)
