@@ -1,0 +1,208 @@
+"""SemDeDup-style semantic deduplication (r14, VERDICT r13 #6).
+
+The embedding-level dedup the exact/MinHash ladder does not cover
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication"): cluster the embedding space, then
+prune ε-balls WITHIN each cluster — a point is a semantic duplicate
+when another point of the same cluster is closer than the cosine
+threshold, and each duplicate group keeps exactly one representative
+(the keep-min-id rule: remove x iff some same-cluster y with
+y.vec_id < x.vec_id has cos(x, y) >= tau — the standard batched
+SemDeDup implementation; deterministic, no RNG).
+
+Composition of proven pieces: the cluster step is ``ml_kmeans_assign``'s
+deterministic assignment (argmin of the bit-identical squared-L2 fold
+against broadcast seed centroids, ml_extra.py:64); the prune step is the
+``dedup_embedding_cosine`` exact-cosine arithmetic (dedup.py:432, same
+tau = 0.3 fixture threshold). The threshold COMPARISON is sqrt-free —
+``dot > 0 AND dot*dot >= tau^2 * (|x|^2 * |y|^2)`` with identical
+parenthesization on both engines — so the kept-set decision rides on
+multiplication/addition determinism only; sqrt/division appear solely in
+the reported (rounded) max-cosine diagnostic.
+
+Scale shape (100 TB): candidate pairs are CLUSTER-BOUNDED, never
+corpus-pairs — the defining SemDeDup property. The pair join is an
+un-hinted equi-join on cluster id (key domain = number of centroids;
+in production k scales with the corpus so per-cluster cardinality
+stays bounded), the centroid table broadcasts at any scale, and the
+report aggregates are one pass over the pair stream. Nothing touches
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ._util import spread
+
+_SEM_K = 16  # seed centroids: embeddings with vec_id < _SEM_K
+_TAU = 0.3  # cosine threshold (dedup_embedding_cosine's fixture value)
+_TAU2 = 0.09  # tau^2, exact decimal literal mirrored in the oracle
+
+_DOT = (
+    "aggregate(zip_with({a}, {b},"
+    " (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+
+_DOT_DUCK = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> cast(p[1] AS DOUBLE) * cast(p[2] AS DOUBLE)), 'sum')"
+)
+
+_SQD_DUCK = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> (cast(p[1] AS DOUBLE) - cast(p[2] AS DOUBLE))"
+    " * (cast(p[1] AS DOUBLE) - cast(p[2] AS DOUBLE))), 'sum')"
+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding AS e,
+         {_DOT_DUCK.format(a="embedding", b="embedding")} AS n2
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_SEM_K}),
+scored AS (
+  SELECT v.vec_id, v.e, v.n2, cent.cid,
+         {_SQD_DUCK.format(a="v.e", b="cent.ce")} AS d2
+  FROM v, cent
+),
+assigned AS (
+  SELECT vec_id, e, n2, cid FROM (
+    SELECT vec_id, e, n2, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM scored
+  ) z WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+         {_DOT_DUCK.format(a="a.e", b="b.e")} AS dot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+flagged AS (
+  SELECT cid, va, vb, dot, na2, nb2,
+         CASE WHEN dot > 0 AND dot * dot >= {_TAU2} * (na2 * nb2)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM pairs
+),
+dup AS (
+  SELECT cid,
+         cast(count(DISTINCT CASE WHEN is_dup = 1 THEN vb END) AS BIGINT)
+           AS n_removed,
+         cast(round(max(dot / sqrt(na2 * nb2)) * 1000000) AS BIGINT)
+           AS max_cos_micro
+  FROM flagged GROUP BY cid
+),
+mem AS (
+  SELECT cid, cast(count(*) AS BIGINT) AS n_members FROM assigned GROUP BY cid
+)
+SELECT m.cid, m.n_members,
+       coalesce(d.n_removed, 0) AS n_removed,
+       m.n_members - coalesce(d.n_removed, 0) AS n_kept,
+       d.max_cos_micro
+FROM mem m LEFT JOIN dup d ON d.cid = m.cid
+ORDER BY m.cid
+"""
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("dedup", "embedding", "ml"),
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    """Per-cluster SemDeDup report: members, ε-ball duplicates removed
+    under keep-min-id, survivors, and the max intra-cluster cosine."""
+    v = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+    )
+    cent = v.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    sqd = (
+        "aggregate(zip_with(e, ce,"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", F.expr(sqd))
+    w = W.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "n2", "cid")
+    )
+    a = assigned.select(
+        "cid",
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    b = assigned.select(
+        "cid",
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
+    # cluster-bounded pair stream; un-hinted join on cid (bounded key
+    # domain — in production k scales with the corpus)
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "cid",
+            "va",
+            "vb",
+            F.expr(_DOT.format(a="ea", b="eb")).alias("dot"),
+            "na2",
+            "nb2",
+        )
+    )
+    flagged = pairs.withColumn(
+        "is_dup",
+        (
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot")
+                >= F.lit(_TAU2) * (F.col("na2") * F.col("nb2"))
+            )
+        ).cast("int"),
+    )
+    dup = flagged.groupBy("cid").agg(
+        F.countDistinct(
+            F.when(F.col("is_dup") == 1, F.col("vb"))
+        )
+        .cast("long")
+        .alias("n_removed"),
+        F.round(
+            F.max(F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("max_cos_micro"),
+    )
+    mem = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        mem.join(dup, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+            (
+                F.col("n_members")
+                - F.coalesce("n_removed", F.lit(0).cast("long"))
+            ).alias("n_kept"),
+            "max_cos_micro",
+        )
+        .orderBy("cid")
+    )

@@ -281,3 +281,63 @@ def test_kn_fourgram_backoff_hand_case():
     per_doc = _kn4_replay([(1, "en", "a b c d"), (2, "en", "a b c e")])
     assert per_doc[(1, "en")] == (1, 693147)
     assert per_doc[(2, "en")] == (1, 693147)
+
+
+def test_semdedup_matches_numpy_replay(spark, sf_dir):
+    """SemDeDup replay in float64 numpy: same centroid argmin, same
+    keep-min-id ε-ball rule, exact count/kept parity per cluster."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.semdedup import (
+        _SEM_K,
+        _TAU2,
+        dedup_semantic_semdedup,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ids = t.vec_id.to_numpy()
+    E = np.stack(t.embedding.values).astype(np.float64)
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+    cent = E[ids < _SEM_K]
+    cent_ids = ids[ids < _SEM_K]
+    d2 = ((E[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    # argmin with cid tiebreak == row_number over (d2, cid)
+    assign = cent_ids[
+        np.lexsort((cent_ids[None, :].repeat(len(E), 0), d2), axis=1)[:, 0]
+    ]
+    n2 = (E * E).sum(axis=1)
+    removed = set()
+    stats = {}
+    for cid in np.unique(assign):
+        sel = np.where(assign == cid)[0]
+        n_rm = 0
+        max_cos = None
+        for j_i, j in enumerate(sel):
+            dup = False
+            for i in sel[:j_i]:
+                dot = float(E[i] @ E[j])
+                cos = dot / np.sqrt(n2[i] * n2[j])
+                max_cos = cos if max_cos is None else max(max_cos, cos)
+                if dot > 0 and dot * dot >= _TAU2 * (n2[i] * n2[j]):
+                    dup = True
+            if dup:
+                n_rm += 1
+                removed.add(int(ids[j]))
+        stats[int(cid)] = (
+            len(sel),
+            n_rm,
+            len(sel) - n_rm,
+            None if max_cos is None else round(max_cos * 1_000_000),
+        )
+    rows = dedup_semantic_semdedup(spark, sf_dir).collect()
+    got = {
+        r.cid: (r.n_members, r.n_removed, r.n_kept, r.max_cos_micro)
+        for r in rows
+    }
+    assert got == stats
+    # the fixture must actually exercise the prune path
+    assert sum(v[1] for v in stats.values()) > 0
