@@ -234,39 +234,48 @@ def encode_jpeg_baseline(blocks, bw: int, bh: int, qtable=None) -> bytes:
     return bytes(out)
 
 
+_SAMP_GEOM = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}  # -> (hy, vy)
+
+
 def encode_jpeg_color(
     y_blocks, cb_blocks, cr_blocks, mw: int, mh: int,
-    qtab_y=None, qtab_c=None,
+    qtab_y=None, qtab_c=None, samp: str = "420",
 ) -> bytes:
-    """Encode a 4:2:0 YCbCr baseline JFIF from quantized-coefficient
-    blocks. ``y_blocks`` holds 4 luma blocks per MCU in MCU-raster order
-    (2x2 raster inside each MCU: TL, TR, BL, BR); ``cb_blocks`` /
-    ``cr_blocks`` hold one chroma block per MCU. Luma uses quant table 0
-    and Huffman tables 0, chroma table 1 / Huffman tables 1 — so the
-    decoder's multi-table DQT/DHT paths are exercised end to end."""
+    """Encode a YCbCr baseline JFIF from quantized-coefficient blocks.
+
+    ``samp`` picks the chroma layout (r14 extension; default keeps the
+    r13 4:2:0 behavior): "420" -> Y 2x2 (4 luma blocks per 16x16 MCU in
+    TL, TR, BL, BR raster), "422" -> Y 2x1 (2 luma blocks per 16x8 MCU),
+    "444" -> Y 1x1 (1 luma block per 8x8 MCU); chroma is always one
+    Cb + one Cr block per MCU. Luma uses quant table 0 and Huffman
+    tables 0, chroma table 1 / Huffman tables 1 — so the decoder's
+    multi-table DQT/DHT paths are exercised end to end."""
     qtab_y = _QTABLE if qtab_y is None else qtab_y
     qtab_c = _QTABLE_C if qtab_c is None else qtab_c
+    hy, vy = _SAMP_GEOM[samp]
     n_mcu = mw * mh
-    assert len(y_blocks) == 4 * n_mcu
+    assert len(y_blocks) == hy * vy * n_mcu
     assert len(cb_blocks) == len(cr_blocks) == n_mcu
     out = bytearray(b"\xff\xd8")  # SOI
     out += _JFIF_APP0
     out += _dqt_segment(qtab_y, 0)
     out += _dqt_segment(qtab_c, 1)
-    # SOF0: 8-bit, 3 components — Y 2x2 sampling qt0, Cb/Cr 1x1 qt1
-    h, w = mh * 16, mw * 16
+    # SOF0: 8-bit, 3 components — Y (hy x vy) sampling qt0, Cb/Cr 1x1 qt1
+    h, w = mh * 8 * vy, mw * 8 * hy
     out += b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
     out += h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    out += b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    out += b"\x03" + b"\x01" + bytes([(hy << 4) | vy]) + b"\x00"
+    out += b"\x02\x11\x01" + b"\x03\x11\x01"
     out += _dht_segments((0, 1))
     # SOS: 3 components — Y tables 0/0, chroma tables 1/1
     out += b"\xff\xda" + (12).to_bytes(2, "big")
     out += b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
     bw_ = _BitWriter()
     preds = [0, 0, 0]
+    nyb = hy * vy
     for m in range(n_mcu):
-        for k in range(4):
-            preds[0] = _encode_block(bw_, y_blocks[4 * m + k], preds[0])
+        for k in range(nyb):
+            preds[0] = _encode_block(bw_, y_blocks[nyb * m + k], preds[0])
         preds[1] = _encode_block(bw_, cb_blocks[m], preds[1])
         preds[2] = _encode_block(bw_, cr_blocks[m], preds[2])
     bw_.flush()
@@ -444,40 +453,53 @@ def decode_jpeg(payload: bytes) -> dict:
             "pixels": img[:h, :w],
         }
 
-    if len(comps) != 3 or [c[1:3] for c in comps] != [(2, 2), (1, 1), (1, 1)]:
+    # YCbCr with chroma 1x1 and Y sampling (hy, vy) in {(2,2) 4:2:0,
+    # (2,1) 4:2:2, (1,1) 4:4:4}; anything else (4:1:1, 4-component
+    # CMYK, ...) still fails loudly rather than decoding to garbage.
+    if (
+        len(comps) != 3
+        or comps[1][1:3] != (1, 1)
+        or comps[2][1:3] != (1, 1)
+        or comps[0][1:3] not in ((2, 2), (2, 1), (1, 1))
+    ):
         raise NotImplementedError(
-            "only grayscale (1x1) and YCbCr 4:2:0 (2x2,1x1,1x1) sampling"
+            "only grayscale (1x1) and YCbCr 4:2:0/4:2:2/4:4:4 "
+            "(Y 2x2|2x1|1x1, chroma 1x1) sampling"
         )
-    mx, my = (w + 15) // 16, (h + 15) // 16
-    yp = np.zeros((my * 16, mx * 16), dtype=np.uint8)
+    hy, vy = comps[0][1:3]
+    mcw, mch = 8 * hy, 8 * vy  # MCU pixel dims
+    mx, my = (w + mcw - 1) // mcw, (h + mch - 1) // mch
+    yp = np.zeros((my * mch, mx * mcw), dtype=np.uint8)
     cbp = np.zeros((my * 8, mx * 8), dtype=np.uint8)
     crp = np.zeros((my * 8, mx * 8), dtype=np.uint8)
     preds = [0, 0, 0]
     for m in range(mx * my):
-        r0, c0 = (m // mx) * 16, (m % mx) * 16
-        for k in range(4):  # 2x2 luma raster: TL, TR, BL, BR
+        r0, c0 = (m // mx) * mch, (m % mx) * mcw
+        for k in range(hy * vy):  # luma raster inside the MCU
             px, preds[0] = decode_block(0, preds[0])
-            rr, cc = r0 + (k // 2) * 8, c0 + (k % 2) * 8
+            rr, cc = r0 + (k // hy) * 8, c0 + (k % hy) * 8
             yp[rr : rr + 8, cc : cc + 8] = px
         px, preds[1] = decode_block(1, preds[1])
-        cbp[r0 // 2 : r0 // 2 + 8, c0 // 2 : c0 // 2 + 8] = px
+        cbp[(r0 // vy) : (r0 // vy) + 8, (c0 // hy) : (c0 // hy) + 8] = px
         px, preds[2] = decode_block(2, preds[2])
-        crp[r0 // 2 : r0 // 2 + 8, c0 // 2 : c0 // 2 + 8] = px
-    # JFIF simple (replication) upsampling, then libjpeg fixed-point
-    # YCbCr->RGB: every term integer, >>16 is an exact floor shared with
-    # the SQL oracle's // 65536
+        crp[(r0 // vy) : (r0 // vy) + 8, (c0 // hy) : (c0 // hy) + 8] = px
+    # JFIF simple (replication) upsampling — vy-fold vertical, hy-fold
+    # horizontal (4:2:2 replicates horizontally ONLY; 4:4:4 not at
+    # all) — then libjpeg fixed-point YCbCr->RGB: every term integer,
+    # >>16 is an exact floor shared with the SQL oracle's // 65536
     yv = yp.astype(np.int64)
-    cb = np.repeat(np.repeat(cbp, 2, 0), 2, 1).astype(np.int64) - 128
-    cr = np.repeat(np.repeat(crp, 2, 0), 2, 1).astype(np.int64) - 128
+    cb = np.repeat(np.repeat(cbp, vy, 0), hy, 1).astype(np.int64) - 128
+    cr = np.repeat(np.repeat(crp, vy, 0), hy, 1).astype(np.int64) - 128
     r = yv + ((_FIX_R_CR * cr + 32768) >> 16)
     g = yv - ((_FIX_G_CB * cb + _FIX_G_CR * cr + 32768) >> 16)
     b = yv + ((_FIX_B_CB * cb + 32768) >> 16)
     rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
-    ch, cw = (h + 1) // 2, (w + 1) // 2
+    ch, cw = (h + vy - 1) // vy, (w + hy - 1) // hy
     return {
         "width": w,
         "height": h,
         "channels": 3,
+        "sampling": {(2, 2): "420", (2, 1): "422", (1, 1): "444"}[(hy, vy)],
         "pixels": rgb[:h, :w],
         "planes": {
             "y": yp[:h, :w],
@@ -994,3 +1016,186 @@ def mm_image_jpeg_color_renc_dedup(spark, sf_dir):
             (F.col("w") / 16).cast("int").alias("n_mcu"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chroma-subsampling matrix decode (r14, VERDICT r13 #5): real crawls
+# are not all 4:2:0 — libjpeg writes 4:2:2 and 4:4:4 routinely, and the
+# r13 decoder REJECTED those (the pinned gate at the sampling check), so
+# the image dedup ladder skipped that fraction. The decoder now handles
+# Y sampling 2x2 / 2x1 / 1x1 with chroma 1x1; this query decodes a
+# per-doc MIX of all three layouts (samp = doc_id % 3) in one pass, the
+# shape of a real crawl partition.
+#
+# Same coefficient-fixture oracle trick as the 4:2:0 query, generalized
+# by the replication factor rep = hy*vy (4 / 2 / 1): each chroma pixel
+# covers rep full-res pixels, so the per-MCU nonlinear term scales as
+# rep * 32 * (f(u+) + f(u-)) — the horizontal-only replication of 4:2:2
+# and the no-op upsample of 4:4:4 fall out of the same algebra. Luma
+# block count per MCU is also rep, so sum_Y and the chroma term vary
+# together across modes — a mode-mislabeled decode cannot cancel out.
+# Coefficient ranges stay clamp-free ([91, 165] worst case).
+# --------------------------------------------------------------------------
+
+_CHROMA_SAMPS = ("420", "422", "444")  # doc_id % 3 picks the layout
+
+
+def synth_chroma_blocks(doc_id: int):
+    """Deterministic per-doc coefficient image in the doc's sampling
+    mode: mw MCUs wide, 1 tall; per MCU j the rep luma blocks carry
+    DC=(doc_id+3j+k)%5-2 / AC44=(doc_id+j+k)%3-1 and chroma reuses the
+    4:2:0 fixture's seed shifts (Cb != Cr from MCU 0 on)."""
+    samp = _CHROMA_SAMPS[doc_id % 3]
+    hy, vy = _SAMP_GEOM[samp]
+    rep = hy * vy
+    mw = 1 + doc_id % 2
+    yb, cbb, crb = [], [], []
+    for j in range(mw):
+        for k in range(rep):
+            blk = [0] * 64
+            blk[0] = (doc_id + 3 * j + k) % 5 - 2
+            blk[4 * 8 + 4] = (doc_id + j + k) % 3 - 1
+            yb.append(blk)
+        cb = [0] * 64
+        cb[0] = (doc_id + 2 * j + 1) % 5 - 2
+        cb[4 * 8 + 4] = (doc_id + j + 2) % 3 - 1
+        cbb.append(cb)
+        cr = [0] * 64
+        cr[0] = (doc_id + 3 * j + 3) % 5 - 2
+        cr[4 * 8 + 4] = (doc_id + 2 * j + 1) % 3 - 1
+        crb.append(cr)
+    return yb, cbb, crb, mw, 1, samp
+
+
+_CHROMA_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 3 AS m3,
+         CASE doc_id % 3 WHEN 2 THEN 1 ELSE 2 END AS hy,
+         CASE doc_id % 3 WHEN 0 THEN 2 ELSE 1 END AS vy,
+         1 + doc_id % 2 AS mw
+  FROM documents
+),
+mj AS (
+  SELECT doc_id, m3, hy, vy, hy * vy AS rep, mw,
+         unnest(range(mw)) AS j
+  FROM base
+),
+ysum AS (
+  SELECT doc_id, j,
+         sum(64 * (128 + 4 * ((doc_id + 3 * j + k) % 5 - 2))) AS ys
+  FROM (SELECT doc_id, j, unnest(range(rep)) AS k FROM mj) yk
+  GROUP BY doc_id, j
+),
+ch AS (
+  SELECT doc_id, j, rep,
+    5 * ((doc_id + 2*j + 1) % 5 - 2) + 2 * ((doc_id + j + 2) % 3 - 1) AS vp,
+    5 * ((doc_id + 2*j + 1) % 5 - 2) - 2 * ((doc_id + j + 2) % 3 - 1) AS vm,
+    5 * ((doc_id + 3*j + 3) % 5 - 2) + 2 * ((doc_id + 2*j + 1) % 3 - 1) AS up,
+    5 * ((doc_id + 3*j + 3) % 5 - 2) - 2 * ((doc_id + 2*j + 1) % 3 - 1) AS um
+  FROM mj
+),
+per_mcu AS (
+  SELECT y.doc_id, y.ys, c.rep, c.vp, c.vm, c.up, c.um
+  FROM ysum y JOIN ch c ON y.doc_id = c.doc_id AND y.j = c.j
+),
+agg AS (
+  SELECT doc_id,
+    cast(sum(ys + rep * 32 *
+             (((91881*up + 32768 + 67108864) // 65536 - 1024)
+              + ((91881*um + 32768 + 67108864) // 65536 - 1024)))
+         AS BIGINT) AS sum_r,
+    cast(sum(ys - rep * 32 *
+             (((22554*vp + 46802*up + 32768 + 67108864) // 65536 - 1024)
+              + ((22554*vm + 46802*um + 32768 + 67108864) // 65536
+                 - 1024)))
+         AS BIGINT) AS sum_g,
+    cast(sum(ys + rep * 32 *
+             (((116130*vp + 32768 + 67108864) // 65536 - 1024)
+              + ((116130*vm + 32768 + 67108864) // 65536 - 1024)))
+         AS BIGINT) AS sum_b
+  FROM per_mcu GROUP BY doc_id
+)
+SELECT b.doc_id,
+  cast(CASE b.m3 WHEN 0 THEN 420 WHEN 1 THEN 422 ELSE 444 END AS INTEGER)
+    AS samp,
+  cast(b.mw * 8 * b.hy AS INTEGER) AS width,
+  cast(8 * b.vy AS INTEGER) AS height,
+  a.sum_r, a.sum_g, a.sum_b,
+  cast(128 + 4 * (b.doc_id % 5 - 2) + 2 * (b.doc_id % 3 - 1)
+       + (91881 * (5 * ((b.doc_id + 3) % 5 - 2)
+                   + 2 * ((b.doc_id + 1) % 3 - 1))
+          + 32768 + 67108864) // 65536 - 1024 AS BIGINT) AS r00,
+  cast(128 + 4 * (b.doc_id % 5 - 2) + 2 * (b.doc_id % 3 - 1)
+       - ((22554 * (5 * ((b.doc_id + 1) % 5 - 2)
+                    + 2 * ((b.doc_id + 2) % 3 - 1))
+           + 46802 * (5 * ((b.doc_id + 3) % 5 - 2)
+                      + 2 * ((b.doc_id + 1) % 3 - 1))
+           + 32768 + 67108864) // 65536 - 1024) AS BIGINT) AS g00,
+  cast(128 + 4 * (b.doc_id % 5 - 2) + 2 * (b.doc_id % 3 - 1)
+       + (116130 * (5 * ((b.doc_id + 1) % 5 - 2)
+                    + 2 * ((b.doc_id + 2) % 3 - 1))
+          + 32768 + 67108864) // 65536 - 1024 AS BIGINT) AS b00
+FROM base b JOIN agg a ON a.doc_id = b.doc_id
+"""
+
+
+@register(
+    "mm_image_jpeg_chroma_decode",
+    oracle=_CHROMA_ORACLE,
+    tags=("multimodal", "image"),
+)
+def mm_image_jpeg_chroma_decode(spark, sf_dir):
+    """Decode a mixed 4:2:0 / 4:2:2 / 4:4:4 crawl partition in one
+    Arrow-batched pass; per-doc RGB channel sums + the (0,0) pixel."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("samp", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("r00", T.LongType()),
+            T.StructField("g00", T.LongType()),
+            T.StructField("b00", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                yb, cbb, crb, mw, mh, samp = synth_chroma_blocks(doc_id)
+                blob = encode_jpeg_color(yb, cbb, crb, mw, mh, samp=samp)
+                dec = decode_media(bytes(blob), "image/jpeg")
+                assert dec["sampling"] == samp, (dec["sampling"], samp)
+                px = dec["pixels"].astype("int64")
+                rows.append(
+                    (
+                        doc_id,
+                        int(samp),
+                        dec["width"],
+                        dec["height"],
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(px[0, 0, 0]),
+                        int(px[0, 0, 1]),
+                        int(px[0, 0, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "samp", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "r00", "g00", "b00",
+                ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)

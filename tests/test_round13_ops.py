@@ -101,14 +101,15 @@ def test_jpeg_color_dc_prediction_per_component():
 
 
 def test_jpeg_color_rejects_unsupported_sampling():
-    """4:2:2 (Y sampling 2x1) raises NotImplementedError — only
-    grayscale 1x1 and 4:2:0 are in scope; nothing decodes to garbage."""
+    """Y sampling outside {2x2, 2x1, 1x1} raises NotImplementedError —
+    nothing decodes to garbage. (r14 amended: 4:2:2 and 4:4:4 moved
+    from rejected to supported, so the gate pin now uses 4:1:1.)"""
     from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
 
     blob = bytearray(_one_mcu())
     i = blob.index(b"\xff\xc0")
     assert blob[i + 11] == 0x22
-    blob[i + 11] = 0x21  # Y sampling 2x1 -> 4:2:2
+    blob[i + 11] = 0x41  # Y sampling 4x1 -> 4:1:1, still out of scope
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
 

@@ -341,3 +341,84 @@ def test_semdedup_matches_numpy_replay(spark, sf_dir):
     assert got == stats
     # the fixture must actually exercise the prune path
     assert sum(v[1] for v in stats.values()) > 0
+
+
+def _one_mcu_s(samp, cb=None):
+    """One-MCU color JPEG in the given sampling mode; Y flat, Cb carries
+    (dc, ac44), Cr flat — the r13 hand-case fixture generalized."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        _SAMP_GEOM,
+        encode_jpeg_color,
+    )
+
+    def blk(dc=0, ac44=0):
+        b = [0] * 64
+        b[0] = dc
+        b[4 * 8 + 4] = ac44
+        return b
+
+    hy, vy = _SAMP_GEOM[samp]
+    yb = [blk() for _ in range(hy * vy)]
+    return encode_jpeg_color(
+        yb, [blk(*(cb or (0, 0)))], [blk()], 1, 1, samp=samp
+    )
+
+
+def test_jpeg_422_chroma_upsampling_hand_case():
+    """4:2:2 replicates chroma HORIZONTALLY only. Cb AC44=2 -> chroma
+    amp ±4 (s(x)s(y) sign pattern). Pixels (0,0),(0,1) read chroma
+    (0,0) = +4 -> (G,B) = (127,135); (0,2),(0,3) read chroma (0,1) =
+    -4 -> (129,121). Vertically FULL-res: pixel (4,0) reads chroma
+    (4,0) where s(4)s(0) = + -> 135 again — under 4:2:0 that pixel
+    would read chroma row 2 (s(2)s(0) = -) and show 121."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    dec = decode_jpeg(_one_mcu_s("422", cb=(0, 2)))
+    assert dec["sampling"] == "422"
+    assert (dec["width"], dec["height"]) == (16, 8)
+    px = dec["pixels"].astype(int)
+    for r, c in ((0, 0), (0, 1)):
+        assert tuple(px[r, c]) == (128, 127, 135), (r, c, px[r, c])
+    for r, c in ((0, 2), (0, 3)):
+        assert tuple(px[r, c]) == (128, 129, 121), (r, c, px[r, c])
+    assert tuple(px[4, 0]) == (128, 127, 135)
+    # chroma plane keeps full vertical resolution: 8 rows x 8 cols
+    assert dec["planes"]["cb"].shape == (8, 8)
+
+
+def test_jpeg_444_chroma_no_upsampling_hand_case():
+    """4:4:4 has NO replication: pixel (0,1) reads chroma (0,1) = -4
+    -> B=121, where 4:2:0/4:2:2 would read chroma (0,0) and show 135."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    dec = decode_jpeg(_one_mcu_s("444", cb=(0, 2)))
+    assert dec["sampling"] == "444"
+    assert (dec["width"], dec["height"]) == (8, 8)
+    px = dec["pixels"].astype(int)
+    assert tuple(px[0, 0]) == (128, 127, 135)
+    assert tuple(px[0, 1]) == (128, 129, 121)
+    assert dec["planes"]["cb"].shape == (8, 8)
+
+
+def test_jpeg_chroma_modes_roundtrip_planes():
+    """Every supported mode round-trips its coefficient planes exactly:
+    re-encoding the synth fixture and decoding again reproduces
+    identical Y/Cb/Cr planes (the dedup ladder's normalization basis)."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        synth_chroma_blocks,
+    )
+
+    for doc_id in range(6):  # covers each samp x mw combination
+        yb, cbb, crb, mw, mh, samp = synth_chroma_blocks(doc_id)
+        d1 = decode_jpeg(encode_jpeg_color(yb, cbb, crb, mw, mh, samp=samp))
+        d2 = decode_jpeg(encode_jpeg_color(yb, cbb, crb, mw, mh, samp=samp))
+        assert d1["sampling"] == samp
+        for k in ("y", "cb", "cr"):
+            assert np.array_equal(d1["planes"][k], d2["planes"][k])
+        assert d1["pixels"].shape == (8 * (2 if doc_id % 3 == 0 else 1),
+                                      mw * 8 * (1 if doc_id % 3 == 2 else 2),
+                                      3)
