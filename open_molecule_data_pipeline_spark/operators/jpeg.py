@@ -390,8 +390,12 @@ def decode_jpeg(payload: bytes) -> dict:
                 )
                 for i in range(nc)
             ]
-        elif m in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("non-baseline JPEG (progressive?)")
+        elif m == 0xC2:  # SOF2 — r14: route to the progressive decoder
+            from .jpeg_progressive import decode_jpeg_progressive
+
+            return decode_jpeg_progressive(payload)
+        elif m in (0xC1, 0xC3):
+            raise NotImplementedError("non-baseline JPEG (extended/lossless)")
         elif m == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan = [(seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15) for i in range(ns)]

@@ -1,0 +1,567 @@
+"""Progressive JPEG codec + decode/dedup queries (r14, VERDICT r13 #5).
+
+Real crawls contain a meaningful progressive fraction that the r12/r13
+baseline decoder rejected (`jpeg.py`'s pinned SOF gate), so the image
+dedup ladder skipped those files. This module implements the
+progressive-DCT (SOF2) entropy layer for grayscale:
+
+- **Spectral selection**: each AC scan carries a zigzag band
+  [Ss, Se]; coefficients accumulate across scans into one
+  coefficient image that dequantizes/IDCTs exactly once at the end.
+- **Successive approximation for DC**: the first DC scan sends
+  ``dc >> Al`` (arithmetic shift, per T.81 G.1.2.1) diff-coded like
+  baseline; each refinement scan appends the next lower bit
+  (``coef |= bit << Al`` — exact for negatives in two's complement).
+- **EOB runs (EOBn)**: AC-first scans code runs of end-of-band blocks
+  as ``(r << 4)`` symbols with ``r`` extension bits — the decoder's
+  ``eobrun = (1 << r) - 1 + bits(r)`` covers the current block plus
+  ``eobrun`` following blocks, exactly libjpeg's accounting. ZRL and
+  (run, size) value coding inside a band match baseline.
+
+The canonical 4-scan script the encoder emits (DC/2 -> DC LSB ->
+AC band 1-5 -> AC band 6-63) exercises every path: the 1-5 band of the
+coefficient fixtures is all-zero, so scan 3 is a single maximal EOBRUN
+over the whole image, while the (4,4) coefficient sits at zigzag index
+39 — 33 zeros past Ss=6, forcing two ZRLs before its (run, size) code.
+
+Out of scope, failing loudly (no garbage decodes): AC successive-
+approximation refinement scans (Ss > 0 with Ah > 0), progressive color,
+restart intervals. The baseline ``decode_jpeg`` dispatches SOF2 files
+here, so ``decode_media`` callers get progressive support transparently.
+
+Scale shape: identical to every other codec in the ladder — one
+Arrow-batched ``mapInPandas`` decode boundary, per-partition linear,
+no shuffle, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..registry import register
+from ._util import spread
+from .jpeg import (
+    ZIGZAG,
+    _BitReader,
+    _BitWriter,
+    _build_codes,
+    _category,
+    _DC_BITS,
+    _DC_CODES,
+    _DC_SYMS,
+    _dqt_segment,
+    _extend,
+    _idct_block,
+    _JFIF_APP0,
+    _QTABLE,
+    encode_jpeg_baseline,
+    synth_coeff_blocks,
+)
+
+# the 4-scan script: (Ss, Se, Ah, Al)
+_SCAN_SCRIPT = ((0, 0, 0, 1), (0, 0, 1, 0), (1, 5, 0, 0), (6, 63, 0, 0))
+
+# progressive AC alphabet = baseline's (EOB, ZRL, 160 run/size codes)
+# PLUS the EOBn symbols (r<<4, r = 1..14) baseline never uses — 176
+# symbols, all 8-bit canonical codes (strictly fewer than 255, legal)
+_AC_P_SYMS = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_P_BITS = [0] * 16
+_AC_P_BITS[7] = len(_AC_P_SYMS)  # code length 8
+_AC_P_CODES = _build_codes(_AC_P_BITS, _AC_P_SYMS)
+
+
+def _dht_segments_progressive() -> bytes:
+    """DC table 0 (baseline alphabet) + AC table 0 (EOBn-extended)."""
+    out = bytearray()
+    for cls, bits, syms in (
+        (0, _DC_BITS, _DC_SYMS),
+        (1, _AC_P_BITS, _AC_P_SYMS),
+    ):
+        out += b"\xff\xc4" + (3 + 16 + len(syms)).to_bytes(2, "big")
+        out += bytes([(cls << 4) | 0]) + bytes(bits) + bytes(syms)
+    return bytes(out)
+
+
+def _shift_toward_zero(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al rounding toward zero."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _encode_dc_first(bw_: _BitWriter, blocks, al: int) -> None:
+    pred = 0
+    for blk in blocks:
+        v = int(blk[0]) >> al  # arithmetic shift per spec
+        diff = v - pred
+        pred = v
+        t = _category(diff)
+        code, ln = _DC_CODES[t]
+        bw_.put(code, ln)
+        if t:
+            bw_.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+
+def _encode_dc_refine(bw_: _BitWriter, blocks, al: int) -> None:
+    for blk in blocks:
+        bw_.put((int(blk[0]) >> al) & 1, 1)
+
+
+def _encode_ac_first(bw_: _BitWriter, blocks, ss: int, se: int, al: int):
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = _AC_P_CODES[r << 4]
+        bw_.put(code, ln)
+        if r:
+            bw_.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for blk in blocks:
+        band = {
+            k: _shift_toward_zero(int(blk[ZIGZAG[k]]), al)
+            for k in range(ss, se + 1)
+        }
+        nz = [k for k, v in band.items() if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for k in range(ss, max(nz) + 1):
+            v = band[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_P_CODES[0xF0]
+                bw_.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = _AC_P_CODES[(run << 4) | s]
+            bw_.put(code, ln)
+            bw_.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if max(nz) < se:
+            eobrun = 1
+    flush()
+
+
+def encode_jpeg_progressive(blocks, bw: int, bh: int, qtable=None) -> bytes:
+    """Encode quantized-coefficient ``blocks`` (grayscale, raster order)
+    as a progressive (SOF2) JFIF using the 4-scan script above."""
+    qtable = _QTABLE if qtable is None else qtable
+    assert len(blocks) == bw * bh
+    out = bytearray(b"\xff\xd8")
+    out += _JFIF_APP0
+    out += _dqt_segment(qtable, 0)
+    h, w = bh * 8, bw * 8
+    out += b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08"  # SOF2
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += b"\x01" + b"\x01\x11\x00"
+    out += _dht_segments_progressive()
+    for ss, se, ah, al in _SCAN_SCRIPT:
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00"
+        out += bytes([ss, se, (ah << 4) | al])
+        bw_ = _BitWriter()
+        if ss == 0:
+            assert se == 0, "DC scan must be Ss=Se=0"
+            if ah == 0:
+                _encode_dc_first(bw_, blocks, al)
+            else:
+                _encode_dc_refine(bw_, blocks, al)
+        else:
+            assert ah == 0, "encoder emits no AC refinement scans"
+            _encode_ac_first(bw_, blocks, ss, se, al)
+        bw_.flush()
+        out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_progressive(payload: bytes) -> dict:
+    """Decode a grayscale progressive (SOF2) JPEG: accumulate quantized
+    coefficients across every scan, then dequantize + IDCT once."""
+    import numpy as np
+
+    assert payload[:2] == b"\xff\xd8", "not a JPEG (SOI missing)"
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = 0
+    comps: list[tuple[int, int, int, int]] = []
+    scans: list[tuple[tuple[int, int], tuple[int, int, int, int], bytes]] = []
+    while pos < len(payload):
+        assert payload[pos] == 0xFF, "marker expected"
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + seglen]
+        if 0xE0 <= m <= 0xEF or m == 0xFE:
+            pass
+        elif m == 0xDB:
+            o = 0
+            while o < len(seg):
+                pq, t = seg[o] >> 4, seg[o] & 15
+                assert pq == 0, "only 8-bit quant tables"
+                zz = list(seg[o + 1 : o + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[ZIGZAG[k]] = zz[k]
+                qt[t] = nat
+                o += 65
+        elif m == 0xC4:
+            o = 0
+            while o < len(seg):
+                cls, t = seg[o] >> 4, seg[o] & 15
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                syms = list(seg[o + 17 : o + 17 + n])
+                tbl: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for li, cnt in enumerate(bits):
+                    for _ in range(cnt):
+                        tbl[(li + 1, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(cls, t)] = tbl
+                o += 17 + n
+        elif m == 0xC2:
+            assert seg[0] == 8, "8-bit precision only"
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = [
+                (
+                    seg[6 + 3 * i],
+                    seg[7 + 3 * i] >> 4,
+                    seg[7 + 3 * i] & 15,
+                    seg[8 + 3 * i],
+                )
+                for i in range(nc)
+            ]
+        elif m in (0xC0, 0xC1, 0xC3):
+            raise NotImplementedError("not a progressive (SOF2) stream")
+        elif m == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif m == 0xDA:
+            ns = seg[0]
+            assert ns == 1, "progressive color scans unsupported"
+            tables = (seg[2] >> 4, seg[2] & 15)
+            ss, se = seg[3], seg[4]
+            ah, al = seg[5] >> 4, seg[5] & 15
+            pos += seglen
+            # entropy data runs to the next true marker (0xFF followed
+            # by anything but the 0x00 stuffing byte)
+            end = pos
+            while end < len(payload) - 1:
+                if payload[end] == 0xFF and payload[end + 1] != 0x00:
+                    break
+                end += 1
+            scans.append((tables, (ss, se, ah, al), payload[pos:end]))
+            pos = end
+            continue
+        pos += seglen
+    assert w and h and comps and scans, "incomplete progressive JPEG"
+    if len(comps) != 1 or comps[0][1:3] != (1, 1):
+        raise NotImplementedError("progressive color unsupported")
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    nblk = bw_ * bh_
+    coef = [[0] * 64 for _ in range(nblk)]
+    for (td, ta), (ss, se, ah, al), data in scans:
+        rd = _BitReader(data)
+
+        def sym(tab):
+            ln, code = 0, 0
+            while True:
+                code = (code << 1) | rd.bit()
+                ln += 1
+                s = tab.get((ln, code))
+                if s is not None:
+                    return s
+                assert ln <= 16, "invalid Huffman stream"
+
+        if ss == 0:  # DC scan
+            assert se == 0, "DC scan must be Ss=Se=0"
+            if ah == 0:
+                dc_tab = huff[(0, td)]
+                pred = 0
+                for b in range(nblk):
+                    t = sym(dc_tab)
+                    pred += _extend(rd.bits(t), t)
+                    coef[b][0] = pred << al
+            else:
+                for b in range(nblk):
+                    coef[b][0] |= rd.bit() << al
+        else:  # AC scan
+            if ah != 0:
+                raise NotImplementedError(
+                    "AC successive-approximation refinement unsupported"
+                )
+            ac_tab = huff[(1, ta)]
+            eobrun = 0
+            for b in range(nblk):
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    s = sym(ac_tab)
+                    r, sz = s >> 4, s & 15
+                    if sz == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
+                        break
+                    k += r
+                    coef[b][ZIGZAG[k]] = _extend(rd.bits(sz), sz) << al
+                    k += 1
+    q = qt[comps[0][3]]
+    img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    for b in range(nblk):
+        coeffs = np.zeros((8, 8), dtype=np.float64)
+        for k in range(64):
+            coeffs[k // 8][k % 8] = coef[b][k] * q[k]
+        px = np.clip(np.round(_idct_block(coeffs) + 128), 0, 255)
+        r, c = (b // bw_) * 8, (b % bw_) * 8
+        img[r : r + 8, c : c + 8] = px.astype(np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "channels": 1,
+        "progressive": True,
+        "n_scans": len(scans),
+        "pixels": img[:h, :w],
+    }
+
+
+# --------------------------------------------------------------------------
+# Progressive decode query: the baseline grayscale fixture encoded
+# through the 4-scan progressive script must decode to the SAME pixels
+# (coefficients are what both codecs transport), so the oracle is the
+# baseline closed form plus the scan count — the driver row pins the
+# whole multi-scan reassembly end to end.
+# --------------------------------------------------------------------------
+
+_PROG_ORACLE = """
+SELECT doc_id,
+       cast((2 + doc_id % 3) * 8 AS INTEGER) AS width,
+       cast((1 + doc_id % 2) * 8 AS INTEGER) AS height,
+       cast(4 AS INTEGER) AS n_scans,
+       cast(sum(64 * (128 + 4 * ((doc_id + 3 * i) % 5 - 2))) AS BIGINT)
+         AS sum_px,
+       cast(min(128 + 4 * ((doc_id + 3 * i) % 5 - 2)
+                    - 2 * abs((doc_id + i) % 3 - 1)) AS BIGINT) AS min_px,
+       cast(max(128 + 4 * ((doc_id + 3 * i) % 5 - 2)
+                    + 2 * abs((doc_id + i) % 3 - 1)) AS BIGINT) AS max_px,
+       cast(128 + 4 * (doc_id % 5 - 2) + 2 * (doc_id % 3 - 1) AS BIGINT)
+         AS px00
+FROM (
+  SELECT doc_id,
+         unnest(range((2 + doc_id % 3) * (1 + doc_id % 2))) AS i
+  FROM documents
+) g
+GROUP BY doc_id
+"""
+
+
+@register(
+    "mm_image_jpeg_progressive_decode",
+    oracle=_PROG_ORACLE,
+    tags=("multimodal", "image"),
+)
+def mm_image_jpeg_progressive_decode(spark, sf_dir):
+    """Decode per-doc progressive (SOF2, 4-scan) JPEGs in one
+    Arrow-batched pass; exact pixel stats + probe pixel + scan count."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_scans", T.IntegerType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+            T.StructField("px00", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                blocks, bw, bh = synth_coeff_blocks(doc_id)
+                blob = encode_jpeg_progressive(blocks, bw, bh)
+                dec = decode_media(bytes(blob), "image/jpeg")
+                px = dec["pixels"].astype("int64")
+                rows.append(
+                    (
+                        doc_id,
+                        dec["width"],
+                        dec["height"],
+                        int(dec["n_scans"]),
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                        int(px[0, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_scans",
+                    "sum_px", "min_px", "max_px", "px00",
+                ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Baseline-vs-progressive re-encode dedup: docs pair as (2p, 2p+1)
+# carrying the SAME coefficient image — the even file baseline, the odd
+# file progressive. Byte-level completely different (SOF0 vs SOF2, one
+# entropy stream vs four scans), pixel-level identical — the exact
+# situation a crawl presents when a site re-exports its images
+# progressively. Blob-hash dedup misses every pair; the
+# decode-normalized digest catches them all. The oracle groups docs on
+# the closed-form dequantized coefficient string (the r12 oracle trick —
+# pixel equality <=> coefficient equality on this clamp-free fixture).
+# --------------------------------------------------------------------------
+
+_PROG_RENC_ORACLE = """
+WITH coef AS (
+  SELECT doc_id, bw, bh,
+         string_agg(
+           cast(32 * (m % 25 - 12) AS VARCHAR) || ':'
+             || cast(16 * ((m // 25) % 13 - 6) AS VARCHAR),
+           ',' ORDER BY i) AS key
+  FROM (
+    SELECT doc_id, bw, bh, i,
+           (s0 * s0 + 7919 * s0) // 256 AS m
+    FROM (
+      SELECT doc_id, bw, bh, i,
+             ((doc_id // 2) * 100000 + i) % 2147483647 AS s0
+      FROM (
+        SELECT doc_id,
+               2 + (doc_id // 2) % 3 AS bw,
+               1 + (doc_id // 2) % 2 AS bh,
+               unnest(range((2 + (doc_id // 2) % 3)
+                            * (1 + (doc_id // 2) % 2))) AS i
+        FROM documents
+      ) g
+    ) g2
+  ) g3
+  GROUP BY doc_id, bw, bh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(a.bw * a.bh AS INTEGER) AS n_blocks
+FROM coef a
+JOIN coef b
+  ON a.bw = b.bw AND a.bh = b.bh AND a.key = b.key
+     AND a.doc_id < b.doc_id
+"""
+
+
+def _prog_renc_blocks(doc_id: int):
+    """Fixture: (2p, 2p+1) share quantized coefficients; parity only
+    picks the CODEC (even -> baseline, odd -> progressive)."""
+    base = doc_id // 2
+    bw, bh = 2 + base % 3, 1 + base % 2
+    blocks = []
+    for i in range(bw * bh):
+        s0 = (base * 100000 + i) % 2147483647
+        m = (s0 * s0 + 7919 * s0) // 256
+        blk = [0] * 64
+        blk[0] = m % 25 - 12
+        blk[4 * 8 + 4] = (m // 25) % 13 - 6
+        blocks.append(blk)
+    return blocks, bw, bh
+
+
+@register(
+    "mm_image_jpeg_progressive_renc_dedup",
+    oracle=_PROG_RENC_ORACLE,
+    tags=("multimodal", "image", "dedup"),
+)
+def mm_image_jpeg_progressive_renc_dedup(spark, sf_dir):
+    """Pairs of byte-different baseline/progressive re-encodes matched
+    by decode-normalized pixel digest; the cheapest dedup join (hash
+    shuffle of constant-width rows)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                blocks, bw, bh = _prog_renc_blocks(doc_id)
+                if doc_id % 2:
+                    blob = encode_jpeg_progressive(blocks, bw, bh)
+                else:
+                    blob = encode_jpeg_baseline(blocks, bw, bh)
+                dec = decode_media(bytes(blob), "image/jpeg")
+                rows.append(
+                    (
+                        doc_id,
+                        dec["width"],
+                        dec["height"],
+                        hashlib.md5(
+                            dec["pixels"].tobytes()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "w", "h", "digest"])
+
+    from pyspark.sql import functions as F
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    sig = d.mapInPandas(run, schema=schema)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), "w", "h",
+        F.col("digest").alias("dg"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), "w", "h",
+        F.col("digest").alias("dg"),
+    )
+    return (
+        a.join(b, ["w", "h", "dg"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            ((F.col("w") * F.col("h")) / 64).cast("int").alias("n_blocks"),
+        )
+    )

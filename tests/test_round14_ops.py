@@ -422,3 +422,102 @@ def test_jpeg_chroma_modes_roundtrip_planes():
         assert d1["pixels"].shape == (8 * (2 if doc_id % 3 == 0 else 1),
                                       mw * 8 * (1 if doc_id % 3 == 2 else 2),
                                       3)
+
+
+def _sos_headers(blob):
+    """Parse every SOS header (Ss, Se, Ah, Al) + entropy-slice length."""
+    out = []
+    pos = 2
+    while pos < len(blob) - 1:
+        assert blob[pos] == 0xFF
+        m = blob[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        seglen = int.from_bytes(blob[pos : pos + 2], "big")
+        if m == 0xDA:
+            seg = blob[pos + 2 : pos + seglen]
+            pos += seglen
+            end = pos
+            while end < len(blob) - 1:
+                if blob[end] == 0xFF and blob[end + 1] != 0x00:
+                    break
+                end += 1
+            out.append(
+                ((seg[3], seg[4], seg[5] >> 4, seg[5] & 15), end - pos)
+            )
+            pos = end
+        else:
+            pos += seglen
+    return out
+
+
+def test_jpeg_progressive_spectral_selection_hand_pin():
+    """The emitted scan script is exactly DC(Al=1) -> DC refine ->
+    AC band 1-5 -> AC band 6-63, and scan 3 (the all-zero 1-5 band of
+    the fixture) is ONE EOBn symbol: for 20 blocks, EOB4 + 4 extension
+    bits = 12 bits -> a 2-byte entropy segment."""
+    from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (
+        _SCAN_SCRIPT,
+        encode_jpeg_progressive,
+    )
+
+    zb = [[0] * 64 for _ in range(20)]
+    blob = encode_jpeg_progressive(zb, 20, 1)
+    scans = _sos_headers(blob)
+    assert [s[0] for s in scans] == list(_SCAN_SCRIPT)
+    # scans 3 and 4 are all-zero bands -> a single 12-bit EOBn each
+    assert scans[2][1] == 2 and scans[3][1] == 2, scans
+
+
+def test_jpeg_progressive_dc_successive_approximation_hand_case():
+    """DC=-3: first scan transports -3>>1 = -2, the refinement scan the
+    LSB (-3 & 1 = 1); the decoder's (v << 1) | bit reconstruction must
+    land on -3 exactly -> flat pixel 128 + 4*(-3) = 116."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
+    from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    blk = [0] * 64
+    blk[0] = -3
+    dec = decode_jpeg(encode_jpeg_progressive([blk], 1, 1))
+    assert dec["progressive"] and dec["n_scans"] == 4
+    assert (dec["pixels"] == 116).all()
+
+
+def test_jpeg_progressive_zrl_in_band_hand_case():
+    """AC(4,4) sits at zigzag 39; in the 6-63 band scan that is 33
+    zeros before the value -> two ZRLs + run 1. AC44=-6 with qAC=16
+    gives amp 12: corner pixels 128 + dc*4 ± 12."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
+    from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    blk = [0] * 64
+    blk[4 * 8 + 4] = -6
+    px = decode_jpeg(encode_jpeg_progressive([blk], 1, 1))["pixels"].astype(int)
+    assert px[0, 0] == 128 - 12  # s(0)s(0) = + -> 128 + (-12)
+    assert px[0, 2] == 128 + 12  # s(2) flips sign
+
+
+def test_jpeg_progressive_pair_bytes_differ_pixels_equal():
+    """The dedup fixture point: same coefficients through SOF0 vs SOF2
+    produce byte-different blobs and identical pixels."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (
+        _prog_renc_blocks,
+        encode_jpeg_progressive,
+    )
+
+    blocks, bw, bh = _prog_renc_blocks(6)
+    b0 = encode_jpeg_baseline(blocks, bw, bh)
+    b1 = encode_jpeg_progressive(blocks, bw, bh)
+    assert b0 != b1
+    assert np.array_equal(decode_jpeg(b0)["pixels"], decode_jpeg(b1)["pixels"])
