@@ -38,7 +38,16 @@ from ..catalog import table
 from ..registry import register
 from ._util import spread
 
-_SEM_K = 16  # seed centroids: embeddings with vec_id < _SEM_K
+# Cluster count SCALES with the corpus (the defining SemDeDup property
+# — fixed k would grow intra-cluster pairs quadratically, caught by the
+# r14 10x proof at x14.9): k = max(1, n div _SEM_TARGET) seed centroids
+# (embeddings with vec_id < k), so expected cluster size stays ~125 and
+# the pair stream stays LINEAR in n. At sf0.1 (n = 2000) this is the
+# original k = 16. The brute-force nearest-centroid assignment is n x k
+# rows; past the centroid broadcast budget (~10M vectors) the
+# assignment stage swaps to the IVF coarse-quantizer plan (ivfpq.py) —
+# same cluster semantics, hierarchical probe.
+_SEM_TARGET = 125  # target mean cluster size
 _TAU = 0.3  # cosine threshold (dedup_embedding_cosine's fixture value)
 _TAU2 = 0.09  # tau^2, exact decimal literal mirrored in the oracle
 
@@ -65,7 +74,10 @@ WITH v AS (
          {_DOT_DUCK.format(a="embedding", b="embedding")} AS n2
   FROM embeddings
 ),
-cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_SEM_K}),
+nk AS (
+  SELECT greatest(1, cast(count(*) AS BIGINT) // {_SEM_TARGET}) AS k FROM v
+),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v, nk WHERE vec_id < nk.k),
 scored AS (
   SELECT v.vec_id, v.e, v.n2, cent.cid,
          {_SQD_DUCK.format(a="v.e", b="cent.ce")} AS d2
@@ -124,8 +136,16 @@ def dedup_semantic_semdedup(spark, sf_dir):
         F.col("embedding").alias("e"),
         F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
     )
-    cent = v.filter(F.col("vec_id") < _SEM_K).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    nk = v.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"count(1) div {_SEM_TARGET}"),
+        ).alias("k")
+    )
+    cent = (
+        v.crossJoin(F.broadcast(nk))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
     )
     sqd = (
         "aggregate(zip_with(e, ce,"

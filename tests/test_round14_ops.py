@@ -290,7 +290,7 @@ def test_semdedup_matches_numpy_replay(spark, sf_dir):
     import pyarrow.parquet as pq
 
     from open_molecule_data_pipeline_spark.operators.semdedup import (
-        _SEM_K,
+        _SEM_TARGET,
         _TAU2,
         dedup_semantic_semdedup,
     )
@@ -302,8 +302,9 @@ def test_semdedup_matches_numpy_replay(spark, sf_dir):
     E = np.stack(t.embedding.values).astype(np.float64)
     order = np.argsort(ids)
     ids, E = ids[order], E[order]
-    cent = E[ids < _SEM_K]
-    cent_ids = ids[ids < _SEM_K]
+    k = max(1, len(E) // _SEM_TARGET)
+    cent = E[ids < k]
+    cent_ids = ids[ids < k]
     d2 = ((E[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     # argmin with cid tiebreak == row_number over (d2, cid)
     assign = cent_ids[
