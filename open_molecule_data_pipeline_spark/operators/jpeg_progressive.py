@@ -12,7 +12,7 @@ progressive-DCT (SOF2) entropy layer for grayscale:
   ``dc >> Al`` (arithmetic shift, per T.81 G.1.2.1) diff-coded like
   baseline; each refinement scan appends the next lower bit
   (``coef |= bit << Al`` — exact for negatives in two's complement).
-- **EOB runs (EOBn)**: AC-first scans code runs of end-of-band blocks
+- **EOB runs (EOBn)**: AC scans code runs of end-of-band blocks
   as ``(r << 4)`` symbols with ``r`` extension bits — the decoder's
   ``eobrun = (1 << r) - 1 + bits(r)`` covers the current block plus
   ``eobrun`` following blocks, exactly libjpeg's accounting. ZRL and
@@ -24,10 +24,18 @@ coefficient fixtures is all-zero, so scan 3 is a single maximal EOBRUN
 over the whole image, while the (4,4) coefficient sits at zigzag index
 39 — 33 zeros past Ss=6, forcing two ZRLs before its (run, size) code.
 
-Out of scope, failing loudly (no garbage decodes): AC successive-
-approximation refinement scans (Ss > 0 with Ah > 0), progressive color,
-restart intervals. The baseline ``decode_jpeg`` dispatches SOF2 files
-here, so ``decode_media`` callers get progressive support transparently.
+- **Successive approximation for AC** (r14b): first scans transport
+  ``|coef| / 2^Al`` (toward-zero point transform); refinement scans
+  mirror libjpeg jd/jcphuff exactly — size-1 run codes newly-signify
+  coefficients with a sign bit, every nonzero-history coefficient
+  passed reads one magnitude correction bit (including inside ZRLs and
+  EOB runs, whose buffered bits ride behind the next emitted symbol),
+  and the refinement EOBRUN counter includes the current block.
+
+Out of scope, failing loudly (no garbage decodes): progressive color
+and restart intervals. The baseline ``decode_jpeg`` dispatches SOF2
+files here, so ``decode_media`` callers get progressive support
+transparently.
 
 Scale shape: identical to every other codec in the ladder — one
 Arrow-batched ``mapInPandas`` decode boundary, per-partition linear,
@@ -308,11 +316,57 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             else:
                 for b in range(nblk):
                     coef[b][0] |= rd.bit() << al
-        else:  # AC scan
-            if ah != 0:
-                raise NotImplementedError(
-                    "AC successive-approximation refinement unsupported"
-                )
+        elif ah != 0:  # AC successive-approximation refinement (r14b)
+            # libjpeg jdphuff.c decode_mcu_AC_refine, exactly: size-1
+            # run codes newly-signify a zero-history coefficient
+            # (sign bit 1 = +2^Al); every nonzero-history coefficient
+            # passed — including inside ZRLs and EOB runs — reads one
+            # correction bit; the EOBRUN counter here INCLUDES the
+            # current block (its remainder still consumes bits).
+            ac_tab = huff[(1, ta)]
+            p1, m1 = 1 << al, -1 << al
+            eobrun = 0
+            for b in range(nblk):
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        s = sym(ac_tab)
+                        r, sz = s >> 4, s & 15
+                        val = 0
+                        if sz == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history slots
+                        else:
+                            assert sz == 1, "refinement size must be 1"
+                            val = p1 if rd.bit() else m1
+                        while k <= se:
+                            c = coef[b][ZIGZAG[k]]
+                            if c != 0:
+                                if rd.bit() and (c & p1) == 0:
+                                    coef[b][ZIGZAG[k]] = c + (
+                                        p1 if c >= 0 else m1
+                                    )
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val != 0 and k <= se:
+                            coef[b][ZIGZAG[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = coef[b][ZIGZAG[k]]
+                        if c != 0:
+                            if rd.bit() and (c & p1) == 0:
+                                coef[b][ZIGZAG[k]] = c + (
+                                    p1 if c >= 0 else m1
+                                )
+                        k += 1
+                    eobrun -= 1
+        else:  # AC first scan
             ac_tab = huff[(1, ta)]
             eobrun = 0
             for b in range(nblk):
@@ -565,3 +619,215 @@ def mm_image_jpeg_progressive_renc_dedup(spark, sf_dir):
             ((F.col("w") * F.col("h")) / 64).cast("int").alias("n_blocks"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full successive approximation (r14b): AC-refinement ENCODER + the
+# 6-scan script libjpeg-shaped progressive files actually use —
+# DC/2 -> DC LSB -> both AC bands at Al=1 -> both AC bands refined to
+# Al=0. The refinement encoder mirrors jcphuff.c encode_mcu_AC_refine:
+# newly-significant coefficients (shifted magnitude == 1) emit
+# (run, 1) codes with a sign bit; already-significant ones buffer one
+# magnitude correction bit each, flushed after the next symbol (ZRL,
+# newly-significant, or EOBn); trailing runs fold into a carried
+# EOBRUN whose buffered correction bits ride behind the EOBn code.
+# --------------------------------------------------------------------------
+
+_SA_SCAN_SCRIPT = (
+    (0, 0, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def _encode_ac_refine(bw_: _BitWriter, blocks, ss: int, se: int, al: int):
+    eobrun = 0
+    pending: list[int] = []  # correction bits carried with the EOBRUN
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = _AC_P_CODES[r << 4]
+            bw_.put(code, ln)
+            if r:
+                bw_.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for bit in pending:
+            bw_.put(bit, 1)
+        pending = []
+
+    for blk in blocks:
+        ks = list(range(ss, se + 1))
+        absv = [abs(int(blk[ZIGZAG[k]])) >> al for k in ks]
+        eob = ss - 1  # position of the last newly-significant coeff
+        for i, k in enumerate(ks):
+            if absv[i] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []  # correction bits buffered within the block
+        for i, k in enumerate(ks):
+            temp = absv[i]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                emit_eobrun()
+                code, ln = _AC_P_CODES[0xF0]
+                bw_.put(code, ln)
+                r -= 16
+                for bit in br:
+                    bw_.put(bit, 1)
+                br = []
+            if temp > 1:  # already significant: buffer the next bit
+                br.append(temp & 1)
+                continue
+            emit_eobrun()  # newly significant
+            code, ln = _AC_P_CODES[(r << 4) | 1]
+            bw_.put(code, ln)
+            bw_.put(0 if int(blk[ZIGZAG[k]]) < 0 else 1, 1)
+            for bit in br:
+                bw_.put(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def encode_jpeg_progressive_sa(blocks, bw: int, bh: int, qtable=None) -> bytes:
+    """Encode with the full 6-scan successive-approximation script
+    (spectral selection AND AC refinement — the libjpeg-shaped file)."""
+    qtable = _QTABLE if qtable is None else qtable
+    assert len(blocks) == bw * bh
+    out = bytearray(b"\xff\xd8")
+    out += _JFIF_APP0
+    out += _dqt_segment(qtable, 0)
+    h, w = bh * 8, bw * 8
+    out += b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08"
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += b"\x01" + b"\x01\x11\x00"
+    out += _dht_segments_progressive()
+    for ss, se, ah, al in _SA_SCAN_SCRIPT:
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00"
+        out += bytes([ss, se, (ah << 4) | al])
+        bw_ = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                _encode_dc_first(bw_, blocks, al)
+            else:
+                _encode_dc_refine(bw_, blocks, al)
+        elif ah == 0:
+            _encode_ac_first(bw_, blocks, ss, se, al)
+        else:
+            _encode_ac_refine(bw_, blocks, ss, se, al)
+        bw_.flush()
+        out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# SA decode query: a wider-amplitude fixture (AC44 in -3..3) so the
+# refinement scans exercise BOTH paths across docs — |AC| >= 2 arrives
+# in the Al=1 first scan and receives a CORRECTION bit in the refine
+# scan, |AC| == 1 shifts to zero at Al=1 and is NEWLY SIGNIFIED by the
+# refine scan itself. Same closed form as the baseline oracle (AC sums
+# vanish per block; amp = 2*|b| at qAC = 16).
+# --------------------------------------------------------------------------
+
+
+def synth_sa_blocks(doc_id: int):
+    """DC = (doc_id+3i)%5-2, AC(4,4) = (doc_id+i)%7-3 per block i."""
+    bw, bh = 2 + doc_id % 3, 1 + doc_id % 2
+    blocks = []
+    for i in range(bw * bh):
+        blk = [0] * 64
+        blk[0] = (doc_id + 3 * i) % 5 - 2
+        blk[4 * 8 + 4] = (doc_id + i) % 7 - 3
+        blocks.append(blk)
+    return blocks, bw, bh
+
+
+_SA_ORACLE = """
+SELECT doc_id,
+       cast((2 + doc_id % 3) * 8 AS INTEGER) AS width,
+       cast((1 + doc_id % 2) * 8 AS INTEGER) AS height,
+       cast(6 AS INTEGER) AS n_scans,
+       cast(sum(64 * (128 + 4 * ((doc_id + 3 * i) % 5 - 2))) AS BIGINT)
+         AS sum_px,
+       cast(min(128 + 4 * ((doc_id + 3 * i) % 5 - 2)
+                    - 2 * abs((doc_id + i) % 7 - 3)) AS BIGINT) AS min_px,
+       cast(max(128 + 4 * ((doc_id + 3 * i) % 5 - 2)
+                    + 2 * abs((doc_id + i) % 7 - 3)) AS BIGINT) AS max_px,
+       cast(128 + 4 * (doc_id % 5 - 2) + 2 * (doc_id % 7 - 3) AS BIGINT)
+         AS px00
+FROM (
+  SELECT doc_id,
+         unnest(range((2 + doc_id % 3) * (1 + doc_id % 2))) AS i
+  FROM documents
+) g
+GROUP BY doc_id
+"""
+
+
+@register(
+    "mm_image_jpeg_progressive_sa_decode",
+    oracle=_SA_ORACLE,
+    tags=("multimodal", "image"),
+)
+def mm_image_jpeg_progressive_sa_decode(spark, sf_dir):
+    """Decode per-doc 6-scan successive-approximation progressive JPEGs
+    (AC refinement scans included) in one Arrow-batched pass."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_scans", T.IntegerType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+            T.StructField("px00", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                blocks, bw, bh = synth_sa_blocks(doc_id)
+                blob = encode_jpeg_progressive_sa(blocks, bw, bh)
+                dec = decode_media(bytes(blob), "image/jpeg")
+                px = dec["pixels"].astype("int64")
+                rows.append(
+                    (
+                        doc_id,
+                        dec["width"],
+                        dec["height"],
+                        int(dec["n_scans"]),
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                        int(px[0, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_scans",
+                    "sum_px", "min_px", "max_px", "px00",
+                ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)

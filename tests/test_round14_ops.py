@@ -522,3 +522,87 @@ def test_jpeg_progressive_pair_bytes_differ_pixels_equal():
     b1 = encode_jpeg_progressive(blocks, bw, bh)
     assert b0 != b1
     assert np.array_equal(decode_jpeg(b0)["pixels"], decode_jpeg(b1)["pixels"])
+
+
+def test_jpeg_ac_refinement_correction_and_newly_significant_hand_case():
+    """One block, AC44 = 3 and AC(0,1) = 1. Al=1 first scans send
+    AC44 -> 1 (|3|>>1), AC(0,1) -> 0. The refinement scan must (a)
+    append the correction bit to AC44 (3 & 1 = 1 -> magnitude 2 -> 3)
+    and (b) NEWLY-SIGNIFY AC(0,1) with a (run,1) code + sign bit.
+    Decoded pixels must equal the baseline decode exactly."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive_sa,
+    )
+
+    blk = [0] * 64
+    blk[4 * 8 + 4] = 3
+    blk[1] = 1  # natural (0,1) — zigzag index 1, inside the 1-5 band
+    base = decode_jpeg(encode_jpeg_baseline([blk], 1, 1))
+    prog = decode_jpeg(encode_jpeg_progressive_sa([blk], 1, 1))
+    assert prog["n_scans"] == 6
+    assert np.array_equal(base["pixels"], prog["pixels"])
+
+
+def test_jpeg_ac_refinement_correction_bits_inside_eobrun():
+    """Blocks whose band holds ONLY already-significant coefficients
+    fold into the refinement EOBRUN with their correction bits buffered
+    behind the EOBn symbol — 3 such blocks must still decode exactly."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive_sa,
+    )
+
+    blocks = []
+    for v in (2, 3, -2):  # |v| >= 2: significant at Al=1, refined at 0
+        blk = [0] * 64
+        blk[4 * 8 + 4] = v
+        blocks.append(blk)
+    base = decode_jpeg(encode_jpeg_baseline(blocks, 3, 1))
+    prog = decode_jpeg(encode_jpeg_progressive_sa(blocks, 3, 1))
+    assert np.array_equal(base["pixels"], prog["pixels"])
+
+
+def test_jpeg_sa_dense_fuzz_matches_baseline():
+    """Deterministic LCG fuzz: dense multi-coefficient blocks through
+    the 6-scan SA script decode identically to baseline — ZRL + buffered
+    correction interleavings, carried EOBRUNs, negative refinements."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive_sa,
+    )
+
+    def prand(seed):
+        s = seed
+        while True:
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            yield s
+
+    for trial in range(20):
+        g = prand(trial + 7)
+        nb = 1 + next(g) % 6
+        blocks = []
+        for _ in range(nb):
+            blk = [0] * 64
+            blk[0] = next(g) % 41 - 20
+            for _ in range(next(g) % 12):
+                blk[1 + next(g) % 63] = next(g) % 31 - 15
+            blocks.append(blk)
+        b1 = decode_jpeg(encode_jpeg_baseline(blocks, nb, 1))
+        b2 = decode_jpeg(encode_jpeg_progressive_sa(blocks, nb, 1))
+        assert np.array_equal(b1["pixels"], b2["pixels"]), trial
