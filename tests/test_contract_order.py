@@ -46,7 +46,7 @@ FAMILY_TAGS = (
 # own CORRECTNESS artifact (dropped by the driver mid-round) must not
 # retroactively invalidate the window it verified (ADVICE r10). Bump in
 # the same commit as each rotation.
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 
 def _cumulative_green_counts() -> dict[str, int]:
@@ -133,16 +133,42 @@ def test_contract_preserves_all_other_queries():
 # already-driver-green names allowed inside the head-50 window (re-proof
 # slots). Update per round alongside the CONTRACT_ORDER head comment.
 CHANGED_THIS_ROUND: set[str] = {
-    # r13: the color-JPEG refactor touched the grayscale pair's module
-    # (shared encoder/decoder helpers); the three ts oracles gained the
-    # div-truncation mirror (ADVICE r12); ml_gbt_two_rounds hosts the
-    # reworded leaf-prediction docstring (same file, re-proof is cheap).
+    # r14: the two ADVICE r13 oracle hardenings; the corpus_refinery.py
+    # family split (13 moved queries + the 4 residents of the shrunk
+    # module); the jpeg.py codec generalization (chroma modes + SOF2
+    # dispatch) touching the 4 prior jpeg queries; the bench-flag swap
+    # pair; the kn_lm.py co-residents of the appended 4-gram section.
+    "agg_exponential_decay_counts",
+    "profile_jarque_bera",
+    "agg_countmin_heavy_hitters",
+    "agg_kmv_distinct",
+    "agg_kmv_merge",
+    "agg_kmv_intersect",
+    "agg_hll_sketch_merge",
+    "agg_misra_gries_verdict",
+    "agg_bitmap_distinct",
+    "agg_approx_percentile_verdict",
+    "dq_constraint_report",
+    "dq_observe_metrics",
+    "profile_skew_keys",
+    "profile_psi_drift",
+    "profile_benford_first_digit",
+    "dedup_boilerplate_lines",
+    "text_bloom_decontaminate",
+    "corpus_pipeline_report",
+    "corpus_funnel_report",
     "mm_image_jpeg_decode",
     "mm_image_jpeg_renc_dedup",
-    "ts_dtw_pairwise",
-    "ts_granger_screen",
-    "ts_periodogram_top_period",
-    "ml_gbt_two_rounds",
+    "mm_image_jpeg_color_decode",
+    "mm_image_jpeg_color_renc_dedup",
+    "graph_louvain_pass",
+    "graph_pagerank_3iter",
+    "text_kn_bigram_model",
+    "text_kn_bigram_ppl",
+    "text_kn_oov_backoff",
+    "text_ccnet_ppl_buckets",
+    "text_min_k_prob_audit",
+    "text_kn_trigram_ppl",
 }
 
 
