@@ -606,3 +606,78 @@ def test_jpeg_sa_dense_fuzz_matches_baseline():
         b1 = decode_jpeg(encode_jpeg_baseline(blocks, nb, 1))
         b2 = decode_jpeg(encode_jpeg_progressive_sa(blocks, nb, 1))
         assert np.array_equal(b1["pixels"], b2["pixels"]), trial
+
+
+def test_gopher_repetition_matches_python_replay(spark, sf_dir):
+    """Pure-Python Gopher replay: same 2/3-gram duplicate fractions,
+    top-coverage, aligned-segment duplicates, thresholds, and exact
+    per-language integer means."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.gopher_quality import (
+        _SEG,
+        _T_DUP2,
+        _T_DUP3,
+        _T_DUPSEG,
+        _T_TOP2,
+        _T_TOP3,
+        text_gopher_repetition,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+
+    def ngram_stats(tk, n):
+        grams = [tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        if not grams:
+            return 0, 0
+        c = Counter(grams)
+        dup = sum(v for v in c.values() if v > 1)
+        return dup * 1_000_000 // len(grams), max(c.values()) * n * 1_000_000 // len(tk)
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0, 0])  # n, flags, 5 sums
+    for r in t.itertuples():
+        tk = [w for w in r.text.split(" ") if w]
+        d2, t2 = ngram_stats(tk, 2)
+        d3, t3 = ngram_stats(tk, 3)
+        segs = [
+            tuple(tk[_SEG * i : _SEG * i + _SEG])
+            for i in range((len(tk) - 1) // _SEG + 1)
+            if len(tk[_SEG * i : _SEG * i + _SEG]) == _SEG
+        ]
+        if segs:
+            c = Counter(segs)
+            ds = sum(v for v in c.values() if v > 1) * 1_000_000 // len(segs)
+        else:
+            ds = 0
+        flag = int(
+            d2 > _T_DUP2 or d3 > _T_DUP3 or t2 > _T_TOP2
+            or t3 > _T_TOP3 or ds > _T_DUPSEG
+        )
+        a = agg[r.lang]
+        a[0] += 1
+        a[1] += flag
+        for i, v in enumerate((d2, t2, d3, t3, ds)):
+            a[2 + i] += v
+    expect = {
+        lang: (
+            a[0], a[1],
+            a[2] // a[0], a[3] // a[0], a[4] // a[0],
+            a[5] // a[0], a[6] // a[0],
+        )
+        for lang, a in agg.items()
+    }
+    rows = text_gopher_repetition(spark, sf_dir).collect()
+    got = {
+        r.lang: (
+            r.n_docs, r.n_flagged,
+            r.mean_dup2_ppm, r.mean_top2_ppm, r.mean_dup3_ppm,
+            r.mean_top3_ppm, r.mean_dupseg_ppm,
+        )
+        for r in rows
+    }
+    assert got == expect
+    assert sum(v[1] for v in expect.values()) > 0  # thresholds exercised
