@@ -86,15 +86,17 @@ _AC_P_BITS[7] = len(_AC_P_SYMS)  # code length 8
 _AC_P_CODES = _build_codes(_AC_P_BITS, _AC_P_SYMS)
 
 
-def _dht_segments_progressive() -> bytes:
-    """DC table 0 (baseline alphabet) + AC table 0 (EOBn-extended)."""
+def _dht_segments_progressive(table_ids=(0,)) -> bytes:
+    """DC (baseline alphabet) + AC (EOBn-extended) DHT segments for each
+    requested table id."""
     out = bytearray()
-    for cls, bits, syms in (
-        (0, _DC_BITS, _DC_SYMS),
-        (1, _AC_P_BITS, _AC_P_SYMS),
-    ):
-        out += b"\xff\xc4" + (3 + 16 + len(syms)).to_bytes(2, "big")
-        out += bytes([(cls << 4) | 0]) + bytes(bits) + bytes(syms)
+    for tid in table_ids:
+        for cls, bits, syms in (
+            (0, _DC_BITS, _DC_SYMS),
+            (1, _AC_P_BITS, _AC_P_SYMS),
+        ):
+            out += b"\xff\xc4" + (3 + 16 + len(syms)).to_bytes(2, "big")
+            out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(syms)
     return bytes(out)
 
 
@@ -200,8 +202,11 @@ def encode_jpeg_progressive(blocks, bw: int, bh: int, qtable=None) -> bytes:
 
 
 def decode_jpeg_progressive(payload: bytes) -> dict:
-    """Decode a grayscale progressive (SOF2) JPEG: accumulate quantized
-    coefficients across every scan, then dequantize + IDCT once."""
+    """Decode a progressive (SOF2) JPEG — grayscale or YCbCr color with
+    chroma 1x1 and Y sampling 2x2 / 2x1 / 1x1: accumulate quantized
+    coefficients across every scan (interleaved DC scans in MCU order,
+    non-interleaved AC scans in each component's own block raster),
+    then dequantize + IDCT once."""
     import numpy as np
 
     assert payload[:2] == b"\xff\xd8", "not a JPEG (SOI missing)"
@@ -210,7 +215,7 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = 0
     comps: list[tuple[int, int, int, int]] = []
-    scans: list[tuple[tuple[int, int], tuple[int, int, int, int], bytes]] = []
+    scans: list = []  # (comp_specs, (ss, se, ah, al), entropy bytes)
     while pos < len(payload):
         assert payload[pos] == 0xFF, "marker expected"
         m = payload[pos + 1]
@@ -269,10 +274,18 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             raise NotImplementedError("restart intervals unsupported")
         elif m == 0xDA:
             ns = seg[0]
-            assert ns == 1, "progressive color scans unsupported"
-            tables = (seg[2] >> 4, seg[2] & 15)
-            ss, se = seg[3], seg[4]
-            ah, al = seg[5] >> 4, seg[5] & 15
+            cspecs = []
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                ci = next(
+                    j for j, c in enumerate(comps) if c[0] == cid
+                )
+                cspecs.append(
+                    (ci, seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+                )
+            o = 1 + 2 * ns
+            ss, se = seg[o], seg[o + 1]
+            ah, al = seg[o + 2] >> 4, seg[o + 2] & 15
             pos += seglen
             # entropy data runs to the next true marker (0xFF followed
             # by anything but the 0x00 stuffing byte)
@@ -281,17 +294,34 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                 if payload[end] == 0xFF and payload[end + 1] != 0x00:
                     break
                 end += 1
-            scans.append((tables, (ss, se, ah, al), payload[pos:end]))
+            scans.append((cspecs, (ss, se, ah, al), payload[pos:end]))
             pos = end
             continue
         pos += seglen
     assert w and h and comps and scans, "incomplete progressive JPEG"
-    if len(comps) != 1 or comps[0][1:3] != (1, 1):
-        raise NotImplementedError("progressive color unsupported")
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    nblk = bw_ * bh_
-    coef = [[0] * 64 for _ in range(nblk)]
-    for (td, ta), (ss, se, ah, al), data in scans:
+    if len(comps) == 1:
+        if comps[0][1:3] != (1, 1):
+            raise NotImplementedError("grayscale must be 1x1 sampling")
+    elif (
+        len(comps) != 3
+        or comps[1][1:3] != (1, 1)
+        or comps[2][1:3] != (1, 1)
+        or comps[0][1:3] not in ((2, 2), (2, 1), (1, 1))
+    ):
+        raise NotImplementedError(
+            "progressive: grayscale (1x1) or YCbCr with chroma 1x1 and "
+            "Y 2x2|2x1|1x1 only"
+        )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = [(mx * c[1], my * c[2]) for c in comps]  # (blocks across, down)
+    coef = [
+        [[0] * 64 for _ in range(gw * gh)] for gw, gh in grids
+    ]
+
+    for cspecs, (ss, se, ah, al), data in scans:
         rd = _BitReader(data)
 
         def sym(tab):
@@ -304,105 +334,159 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                     return s
                 assert ln <= 16, "invalid Huffman stream"
 
-        if ss == 0:  # DC scan
+        if ss == 0:  # DC scan — interleaved MCU order (or single comp)
             assert se == 0, "DC scan must be Ss=Se=0"
-            if ah == 0:
-                dc_tab = huff[(0, td)]
-                pred = 0
-                for b in range(nblk):
-                    t = sym(dc_tab)
-                    pred += _extend(rd.bits(t), t)
-                    coef[b][0] = pred << al
-            else:
-                for b in range(nblk):
-                    coef[b][0] |= rd.bit() << al
-        elif ah != 0:  # AC successive-approximation refinement (r14b)
-            # libjpeg jdphuff.c decode_mcu_AC_refine, exactly: size-1
-            # run codes newly-signify a zero-history coefficient
-            # (sign bit 1 = +2^Al); every nonzero-history coefficient
-            # passed — including inside ZRLs and EOB runs — reads one
-            # correction bit; the EOBRUN counter here INCLUDES the
-            # current block (its remainder still consumes bits).
-            ac_tab = huff[(1, ta)]
-            p1, m1 = 1 << al, -1 << al
-            eobrun = 0
-            for b in range(nblk):
-                k = ss
-                if eobrun == 0:
-                    while k <= se:
-                        s = sym(ac_tab)
-                        r, sz = s >> 4, s & 15
-                        val = 0
-                        if sz == 0:
-                            if r != 15:
-                                eobrun = (1 << r) + (rd.bits(r) if r else 0)
-                                break
-                            # r == 15: ZRL — skip 16 zero-history slots
-                        else:
-                            assert sz == 1, "refinement size must be 1"
-                            val = p1 if rd.bit() else m1
-                        while k <= se:
-                            c = coef[b][ZIGZAG[k]]
-                            if c != 0:
-                                if rd.bit() and (c & p1) == 0:
-                                    coef[b][ZIGZAG[k]] = c + (
-                                        p1 if c >= 0 else m1
-                                    )
+            preds = [0] * len(cspecs)
+            for m in range(mx * my):
+                mr, mc = m // mx, m % mx
+                for si, (ci, td, _ta) in enumerate(cspecs):
+                    hi, vi = comps[ci][1], comps[ci][2]
+                    # single-comp scans traverse the comp grid 1:1 with
+                    # the MCU loop only when hi == vi == 1 (true for all
+                    # supported single-comp cases: grayscale, chroma)
+                    if len(cspecs) == 1 and (hi, vi) != (1, 1):
+                        raise NotImplementedError(
+                            "non-interleaved DC scan for sampled comp"
+                        )
+                    for kr in range(vi):
+                        for kc in range(hi):
+                            bidx = (mr * vi + kr) * grids[ci][0] + (
+                                mc * hi + kc
+                            )
+                            blk = coef[ci][bidx]
+                            if ah == 0:
+                                t = sym(huff[(0, td)])
+                                preds[si] += _extend(rd.bits(t), t)
+                                blk[0] = preds[si] << al
                             else:
-                                if r == 0:
-                                    break
-                                r -= 1
-                            k += 1
-                        if val != 0 and k <= se:
-                            coef[b][ZIGZAG[k]] = val
-                        k += 1
-                if eobrun > 0:
-                    while k <= se:
-                        c = coef[b][ZIGZAG[k]]
-                        if c != 0:
-                            if rd.bit() and (c & p1) == 0:
-                                coef[b][ZIGZAG[k]] = c + (
-                                    p1 if c >= 0 else m1
-                                )
-                        k += 1
-                    eobrun -= 1
-        else:  # AC first scan
+                                blk[0] |= rd.bit() << al
+        else:  # AC scan — non-interleaved, one component
+            assert len(cspecs) == 1, "AC scans must be non-interleaved"
+            ci, _td, ta = cspecs[0]
             ac_tab = huff[(1, ta)]
-            eobrun = 0
-            for b in range(nblk):
-                if eobrun > 0:
-                    eobrun -= 1
-                    continue
-                k = ss
-                while k <= se:
-                    s = sym(ac_tab)
-                    r, sz = s >> 4, s & 15
-                    if sz == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
-                        break
-                    k += r
-                    coef[b][ZIGZAG[k]] = _extend(rd.bits(sz), sz) << al
-                    k += 1
-    q = qt[comps[0][3]]
-    img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
-    for b in range(nblk):
-        coeffs = np.zeros((8, 8), dtype=np.float64)
-        for k in range(64):
-            coeffs[k // 8][k % 8] = coef[b][k] * q[k]
-        px = np.clip(np.round(_idct_block(coeffs) + 128), 0, 255)
-        r, c = (b // bw_) * 8, (b % bw_) * 8
-        img[r : r + 8, c : c + 8] = px.astype(np.uint8)
+            blocks = coef[ci]
+            if ah != 0:
+                _decode_ac_refine_scan(rd, sym, ac_tab, blocks, ss, se, al)
+            else:
+                _decode_ac_first_scan(rd, sym, ac_tab, blocks, ss, se, al)
+
+    def comp_plane(ci):
+        gw, gh = grids[ci]
+        q = qt[comps[ci][3]]
+        img = np.zeros((gh * 8, gw * 8), dtype=np.uint8)
+        for b in range(gw * gh):
+            coeffs = np.zeros((8, 8), dtype=np.float64)
+            for k in range(64):
+                coeffs[k // 8][k % 8] = coef[ci][b][k] * q[k]
+            px = np.clip(np.round(_idct_block(coeffs) + 128), 0, 255)
+            r, c = (b // gw) * 8, (b % gw) * 8
+            img[r : r + 8, c : c + 8] = px.astype(np.uint8)
+        return img
+
+    if len(comps) == 1:
+        img = comp_plane(0)
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "progressive": True,
+            "n_scans": len(scans),
+            "pixels": img[:h, :w],
+        }
+    hy, vy = comps[0][1], comps[0][2]
+    yp, cbp, crp = comp_plane(0), comp_plane(1), comp_plane(2)
+    yv = yp.astype(np.int64)
+    cb = np.repeat(np.repeat(cbp, vy, 0), hy, 1).astype(np.int64) - 128
+    cr = np.repeat(np.repeat(crp, vy, 0), hy, 1).astype(np.int64) - 128
+    from .jpeg import _FIX_B_CB, _FIX_G_CB, _FIX_G_CR, _FIX_R_CR
+
+    r = yv + ((_FIX_R_CR * cr + 32768) >> 16)
+    g = yv - ((_FIX_G_CB * cb + _FIX_G_CR * cr + 32768) >> 16)
+    b = yv + ((_FIX_B_CB * cb + 32768) >> 16)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    ch, cw = (h + vy - 1) // vy, (w + hy - 1) // hy
     return {
         "width": w,
         "height": h,
-        "channels": 1,
+        "channels": 3,
+        "sampling": {(2, 2): "420", (2, 1): "422", (1, 1): "444"}[(hy, vy)],
         "progressive": True,
         "n_scans": len(scans),
-        "pixels": img[:h, :w],
+        "pixels": rgb[:h, :w],
+        "planes": {
+            "y": yp[:h, :w],
+            "cb": cbp[:ch, :cw],
+            "cr": crp[:ch, :cw],
+        },
     }
+
+
+def _decode_ac_first_scan(rd, sym, ac_tab, blocks, ss, se, al):
+    """AC first scan (Ah=0) over a component's blocks in raster order."""
+    eobrun = 0
+    for blk in blocks:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            s = sym(ac_tab)
+            r, sz = s >> 4, s & 15
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
+                break
+            k += r
+            blk[ZIGZAG[k]] = _extend(rd.bits(sz), sz) << al
+            k += 1
+
+
+def _decode_ac_refine_scan(rd, sym, ac_tab, blocks, ss, se, al):
+    """AC refinement scan — libjpeg jdphuff.c decode_mcu_AC_refine,
+    exactly: size-1 run codes newly-signify a zero-history coefficient
+    (sign bit 1 = +2^Al); every nonzero-history coefficient passed —
+    including inside ZRLs and EOB runs — reads one correction bit; the
+    EOBRUN counter here INCLUDES the current block."""
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    for blk in blocks:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                s = sym(ac_tab)
+                r, sz = s >> 4, s & 15
+                val = 0
+                if sz == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history slots
+                else:
+                    assert sz == 1, "refinement size must be 1"
+                    val = p1 if rd.bit() else m1
+                while k <= se:
+                    c = blk[ZIGZAG[k]]
+                    if c != 0:
+                        if rd.bit() and (c & p1) == 0:
+                            blk[ZIGZAG[k]] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0 and k <= se:
+                    blk[ZIGZAG[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = blk[ZIGZAG[k]]
+                if c != 0:
+                    if rd.bit() and (c & p1) == 0:
+                        blk[ZIGZAG[k]] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
 
 
 # --------------------------------------------------------------------------
@@ -826,6 +910,198 @@ def mm_image_jpeg_progressive_sa_decode(spark, sf_dir):
                 columns=[
                     "doc_id", "width", "height", "n_scans",
                     "sum_px", "min_px", "max_px", "px00",
+                ],
+            )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Progressive COLOR (r14c): the full crawl shape — SOF2 YCbCr with
+# interleaved DC scans (MCU order, per-component predictors) and
+# non-interleaved AC scans, one per component, traversing that
+# component's own block raster (NOT MCU order — for sampled Y these
+# differ, which is exactly the layout subtlety T.81 A.2 prescribes).
+# The 8-scan script: interleaved DC/2 -> interleaved DC LSB -> AC
+# first at Al=1 per component (Y, Cb, Cr) -> AC refinement to Al=0 per
+# component. Works for every chroma layout the baseline decoder
+# accepts (4:2:0 / 4:2:2 / 4:4:4).
+# --------------------------------------------------------------------------
+
+
+def _y_raster_order(y_blocks, mw, mh, hy, vy):
+    """Reorder MCU-major luma blocks into the component block raster."""
+    gw = mw * hy
+    out = [None] * (gw * mh * vy)
+    nyb = hy * vy
+    for m in range(mw * mh):
+        mr, mc = m // mw, m % mw
+        for k in range(nyb):
+            kr, kc = k // hy, k % hy
+            out[(mr * vy + kr) * gw + (mc * hy + kc)] = y_blocks[
+                nyb * m + k
+            ]
+    return out
+
+
+def encode_jpeg_progressive_color(
+    y_blocks, cb_blocks, cr_blocks, mw: int, mh: int,
+    samp: str = "420", qtab_y=None, qtab_c=None,
+) -> bytes:
+    """Encode a YCbCr progressive (SOF2) JFIF from quantized-coefficient
+    blocks (same inputs as ``jpeg.encode_jpeg_color``) with the 8-scan
+    interleaved-DC / per-component-AC successive-approximation script."""
+    from .jpeg import _QTABLE_C, _SAMP_GEOM
+
+    qtab_y = _QTABLE if qtab_y is None else qtab_y
+    qtab_c = _QTABLE_C if qtab_c is None else qtab_c
+    hy, vy = _SAMP_GEOM[samp]
+    n_mcu = mw * mh
+    nyb = hy * vy
+    assert len(y_blocks) == nyb * n_mcu
+    assert len(cb_blocks) == len(cr_blocks) == n_mcu
+    out = bytearray(b"\xff\xd8")
+    out += _JFIF_APP0
+    out += _dqt_segment(qtab_y, 0)
+    out += _dqt_segment(qtab_c, 1)
+    h, w = mh * 8 * vy, mw * 8 * hy
+    out += b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"  # SOF2, 3 comps
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    out += b"\x03" + b"\x01" + bytes([(hy << 4) | vy]) + b"\x00"
+    out += b"\x02\x11\x01" + b"\x03\x11\x01"
+    out += _dht_segments_progressive((0, 1))
+
+    def sos(comps_bytes, ss, se, ah, al):
+        ns = len(comps_bytes) // 2
+        seg = bytes([ns]) + comps_bytes + bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (2 + len(seg)).to_bytes(2, "big") + seg
+
+    # scans 1-2: interleaved DC (per-comp predictors, MCU order)
+    for ah, al in ((0, 1), (1, 0)):
+        out += sos(b"\x01\x00\x02\x11\x03\x11", 0, 0, ah, al)
+        bw_ = _BitWriter()
+        preds = [0, 0, 0]
+        for m in range(n_mcu):
+            for ci, blks, per in (
+                (0, y_blocks, nyb),
+                (1, cb_blocks, 1),
+                (2, cr_blocks, 1),
+            ):
+                for k in range(per):
+                    blk = blks[per * m + k]
+                    if ah == 0:
+                        v = int(blk[0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = _category(diff)
+                        code, ln = _DC_CODES[t]
+                        bw_.put(code, ln)
+                        if t:
+                            bw_.put(
+                                diff if diff > 0 else diff + (1 << t) - 1, t
+                            )
+                    else:
+                        bw_.put((int(blk[0]) >> al) & 1, 1)
+        bw_.flush()
+        out += bw_.out
+    # scans 3-8: per-component AC first (Al=1) then AC refine (Al=0),
+    # each over the component's own block raster
+    y_raster = _y_raster_order(y_blocks, mw, mh, hy, vy)
+    comp_scans = (
+        (b"\x01\x00", y_raster),
+        (b"\x02\x11", cb_blocks),
+        (b"\x03\x11", cr_blocks),
+    )
+    for refine in (False, True):
+        for cb_hdr, blks in comp_scans:
+            out += sos(cb_hdr, 1, 63, 1 if refine else 0, 0 if refine else 1)
+            bw_ = _BitWriter()
+            if refine:
+                _encode_ac_refine(bw_, blks, 1, 63, 0)
+            else:
+                _encode_ac_first(bw_, blks, 1, 63, 1)
+            bw_.flush()
+            out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive color decode query: the r14 mixed-sampling fixture
+# (420/422/444 by doc) pushed through the 8-scan progressive color
+# script must reproduce the SAME closed-form channel sums as the
+# baseline chroma query — one driver row pins interleaved-DC MCU
+# traversal, per-component AC rasters (MCU-order != raster-order for
+# sampled Y), successive approximation, and all three upsample paths.
+# --------------------------------------------------------------------------
+
+from .jpeg import _CHROMA_ORACLE, synth_chroma_blocks  # noqa: E402
+
+_PROG_COLOR_ORACLE = f"""
+SELECT q.*, cast(8 AS INTEGER) AS n_scans FROM ({_CHROMA_ORACLE}) q
+"""
+
+
+@register(
+    "mm_image_jpeg_progressive_color_decode",
+    oracle=_PROG_COLOR_ORACLE,
+    tags=("multimodal", "image"),
+)
+def mm_image_jpeg_progressive_color_decode(spark, sf_dir):
+    """Decode per-doc progressive COLOR JPEGs (8-scan interleaved-DC /
+    per-component-AC script, mixed 4:2:0/4:2:2/4:4:4) in one
+    Arrow-batched pass."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("samp", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_scans", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("r00", T.LongType()),
+            T.StructField("g00", T.LongType()),
+            T.StructField("b00", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                yb, cbb, crb, mw, mh, samp = synth_chroma_blocks(doc_id)
+                blob = encode_jpeg_progressive_color(
+                    yb, cbb, crb, mw, mh, samp=samp
+                )
+                dec = decode_media(bytes(blob), "image/jpeg")
+                assert dec["sampling"] == samp and dec["progressive"]
+                px = dec["pixels"].astype("int64")
+                rows.append(
+                    (
+                        doc_id,
+                        int(samp),
+                        dec["width"],
+                        dec["height"],
+                        int(dec["n_scans"]),
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(px[0, 0, 0]),
+                        int(px[0, 0, 1]),
+                        int(px[0, 0, 2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "samp", "width", "height", "n_scans",
+                    "sum_r", "sum_g", "sum_b", "r00", "g00", "b00",
                 ],
             )
 

@@ -444,8 +444,14 @@ def _sos_headers(blob):
                 if blob[end] == 0xFF and blob[end + 1] != 0x00:
                     break
                 end += 1
+            ns = seg[0]
+            o = 1 + 2 * ns
             out.append(
-                ((seg[3], seg[4], seg[5] >> 4, seg[5] & 15), end - pos)
+                (
+                    (seg[o], seg[o + 1], seg[o + 2] >> 4, seg[o + 2] & 15),
+                    end - pos,
+                    ns,
+                )
             )
             pos = end
         else:
@@ -681,3 +687,59 @@ def test_gopher_repetition_matches_python_replay(spark, sf_dir):
     }
     assert got == expect
     assert sum(v[1] for v in expect.values()) > 0  # thresholds exercised
+
+
+def test_jpeg_progressive_color_roundtrip_all_modes():
+    """Progressive color (interleaved DC + per-component AC rasters +
+    successive approximation) decodes identically to baseline color in
+    every chroma mode, including multi-MCU images where the luma MCU
+    order differs from the component block raster."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        synth_chroma_blocks,
+    )
+    from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive_color,
+    )
+
+    saw_multi_mcu = False
+    for doc_id in range(12):
+        yb, cbb, crb, mw, mh, samp = synth_chroma_blocks(doc_id)
+        if mw > 1 and samp == "420":
+            saw_multi_mcu = True
+            assert yb[0] != yb[len(yb) // mw]  # MCUs carry distinct luma
+        base = decode_jpeg(encode_jpeg_color(yb, cbb, crb, mw, mh, samp=samp))
+        prog = decode_jpeg(
+            encode_jpeg_progressive_color(yb, cbb, crb, mw, mh, samp=samp)
+        )
+        assert prog["progressive"] and prog["n_scans"] == 8
+        assert prog["sampling"] == samp
+        assert np.array_equal(base["pixels"], prog["pixels"]), (doc_id, samp)
+        for k in ("y", "cb", "cr"):
+            assert np.array_equal(base["planes"][k], prog["planes"][k])
+    assert saw_multi_mcu
+
+
+def test_jpeg_progressive_color_scan_structure():
+    """The 8-scan script: two interleaved (ns=3) DC scans — Al=1 then
+    the Ah=1 refinement — followed by six non-interleaved (ns=1) AC
+    band 1-63 scans, first at Al=1 then refined to Al=0."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        synth_chroma_blocks,
+    )
+    from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive_color,
+    )
+
+    yb, cbb, crb, mw, mh, samp = synth_chroma_blocks(0)
+    scans = _sos_headers(
+        encode_jpeg_progressive_color(yb, cbb, crb, mw, mh, samp=samp)
+    )
+    assert len(scans) == 8
+    assert [s[2] for s in scans] == [3, 3, 1, 1, 1, 1, 1, 1]
+    assert [s[0] for s in scans[:2]] == [(0, 0, 0, 1), (0, 0, 1, 0)]
+    assert all(s[0] == (1, 63, 0, 1) for s in scans[2:5])
+    assert all(s[0] == (1, 63, 1, 0) for s in scans[5:8])
