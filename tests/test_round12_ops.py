@@ -189,10 +189,14 @@ def test_jpeg_byte_stuffing_roundtrip():
 
 
 def test_jpeg_rejects_progressive():
-    """Honest gates: SOF2 (progressive) raises NotImplementedError; a
-    truncated header fails loudly, never returns garbage. (Color 4:2:0
-    is SUPPORTED since r13 — its sampling gate is pinned in
-    test_round13_ops.py::test_jpeg_color_rejects_unsupported_sampling.)"""
+    """Honest gates, r14-amended: SOF2 now DISPATCHES to the real
+    progressive decoder (jpeg_progressive.py), so a baseline stream
+    hacked to SOF2 must still fail LOUDLY — its scan header (Ss=0,
+    Se=63) is illegal in progressive mode — never decode to garbage.
+    SOF1 (extended sequential) stays NotImplementedError, and a
+    truncated header fails loudly. (Color 4:2:0 is SUPPORTED since
+    r13 — its sampling gate is pinned in test_round13_ops.py::
+    test_jpeg_color_rejects_unsupported_sampling.)"""
     import pytest
 
     from open_molecule_data_pipeline_spark.operators.jpeg import (
@@ -203,7 +207,10 @@ def test_jpeg_rejects_progressive():
     blk = [0] * 64
     blob = bytearray(encode_jpeg_baseline([blk], 1, 1))
     i = blob.index(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    blob[i + 1] = 0xC2  # SOF0 -> SOF2: routes to the progressive path,
+    with pytest.raises(Exception):  # where the baseline scan is illegal
+        decode_jpeg(bytes(blob))
+    blob[i + 1] = 0xC1  # SOF1 extended sequential: still out of scope
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
     with pytest.raises(Exception):
