@@ -10,23 +10,36 @@ threshold, and each duplicate group keeps exactly one representative
 y.vec_id < x.vec_id has cos(x, y) >= tau — the standard batched
 SemDeDup implementation; deterministic, no RNG).
 
-Composition of proven pieces: the cluster step is ``ml_kmeans_assign``'s
-deterministic assignment (argmin of the bit-identical squared-L2 fold
-against broadcast seed centroids, ml_extra.py:64); the prune step is the
-``dedup_embedding_cosine`` exact-cosine arithmetic (dedup.py:432, same
-tau = 0.3 fixture threshold). The threshold COMPARISON is sqrt-free —
-``dot > 0 AND dot*dot >= tau^2 * (|x|^2 * |y|^2)`` with identical
-parenthesization on both engines — so the kept-set decision rides on
-multiplication/addition determinism only; sqrt/division appear solely in
-the reported (rounded) max-cosine diagnostic.
+Clustering is TWO-LEVEL so the whole plan stays linear in n (the r14
+100x proof forced this design twice: a fixed cluster count made the
+intra-cluster pair stream quadratic — x14.9 at 10x — and a centroid
+count scaling with n made the nearest-centroid assignment itself
+quadratic — x139.7 at 100x):
 
-Scale shape (100 TB): candidate pairs are CLUSTER-BOUNDED, never
-corpus-pairs — the defining SemDeDup property. The pair join is an
-un-hinted equi-join on cluster id (key domain = number of centroids;
-in production k scales with the corpus so per-cluster cardinality
-stays bounded), the centroid table broadcasts at any scale, and the
-report aggregates are one pass over the pair stream. Nothing touches
-the driver.
+1. **Coarse**: argmin of the bit-identical squared-L2 fold against the
+   16 FIXED seed centroids (``ml_kmeans_assign``'s deterministic
+   assignment, ml_extra.py:64) — a constant-size broadcast, n x 16
+   work at any scale.
+2. **Fine**: each coarse cell splits by the RESIDUAL SIGN BITS of the
+   first B dimensions against the assigned centroid (axis-aligned
+   sign-projection LSH — the same family as ``sim_lsh_buckets``),
+   where B is chosen from the corpus count so the expected cluster
+   size stays in [125, 250): B = floor(log2(n div 2000)), computed by
+   an integer CASE ladder (NEVER float log — Spark's log2 is
+   log(x)/log(2) and lands off exact powers). Map-side, zero extra
+   passes.
+
+So candidate pairs are CLUSTER-BOUNDED with bounded expected cluster
+size, the assignment is linear, and nothing grows faster than n. The
+semantic cost (ε-balls straddling a sign boundary are missed) is the
+same recall trade SemDeDup itself makes across k-means cells.
+
+The kept-set threshold COMPARISON is sqrt-free — ``dot > 0 AND
+dot*dot >= tau^2 * (|x|^2 * |y|^2)`` with identical parenthesization on
+both engines (tau = 0.3, ``dedup_embedding_cosine``'s fixture value,
+dedup.py:432) — so the decision rides on multiplication/addition
+determinism only; sqrt/division appear solely in the reported
+(rounded) max-cosine diagnostic.
 """
 
 from __future__ import annotations
@@ -38,16 +51,9 @@ from ..catalog import table
 from ..registry import register
 from ._util import spread
 
-# Cluster count SCALES with the corpus (the defining SemDeDup property
-# — fixed k would grow intra-cluster pairs quadratically, caught by the
-# r14 10x proof at x14.9): k = max(1, n div _SEM_TARGET) seed centroids
-# (embeddings with vec_id < k), so expected cluster size stays ~125 and
-# the pair stream stays LINEAR in n. At sf0.1 (n = 2000) this is the
-# original k = 16. The brute-force nearest-centroid assignment is n x k
-# rows; past the centroid broadcast budget (~10M vectors) the
-# assignment stage swaps to the IVF coarse-quantizer plan (ivfpq.py) —
-# same cluster semantics, hierarchical probe.
+_N_COARSE = 16  # fixed coarse centroids: embeddings with vec_id < 16
 _SEM_TARGET = 125  # target mean cluster size
+_MAX_B = 20  # sign-bit budget cap (16 * 2^20 clusters ~ 2e9 vectors)
 _TAU = 0.3  # cosine threshold (dedup_embedding_cosine's fixture value)
 _TAU2 = 0.09  # tau^2, exact decimal literal mirrored in the oracle
 
@@ -68,27 +74,55 @@ _SQD_DUCK = (
     " * (cast(p[1] AS DOUBLE) - cast(p[2] AS DOUBLE))), 'sum')"
 )
 
+# B = floor(log2(m)) for m >= 1 else 0, as a pure integer CASE ladder
+_B_LADDER = (
+    "CASE "
+    + " ".join(
+        f"WHEN {{m}} >= {1 << b} THEN {b}"
+        for b in range(_MAX_B - 1, 0, -1)
+    )
+    + " ELSE 0 END"
+)
+
+
+def _bucket_terms(elem_a: str, elem_b: str) -> str:
+    """Sum of residual-sign bit terms: bit d set when dim d of the
+    vector exceeds dim d of its coarse centroid (d < B only)."""
+    return " + ".join(
+        f"(CASE WHEN {d} < {{B}} AND {elem_a.format(d=d + 1)}"
+        f" > {elem_b.format(d=d + 1)} THEN {1 << d} ELSE 0 END)"
+        for d in range(_MAX_B)
+    )
+
+
 _SEMDEDUP_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, embedding AS e,
          {_DOT_DUCK.format(a="embedding", b="embedding")} AS n2
   FROM embeddings
 ),
-nk AS (
-  SELECT greatest(1, cast(count(*) AS BIGINT) // {_SEM_TARGET}) AS k FROM v
+nb AS (
+  SELECT {_B_LADDER.format(m=f"(count(*) // {_N_COARSE * _SEM_TARGET})")}
+    AS b FROM v
 ),
-cent AS (SELECT vec_id AS cid, e AS ce FROM v, nk WHERE vec_id < nk.k),
+cent AS (SELECT vec_id AS ca, e AS ce FROM v WHERE vec_id < {_N_COARSE}),
 scored AS (
-  SELECT v.vec_id, v.e, v.n2, cent.cid,
+  SELECT v.vec_id, v.e, v.n2, cent.ca, cent.ce,
          {_SQD_DUCK.format(a="v.e", b="cent.ce")} AS d2
   FROM v, cent
 ),
-assigned AS (
-  SELECT vec_id, e, n2, cid FROM (
-    SELECT vec_id, e, n2, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+coarse AS (
+  SELECT vec_id, e, n2, ca, ce FROM (
+    SELECT vec_id, e, n2, ca, ce,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, ca) AS rn
     FROM scored
   ) z WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, e, n2,
+         ca * {1 << _MAX_B}
+           + ({_bucket_terms("e[{d}]", "ce[{d}]").format(B="nb.b")}) AS cid
+  FROM coarse, nb
 ),
 pairs AS (
   SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
@@ -136,16 +170,13 @@ def dedup_semantic_semdedup(spark, sf_dir):
         F.col("embedding").alias("e"),
         F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
     )
-    nk = v.agg(
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.expr(f"count(1) div {_SEM_TARGET}"),
-        ).alias("k")
+    nb = v.agg(
+        F.expr(
+            _B_LADDER.format(m=f"(count(1) div {_N_COARSE * _SEM_TARGET})")
+        ).alias("b")
     )
-    cent = (
-        v.crossJoin(F.broadcast(nk))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    cent = v.filter(F.col("vec_id") < _N_COARSE).select(
+        F.col("vec_id").alias("ca"), F.col("e").alias("ce")
     )
     sqd = (
         "aggregate(zip_with(e, ce,"
@@ -154,11 +185,20 @@ def dedup_semantic_semdedup(spark, sf_dir):
         " cast(0 as double), (acc, v) -> acc + v)"
     )
     scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", F.expr(sqd))
-    w = W.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
+    w = W.partitionBy("vec_id").orderBy("d2", "ca")
+    coarse = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "n2", "cid")
+        .select("vec_id", "e", "n2", "ca", "ce")
+    )
+    bucket = _bucket_terms(
+        "element_at(e, {d})", "element_at(ce, {d})"
+    ).format(B="b")
+    assigned = coarse.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        "e",
+        "n2",
+        (F.col("ca") * (1 << _MAX_B) + F.expr(bucket)).alias("cid"),
     )
     a = assigned.select(
         "cid",
@@ -172,8 +212,7 @@ def dedup_semantic_semdedup(spark, sf_dir):
         F.col("e").alias("eb"),
         F.col("n2").alias("nb2"),
     )
-    # cluster-bounded pair stream; un-hinted join on cid (bounded key
-    # domain — in production k scales with the corpus)
+    # cluster-bounded pair stream; un-hinted join on cid
     pairs = (
         a.join(b, "cid")
         .where(F.col("va") < F.col("vb"))

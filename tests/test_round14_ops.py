@@ -284,12 +284,15 @@ def test_kn_fourgram_backoff_hand_case():
 
 
 def test_semdedup_matches_numpy_replay(spark, sf_dir):
-    """SemDeDup replay in float64 numpy: same centroid argmin, same
-    keep-min-id ε-ball rule, exact count/kept parity per cluster."""
+    """SemDeDup replay in float64 numpy: coarse argmin over the 16
+    fixed centroids, residual-sign fine split with the integer-ladder
+    B, keep-min-id ε-ball rule — exact per-cluster parity."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from open_molecule_data_pipeline_spark.operators.semdedup import (
+        _MAX_B,
+        _N_COARSE,
         _SEM_TARGET,
         _TAU2,
         dedup_semantic_semdedup,
@@ -302,16 +305,25 @@ def test_semdedup_matches_numpy_replay(spark, sf_dir):
     E = np.stack(t.embedding.values).astype(np.float64)
     order = np.argsort(ids)
     ids, E = ids[order], E[order]
-    k = max(1, len(E) // _SEM_TARGET)
-    cent = E[ids < k]
-    cent_ids = ids[ids < k]
+    Eraw = np.stack(t.embedding.values)[order]  # float32, for sign bits
+    cent = E[ids < _N_COARSE]
+    cent_ids = ids[ids < _N_COARSE]
+    cent_raw = Eraw[ids < _N_COARSE]
     d2 = ((E[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    # argmin with cid tiebreak == row_number over (d2, cid)
-    assign = cent_ids[
-        np.lexsort((cent_ids[None, :].repeat(len(E), 0), d2), axis=1)[:, 0]
-    ]
+    ca_idx = np.lexsort(
+        (cent_ids[None, :].repeat(len(E), 0), d2), axis=1
+    )[:, 0]
+    m = len(E) // (_N_COARSE * _SEM_TARGET)
+    B = m.bit_length() - 1 if m >= 1 else 0
+    assign = np.empty(len(E), dtype=np.int64)
+    for j in range(len(E)):
+        ca = int(cent_ids[ca_idx[j]])
+        bucket = 0
+        for d in range(B):
+            if Eraw[j, d] > cent_raw[ca_idx[j], d]:
+                bucket |= 1 << d
+        assign[j] = (ca << _MAX_B) + bucket
     n2 = (E * E).sum(axis=1)
-    removed = set()
     stats = {}
     for cid in np.unique(assign):
         sel = np.where(assign == cid)[0]
@@ -327,7 +339,6 @@ def test_semdedup_matches_numpy_replay(spark, sf_dir):
                     dup = True
             if dup:
                 n_rm += 1
-                removed.add(int(ids[j]))
         stats[int(cid)] = (
             len(sel),
             n_rm,
