@@ -981,3 +981,262 @@ def text_kn_fourgram_ppl(spark, sf_dir):
         .orderBy(F.desc("mean_nll_micro"), "doc_id")
         .limit(_KN4_TOP_DOCS)
     )
+
+
+# --------------------------------------------------------------------------
+# 5-gram interpolated Kneser-Ney + perplexity filter (r14b): the full
+# KenLM default order. One more continuation level on the 4-gram chain:
+#
+#   P5(w5|w1..w4) = (c(12345)-D)/c(1234.) + D*N1+(1234,*)/c(1234.) * P4
+#   P4(w5|w2w3w4) = (N1+(*,2345)-D)/N1+(*,234,*)
+#                     + D*Nf(234)/N1+(*,234,*) * P3
+#   P3(w5|w3w4)   = (N1+(*,345)-D)/N1+(*,34,*) + D*Nf(34)/N1+(*,34,*) * P2
+#   P2(w5|w4)     = (N1+(*,45)-D)/N1+(*,4,*)  + D*Nf(4)/N1+(*,4,*)  * Pc
+#   Pc(w5)        = N1+(*,5) / |distinct (w4,w5) types|
+#
+# Same plan as the lower orders, one level deeper: ONE groupBy(w1..w5)
+# corpus pass; every lower-order table re-aggregates the DISTINCT-
+# 5-gram table (cont2345 -> n345 -> n45 -> bt5) — Heaps-sublinear
+# model state; the scoring join stays un-hinted. Self-scoring keeps
+# every level's first term strictly positive (c >= 1 > D).
+# --------------------------------------------------------------------------
+
+_KN5_TOP_DOCS = 15
+
+_KN5_CTES = """
+lf5 AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+pg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(5, len(t) + 1), i -> t[i - 4])) AS w1,
+         unnest(list_transform(range(5, len(t) + 1), i -> t[i - 3])) AS w2,
+         unnest(list_transform(range(5, len(t) + 1), i -> t[i - 2])) AS w3,
+         unnest(list_transform(range(5, len(t) + 1), i -> t[i - 1])) AS w4,
+         unnest(list_transform(range(5, len(t) + 1), i -> t[i])) AS w5
+  FROM lf5
+),
+five AS (
+  SELECT w1, w2, w3, w4, w5, cast(count(*) AS BIGINT) AS c12345
+  FROM pg GROUP BY w1, w2, w3, w4, w5
+),
+h1234 AS (
+  SELECT w1, w2, w3, w4, cast(sum(c12345) AS BIGINT) AS c1234,
+         cast(count(*) AS BIGINT) AS n1234
+  FROM five GROUP BY w1, w2, w3, w4
+),
+cont2345 AS (
+  SELECT w2, w3, w4, w5, cast(count(*) AS BIGINT) AS n1p2345
+  FROM five GROUP BY w2, w3, w4, w5
+),
+mid234 AS (
+  SELECT w2, w3, w4, cast(sum(n1p2345) AS BIGINT) AS ndot234,
+         cast(count(*) AS BIGINT) AS nm234
+  FROM cont2345 GROUP BY w2, w3, w4
+),
+n345 AS (
+  SELECT w3, w4, w5, cast(count(*) AS BIGINT) AS n1p345
+  FROM cont2345 GROUP BY w3, w4, w5
+),
+mid34 AS (
+  SELECT w3, w4, cast(sum(n1p345) AS BIGINT) AS ndot34,
+         cast(count(*) AS BIGINT) AS nm34
+  FROM n345 GROUP BY w3, w4
+),
+n45 AS (
+  SELECT w4, w5, cast(count(*) AS BIGINT) AS n1p45
+  FROM n345 GROUP BY w4, w5
+),
+mid4 AS (
+  SELECT w4, cast(sum(n1p45) AS BIGINT) AS ndot4,
+         cast(count(*) AS BIGINT) AS nm4
+  FROM n45 GROUP BY w4
+),
+cw5 AS (SELECT w5, cast(count(*) AS BIGINT) AS npre5 FROM n45 GROUP BY w5),
+nbt5 AS (SELECT cast(count(*) AS BIGINT) AS nbig FROM n45),
+cost5 AS (
+  SELECT t.w1, t.w2, t.w3, t.w4, t.w5,
+         cast(round(-ln(
+           (cast(t.c12345 AS DOUBLE) - 0.75) / cast(h.c1234 AS DOUBLE)
+           + 0.75 * cast(h.n1234 AS DOUBLE) / cast(h.c1234 AS DOUBLE)
+             * ((cast(c.n1p2345 AS DOUBLE) - 0.75)
+                  / cast(m234.ndot234 AS DOUBLE)
+                + 0.75 * cast(m234.nm234 AS DOUBLE)
+                    / cast(m234.ndot234 AS DOUBLE)
+                  * ((cast(p3.n1p345 AS DOUBLE) - 0.75)
+                       / cast(m34.ndot34 AS DOUBLE)
+                     + 0.75 * cast(m34.nm34 AS DOUBLE)
+                         / cast(m34.ndot34 AS DOUBLE)
+                       * ((cast(p2.n1p45 AS DOUBLE) - 0.75)
+                            / cast(m4.ndot4 AS DOUBLE)
+                          + 0.75 * cast(m4.nm4 AS DOUBLE)
+                              / cast(m4.ndot4 AS DOUBLE)
+                            * cast(w.npre5 AS DOUBLE)
+                              / cast(nbt5.nbig AS DOUBLE))))
+         ) * 1000000) AS BIGINT) AS cost_micro
+  FROM five t
+  JOIN h1234 h
+    ON h.w1 = t.w1 AND h.w2 = t.w2 AND h.w3 = t.w3 AND h.w4 = t.w4
+  JOIN cont2345 c
+    ON c.w2 = t.w2 AND c.w3 = t.w3 AND c.w4 = t.w4 AND c.w5 = t.w5
+  JOIN mid234 m234 ON m234.w2 = t.w2 AND m234.w3 = t.w3 AND m234.w4 = t.w4
+  JOIN n345 p3 ON p3.w3 = t.w3 AND p3.w4 = t.w4 AND p3.w5 = t.w5
+  JOIN mid34 m34 ON m34.w3 = t.w3 AND m34.w4 = t.w4
+  JOIN n45 p2 ON p2.w4 = t.w4 AND p2.w5 = t.w5
+  JOIN mid4 m4 ON m4.w4 = t.w4
+  JOIN cw5 w ON w.w5 = t.w5, nbt5
+)
+"""
+
+_KN5_PPL_ORACLE = f"""
+WITH {_KN5_CTES},
+dpg AS (
+  SELECT doc_id, lang, w1, w2, w3, w4, w5, cast(count(*) AS BIGINT) AS c
+  FROM pg GROUP BY doc_id, lang, w1, w2, w3, w4, w5
+),
+per_doc AS (
+  SELECT d.doc_id, d.lang,
+         cast(sum(d.c) AS BIGINT) AS n_fivegrams,
+         cast(sum(d.c * cost5.cost_micro) AS BIGINT) AS nll_micro
+  FROM dpg d JOIN cost5
+    ON cost5.w1 = d.w1 AND cost5.w2 = d.w2 AND cost5.w3 = d.w3
+       AND cost5.w4 = d.w4 AND cost5.w5 = d.w5
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_fivegrams, nll_micro,
+       nll_micro // n_fivegrams AS mean_nll_micro
+FROM per_doc
+ORDER BY mean_nll_micro DESC, doc_id
+LIMIT {_KN5_TOP_DOCS}
+"""
+
+
+def _fivegram_stream(spark, sf_dir):
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
+    return (
+        d.withColumn(
+            "t", F.expr("filter(split(text, ' '), x -> length(x) > 0)")
+        )
+        .filter(F.size("t") >= 5)
+        .withColumn(
+            "pg",
+            F.expr(
+                "arrays_zip(slice(t, 1, size(t) - 4),"
+                " slice(t, 2, size(t) - 4), slice(t, 3, size(t) - 4),"
+                " slice(t, 4, size(t) - 4), slice(t, 5, size(t) - 4))"
+            ),
+        )
+        .select("doc_id", "lang", F.explode("pg").alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+            F.col("p.2").alias("w3"),
+            F.col("p.3").alias("w4"),
+            F.col("p.4").alias("w5"),
+        )
+    )
+
+
+@register(
+    "text_kn_fivegram_ppl",
+    oracle=_KN5_PPL_ORACLE,
+    tags=("text", "training"),
+)
+def text_kn_fivegram_ppl(spark, sf_dir):
+    """Per-doc mean NLL under the interpolated 5-gram KN model (four
+    continuation levels), worst docs first — KenLM's default order."""
+    pg = _fivegram_stream(spark, sf_dir)
+    five = pg.groupBy("w1", "w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("c12345")
+    )
+    h1234 = five.groupBy("w1", "w2", "w3", "w4").agg(
+        F.sum("c12345").cast("long").alias("c1234"),
+        F.count(F.lit(1)).cast("long").alias("n1234"),
+    )
+    cont2345 = five.groupBy("w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p2345")
+    )
+    mid234 = cont2345.groupBy("w2", "w3", "w4").agg(
+        F.sum("n1p2345").cast("long").alias("ndot234"),
+        F.count(F.lit(1)).cast("long").alias("nm234"),
+    )
+    n345 = cont2345.groupBy("w3", "w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p345")
+    )
+    mid34 = n345.groupBy("w3", "w4").agg(
+        F.sum("n1p345").cast("long").alias("ndot34"),
+        F.count(F.lit(1)).cast("long").alias("nm34"),
+    )
+    n45 = n345.groupBy("w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p45")
+    )
+    mid4 = n45.groupBy("w4").agg(
+        F.sum("n1p45").cast("long").alias("ndot4"),
+        F.count(F.lit(1)).cast("long").alias("nm4"),
+    )
+    cw5 = n45.groupBy("w5").agg(
+        F.count(F.lit(1)).cast("long").alias("npre5")
+    )
+    nbt5 = n45.agg(F.count(F.lit(1)).cast("long").alias("nbig"))
+    pc = F.col("npre5") / F.col("nbig")
+    p2 = (F.col("n1p45").cast("double") - F.lit(_D)) / F.col("ndot4") + F.lit(
+        _D
+    ) * F.col("nm4") / F.col("ndot4") * pc
+    p3 = (F.col("n1p345").cast("double") - F.lit(_D)) / F.col(
+        "ndot34"
+    ) + F.lit(_D) * F.col("nm34") / F.col("ndot34") * p2
+    p4 = (F.col("n1p2345").cast("double") - F.lit(_D)) / F.col(
+        "ndot234"
+    ) + F.lit(_D) * F.col("nm234") / F.col("ndot234") * p3
+    cost5 = (
+        five.join(h1234, ["w1", "w2", "w3", "w4"])
+        .join(cont2345, ["w2", "w3", "w4", "w5"])
+        .join(mid234, ["w2", "w3", "w4"])
+        .join(n345, ["w3", "w4", "w5"])
+        .join(mid34, ["w3", "w4"])
+        .join(n45, ["w4", "w5"])
+        .join(mid4, "w4")
+        .join(cw5, "w5")
+        .crossJoin(F.broadcast(nbt5))
+        .withColumn(
+            "cost_micro",
+            F.round(
+                -F.log(
+                    (F.col("c12345").cast("double") - F.lit(_D))
+                    / F.col("c1234")
+                    + F.lit(_D) * F.col("n1234") / F.col("c1234") * p4
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    dpg = pg.groupBy("doc_id", "lang", "w1", "w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = (
+        dpg.join(
+            cost5.select("w1", "w2", "w3", "w4", "w5", "cost_micro"),
+            ["w1", "w2", "w3", "w4", "w5"],
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_fivegrams"),
+            F.sum(F.col("c") * F.col("cost_micro"))
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        per_doc.withColumn(
+            "mean_nll_micro", F.expr("nll_micro div n_fivegrams")
+        )
+        .orderBy(F.desc("mean_nll_micro"), "doc_id")
+        .limit(_KN5_TOP_DOCS)
+    )

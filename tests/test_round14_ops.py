@@ -754,3 +754,100 @@ def test_jpeg_progressive_color_scan_structure():
     assert [s[0] for s in scans[:2]] == [(0, 0, 0, 1), (0, 0, 1, 0)]
     assert all(s[0] == (1, 63, 0, 1) for s in scans[2:5])
     assert all(s[0] == (1, 63, 1, 0) for s in scans[5:8])
+
+
+def _kn5_replay(docs):
+    """Pure-Python interpolated 5-gram KN replay:
+    {(doc_id, lang): (n_fivegrams, nll_micro)}."""
+    import math
+    from collections import Counter
+
+    D = 0.75
+    pg = []
+    for doc_id, lang, text in docs:
+        t = [w for w in text.split(" ") if w]
+        for i in range(len(t) - 4):
+            pg.append((doc_id, lang, tuple(t[i : i + 5])))
+    five = Counter(g for _, _, g in pg)
+    h1234, n1234 = Counter(), Counter()
+    for (w1, w2, w3, w4, w5), c in five.items():
+        h1234[(w1, w2, w3, w4)] += c
+        n1234[(w1, w2, w3, w4)] += 1
+    cont2345 = Counter(g[1:] for g in five)
+    mid234_s, mid234_n = Counter(), Counter()
+    for (w2, w3, w4, w5), c in cont2345.items():
+        mid234_s[(w2, w3, w4)] += c
+        mid234_n[(w2, w3, w4)] += 1
+    n345 = Counter(g[1:] for g in cont2345)
+    mid34_s, mid34_n = Counter(), Counter()
+    for (w3, w4, w5), c in n345.items():
+        mid34_s[(w3, w4)] += c
+        mid34_n[(w3, w4)] += 1
+    n45 = Counter(g[1:] for g in n345)
+    mid4_s, mid4_n = Counter(), Counter()
+    for (w4, w5), c in n45.items():
+        mid4_s[w4] += c
+        mid4_n[w4] += 1
+    npre5 = Counter(g[1] for g in n45)
+    nbig = len(n45)
+
+    def cost(g):
+        w1, w2, w3, w4, w5 = g
+        pc = npre5[w5] / nbig
+        p2 = (n45[(w4, w5)] - D) / mid4_s[w4] + D * mid4_n[w4] / mid4_s[
+            w4
+        ] * pc
+        p3 = (n345[(w3, w4, w5)] - D) / mid34_s[(w3, w4)] + D * mid34_n[
+            (w3, w4)
+        ] / mid34_s[(w3, w4)] * p2
+        p4 = (cont2345[g[1:]] - D) / mid234_s[(w2, w3, w4)] + D * mid234_n[
+            (w2, w3, w4)
+        ] / mid234_s[(w2, w3, w4)] * p3
+        p5 = (five[g] - D) / h1234[g[:4]] + D * n1234[g[:4]] / h1234[
+            g[:4]
+        ] * p4
+        return round(-math.log(p5) * 1_000_000)
+
+    per_doc = {}
+    for doc_id, lang, g in pg:
+        n, s = per_doc.get((doc_id, lang), (0, 0))
+        per_doc[(doc_id, lang)] = (n + 1, s + cost(g))
+    return per_doc
+
+
+def test_kn_fivegram_ppl_matches_python_replay(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.kn_lm import (
+        text_kn_fivegram_ppl,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    per_doc = _kn5_replay(
+        [(int(r.doc_id), r.lang, r.text) for r in t.itertuples()]
+    )
+    expect = sorted(
+        (
+            (n, s, s // n, doc_id, lang)
+            for (doc_id, lang), (n, s) in per_doc.items()
+        ),
+        key=lambda x: (-x[2], x[3]),
+    )[:15]
+    rows = text_kn_fivegram_ppl(spark, sf_dir).collect()
+    got = [
+        (r.n_fivegrams, r.nll_micro, r.mean_nll_micro, r.doc_id, r.lang)
+        for r in rows
+    ]
+    assert got == [(n, s, m, d, g) for n, s, m, d, g in expect]
+
+
+def test_kn_fivegram_backoff_hand_case():
+    """Hand-worked 5-level chain on 'a b c d e' + 'a b c d f': every
+    level's counts are (1 vs 2, types 2), so each interpolation step is
+    0.125 + 0.75 * 0.5 = 0.5 down from Pc = 0.5 — P = 1/2 and
+    cost = round(ln(2) * 1e6) = 693147 for both docs."""
+    per_doc = _kn5_replay([(1, "en", "a b c d e"), (2, "en", "a b c d f")])
+    assert per_doc[(1, "en")] == (1, 693147)
+    assert per_doc[(2, "en")] == (1, 693147)
