@@ -297,6 +297,11 @@ _CONSTANT_BOUNDED_BROADCASTS = {
     # row_number <= K/R_CAND filters above the scan)
     "sim_binary_quant_hamming",
     "sim_binary_quant_recall",
+    # r14: both hinted sides are literal-bounded — SemDeDup's 16 fixed
+    # coarse centroids (vec_id < 16; the fine split is map-side) and the
+    # JL recall query batch (vec_id < 8)
+    "dedup_semantic_semdedup",
+    "sim_jl_projection_recall",
     "sim_ivf_recall",
     "sim_ivf_sampled_quantizer",
     "sim_pq_adc_topk",

@@ -851,3 +851,66 @@ def test_kn_fivegram_backoff_hand_case():
     per_doc = _kn5_replay([(1, "en", "a b c d e"), (2, "en", "a b c d f")])
     assert per_doc[(1, "en")] == (1, 693147)
     assert per_doc[(2, "en")] == (1, 693147)
+
+
+def test_jl_projection_recall_matches_numpy_replay(spark, sf_dir):
+    """Numpy replay: identical md5-seeded sign matrix, projected and
+    exact cosine top-5 with (score desc, vec_id) tie-break, per-query
+    overlap — exact parity, and the sketch is neither perfect nor
+    useless on the fixture (0 < mean recall < 1)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.jl_projection import (
+        _EMB_DIMS,
+        _JL_DIMS,
+        _N_QUERIES,
+        _TOP_K,
+        sim_jl_projection_recall,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ids = t.vec_id.to_numpy()
+    E = np.stack(t.embedding.values).astype(np.float64)
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+    S = np.array(
+        [
+            [
+                1
+                if hashlib.md5(f"jl-{j}-{d}".encode()).hexdigest()[0]
+                in "01234567"
+                else -1
+                for d in range(_EMB_DIMS)
+            ]
+            for j in range(_JL_DIMS)
+        ],
+        dtype=np.float64,
+    )
+    P = E @ S.T
+
+    def top5(M, qrow):
+        scores = M @ M[qrow] / (
+            np.sqrt((M * M).sum(1)) * np.sqrt((M[qrow] ** 2).sum())
+        )
+        cand = [
+            (-scores[j], ids[j]) for j in range(len(M)) if ids[j] != ids[qrow]
+        ]
+        cand.sort()
+        return {vid for _, vid in cand[:_TOP_K]}
+
+    expect = {}
+    for qrow in range(len(ids)):
+        if ids[qrow] >= _N_QUERIES:
+            continue
+        n_hit = len(top5(E, qrow) & top5(P, qrow))
+        expect[int(ids[qrow])] = (n_hit, n_hit * 1_000_000 // _TOP_K)
+    rows = sim_jl_projection_recall(spark, sf_dir).collect()
+    got = {r.qid: (r.n_hit, r.recall_ppm) for r in rows}
+    assert got == expect
+    mean = sum(v[0] for v in expect.values()) / (len(expect) * _TOP_K)
+    assert 0.0 < mean < 1.0, mean
