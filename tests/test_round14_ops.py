@@ -914,3 +914,66 @@ def test_jl_projection_recall_matches_numpy_replay(spark, sf_dir):
     assert got == expect
     mean = sum(v[0] for v in expect.values()) / (len(expect) * _TOP_K)
     assert 0.0 < mean < 1.0, mean
+
+
+def test_vocab_drift_js_matches_python_replay(spark, sf_dir):
+    """Pure-Python JS replay: same md5 doc split, same rational ln
+    arguments, same nano quantization — exact per-language parity, and
+    the fixture split produces nonzero drift (JS > 0, < ln 2)."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.vocab_drift import (
+        text_vocab_drift_js,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    ca, cb = defaultdict(Counter), defaultdict(Counter)
+    for r in t.itertuples():
+        in_a = hashlib.md5(str(int(r.doc_id)).encode()).hexdigest()[31] < "8"
+        side = ca if in_a else cb
+        for w in r.text.split(" "):
+            if w:
+                side[r.lang][w] += 1
+    expect = {}
+    for lang in set(ca) | set(cb):
+        na = sum(ca[lang].values())
+        nb = sum(cb[lang].values())
+        js = 0
+        top = None
+        for tok in set(ca[lang]) | set(cb[lang]):
+            a, b = ca[lang][tok], cb[lang][tok]
+            c = 0.0
+            if a > 0:
+                c += 0.5 * (a / na) * math.log(
+                    (2 * float(a) * nb) / (float(a) * nb + float(b) * na)
+                )
+            if b > 0:
+                c += 0.5 * (b / nb) * math.log(
+                    (2 * float(b) * na) / (float(a) * nb + float(b) * na)
+                )
+            cn = round(c * 1_000_000_000)
+            js += cn
+            if top is None or (-cn, tok) < top:
+                top = (-cn, tok)
+        expect[lang] = (
+            na, nb,
+            len(ca[lang]), len(cb[lang]),
+            js, top[1], -top[0],
+        )
+    rows = text_vocab_drift_js(spark, sf_dir).collect()
+    got = {
+        r.lang: (
+            r.tokens_a, r.tokens_b, r.vocab_a, r.vocab_b,
+            r.js_nano, r.top_drift_token, r.top_drift_nano,
+        )
+        for r in rows
+    }
+    assert got == expect
+    for lang, v in expect.items():
+        assert 0 < v[4] < round(math.log(2) * 1e9), (lang, v[4])
