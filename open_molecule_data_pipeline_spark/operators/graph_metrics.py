@@ -823,9 +823,10 @@ def _louvain_state(spark, sf_dir):
     "graph_louvain_pass",
     oracle=_louvain_oracle(),
     tags=("graph", "iterative"),
-    # promoted to the headline set r14 (VERDICT r13 #4): heaviest
-    # registered plan — round-over-round tracking should cover it
-    bench=True,
+    # promoted r14 per VERDICT r13 #4, then demoted the same round in
+    # favor of graph_louvain_multilevel — the multilevel hierarchy
+    # iterates THIS pass, so tracking it subsumes this plan shape and
+    # keeps the headline set covering the heaviest registered query
 )
 def graph_louvain_pass(spark, sf_dir):
     e, deg, m, c0, c1, kept = _louvain_state(spark, sf_dir)

@@ -373,6 +373,9 @@ def _q_nano(e, deg0, m, parts):
     "graph_louvain_multilevel",
     oracle=_multilevel_oracle(),
     tags=("graph", "iterative"),
+    # headline r14 (the VERDICT r13 #4 policy applied to the round's
+    # own heaviest addition): the hierarchy subsumes the one-pass plan
+    bench=True,
 )
 def graph_louvain_multilevel(spark, sf_dir):
     """Full Louvain hierarchy: sweep-to-convergence per level, coarsen,
