@@ -59,8 +59,17 @@ def main() -> None:
         # Session hygiene between queries: drop cached relations left over
         # from the previous query (persisted subtrees, checkpoint-backed
         # caches) so its memory pressure doesn't tax this one's timing.
+        # clearCache() alone does NOT free localCheckpoint RDD blocks
+        # (they wait for driver GC + ContextCleaner), so checkpoint-heavy
+        # queries would tax their alphabetical successors (VERDICT r14
+        # "What's wrong" #2 — the likely mechanism behind the recurring
+        # driver-vs-local sim_* drift): unpersist every persistent RDD
+        # explicitly between queries.
         try:
             spark.catalog.clearCache()
+            jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jrdds.values():
+                jrdd.unpersist(False)
         except Exception:
             pass
         if warm_ok:

@@ -142,7 +142,8 @@ def text_gopher_repetition(spark, sf_dir):
         " p -> struct(3 as n, concat_ws(' ', p['0'], p['1'], p['2']) as g))"
     )
     segs = F.expr(
-        f"transform(filter(transform(sequence(0, floor((size(tk) - 1) / {_SEG})),"
+        f"transform(filter(transform("
+        f"sequence(0, greatest(floor((size(tk) - 1) / {_SEG}), 0)),"
         f" i -> slice(tk, {_SEG} * int(i) + 1, {_SEG})),"
         f" s -> size(s) = {_SEG}),"
         " s -> struct(0 as n, concat_ws(' ', s) as g))"

@@ -209,7 +209,8 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     then dequantize + IDCT once."""
     import numpy as np
 
-    assert payload[:2] == b"\xff\xd8", "not a JPEG (SOI missing)"
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (SOI missing)")
     pos = 2
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
@@ -217,7 +218,8 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     comps: list[tuple[int, int, int, int]] = []
     scans: list = []  # (comp_specs, (ss, se, ah, al), entropy bytes)
     while pos < len(payload):
-        assert payload[pos] == 0xFF, "marker expected"
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
         m = payload[pos + 1]
         pos += 2
         if m == 0xD9:
@@ -230,7 +232,8 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             o = 0
             while o < len(seg):
                 pq, t = seg[o] >> 4, seg[o] & 15
-                assert pq == 0, "only 8-bit quant tables"
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables")
                 zz = list(seg[o + 1 : o + 65])
                 nat = [0] * 64
                 for k in range(64):
@@ -255,7 +258,8 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                 huff[(cls, t)] = tbl
                 o += 17 + n
         elif m == 0xC2:
-            assert seg[0] == 8, "8-bit precision only"
+            if seg[0] != 8:
+                raise ValueError("8-bit precision only")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -298,7 +302,8 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             pos = end
             continue
         pos += seglen
-    assert w and h and comps and scans, "incomplete progressive JPEG"
+    if not (w and h and comps and scans):
+        raise ValueError("incomplete progressive JPEG")
     if len(comps) == 1:
         if comps[0][1:3] != (1, 1):
             raise NotImplementedError("grayscale must be 1x1 sampling")
@@ -332,10 +337,12 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                 s = tab.get((ln, code))
                 if s is not None:
                     return s
-                assert ln <= 16, "invalid Huffman stream"
+                if ln > 16:
+                    raise ValueError("invalid Huffman stream")
 
         if ss == 0:  # DC scan — interleaved MCU order (or single comp)
-            assert se == 0, "DC scan must be Ss=Se=0"
+            if se != 0:
+                raise ValueError("DC scan must be Ss=Se=0")
             preds = [0] * len(cspecs)
             for m in range(mx * my):
                 mr, mc = m // mx, m % mx
@@ -361,7 +368,8 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                             else:
                                 blk[0] |= rd.bit() << al
         else:  # AC scan — non-interleaved, one component
-            assert len(cspecs) == 1, "AC scans must be non-interleaved"
+            if len(cspecs) != 1:
+                raise ValueError("AC scans must be non-interleaved")
             ci, _td, ta = cspecs[0]
             ac_tab = huff[(1, ta)]
             blocks = coef[ci]
@@ -464,7 +472,8 @@ def _decode_ac_refine_scan(rd, sym, ac_tab, blocks, ss, se, al):
                         break
                     # r == 15: ZRL — skip 16 zero-history slots
                 else:
-                    assert sz == 1, "refinement size must be 1"
+                    if sz != 1:
+                        raise ValueError("refinement size must be 1")
                     val = p1 if rd.bit() else m1
                 while k <= se:
                     c = blk[ZIGZAG[k]]
