@@ -20,11 +20,17 @@ coarsening (``graph_louvain_coarsen``) — into the full Louvain hierarchy:
               fixpoint: its coarsening reproduces the identical graph,
               so all deeper levels replay as identities and are skipped.
 
-Modularity is measured on the ORIGINAL graph after every level by
-composing assignments down the hierarchy, with the pass's nano-quantized
-convention (per-community term rounded to 1e-9, then an exact int64
-sum). Each kept move has strictly positive gain, so Q is non-decreasing
-across sweeps AND levels — pinned in tests.
+Modularity is measured with the pass's nano-quantized convention
+(per-community term rounded to 1e-9, then an exact int64 sum) for the
+COMPOSED assignment after every level — but read off the coarsened
+graph each level already materializes (VERDICT r14 #2): coarsening
+conserves both the per-community intra-edge count (self-loop weights)
+and the summed original degrees, so the (l, dc, m) integers — and hence
+the rounded doubles — are identical to a direct original-graph
+measurement, at bounded-table cost instead of two |E|-scale joins per
+level. The seed-partition Q needs no join at all (``node % K`` is
+arithmetic on the edge row). Each kept move has strictly positive gain,
+so Q is non-decreasing across sweeps AND levels — pinned in tests.
 
 Why the unrolled oracle is exact despite the dynamic Spark loop: every
 sweep is a deterministic function of the current assignment, and a sweep
@@ -252,8 +258,6 @@ def _wsweep(ud, deg, m, c):
     kept table is checkpointed before counting so the convergence probe
     is a <=|communities|-row scan, not a plan re-execution.
     """
-    from pyspark.sql import Window
-
     dsum = (
         c.join(deg, "node")
         .groupBy("cid")
@@ -296,11 +300,30 @@ def _wsweep(ud, deg, m, c):
             ).alias("gain"),
         )
     )
-    w = Window.partitionBy("node").orderBy(F.desc("gain"), F.col("b"))
+    # best move per node: argmax(gain) with min-b tiebreak. A groupBy
+    # min(struct(-gain, b, ...)) is semantically identical to the
+    # row_number()-over-(gain DESC, b) window the oracle uses, but gets
+    # map-side partial aggregation instead of a full candidate-stream
+    # sort shuffle ('a' rides along: it is functionally dependent on
+    # node, so the struct min is unique per node).
     moves = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("gain") > 0))
-        .select("node", "a", "b", "gain")
+        cand.groupBy("node")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("gain")).alias("ng"),
+                    F.col("b").alias("b"),
+                    F.col("a").alias("a"),
+                )
+            ).alias("mv")
+        )
+        .where(F.col("mv.ng") < 0)
+        .select(
+            "node",
+            F.col("mv.a").alias("a"),
+            F.col("mv.b").alias("b"),
+            (-F.col("mv.ng")).alias("gain"),
+        )
     )
     incident = moves.select(F.col("a").alias("c"), "gain", "node").unionByName(
         moves.select(F.col("b").alias("c"), "gain", "node")
@@ -338,23 +361,13 @@ def _wsweep(ud, deg, m, c):
     return c_next, n_kept
 
 
-def _q_nano(e, deg0, m, parts):
-    """Nano-quantized modularity of a (node, cid) partition of the
-    ORIGINAL graph — identical convention to graph_louvain_pass."""
-    ds2 = (
-        parts.join(deg0, "node")
-        .groupBy("cid")
-        .agg(F.sum("k").cast("long").alias("dc"))
-    )
-    pu = parts.select(F.col("node").alias("u"), F.col("cid").alias("cu"))
-    pv = parts.select(F.col("node").alias("v"), F.col("cid").alias("cv"))
-    lc = (
-        e.join(pu, "u")
-        .join(pv, "v")
-        .where(F.col("cu") == F.col("cv"))
-        .groupBy(F.col("cu").alias("cid"))
-        .agg(F.count(F.lit(1)).cast("long").alias("l"))
-    )
+def _q_term(df, m):
+    """Shared nano-quantization: ``df`` has one row per community with
+    BIGINT columns ``l`` (original intra-edge count, nullable) and
+    ``dc`` (summed original degree) — identical double arithmetic and
+    parenthesization to ``graph_louvain_pass``'s convention, so any
+    derivation that lands the same (l, dc, m) integers yields the same
+    q_nano bit-for-bit."""
     d = lambda col: F.col(col).cast("double")  # noqa: E731
     half = d("dc") / (F.lit(2).cast("double") * d("m"))
     t = F.round(
@@ -362,11 +375,60 @@ def _q_nano(e, deg0, m, parts):
         * 1000000000
     ).cast("long")
     return (
-        ds2.join(F.broadcast(lc), "cid", "left")
-        .crossJoin(F.broadcast(m))
+        df.crossJoin(F.broadcast(m))
         .select(t.alias("t"))
         .agg(F.sum("t").cast("long").alias("q"))
     )
+
+
+def _q_ident(edges, m):
+    """Modularity of the IDENTITY partition of a coarsened graph.
+
+    VERDICT r14 #2: Q of the composed assignment on the ORIGINAL graph
+    equals Q of the identity partition on the graph coarsened by that
+    assignment — each self-loop row carries exactly its community's
+    original intra-edge count (integer weights are summed through every
+    coarsening level) and node degrees are conserved (a crossing edge
+    contributes w to both endpoints, an intra edge 2w to its
+    community). So the per-community (l, dc) integers are the same ones
+    the old ``_q_nano`` computed with two |E|-scale joins per level —
+    read off BOUNDED tables the hierarchy already materialized.
+    """
+    nonself = edges.where(F.col("a") != F.col("b"))
+    deg = (
+        nonself.select(F.col("a").alias("node"), F.col("w").alias("kc"))
+        .unionByName(
+            nonself.select(F.col("b").alias("node"), F.col("w").alias("kc"))
+        )
+        .unionByName(
+            edges.where(F.col("a") == F.col("b")).select(
+                F.col("a").alias("node"), (2 * F.col("w")).alias("kc")
+            )
+        )
+        .groupBy("node")
+        .agg(F.sum("kc").cast("long").alias("dc"))
+    )
+    sl = edges.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node"), F.col("w").cast("long").alias("l")
+    )
+    return _q_term(deg.join(F.broadcast(sl), "node", "left"), m)
+
+
+def _q_seed(e, deg0, m):
+    """Modularity of the hash-seed partition (node % _K) — ZERO joins:
+    the seed community of each endpoint is arithmetic on the edge row
+    itself, so l is one filtered scan of the checkpointed edge table
+    and dc one scan of the checkpointed degree table (the old path
+    joined the |E| edge table against the assignment twice)."""
+    lc = (
+        e.where((F.col("u") % _K) == (F.col("v") % _K))
+        .groupBy((F.col("u") % _K).alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l"))
+    )
+    ds = deg0.groupBy((F.col("node") % _K).alias("cid")).agg(
+        F.sum("k").cast("long").alias("dc")
+    )
+    return _q_term(ds.join(F.broadcast(lc), "cid", "left"), m)
 
 
 @register(
@@ -446,29 +508,35 @@ def graph_louvain_multilevel(spark, sf_dir):
             comp = comp.join(F.broadcast(cmap), "cid").select(
                 "node", F.col("nc").alias("cid")
             )
-        qs.append(_q_nano(e, deg0, m, comp))
+        # Coarsen by this level's FINAL assignment — it feeds both the
+        # next level and this level's Q readout (_q_ident: identity
+        # modularity on the coarsened graph == composed modularity on
+        # the original graph). This removes the two |E|-scale joins the
+        # old per-level _q_nano paid: level 0's coarsen was already
+        # being computed, levels >= 1 coarsen <=|communities|-node
+        # graphs. coalesce(1): the coarse graph is bounded by the seed
+        # count, so one partition kills per-sweep scheduler overhead on
+        # the deeper levels.
+        pa = c.select(F.col("node").alias("a"), F.col("cid").alias("ca"))
+        pb = c.select(F.col("node").alias("b"), F.col("cid").alias("cb"))
+        edges = (
+            edges.join(pa, "a")
+            .join(pb, "b")
+            .select(
+                F.least("ca", "cb").alias("a"),
+                F.greatest("ca", "cb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").cast("long").alias("w"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        qs.append(_q_ident(edges, m))
         if level >= 1 and level_moves == 0:
             fixpoint = True  # global fixpoint: deeper levels are identity
-            continue
-        if level + 1 < len(_SWEEPS):
-            pa = c.select(F.col("node").alias("a"), F.col("cid").alias("ca"))
-            pb = c.select(F.col("node").alias("b"), F.col("cid").alias("cb"))
-            edges = (
-                edges.join(pa, "a")
-                .join(pb, "b")
-                .select(
-                    F.least("ca", "cb").alias("a"),
-                    F.greatest("ca", "cb").alias("b"),
-                    "w",
-                )
-                .groupBy("a", "b")
-                .agg(F.sum("w").cast("long").alias("w"))
-                .localCheckpoint(eager=True)
-            )
 
-    q_seed = _q_nano(
-        e, deg0, m, deg0.select("node", (F.col("node") % _K).alias("cid"))
-    ).select(F.col("q").alias("q_seed_nano"))
+    q_seed = _q_seed(e, deg0, m).select(F.col("q").alias("q_seed_nano"))
     sizes = comp.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
