@@ -1148,6 +1148,10 @@ def _fivegram_stream(spark, sf_dir):
     "text_kn_fivegram_ppl",
     oracle=_KN5_PPL_ORACLE,
     tags=("text", "training"),
+    # headline r15 (VERDICT r14 #6): the heaviest registered text plan;
+    # demotes text_html_strip, whose regex-scan shape
+    # text_quality_score already tracks in the set
+    bench=True,
 )
 def text_kn_fivegram_ppl(spark, sf_dir):
     """Per-doc mean NLL under the interpolated 5-gram KN model (four

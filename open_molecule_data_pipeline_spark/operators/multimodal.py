@@ -425,6 +425,10 @@ def decode_media(payload: bytes, media_type: str):
         from .jpeg import decode_jpeg  # baseline-sequential grayscale
 
         return decode_jpeg(payload)
+    if media_type == "image/gif":
+        from .gif import decode_gif  # GIF87a/89a incl. interlace, frames
+
+        return decode_gif(payload)
     if media_type in ("image/bmp", "image/x-ms-bmp"):
         return decode_bmp(payload)
     if media_type in ("image/x-portable-pixmap", "image/x-ppm"):

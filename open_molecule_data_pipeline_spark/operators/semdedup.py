@@ -265,3 +265,187 @@ def dedup_semantic_semdedup(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) SemDeDup — VERDICT r14 #3: the production
+# shape of embedding dedup. The "new batch" is the deterministic 1/16 md5
+# slice of embeddings (dedup_incremental_batch's convention, so the two
+# incremental ladders cannot drift apart); everything else is the KEPT
+# corpus. New vectors are assigned through the SAME frozen two-level cells
+# (coarse argmin against the 16 fixed centroids + residual-sign split, with
+# the bit budget B derived from the CORPUS count — the parameter a nightly
+# job freezes when the corpus is first clustered) and compared against
+# same-cell corpus vectors ONLY. The corpus never joins itself, so cost
+# tracks batch size x cell occupancy — linear in the nightly ingest, not
+# the accumulated corpus.
+# --------------------------------------------------------------------------
+
+_IS_NEW_DUCK = "substr(md5(cast(vec_id AS VARCHAR)), 1, 1) = '0'"
+_IS_NEW_SPARK = "substring(md5(cast(vec_id as string)), 1, 1) = '0'"
+
+_SEMDEDUP_INC_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding AS e,
+         {_DOT_DUCK.format(a="embedding", b="embedding")} AS n2,
+         {_IS_NEW_DUCK} AS is_new
+  FROM embeddings
+),
+nb AS (
+  SELECT {_B_LADDER.format(
+      m=f"(count(*) FILTER (WHERE NOT is_new) // {_N_COARSE * _SEM_TARGET})"
+  )}
+    AS b FROM v
+),
+cent AS (SELECT vec_id AS ca, e AS ce FROM v WHERE vec_id < {_N_COARSE}),
+scored AS (
+  SELECT v.vec_id, v.e, v.n2, v.is_new, cent.ca, cent.ce,
+         {_SQD_DUCK.format(a="v.e", b="cent.ce")} AS d2
+  FROM v, cent
+),
+coarse AS (
+  SELECT vec_id, e, n2, is_new, ca, ce FROM (
+    SELECT vec_id, e, n2, is_new, ca, ce,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, ca) AS rn
+    FROM scored
+  ) z WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, e, n2, is_new,
+         ca * {1 << _MAX_B}
+           + ({_bucket_terms("e[{d}]", "ce[{d}]").format(B="nb.b")}) AS cid
+  FROM coarse, nb
+),
+cand AS (
+  SELECT n.vec_id, n.cid, c.vec_id AS cv,
+         {_DOT_DUCK.format(a="n.e", b="c.e")} AS dot,
+         n.n2 AS na2, c.n2 AS nb2
+  FROM assigned n JOIN assigned c
+    ON n.cid = c.cid AND n.is_new AND NOT c.is_new
+),
+hit AS (
+  SELECT vec_id,
+         cast(count(*) AS BIGINT) AS n_candidates,
+         cast(min(CASE WHEN dot > 0 AND dot * dot >= {_TAU2} * (na2 * nb2)
+                       THEN cv END) AS BIGINT) AS dup_of,
+         cast(round(max(dot / sqrt(na2 * nb2)) * 1000000) AS BIGINT)
+           AS max_cos_micro
+  FROM cand GROUP BY vec_id
+)
+SELECT b.vec_id, b.cid,
+       coalesce(h.n_candidates, 0) AS n_candidates,
+       h.dup_of, h.max_cos_micro,
+       CASE WHEN h.dup_of IS NULL THEN 1 ELSE 0 END AS is_kept
+FROM (SELECT vec_id, cid FROM assigned WHERE is_new) b
+LEFT JOIN hit h ON h.vec_id = b.vec_id
+ORDER BY b.vec_id
+"""
+
+
+@register(
+    "dedup_semdedup_incremental",
+    oracle=_SEMDEDUP_INC_ORACLE,
+    tags=("dedup", "embedding", "ml", "incremental"),
+)
+def dedup_semdedup_incremental(spark, sf_dir):
+    """Batch-vs-corpus SemDeDup: every NEW vector with its frozen-cell
+    assignment, same-cell corpus candidate count, smallest ε-ball corpus
+    neighbor (NULL => kept), and the max candidate cosine."""
+    v = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("n2"),
+        F.expr(_IS_NEW_SPARK).alias("is_new"),
+    )
+    nb = v.agg(
+        F.expr(
+            _B_LADDER.format(
+                m=(
+                    "(count(CASE WHEN is_new THEN NULL ELSE 1 END)"
+                    f" div {_N_COARSE * _SEM_TARGET})"
+                )
+            )
+        ).alias("b")
+    )
+    cent = v.filter(F.col("vec_id") < _N_COARSE).select(
+        F.col("vec_id").alias("ca"), F.col("e").alias("ce")
+    )
+    sqd = (
+        "aggregate(zip_with(e, ce,"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", F.expr(sqd))
+    w = W.partitionBy("vec_id").orderBy("d2", "ca")
+    coarse = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "n2", "is_new", "ca", "ce")
+    )
+    bucket = _bucket_terms(
+        "element_at(e, {d})", "element_at(ce, {d})"
+    ).format(B="b")
+    assigned = coarse.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        "e",
+        "n2",
+        "is_new",
+        (F.col("ca") * (1 << _MAX_B) + F.expr(bucket)).alias("cid"),
+    )
+    newb = assigned.filter("is_new").select(
+        "cid", "vec_id", F.col("e").alias("ea"), F.col("n2").alias("na2")
+    )
+    corp = assigned.filter(~F.col("is_new")).select(
+        "cid",
+        F.col("vec_id").alias("cv"),
+        F.col("e").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
+    # batch-sized candidate stream; un-hinted equi-join on the cell id
+    cand = newb.join(corp, "cid").select(
+        "vec_id",
+        "cv",
+        F.expr(_DOT.format(a="ea", b="eb")).alias("dot"),
+        "na2",
+        "nb2",
+    )
+    hit = cand.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.min(
+            F.when(
+                (F.col("dot") > 0)
+                & (
+                    F.col("dot") * F.col("dot")
+                    >= F.lit(_TAU2) * (F.col("na2") * F.col("nb2"))
+                ),
+                F.col("cv"),
+            )
+        )
+        .cast("long")
+        .alias("dup_of"),
+        F.round(
+            F.max(F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("max_cos_micro"),
+    )
+    return (
+        assigned.filter("is_new")
+        .select("vec_id", "cid")
+        .join(hit, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "dup_of",
+            "max_cos_micro",
+            F.when(F.col("dup_of").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )

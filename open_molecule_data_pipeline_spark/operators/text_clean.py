@@ -69,7 +69,9 @@ GROUP BY lang
 """
 
 
-@register("text_html_strip", oracle=_HTML_ORACLE, tags=("text",), bench=True)
+# bench demoted r15: text_kn_fivegram_ppl promoted under the cap-34 swap
+# policy; this regex-scan plan shape stays tracked via text_quality_score
+@register("text_html_strip", oracle=_HTML_ORACLE, tags=("text",))
 def text_html_strip(spark, sf_dir):
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     html = F.concat(

@@ -46,7 +46,7 @@ FAMILY_TAGS = (
 # own CORRECTNESS artifact (dropped by the driver mid-round) must not
 # retroactively invalidate the window it verified (ADVICE r10). Bump in
 # the same commit as each rotation.
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
 
 def _cumulative_green_counts() -> dict[str, int]:
@@ -133,42 +133,34 @@ def test_contract_preserves_all_other_queries():
 # already-driver-green names allowed inside the head-50 window (re-proof
 # slots). Update per round alongside the CONTRACT_ORDER head comment.
 CHANGED_THIS_ROUND: set[str] = {
-    # r14: the two ADVICE r13 oracle hardenings; the corpus_refinery.py
-    # family split (13 moved queries + the 4 residents of the shrunk
-    # module); the jpeg.py codec generalization (chroma modes + SOF2
-    # dispatch) touching the 4 prior jpeg queries; the bench-flag swap
-    # pair; the kn_lm.py co-residents of the appended 4-gram section.
-    "agg_exponential_decay_counts",
-    "profile_jarque_bera",
-    "agg_countmin_heavy_hitters",
-    "agg_kmv_distinct",
-    "agg_kmv_merge",
-    "agg_kmv_intersect",
-    "agg_hll_sketch_merge",
-    "agg_misra_gries_verdict",
-    "agg_bitmap_distinct",
-    "agg_approx_percentile_verdict",
-    "dq_constraint_report",
-    "dq_observe_metrics",
-    "profile_skew_keys",
-    "profile_psi_drift",
-    "profile_benford_first_digit",
-    "dedup_boilerplate_lines",
-    "text_bloom_decontaminate",
-    "corpus_pipeline_report",
-    "corpus_funnel_report",
-    "mm_image_jpeg_decode",
-    "mm_image_jpeg_renc_dedup",
-    "mm_image_jpeg_color_decode",
-    "mm_image_jpeg_color_renc_dedup",
-    "graph_louvain_pass",
-    "graph_pagerank_3iter",
-    "text_kn_bigram_model",
-    "text_kn_bigram_ppl",
-    "text_kn_oov_backoff",
-    "text_ccnet_ppl_buckets",
-    "text_min_k_prob_audit",
-    "text_kn_trigram_ppl",
+    # r15: the Louvain bounded-table Q restructure; semdedup.py's
+    # appended incremental section (co-resident full-corpus query); the
+    # jpeg_progressive.py assert->ValueError hardening (4 queries);
+    # gopher_quality.py's sequence clamp; the bench-flag swap pair; the
+    # 14 multimodal.py residents (decode_media gained image/gif).
+    "graph_louvain_multilevel",
+    "dedup_semantic_semdedup",
+    "mm_image_jpeg_progressive_decode",
+    "mm_image_jpeg_progressive_renc_dedup",
+    "mm_image_jpeg_progressive_sa_decode",
+    "mm_image_jpeg_progressive_color_decode",
+    "text_gopher_repetition",
+    "text_kn_fivegram_ppl",
+    "text_html_strip",
+    "mm_blob_stats",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "mm_wav_decode",
+    "mm_image_decode",
+    "mm_video_frames",
+    "mm_audio_frames",
+    "mm_pcm_resample",
+    "mm_image_resize_nn",
+    "mm_image_dhash_neardup",
+    "mm_audio_fingerprint_neardup",
+    "mm_audio_silence_trim",
+    "mm_video_scene_cuts",
+    "mm_audio_zcr",
 }
 
 

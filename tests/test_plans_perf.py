@@ -301,6 +301,9 @@ _CONSTANT_BOUNDED_BROADCASTS = {
     # coarse centroids (vec_id < 16; the fine split is map-side) and the
     # JL recall query batch (vec_id < 8)
     "dedup_semantic_semdedup",
+    # r15: the incremental pass broadcasts the same two literal-bounded
+    # sides as the full SemDeDup run (16 centroids + the 1-row B scalar)
+    "dedup_semdedup_incremental",
     "sim_jl_projection_recall",
     "sim_ivf_recall",
     "sim_ivf_sampled_quantizer",
