@@ -373,3 +373,43 @@ def test_headline_swap_r15():
     assert specs["text_kn_fivegram_ppl"].bench
     assert not specs["text_html_strip"].bench
     assert sum(1 for s in specs.values() if s.bench) <= bench.HEADLINE_CAP
+
+
+def test_quality_classifier_hashed_matches_replay(spark, sf_dir):
+    """Pure-Python replay of the hashing-trick scorer: md5-bucketed
+    unigram+bigram features, Knuth-mixed weights, exact int64 sums."""
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.quality_classifier import (
+        _MIX,
+        _N_BUCKETS,
+        _W_RANGE,
+        text_quality_classifier_hashed,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+
+    def wgt(g: str) -> int:
+        h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+        return (h % _N_BUCKETS) * _MIX % _W_RANGE - _W_RANGE // 2
+
+    expect = {}
+    for doc_id, lang, text in zip(t.doc_id, t.lang, t.text):
+        tk = [w for w in text.lower().split(" ") if w]
+        grams = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        s = sum(wgt(g) for g in grams)
+        n = len(grams)
+        mean = 0 if n == 0 else (-((-s) // n) if s < 0 else s // n)
+        expect[int(doc_id)] = (
+            lang, n, s, mean, 1 if n > 0 and mean >= 0 else 0
+        )
+    rows = text_quality_classifier_hashed(spark, sf_dir).collect()
+    got = {
+        r.doc_id: (r.lang, r.n_features, r.w_sum, r.mean_w, r.kept)
+        for r in rows
+    }
+    assert got == expect
+    kept = sum(v[4] for v in expect.values())
+    assert 0 < kept < len(expect)  # the gate separates the corpus
