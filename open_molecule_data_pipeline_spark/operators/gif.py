@@ -567,3 +567,86 @@ def mm_gif_animation_frames(spark, sf_dir):
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Aspect-ratio bucket sampling (the LAION/SDXL image-training staple):
+# every image is routed to the nearest aspect bucket of a fixed ladder so
+# batches can be formed at homogeneous shapes. Nearest is decided EXACTLY
+# in integers: |w/h - n/d| = |w*d - h*n| / (h*d); with h shared within a
+# row, multiplying each bucket's error by (D / d) — D the product of all
+# ladder denominators — yields globally comparable integer keys, so the
+# argmin never touches floats (ties break to the lower bucket index).
+# --------------------------------------------------------------------------
+
+# (n, d) aspect ladder: 1:1, 4:3, 3:4, 16:9, 9:16, 3:2, 2:3
+_AR_BUCKETS = ((1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (3, 2), (2, 3))
+_AR_D_PROD = 1
+for _n, _d in _AR_BUCKETS:
+    _AR_D_PROD *= _d
+
+_AR_KEYS_SQL = ", ".join(
+    f"(abs(w * {d} - h * {n}) * {_AR_D_PROD // d}, {i}, {n}, {d})"
+    for i, (n, d) in enumerate(_AR_BUCKETS)
+)
+
+_ASPECT_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+),
+keyed AS (
+  SELECT doc_id, w, h,
+         list_sort([{_AR_KEYS_SQL}])[1] AS best
+  FROM dims
+)
+SELECT cast(best[2] AS INTEGER) AS bucket,
+       cast(best[3] AS INTEGER) AS ar_n,
+       cast(best[4] AS INTEGER) AS ar_d,
+       cast(count(*) AS BIGINT) AS n_images,
+       cast(sum(w * 1000 // h) AS BIGINT) // count(*) AS mean_ar_milli,
+       cast(min(w * 1000 // h) AS BIGINT) AS min_ar_milli,
+       cast(max(w * 1000 // h) AS BIGINT) AS max_ar_milli
+FROM keyed
+GROUP BY 1, 2, 3
+ORDER BY bucket
+"""
+
+
+@register(
+    "mm_aspect_bucket_sampling",
+    oracle=_ASPECT_ORACLE,
+    tags=("multimodal", "image", "sample"),
+)
+def mm_aspect_bucket_sampling(spark, sf_dir):
+    """Per-bucket report of the aspect-ratio router: bucket identity
+    (index + exact n:d ratio), image count, and exact integer
+    mean/min/max milli-aspect of the routed images."""
+    keys = ", ".join(
+        f"struct(abs(w * {d} - h * {n}) * {_AR_D_PROD // d} AS k,"
+        f" {i} AS i, {n} AS n, {d} AS d)"
+        for i, (n, d) in enumerate(_AR_BUCKETS)
+    )
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id",
+        (F.lit(8) + F.col("doc_id") % 9).alias("w"),
+        (F.lit(8) + F.col("doc_id") % 7).alias("h"),
+    )
+    best = d.select(
+        "w", "h", F.expr(f"array_min(array({keys}))").alias("best")
+    )
+    return (
+        best.groupBy(
+            F.col("best.i").cast("int").alias("bucket"),
+            F.col("best.n").cast("int").alias("ar_n"),
+            F.col("best.d").cast("int").alias("ar_d"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.expr("sum(w * 1000 div h) div count(1)")
+            .cast("long")
+            .alias("mean_ar_milli"),
+            F.expr("min(w * 1000 div h)").cast("long").alias("min_ar_milli"),
+            F.expr("max(w * 1000 div h)").cast("long").alias("max_ar_milli"),
+        )
+        .orderBy("bucket")
+    )

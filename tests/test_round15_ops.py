@@ -413,3 +413,47 @@ def test_quality_classifier_hashed_matches_replay(spark, sf_dir):
     assert got == expect
     kept = sum(v[4] for v in expect.values())
     assert 0 < kept < len(expect)  # the gate separates the corpus
+
+
+def test_aspect_bucket_sampling_matches_replay(spark, sf_dir):
+    """Exact-integer replay of the aspect router: per doc, argmin of
+    |w*d - h*n| * (D/d) over the ladder with lower-index tiebreak."""
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.gif import (
+        _AR_BUCKETS,
+        _AR_D_PROD,
+        mm_aspect_bucket_sampling,
+    )
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    agg = {}
+    for doc in ids:
+        w, h = 8 + doc % 9, 8 + doc % 7
+        best = min(
+            (abs(w * d - h * n) * (_AR_D_PROD // d), i, n, d)
+            for i, (n, d) in enumerate(_AR_BUCKETS)
+        )
+        _, i, n, d = best
+        ar = w * 1000 // h
+        cnt, tot, lo, hi = agg.get((i, n, d), (0, 0, None, None))
+        agg[(i, n, d)] = (
+            cnt + 1,
+            tot + ar,
+            ar if lo is None else min(lo, ar),
+            ar if hi is None else max(hi, ar),
+        )
+    expect = {
+        k: (c, t // c, lo, hi) for k, (c, t, lo, hi) in agg.items()
+    }
+    rows = mm_aspect_bucket_sampling(spark, sf_dir).collect()
+    got = {
+        (r.bucket, r.ar_n, r.ar_d): (
+            r.n_images, r.mean_ar_milli, r.min_ar_milli, r.max_ar_milli
+        )
+        for r in rows
+    }
+    assert got == expect
+    assert len(got) >= 3  # the 8..16 x 8..14 dims spread across buckets
