@@ -42,7 +42,6 @@ from ..registry import register
 from ._util import spread
 
 _N_PAL = 64  # fixture palette size -> LZW min code size 6
-_MCS = 6
 
 
 # --------------------------------------------------------------------------
