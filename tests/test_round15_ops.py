@@ -457,3 +457,28 @@ def test_aspect_bucket_sampling_matches_replay(spark, sf_dir):
     }
     assert got == expect
     assert len(got) >= 3  # the 8..16 x 8..14 dims spread across buckets
+
+
+def test_gif_local_color_table_overrides_global():
+    """A frame-level Local Color Table must override the GCT: assemble
+    a stream whose GCT and LCT disagree and pin the LCT decode."""
+    gct = [(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)]
+    lct = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    blob = (
+        b"GIF89a"
+        + (3).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + bytes([0x80 | (7 << 4) | 1, 0, 0])
+        + b"".join(bytes(c) for c in gct)
+        + b"\x2c"
+        + bytes(4)
+        + (3).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + bytes([0x80 | 1])  # LCT present, 4 entries, not interlaced
+        + b"".join(bytes(c) for c in lct)
+        + b"\x02"
+        + b"\x02\x8c\x0b\x00"  # hand-pinned LZW for indices [1,1,1]
+        + b"\x3b"
+    )
+    dec = decode_gif(blob)
+    assert dec["frames"][0].tolist() == [[[40, 50, 60]] * 3]
