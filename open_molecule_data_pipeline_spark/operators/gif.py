@@ -14,7 +14,12 @@ Extension delays, other extensions skipped by sub-block framing.
 Partial-frame compositing (image descriptors smaller than the logical
 screen, disposal methods) is gated NotImplementedError — frame
 EXTRACTION treats each frame as a full raster, the shape a dedup /
-frame-sampling pipeline needs.
+frame-sampling pipeline needs. GCE transparency is PARSED and IGNORED
+by the same reasoning: a transparent index only changes how a frame
+composites over prior state, and every frame here is a full raster
+whose palette entry still defines its stored RGB — so frames decode to
+opaque palette RGB deterministically (pinned in tests), rather than
+rejecting the large fraction of real GIFs that set the flag.
 
 LZW variable-width discipline (the GIF flavor, not TIFF's early-change):
 with S = 2^mcs + 2 initial codes, the encoder widens after an add once

@@ -482,3 +482,50 @@ def test_gif_local_color_table_overrides_global():
     )
     dec = decode_gif(blob)
     assert dec["frames"][0].tolist() == [[[40, 50, 60]] * 3]
+
+
+def test_gif_transparency_flag_decodes_to_opaque_palette_rgb():
+    """Documented semantics: GCE transparency is parsed and ignored —
+    frames are full rasters, so the transparent index still decodes to
+    its stored palette RGB (compositing, where transparency matters, is
+    gated). A stream with the flag set must decode identically to one
+    without, and still carry its delay."""
+    pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    body = (
+        b"\x2c"
+        + bytes(4)
+        + (3).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + b"\x00\x02"
+        + b"\x02\x8c\x0b\x00"
+        + b"\x3b"
+    )
+    head = (
+        b"GIF89a"
+        + (3).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + bytes([0x80 | (7 << 4) | 1, 0, 0])
+        + b"".join(bytes(c) for c in pal)
+    )
+    # GCE: flags bit0 = transparency, transparent index = 1 (the very
+    # index the frame uses), delay 7
+    gce = b"\x21\xf9\x04\x01" + (7).to_bytes(2, "little") + b"\x01\x00"
+    dec = decode_gif(head + gce + body)
+    assert dec["frames"][0].tolist() == [[[40, 50, 60]] * 3]
+    assert dec["delays_cs"] == [7]
+
+
+def test_gif_container_roundtrip_other_palette_sizes():
+    """Container-level roundtrip at the mcs extremes: a 4-color palette
+    (mcs=2) and a 256-color palette (mcs=8, GCT size bits 7)."""
+    for n_pal in (4, 256):
+        pal = [((c * 7 + 1) % 256, (c * 13 + 5) % 256, (c * 31 + 11) % 256)
+               for c in range(n_pal)]
+        idx = (np.arange(12 * 9, dtype=np.int64) * 5 % n_pal).astype(
+            np.uint8
+        ).reshape(9, 12)
+        for inter in (False, True):
+            dec = decode_gif(encode_gif([(idx, 0)], pal, interlace=inter))
+            assert (
+                dec["frames"][0] == np.array(pal, dtype=np.uint8)[idx]
+            ).all(), (n_pal, inter)
