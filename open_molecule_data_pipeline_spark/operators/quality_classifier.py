@@ -34,7 +34,9 @@ _N_BUCKETS = 65536  # 2^16 hashed feature buckets
 _MIX = 2654435761  # Knuth multiplicative constant
 _W_RANGE = 16384  # weights span [-8192, 8191]
 
-_CLS_ORACLE = f"""
+# scoring CTEs shared with the streaming twin's oracle
+# (operators/streaming_twin.py), so the two cannot drift apart
+CLS_CTES = f"""
 WITH toks AS (
   SELECT doc_id, lang,
          list_filter(string_split(lower(text), ' '), x -> length(x) > 0)
@@ -66,11 +68,33 @@ meaned AS (
               ELSE w_sum // n_features END AS mean_w
   FROM scored
 )
-SELECT doc_id, lang, n_features, w_sum, mean_w,
+"""
+
+_CLS_ORACLE = (
+    CLS_CTES
+    + """SELECT doc_id, lang, n_features, w_sum, mean_w,
        CASE WHEN n_features > 0 AND mean_w >= 0 THEN 1 ELSE 0 END AS kept
 FROM meaned
 ORDER BY doc_id
 """
+)
+
+
+_TK = "filter(split(lower(text), ' '), x -> length(x) > 0)"
+# shared by the batch query and its streaming twin, so the two scoring
+# paths cannot drift apart
+GRAMS_EXPR = (
+    f"concat({_TK}, zip_with("
+    f"slice({_TK}, 1, greatest(size({_TK}) - 1, 0)), "
+    f"slice({_TK}, 2, greatest(size({_TK}) - 1, 0)), "
+    f"(a, b) -> concat(a, ' ', b)))"
+)
+WSUM_EXPR = (
+    "aggregate(transform(grams,"
+    f" g -> (cast(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"
+    f" % {_N_BUCKETS}) * {_MIX} % {_W_RANGE} - {_W_RANGE // 2}),"
+    " cast(0 AS BIGINT), (acc, v) -> acc + v)"
+)
 
 
 @register(
@@ -82,19 +106,8 @@ def text_quality_classifier_hashed(spark, sf_dir):
     """Per-doc hashed-linear-classifier score: feature count, exact
     int64 weight sum, truncated mean weight, and the keep decision."""
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    tk = "filter(split(lower(text), ' '), x -> length(x) > 0)"
-    grams = (
-        f"concat({tk}, zip_with("
-        f"slice({tk}, 1, greatest(size({tk}) - 1, 0)), "
-        f"slice({tk}, 2, greatest(size({tk}) - 1, 0)), "
-        f"(a, b) -> concat(a, ' ', b)))"
-    )
-    w_sum = (
-        "aggregate(transform(grams,"
-        f" g -> (cast(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"
-        f" % {_N_BUCKETS}) * {_MIX} % {_W_RANGE} - {_W_RANGE // 2}),"
-        " cast(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
+    grams = GRAMS_EXPR
+    w_sum = WSUM_EXPR
     mean_w = (
         "CASE WHEN n_features = 0 THEN 0"
         " WHEN w_sum < 0 THEN -((-w_sum) div n_features)"

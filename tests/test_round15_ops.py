@@ -529,3 +529,37 @@ def test_gif_container_roundtrip_other_palette_sizes():
             assert (
                 dec["frames"][0] == np.array(pal, dtype=np.uint8)[idx]
             ).all(), (n_pal, inter)
+
+
+def test_stream_quality_gate_twin_equals_batch_aggregation(spark, sf_dir):
+    """The streaming twin must equal the per-lang aggregation of the
+    BATCH classifier — same scoring expressions by construction, so any
+    divergence is a streaming-path bug (source discovery, stateful agg,
+    sink commit)."""
+    from pyspark.sql import functions as F
+
+    from open_molecule_data_pipeline_spark.operators.quality_classifier import (
+        text_quality_classifier_hashed,
+    )
+    from open_molecule_data_pipeline_spark.operators.streaming_twin import (
+        stream_quality_gate_twin,
+    )
+
+    batch = (
+        text_quality_classifier_hashed(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum("w_sum").cast("long").alias("sum_w"),
+        )
+    )
+    want = {
+        r.lang: (r.n_docs, r.n_kept, r.sum_w) for r in batch.collect()
+    }
+    got = {
+        r.lang: (r.n_docs, r.n_kept, r.sum_w)
+        for r in stream_quality_gate_twin(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) > 0
