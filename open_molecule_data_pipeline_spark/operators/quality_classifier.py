@@ -34,8 +34,8 @@ _N_BUCKETS = 65536  # 2^16 hashed feature buckets
 _MIX = 2654435761  # Knuth multiplicative constant
 _W_RANGE = 16384  # weights span [-8192, 8191]
 
-# scoring CTEs shared with the streaming twin's oracle
-# (operators/streaming_twin.py), so the two cannot drift apart
+# scoring CTEs shared with the streaming twin's oracle below, so the
+# two cannot drift apart
 CLS_CTES = f"""
 WITH toks AS (
   SELECT doc_id, lang,
@@ -136,3 +136,73 @@ def text_quality_classifier_hashed(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin: the keep-gate run as a REAL streaming job — stateless
+# map-side scoring (the shared GRAMS/WSUM expressions above, so batch and
+# stream cannot drift) into a stateful per-lang aggregate. This is the
+# nightly-ingest deployment shape of model-based quality filtering: score
+# documents as they arrive, keep a running per-slice keep-rate for drift
+# monitoring. Lives here (not streaming_twin.py) because it shares this
+# module's scoring constants; the twin HARNESS (_run_to_memory) is
+# imported lazily from streaming_twin to avoid a circular import.
+# --------------------------------------------------------------------------
+
+_QGATE_TWIN_ORACLE = (
+    CLS_CTES
+    + """SELECT lang,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN n_features > 0 AND mean_w >= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       cast(sum(w_sum) AS BIGINT) AS sum_w
+FROM meaned
+GROUP BY lang
+"""
+)
+
+
+@register(
+    "stream_quality_gate_twin",
+    oracle=_QGATE_TWIN_ORACLE,
+    tags=("streaming", "text", "quality", "ml"),
+)
+def stream_quality_gate_twin(spark, sf_dir):
+    """Per-lang keep-rate of the hashed classifier computed by a real
+    availableNow streaming run over the documents table."""
+    from ..session import tune_session
+    from .streaming_twin import _run_to_memory
+
+    tune_session(spark)
+    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    docs = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    mean_w = (
+        "CASE WHEN n_features = 0 THEN 0"
+        " WHEN w_sum < 0 THEN -((-w_sum) div n_features)"
+        " ELSE w_sum div n_features END"
+    )
+    scored = (
+        docs.select("lang", F.expr(GRAMS_EXPR).alias("grams"))
+        .select(
+            "lang",
+            F.size("grams").cast("long").alias("n_features"),
+            F.expr(WSUM_EXPR).alias("w_sum"),
+        )
+        .withColumn("mean_w", F.expr(mean_w))
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("n_features") > 0) & (F.col("mean_w") >= 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("w_sum").cast("long").alias("sum_w"),
+    )
+    return _run_to_memory(spark, agg, output_mode="complete")

@@ -1216,72 +1216,3 @@ def stream_neyman_twin(spark, sf_dir):
     )
     done = _run_to_memory(spark, agg, output_mode="complete")
     return neyman_from_moments(done)
-
-
-# --------------------------------------------------------------------------
-# Quality-gate twin (r15): the hashed-linear-classifier keep-gate run as a
-# REAL streaming job — stateless map-side scoring (the shared GRAMS/WSUM
-# expressions, so batch and stream cannot drift) into a stateful per-lang
-# aggregate. This is the nightly-ingest deployment shape of model-based
-# quality filtering: score documents as they arrive, keep a running
-# per-slice keep-rate for drift monitoring.
-# --------------------------------------------------------------------------
-
-from .quality_classifier import CLS_CTES, GRAMS_EXPR, WSUM_EXPR  # noqa: E402
-
-_QGATE_TWIN_ORACLE = (
-    CLS_CTES
-    + """SELECT lang,
-       cast(count(*) AS BIGINT) AS n_docs,
-       cast(sum(CASE WHEN n_features > 0 AND mean_w >= 0
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       cast(sum(w_sum) AS BIGINT) AS sum_w
-FROM meaned
-GROUP BY lang
-"""
-)
-
-
-def _documents_stream(spark, sf_dir: str):
-    tune_session(spark)
-    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
-    return (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
-
-
-@register(
-    "stream_quality_gate_twin",
-    oracle=_QGATE_TWIN_ORACLE,
-    tags=("streaming", "text", "quality", "ml"),
-)
-def stream_quality_gate_twin(spark, sf_dir):
-    docs = _documents_stream(spark, sf_dir)
-    mean_w = (
-        "CASE WHEN n_features = 0 THEN 0"
-        " WHEN w_sum < 0 THEN -((-w_sum) div n_features)"
-        " ELSE w_sum div n_features END"
-    )
-    scored = (
-        docs.select("lang", F.expr(GRAMS_EXPR).alias("grams"))
-        .select(
-            "lang",
-            F.size("grams").cast("long").alias("n_features"),
-            F.expr(WSUM_EXPR).alias("w_sum"),
-        )
-        .withColumn("mean_w", F.expr(mean_w))
-    )
-    agg = scored.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(
-            F.when(
-                (F.col("n_features") > 0) & (F.col("mean_w") >= 0), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_kept"),
-        F.sum("w_sum").cast("long").alias("sum_w"),
-    )
-    return _run_to_memory(spark, agg, output_mode="complete")

@@ -161,6 +161,10 @@ CHANGED_THIS_ROUND: set[str] = {
     "mm_audio_silence_trim",
     "mm_video_scene_cuts",
     "mm_audio_zcr",
+    # segments.py gained the incremental-paragraph section
+    "dedup_paragraphs",
+    "dedup_prefix_filter_join",
+    "dedup_duplicate_spans",
 }
 
 

@@ -541,7 +541,7 @@ def test_stream_quality_gate_twin_equals_batch_aggregation(spark, sf_dir):
     from open_molecule_data_pipeline_spark.operators.quality_classifier import (
         text_quality_classifier_hashed,
     )
-    from open_molecule_data_pipeline_spark.operators.streaming_twin import (
+    from open_molecule_data_pipeline_spark.operators.quality_classifier import (
         stream_quality_gate_twin,
     )
 
@@ -563,3 +563,45 @@ def test_stream_quality_gate_twin_equals_batch_aggregation(spark, sf_dir):
     }
     assert got == want
     assert sum(v[1] for v in got.values()) > 0
+
+
+def test_paragraphs_incremental_matches_replay(spark, sf_dir):
+    """Pure-Python replay of the batch-vs-corpus segment novelty: md5
+    doc slice, consecutive 8-token segments (split on ' ' WITHOUT
+    empty-filtering — dedup_paragraphs' exact convention), corpus
+    distinct set, per-new-doc occurrence counts."""
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.segments import (
+        _SEG,
+        dedup_paragraphs_incremental,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+
+    def segs(text):
+        tk = text.split(" ")
+        return [
+            " ".join(tk[i * _SEG : i * _SEG + _SEG])
+            for i in range((len(tk) + _SEG - 1) // _SEG)
+        ]
+
+    new = {}
+    corpus = set()
+    for doc_id, text in zip(t.doc_id, t.text):
+        is_new = hashlib.md5(str(int(doc_id)).encode()).hexdigest()[0] == "0"
+        if is_new:
+            new[int(doc_id)] = segs(text)
+        else:
+            corpus.update(segs(text))
+    expect = {}
+    for doc_id, ss in new.items():
+        n, seen = len(ss), sum(1 for s in ss if s in corpus)
+        expect[doc_id] = (n, seen, (n - seen) * 1_000_000 // n)
+    rows = dedup_paragraphs_incremental(spark, sf_dir).collect()
+    got = {r.doc_id: (r.n_segments, r.n_seen, r.novelty_ppm) for r in rows}
+    assert got == expect
+    assert any(v[1] > 0 for v in expect.values())  # corpus hits exist
+    assert any(v[1] < v[0] for v in expect.values())  # novelty exists
