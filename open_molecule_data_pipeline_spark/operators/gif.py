@@ -88,6 +88,17 @@ def _lzw_encode(indices, mcs: int) -> bytes:
         buf = cand[-1:]
     if buf:
         emit(table[buf])
+        # Mirror the decoder's post-read add for this final data code
+        # (it appends prev+entry[:1] and may widen BEFORE reading EOI),
+        # else EOI is written at width but read at width+1 whenever the
+        # final add lands exactly on a power-of-two table size (ADVICE
+        # r15). Skipped when this is the FIRST data code (decoder prev
+        # is None -> no add); harmless there anyway since no widening
+        # can trigger at the initial table size for mcs >= 2.
+        if next_code > eoi + 1 and next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
     emit(eoi)
     if nbits:
         out.append(acc & 255)
@@ -276,7 +287,10 @@ def decode_gif(payload: bytes) -> dict:
             raise ValueError("no color table for frame")
         mcs = payload[pos]
         pos += 1
-        if not 2 <= mcs <= 11:
+        if not 2 <= mcs <= 8:
+            # the GIF spec caps mcs at 8 (palette indices are bytes);
+            # 9-11 would crash _lzw_decode's bytes([c]) table init with
+            # a misleading range error instead of this gate (ADVICE r15)
             raise ValueError("illegal LZW min code size")
         data, pos = _sub_blocks(payload, pos)
         idx = np.frombuffer(
