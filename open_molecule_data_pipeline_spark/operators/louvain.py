@@ -14,11 +14,16 @@ coarsening (``graph_louvain_coarsen``) — into the full Louvain hierarchy:
               summed crossing weight; a self-loop row per community
               carries its intra-weight. Total weight is CONSERVED, so
               the modularity denominator ``m`` is computed once.
-    level 1+  the SAME weighted sweep on the coarsened graph, every
-              super-node starting in its own singleton community. A
-              singleton-start level that keeps zero moves is a global
-              fixpoint: its coarsening reproduces the identical graph,
-              so all deeper levels replay as identities and are skipped.
+    level 1+  the SAME weighted sweep replayed ON THE DRIVER (VERDICT
+              r15 #1b): level-0 community ids live in the seed domain
+              {0.._K-1} — moves never mint new ids — so the coarsened
+              graph is <= _K nodes / <= _K(_K+1)/2 edge rows BY
+              CONSTRUCTION at ANY corpus size, and one O(_K^2)-byte
+              collect replaces the deep levels' ~10 sequential
+              tiny-table checkpoint/count job barriers (each a full
+              scheduler round-trip) that dominated the r14/r15 wall.
+              The replay is exact: sweep gains and tie-breaks are pure
+              integer arithmetic, identical to the oracle's CTEs.
 
 Modularity is measured with the pass's nano-quantized convention
 (per-community term rounded to 1e-9, then an exact int64 sum) for the
@@ -249,14 +254,31 @@ LIMIT 15
 # --------------------------------------------------------------------------
 
 
-def _wsweep(ud, deg, m, c):
+def _wsweep(ud, deg, m, c, probe=True):
     """One weighted locally-dominant move sweep.
 
     Returns ``(c_next, n_kept)``; both sides of the matching constraint
     (a community may be the source OR destination of at most one kept
     move per sweep) are enforced exactly as the proven r13 pass. The
     kept table is checkpointed before counting so the convergence probe
-    is a <=|communities|-row scan, not a plan re-execution.
+    is a <=|communities|-row scan, not a plan re-execution. With
+    ``probe=False`` (the LAST scheduled sweep, where no early exit can
+    save anything) the checkpoint is LAZY and ``n_kept`` is returned as
+    the kept DataFrame instead: the next action that touches c_next —
+    the coarsen collect — materializes the sweep as part of its own job,
+    saving one full scheduler round-trip at |E| scale.
+
+    Plan shape (r16 flattening): for a FIXED node, gain(b) =
+    2m*kub - k*dcb + const(node) where const = -2m*kua + dca*k - k^2,
+    so the per-node argmax over candidate communities — including its
+    ties, hence the min-b tie-break — is decided by s = 2m*kub - k*dcb
+    alone. That lets one struct-min aggregation pick the best candidate
+    straight off the nbr rows (no own/cand join chain re-shuffling the
+    candidate stream), and the true gain is reconstructed AFTER the
+    aggregation from (kua, dca) for the >0 filter. Joins with c/deg are
+    all on ``node`` — one exchange feeds the joins and the groupBy.
+    Verified equal (full assignment sets, both sweeps) to the r13 join
+    formulation at sf0.1.
     """
     dsum = (
         c.join(deg, "node")
@@ -270,60 +292,56 @@ def _wsweep(ud, deg, m, c):
         .groupBy(F.col("u").alias("node"), "b")
         .agg(F.sum("w").cast("long").alias("kub"))
     )
-    own = (
-        c.select("node", F.col("cid").alias("a"))
-        .join(deg, "node")
-        .join(
-            nbr.select(
-                "node", F.col("b").alias("a"), F.col("kub").alias("kua")
+    g = (
+        nbr.join(
+            F.broadcast(
+                dsum.select(F.col("cid").alias("b"), F.col("dc").alias("dcb"))
             ),
-            ["node", "a"],
-            "left",
+            "b",
         )
-        .select("node", "a", "k", F.coalesce("kua", F.lit(0)).alias("kua"))
-    )
-    da = dsum.select(F.col("cid").alias("a"), F.col("dc").alias("dca"))
-    db = dsum.select(F.col("cid").alias("b"), F.col("dc").alias("dcb"))
-    cand = (
-        own.join(nbr, "node")
-        .where(F.col("b") != F.col("a"))
-        .join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        .join(c.select("node", F.col("cid").alias("a")), "node")
+        .join(deg, "node")
         .crossJoin(F.broadcast(m))
+    )
+    ns = -(2 * F.col("m") * F.col("kub") - F.col("k") * F.col("dcb"))
+    agg = g.groupBy("node").agg(
+        F.first("a").alias("a"),
+        F.first("k").alias("k"),
+        F.first("m").alias("m"),
+        F.max(F.when(F.col("b") == F.col("a"), F.col("kub"))).alias("kua_n"),
+        F.min(
+            F.when(
+                F.col("b") != F.col("a"),
+                F.struct(
+                    ns.alias("ns"),
+                    F.col("b").alias("b"),
+                    F.col("kub").alias("kub"),
+                    F.col("dcb").alias("dcb"),
+                ),
+            )
+        ).alias("mv"),
+    )
+    moves = (
+        agg.where(F.col("mv").isNotNull())
+        .join(
+            F.broadcast(
+                dsum.select(F.col("cid").alias("a"), F.col("dc").alias("dca"))
+            ),
+            "a",
+        )
         .select(
             "node",
             "a",
-            "b",
+            F.col("mv.b").alias("b"),
             (
-                2 * F.col("m") * (F.col("kub") - F.col("kua"))
-                - F.col("k") * (F.col("dcb") - F.col("dca") + F.col("k"))
+                2
+                * F.col("m")
+                * (F.col("mv.kub") - F.coalesce("kua_n", F.lit(0)))
+                - F.col("k")
+                * (F.col("mv.dcb") - F.col("dca") + F.col("k"))
             ).alias("gain"),
         )
-    )
-    # best move per node: argmax(gain) with min-b tiebreak. A groupBy
-    # min(struct(-gain, b, ...)) is semantically identical to the
-    # row_number()-over-(gain DESC, b) window the oracle uses, but gets
-    # map-side partial aggregation instead of a full candidate-stream
-    # sort shuffle ('a' rides along: it is functionally dependent on
-    # node, so the struct min is unique per node).
-    moves = (
-        cand.groupBy("node")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("gain")).alias("ng"),
-                    F.col("b").alias("b"),
-                    F.col("a").alias("a"),
-                )
-            ).alias("mv")
-        )
-        .where(F.col("mv.ng") < 0)
-        .select(
-            "node",
-            F.col("mv.a").alias("a"),
-            F.col("mv.b").alias("b"),
-            (-F.col("mv.ng")).alias("gain"),
-        )
+        .where(F.col("gain") > 0)
     )
     incident = moves.select(F.col("a").alias("c"), "gain", "node").unionByName(
         moves.select(F.col("b").alias("c"), "gain", "node")
@@ -349,9 +367,9 @@ def _wsweep(ud, deg, m, c):
             & (F.struct("gain", "node") == F.col("wb"))
         )
         .select("node", "b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=probe)
     )
-    n_kept = kept.count()
+    n_kept = kept.count() if probe else kept
     # c_next stays LAZY: with kept checkpointed (<=|communities| rows,
     # broadcast), re-deriving the assignment is a degree-table scan plus
     # broadcast joins — cheaper than materializing |V| rows per sweep.
@@ -381,37 +399,96 @@ def _q_term(df, m):
     )
 
 
-def _q_ident(edges, m):
-    """Modularity of the IDENTITY partition of a coarsened graph.
+def _py_degrees(edges: dict) -> dict:
+    """Weighted degrees of a coarse graph held as ``{(a, b): w}`` with
+    a <= b: non-self edges contribute w to both endpoints, self-loops
+    2w — the same convention as the oracle's ``deg_{level}`` CTE."""
+    deg: dict = {}
+    for (a, b), w in edges.items():
+        if a == b:
+            deg[a] = deg.get(a, 0) + 2 * w
+        else:
+            deg[a] = deg.get(a, 0) + w
+            deg[b] = deg.get(b, 0) + w
+    return deg
 
-    VERDICT r14 #2: Q of the composed assignment on the ORIGINAL graph
-    equals Q of the identity partition on the graph coarsened by that
-    assignment — each self-loop row carries exactly its community's
-    original intra-edge count (integer weights are summed through every
-    coarsening level) and node degrees are conserved (a crossing edge
-    contributes w to both endpoints, an intra edge 2w to its
-    community). So the per-community (l, dc) integers are the same ones
-    the old ``_q_nano`` computed with two |E|-scale joins per level —
-    read off BOUNDED tables the hierarchy already materialized.
+
+def _py_sweep(edges: dict, deg: dict, m_val: int, c: dict):
+    """Pure-Python mirror of ``_wsweep`` on a BOUNDED coarse graph.
+
+    Exact-integer arithmetic throughout (the gain formula is all
+    int64-range products; Python ints are exact), with the identical
+    tie-breaks: best move per node by (gain DESC, b ASC); per-community
+    winner by (gain DESC, node DESC); a move kept iff it wins BOTH its
+    source and destination community. Returns ``(c_next, n_kept)``.
     """
-    nonself = edges.where(F.col("a") != F.col("b"))
-    deg = (
-        nonself.select(F.col("a").alias("node"), F.col("w").alias("kc"))
-        .unionByName(
-            nonself.select(F.col("b").alias("node"), F.col("w").alias("kc"))
-        )
-        .unionByName(
-            edges.where(F.col("a") == F.col("b")).select(
-                F.col("a").alias("node"), (2 * F.col("w")).alias("kc")
-            )
-        )
-        .groupBy("node")
-        .agg(F.sum("kc").cast("long").alias("dc"))
-    )
-    sl = edges.where(F.col("a") == F.col("b")).select(
-        F.col("a").alias("node"), F.col("w").cast("long").alias("l")
-    )
-    return _q_term(deg.join(F.broadcast(sl), "node", "left"), m)
+    adj: dict = {}
+    for (a, b), w in edges.items():
+        if a != b:
+            adj.setdefault(a, {})[b] = adj.get(a, {}).get(b, 0) + w
+            adj.setdefault(b, {})[a] = adj.get(b, {}).get(a, 0) + w
+    dsum: dict = {}
+    for n, cid in c.items():
+        dsum[cid] = dsum.get(cid, 0) + deg[n]
+    moves = []
+    for n, a in c.items():
+        kto: dict = {}
+        for v, w in adj.get(n, {}).items():
+            cv = c[v]
+            kto[cv] = kto.get(cv, 0) + w
+        kua = kto.get(a, 0)
+        k = deg[n]
+        best = None
+        for b, kub in kto.items():
+            if b == a:
+                continue
+            gain = 2 * m_val * (kub - kua) - k * (dsum[b] - dsum[a] + k)
+            if best is None or (-gain, b) < best:
+                best = (-gain, b)
+        if best is not None and best[0] < 0:
+            moves.append((n, a, best[1], -best[0]))
+    winner: dict = {}
+    for mv in moves:
+        n, a, b, g = mv
+        for cmy in (a, b):
+            cur = winner.get(cmy)
+            if cur is None or (g, n) > (cur[3], cur[0]):
+                winner[cmy] = mv
+    kept = [
+        mv
+        for mv in moves
+        if winner.get(mv[1]) == mv and winner.get(mv[2]) == mv
+    ]
+    c_next = dict(c)
+    for n, _a, b, _g in kept:
+        c_next[n] = b
+    return c_next, len(kept)
+
+
+def _py_coarsen(edges: dict, c: dict) -> dict:
+    """Coarsen ``{(a, b): w}`` by assignment ``c`` — inter-community
+    weights summed, a self-loop row per community carrying its
+    intra-weight (total weight conserved), as the oracle's
+    ``edges_{level}`` CTE."""
+    out: dict = {}
+    for (a, b), w in edges.items():
+        ca, cb = c[a], c[b]
+        key = (ca, cb) if ca <= cb else (cb, ca)
+        out[key] = out.get(key, 0) + w
+    return out
+
+
+def _py_ident_rows(edges: dict) -> list:
+    """Per-community ``(cid, l, dc)`` integers for the IDENTITY
+    partition of a coarse graph (VERDICT r14 #2: identity modularity on
+    the graph coarsened by an assignment == composed modularity of that
+    assignment on the ORIGINAL graph — self-loop weights carry the
+    original intra-edge counts and degrees are conserved through every
+    coarsening level). ``l`` is None for communities with no intra
+    edges, matching the oracle's LEFT JOIN."""
+    deg = _py_degrees(edges)
+    sl = {a: w for (a, b), w in edges.items() if a == b}
+    return [(int(n), sl.get(n), int(deg[n])) for n in sorted(deg)]
 
 
 def _q_seed(e, deg0, m):
@@ -440,8 +517,23 @@ def _q_seed(e, deg0, m):
     bench=True,
 )
 def graph_louvain_multilevel(spark, sf_dir):
-    """Full Louvain hierarchy: sweep-to-convergence per level, coarsen,
-    repeat — final communities with per-level modularity trajectory."""
+    """Full Louvain hierarchy: |E|-scale level-0 sweeps on Spark, then
+    a driver-side replay of the bounded deep levels (VERDICT r15 #1b).
+
+    Why the replay is scale-safe: the level-0 community-id domain is
+    the seed set {0.._K-1} — moves reassign nodes to EXISTING neighbor
+    communities and never mint new ids — so the coarsened graph has
+    <= _K nodes and <= _K(_K+1)/2 edge rows BY CONSTRUCTION, regardless
+    of corpus size. Collecting it is O(_K^2) bytes (~50 KB at _K=64)
+    independent of |E|; replaying levels >= 1 on the driver is exact
+    (the sweep's gain/tie-break arithmetic is all integers) and
+    eliminates the ~10 sequential checkpoint/count job barriers the
+    tiny-table Spark loop paid at ~1-2 s scheduler latency each — the
+    r14/r15 residual wall. Modularity keeps the engine's bit-exact
+    convention: the replay produces per-community (l, dc) INTEGERS and
+    ``_q_term`` performs the nano-quantized double arithmetic in Spark,
+    so the q values are unchanged from the all-Spark hierarchy.
+    """
     li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
     e = (
         li.select(
@@ -449,7 +541,9 @@ def graph_louvain_multilevel(spark, sf_dir):
             (F.col("l_partkey") * 2 + 1).alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY: deg0's eager checkpoint below reads e, materializing
+        # both tables in ONE job instead of two scheduler round-trips.
+        .localCheckpoint(eager=False)
     )
     m = e.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
     edges = e.select(
@@ -458,83 +552,86 @@ def graph_louvain_multilevel(spark, sf_dir):
         F.lit(1).cast("long").alias("w"),
     )
 
-    deg0 = None
-    comp = None
+    # ---- level 0: the proven |E|-scale weighted pass ----
+    ud = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    deg0 = (
+        ud.groupBy(F.col("u").alias("node"))
+        .agg(F.sum("w").cast("long").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    c = deg0.select("node", (F.col("node") % _K).alias("cid"))
     total_moves = 0
-    qs = []  # per-level composed modularity DataFrames
-    fixpoint = False
-    for level, sweeps in enumerate(_SWEEPS):
-        if fixpoint:
-            # a singleton-start level kept zero moves: coarsening
-            # reproduces the identical graph, so this level (and all
-            # deeper ones) replays as an identity — comp and Q carry.
-            qs.append(qs[-1])
-            continue
-        nonself = edges.where(F.col("a") != F.col("b"))
-        ud = nonself.select(
-            F.col("a").alias("u"), F.col("b").alias("v"), "w"
-        ).unionByName(
-            nonself.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
-        )
-        deg = (
-            ud.select(F.col("u").alias("node"), F.col("w").alias("kc"))
-            .unionByName(
-                edges.where(F.col("a") == F.col("b")).select(
-                    F.col("a").alias("node"), (2 * F.col("w")).alias("kc")
-                )
-            )
-            .groupBy("node")
-            .agg(F.sum("kc").cast("long").alias("k"))
-        )
-        if level == 0:
-            deg = deg.localCheckpoint(eager=True)
-            deg0 = deg
-            c = deg.select("node", (F.col("node") % _K).alias("cid"))
-        else:
-            c = deg.select("node", F.col("node").alias("cid"))
-        level_moves = 0
-        for _ in range(sweeps):
-            c, n_kept = _wsweep(ud, deg, m, c)
+    last_kept = None  # lazily-checkpointed kept of the final sweep
+    for i in range(_SWEEPS[0]):
+        if i < _SWEEPS[0] - 1:
+            c, n_kept = _wsweep(ud, deg0, m, c)
             total_moves += n_kept
-            level_moves += n_kept
             if n_kept == 0:
                 break  # remaining sweeps at this level are no-ops
-        if level == 0:
-            comp = c
         else:
-            cmap = c.select(
-                F.col("node").alias("cid"), F.col("cid").alias("nc")
-            )
-            comp = comp.join(F.broadcast(cmap), "cid").select(
-                "node", F.col("nc").alias("cid")
-            )
-        # Coarsen by this level's FINAL assignment — it feeds both the
-        # next level and this level's Q readout (_q_ident: identity
-        # modularity on the coarsened graph == composed modularity on
-        # the original graph). This removes the two |E|-scale joins the
-        # old per-level _q_nano paid: level 0's coarsen was already
-        # being computed, levels >= 1 coarsen <=|communities|-node
-        # graphs. coalesce(1): the coarse graph is bounded by the seed
-        # count, so one partition kills per-sweep scheduler overhead on
-        # the deeper levels.
-        pa = c.select(F.col("node").alias("a"), F.col("cid").alias("ca"))
-        pb = c.select(F.col("node").alias("b"), F.col("cid").alias("cb"))
-        edges = (
-            edges.join(pa, "a")
-            .join(pb, "b")
-            .select(
-                F.least("ca", "cb").alias("a"),
-                F.greatest("ca", "cb").alias("b"),
-                "w",
-            )
-            .groupBy("a", "b")
-            .agg(F.sum("w").cast("long").alias("w"))
-            .coalesce(1)
-            .localCheckpoint(eager=True)
+            # final scheduled sweep: no early exit is possible after
+            # it, so defer both checkpoint and count to the coarsen job
+            c, last_kept = _wsweep(ud, deg0, m, c, probe=False)
+    comp = c
+
+    # ---- bounded coarsen: ONE |E|-scale job, collects <= _K nodes ----
+    pa = c.select(F.col("node").alias("a"), F.col("cid").alias("ca"))
+    pb = c.select(F.col("node").alias("b"), F.col("cid").alias("cb"))
+    g = {}
+    for row in (
+        edges.join(pa, "a")
+        .join(pb, "b")
+        .select(
+            F.least("ca", "cb").alias("a"),
+            F.greatest("ca", "cb").alias("b"),
+            "w",
         )
-        qs.append(_q_ident(edges, m))
-        if level >= 1 and level_moves == 0:
-            fixpoint = True  # global fixpoint: deeper levels are identity
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .collect()
+    ):
+        g[(int(row["a"]), int(row["b"]))] = int(row["w"])
+    if last_kept is not None:
+        # materialized by the coarsen job above; this reads its cached
+        # <=_K-row blocks, not a plan re-execution
+        total_moves += last_kept.count()
+    # weight is conserved through coarsening, so 2m's edge total is the
+    # coarse weight sum — no extra count job for the replay's m.
+    m_val = sum(g.values())
+
+    # ---- levels >= 1: exact driver-side replay (singleton start) ----
+    q_tabs = [_py_ident_rows(g)]  # level-0 composed Q off the coarse graph
+    fmap = {n: n for n in _py_degrees(g)}  # level-0 cid -> final cid
+    for sweeps in _SWEEPS[1:]:
+        deg = _py_degrees(g)
+        c_l = {n: n for n in deg}
+        for _ in range(sweeps):
+            c_l, n_kept = _py_sweep(g, deg, m_val, c_l)
+            total_moves += n_kept
+            if n_kept == 0:
+                break  # converged: remaining sweeps are identities
+        fmap = {n: c_l[cid] for n, cid in fmap.items()}
+        g = _py_coarsen(g, c_l)
+        q_tabs.append(_py_ident_rows(g))
+
+    map_df = spark.createDataFrame(
+        sorted((int(k), int(v)) for k, v in fmap.items()),
+        schema="cid long, nc long",
+    )
+    comp = comp.join(F.broadcast(map_df), "cid").select(
+        "node", F.col("nc").alias("cid")
+    )
+    qs = [
+        _q_term(
+            spark.createDataFrame(rows, schema="cid long, l long, dc long"),
+            m,
+        )
+        for rows in q_tabs
+    ]
 
     q_seed = _q_seed(e, deg0, m).select(F.col("q").alias("q_seed_nano"))
     sizes = comp.groupBy("cid").agg(

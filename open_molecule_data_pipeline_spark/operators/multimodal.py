@@ -1064,7 +1064,11 @@ def mm_image_resize_nn(spark, sf_dir):
 _DHASH_T = 3  # max hamming distance; <= 3 guarantees band-completeness
 
 
-def _dhash_oracle() -> str:
+def _dhash_hashes_cte() -> str:
+    """WITH-body CTE chain (docs..hashes) yielding per-doc (hi, lo)
+    dHash halves — shared by the full-corpus oracle and the
+    incremental batch-vs-corpus twin (multimodal_incremental.py) so the
+    two ladders cannot drift."""
     # closed-form replay: v(c) at thumbnail position = fixture pixel value
     # middle-square pixel scramble: v = ((s^2 + 7919 s) // 256) % 256 with
     # s = base*1e5 + pixel index — NONLINEAR in base, so cross-base images
@@ -1079,8 +1083,7 @@ def _dhash_oracle() -> str:
         " + CASE WHEN odd = 1 AND ((((y * h) // 8 * w + (x * w)"
         " // 9) * 3 + c) % 97) = 0 THEN 1 ELSE 0 END) % 256"
     )
-    return f"""
-WITH docs AS (
+    return f"""docs AS (
   SELECT doc_id, doc_id // 2 AS base, cast(doc_id % 2 AS BIGINT) AS odd,
          16 + (doc_id // 2) % 5 AS w, 16 + (doc_id // 2) % 3 AS h
   FROM documents
@@ -1113,7 +1116,12 @@ hashes AS (
                        THEN b * cast(pow(2, bitk - 32) AS BIGINT) ELSE 0 END)
               AS BIGINT) AS lo
   FROM bits GROUP BY doc_id
-)
+)"""
+
+
+def _dhash_oracle() -> str:
+    return f"""
+WITH {_dhash_hashes_cte()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        cast(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
             AS INTEGER) AS hamming
@@ -1122,8 +1130,10 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_DHASH_T}
 """
 
 
-@register("mm_image_dhash_neardup", oracle=_dhash_oracle(), tags=("multimodal", "image", "dedup"))
-def mm_image_dhash_neardup(spark, sf_dir):
+def _dhash_hashes(spark, sf_dir):
+    """Per-doc dHash halves (doc_id, hi, lo) through the REAL PNG
+    codec — the shared front half of the full-corpus near-dup and its
+    incremental batch-vs-corpus twin."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1162,9 +1172,13 @@ def mm_image_dhash_neardup(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "hi", "lo"])
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
-    hashes = d.mapInPandas(run, schema=schema)
+    return d.mapInPandas(run, schema=schema)
 
-    chunks = hashes.select(
+
+def _dhash_chunks(hashes):
+    """Explode (hi, lo) into the four 16-bit LSH band chunks
+    (pigeonhole: hamming <= _DHASH_T forces at least one equal band)."""
+    return hashes.select(
         "doc_id",
         "hi",
         "lo",
@@ -1183,6 +1197,12 @@ def mm_image_dhash_neardup(spark, sf_dir):
             )
         ).alias("bc"),
     ).select("doc_id", "hi", "lo", "bc.band", "bc.c")
+
+
+@register("mm_image_dhash_neardup", oracle=_dhash_oracle(), tags=("multimodal", "image", "dedup"))
+def mm_image_dhash_neardup(spark, sf_dir):
+    hashes = _dhash_hashes(spark, sf_dir)
+    chunks = _dhash_chunks(hashes)
 
     a = chunks.select(
         F.col("doc_id").alias("doc_a"),
@@ -1237,7 +1257,10 @@ def mm_image_dhash_neardup(spark, sf_dir):
 _AFP_FRAMES = 32
 
 
-def _afp_oracle() -> str:
+def _afp_fps_cte() -> str:
+    """WITH-body CTE chain (docs..fps) yielding per-clip (n, fp)
+    frame-energy fingerprints — shared by the full-corpus oracle and
+    the incremental twin (multimodal_incremental.py)."""
     # prime-modulus scramble: (s^2 mod 1000003)*31 mod 65536 — the power-of-2
     # middle-square variant left cross terms divisible by 64 (quasi-linear in
     # base), measuring x14 pair growth at 10x clips; the prime break makes
@@ -1245,8 +1268,7 @@ def _afp_oracle() -> str:
     s = "(base * 100000 + i)"
     samp = f"(({s} * {s}) % 1000003) * 31 % 65536 - 32768"
     pert = "CASE WHEN odd = 1 AND i % 89 = 0 THEN 1 ELSE 0 END"
-    return f"""
-WITH docs AS (
+    return f"""docs AS (
   SELECT doc_id, doc_id // 2 AS base, cast(doc_id % 2 AS BIGINT) AS odd,
          {_AFP_FRAMES} * (4 + (doc_id // 2) % 4) AS n
   FROM documents
@@ -1272,18 +1294,21 @@ fps AS (
          cast(sum(b * cast(pow(2, f) AS BIGINT)) AS BIGINT) AS fp
   FROM bits s JOIN docs d ON s.doc_id = d.doc_id
   GROUP BY s.doc_id, d.n
-)
+)"""
+
+
+def _afp_oracle() -> str:
+    return f"""
+WITH {_afp_fps_cte()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.n = b.n AND a.doc_id < b.doc_id
 """
 
 
-@register(
-    "mm_audio_fingerprint_neardup",
-    oracle=_afp_oracle(),
-    tags=("multimodal", "audio", "dedup"),
-)
-def mm_audio_fingerprint_neardup(spark, sf_dir):
+def _afp_fps(spark, sf_dir):
+    """Per-clip fingerprints (doc_id, n, fp) through the REAL WAV
+    codec — the shared front half of the full-corpus near-dup and its
+    incremental batch-vs-corpus twin."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1316,7 +1341,16 @@ def mm_audio_fingerprint_neardup(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "n", "fp"])
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
-    fps = d.mapInPandas(run, schema=schema)
+    return d.mapInPandas(run, schema=schema)
+
+
+@register(
+    "mm_audio_fingerprint_neardup",
+    oracle=_afp_oracle(),
+    tags=("multimodal", "audio", "dedup"),
+)
+def mm_audio_fingerprint_neardup(spark, sf_dir):
+    fps = _afp_fps(spark, sf_dir)
     a = fps.select(
         F.col("doc_id").alias("doc_a"), F.col("n"), F.col("fp")
     )

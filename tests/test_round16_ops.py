@@ -74,3 +74,121 @@ def test_gif_rejects_mcs_above_8():
         hacked[i + 10] = mcs  # LZW min-code-size byte after descriptor
         with pytest.raises(ValueError, match="illegal LZW min code size"):
             decode_gif(bytes(hacked))
+
+
+# --------------------------------------------------------------------------
+# VERDICT r15 #3: incremental (batch-vs-corpus) multimodal near-dup
+# --------------------------------------------------------------------------
+
+
+def _is_new(doc_id: int) -> bool:
+    import hashlib
+
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[0] == "0"
+
+
+def _dhash_replay(doc_id: int):
+    """Closed-form dHash replay (no codec), mirroring the oracle CTEs."""
+    import numpy as np
+
+    base, odd = doc_id // 2, doc_id % 2
+    w, h = 16 + base % 5, 16 + base % 3
+    j = np.arange(w * h * 3, dtype=np.int64)
+    s = base * 100000 + j
+    v = ((s * s + s * 7919) // 256 + (odd * (j % 97 == 0)).astype(np.int64)) % 256
+    px = v.reshape(h, w, 3)
+    ys = (np.arange(8, dtype=np.int64) * h) // 8
+    xs = (np.arange(9, dtype=np.int64) * w) // 9
+    thumb = px[np.ix_(ys, xs)]
+    g = (thumb[:, :, 0] * 299 + thumb[:, :, 1] * 587 + thumb[:, :, 2] * 114) // 1000
+    bits = (g[:, :-1] < g[:, 1:]).astype(np.int64).reshape(-1)
+    ks = np.arange(64, dtype=np.int64)
+    hi = int((bits[ks < 32] << ks[ks < 32]).sum())
+    lo = int((bits[ks >= 32] << (ks[ks >= 32] - 32)).sum())
+    return hi, lo
+
+
+def test_mm_dhash_incremental_matches_bruteforce(spark, sf_dir):
+    """Brute-force new x corpus replay (closed-form hashes, md5 batch
+    split) must equal the banded Spark twin exactly — including the
+    hamming value reported at the smallest corpus neighbor."""
+    import duckdb
+
+    from open_molecule_data_pipeline_spark.operators.multimodal_incremental import (
+        mm_image_dhash_neardup_incremental,
+    )
+    from open_molecule_data_pipeline_spark.operators.multimodal import _DHASH_T
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    hashes = {d: _dhash_replay(int(d)) for d in ids}
+    new = [d for d in ids if _is_new(d)]
+    corpus = [d for d in ids if not _is_new(d)]
+    assert new and corpus  # the 1/16 slice is non-degenerate
+    expect = {}
+    for nd in new:
+        hi_n, lo_n = hashes[nd]
+        best = None
+        for cd in sorted(corpus):
+            hi_c, lo_c = hashes[cd]
+            ham = (hi_n ^ hi_c).bit_count() + (lo_n ^ lo_c).bit_count()
+            if ham <= _DHASH_T:
+                best = (cd, ham)  # smallest corpus id first in sorted order
+                break
+        if best is not None:
+            expect[nd] = best
+    got = {
+        r.doc_id: (r.dup_of, r.hamming)
+        for r in mm_image_dhash_neardup_incremental(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect  # fixture produces at least one split (2p, 2p+1) pair
+
+
+def test_mm_afp_incremental_matches_bruteforce(spark, sf_dir):
+    """Same discipline for the audio twin: closed-form fingerprints,
+    exact (fp, n) equi-pairs across the batch split."""
+    import duckdb
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.multimodal_incremental import (
+        mm_audio_fingerprint_neardup_incremental,
+    )
+    from open_molecule_data_pipeline_spark.operators.multimodal import _AFP_FRAMES
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    fps = {}
+    for doc_id in ids:
+        doc_id = int(doc_id)
+        base, odd = doc_id // 2, doc_id % 2
+        n = _AFP_FRAMES * (4 + base % 4)
+        i = np.arange(n, dtype=np.int64)
+        s = base * 100000 + i
+        samp = ((s * s) % 1000003) * 31 % 65536 - 32768
+        samp = samp + (odd * (i % 89 == 0)).astype(np.int64)
+        mag = np.abs(samp)
+        e = mag.reshape(_AFP_FRAMES, n // _AFP_FRAMES).sum(axis=1)
+        b = (e[:-1] < e[1:]).astype(np.int64)
+        fps[doc_id] = (n, int((b << np.arange(_AFP_FRAMES - 1, dtype=np.int64)).sum()))
+    new = [d for d in ids if _is_new(d)]
+    corpus = [d for d in ids if not _is_new(d)]
+    expect = {}
+    for nd in new:
+        matches = [cd for cd in corpus if fps[cd] == fps[nd]]
+        if matches:
+            expect[int(nd)] = (min(matches), fps[nd][1])
+    got = {
+        r.doc_id: (r.dup_of, r.fp)
+        for r in mm_audio_fingerprint_neardup_incremental(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect
