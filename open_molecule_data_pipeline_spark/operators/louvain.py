@@ -75,14 +75,19 @@ _SWEEPS = (2, 2, 2)  # move sweeps per level; len() = hierarchy depth
 # --------------------------------------------------------------------------
 
 
-def _sql_level_pre(level: int) -> str:
-    """edges/adjacency/degree/initial-assignment CTEs for one level."""
+def _sql_level_pre(level: int, singleton: bool = False) -> str:
+    """edges/adjacency/degree/initial-assignment CTEs for one level.
+
+    ``singleton`` switches level 0 to the canonical Blondel
+    singleton-start init (graph_louvain_singleton) instead of the
+    %_K hash seed."""
     if level == 0:
         edges = (
             "edges_0 AS MATERIALIZED (\n"
             "  SELECT u AS a, v AS b, cast(1 AS BIGINT) AS w FROM e\n)"
         )
-        init = f"c_0_0 AS MATERIALIZED (SELECT node, node % {_K} AS cid FROM deg_0)"
+        seed = "node" if singleton else f"node % {_K}"
+        init = f"c_0_0 AS MATERIALIZED (SELECT node, {seed} AS cid FROM deg_0)"
     else:
         prev_final = f"c_{level - 1}_{_SWEEPS[level - 1]}"
         edges = f"""edges_{level} AS MATERIALIZED (
@@ -254,7 +259,7 @@ LIMIT 15
 # --------------------------------------------------------------------------
 
 
-def _wsweep(ud, deg, m, c, probe=True):
+def _wsweep(ud, deg, m, c, probe=True, bounded=True):
     """One weighted locally-dominant move sweep.
 
     Returns ``(c_next, n_kept)``; both sides of the matching constraint
@@ -280,6 +285,11 @@ def _wsweep(ud, deg, m, c, probe=True):
     Verified equal (full assignment sets, both sweeps) to the r13 join
     formulation at sf0.1.
     """
+    # community-scale tables (dsum, winner, kept) are broadcast ONLY
+    # when the caller proves them bounded (the %_K-seeded multilevel
+    # pass: <= _K rows by construction). At singleton start they are
+    # O(|V|) and take plain hash joins (bounded=False).
+    hb = F.broadcast if bounded else (lambda df: df)
     dsum = (
         c.join(deg, "node")
         .groupBy("cid")
@@ -294,7 +304,7 @@ def _wsweep(ud, deg, m, c, probe=True):
     )
     g = (
         nbr.join(
-            F.broadcast(
+            hb(
                 dsum.select(F.col("cid").alias("b"), F.col("dc").alias("dcb"))
             ),
             "b",
@@ -324,7 +334,7 @@ def _wsweep(ud, deg, m, c, probe=True):
     moves = (
         agg.where(F.col("mv").isNotNull())
         .join(
-            F.broadcast(
+            hb(
                 dsum.select(F.col("cid").alias("a"), F.col("dc").alias("dca"))
             ),
             "a",
@@ -351,13 +361,13 @@ def _wsweep(ud, deg, m, c, probe=True):
     )
     kept = (
         moves.join(
-            F.broadcast(
+            hb(
                 winner.select(F.col("c").alias("a"), F.col("wkey").alias("wa"))
             ),
             "a",
         )
         .join(
-            F.broadcast(
+            hb(
                 winner.select(F.col("c").alias("b"), F.col("wkey").alias("wb"))
             ),
             "b",
@@ -373,7 +383,7 @@ def _wsweep(ud, deg, m, c, probe=True):
     # c_next stays LAZY: with kept checkpointed (<=|communities| rows,
     # broadcast), re-deriving the assignment is a degree-table scan plus
     # broadcast joins — cheaper than materializing |V| rows per sweep.
-    c_next = c.join(F.broadcast(kept), "node", "left").select(
+    c_next = c.join(hb(kept), "node", "left").select(
         "node", F.coalesce("b", F.col("cid")).alias("cid")
     )
     return c_next, n_kept
@@ -655,5 +665,176 @@ def graph_louvain_multilevel(spark, sf_dir):
         .limit(15)
         .select(
             "cid", "n_nodes", "n_communities", "n_moves", "q_seed_nano", *qcols
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Singleton-start Louvain (VERDICT r15 #4): the canonical Blondel et al.
+# level-0 pass where EVERY node begins in its own community, so every
+# community-side table — degree sums, winner matching, kept moves — is
+# O(|V|) and must take plain hash joins. This closes the fidelity gap
+# with the standard algorithm (the multilevel hierarchy seeds %_K for
+# its boundedness proof) and exercises the one join shape the seeded
+# pass never does: community tables that SCALE WITH THE CORPUS. At
+# 100 TB nothing here is broadcast or collected; every stage is an
+# equi-join or hash aggregation keyed on node/community ids.
+# --------------------------------------------------------------------------
+
+_SINGLETON_SWEEPS = 2
+
+
+def _singleton_oracle() -> str:
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v FROM lineitem
+),
+m AS MATERIALIZED (SELECT cast(count(*) AS BIGINT) AS m FROM e)""",
+        _sql_level_pre(0, singleton=True),
+    ]
+    for s in range(_SINGLETON_SWEEPS):
+        parts.append(_sql_sweep(0, s))
+    final = f"c_0_{_SINGLETON_SWEEPS}"
+    parts.append(_sql_q("init", "c_0_0"))
+    parts.append(_sql_q("pass", final))
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT node FROM kept_0_{s}" for s in range(_SINGLETON_SWEEPS)
+    )
+    parts.append(
+        f"nmv AS MATERIALIZED (SELECT cast(count(*) AS BIGINT) AS n_moves FROM (\n"
+        f"    {union}) zz)"
+    )
+    parts.append(
+        f"""sizes AS MATERIALIZED (
+  SELECT cid, cast(count(*) AS BIGINT) AS n_nodes
+  FROM {final} GROUP BY cid
+),
+tot AS MATERIALIZED (SELECT cast(count(*) AS BIGINT) AS n_communities FROM sizes)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT s.cid, s.n_nodes, tot.n_communities, nmv.n_moves,
+       q_init.q AS q_init_nano, q_pass.q AS q_pass_nano
+FROM sizes s CROSS JOIN tot CROSS JOIN nmv CROSS JOIN q_init CROSS JOIN q_pass
+ORDER BY s.n_nodes DESC, s.cid
+LIMIT 15
+"""
+
+
+def _q_ident_dist(edges, m):
+    """Identity-partition modularity of a weighted graph whose node
+    count may be O(|V|) — the DISTRIBUTED twin of ``_py_ident_rows``
+    (plain joins, nothing broadcast or collected): per node, ``l`` is
+    its self-loop weight and ``dc`` its weighted degree, fed to the
+    shared ``_q_term`` nano-quantization."""
+    nonself = edges.where(F.col("a") != F.col("b"))
+    deg = (
+        nonself.select(F.col("a").alias("node"), F.col("w").alias("kc"))
+        .unionByName(
+            nonself.select(F.col("b").alias("node"), F.col("w").alias("kc"))
+        )
+        .unionByName(
+            edges.where(F.col("a") == F.col("b")).select(
+                F.col("a").alias("node"), (2 * F.col("w")).alias("kc")
+            )
+        )
+        .groupBy("node")
+        .agg(F.sum("kc").cast("long").alias("dc"))
+    )
+    sl = edges.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node"), F.col("w").cast("long").alias("l")
+    )
+    return _q_term(deg.join(sl, "node", "left"), m)
+
+
+@register(
+    "graph_louvain_singleton",
+    oracle=_singleton_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_louvain_singleton(spark, sf_dir):
+    """Canonical singleton-start Louvain level-0 pass: final community
+    sizes (top 15), total communities, kept moves, and the exact
+    nano-quantized modularity before (singleton partition) and after
+    the sweeps — all community tables O(|V|), all joins hash joins
+    (``bounded=False``)."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    e = (
+        li.select(
+            (F.col("l_suppkey") * 2).alias("u"),
+            (F.col("l_partkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    m = e.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
+    edges = e.select(
+        F.col("u").alias("a"),
+        F.col("v").alias("b"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    ud = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    deg0 = (
+        ud.groupBy(F.col("u").alias("node"))
+        .agg(F.sum("w").cast("long").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    c = deg0.select("node", F.col("node").alias("cid"))
+    total_moves = 0
+    for _ in range(_SINGLETON_SWEEPS):
+        c, n_kept = _wsweep(ud, deg0, m, c, bounded=False)
+        total_moves += n_kept
+        if n_kept == 0:
+            break  # converged: remaining sweeps are exact no-ops
+    # q_init: the singleton partition IS the identity partition of the
+    # original graph — per node l = 0 (simple graph), dc = its degree
+    q_init = _q_term(
+        deg0.select(
+            F.lit(None).cast("long").alias("l"), F.col("k").alias("dc")
+        ),
+        m,
+    ).select(F.col("q").alias("q_init_nano"))
+    # q_pass: identity modularity of the graph coarsened by the final
+    # assignment == composed modularity on the original graph; the
+    # coarse graph here is O(|V|) nodes, so it STAYS DISTRIBUTED
+    pa = c.select(F.col("node").alias("a"), F.col("cid").alias("ca"))
+    pb = c.select(F.col("node").alias("b"), F.col("cid").alias("cb"))
+    coarse = (
+        edges.join(pa, "a")
+        .join(pb, "b")
+        .select(
+            F.least("ca", "cb").alias("a"),
+            F.greatest("ca", "cb").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    q_pass = _q_ident_dist(coarse, m).select(F.col("q").alias("q_pass_nano"))
+    sizes = c.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    tot = sizes.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("n_moves", F.lit(total_moves).cast("long"))
+        .crossJoin(F.broadcast(q_init))
+        .crossJoin(F.broadcast(q_pass))
+        .orderBy(F.desc("n_nodes"), "cid")
+        .limit(15)
+        .select(
+            "cid",
+            "n_nodes",
+            "n_communities",
+            "n_moves",
+            "q_init_nano",
+            "q_pass_nano",
         )
     )

@@ -46,7 +46,7 @@ FAMILY_TAGS = (
 # own CORRECTNESS artifact (dropped by the driver mid-round) must not
 # retroactively invalidate the window it verified (ADVICE r10). Bump in
 # the same commit as each rotation.
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
 
 
 def _cumulative_green_counts() -> dict[str, int]:
@@ -133,20 +133,16 @@ def test_contract_preserves_all_other_queries():
 # already-driver-green names allowed inside the head-50 window (re-proof
 # slots). Update per round alongside the CONTRACT_ORDER head comment.
 CHANGED_THIS_ROUND: set[str] = {
-    # r15: the Louvain bounded-table Q restructure; semdedup.py's
-    # appended incremental section (co-resident full-corpus query); the
-    # jpeg_progressive.py assert->ValueError hardening (4 queries);
-    # gopher_quality.py's sequence clamp; the bench-flag swap pair; the
-    # 14 multimodal.py residents (decode_media gained image/gif).
+    # r16: louvain.py's driver-side deep-level replay + flattened sweep
+    # (VERDICT r15 #1); gif.py's LZW EOI-width fix, mcs gate (ADVICE
+    # r15) and decoder-dims aspect router (VERDICT r15 #2); the 14
+    # multimodal.py residents (dhash/afp hash builders factored out for
+    # the incremental twins, VERDICT r15 #3).
     "graph_louvain_multilevel",
-    "dedup_semantic_semdedup",
-    "mm_image_jpeg_progressive_decode",
-    "mm_image_jpeg_progressive_renc_dedup",
-    "mm_image_jpeg_progressive_sa_decode",
-    "mm_image_jpeg_progressive_color_decode",
-    "text_gopher_repetition",
-    "text_kn_fivegram_ppl",
-    "text_html_strip",
+    "mm_image_gif_decode",
+    "mm_image_gif_renc_dedup",
+    "mm_gif_animation_frames",
+    "mm_aspect_bucket_sampling",
     "mm_blob_stats",
     "mm_frame_sample",
     "mm_feature_extract",
@@ -161,10 +157,6 @@ CHANGED_THIS_ROUND: set[str] = {
     "mm_audio_silence_trim",
     "mm_video_scene_cuts",
     "mm_audio_zcr",
-    # segments.py gained the incremental-paragraph section
-    "dedup_paragraphs",
-    "dedup_prefix_filter_join",
-    "dedup_duplicate_spans",
 }
 
 

@@ -192,3 +192,104 @@ def test_mm_afp_incremental_matches_bruteforce(spark, sf_dir):
     }
     assert got == expect
     assert expect
+
+
+# --------------------------------------------------------------------------
+# VERDICT r15 #2: aspect-bucket router fed by decoder output
+# --------------------------------------------------------------------------
+
+
+def test_aspect_bucket_routes_decoded_dims(spark, sf_dir):
+    """Closed-form replay of the integer bucket argmin over the fixture
+    dims must match the query, and the query-side dims must come from
+    decode_gif (pinned by decoding one doc's payload by hand: doc 22 is
+    12x9, an exact 4:3, bucket 1)."""
+    import duckdb
+    from collections import defaultdict
+
+    from open_molecule_data_pipeline_spark.operators.gif import (
+        _AR_BUCKETS,
+        _AR_D_PROD,
+        _fixture_indices,
+        _palette,
+        decode_gif,
+        encode_gif,
+        mm_aspect_bucket_sampling,
+    )
+
+    idx = _fixture_indices(22, 0, 12, 9)
+    dec = decode_gif(encode_gif([(idx, 0)], _palette()))
+    assert (dec["width"], dec["height"]) == (12, 9)
+    best = min(
+        (abs(12 * d - 9 * n) * (_AR_D_PROD // d), i)
+        for i, (n, d) in enumerate(_AR_BUCKETS)
+    )
+    assert best == (0, 1)  # exact 4:3 -> bucket index 1
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    counts = defaultdict(int)
+    for doc_id in ids:
+        w, h = 8 + doc_id % 9, 8 + doc_id % 7
+        _, i = min(
+            (abs(w * d - h * n) * (_AR_D_PROD // d), i)
+            for i, (n, d) in enumerate(_AR_BUCKETS)
+        )
+        counts[i] += 1
+    rows = mm_aspect_bucket_sampling(spark, sf_dir).collect()
+    assert {r.bucket: r.n_images for r in rows} == dict(counts)
+    assert sum(counts.values()) == len(ids)  # every image routed once
+
+
+# --------------------------------------------------------------------------
+# VERDICT r15 #4: singleton-start Louvain (O(|V|) community tables)
+# --------------------------------------------------------------------------
+
+
+def test_louvain_singleton_matches_python_replay(spark, sf_dir):
+    """The pure-Python sweep replay (singleton init) must reproduce the
+    Spark pass exactly: community sizes, total communities, kept-move
+    count — and modularity must strictly improve from the singleton
+    partition (every kept move has positive gain and the fixture is
+    never already converged)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from open_molecule_data_pipeline_spark.operators.louvain import (
+        _SINGLETON_SWEEPS,
+        _py_degrees,
+        _py_sweep,
+        graph_louvain_singleton,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    edges = {
+        (int(s) * 2, int(p) * 2 + 1): 1
+        for s, p in zip(t.l_suppkey, t.l_partkey)
+    }
+    deg = _py_degrees(edges)
+    m_val = len(edges)
+    c = {n: n for n in deg}
+    n_moves = 0
+    for _ in range(_SINGLETON_SWEEPS):
+        c, kept = _py_sweep(edges, deg, m_val, c)
+        n_moves += kept
+        if kept == 0:
+            break
+    sizes = Counter(c.values())
+    rows = graph_louvain_singleton(spark, sf_dir).collect()
+    r0 = rows[0]
+    assert r0.n_moves == n_moves
+    assert r0.n_moves > 0
+    assert r0.n_communities == len(sizes)
+    expect = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [(r.cid, r.n_nodes) for r in rows] == expect
+    # strictly positive-gain moves => Q strictly improves from singleton
+    assert r0.q_pass_nano > r0.q_init_nano
