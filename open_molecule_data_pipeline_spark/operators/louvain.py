@@ -752,6 +752,9 @@ def _q_ident_dist(edges, m):
     "graph_louvain_singleton",
     oracle=_singleton_oracle(),
     tags=("graph", "iterative"),
+    # headline r16: the round's heaviest addition (the r13 #4 policy) —
+    # and the one headliner whose community tables scale with the corpus
+    bench=True,
 )
 def graph_louvain_singleton(spark, sf_dir):
     """Canonical singleton-start Louvain level-0 pass: final community

@@ -166,6 +166,9 @@ GROUP BY lang
     "stream_quality_gate_twin",
     oracle=_QGATE_TWIN_ORACLE,
     tags=("streaming", "text", "quality", "ml"),
+    # headline r16 (VERDICT r15 #7): the heaviest non-headline plan of
+    # the r15 10x table, promoted under the cap-34 swap policy
+    bench=True,
 )
 def stream_quality_gate_twin(spark, sf_dir):
     """Per-lang keep-rate of the hashed classifier computed by a real

@@ -111,7 +111,10 @@ FROM (
 """
 
 
-@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text",), bench=True)
+# bench r16: demoted for stream_quality_gate_twin (VERDICT r15 #7) —
+# the gate twin shares these scoring signals and carries the richer
+# streaming plan, so the heuristic scorer's shape stays tracked
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text",))
 def text_quality_score(spark, sf_dir):
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens_spark()

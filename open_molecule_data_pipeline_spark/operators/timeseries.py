@@ -32,7 +32,9 @@ GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
 """
 
 
-@register("ts_tumbling_hour", oracle=_TUMBLING_ORACLE, tags=("timeseries", "window"), bench=True)
+# bench r16: demoted for graph_louvain_singleton (cap-34 swap) — the
+# tumbling-hour agg shape is subsumed by headline ts_vwap_hourly
+@register("ts_tumbling_hour", oracle=_TUMBLING_ORACLE, tags=("timeseries", "window"))
 def ts_tumbling_hour(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     return (

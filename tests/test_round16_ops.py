@@ -293,3 +293,54 @@ def test_louvain_singleton_matches_python_replay(spark, sf_dir):
     assert [(r.cid, r.n_nodes) for r in rows] == expect
     # strictly positive-gain moves => Q strictly improves from singleton
     assert r0.q_pass_nano > r0.q_init_nano
+
+
+def test_aspect_batch_formation_matches_replay(spark, sf_dir):
+    """Python replay of per-(bucket, shard) batch formation — routing,
+    deterministic doc-order slots, fixed batch size, partial-batch
+    drops, and the position-weighted packing checksum."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from open_molecule_data_pipeline_spark.operators.gif import (
+        _AR_BUCKETS,
+        _AR_D_PROD,
+        _BATCH_SHARDS,
+        _BATCH_SIZE,
+        mm_aspect_batch_formation,
+    )
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    groups = defaultdict(list)
+    for doc_id in ids:
+        w, h = 8 + doc_id % 9, 8 + doc_id % 7
+        _, i = min(
+            (abs(w * d - h * n) * (_AR_D_PROD // d), i)
+            for i, (n, d) in enumerate(_AR_BUCKETS)
+        )
+        groups[(i, doc_id % _BATCH_SHARDS)].append(doc_id)
+    expect = defaultdict(lambda: [0, 0, 0, 0])  # full, packed, dropped, chk
+    for (bucket, _shard), docs in groups.items():
+        docs.sort()
+        for bi in range(0, len(docs), _BATCH_SIZE):
+            batch = docs[bi : bi + _BATCH_SIZE]
+            e = expect[bucket]
+            if len(batch) == _BATCH_SIZE:
+                e[0] += 1
+                e[1] += _BATCH_SIZE
+                e[3] += sum(batch) * (bi // _BATCH_SIZE + 1)
+            else:
+                e[2] += len(batch)
+    got = {
+        r.bucket: [r.n_full_batches, r.n_packed, r.n_dropped, r.pack_checksum]
+        for r in mm_aspect_batch_formation(spark, sf_dir).collect()
+    }
+    assert got == {b: list(v) for b, v in expect.items()}
+    assert any(v[2] > 0 for v in expect.values())  # drops exercised
+    assert any(v[0] > 0 for v in expect.values())  # full batches exercised
