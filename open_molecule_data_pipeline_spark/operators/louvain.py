@@ -6,10 +6,12 @@ coarsening (``graph_louvain_coarsen``) — into the full Louvain hierarchy:
 
     level 0   weighted move sweeps on the raw graph (hash-seeded %64
               communities, the proven pass's seed), up to ``_SWEEPS[0]``
-              sweeps with ONE scalar convergence probe per sweep (the
-              ``graph.py`` CC-loop discipline: ``kept.count()`` on a
-              checkpointed <=32-row table — zero moves => the remaining
-              sweeps at this level are exact no-ops and are skipped)
+              sweeps; every sweep but the last keeps the scalar
+              convergence probe (``kept.count()`` on a checkpointed
+              <=32-row table — zero moves => the remaining sweeps are
+              exact no-ops and are skipped), while the LAST sweep's
+              checkpoint and count are deferred into the coarsen job
+              (``probe=False`` — no early exit can follow it)
     coarsen   super-nodes = communities; inter-community edge weight =
               summed crossing weight; a self-loop row per community
               carries its intra-weight. Total weight is CONSERVED, so
@@ -602,7 +604,7 @@ def graph_louvain_multilevel(spark, sf_dir):
         )
         .groupBy("a", "b")
         .agg(F.sum("w").cast("long").alias("w"))
-        .collect()
+        .collect()  # bounded-collect: <=_K(_K+1)/2+_K rows by construction (cid domain = seed set; moves never mint ids)
     ):
         g[(int(row["a"]), int(row["b"]))] = int(row["w"])
     if last_kept is not None:

@@ -31,11 +31,18 @@ def _plan(df) -> str:
 
 
 def test_no_collect_in_operator_sources():
+    """No silent driver-side collect on operator data paths. A collect
+    whose result set is BOUNDED BY CONSTRUCTION (independent of corpus
+    size) may be allowlisted by carrying a ``# bounded-collect:``
+    marker with the boundedness argument on the same line — r16
+    precedent: louvain's coarsened graph is <= 64 nodes because level-0
+    community ids live in the seed domain and moves never mint new
+    ids."""
     offenders = []
     for path in sorted(OPERATORS.glob("*.py")):
         src = path.read_text()
         for i, line in enumerate(src.splitlines(), 1):
-            if re.search(r"\.collect\(\)", line):
+            if re.search(r"\.collect\(\)", line) and "# bounded-collect:" not in line:
                 offenders.append(f"{path.name}:{i}")
     assert not offenders, f"driver-side collect in operators/: {offenders}"
 
