@@ -11,15 +11,18 @@ Codec scope (fail-loudly gates, ValueError so they survive ``-O``):
 GIF87a/GIF89a, global and local color tables, interlace (the four-pass
 row order), multi-frame streams with per-frame Graphic Control
 Extension delays, other extensions skipped by sub-block framing.
-Partial-frame compositing (image descriptors smaller than the logical
-screen, disposal methods) is gated NotImplementedError — frame
-EXTRACTION treats each frame as a full raster, the shape a dedup /
-frame-sampling pipeline needs. GCE transparency is PARSED and IGNORED
-by the same reasoning: a transparent index only changes how a frame
-composites over prior state, and every frame here is a full raster
-whose palette entry still defines its stored RGB — so frames decode to
-opaque palette RGB deterministically (pinned in tests), rather than
-rejecting the large fraction of real GIFs that set the flag.
+Frame EXTRACTION (``decode_gif``) treats each frame as a stored full
+raster — the dedup / frame-sampling read — and stays gated
+NotImplementedError on image descriptors smaller than the logical
+screen; GCE transparency is PARSED and IGNORED there: a transparent
+index only changes how a frame composites over prior state, and every
+extracted frame is a full raster whose palette entry still defines its
+stored RGB — so frames decode to opaque palette RGB deterministically
+(pinned in tests), rather than rejecting the large fraction of real
+GIFs that set the flag. Screen COMPOSITING is the separate r16 read
+(``decode_gif_composited`` below): partial-frame rects, transparency,
+and disposal methods 1/2/3 are honored there — the player/preview
+semantics the extraction read deliberately does not apply.
 
 LZW variable-width discipline (the GIF flavor, not TIFF's early-change):
 with S = 2^mcs + 2 initial codes, the encoder widens after an add once
@@ -818,3 +821,324 @@ def mm_aspect_batch_formation(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Partial-frame compositing (r16: closes the gate the module docstring
+# documents). GIF89a animation semantics split cleanly into two reads:
+#
+#   frame EXTRACTION (``decode_gif`` above) — every frame as a stored
+#     full raster; transparency parsed-and-ignored. The dedup /
+#     frame-sampling read; gated to full-raster streams.
+#   screen COMPOSITING (``decode_gif_composited``) — the player's read:
+#     each image descriptor paints its (left, top, fw, fh) rect onto the
+#     logical-screen canvas, GCE transparency leaves the underlying
+#     canvas pixel, and the frame's disposal method decides the canvas
+#     the NEXT frame composites over (1 = leave, 2 = restore the rect to
+#     the background palette entry, 3 = restore the pre-frame canvas).
+#
+# The composited decoder is what a thumbnail/preview or a perceptual-
+# hash-per-displayed-frame stage needs; extraction stays the dedup path.
+# --------------------------------------------------------------------------
+
+
+def encode_gif_frames(w: int, h: int, specs, palette) -> bytes:
+    """Encode animation frames with full GIF89a placement semantics.
+    Each spec is ``(indices_2d, left, top, delay_cs, disposal,
+    transparent_idx_or_None)``; ``indices_2d`` may be any rect that fits
+    the (w, h) logical screen."""
+    import numpy as np
+
+    n = len(palette)
+    if n & (n - 1) or n < 2:
+        raise ValueError("palette size must be a power of two >= 2")
+    bits = n.bit_length() - 1
+    mcs = max(bits, 2)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (7 << 4) | (bits - 1))
+    out += bytes([0, 0])  # background index 0, no aspect byte
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    for idx, left, top, delay_cs, disposal, trans in specs:
+        fh, fw = idx.shape
+        if left + fw > w or top + fh > h:
+            raise ValueError("frame rect exceeds the logical screen")
+        if not 0 <= disposal <= 3:
+            raise ValueError("disposal method must be 0..3")
+        packed = (disposal << 2) | (1 if trans is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += int(delay_cs).to_bytes(2, "little")
+        out += bytes([trans if trans is not None else 0, 0])
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out.append(0x00)  # no LCT, not interlaced
+        data = _lzw_encode(np.asarray(idx, dtype=np.uint8).ravel(), mcs)
+        out.append(mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_composited(payload: bytes) -> dict:
+    """Decode a GIF87a/89a stream into COMPOSITED logical-screen frames
+    (the displayed states), honoring image-descriptor rects, GCE
+    transparency, and disposal methods 1 (none) / 2 (restore rect to the
+    background palette entry) / 3 (restore the pre-frame canvas).
+    Returns the same dict shape as ``decode_gif``."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (header magic missing)")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    canvas = None  # h x w x 3, lazily seeded from the background entry
+    frames: list = []
+    delays: list[int] = []
+    delay, disposal, trans = 0, 0, None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF truncated (no trailer)")
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            label = payload[pos]
+            pos += 1
+            data, pos = _sub_blocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4:
+                delay = int.from_bytes(data[1:3], "little")
+                disposal = (data[0] >> 2) & 0x7
+                trans = data[3] if data[0] & 1 else None
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left = int.from_bytes(payload[pos : pos + 2], "little")
+        top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+        fw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        fpacked = payload[pos + 8]
+        pos += 9
+        if left + fw > w or top + fh > h:
+            raise ValueError("frame rect exceeds the logical screen")
+        ct = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 7)
+            ct = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("no color table for frame")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError("illegal LZW min code size")
+        data, pos = _sub_blocks(payload, pos)
+        idx = np.frombuffer(
+            _lzw_decode(data, mcs, fw * fh), dtype=np.uint8
+        ).reshape(fh, fw)
+        if fpacked & 0x40:
+            inv = np.empty(fh, dtype=np.int64)
+            inv[_interlace_order(fh)] = np.arange(fh)
+            idx = idx[inv, :]
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("palette index out of range")
+        if canvas is None:
+            if bg_index >= len(ct):
+                raise ValueError("background index out of range")
+            canvas = np.broadcast_to(
+                ct[bg_index], (h, w, 3)
+            ).copy()
+        saved = canvas[top : top + fh, left : left + fw].copy()
+        rect = canvas[top : top + fh, left : left + fw]
+        painted = ct[idx]
+        if trans is None:
+            rect[:, :] = painted
+        else:
+            opaque = idx != trans
+            rect[opaque] = painted[opaque]
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = ct[bg_index]
+        elif disposal == 3:
+            canvas[top : top + fh, left : left + fw] = saved
+        delay, disposal, trans = 0, 0, None
+    if not frames:
+        raise ValueError("GIF holds no image data")
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "frames": frames,
+        "delays_cs": delays,
+    }
+
+
+# Fixture: three frames exercising every compositing mechanism at once —
+# frame 0 full-raster (disposal 1 on even docs, 2 = restore-to-background
+# on odd docs, so the two pre-frame-1 canvases differ), frame 1 a partial
+# (w//2, h//2) rect at (1 + doc%3, 1 + doc%2) whose every third pixel is
+# TRANSPARENT (index 63, letting the canvas show through) with disposal 3
+# (restore-to-previous, so frame 2 composites over the pre-frame-1
+# canvas), frame 2 repainting row 0. The position-weighted wsum_px pins
+# rect PLACEMENT, not just painted values.
+
+_COMPOSITE_T = 63  # transparent palette index used by frame 1
+
+
+def _composite_pal(e: str, m: int, a: int) -> str:
+    return f"(({e}) * {m} + {a}) % 256"
+
+
+def _composite_ch(m: int, a: int) -> str:
+    e0 = "(doc_id*3 + j*7) % 64"
+    # pal(0) = (1, 3, 7): the restore-to-background fill on odd docs
+    pre1 = (
+        f"CASE WHEN doc_id % 2 = 0 THEN {_composite_pal(e0, m, a)} "
+        f"ELSE {a} END"
+    )
+    e1 = "(doc_id*5 + u*11) % 63"
+    f1 = (
+        f"CASE WHEN inside AND u % 3 <> 0 "
+        f"THEN {_composite_pal(e1, m, a)} ELSE {pre1} END"
+    )
+    e2 = "(doc_id*7 + c*5) % 64"
+    f2 = f"CASE WHEN r = 0 THEN {_composite_pal(e2, m, a)} ELSE {pre1} END"
+    return (
+        f"CASE WHEN f = 0 THEN {_composite_pal(e0, m, a)} "
+        f"WHEN f = 1 THEN {f1} ELSE {f2} END"
+    )
+
+
+_GIF_COMPOSITE_ORACLE = f"""
+SELECT doc_id, cast(f AS INTEGER) AS frame,
+       cast(10 + f * 3 AS INTEGER) AS delay_cs,
+       cast(sum(pr + pg + pb) AS BIGINT) AS sum_px,
+       cast(sum((r + 1) * (c + 1) * (pr + pg + pb)) AS BIGINT) AS wsum_px,
+       cast(min(least(pr, pg, pb)) AS BIGINT) AS min_px,
+       cast(max(greatest(pr, pg, pb)) AS BIGINT) AS max_px
+FROM (
+  SELECT doc_id, f, r, c,
+         {_composite_ch(5, 1)} AS pr,
+         {_composite_ch(11, 3)} AS pg,
+         {_composite_ch(23, 7)} AS pb
+  FROM (
+    SELECT doc_id, f, j, r, c,
+           (r >= top AND r < top + fh
+            AND c >= left_ AND c < left_ + fw) AS inside,
+           (r - top) * fw + (c - left_) AS u
+    FROM (
+      SELECT doc_id, f, j, j // w AS r, j % w AS c,
+             1 + doc_id % 3 AS left_, 1 + doc_id % 2 AS top,
+             w // 2 AS fw, h // 2 AS fh
+      FROM (
+        SELECT doc_id, f, w, h, unnest(range(w * h)) AS j
+        FROM (
+          SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                 unnest(range(3)) AS f
+          FROM documents
+        ) g0
+      ) g1
+    ) g2
+  ) g3
+) px
+GROUP BY doc_id, f
+"""
+
+
+def _composite_specs(doc: int, w: int, h: int):
+    import numpy as np
+
+    j = np.arange(w * h, dtype=np.int64)
+    idx0 = ((doc * 3 + j * 7) % 64).astype(np.uint8).reshape(h, w)
+    fw, fh = w // 2, h // 2
+    left, top = 1 + doc % 3, 1 + doc % 2
+    u = np.arange(fw * fh, dtype=np.int64)
+    idx1 = (
+        np.where(u % 3 == 0, _COMPOSITE_T, (doc * 5 + u * 11) % 63)
+        .astype(np.uint8)
+        .reshape(fh, fw)
+    )
+    c = np.arange(w, dtype=np.int64)
+    idx2 = ((doc * 7 + c * 5) % 64).astype(np.uint8).reshape(1, w)
+    return [
+        (idx0, 0, 0, 10, 1 if doc % 2 == 0 else 2, None),
+        (idx1, left, top, 13, 3, _COMPOSITE_T),
+        (idx2, 0, 0, 16, 0, None),
+    ]
+
+
+@register(
+    "mm_gif_composite_frames",
+    oracle=_GIF_COMPOSITE_ORACLE,
+    tags=("multimodal", "image", "video"),
+)
+def mm_gif_composite_frames(spark, sf_dir):
+    """Composited (displayed-state) GIF frame extraction: partial-frame
+    rects, per-third-pixel transparency, and disposal methods 1/2/3 all
+    sit on the checked path — one output row per composited screen state
+    with exact integer pixel stats, the preview/perceptual-hash shape
+    (``decode_gif`` stays the stored-raster dedup read)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame", T.IntegerType()),
+            T.StructField("delay_cs", T.IntegerType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("wsum_px", T.LongType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pal = _palette()
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                blob = encode_gif_frames(
+                    w, h, _composite_specs(doc_id, w, h), pal
+                )
+                dec = decode_gif_composited(blob)
+                rr = (np.arange(h, dtype=np.int64) + 1)[:, None]
+                cc = (np.arange(w, dtype=np.int64) + 1)[None, :]
+                for f in range(dec["n_frames"]):
+                    px = dec["frames"][f].astype(np.int64)
+                    s = px.sum(axis=2)
+                    rows.append(
+                        (
+                            doc_id,
+                            f,
+                            dec["delays_cs"][f],
+                            int(s.sum()),
+                            int((rr * cc * s).sum()),
+                            int(px.min()),
+                            int(px.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)

@@ -331,14 +331,24 @@ def decode_ppm(payload: bytes) -> dict:
 # Video container (AVI/RIFF) demux — frame SPLITTING, not codec decode.
 # The 100 TB pattern for video is exactly this split: demux the container
 # into per-frame byte ranges JVM/Arrow-side, and hand the (rare) frames
-# that need pixel decode to a codec stage. Frame-payload decode stays
-# honestly gated on pyav.
+# that need pixel decode to a codec stage. Frame-payload decode of
+# inter-frame codecs (H.26x/VP9/AV1) stays honestly gated on pyav;
+# MJPEG payloads decode pure-stdlib through the engine's own baseline
+# JPEG codec (mm_video_mjpeg_decode below).
 # --------------------------------------------------------------------------
 
 
-def encode_avi(frames, width: int = 16, height: int = 8, fps: int = 25) -> bytes:
+def encode_avi(
+    frames,
+    width: int = 16,
+    height: int = 8,
+    fps: int = 25,
+    compressed: bool = False,
+) -> bytes:
     """Minimal spec-shaped AVI: RIFF('AVI ') with LIST hdrl (avih main
-    header) and LIST movi holding one '00db' chunk per frame (word-aligned)."""
+    header) and LIST movi holding one stream-0 chunk per frame
+    (word-aligned) — '00db' uncompressed, '00dc' when ``compressed``
+    (the chunk id an MJPEG stream uses)."""
     import struct
 
     frames = [bytes(f) for f in frames]
@@ -364,7 +374,8 @@ def encode_avi(frames, width: int = 16, height: int = 8, fps: int = 25) -> bytes
         0,
     )
     hdrl = b"hdrl" + chunk(b"avih", avih)
-    movi = b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    frame_tag = b"00dc" if compressed else b"00db"
+    movi = b"movi" + b"".join(chunk(frame_tag, f) for f in frames)
     body = chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
 
@@ -814,6 +825,135 @@ def mm_video_frames(spark, sf_dir):
                 rows,
                 columns=["doc_id", "frame_idx", "frame_len", "sum_b", "min_b", "max_b"],
             )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# MJPEG-in-AVI decode (r16): the one video codec this runtime CAN decode
+# pure-stdlib, because an MJPEG frame payload IS a baseline JPEG and the
+# engine already carries the full baseline decoder (jpeg.py). Each doc
+# muxes 2 + doc_id % 3 closed-form coefficient JPEGs into '00dc'
+# (compressed) stream chunks; the query demuxes the container and runs
+# every frame through the real JPEG path — marker parse, canonical
+# Huffman, entropy decode with DC prediction, dequant, IDCT — inside one
+# Arrow-batched mapInPandas stage. This narrows the pyav video gate to
+# inter-frame codecs (H.26x/VP9/AV1); the decoded dims are asserted
+# against the avih header, so container metadata and codec output are
+# cross-checked per clip. The closed-form oracle reuses the DC/AC(4,4)
+# pixel identities mm_image_jpeg_decode pins, extended per frame; the
+# (f+1)-weighted pixel sum catches any frame-order slip in the demux.
+# --------------------------------------------------------------------------
+
+_MJPEG_ORACLE = """
+WITH per_block AS (
+  SELECT doc_id, f, i,
+         (doc_id + 3*i + 5*f) % 5 - 2 AS dc,
+         (doc_id + i + 2*f) % 3 - 1 AS ac
+  FROM (
+    SELECT doc_id, f,
+           unnest(range((2 + doc_id % 3) * (1 + doc_id % 2))) AS i
+    FROM (
+      SELECT doc_id, unnest(range(2 + doc_id % 3)) AS f FROM documents
+    ) fr
+  ) g
+), per_frame AS (
+  SELECT doc_id, f,
+         sum(64 * (128 + 4 * dc)) AS fsum,
+         min(128 + 4 * dc - 2 * abs(ac)) AS fmin,
+         max(128 + 4 * dc + 2 * abs(ac)) AS fmax
+  FROM per_block GROUP BY doc_id, f
+)
+SELECT doc_id,
+       cast(2 + doc_id % 3 AS INTEGER) AS n_frames,
+       cast((2 + doc_id % 3) * 8 AS INTEGER) AS width,
+       cast((1 + doc_id % 2) * 8 AS INTEGER) AS height,
+       cast(sum((f + 1) * fsum) AS BIGINT) AS wsum_px,
+       cast(min(fmin) AS BIGINT) AS min_px,
+       cast(max(fmax) AS BIGINT) AS max_px,
+       cast(128 + 4 * (doc_id % 5 - 2) + 2 * (doc_id % 3 - 1) AS BIGINT)
+         AS px00_f0
+FROM per_frame
+GROUP BY doc_id
+"""
+
+
+@register(
+    "mm_video_mjpeg_decode",
+    oracle=_MJPEG_ORACLE,
+    tags=("multimodal", "video", "image"),
+)
+def mm_video_mjpeg_decode(spark, sf_dir):
+    """Full MJPEG clip decode: AVI demux composed with the baseline JPEG
+    codec, one output row per clip with exact integer pixel stats over
+    all frames ((f+1)-weighted sum pins frame order; decoded SOF dims
+    asserted equal to the avih header dims)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("wsum_px", T.LongType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+            T.StructField("px00_f0", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg, encode_jpeg_baseline
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                bw, bh = 2 + doc_id % 3, 1 + doc_id % 2
+                nf = 2 + doc_id % 3
+                frames = []
+                for f in range(nf):
+                    blocks = []
+                    for i in range(bw * bh):
+                        blk = [0] * 64
+                        blk[0] = (doc_id + 3 * i + 5 * f) % 5 - 2
+                        blk[4 * 8 + 4] = (doc_id + i + 2 * f) % 3 - 1
+                        blocks.append(blk)
+                    frames.append(encode_jpeg_baseline(blocks, bw, bh))
+                avi = encode_avi(
+                    frames, width=bw * 8, height=bh * 8, compressed=True
+                )
+                dec = decode_media(avi, "video/x-msvideo")
+                wsum, mn, mx, px00 = 0, None, None, None
+                for f, payload in enumerate(dec["frames"]):
+                    jpg = decode_jpeg(bytes(payload))
+                    if (jpg["width"], jpg["height"]) != (
+                        dec["width"],
+                        dec["height"],
+                    ):
+                        raise ValueError(
+                            "SOF dims disagree with the avih header"
+                        )
+                    px = jpg["pixels"].astype("int64")
+                    wsum += (f + 1) * int(px.sum())
+                    fmin, fmax = int(px.min()), int(px.max())
+                    mn = fmin if mn is None else min(mn, fmin)
+                    mx = fmax if mx is None else max(mx, fmax)
+                    if f == 0:
+                        px00 = int(px[0, 0])
+                rows.append(
+                    (
+                        doc_id,
+                        len(dec["frames"]),
+                        dec["width"],
+                        dec["height"],
+                        wsum,
+                        mn,
+                        mx,
+                        px00,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)

@@ -344,3 +344,189 @@ def test_aspect_batch_formation_matches_replay(spark, sf_dir):
     assert got == {b: list(v) for b, v in expect.items()}
     assert any(v[2] > 0 for v in expect.values())  # drops exercised
     assert any(v[0] > 0 for v in expect.values())  # full batches exercised
+
+
+# --------------------------------------------------------------------------
+# r16 late wave: GIF screen compositing (closes the documented gate)
+# --------------------------------------------------------------------------
+
+
+def test_gif_composite_hand_case():
+    """Hand-worked 2x2 screen: full base frame, then a 1x2 rect at
+    (0, 1) whose first pixel is transparent — the composited frame must
+    show the BASE pixel under the transparent index and the painted
+    pixel elsewhere. Palette entry c = (c*5+1, c*11+3, c*23+7) mod 256."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.gif import (
+        _palette,
+        decode_gif_composited,
+        encode_gif_frames,
+    )
+
+    base = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    rect = np.array([[7], [5]], dtype=np.uint8)  # at (left=1, top=0)
+    blob = encode_gif_frames(
+        2,
+        2,
+        [
+            (base, 0, 0, 4, 1, None),
+            (rect, 1, 0, 9, 0, 7),  # index 7 transparent
+        ],
+        _palette(),
+    )
+    dec = decode_gif_composited(blob)
+    assert dec["n_frames"] == 2 and dec["delays_cs"] == [4, 9]
+    pal = lambda c: [(c * 5 + 1) % 256, (c * 11 + 3) % 256, (c * 23 + 7) % 256]
+    assert dec["frames"][0].tolist() == [[pal(0), pal(1)], [pal(2), pal(3)]]
+    # (0,1): rect pixel 7 is transparent -> base pal(1); (1,1): painted 5
+    assert dec["frames"][1].tolist() == [[pal(0), pal(1)], [pal(2), pal(5)]]
+
+
+def test_gif_composite_disposal_semantics():
+    """Disposal 2 restores ONLY the frame's rect to the background
+    palette entry; disposal 3 restores the pre-frame canvas — pinned by
+    a third frame that paints nothing new (a fully transparent rect),
+    exposing the canvas each disposal method left behind."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.gif import (
+        _palette,
+        decode_gif_composited,
+        encode_gif_frames,
+    )
+
+    pal = lambda c: [(c * 5 + 1) % 256, (c * 11 + 3) % 256, (c * 23 + 7) % 256]
+    base = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    probe = np.array([[9, 9], [9, 9]], dtype=np.uint8)  # all transparent
+
+    for disposal, expect in (
+        # disposal 2: rect (1,1) restored to background entry pal(0)
+        (2, [[pal(1), pal(2)], [pal(3), pal(0)]]),
+        # disposal 3: pre-frame canvas -> the base frame everywhere
+        (3, [[pal(1), pal(2)], [pal(3), pal(4)]]),
+    ):
+        blob = encode_gif_frames(
+            2,
+            2,
+            [
+                (base, 0, 0, 0, 1, None),
+                (np.array([[6]], dtype=np.uint8), 1, 1, 0, disposal, None),
+                (probe, 0, 0, 0, 0, 9),
+            ],
+            _palette(),
+        )
+        frames = decode_gif_composited(blob)["frames"]
+        assert frames[1].tolist() == [[pal(1), pal(2)], [pal(3), pal(6)]]
+        assert frames[2].tolist() == expect, f"disposal {disposal}"
+
+
+def test_gif_composite_matches_independent_replay():
+    """The registered fixture (partial rect + per-third-pixel
+    transparency + disposal 1/2/3) against a from-scratch numpy replay
+    of GIF89a compositing, over 120 docs."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.gif import (
+        _COMPOSITE_T,
+        _composite_specs,
+        _palette,
+        decode_gif_composited,
+        encode_gif_frames,
+    )
+
+    PAL = np.array(_palette(), dtype=np.uint8)
+    for doc in range(120):
+        w, h = 8 + doc % 9, 8 + doc % 7
+        specs = _composite_specs(doc, w, h)
+        dec = decode_gif_composited(encode_gif_frames(w, h, specs, _palette()))
+        idx0 = specs[0][0]
+        idx1, left, top = specs[1][0], specs[1][1], specs[1][2]
+        idx2 = specs[2][0]
+        out0 = PAL[idx0]
+        pre1 = (
+            out0.copy()
+            if doc % 2 == 0
+            else np.broadcast_to(PAL[0], (h, w, 3)).copy()
+        )
+        out1 = pre1.copy()
+        fh, fw = idx1.shape
+        sub = out1[top : top + fh, left : left + fw]
+        opaque = idx1 != _COMPOSITE_T
+        sub[opaque] = PAL[idx1][opaque]
+        out2 = pre1.copy()
+        out2[0, :] = PAL[idx2[0]]
+        for f, exp in enumerate((out0, out1, out2)):
+            assert np.array_equal(dec["frames"][f], exp), (doc, f)
+
+
+def test_decode_gif_extraction_still_gates_partial_frames():
+    """The extraction read (decode_gif) keeps its full-raster gate: the
+    same composited stream the new decoder accepts must still raise
+    NotImplementedError there — the two reads are deliberately split."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.gif import (
+        _palette,
+        decode_gif,
+        decode_gif_composited,
+        encode_gif_frames,
+    )
+
+    blob = encode_gif_frames(
+        4,
+        4,
+        [
+            (np.zeros((4, 4), dtype=np.uint8), 0, 0, 0, 1, None),
+            (np.ones((2, 2), dtype=np.uint8), 1, 1, 0, 0, None),
+        ],
+        _palette(),
+    )
+    assert decode_gif_composited(blob)["n_frames"] == 2
+    with pytest.raises(NotImplementedError, match="compositing"):
+        decode_gif(blob)
+
+
+# --------------------------------------------------------------------------
+# r16 late wave: MJPEG-in-AVI decode (AVI demux composed with jpeg.py)
+# --------------------------------------------------------------------------
+
+
+def test_mjpeg_avi_roundtrip_and_frame_order():
+    """Two-frame MJPEG AVI through the real demux + JPEG decode path:
+    per-frame DC levels reconstruct exactly (pixel = 128 + 4*DC for
+    DC-only blocks), '00dc' chunk ids are used, and swapping the frames
+    flips the order of the decoded DC levels (what the query's
+    (f+1)-weighted sum pins)."""
+    import numpy as np
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from open_molecule_data_pipeline_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    def jpg(dc):
+        blk = [0] * 64
+        blk[0] = dc
+        return encode_jpeg_baseline([blk], 1, 1)
+
+    avi = encode_avi([jpg(2), jpg(-1)], width=8, height=8, compressed=True)
+    assert b"00dc" in avi and b"00db" not in avi
+    dec = decode_avi(avi)
+    assert (dec["width"], dec["height"], dec["n_frames"]) == (8, 8, 2)
+    levels = []
+    for payload in dec["frames"]:
+        j = decode_jpeg(bytes(payload))
+        px = np.asarray(j["pixels"])
+        assert px.shape == (8, 8) and int(px.min()) == int(px.max())
+        levels.append(int(px[0, 0]))
+    assert levels == [128 + 4 * 2, 128 + 4 * -1]
+    swapped = decode_avi(
+        encode_avi([jpg(-1), jpg(2)], width=8, height=8, compressed=True)
+    )
+    first = decode_jpeg(bytes(swapped["frames"][0]))
+    assert int(np.asarray(first["pixels"])[0, 0]) == 128 - 4
