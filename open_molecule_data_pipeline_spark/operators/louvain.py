@@ -791,11 +791,21 @@ def graph_louvain_singleton(spark, sf_dir):
     )
     c = deg0.select("node", F.col("node").alias("cid"))
     total_moves = 0
-    for _ in range(_SINGLETON_SWEEPS):
-        c, n_kept = _wsweep(ud, deg0, m, c, bounded=False)
-        total_moves += n_kept
-        if n_kept == 0:
-            break  # converged: remaining sweeps are exact no-ops
+    last_kept = None
+    for s in range(_SINGLETON_SWEEPS):
+        last = s == _SINGLETON_SWEEPS - 1
+        c, n_kept = _wsweep(ud, deg0, m, c, probe=not last, bounded=False)
+        if last:
+            # the LAST sweep's convergence count can save nothing (no
+            # sweep follows), so its checkpoint+count barrier is
+            # deferred into the final job: n_kept is the kept DataFrame
+            # and its count lands in the n_moves column in-plan (the
+            # multilevel probe=False discipline, O(|V|)-sized here)
+            last_kept = n_kept
+        else:
+            total_moves += n_kept
+            if n_kept == 0:
+                break  # converged: remaining sweeps are exact no-ops
     # q_init: the singleton partition IS the identity partition of the
     # original graph — per node l = 0 (simple graph), dc = its degree
     q_init = _q_term(
@@ -827,9 +837,19 @@ def graph_louvain_singleton(spark, sf_dir):
     tot = sizes.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_communities")
     )
+    if last_kept is not None:
+        nmv = last_kept.groupBy().agg(
+            (F.count(F.lit(1)) + F.lit(total_moves))
+            .cast("long")
+            .alias("n_moves")
+        )
+    else:
+        nmv = spark.range(1).select(
+            F.lit(total_moves).cast("long").alias("n_moves")
+        )
     return (
         sizes.crossJoin(F.broadcast(tot))
-        .withColumn("n_moves", F.lit(total_moves).cast("long"))
+        .crossJoin(F.broadcast(nmv))
         .crossJoin(F.broadcast(q_init))
         .crossJoin(F.broadcast(q_pass))
         .orderBy(F.desc("n_nodes"), "cid")
