@@ -611,38 +611,41 @@ _AR_KEYS_SQL = ", ".join(
     for i, (n, d) in enumerate(_AR_BUCKETS)
 )
 
+_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ]
+)
+
+
+def _dims_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched GIF decode of each doc's payload to (doc_id, w, h)
+    — a STATELESS stage, so it runs identically under mapInPandas on a
+    batch DataFrame and inside a streaming microbatch (the twin)."""
+    pal = _palette()
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"].values:
+            doc_id = int(doc_id)
+            w, h = 8 + doc_id % 9, 8 + doc_id % 7
+            idx = _fixture_indices(doc_id, 0, w, h)
+            blob = encode_gif([(idx, 0)], pal, interlace=bool(doc_id % 2))
+            dec = decode_gif(blob)
+            rows.append((doc_id, dec["width"], dec["height"]))
+        yield pd.DataFrame(rows, columns=["doc_id", "w", "h"])
+
+
 def _decoded_dims(spark, sf_dir):
     """Per-doc (doc_id, w, h) DECODED from each doc's GIF payload via
     the real codec — the shared front half of the aspect-ratio router
     and the batch-formation query (VERDICT r15 #2: the router consumes
     decoder output, not a synthetic column)."""
-    dims_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("w", T.IntegerType()),
-            T.StructField("h", T.IntegerType()),
-        ]
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pal = _palette()
-        for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"].values:
-                doc_id = int(doc_id)
-                w, h = 8 + doc_id % 9, 8 + doc_id % 7
-                idx = _fixture_indices(doc_id, 0, w, h)
-                blob = encode_gif(
-                    [(idx, 0)], pal, interlace=bool(doc_id % 2)
-                )
-                dec = decode_gif(blob)
-                rows.append((doc_id, dec["width"], dec["height"]))
-            yield pd.DataFrame(rows, columns=["doc_id", "w", "h"])
-
     return (
         spread(table(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id")
-        .mapInPandas(run, schema=dims_schema)
+        .mapInPandas(_dims_run, schema=_DIMS_SCHEMA)
     )
 
 
@@ -1142,3 +1145,191 @@ def mm_gif_composite_frames(spark, sf_dir):
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Streaming twin of the batch former (r16 late wave): the nightly-ingest
+# deployment shape of mm_aspect_batch_formation. Decoded dims and the
+# bucket argmin run STATELESS inside each microbatch (the same
+# ``_dims_run`` / ``_bucket_key`` the batch query uses — the ladders
+# cannot drift), then ``applyInPandasWithState`` keyed on (bucket, shard)
+# carries the trainer's real state: the partial batch pending at each
+# rank. Doc order across microbatches is arrival order, so the input is
+# staged as doc_id RANGE bands with pinned mtimes (FileStreamSource
+# orders by modification time) — incremental packing in arrival order is
+# then EXACTLY the batch query's global-doc-order packing, and the
+# leftover pending docs at stream end are the dropped partials. Each
+# update emits the key's cumulative counters under a state sequence
+# number; the rollup takes the last emission per key (max seq) and sums
+# per bucket, matching the batch oracle bit-for-bit.
+# --------------------------------------------------------------------------
+
+_TWIN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("n_full", T.LongType()),
+        T.StructField("n_packed", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("pending", T.ArrayType(T.LongType())),
+    ]
+)
+
+_TWIN_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("n_full", T.LongType()),
+        T.StructField("n_packed", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("n_pending", T.LongType()),
+    ]
+)
+
+
+def _batch_former_update(key, pdfs, state):
+    """Per-(bucket, shard) stateful batch former: append this
+    microbatch's doc_ids (sorted — within a range band any arrival
+    permutation is legal), cut full batches, keep the partial pending.
+    ``n_full`` doubles as the 1-based id of the batch just cut, so the
+    checksum term is sum(batch) * batch_id exactly as the batch query
+    computes it."""
+    import pandas as pd
+
+    if state.exists:
+        seq, n_full, n_packed, checksum, pending = state.get
+        pending = list(pending)
+    else:
+        seq, n_full, n_packed, checksum, pending = 0, 0, 0, 0, []
+    docs: list[int] = []
+    for pdf in pdfs:
+        docs.extend(int(x) for x in pdf["doc_id"].values)
+    docs.sort()
+    pending.extend(docs)
+    while len(pending) >= _BATCH_SIZE:
+        batch, pending = pending[:_BATCH_SIZE], pending[_BATCH_SIZE:]
+        n_full += 1
+        n_packed += _BATCH_SIZE
+        checksum += sum(batch) * n_full
+    seq += 1
+    state.update((seq, n_full, n_packed, checksum, pending))
+    yield pd.DataFrame(
+        [
+            (
+                int(key[0]),
+                int(key[1]),
+                seq,
+                n_full,
+                n_packed,
+                checksum,
+                len(pending),
+            )
+        ],
+        columns=[f.name for f in _TWIN_OUT_SCHEMA],
+    )
+
+
+@register(
+    "stream_aspect_batch_twin",
+    oracle=_BATCH_ORACLE,
+    tags=("streaming", "multimodal", "image", "stateful"),
+)
+def stream_aspect_batch_twin(spark, sf_dir):
+    """Streaming (availableNow, multi-microbatch) twin of
+    ``mm_aspect_batch_formation``: decode + route per microbatch,
+    stateful per-(bucket, shard) batch formation across microbatches,
+    partials dropped at stream end — same oracle as the batch query."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..session import tune_session
+    from .streaming_twin import _run_to_memory
+
+    tune_session(spark)
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id"
+    )
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    banded = docs.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        F.least(
+            F.col("doc_id") * 3 / (F.col("mx") + 1), F.lit(2)
+        )
+        .cast("int")
+        .alias("band"),
+    )
+    stage = tempfile.mkdtemp(
+        prefix="omdp_aspect_twin_",
+        dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None,
+    )
+    try:
+        part_root = f"{stage}/_parts"
+        (
+            banded.coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(part_root)
+        )
+        present = []
+        for band in (0, 1, 2):
+            parts = _glob.glob(f"{part_root}/band={band}/part-*.parquet")
+            if parts:
+                shutil.move(parts[0], f"{stage}/band{band}.parquet")
+                present.append(band)
+        shutil.rmtree(part_root, ignore_errors=True)
+        now = _time.time()
+        for i, band in enumerate(present):
+            t = now - 60 * (len(present) - i)
+            os.utime(f"{stage}/band{band}.parquet", (t, t))
+
+        schema = T.StructType([T.StructField("doc_id", T.LongType())])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(stage)
+        )
+        keyed = (
+            stream.mapInPandas(_dims_run, schema=_DIMS_SCHEMA)
+            .select("doc_id", _bucket_key().alias("best"))
+            .select(
+                "doc_id",
+                F.col("best.i").cast("int").alias("bucket"),
+                (F.col("doc_id") % _BATCH_SHARDS)
+                .cast("int")
+                .alias("shard"),
+            )
+        )
+        formed = keyed.groupBy("bucket", "shard").applyInPandasWithState(
+            _batch_former_update,
+            outputStructType=_TWIN_OUT_SCHEMA,
+            stateStructType=_TWIN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        sunk = _run_to_memory(spark, formed, output_mode="update")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    final = (
+        sunk.groupBy("bucket", "shard")
+        .agg(
+            F.max_by(
+                F.struct("n_full", "n_packed", "checksum", "n_pending"),
+                "seq",
+            ).alias("last")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("last.n_full").cast("long").alias("n_full_batches"),
+            F.sum("last.n_packed").cast("long").alias("n_packed"),
+            F.sum("last.n_pending").cast("long").alias("n_dropped"),
+            F.sum("last.checksum").cast("long").alias("pack_checksum"),
+        )
+        .orderBy("bucket")
+    )
+    return final

@@ -530,3 +530,74 @@ def test_mjpeg_avi_roundtrip_and_frame_order():
     )
     first = decode_jpeg(bytes(swapped["frames"][0]))
     assert int(np.asarray(first["pixels"])[0, 0]) == 128 - 4
+
+
+# --------------------------------------------------------------------------
+# r16 late wave: streaming batch-formation twin (stateful, multi-batch)
+# --------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for the update function's contract."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+
+def test_batch_former_state_carries_partials_across_microbatches():
+    """The trainer-state semantics the twin exists to prove: a partial
+    batch pending at a rank must carry into the next microbatch and
+    complete there, with the checksum term computed against the batch's
+    CUMULATIVE 1-based id — identical to the batch query's
+    rn//B windowing over the concatenated doc order. Worked example
+    (B=8): docs 0..9 arrive as [0..5], then [6..9, 10..13] — batch 1 is
+    docs 0..7 formed in update 2, batch 2 never completes (6 pending)."""
+    import pandas as pd
+
+    from open_molecule_data_pipeline_spark.operators.gif import (
+        _BATCH_SIZE,
+        _batch_former_update,
+    )
+
+    assert _BATCH_SIZE == 8
+    state = _FakeGroupState()
+    key = (3, 1)
+
+    def upd(docs):
+        return list(
+            _batch_former_update(
+                key, iter([pd.DataFrame({"doc_id": docs})]), state
+            )
+        )[0]
+
+    out1 = upd([5, 0, 3, 1, 2, 4])  # arrival permutation within the band
+    assert out1.iloc[0].tolist() == [3, 1, 1, 0, 0, 0, 6]
+    out2 = upd([9, 6, 8, 7, 13, 10, 12, 11])
+    # batch 1 = docs 0..7 (sum 28, id 1); pending = [8..13] (6 docs)
+    assert out2.iloc[0].tolist() == [3, 1, 2, 1, 8, 28, 6]
+    out3 = upd([14, 15])
+    # batch 2 = docs 8..15 (sum 92, id 2): checksum 28*1 + 92*2 = 212
+    assert out3.iloc[0].tolist() == [3, 1, 3, 2, 16, 212, 0]
+
+
+def test_stream_aspect_batch_twin_equals_batch_query(spark, sf_dir):
+    """End-to-end: the multi-microbatch streaming run lands exactly the
+    batch query's per-bucket report (full batches, packed/dropped
+    counts, position-weighted checksum)."""
+    from open_molecule_data_pipeline_spark.operators.gif import (
+        mm_aspect_batch_formation,
+        stream_aspect_batch_twin,
+    )
+
+    got = stream_aspect_batch_twin(spark, sf_dir).collect()
+    want = mm_aspect_batch_formation(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
