@@ -960,6 +960,135 @@ def mm_video_mjpeg_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Decode-normalized MJPEG clip dedup (r16): the VIDEO member of the
+# re-encode dedup ladder. Clip pairs (2p, 2p+1) share every frame's
+# dequantized coefficients, but the odd clip re-encodes each frame with
+# a halved quant table and doubled values — byte-different streams,
+# pixel-identical after decode, so a container- or payload-hash dedup
+# misses them. The engine demuxes and decodes every frame and digests
+# the concatenated frame pixels (one md5 per clip), then equi-joins on
+# (dims, n_frames, digest) — the same constant-width-row hash join the
+# image renc dedups proved linear at scale. The oracle groups clips on
+# the closed-form dequantized coefficient string over (frame, block) —
+# pixel equality is equivalent per frame via the same invertible s-sign
+# Hadamard argument as mm_image_jpeg_renc_dedup (jpeg.py).
+# --------------------------------------------------------------------------
+
+_MJPEG_RENC_ORACLE = """
+WITH coef AS (
+  SELECT doc_id, bw, bh, nf,
+         string_agg(cast(32*(m%25-12) AS VARCHAR) || ':' ||
+                    cast(16*((m//25)%13-6) AS VARCHAR), ',' ORDER BY f, i) AS key
+  FROM (
+    SELECT doc_id, bw, bh, nf, f, i, (s0*s0 + 7919*s0) // 256 AS m
+    FROM (
+      SELECT doc_id, bw, bh, nf, f, i,
+             ((doc_id // 2) * 100000 + f * 4096 + i) % 2147483647 AS s0
+      FROM (
+        SELECT doc_id, bw, bh, nf, f, unnest(range(bw*bh)) AS i
+        FROM (
+          SELECT doc_id, 2 + (doc_id//2) % 3 AS bw, 1 + (doc_id//2) % 2 AS bh,
+                 2 + (doc_id//2) % 3 AS nf,
+                 unnest(range(2 + (doc_id//2) % 3)) AS f
+          FROM documents
+        ) g0
+      ) g1
+    ) g2
+  ) g3
+  GROUP BY doc_id, bw, bh, nf
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(a.nf AS INTEGER) AS n_frames
+FROM coef a JOIN coef b
+  ON a.bw = b.bw AND a.bh = b.bh AND a.nf = b.nf
+     AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def _mjpeg_renc_frames(doc_id: int):
+    """Fixture: (2p, 2p+1) clips share per-frame dequantized
+    coefficients; the odd clip halves the quant table and doubles the
+    quantized values (the jpeg.py _renc_blocks discipline per frame)."""
+    from .jpeg import encode_jpeg_baseline
+
+    base, odd = doc_id // 2, doc_id % 2
+    bw, bh = 2 + base % 3, 1 + base % 2
+    nf = 2 + base % 3
+    scale = 2 if odd else 1
+    qtable = [32 // scale] + [16 // scale] * 63
+    frames = []
+    for f in range(nf):
+        blocks = []
+        for i in range(bw * bh):
+            s0 = (base * 100000 + f * 4096 + i) % 2147483647
+            m = (s0 * s0 + 7919 * s0) // 256
+            blk = [0] * 64
+            blk[0] = (m % 25 - 12) * scale
+            blk[4 * 8 + 4] = ((m // 25) % 13 - 6) * scale
+            blocks.append(blk)
+        frames.append(encode_jpeg_baseline(blocks, bw, bh, qtable=qtable))
+    return frames, bw, bh, nf
+
+
+@register(
+    "mm_video_mjpeg_renc_dedup",
+    oracle=_MJPEG_RENC_ORACLE,
+    tags=("multimodal", "video", "dedup"),
+)
+def mm_video_mjpeg_renc_dedup(spark, sf_dir):
+    """Decode-normalized near-dup pairs of byte-different MJPEG clips:
+    demux + per-frame JPEG decode inside the Arrow batch, md5 over the
+    concatenated frame pixels, equi-join on (dims, n_frames, digest)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("nf", T.IntegerType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                frames, bw, bh, nf = _mjpeg_renc_frames(doc_id)
+                dec = decode_avi(
+                    encode_avi(
+                        frames, width=bw * 8, height=bh * 8, compressed=True
+                    )
+                )
+                hsh = hashlib.md5()
+                for payload in dec["frames"]:
+                    hsh.update(decode_jpeg(bytes(payload))["pixels"].tobytes())
+                rows.append(
+                    (
+                        doc_id,
+                        dec["width"],
+                        dec["height"],
+                        dec["n_frames"],
+                        hsh.hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    hashes = d.mapInPandas(run, schema=schema)
+    a = hashes.select(F.col("doc_id").alias("doc_a"), "w", "h", "nf", "digest")
+    b = hashes.select(F.col("doc_id").alias("doc_b"), "w", "h", "nf", "digest")
+    return (
+        a.join(b, ["w", "h", "nf", "digest"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("nf").alias("n_frames"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Audio-style framing: fixed-size overlapping byte windows (64-byte frame,
 # 32-byte hop) over the payload — the chunk layout a feature extractor
 # consumes. Pure JVM (sequence + posexplode-free offset math + substring on

@@ -601,3 +601,35 @@ def test_stream_aspect_batch_twin_equals_batch_query(spark, sf_dir):
     got = stream_aspect_batch_twin(spark, sf_dir).collect()
     want = mm_aspect_batch_formation(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_mjpeg_renc_pair_bytes_differ_pixels_equal():
+    """The dedup premise, pinned at the byte level: a (2p, 2p+1) clip
+    pair produces DIFFERENT container bytes (different DQT, different
+    entropy streams) yet IDENTICAL decoded frame pixels — and a
+    different base clip does not collide."""
+    import hashlib
+
+    from open_molecule_data_pipeline_spark.operators.jpeg import decode_jpeg
+    from open_molecule_data_pipeline_spark.operators.multimodal import (
+        _mjpeg_renc_frames,
+        decode_avi,
+        encode_avi,
+    )
+
+    def clip(doc):
+        frames, bw, bh, nf = _mjpeg_renc_frames(doc)
+        avi = encode_avi(frames, width=bw * 8, height=bh * 8, compressed=True)
+        dec = decode_avi(avi)
+        hsh = hashlib.md5()
+        for payload in dec["frames"]:
+            hsh.update(decode_jpeg(bytes(payload))["pixels"].tobytes())
+        return avi, (dec["width"], dec["height"], dec["n_frames"]), hsh.hexdigest()
+
+    for base in (0, 3, 7):
+        avi_e, dims_e, dig_e = clip(2 * base)
+        avi_o, dims_o, dig_o = clip(2 * base + 1)
+        assert avi_e != avi_o
+        assert dims_e == dims_o and dig_e == dig_o
+    _, _, other = clip(2 * 4)
+    assert other != clip(2 * 3)[2]
