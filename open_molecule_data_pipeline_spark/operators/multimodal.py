@@ -103,30 +103,46 @@ def decode_wav(payload: bytes) -> dict:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 pass geometry: (x0, y0, dx, dy). A pass over a W x H image is a
+# ceil((W-x0)/dx) x ceil((H-y0)/dy) reduced image; passes that come out
+# empty in either dimension contribute NO scanlines (not even filter
+# bytes) — the spec's small-image rule, and the part most hand-rolled
+# decoders get wrong.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-def encode_png(pixels, filters=None) -> bytes:
-    """8-bit PNG from an (H, W, 3|4) RGB(A) or (H, W) grayscale array.
 
-    ``filters`` optionally gives the per-row filter type (0-4); default is
-    filter 0 everywhere. Non-zero filters are applied exactly per the spec,
-    so a round-trip exercises the decoder's full unfilter matrix.
-    """
-    import struct
-    import zlib
+def _adam7_dims(w: int, h: int):
+    """Per-pass (x0, y0, dx, dy, pw, ph) for a W x H image."""
+    return [
+        (x0, y0, dx, dy, max(0, (w - x0 + dx - 1) // dx),
+         max(0, (h - y0 + dy - 1) // dy))
+        for x0, y0, dx, dy in _ADAM7
+    ]
 
+
+def _filter_scanlines(arr, bpp: int, filters, row_base: int) -> bytes:
+    """Filter an (N, stride) int32 scanline block per the spec; the prior
+    row resets at the block boundary (each Adam7 pass filters as its own
+    image). ``row_base`` keeps the filter-type cycle global across passes
+    so interlaced fixtures still exercise every filter type."""
     import numpy as np
 
-    arr = np.asarray(pixels, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
-    bpp = ch  # bytes per pixel at bit depth 8
     raw = bytearray()
-    prior = np.zeros(w * ch, dtype=np.int32)
-    for y in range(h):
-        row = arr[y].reshape(-1).astype(np.int32)
-        ftype = 0 if filters is None else int(filters[y % len(filters)])
+    n, stride = arr.shape
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(n):
+        row = arr[y]
+        ftype = 0 if filters is None else int(
+            filters[(row_base + y) % len(filters)]
+        )
         left = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
         up_left = np.concatenate([np.zeros(bpp, dtype=np.int32), prior[:-bpp]])
         if ftype == 0:
@@ -144,6 +160,53 @@ def encode_png(pixels, filters=None) -> bytes:
         raw.append(ftype)
         raw.extend((filt % 256).astype(np.uint8).tobytes())
         prior = row
+    return bytes(raw)
+
+
+def encode_png(pixels, filters=None, interlace=False, palette=None) -> bytes:
+    """8-bit PNG from an (H, W, 3|4) RGB(A) or (H, W) grayscale array —
+    or, with ``palette`` (a list of RGB triples), an (H, W) index array
+    written as color type 3 with a PLTE chunk.
+
+    ``filters`` optionally gives the per-row filter type (0-4); default is
+    filter 0 everywhere. Non-zero filters are applied exactly per the spec,
+    so a round-trip exercises the decoder's full unfilter matrix.
+    ``interlace=True`` writes the seven Adam7 passes, each filtered as its
+    own reduced image.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if palette is not None:
+        if arr.ndim != 2:
+            raise ValueError("palette PNG expects an (H, W) index array")
+        if int(arr.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        arr = arr[:, :, None]
+        color_type, ch = 3, 1
+    else:
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        color_type = {1: 0, 3: 2, 4: 6}[arr.shape[2]]
+        ch = arr.shape[2]
+    h, w = arr.shape[:2]
+    flat = arr.astype(np.int32)
+    raw = bytearray()
+    if interlace:
+        row_base = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            sub = flat[y0::dy, x0::dx].reshape(ph, pw * ch)
+            raw.extend(_filter_scanlines(sub, ch, filters, row_base))
+            row_base += ph
+    else:
+        raw.extend(
+            _filter_scanlines(flat.reshape(h, w * ch), ch, filters, 0)
+        )
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -153,13 +216,11 @@ def encode_png(pixels, filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(b"IEND", b"")
 
 
 def _paeth(left, up, up_left):
@@ -173,56 +234,23 @@ def _paeth(left, up, up_left):
     )
 
 
-def decode_png(payload: bytes) -> dict:
-    """Parse an 8-bit non-interlaced PNG (gray / RGB / RGBA): chunk walk,
-    zlib inflate, per-row unfilter (types 0-4). Returns header fields plus
-    the (H, W, C) uint8 pixel array."""
-    import struct
-    import zlib
-
+def _unfilter_scanlines(raw: bytes, off: int, n_rows: int, stride: int, bpp: int):
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at byte
+    ``off`` (each row led by its filter-type byte); the prior row starts
+    zero — one Adam7 pass (or the whole non-interlaced image) per call.
+    Returns the (n_rows, stride) int32 block and the offset past it."""
     import numpy as np
 
-    if payload[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    off = len(_PNG_SIG)
-    ihdr = None
-    idat = bytearray()
-    while off + 8 <= len(payload):
-        (size,) = struct.unpack_from(">I", payload, off)
-        tag = payload[off + 4 : off + 8]
-        body = payload[off + 8 : off + 8 + size]
-        (crc,) = struct.unpack_from(">I", payload, off + 8 + size)
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        off += 12 + size
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG: depth={depth} comp={comp} interlace={interlace}"
-        )
-    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {color_type}")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if off + n_rows * (stride + 1) > len(raw):
         raise ValueError("PNG data length mismatch")
-    bpp = channels
-    out = np.zeros((h, stride), dtype=np.int32)
+    out = np.zeros((n_rows, stride), dtype=np.int32)
     prior = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
+    for y in range(n_rows):
+        ftype = raw[off]
         row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=off + 1
         ).astype(np.int32)
+        off += stride + 1
         if ftype == 0:
             recon = row
         elif ftype == 2:
@@ -247,7 +275,82 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = recon
         prior = recon
-    pixels = out.astype(np.uint8).reshape(h, w, channels)
+    return out, off
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit PNG (gray / RGB / RGBA / indexed, sequential or
+    Adam7-interlaced): chunk walk, zlib inflate, per-row unfilter (types
+    0-4), pass scatter, PLTE indirection. Returns header fields plus the
+    (H, W, C) uint8 pixel array (indexed images come back as decoded RGB,
+    ``channels`` reporting the 3 output channels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while off + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + size)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if size % 3 or not 3 <= size <= 768:
+                raise ValueError("bad PLTE chunk size")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        off += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError(
+            f"unsupported PNG: depth={depth} comp={comp} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("indexed PNG is missing its PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        block, _ = _unfilter_scanlines(raw, 0, h, stride, bpp)
+        samples = block
+    else:
+        samples = np.zeros((h, w * channels), dtype=np.int32)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            block, pos = _unfilter_scanlines(raw, pos, ph, pw * channels, bpp)
+            sub = block.reshape(ph, pw, channels)
+            view = samples.reshape(h, w, channels)
+            view[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("PNG data length mismatch")
+    pixels = samples.astype(np.uint8).reshape(h, w, channels)
+    if color_type == 3:
+        if int(pixels.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        pixels = plte[pixels[:, :, 0]]
+        channels = 3
     return {
         "width": w,
         "height": h,
