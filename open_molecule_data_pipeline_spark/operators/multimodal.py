@@ -58,10 +58,105 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000, n_channels: int = 1) -> b
     )
 
 
+# --------------------------------------------------------------------------
+# Companding / ADPCM expansion (the non-PCM WAV format tags a crawl
+# actually carries: G.711 telephony captures and IMA ADPCM voice blocks).
+# Both decoders are the exact integer recurrences of the specs — G.711
+# per the standard segment/mantissa expansion, IMA per the DVI/IMA
+# step-table state machine — so oracle twins can replay them
+# arithmetically (G.711 in closed form, ADPCM via a recursive CTE).
+# --------------------------------------------------------------------------
+
+# DVI/IMA ADPCM quantizer step table (89 entries) and index adjustments.
+IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def g711_to_linear(codes, alaw: bool):
+    """Vectorized G.711 codeword -> int16 expansion (mu-law unless
+    ``alaw``), the standard segment/mantissa integer formulas."""
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.int64)
+    if alaw:
+        a = c ^ 0x55
+        seg = (a >> 4) & 7
+        man = a & 0xF
+        t = np.where(
+            seg == 0,
+            man * 16 + 8,
+            (man * 16 + 0x108) << np.maximum(seg - 1, 0),
+        )
+        lin = np.where(a & 0x80, t, -t)
+    else:
+        u = 255 - c  # == ~c for a byte
+        t = ((u & 0xF) * 8 + 0x84) << ((u >> 4) & 7)
+        lin = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    return lin.astype(np.int16)
+
+
+def ima_adpcm_step(pred: int, idx: int, nib: int):
+    """One IMA state transition: (predictor, step index) x nibble ->
+    the next (predictor, step index). Diff uses the PRE-update step."""
+    step = IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_ADJUST[nib & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_decode_blocks(data: bytes, block_align: int, spb: int):
+    """Decode mono IMA ADPCM blocks: each ``block_align``-byte block is a
+    4-byte header (int16 seed predictor — emitted as the block's first
+    sample — uint8 step index, reserved) followed by packed nibbles, low
+    nibble first; ``spb`` samples come out of each block, trailing pad
+    nibbles ignored."""
+    import struct
+
+    import numpy as np
+
+    if block_align < 5 or spb < 1 or spb > 1 + (block_align - 4) * 2:
+        raise ValueError("bad IMA ADPCM block geometry")
+    if len(data) % block_align:
+        raise ValueError("IMA ADPCM data is not block-aligned")
+    out = []
+    for base in range(0, len(data), block_align):
+        pred, idx, _rsvd = struct.unpack_from("<hBB", data, base)
+        if idx > 88:
+            raise ValueError("IMA ADPCM step index out of range")
+        out.append(pred)
+        emitted = 1
+        for k in range((block_align - 4) * 2):
+            if emitted == spb:
+                break
+            byte = data[base + 4 + k // 2]
+            nib = (byte >> 4) if k % 2 else (byte & 0xF)
+            pred, idx = ima_adpcm_step(pred, idx, nib)
+            out.append(pred)
+            emitted += 1
+    return np.asarray(out, dtype=np.int16)
+
+
 def decode_wav(payload: bytes) -> dict:
-    """Parse a RIFF/WAVE PCM-16 payload: pure byte arithmetic, no codec
-    library. Walks the chunk list (tolerates extra chunks like LIST/fact),
-    returns header fields plus the int16 sample array."""
+    """Parse a RIFF/WAVE payload: pure byte arithmetic, no codec library.
+    Walks the chunk list (tolerates extra chunks like LIST/fact) and
+    expands PCM-16, G.711 mu-law/A-law (format tags 7/6), or mono IMA
+    ADPCM (tag 0x11) to the int16 sample array."""
     import struct
 
     import numpy as np
@@ -69,6 +164,7 @@ def decode_wav(payload: bytes) -> dict:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt = None
+    fmt_body = b""
     data = None
     off = 12
     while off + 8 <= len(payload):
@@ -77,19 +173,33 @@ def decode_wav(payload: bytes) -> dict:
         body = payload[off + 8 : off + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         off += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
+    audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format == 1 and bits == 16:
+        frames = np.frombuffer(data, dtype="<i2")
+    elif audio_format in (6, 7) and bits == 8:
+        frames = g711_to_linear(
+            np.frombuffer(data, dtype=np.uint8), alaw=(audio_format == 6)
+        )
+    elif audio_format == 0x11 and bits == 4:
+        if n_channels != 1:
+            raise ValueError("IMA ADPCM decode supports mono only")
+        if len(fmt_body) < 20:
+            raise ValueError("IMA ADPCM fmt chunk is missing samplesPerBlock")
+        (spb,) = struct.unpack_from("<H", fmt_body, 18)
+        frames = _ima_adpcm_decode_blocks(data, block_align, spb)
+    else:
         raise ValueError(f"unsupported WAV encoding: format={audio_format} bits={bits}")
-    frames = np.frombuffer(data, dtype="<i2")
     return {
         "sample_rate": sample_rate,
         "n_channels": n_channels,
         "bits_per_sample": bits,
+        "audio_format": audio_format,
         "n_samples": len(frames) // n_channels,
         "frames": frames,
     }

@@ -215,3 +215,146 @@ def test_png_existing_gates_unchanged():
     with pytest.raises(ValueError, match="unsupported PNG"):
         decode_png(bytes(blob))
     assert decode_media(encode_png(img), "image/png")["width"] == 2
+
+
+# ------------------------------------------------------------------
+# G.711 + IMA ADPCM WAV decode
+# ------------------------------------------------------------------
+
+from open_molecule_data_pipeline_spark.operators.audio_codecs import (  # noqa: E402
+    encode_wav_g711,
+    encode_wav_ima_adpcm,
+    ima_adpcm_encode,
+)
+from open_molecule_data_pipeline_spark.operators.multimodal import (  # noqa: E402
+    IMA_STEPS,
+    decode_wav,
+    g711_to_linear,
+    ima_adpcm_step,
+)
+
+
+def test_g711_known_vectors():
+    """Spec reference points: mu-law 0x00 is the negative maximum
+    (-32124), both zero codes decode to 0; A-law 0x55/0xD5 are -8/+8
+    and 0x2A/0xAA the +-32256 extremes."""
+    ulaw = g711_to_linear(np.array([0x00, 0xFF, 0x7F, 0x80]), alaw=False)
+    assert ulaw.tolist() == [-32124, 0, 0, 32124]
+    alaw = g711_to_linear(np.array([0x55, 0xD5, 0x2A, 0xAA]), alaw=True)
+    assert alaw.tolist() == [-8, 8, -32256, 32256]
+
+
+def test_g711_wav_container_roundtrip():
+    codes = np.arange(256, dtype=np.uint8)
+    for alaw in (False, True):
+        dec = decode_wav(encode_wav_g711(codes, alaw=alaw, sample_rate=16000))
+        assert dec["audio_format"] == (6 if alaw else 7)
+        assert dec["bits_per_sample"] == 8
+        assert dec["sample_rate"] == 16000
+        assert dec["n_samples"] == 256
+        assert np.array_equal(dec["frames"], g711_to_linear(codes, alaw=alaw))
+
+
+def test_g711_decode_covers_full_int16_span_monotonically():
+    """Within one sign of mu-law, increasing codeword magnitude must
+    decode to monotonically decreasing magnitude (codes order inverts)."""
+    neg = g711_to_linear(np.arange(0, 128), alaw=False).astype(np.int64)
+    assert (np.diff(neg) > 0).all() and neg[0] == -32124 and neg[-1] == 0
+
+
+def test_ima_adpcm_single_block_matches_step_replay():
+    nibs = [(3 * k + 1) % 16 for k in range(17)]  # odd count -> pad nibble
+    pred, idx = -1234, 30
+    dec = decode_wav(encode_wav_ima_adpcm([(pred, idx, nibs)]))
+    assert dec["audio_format"] == 0x11
+    expect = [pred]
+    p, i = pred, idx
+    for nib in nibs:
+        p, i = ima_adpcm_step(p, i, nib)
+        expect.append(p)
+    assert dec["frames"].tolist() == expect
+    assert dec["n_samples"] == len(nibs) + 1
+
+
+def test_ima_adpcm_multi_block_headers_reseed_state():
+    """Each block's header predictor/index reseeds the decoder — block 2
+    must decode from ITS header, not block 1's final state."""
+    nibs_a = [7] * 8
+    nibs_b = [2] * 8
+    dec = decode_wav(
+        encode_wav_ima_adpcm([(1000, 10, nibs_a), (-2000, 88, nibs_b)])
+    )
+    expect = []
+    for pred, idx, nibs in [(1000, 10, nibs_a), (-2000, 88, nibs_b)]:
+        expect.append(pred)
+        p, i = pred, idx
+        for nib in nibs:
+            p, i = ima_adpcm_step(p, i, nib)
+            expect.append(p)
+    assert dec["frames"].tolist() == expect
+
+
+def test_ima_adpcm_clamps_at_int16_rails_and_index_bounds():
+    # all-magnitude nibbles from the top step must clamp, not wrap
+    dec = decode_wav(encode_wav_ima_adpcm([(32000, 88, [7] * 6)]))
+    assert dec["frames"].max() == 32767
+    dec2 = decode_wav(encode_wav_ima_adpcm([(-32000, 88, [15] * 6)]))
+    assert dec2["frames"].min() == -32768
+    # index floor: descending nibbles at index 0 stay at index 0 (step 7)
+    p, i = ima_adpcm_step(0, 0, 0)
+    assert i == 0 and p == 0 + (IMA_STEPS[0] >> 3)
+
+
+def test_ima_adpcm_encoder_reconstruction_tracks_signal():
+    t = np.arange(200)
+    sig = (6000 * np.sin(t / 9.0) + 2000 * np.sin(t / 3.1)).astype(np.int16)
+    nibs = ima_adpcm_encode(sig, 0, 0)
+    dec = decode_wav(encode_wav_ima_adpcm([(0, 0, nibs)]))
+    recon = dec["frames"][1:].astype(np.int64)  # sample 0 is the seed
+    err = np.abs(recon - sig.astype(np.int64))
+    # after the adaptive ramp-up the quantizer tracks within ~2 steps
+    assert err[20:].max() < 2500
+    assert err[20:].mean() < 600
+
+
+def test_ima_adpcm_rejects_bad_geometry():
+    with pytest.raises(ValueError, match="step index"):
+        encode_wav_ima_adpcm([(0, 89, [0] * 4)])
+    blob = bytearray(encode_wav_ima_adpcm([(0, 0, [0] * 8)]))
+    # truncate data so it is no longer block-aligned
+    blob[-3:] = b""
+    size = len(blob) - 8
+    blob[4:8] = struct.pack("<I", size)
+    dsize = struct.unpack_from("<I", bytes(blob), blob.index(b"data") + 4)[0]
+    blob[blob.index(b"data") + 4 : blob.index(b"data") + 8] = struct.pack(
+        "<I", dsize - 3
+    )
+    with pytest.raises(ValueError, match="block-aligned"):
+        decode_wav(bytes(blob))
+
+
+def test_ima_adpcm_rejects_stereo_and_missing_spb():
+    blob = bytearray(encode_wav_ima_adpcm([(0, 0, [0] * 8)]))
+    ch_off = blob.index(b"fmt ") + 8 + 2
+    blob[ch_off : ch_off + 2] = struct.pack("<H", 2)
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(blob))
+    # fmt chunk truncated to the 16 PCM bytes: samplesPerBlock missing
+    blob2 = bytearray(encode_wav_ima_adpcm([(0, 0, [0] * 8)]))
+    fmt_off = blob2.index(b"fmt ")
+    del blob2[fmt_off + 8 + 16 : fmt_off + 8 + 20]
+    blob2[fmt_off + 4 : fmt_off + 8] = struct.pack("<I", 16)
+    blob2[4:8] = struct.pack("<I", len(blob2) - 8)
+    with pytest.raises(ValueError, match="samplesPerBlock"):
+        decode_wav(bytes(blob2))
+
+
+def test_wav_float_format_still_rejected():
+    from open_molecule_data_pipeline_spark.operators.multimodal import (
+        encode_wav_pcm16,
+    )
+
+    blob = bytearray(encode_wav_pcm16(np.array([1, 2], dtype=np.int16)))
+    blob[20:22] = struct.pack("<H", 3)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(blob))
