@@ -136,6 +136,12 @@ class _BitWriter:
         while self._n:
             self.put(1, 1)  # pad with 1s per spec
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded) and emit RSTn — the spec's restart
+        marker between entropy-coded segments."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _category(v: int) -> int:
     return abs(v).bit_length()
@@ -205,12 +211,20 @@ _JFIF_APP0 = (
 )
 
 
-def encode_jpeg_baseline(blocks, bw: int, bh: int, qtable=None) -> bytes:
+def _dri_segment(ri: int) -> bytes:
+    return b"\xff\xdd" + (4).to_bytes(2, "big") + ri.to_bytes(2, "big")
+
+
+def encode_jpeg_baseline(
+    blocks, bw: int, bh: int, qtable=None, restart_interval: int = 0
+) -> bytes:
     """Encode quantized-coefficient ``blocks`` (bw*bh arrays of 64 ints,
     natural order, raster block order) as a grayscale baseline JFIF.
     ``qtable`` (natural order) defaults to the module table — passing a
     different one re-encodes the same image at a different quantization
-    (the re-encode dedup fixture relies on this)."""
+    (the re-encode dedup fixture relies on this). ``restart_interval``
+    (in MCUs = blocks here), when nonzero, writes a DRI segment and
+    RST0-7 markers with DC-predictor resets — the camera-JPEG layout."""
     qtable = _QTABLE if qtable is None else qtable
     assert len(blocks) == bw * bh
     out = bytearray(b"\xff\xd8")  # SOI
@@ -222,11 +236,18 @@ def encode_jpeg_baseline(blocks, bw: int, bh: int, qtable=None) -> bytes:
     out += h.to_bytes(2, "big") + w.to_bytes(2, "big")
     out += b"\x01" + b"\x01\x11\x00"
     out += _dht_segments((0,))
+    if restart_interval:
+        out += _dri_segment(restart_interval)
     # SOS: 1 component, DC table 0 / AC table 0
     out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
     bw_ = _BitWriter()
     pred = 0
-    for blk in blocks:
+    rst = 0
+    for i, blk in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
+            pred = 0
         pred = _encode_block(bw_, blk, pred)
     bw_.flush()
     out += bw_.out
@@ -239,7 +260,7 @@ _SAMP_GEOM = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}  # -> (hy, vy)
 
 def encode_jpeg_color(
     y_blocks, cb_blocks, cr_blocks, mw: int, mh: int,
-    qtab_y=None, qtab_c=None, samp: str = "420",
+    qtab_y=None, qtab_c=None, samp: str = "420", restart_interval: int = 0,
 ) -> bytes:
     """Encode a YCbCr baseline JFIF from quantized-coefficient blocks.
 
@@ -267,13 +288,20 @@ def encode_jpeg_color(
     out += b"\x03" + b"\x01" + bytes([(hy << 4) | vy]) + b"\x00"
     out += b"\x02\x11\x01" + b"\x03\x11\x01"
     out += _dht_segments((0, 1))
+    if restart_interval:
+        out += _dri_segment(restart_interval)
     # SOS: 3 components — Y tables 0/0, chroma tables 1/1
     out += b"\xff\xda" + (12).to_bytes(2, "big")
     out += b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
     bw_ = _BitWriter()
     preds = [0, 0, 0]
+    rst = 0
     nyb = hy * vy
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0, 0, 0]
         for k in range(nyb):
             preds[0] = _encode_block(bw_, y_blocks[nyb * m + k], preds[0])
         preds[1] = _encode_block(bw_, cb_blocks[m], preds[1])
@@ -308,6 +336,20 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, n: int) -> None:
+        """Consume an expected RSTn: drop the current byte's unread pad
+        bits, then the two marker bytes. A pad-only byte never exists
+        (the encoder only pads a byte that carries real bits), so after
+        the drop the read head sits exactly on the marker."""
+        self._acc, self._n = 0, 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n & 7)
+        ):
+            raise ValueError(f"expected restart marker RST{n & 7}")
+        self.pos += 2
+
 
 def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
@@ -336,6 +378,7 @@ def decode_jpeg(payload: bytes) -> dict:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = 0
+    ri = 0  # restart interval in MCUs (DRI); 0 = no restart markers
     comps: list[tuple[int, int, int, int]] = []  # (id, hsamp, vsamp, tq)
     scan: list[tuple[int, int]] = []  # per scan component: (td, ta)
     while pos < len(payload):
@@ -396,6 +439,8 @@ def decode_jpeg(payload: bytes) -> dict:
             return decode_jpeg_progressive(payload)
         elif m in (0xC1, 0xC3):
             raise NotImplementedError("non-baseline JPEG (extended/lossless)")
+        elif m == 0xDD:  # DRI
+            ri = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan = [(seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15) for i in range(ns)]
@@ -446,7 +491,12 @@ def decode_jpeg(payload: bytes) -> dict:
         bw_, bh_ = (w + 7) // 8, (h + 7) // 8
         img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
         pred = 0
+        rst = 0
         for bi in range(bw_ * bh_):
+            if ri and bi and bi % ri == 0:
+                rd.restart(rst)
+                rst = (rst + 1) & 7
+                pred = 0
             px, pred = decode_block(0, pred)
             r, c = (bi // bw_) * 8, (bi % bw_) * 8
             img[r : r + 8, c : c + 8] = px
@@ -477,7 +527,12 @@ def decode_jpeg(payload: bytes) -> dict:
     cbp = np.zeros((my * 8, mx * 8), dtype=np.uint8)
     crp = np.zeros((my * 8, mx * 8), dtype=np.uint8)
     preds = [0, 0, 0]
+    rst = 0
     for m in range(mx * my):
+        if ri and m and m % ri == 0:
+            rd.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0, 0, 0]
         r0, c0 = (m // mx) * mch, (m % mx) * mcw
         for k in range(hy * vy):  # luma raster inside the MCU
             px, preds[0] = decode_block(0, preds[0])
@@ -1203,3 +1258,136 @@ def mm_image_jpeg_chroma_decode(spark, sf_dir):
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Restart intervals (r16 gate closure). DRI/RSTn is the camera-JPEG
+# entropy layout — the stream splits into independently decodable
+# segments with DC-predictor resets, which is also what makes REAL
+# parallel JPEG decode possible at scale. Restarts change bytes, never
+# pixels, so the decode query reuses the closed-form oracle verbatim
+# and the dedup twin pairs restart/no-restart encodes of the same
+# raster.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_image_jpeg_restart_decode",
+    oracle=_JPEG_ORACLE,
+    tags=("multimodal", "image"),
+)
+def mm_image_jpeg_restart_decode(spark, sf_dir):
+    """Same coefficient fixture as ``mm_image_jpeg_decode`` but encoded
+    with a per-doc DRI of 1 + doc_id % 4 MCUs — RST cycling, predictor
+    resets and the byte-aligned marker scan sit on the checked path;
+    the decoded pixels (and so the oracle) are unchanged because
+    restarts live entirely in the entropy layer."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+            T.StructField("px00", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                blocks, bw, bh = synth_coeff_blocks(doc_id)
+                blob = encode_jpeg_baseline(
+                    blocks, bw, bh, restart_interval=1 + doc_id % 4
+                )
+                dec = decode_media(bytes(blob), "image/jpeg")
+                px = dec["pixels"].astype("int64")
+                rows.append(
+                    (
+                        doc_id,
+                        dec["width"],
+                        dec["height"],
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                        int(px[0, 0]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
+
+
+# Decoded-pixel equality key: the fixture's coefficients depend on the
+# pair base through mod 5 (DC), mod 3 (AC + block-grid width) and mod 2
+# (grid height), so two bases give identical rasters iff they agree
+# mod lcm(5,3,2) = 30 — the oracle's pk join. The odd doc of each
+# (2p, 2p+1) pair interleaves RSTn markers: different bytes, identical
+# pixels.
+_JPEG_RST_RENC_ORACLE = """
+WITH k AS (
+  SELECT doc_id, (doc_id // 2) % 30 AS pk,
+         2 + (doc_id // 2) % 3 AS bw, 1 + (doc_id // 2) % 2 AS bh
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(a.bw * 8 AS INTEGER) AS w, cast(a.bh * 8 AS INTEGER) AS h
+FROM k a
+JOIN k b ON a.pk = b.pk AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "mm_image_jpeg_restart_renc_dedup",
+    oracle=_JPEG_RST_RENC_ORACLE,
+    tags=("multimodal", "image", "dedup"),
+)
+def mm_image_jpeg_restart_renc_dedup(spark, sf_dir):
+    """Digest-dedup over decoded pixels: every (2p, 2p+1) doc pair
+    encodes the same coefficient raster without / with restart markers
+    (DRI = 1 + p % 4) and must collide on the decode-normalized
+    digest."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                base, odd = doc_id // 2, doc_id % 2
+                blocks, bw, bh = synth_coeff_blocks(base)
+                blob = encode_jpeg_baseline(
+                    blocks, bw, bh,
+                    restart_interval=(1 + base % 4) if odd else 0,
+                )
+                dec = decode_media(bytes(blob), "image/jpeg")
+                digest = hashlib.md5(dec["pixels"].tobytes()).hexdigest()
+                rows.append((doc_id, bw * 8, bh * 8, digest))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    hashes = d.mapInPandas(run, schema=schema)
+    a = hashes.select(F.col("doc_id").alias("doc_a"), "w", "h", "digest")
+    b = hashes.select(F.col("doc_id").alias("doc_b"), "w", "h", "digest")
+    return (
+        a.join(b, ["w", "h", "digest"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "w", "h")
+    )

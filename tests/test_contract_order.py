@@ -139,6 +139,13 @@ CHANGED_THIS_ROUND: set[str] = {
     # multimodal.py residents (dhash/afp hash builders factored out for
     # the incremental twins, VERDICT r15 #3).
     "graph_louvain_multilevel",
+    # r16b: jpeg.py gained DRI/RSTn restart-interval support — the 5
+    # baseline-codec residents re-prove the unchanged-path behavior.
+    "mm_image_jpeg_decode",
+    "mm_image_jpeg_renc_dedup",
+    "mm_image_jpeg_color_decode",
+    "mm_image_jpeg_color_renc_dedup",
+    "mm_image_jpeg_chroma_decode",
     "mm_image_gif_decode",
     "mm_image_gif_renc_dedup",
     "mm_gif_animation_frames",

@@ -358,3 +358,90 @@ def test_wav_float_format_still_rejected():
     blob[20:22] = struct.pack("<H", 3)
     with pytest.raises(ValueError, match="unsupported"):
         decode_wav(bytes(blob))
+
+
+# ------------------------------------------------------------------
+# JPEG restart intervals (DRI / RSTn)
+# ------------------------------------------------------------------
+
+from open_molecule_data_pipeline_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg_baseline,
+    encode_jpeg_color,
+)
+
+
+def _gray_blocks(seed, n):
+    rng = np.random.RandomState(seed)
+    return [list(rng.randint(-6, 7, 64)) for _ in range(n)]
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 7])
+def test_jpeg_restart_gray_roundtrip(ri):
+    blocks = _gray_blocks(ri, 12)
+    ref = decode_jpeg(encode_jpeg_baseline(blocks, 4, 3))["pixels"]
+    blob = encode_jpeg_baseline(blocks, 4, 3, restart_interval=ri)
+    assert (decode_jpeg(blob)["pixels"] == ref).all()
+    assert blob != encode_jpeg_baseline(blocks, 4, 3)
+
+
+@pytest.mark.parametrize("samp,nyb", [("420", 4), ("422", 2), ("444", 1)])
+def test_jpeg_restart_color_roundtrip(samp, nyb):
+    rng = np.random.RandomState(9)
+    mw, mh = 3, 2
+    n = mw * mh
+    yb = [list(rng.randint(-4, 5, 64)) for _ in range(nyb * n)]
+    cb = [list(rng.randint(-3, 4, 64)) for _ in range(n)]
+    cr = [list(rng.randint(-3, 4, 64)) for _ in range(n)]
+    ref = decode_jpeg(encode_jpeg_color(yb, cb, cr, mw, mh, samp=samp))
+    got = decode_jpeg(
+        encode_jpeg_color(yb, cb, cr, mw, mh, samp=samp, restart_interval=2)
+    )
+    assert (got["pixels"] == ref["pixels"]).all()
+
+
+def test_jpeg_restart_markers_cycle_mod_8():
+    """More than 8 restarts must wrap RST7 -> RST0 per the spec."""
+    blocks = _gray_blocks(1, 12)
+    blob = encode_jpeg_baseline(blocks, 12, 1, restart_interval=1)
+    # scan entropy bytes after SOS for restart markers in order
+    sos = blob.index(b"\xff\xda")
+    seen = []
+    i = sos + 2
+    while i < len(blob) - 1:
+        if blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7:
+            seen.append(blob[i + 1] - 0xD0)
+            i += 2
+        else:
+            i += 1
+    assert seen == [0, 1, 2, 3, 4, 5, 6, 7, 0, 1, 2]
+
+
+def test_jpeg_restart_dri_segment_written_and_parsed():
+    blocks = _gray_blocks(2, 4)
+    blob = encode_jpeg_baseline(blocks, 2, 2, restart_interval=2)
+    assert b"\xff\xdd\x00\x04\x00\x02" in blob
+
+
+def test_jpeg_wrong_restart_marker_fails_loudly():
+    blocks = _gray_blocks(3, 6)
+    blob = bytearray(encode_jpeg_baseline(blocks, 6, 1, restart_interval=2))
+    # corrupt the first RSTn's low nibble
+    for i in range(len(blob) - 1):
+        if blob[i] == 0xFF and blob[i + 1] == 0xD0:
+            blob[i + 1] = 0xD5
+            break
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_restart_interval_larger_than_image_is_noop_stream():
+    """ri >= MCU count emits DRI but no RSTn; decode must still agree."""
+    blocks = _gray_blocks(4, 4)
+    blob = encode_jpeg_baseline(blocks, 2, 2, restart_interval=100)
+    assert not any(
+        blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+        for i in range(blob.index(b"\xff\xda") + 2, len(blob) - 2)
+    )
+    ref = decode_jpeg(encode_jpeg_baseline(blocks, 2, 2))["pixels"]
+    assert (decode_jpeg(blob)["pixels"] == ref).all()
