@@ -32,10 +32,17 @@ over the whole image, while the (4,4) coefficient sits at zigzag index
   EOB runs, whose buffered bits ride behind the next emitted symbol),
   and the refinement EOBRUN counter includes the current block.
 
-Out of scope, failing loudly (no garbage decodes): progressive color
-and restart intervals. The baseline ``decode_jpeg`` dispatches SOF2
-files here, so ``decode_media`` callers get progressive support
-transparently.
+Progressive color landed r14c (``encode_jpeg_progressive_color`` /
+the generalized scan walk); restart intervals landed r16b — DRI is
+parsed, RST0-7 live inside each scan's entropy stream (the scan-end
+scanner skips them), the marker count restarts at RST0 per scan
+(T.81 E.1.4), DC predictors reset at every marker, and an EOB run
+reaching a restart boundary fails loudly (the spec forbids it; the
+encoder flushes before each marker). The 4-scan grayscale encoder
+takes ``restart_interval``; the SA and color encoders never emit
+restarts (their decodes still accept them via the shared scan
+decoders). The baseline ``decode_jpeg`` dispatches SOF2 files here,
+so ``decode_media`` callers get progressive support transparently.
 
 Scale shape: identical to every other codec in the ladder — one
 Arrow-batched ``mapInPandas`` decode boundary, per-partition linear,
@@ -105,9 +112,14 @@ def _shift_toward_zero(v: int, al: int) -> int:
     return v >> al if v >= 0 else -((-v) >> al)
 
 
-def _encode_dc_first(bw_: _BitWriter, blocks, al: int) -> None:
+def _encode_dc_first(bw_: _BitWriter, blocks, al: int, ri: int = 0) -> None:
     pred = 0
-    for blk in blocks:
+    rst = 0
+    for i, blk in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
+            pred = 0
         v = int(blk[0]) >> al  # arithmetic shift per spec
         diff = v - pred
         pred = v
@@ -118,13 +130,20 @@ def _encode_dc_first(bw_: _BitWriter, blocks, al: int) -> None:
             bw_.put(diff if diff > 0 else diff + (1 << t) - 1, t)
 
 
-def _encode_dc_refine(bw_: _BitWriter, blocks, al: int) -> None:
-    for blk in blocks:
+def _encode_dc_refine(bw_: _BitWriter, blocks, al: int, ri: int = 0) -> None:
+    rst = 0
+    for i, blk in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
         bw_.put((int(blk[0]) >> al) & 1, 1)
 
 
-def _encode_ac_first(bw_: _BitWriter, blocks, ss: int, se: int, al: int):
+def _encode_ac_first(
+    bw_: _BitWriter, blocks, ss: int, se: int, al: int, ri: int = 0
+):
     eobrun = 0
+    rst = 0
 
     def flush() -> None:
         nonlocal eobrun
@@ -137,7 +156,11 @@ def _encode_ac_first(bw_: _BitWriter, blocks, ss: int, se: int, al: int):
             bw_.put(eobrun - (1 << r), r)
         eobrun = 0
 
-    for blk in blocks:
+    for i, blk in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            flush()  # an EOB run must not cross a restart boundary
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
         band = {
             k: _shift_toward_zero(int(blk[ZIGZAG[k]]), al)
             for k in range(ss, se + 1)
@@ -169,9 +192,14 @@ def _encode_ac_first(bw_: _BitWriter, blocks, ss: int, se: int, al: int):
     flush()
 
 
-def encode_jpeg_progressive(blocks, bw: int, bh: int, qtable=None) -> bytes:
+def encode_jpeg_progressive(
+    blocks, bw: int, bh: int, qtable=None, restart_interval: int = 0
+) -> bytes:
     """Encode quantized-coefficient ``blocks`` (grayscale, raster order)
-    as a progressive (SOF2) JFIF using the 4-scan script above."""
+    as a progressive (SOF2) JFIF using the 4-scan script above.
+    ``restart_interval`` (in blocks = MCUs for 1x1) writes a DRI
+    segment and per-scan RST0-7 cycles — the marker count restarts at
+    RST0 in every scan per T.81 E.1.4, predictors and EOB runs reset."""
     qtable = _QTABLE if qtable is None else qtable
     assert len(blocks) == bw * bh
     out = bytearray(b"\xff\xd8")
@@ -182,6 +210,10 @@ def encode_jpeg_progressive(blocks, bw: int, bh: int, qtable=None) -> bytes:
     out += h.to_bytes(2, "big") + w.to_bytes(2, "big")
     out += b"\x01" + b"\x01\x11\x00"
     out += _dht_segments_progressive()
+    if restart_interval:
+        from .jpeg import _dri_segment
+
+        out += _dri_segment(restart_interval)
     for ss, se, ah, al in _SCAN_SCRIPT:
         out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00"
         out += bytes([ss, se, (ah << 4) | al])
@@ -189,12 +221,12 @@ def encode_jpeg_progressive(blocks, bw: int, bh: int, qtable=None) -> bytes:
         if ss == 0:
             assert se == 0, "DC scan must be Ss=Se=0"
             if ah == 0:
-                _encode_dc_first(bw_, blocks, al)
+                _encode_dc_first(bw_, blocks, al, restart_interval)
             else:
-                _encode_dc_refine(bw_, blocks, al)
+                _encode_dc_refine(bw_, blocks, al, restart_interval)
         else:
             assert ah == 0, "encoder emits no AC refinement scans"
-            _encode_ac_first(bw_, blocks, ss, se, al)
+            _encode_ac_first(bw_, blocks, ss, se, al, restart_interval)
         bw_.flush()
         out += bw_.out
     out += b"\xff\xd9"
@@ -215,6 +247,7 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = 0
+    ri = 0  # restart interval (DRI); counted in MCUs / blocks per scan
     comps: list[tuple[int, int, int, int]] = []
     scans: list = []  # (comp_specs, (ss, se, ah, al), entropy bytes)
     while pos < len(payload):
@@ -274,8 +307,8 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             ]
         elif m in (0xC0, 0xC1, 0xC3):
             raise NotImplementedError("not a progressive (SOF2) stream")
-        elif m == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+        elif m == 0xDD:  # DRI
+            ri = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:
             ns = seg[0]
             cspecs = []
@@ -292,10 +325,16 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             ah, al = seg[o + 2] >> 4, seg[o + 2] & 15
             pos += seglen
             # entropy data runs to the next true marker (0xFF followed
-            # by anything but the 0x00 stuffing byte)
+            # by anything but the 0x00 stuffing byte); RST0-7 belong to
+            # THIS scan's entropy stream, not the marker walk
             end = pos
             while end < len(payload) - 1:
-                if payload[end] == 0xFF and payload[end + 1] != 0x00:
+                nxt = payload[end + 1]
+                if (
+                    payload[end] == 0xFF
+                    and nxt != 0x00
+                    and not 0xD0 <= nxt <= 0xD7
+                ):
                     break
                 end += 1
             scans.append((cspecs, (ss, se, ah, al), payload[pos:end]))
@@ -344,7 +383,12 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             if se != 0:
                 raise ValueError("DC scan must be Ss=Se=0")
             preds = [0] * len(cspecs)
+            rst = 0  # the RSTn count restarts at 0 in every scan
             for m in range(mx * my):
+                if ri and m and m % ri == 0:
+                    rd.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0] * len(cspecs)
                 mr, mc = m // mx, m % mx
                 for si, (ci, td, _ta) in enumerate(cspecs):
                     hi, vi = comps[ci][1], comps[ci][2]
@@ -374,9 +418,13 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             ac_tab = huff[(1, ta)]
             blocks = coef[ci]
             if ah != 0:
-                _decode_ac_refine_scan(rd, sym, ac_tab, blocks, ss, se, al)
+                _decode_ac_refine_scan(
+                    rd, sym, ac_tab, blocks, ss, se, al, ri
+                )
             else:
-                _decode_ac_first_scan(rd, sym, ac_tab, blocks, ss, se, al)
+                _decode_ac_first_scan(
+                    rd, sym, ac_tab, blocks, ss, se, al, ri
+                )
 
     def comp_plane(ci):
         gw, gh = grids[ci]
@@ -429,10 +477,16 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     }
 
 
-def _decode_ac_first_scan(rd, sym, ac_tab, blocks, ss, se, al):
+def _decode_ac_first_scan(rd, sym, ac_tab, blocks, ss, se, al, ri=0):
     """AC first scan (Ah=0) over a component's blocks in raster order."""
     eobrun = 0
-    for blk in blocks:
+    rst = 0
+    for i, blk in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            if eobrun > 0:
+                raise ValueError("EOB run crosses a restart boundary")
+            rd.restart(rst)
+            rst = (rst + 1) & 7
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -451,7 +505,7 @@ def _decode_ac_first_scan(rd, sym, ac_tab, blocks, ss, se, al):
             k += 1
 
 
-def _decode_ac_refine_scan(rd, sym, ac_tab, blocks, ss, se, al):
+def _decode_ac_refine_scan(rd, sym, ac_tab, blocks, ss, se, al, ri=0):
     """AC refinement scan — libjpeg jdphuff.c decode_mcu_AC_refine,
     exactly: size-1 run codes newly-signify a zero-history coefficient
     (sign bit 1 = +2^Al); every nonzero-history coefficient passed —
@@ -459,7 +513,13 @@ def _decode_ac_refine_scan(rd, sym, ac_tab, blocks, ss, se, al):
     EOBRUN counter here INCLUDES the current block."""
     p1, m1 = 1 << al, -1 << al
     eobrun = 0
-    for blk in blocks:
+    rst = 0
+    for i, blk in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            if eobrun > 0:
+                raise ValueError("EOB run crosses a restart boundary")
+            rd.restart(rst)
+            rst = (rst + 1) & 7
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -1113,6 +1173,62 @@ def mm_image_jpeg_progressive_color_decode(spark, sf_dir):
                     "sum_r", "sum_g", "sum_b", "r00", "g00", "b00",
                 ],
             )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)
+
+
+@register(
+    "mm_image_jpeg_progressive_restart_decode",
+    oracle=_PROG_ORACLE,
+    tags=("multimodal", "image"),
+)
+def mm_image_jpeg_progressive_restart_decode(spark, sf_dir):
+    """Same 4-scan progressive fixture as
+    ``mm_image_jpeg_progressive_decode`` but encoded with a per-doc DRI
+    of 1 + doc_id % 3 blocks (r16b gate closure): per-scan RST0-7
+    cycles, DC-predictor resets, and the EOBRUN flush-before-restart
+    discipline all sit on the checked path; the oracle is unchanged
+    because restarts live entirely in the entropy layer."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_scans", T.IntegerType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("min_px", T.LongType()),
+            T.StructField("max_px", T.LongType()),
+            T.StructField("px00", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                blocks, bw, bh = synth_coeff_blocks(doc_id)
+                blob = encode_jpeg_progressive(
+                    blocks, bw, bh, restart_interval=1 + doc_id % 3
+                )
+                dec = decode_media(bytes(blob), "image/jpeg")
+                px = dec["pixels"].astype("int64")
+                rows.append(
+                    (
+                        doc_id,
+                        dec["width"],
+                        dec["height"],
+                        int(dec["n_scans"]),
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                        int(px[0, 0]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)

@@ -146,6 +146,12 @@ CHANGED_THIS_ROUND: set[str] = {
     "mm_image_jpeg_color_decode",
     "mm_image_jpeg_color_renc_dedup",
     "mm_image_jpeg_chroma_decode",
+    # r16b: jpeg_progressive.py gained per-scan restart support — its 4
+    # residents re-prove the unchanged-path behavior.
+    "mm_image_jpeg_progressive_decode",
+    "mm_image_jpeg_progressive_renc_dedup",
+    "mm_image_jpeg_progressive_sa_decode",
+    "mm_image_jpeg_progressive_color_decode",
     "mm_image_gif_decode",
     "mm_image_gif_renc_dedup",
     "mm_gif_animation_frames",

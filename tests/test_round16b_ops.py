@@ -445,3 +445,117 @@ def test_jpeg_restart_interval_larger_than_image_is_noop_stream():
     )
     ref = decode_jpeg(encode_jpeg_baseline(blocks, 2, 2))["pixels"]
     assert (decode_jpeg(blob)["pixels"] == ref).all()
+
+
+# ------------------------------------------------------------------
+# Progressive JPEG restart intervals
+# ------------------------------------------------------------------
+
+from open_molecule_data_pipeline_spark.operators.jpeg_progressive import (  # noqa: E402
+    _AC_P_BITS,
+    _AC_P_SYMS,
+    _decode_ac_first_scan,
+    _encode_ac_first,
+    decode_jpeg_progressive,
+    encode_jpeg_progressive,
+)
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 5])
+def test_progressive_restart_roundtrip(ri):
+    rng = np.random.RandomState(ri)
+    blocks = [list(rng.randint(-6, 7, 64)) for _ in range(12)]
+    ref = decode_jpeg_progressive(encode_jpeg_progressive(blocks, 4, 3))
+    blob = encode_jpeg_progressive(blocks, 4, 3, restart_interval=ri)
+    got = decode_jpeg_progressive(blob)
+    assert (got["pixels"] == ref["pixels"]).all()
+    assert got["n_scans"] == 4
+    # the baseline dispatcher route sees the same pixels
+    assert (decode_jpeg(blob)["pixels"] == ref["pixels"]).all()
+
+
+def test_progressive_restart_sparse_eobrun_flush():
+    """All-zero AC bands force maximal EOB runs; with restarts the run
+    must flush at every boundary and the pixels still match."""
+    blocks = [[0] * 64 for _ in range(12)]
+    blocks[0][0] = 3
+    blocks[7][20] = 2
+    ref = decode_jpeg_progressive(encode_jpeg_progressive(blocks, 6, 2))
+    for ri in (1, 2, 4):
+        got = decode_jpeg_progressive(
+            encode_jpeg_progressive(blocks, 6, 2, restart_interval=ri)
+        )
+        assert (got["pixels"] == ref["pixels"]).all()
+
+
+def test_progressive_restart_count_resets_per_scan():
+    """T.81 E.1.4: the marker count restarts at RST0 in every scan —
+    the first restart marker after each SOS must be RST0."""
+    blocks = [[0] * 64 for _ in range(6)]
+    blob = encode_jpeg_progressive(blocks, 6, 1, restart_interval=2)
+    firsts = []
+    i = 2
+    while i < len(blob) - 1:
+        if blob[i] == 0xFF and blob[i + 1] == 0xDA:
+            seglen = int.from_bytes(blob[i + 2 : i + 4], "big")
+            j = i + 2 + seglen
+            while j < len(blob) - 1:
+                if blob[j] == 0xFF and 0xD0 <= blob[j + 1] <= 0xD7:
+                    firsts.append(blob[j + 1] - 0xD0)
+                    break
+                if blob[j] == 0xFF and blob[j + 1] not in (0x00,):
+                    firsts.append(None)
+                    break
+                j += 1
+            i = j
+        i += 1
+    assert firsts and all(f == 0 for f in firsts)
+
+
+def test_progressive_missing_restart_marker_rejected():
+    """A DRI promise without markers in the stream must fail loudly,
+    not desync."""
+    blocks = [[0] * 64 for _ in range(6)]
+    blob = bytearray(encode_jpeg_progressive(blocks, 6, 1))
+    # splice a DRI(1) right before the first SOS
+    sos = bytes(blob).index(b"\xff\xda")
+    blob[sos:sos] = b"\xff\xdd\x00\x04\x00\x01"
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg_progressive(bytes(blob))
+
+
+def test_progressive_eob_run_crossing_restart_rejected():
+    """An EOB run spanning a restart boundary is spec-invalid; the scan
+    decoder must refuse rather than silently resynchronize."""
+    from open_molecule_data_pipeline_spark.operators.jpeg import (
+        _BitReader,
+        _BitWriter,
+    )
+
+    blocks = [[0] * 64 for _ in range(4)]  # one EOB4 covers everything
+    bw_ = _BitWriter()
+    _encode_ac_first(bw_, blocks, 1, 5, 0, 0)  # NO restart flushes
+    bw_.flush()
+    tbl = {}
+    code, k = 0, 0
+    for li, cnt in enumerate(_AC_P_BITS):
+        for _ in range(cnt):
+            tbl[(li + 1, code)] = _AC_P_SYMS[k]
+            code += 1
+            k += 1
+        code <<= 1
+    rd = _BitReader(bytes(bw_.out))
+
+    def sym(tab):
+        ln, c = 0, 0
+        while True:
+            c = (c << 1) | rd.bit()
+            ln += 1
+            s = tab.get((ln, c))
+            if s is not None:
+                return s
+            assert ln <= 16
+
+    out = [[0] * 64 for _ in range(4)]
+    with pytest.raises(ValueError, match="restart boundary"):
+        _decode_ac_first_scan(rd, sym, tbl, out, 1, 5, 0, ri=2)
