@@ -328,3 +328,129 @@ def mm_audio_adpcm_decode(spark, sf_dir):
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
     return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Non-16-bit PCM depths (format tag 1, bits 8 / 24): the remaining PCM
+# layouts a crawl carries. Both are stateless byte layouts — unsigned
+# offset bytes and 3-byte little-endian two's complement — so the
+# oracle is closed-form integer SQL like G.711.
+# --------------------------------------------------------------------------
+
+
+def encode_wav_pcm8(codes, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE around UNSIGNED 8-bit PCM bytes (mono)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(codes, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    return _wav_container(fmt, data)
+
+
+def encode_wav_pcm24(samples, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE around signed 24-bit little-endian PCM samples (mono)."""
+    import struct
+
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.int64) & 0xFFFFFF
+    data = bytearray()
+    for x in v:
+        data += bytes([int(x) & 0xFF, (int(x) >> 8) & 0xFF, (int(x) >> 16) & 0xFF])
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 3, 3, 24)
+    return _wav_container(fmt, bytes(data))
+
+
+# even docs: 8-bit unsigned bytes c = (doc_id*19 + j*23) % 256 expanded
+# to ((c - 128) << 8); odd docs: 24-bit samples built from the SAME
+# closed form spread across three byte lanes, sign-extended.
+_B0 = "((doc_id * 19 + j * 23) % 256)"
+_B1 = "((doc_id * 29 + j * 31) % 256)"
+_B2 = "((doc_id * 37 + j * 41) % 256)"
+
+_PCM_DEPTHS_ORACLE = f"""
+SELECT doc_id, bits,
+       cast(count(*) AS BIGINT) AS n_samples,
+       cast(min(s) AS BIGINT) AS min_s,
+       cast(max(s) AS BIGINT) AS max_s,
+       cast(sum(s) AS BIGINT) AS sum_s,
+       cast(sum((j + 1) * s) AS BIGINT) AS wsum_s
+FROM (
+  SELECT doc_id, bits, j,
+         CASE WHEN bits = 8 THEN ({_B0} - 128) * 256
+              ELSE CASE WHEN {_B0} + {_B1} * 256 + {_B2} * 65536 >= 8388608
+                        THEN {_B0} + {_B1} * 256 + {_B2} * 65536 - 16777216
+                        ELSE {_B0} + {_B1} * 256 + {_B2} * 65536 END
+         END AS s
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS bits,
+           unnest(range(30 + doc_id % 50)) AS j
+    FROM documents
+  ) g
+) x
+GROUP BY doc_id, bits
+"""
+
+
+@register(
+    "mm_audio_pcm_depths_decode",
+    oracle=_PCM_DEPTHS_ORACLE,
+    tags=("multimodal", "audio"),
+)
+def mm_audio_pcm_depths_decode(spark, sf_dir):
+    """Decode closed-form 8-bit (even docs) and 24-bit (odd docs) PCM
+    streams through the real WAV container path; wsum_s pins sample
+    order, the 24-bit fixture crosses the sign boundary by
+    construction."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("min_s", T.LongType()),
+            T.StructField("max_s", T.LongType()),
+            T.StructField("sum_s", T.LongType()),
+            T.StructField("wsum_s", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].values:
+                doc_id = int(doc_id)
+                n = 30 + doc_id % 50
+                j = np.arange(n, dtype=np.int64)
+                if doc_id % 2 == 0:
+                    bits = 8
+                    blob = encode_wav_pcm8((doc_id * 19 + j * 23) % 256)
+                else:
+                    bits = 24
+                    v = (
+                        ((doc_id * 19 + j * 23) % 256)
+                        | (((doc_id * 29 + j * 31) % 256) << 8)
+                        | (((doc_id * 37 + j * 41) % 256) << 16)
+                    )
+                    blob = encode_wav_pcm24(v)
+                dec = decode_media(bytes(blob), "audio/wav")
+                s = dec["frames"].astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        bits,
+                        dec["n_samples"],
+                        int(s.min()),
+                        int(s.max()),
+                        int(s.sum()),
+                        int(((j + 1) * s).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    return d.mapInPandas(run, schema=schema)

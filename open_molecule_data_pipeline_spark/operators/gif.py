@@ -1233,6 +1233,11 @@ def _batch_former_update(key, pdfs, state):
     "stream_aspect_batch_twin",
     oracle=_BATCH_ORACLE,
     tags=("streaming", "multimodal", "image", "stateful"),
+    # promoted r16b under the cap-34 swap policy: heaviest non-headline
+    # (8.8 s sf0.1, x2.4 at 10x) — the stateful multi-microbatch stream
+    # lifecycle is the plan shape the headline set was missing;
+    # stream_tumbling_twin demoted in exchange.
+    bench=True,
 )
 def stream_aspect_batch_twin(spark, sf_dir):
     """Streaming (availableNow, multi-microbatch) twin of

@@ -182,6 +182,17 @@ def decode_wav(payload: bytes) -> dict:
     audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
     if audio_format == 1 and bits == 16:
         frames = np.frombuffer(data, dtype="<i2")
+    elif audio_format == 1 and bits == 8:
+        # 8-bit PCM is UNSIGNED per the WAV spec; expand to int16 span
+        frames = (
+            (np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128) << 8
+        ).astype(np.int16)
+    elif audio_format == 1 and bits == 24:
+        if len(data) % 3:
+            raise ValueError("24-bit PCM data length not a multiple of 3")
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        frames = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
     elif audio_format in (6, 7) and bits == 8:
         frames = g711_to_linear(
             np.frombuffer(data, dtype=np.uint8), alaw=(audio_format == 6)

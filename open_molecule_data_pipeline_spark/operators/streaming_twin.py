@@ -57,7 +57,11 @@ def _events_stream(spark, sf_dir: str):
     "stream_tumbling_twin",
     oracle=_TUMBLING_TWIN_ORACLE,
     tags=("streaming", "timeseries"),
-    bench=True,
+    # demoted from the headline set r16b under the cap-34 swap policy:
+    # stream_aspect_batch_twin (8.8 s sf0.1, the heaviest non-headline
+    # after the r16 additions) takes the streaming slot; this 1.1 s
+    # tumbling lifecycle keeps its plan tracked via the family twin
+    # stream_quality_gate_twin and the full-contract sweep.
 )
 def stream_tumbling_twin(spark, sf_dir):
     events = _events_stream(spark, sf_dir)

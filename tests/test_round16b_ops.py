@@ -559,3 +559,38 @@ def test_progressive_eob_run_crossing_restart_rejected():
     out = [[0] * 64 for _ in range(4)]
     with pytest.raises(ValueError, match="restart boundary"):
         _decode_ac_first_scan(rd, sym, tbl, out, 1, 5, 0, ri=2)
+
+
+# ------------------------------------------------------------------
+# 8-bit / 24-bit PCM WAV
+# ------------------------------------------------------------------
+
+from open_molecule_data_pipeline_spark.operators.audio_codecs import (  # noqa: E402
+    encode_wav_pcm8,
+    encode_wav_pcm24,
+)
+
+
+def test_pcm8_unsigned_expansion():
+    dec = decode_wav(encode_wav_pcm8([0, 128, 255, 1]))
+    assert dec["bits_per_sample"] == 8
+    assert dec["frames"].tolist() == [-32768, 0, 32512, -32512]
+
+
+def test_pcm24_sign_extension_and_order():
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -654321]
+    dec = decode_wav(encode_wav_pcm24(vals))
+    assert dec["bits_per_sample"] == 24
+    assert dec["frames"].tolist() == vals
+    assert dec["n_samples"] == len(vals)
+
+
+def test_pcm24_misaligned_data_rejected():
+    blob = bytearray(encode_wav_pcm24([5, -5]))
+    blob[-1:] = b""
+    blob[4:8] = struct.pack("<I", len(blob) - 8)
+    doff = bytes(blob).index(b"data")
+    dsize = struct.unpack_from("<I", bytes(blob), doff + 4)[0]
+    blob[doff + 4 : doff + 8] = struct.pack("<I", dsize - 1)
+    with pytest.raises(ValueError, match="multiple of 3"):
+        decode_wav(bytes(blob))
