@@ -501,8 +501,50 @@ def encode_bmp(pixels) -> bytes:
     return header + info + bytes(rows)
 
 
+def _bmp_rle8_rows(payload: bytes, off: int, w: int, h: int):
+    """Decode a BI_RLE8 stream into an (h, w) index array in BOTTOM-UP
+    row order (the only legal order for RLE BMPs). Encoded runs,
+    absolute mode (word-aligned), end-of-line (0,0), end-of-bitmap
+    (0,1) and delta (0,2,dx,dy — skipped cells keep index 0) per the
+    spec; running past the raster fails loudly."""
+    import numpy as np
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    while off + 1 < len(payload):
+        n, v = payload[off], payload[off + 1]
+        off += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise ValueError("RLE8 run overflows the raster")
+            idx[y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return idx
+        elif v == 2:  # delta
+            if off + 2 > len(payload):
+                raise ValueError("truncated RLE8 delta")
+            x += payload[off]
+            y += payload[off + 1]
+            off += 2
+            if x > w or y > h:
+                raise ValueError("RLE8 delta overflows the raster")
+        else:  # absolute mode: v literal bytes, word-aligned
+            if y >= h or x + v > w or off + v > len(payload):
+                raise ValueError("RLE8 absolute run overflows the raster")
+            idx[y, x : x + v] = np.frombuffer(payload, np.uint8, v, off)
+            x += v
+            off += v + (v & 1)
+    raise ValueError("RLE8 stream missing end-of-bitmap")
+
+
 def decode_bmp(payload: bytes) -> dict:
-    """Parse a 24-bit uncompressed BITMAPINFOHEADER BMP (either row order)."""
+    """Parse a BITMAPINFOHEADER BMP: 24-bit uncompressed (either row
+    order) or 8-bit palettized, uncompressed or BI_RLE8 (bottom-up, the
+    only legal RLE order). Palettized images decode through the BGRA
+    color table to (H, W, 3) RGB."""
     import struct
 
     import numpy as np
@@ -512,18 +554,50 @@ def decode_bmp(payload: bytes) -> dict:
     (data_off,) = struct.unpack_from("<I", payload, 10)
     hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
     planes, bits = struct.unpack_from("<HH", payload, 26)
-    (compression,) = struct.unpack_from("<I", payload, 30)
-    if hdr_size < 40 or bits != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP: header={hdr_size} bits={bits}")
+    compression, _img_size, _xp, _yp, clr_used = struct.unpack_from(
+        "<IIiiI", payload, 30
+    )
     h = abs(h_signed)
-    stride = (w * 3 + 3) & ~3
-    rows = []
-    for i in range(h):
-        y = (h - 1 - i) if h_signed > 0 else i  # bottom-up vs top-down
-        row = np.frombuffer(payload, np.uint8, w * 3, data_off + y * stride)
-        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
-    pixels = np.stack(rows)
-    return {"width": w, "height": h, "channels": 3, "bit_depth": 8, "pixels": pixels}
+    if hdr_size < 40 or (bits, compression) not in ((24, 0), (8, 0), (8, 1)):
+        raise ValueError(
+            f"unsupported BMP: header={hdr_size} bits={bits} "
+            f"compression={compression}"
+        )
+    if bits == 24:
+        stride = (w * 3 + 3) & ~3
+        rows = []
+        for i in range(h):
+            y = (h - 1 - i) if h_signed > 0 else i  # bottom-up vs top-down
+            row = np.frombuffer(payload, np.uint8, w * 3, data_off + y * stride)
+            rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+        pixels = np.stack(rows)
+        return {
+            "width": w, "height": h, "channels": 3, "bit_depth": 8,
+            "pixels": pixels,
+        }
+    # 8-bit palettized: BGRA color table right after the info header
+    n_colors = clr_used or 256
+    pal_off = 14 + hdr_size
+    pal = np.frombuffer(
+        payload, np.uint8, n_colors * 4, pal_off
+    ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRA quads -> RGB
+    if compression == 1:
+        if h_signed < 0:
+            raise ValueError("RLE8 BMPs must be bottom-up")
+        idx = _bmp_rle8_rows(payload, data_off, w, h)[::-1]  # -> top-down
+    else:
+        stride = (w + 3) & ~3
+        lines = []
+        for i in range(h):
+            y = (h - 1 - i) if h_signed > 0 else i
+            lines.append(np.frombuffer(payload, np.uint8, w, data_off + y * stride))
+        idx = np.stack(lines)
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ValueError("BMP palette index out of range")
+    return {
+        "width": w, "height": h, "channels": 3, "bit_depth": 8,
+        "pixels": pal[idx],
+    }
 
 
 def decode_ppm(payload: bytes) -> dict:

@@ -594,3 +594,117 @@ def test_pcm24_misaligned_data_rejected():
     blob[doff + 4 : doff + 8] = struct.pack("<I", dsize - 1)
     with pytest.raises(ValueError, match="multiple of 3"):
         decode_wav(bytes(blob))
+
+
+# ------------------------------------------------------------------
+# BMP 8-bit palettized + BI_RLE8
+# ------------------------------------------------------------------
+
+from open_molecule_data_pipeline_spark.operators.bmp_rle import (  # noqa: E402
+    _fixture_indices as _bmp_fixture,
+    _palette as _bmp_palette,
+    encode_bmp_rle8,
+)
+from open_molecule_data_pipeline_spark.operators.multimodal import (  # noqa: E402
+    decode_bmp,
+    encode_bmp,
+)
+
+BPAL = _bmp_palette()
+BPARR = np.asarray(BPAL, dtype=np.uint8)
+
+
+def _rle8_container(w, h, data, n_colors=64, compression=1, h_sign=1):
+    quads = bytearray()
+    for r, g, b in BPAL[:n_colors]:
+        quads += bytes([b, g, r, 0])
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * h_sign, 1, 8, compression, len(data),
+        2835, 2835, n_colors, 0,
+    )
+    off = 14 + 40 + len(quads)
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return header + info + bytes(quads) + bytes(data)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 4), (5, 5), (7, 9), (2, 13)])
+def test_bmp_rle8_roundtrip(shape):
+    h, w = shape
+    idx = _bmp_fixture(h * 31 + w, w, h)
+    dec = decode_bmp(encode_bmp_rle8(idx, BPAL))
+    assert dec["width"] == w and dec["height"] == h and dec["channels"] == 3
+    assert (dec["pixels"] == BPARR[idx]).all()
+
+
+def test_bmp_rle8_exercises_both_modes():
+    """The mixed-regime fixture must emit encoded runs AND absolute
+    mode — assert both opcodes appear in the stream."""
+    idx = _bmp_fixture(7, 12, 6)
+    blob = encode_bmp_rle8(idx, BPAL)
+    data = blob[14 + 40 + 64 * 4 :]
+    has_run = has_abs = False
+    i = 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:
+            has_run = True
+        elif v >= 3:
+            has_abs = True
+            i += v + (v & 1)
+        elif v == 2:
+            i += 2
+    assert has_run and has_abs
+
+
+def test_bmp_rle8_handbuilt_all_opcodes():
+    """Hand-assembled stream with encoded run, absolute (odd length ->
+    word pad), EOL, delta skip, and EOB — spec semantics pinned
+    independent of our encoder. Delta-skipped cells keep index 0."""
+    data = (
+        bytes([4, 5])            # bottom row: 4x index 5
+        + b"\x00\x00"            # EOL
+        + bytes([0, 3, 1, 2, 3, 0])  # absolute [1,2,3] + pad byte
+        + bytes([1, 9])          # then one 9
+        + b"\x00\x00"            # EOL
+        + bytes([0, 2, 1, 0])    # delta: skip 1 right
+        + bytes([3, 7])          # 3x index 7
+        + b"\x00\x01"            # EOB
+    )
+    dec = decode_bmp(_rle8_container(4, 3, data))
+    exp_idx = np.array([[0, 7, 7, 7], [1, 2, 3, 9], [5, 5, 5, 5]])
+    assert (dec["pixels"] == BPARR[exp_idx]).all()
+
+
+def test_bmp_8bit_uncompressed_stride_pad():
+    """Uncompressed 8-bit rows pad to 4-byte stride; w=5 forces 3 pad
+    bytes per row. Bottom-up order."""
+    rows = [bytes([1, 2, 3, 4, 5]) + b"\x00\x00\x00",
+            bytes([6, 7, 8, 9, 10]) + b"\x00\x00\x00"]
+    data = rows[0] + rows[1]  # stream row 0 = image bottom
+    dec = decode_bmp(_rle8_container(5, 2, data, compression=0))
+    exp_idx = np.array([[6, 7, 8, 9, 10], [1, 2, 3, 4, 5]])
+    assert (dec["pixels"] == BPARR[exp_idx]).all()
+
+
+def test_bmp_rle8_error_gates():
+    with pytest.raises(ValueError, match="overflows"):
+        decode_bmp(_rle8_container(3, 2, bytes([5, 1]) + b"\x00\x01"))
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_bmp(_rle8_container(3, 2, bytes([3, 1, 0, 0])))
+    with pytest.raises(ValueError, match="bottom-up"):
+        decode_bmp(_rle8_container(3, 2, bytes([3, 1]) + b"\x00\x01", h_sign=-1))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(_rle8_container(3, 2, bytes([0, 2])))
+    # palette index past clr_used fails loudly
+    with pytest.raises(ValueError, match="palette index"):
+        decode_bmp(_rle8_container(3, 1, bytes([3, 60]) + b"\x00\x01", n_colors=16))
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_bmp_rle8(np.full((2, 2), 64, np.uint8), BPAL)
+
+
+def test_bmp_24bit_path_unchanged():
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+    dec = decode_bmp(encode_bmp(img))
+    assert (dec["pixels"] == img).all()
