@@ -78,11 +78,18 @@ def connected_components(
 
     # Checkpoint the edge set once: every iteration joins against it, and
     # without this the edges' upstream lineage (for dedup_clusters: the full
-    # MinHash-LSH pipeline) would recompute per iteration.
+    # MinHash-LSH pipeline) would recompute per iteration. Checkpoint it
+    # PRE-PARTITIONED on ``b`` — the per-iteration join key — so the loop's
+    # joins reuse the persisted partitioning instead of re-exchanging the
+    # edge table every round (guide §2.4: two operations keyed the same way
+    # share one exchange; the union would otherwise persist 2x
+    # shuffle.partitions blocks that AQE re-shuffles per iteration).
     undirected = persist(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
+        .repartition("b")
     )
     # Seed labels one step ahead of the naive label=node start: every node's
     # initial label is min(self, neighbors). Same fixpoint (labels only

@@ -391,6 +391,139 @@ def _wsweep(ud, deg, m, c, probe=True, bounded=True):
     return c_next, n_kept
 
 
+def _attach_seeded_cid(df, col, kepts, out):
+    """Attach the CURRENT seeded-level-0 community id of node column
+    ``col`` as ``out`` — map-side (r16 optimization round, guide §2.4).
+
+    At the %_K seed, the assignment after s sweeps is
+    ``coalesce(kept_{s-1}[x], ..., kept_0[x], x % _K)``: each sweep's kept
+    table holds <= _K rows (a community is the source OR destination of at
+    most one kept move per sweep), so the whole assignment is a chain of
+    bounded broadcast lookups over an arithmetic seed — the |E|-scale
+    ud x assignment equi-join and the |V|-scale c-table the generic sweep
+    pays are never materialized at all."""
+    cur = df
+    tmps = []
+    for i, kp in enumerate(kepts):
+        t = f"__k{i}_{out}"
+        cur = cur.join(
+            F.broadcast(
+                kp.select(F.col("node").alias(col), F.col("b").alias(t))
+            ),
+            col,
+            "left",
+        )
+        tmps.append(t)
+    seed = (F.col(col) % _K).cast("long")
+    expr = F.coalesce(*[F.col(t) for t in reversed(tmps)], seed) if tmps else seed
+    return cur.withColumn(out, expr).drop(*tmps)
+
+
+def _wsweep_seeded(ud, deg, m, kepts, probe=True):
+    """One weighted move sweep of the %_K-seeded level 0, with the
+    assignment attached map-side via ``_attach_seeded_cid`` instead of
+    distributed joins (r16 optimization round).
+
+    Identical arithmetic and tie-breaks to ``_wsweep`` (same ns-struct
+    argmin, same winner matching); only the *plan* differs: per sweep the
+    only non-broadcast exchanges are the nbr groupBy(u, b) partial
+    aggregation and one re-exchange of the aggregated nbr stream by node
+    — versus the generic sweep's ~6 |E|/|V|-scale exchanges. Returns
+    ``(kept, n_kept)`` with the same probe discipline as ``_wsweep``
+    (``probe=False`` defers checkpoint+count into the next job)."""
+    dsum = (
+        _attach_seeded_cid(deg, "node", kepts, "cid")
+        .groupBy("cid")
+        .agg(F.sum("k").cast("long").alias("dc"))
+    )
+    nbr = (
+        _attach_seeded_cid(ud, "v", kepts, "b")
+        .groupBy(F.col("u").alias("node"), "b")
+        .agg(F.sum("w").cast("long").alias("kub"))
+    )
+    g = _attach_seeded_cid(
+        nbr.join(
+            F.broadcast(
+                dsum.select(F.col("cid").alias("b"), F.col("dc").alias("dcb"))
+            ),
+            "b",
+        )
+        .join(deg, "node")
+        .crossJoin(F.broadcast(m)),
+        "node",
+        kepts,
+        "a",
+    )
+    ns = -(2 * F.col("m") * F.col("kub") - F.col("k") * F.col("dcb"))
+    agg = g.groupBy("node").agg(
+        F.first("a").alias("a"),
+        F.first("k").alias("k"),
+        F.first("m").alias("m"),
+        F.max(F.when(F.col("b") == F.col("a"), F.col("kub"))).alias("kua_n"),
+        F.min(
+            F.when(
+                F.col("b") != F.col("a"),
+                F.struct(
+                    ns.alias("ns"),
+                    F.col("b").alias("b"),
+                    F.col("kub").alias("kub"),
+                    F.col("dcb").alias("dcb"),
+                ),
+            )
+        ).alias("mv"),
+    )
+    moves = (
+        agg.where(F.col("mv").isNotNull())
+        .join(
+            F.broadcast(
+                dsum.select(F.col("cid").alias("a"), F.col("dc").alias("dca"))
+            ),
+            "a",
+        )
+        .select(
+            "node",
+            "a",
+            F.col("mv.b").alias("b"),
+            (
+                2
+                * F.col("m")
+                * (F.col("mv.kub") - F.coalesce("kua_n", F.lit(0)))
+                - F.col("k")
+                * (F.col("mv.dcb") - F.col("dca") + F.col("k"))
+            ).alias("gain"),
+        )
+        .where(F.col("gain") > 0)
+    )
+    incident = moves.select(F.col("a").alias("c"), "gain", "node").unionByName(
+        moves.select(F.col("b").alias("c"), "gain", "node")
+    )
+    winner = incident.groupBy("c").agg(
+        F.max(F.struct("gain", "node")).alias("wkey")
+    )
+    kept = (
+        moves.join(
+            F.broadcast(
+                winner.select(F.col("c").alias("a"), F.col("wkey").alias("wa"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                winner.select(F.col("c").alias("b"), F.col("wkey").alias("wb"))
+            ),
+            "b",
+        )
+        .where(
+            (F.struct("gain", "node") == F.col("wa"))
+            & (F.struct("gain", "node") == F.col("wb"))
+        )
+        .select("node", "b")
+        .localCheckpoint(eager=probe)
+    )
+    n_kept = kept.count() if probe else None
+    return kept, n_kept
+
+
 def _q_term(df, m):
     """Shared nano-quantization: ``df`` has one row per community with
     BIGINT columns ``l`` (original intra-edge count, nullable) and
@@ -564,7 +697,12 @@ def graph_louvain_multilevel(spark, sf_dir):
         F.lit(1).cast("long").alias("w"),
     )
 
-    # ---- level 0: the proven |E|-scale weighted pass ----
+    # ---- level 0: the proven |E|-scale weighted pass, seeded form ----
+    # r16 optimization round: the %_K-seeded assignment after s sweeps is
+    # coalesce(kept_{s-1}[x], ..., kept_0[x], x % _K) — every kept table
+    # is <= _K rows — so sweeps, coarsen and sizes all attach the
+    # assignment MAP-SIDE (broadcast lookups over an arithmetic seed)
+    # instead of joining a |V|-row c table against the |E|-row adjacency.
     ud = edges.select(
         F.col("a").alias("u"), F.col("b").alias("v"), "w"
     ).unionByName(
@@ -575,28 +713,31 @@ def graph_louvain_multilevel(spark, sf_dir):
         .agg(F.sum("w").cast("long").alias("k"))
         .localCheckpoint(eager=True)
     )
-    c = deg0.select("node", (F.col("node") % _K).alias("cid"))
     total_moves = 0
+    kepts: list = []
     last_kept = None  # lazily-checkpointed kept of the final sweep
     for i in range(_SWEEPS[0]):
         if i < _SWEEPS[0] - 1:
-            c, n_kept = _wsweep(ud, deg0, m, c)
+            kept, n_kept = _wsweep_seeded(ud, deg0, m, kepts)
+            kepts.append(kept)
             total_moves += n_kept
             if n_kept == 0:
                 break  # remaining sweeps at this level are no-ops
         else:
             # final scheduled sweep: no early exit is possible after
             # it, so defer both checkpoint and count to the coarsen job
-            c, last_kept = _wsweep(ud, deg0, m, c, probe=False)
-    comp = c
+            last_kept, _ = _wsweep_seeded(ud, deg0, m, kepts, probe=False)
+            kepts.append(last_kept)
 
     # ---- bounded coarsen: ONE |E|-scale job, collects <= _K nodes ----
-    pa = c.select(F.col("node").alias("a"), F.col("cid").alias("ca"))
-    pb = c.select(F.col("node").alias("b"), F.col("cid").alias("cb"))
+    # endpoint cids attached map-side (broadcast kept chain), so the whole
+    # coarsen is one scan + one bounded-output aggregation — the previous
+    # form paid two |E|-row hash joins against the assignment table.
     g = {}
     for row in (
-        edges.join(pa, "a")
-        .join(pb, "b")
+        _attach_seeded_cid(
+            _attach_seeded_cid(edges, "a", kepts, "ca"), "b", kepts, "cb"
+        )
         .select(
             F.least("ca", "cb").alias("a"),
             F.greatest("ca", "cb").alias("b"),
@@ -634,6 +775,8 @@ def graph_louvain_multilevel(spark, sf_dir):
         sorted((int(k), int(v)) for k, v in fmap.items()),
         schema="cid long, nc long",
     )
+    # level-0 composed assignment, attached map-side from the kept chain
+    comp = _attach_seeded_cid(deg0.select("node"), "node", kepts, "cid")
     comp = comp.join(F.broadcast(map_df), "cid").select(
         "node", F.col("nc").alias("cid")
     )
