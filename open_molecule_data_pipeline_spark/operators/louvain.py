@@ -63,6 +63,7 @@ deterministic locally-dominant variant suited to parallel engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -261,267 +262,149 @@ LIMIT 15
 # --------------------------------------------------------------------------
 
 
-def _wsweep(ud, deg, m, c, probe=True, bounded=True):
-    """One weighted locally-dominant move sweep.
+def _lit_map(d):
+    """BIGINT literal map expression from a small driver-side dict.
 
-    Returns ``(c_next, n_kept)``; both sides of the matching constraint
-    (a community may be the source OR destination of at most one kept
-    move per sweep) are enforced exactly as the proven r13 pass. The
-    kept table is checkpointed before counting so the convergence probe
-    is a <=|communities|-row scan, not a plan re-execution. With
-    ``probe=False`` (the LAST scheduled sweep, where no early exit can
-    save anything) the checkpoint is LAZY and ``n_kept`` is returned as
-    the kept DataFrame instead: the next action that touches c_next —
-    the coarsen collect — materializes the sweep as part of its own job,
-    saving one full scheduler round-trip at |E| scale.
+    Only legal for dicts bounded by the ``_K`` seed domain BY CONSTRUCTION
+    (assignment overrides, per-community degree sums, level maps): at the
+    %_K seed the community-id domain is {0.._K-1} regardless of corpus
+    size, so these maps never exceed _K entries at 100 TB either."""
+    pairs = []
+    for k in sorted(d):
+        pairs.append(F.lit(int(k)).cast("long"))
+        pairs.append(F.lit(int(d[k])).cast("long"))
+    return F.create_map(*pairs)
 
-    Plan shape (r16 flattening): for a FIXED node, gain(b) =
-    2m*kub - k*dcb + const(node) where const = -2m*kua + dca*k - k^2,
-    so the per-node argmax over candidate communities — including its
-    ties, hence the min-b tie-break — is decided by s = 2m*kub - k*dcb
-    alone. That lets one struct-min aggregation pick the best candidate
-    straight off the nbr rows (no own/cand join chain re-shuffling the
-    candidate stream), and the true gain is reconstructed AFTER the
-    aggregation from (kua, dca) for the >0 filter. Joins with c/deg are
-    all on ``node`` — one exchange feeds the joins and the groupBy.
-    Verified equal (full assignment sets, both sweeps) to the r13 join
-    formulation at sf0.1.
-    """
-    # community-scale tables (dsum, winner, kept) are broadcast ONLY
-    # when the caller proves them bounded (the %_K-seeded multilevel
-    # pass: <= _K rows by construction). At singleton start they are
-    # O(|V|) and take plain hash joins (bounded=False).
-    hb = F.broadcast if bounded else (lambda df: df)
-    dsum = (
-        c.join(deg, "node")
-        .groupBy("cid")
-        .agg(F.sum("k").cast("long").alias("dc"))
-    )
-    nbr = (
-        ud.join(
-            c.select(F.col("node").alias("v"), F.col("cid").alias("b")), "v"
-        )
-        .groupBy(F.col("u").alias("node"), "b")
+
+def _seed_assign_expr(col, moved):
+    """Seeded level-0 community id of node column ``col`` as a PURE
+    expression: the literal moved-override map (<= _K entries — a
+    community is the source or destination of at most one kept move per
+    sweep, so each sweep contributes <= _K/2 overrides) over the
+    arithmetic ``node % _K`` seed. No join, no broadcast, no shuffle."""
+    base = (F.col(col) % _K).cast("long")
+    if not moved:
+        return base
+    return F.coalesce(F.try_element_at(_lit_map(moved), F.col(col)), base)
+
+
+def _sweep_seeded_driver(ud, m_val, moved, dsum):
+    """One weighted move sweep of the %_K-seeded level 0 as a SINGLE
+    distributed job (r16 optimization round, guide §1.2/§2.4): all
+    community-side state — the assignment override map, the per-community
+    degree sums, the winner matching — lives on the driver as literal
+    expressions and <=_K-row collects, bounded by the seed domain at any
+    corpus size.
+
+    Plan: one scan of the cached ``ud`` (hash-partitioned by ``u``) ->
+    groupBy(u, cid(v)) -> groupBy(u), both exchange-free on the persisted
+    partitioning; per-node candidate argmin over the <=_K-entry community
+    list via ``array_min`` (identical (ns, b) tie-break to ``_wsweep``'s
+    ns-struct min — ns = -(2m*kub - k*dcb) ranks gains exactly because
+    gain(b) = 2m*kub - k*dcb + const(node)); gain filter; then ONE tiny
+    exchange aggregating the per-community winner (max(gain, node), the
+    oracle's ORDER BY gain DESC, node DESC) and a <=_K-row collect. The
+    kept-move matching (a move survives iff it wins BOTH its source and
+    destination community) is decided on the driver from the winner rows
+    alone: a node's move is incident to exactly its a and b, so it is
+    kept iff it is the winner value of both.
+
+    Returns ``{node: (a, b, k)}`` of kept moves; the caller updates the
+    override map and degree sums incrementally (dsum[b] += k,
+    dsum[a] -= k — exactly the recompute, since moving n changes only
+    those two sums by deg(n))."""
+    m_lit = F.lit(int(m_val)).cast("long")
+    dmap = _lit_map(dsum)
+    zero = F.lit(0).cast("long")
+    per = (
+        ud.groupBy("u", _seed_assign_expr("v", moved).alias("b"))
         .agg(F.sum("w").cast("long").alias("kub"))
-    )
-    g = (
-        nbr.join(
-            hb(
-                dsum.select(F.col("cid").alias("b"), F.col("dc").alias("dcb"))
-            ),
-            "b",
+        .groupBy("u")
+        .agg(F.collect_list(F.struct("b", "kub")).alias("cl"))
+        .withColumn("a", _seed_assign_expr("u", moved))
+        .withColumn(
+            "k",
+            F.aggregate("cl", zero, lambda acc, x: acc + x["kub"]),
         )
-        .join(c.select("node", F.col("cid").alias("a")), "node")
-        .join(deg, "node")
-        .crossJoin(F.broadcast(m))
-    )
-    ns = -(2 * F.col("m") * F.col("kub") - F.col("k") * F.col("dcb"))
-    agg = g.groupBy("node").agg(
-        F.first("a").alias("a"),
-        F.first("k").alias("k"),
-        F.first("m").alias("m"),
-        F.max(F.when(F.col("b") == F.col("a"), F.col("kub"))).alias("kua_n"),
-        F.min(
-            F.when(
-                F.col("b") != F.col("a"),
-                F.struct(
-                    ns.alias("ns"),
-                    F.col("b").alias("b"),
-                    F.col("kub").alias("kub"),
-                    F.col("dcb").alias("dcb"),
-                ),
-            )
-        ).alias("mv"),
+        .withColumn(
+            "kua",
+            F.aggregate(
+                "cl",
+                zero,
+                lambda acc, x: acc
+                + F.when(x["b"] == F.col("a"), x["kub"]).otherwise(zero),
+            ),
+        )
+        .withColumn(
+            "mv",
+            F.array_min(
+                F.transform(
+                    F.filter("cl", lambda x: x["b"] != F.col("a")),
+                    lambda x: F.struct(
+                        (
+                            -(
+                                2 * m_lit * x["kub"]
+                                - F.col("k") * F.try_element_at(dmap, x["b"])
+                            )
+                        ).alias("ns"),
+                        x["b"].alias("b"),
+                        x["kub"].alias("kub"),
+                    ),
+                )
+            ),
+        )
     )
     moves = (
-        agg.where(F.col("mv").isNotNull())
-        .join(
-            hb(
-                dsum.select(F.col("cid").alias("a"), F.col("dc").alias("dca"))
-            ),
-            "a",
-        )
+        per.where(F.col("mv").isNotNull())
         .select(
-            "node",
+            F.col("u").alias("node"),
             "a",
             F.col("mv.b").alias("b"),
+            "k",
             (
-                2
-                * F.col("m")
-                * (F.col("mv.kub") - F.coalesce("kua_n", F.lit(0)))
+                2 * m_lit * (F.col("mv.kub") - F.col("kua"))
                 - F.col("k")
-                * (F.col("mv.dcb") - F.col("dca") + F.col("k"))
+                * (
+                    F.try_element_at(dmap, F.col("mv.b"))
+                    - F.try_element_at(dmap, F.col("a"))
+                    + F.col("k")
+                )
             ).alias("gain"),
         )
         .where(F.col("gain") > 0)
     )
-    incident = moves.select(F.col("a").alias("c"), "gain", "node").unionByName(
-        moves.select(F.col("b").alias("c"), "gain", "node")
-    )
-    winner = incident.groupBy("c").agg(
-        F.max(F.struct("gain", "node")).alias("wkey")
-    )
-    kept = (
-        moves.join(
-            hb(
-                winner.select(F.col("c").alias("a"), F.col("wkey").alias("wa"))
-            ),
-            "a",
+    rows = (
+        moves.select(
+            F.explode(F.array("a", "b")).alias("c"),
+            F.struct("gain", "node", "b", "k").alias("wk"),
         )
-        .join(
-            hb(
-                winner.select(F.col("c").alias("b"), F.col("wkey").alias("wb"))
-            ),
-            "b",
+        .groupBy("c")
+        .agg(F.max("wk").alias("wk"))
+        .collect()  # bounded-collect: <= _K rows (c in the seed domain)
+    )
+    winner = {
+        int(r["c"]): (
+            int(r["wk"]["gain"]),
+            int(r["wk"]["node"]),
+            int(r["wk"]["b"]),
+            int(r["wk"]["k"]),
         )
-        .where(
-            (F.struct("gain", "node") == F.col("wa"))
-            & (F.struct("gain", "node") == F.col("wb"))
-        )
-        .select("node", "b")
-        .localCheckpoint(eager=probe)
-    )
-    n_kept = kept.count() if probe else kept
-    # c_next stays LAZY: with kept checkpointed (<=|communities| rows,
-    # broadcast), re-deriving the assignment is a degree-table scan plus
-    # broadcast joins — cheaper than materializing |V| rows per sweep.
-    c_next = c.join(hb(kept), "node", "left").select(
-        "node", F.coalesce("b", F.col("cid")).alias("cid")
-    )
-    return c_next, n_kept
-
-
-def _attach_seeded_cid(df, col, kepts, out):
-    """Attach the CURRENT seeded-level-0 community id of node column
-    ``col`` as ``out`` — map-side (r16 optimization round, guide §2.4).
-
-    At the %_K seed, the assignment after s sweeps is
-    ``coalesce(kept_{s-1}[x], ..., kept_0[x], x % _K)``: each sweep's kept
-    table holds <= _K rows (a community is the source OR destination of at
-    most one kept move per sweep), so the whole assignment is a chain of
-    bounded broadcast lookups over an arithmetic seed — the |E|-scale
-    ud x assignment equi-join and the |V|-scale c-table the generic sweep
-    pays are never materialized at all."""
-    cur = df
-    tmps = []
-    for i, kp in enumerate(kepts):
-        t = f"__k{i}_{out}"
-        cur = cur.join(
-            F.broadcast(
-                kp.select(F.col("node").alias(col), F.col("b").alias(t))
-            ),
-            col,
-            "left",
-        )
-        tmps.append(t)
-    seed = (F.col(col) % _K).cast("long")
-    expr = F.coalesce(*[F.col(t) for t in reversed(tmps)], seed) if tmps else seed
-    return cur.withColumn(out, expr).drop(*tmps)
-
-
-def _wsweep_seeded(ud, deg, m, kepts, probe=True):
-    """One weighted move sweep of the %_K-seeded level 0, with the
-    assignment attached map-side via ``_attach_seeded_cid`` instead of
-    distributed joins (r16 optimization round).
-
-    Identical arithmetic and tie-breaks to ``_wsweep`` (same ns-struct
-    argmin, same winner matching); only the *plan* differs: per sweep the
-    only non-broadcast exchanges are the nbr groupBy(u, b) partial
-    aggregation and one re-exchange of the aggregated nbr stream by node
-    — versus the generic sweep's ~6 |E|/|V|-scale exchanges. Returns
-    ``(kept, n_kept)`` with the same probe discipline as ``_wsweep``
-    (``probe=False`` defers checkpoint+count into the next job)."""
-    dsum = (
-        _attach_seeded_cid(deg, "node", kepts, "cid")
-        .groupBy("cid")
-        .agg(F.sum("k").cast("long").alias("dc"))
-    )
-    nbr = (
-        _attach_seeded_cid(ud, "v", kepts, "b")
-        .groupBy(F.col("u").alias("node"), "b")
-        .agg(F.sum("w").cast("long").alias("kub"))
-    )
-    g = _attach_seeded_cid(
-        nbr.join(
-            F.broadcast(
-                dsum.select(F.col("cid").alias("b"), F.col("dc").alias("dcb"))
-            ),
-            "b",
-        )
-        .join(deg, "node")
-        .crossJoin(F.broadcast(m)),
-        "node",
-        kepts,
-        "a",
-    )
-    ns = -(2 * F.col("m") * F.col("kub") - F.col("k") * F.col("dcb"))
-    agg = g.groupBy("node").agg(
-        F.first("a").alias("a"),
-        F.first("k").alias("k"),
-        F.first("m").alias("m"),
-        F.max(F.when(F.col("b") == F.col("a"), F.col("kub"))).alias("kua_n"),
-        F.min(
-            F.when(
-                F.col("b") != F.col("a"),
-                F.struct(
-                    ns.alias("ns"),
-                    F.col("b").alias("b"),
-                    F.col("kub").alias("kub"),
-                    F.col("dcb").alias("dcb"),
-                ),
-            )
-        ).alias("mv"),
-    )
-    moves = (
-        agg.where(F.col("mv").isNotNull())
-        .join(
-            F.broadcast(
-                dsum.select(F.col("cid").alias("a"), F.col("dc").alias("dca"))
-            ),
-            "a",
-        )
-        .select(
-            "node",
-            "a",
-            F.col("mv.b").alias("b"),
-            (
-                2
-                * F.col("m")
-                * (F.col("mv.kub") - F.coalesce("kua_n", F.lit(0)))
-                - F.col("k")
-                * (F.col("mv.dcb") - F.col("dca") + F.col("k"))
-            ).alias("gain"),
-        )
-        .where(F.col("gain") > 0)
-    )
-    incident = moves.select(F.col("a").alias("c"), "gain", "node").unionByName(
-        moves.select(F.col("b").alias("c"), "gain", "node")
-    )
-    winner = incident.groupBy("c").agg(
-        F.max(F.struct("gain", "node")).alias("wkey")
-    )
-    kept = (
-        moves.join(
-            F.broadcast(
-                winner.select(F.col("c").alias("a"), F.col("wkey").alias("wa"))
-            ),
-            "a",
-        )
-        .join(
-            F.broadcast(
-                winner.select(F.col("c").alias("b"), F.col("wkey").alias("wb"))
-            ),
-            "b",
-        )
-        .where(
-            (F.struct("gain", "node") == F.col("wa"))
-            & (F.struct("gain", "node") == F.col("wb"))
-        )
-        .select("node", "b")
-        .localCheckpoint(eager=probe)
-    )
-    n_kept = kept.count() if probe else None
-    return kept, n_kept
+        for r in rows
+    }
+    kept: dict = {}
+    for g, n, b, k in winner.values():
+        if n in kept:
+            continue
+        a = moved.get(n, n % _K)
+        wa, wb = winner.get(a), winner.get(b)
+        if (
+            wa is not None
+            and wb is not None
+            and (wa[0], wa[1]) == (g, n)
+            and (wb[0], wb[1]) == (g, n)
+        ):
+            kept[n] = (a, b, k)
+    return kept
 
 
 def _q_term(df, m):
@@ -636,23 +519,6 @@ def _py_ident_rows(edges: dict) -> list:
     return [(int(n), sl.get(n), int(deg[n])) for n in sorted(deg)]
 
 
-def _q_seed(e, deg0, m):
-    """Modularity of the hash-seed partition (node % _K) — ZERO joins:
-    the seed community of each endpoint is arithmetic on the edge row
-    itself, so l is one filtered scan of the checkpointed edge table
-    and dc one scan of the checkpointed degree table (the old path
-    joined the |E| edge table against the assignment twice)."""
-    lc = (
-        e.where((F.col("u") % _K) == (F.col("v") % _K))
-        .groupBy((F.col("u") % _K).alias("cid"))
-        .agg(F.count(F.lit(1)).cast("long").alias("l"))
-    )
-    ds = deg0.groupBy((F.col("node") % _K).alias("cid")).agg(
-        F.sum("k").cast("long").alias("dc")
-    )
-    return _q_term(ds.join(F.broadcast(lc), "cid", "left"), m)
-
-
 @register(
     "graph_louvain_multilevel",
     oracle=_multilevel_oracle(),
@@ -678,83 +544,108 @@ def graph_louvain_multilevel(spark, sf_dir):
     convention: the replay produces per-community (l, dc) INTEGERS and
     ``_q_term`` performs the nano-quantized double arithmetic in Spark,
     so the q values are unchanged from the all-Spark hierarchy.
+
+    r16 optimization round (guide §1.2, §2.1): the SAME boundedness
+    argument extends to every community-side table of the level-0 sweeps
+    themselves — assignment overrides, per-community degree sums, winner
+    matching are all <= _K entries at any corpus size — so level 0 runs
+    as SIX total driver actions over one cached adjacency: materialize
+    ``ud`` hash-partitioned by u; one seed-stats pass (per-cid degree
+    sums + intra-edge counts + m, <=_K rows); one single-job sweep per
+    scheduled sweep (``_sweep_seeded_driver``); one coarsen pass; the
+    final output job. The r15 form paid ~15 actions / ~60 AQE stage jobs
+    (per-sweep dsum/winner/kept broadcast builds, localCheckpoint
+    barriers, count probes) for identical arithmetic.
     """
     li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
-    e = (
-        li.select(
-            (F.col("l_suppkey") * 2).alias("u"),
-            (F.col("l_partkey") * 2 + 1).alias("v"),
+    pairs = li.select(
+        (F.col("l_suppkey") * 2).alias("u"),
+        (F.col("l_partkey") * 2 + 1).alias("v"),
+    )
+    w1 = F.lit(1).cast("long")
+    # Adjacency, both directions, hash-partitioned by u and CACHED: every
+    # level-0 job (stats, sweeps, coarsen) is a scan of these blocks, and
+    # the explicit repartition("u") lets both sweep aggregations
+    # (groupBy(u, cid(v)) and groupBy(u)) reuse the persisted partitioning
+    # — zero |E|-scale exchanges after this one (guide §2.4). Edge dedup
+    # rides the SAME exchange: dropDuplicates(u, v) after repartition("u")
+    # is exchange-free (hash(u) clusters every (u, v) pair), where the old
+    # ``.distinct()`` paid its own |E| shuffle before the repartition.
+    # The bench/driver clears caches between queries (bench.py session
+    # hygiene), matching the connected-components persist discipline.
+    ud = (
+        pairs.select("u", "v", w1.alias("w"))
+        .unionByName(
+            pairs.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), w1.alias("w")
+            )
         )
-        .distinct()
-        # LAZY: deg0's eager checkpoint below reads e, materializing
-        # both tables in ONE job instead of two scheduler round-trips.
-        .localCheckpoint(eager=False)
-    )
-    m = e.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
-    edges = e.select(
-        F.col("u").alias("a"),
-        F.col("v").alias("b"),
-        F.lit(1).cast("long").alias("w"),
+        .repartition("u")
+        .dropDuplicates(["u", "v"])
+        .persist()
     )
 
-    # ---- level 0: the proven |E|-scale weighted pass, seeded form ----
-    # r16 optimization round: the %_K-seeded assignment after s sweeps is
-    # coalesce(kept_{s-1}[x], ..., kept_0[x], x % _K) — every kept table
-    # is <= _K rows — so sweeps, coarsen and sizes all attach the
-    # assignment MAP-SIDE (broadcast lookups over an arithmetic seed)
-    # instead of joining a |V|-row c table against the |E|-row adjacency.
-    ud = edges.select(
-        F.col("a").alias("u"), F.col("b").alias("v"), "w"
-    ).unionByName(
-        edges.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    # ---- one pass: seed-partition stats, all <=_K rows ----
+    # Two-phase: per node (exchange-free on the persisted partitioning)
+    # degree k, intra-seed incident weight li; then per seed cid:
+    # dc = sum(k), l2 = sum(li) (= 2x intra-edge count — both directions
+    # of an intra edge contribute), n = node count; m = total degree / 2.
+    # This one job also materializes the ud cache. The node counts let
+    # the final sizes be composed ON THE DRIVER (sizes job eliminated).
+    cidu = (F.col("u") % _K).cast("long")
+    cidv = (F.col("v") % _K).cast("long")
+    stats = (
+        ud.groupBy("u")
+        .agg(
+            F.sum("w").cast("long").alias("k"),
+            F.sum(F.when(cidu == cidv, F.col("w"))).cast("long").alias("li"),
+        )
+        .groupBy((F.col("u") % _K).cast("long").alias("cid"))
+        .agg(
+            F.sum("k").cast("long").alias("dc"),
+            F.sum("li").cast("long").alias("l2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()  # bounded-collect: <= _K rows (seed domain)
     )
-    deg0 = (
-        ud.groupBy(F.col("u").alias("node"))
-        .agg(F.sum("w").cast("long").alias("k"))
-        .localCheckpoint(eager=True)
-    )
+    dsum = {int(r["cid"]): int(r["dc"]) for r in stats}
+    seedcount = {int(r["cid"]): int(r["n"]) for r in stats}
+    seed_rows = [
+        (
+            int(r["cid"]),
+            None if r["l2"] is None else int(r["l2"]) // 2,
+            int(r["dc"]),
+        )
+        for r in stats
+    ]
+    m_val = sum(dsum.values()) // 2
+
+    # ---- level 0: one single-job sweep per scheduled sweep ----
+    moved: dict = {}
     total_moves = 0
-    kepts: list = []
-    last_kept = None  # lazily-checkpointed kept of the final sweep
-    for i in range(_SWEEPS[0]):
-        if i < _SWEEPS[0] - 1:
-            kept, n_kept = _wsweep_seeded(ud, deg0, m, kepts)
-            kepts.append(kept)
-            total_moves += n_kept
-            if n_kept == 0:
-                break  # remaining sweeps at this level are no-ops
-        else:
-            # final scheduled sweep: no early exit is possible after
-            # it, so defer both checkpoint and count to the coarsen job
-            last_kept, _ = _wsweep_seeded(ud, deg0, m, kepts, probe=False)
-            kepts.append(last_kept)
+    for _ in range(_SWEEPS[0]):
+        kept = _sweep_seeded_driver(ud, m_val, moved, dsum)
+        total_moves += len(kept)
+        if not kept:
+            break  # remaining sweeps at this level are exact no-ops
+        for n, (a, b, k) in kept.items():
+            moved[n] = b
+            dsum[a] -= k
+            dsum[b] += k
 
-    # ---- bounded coarsen: ONE |E|-scale job, collects <= _K nodes ----
-    # endpoint cids attached map-side (broadcast kept chain), so the whole
-    # coarsen is one scan + one bounded-output aggregation — the previous
-    # form paid two |E|-row hash joins against the assignment table.
+    # ---- bounded coarsen: ONE job, endpoint cids are literal exprs ----
+    # each undirected edge appears twice in ud and both rows land on the
+    # same (least, greatest) coarse pair — intra edges included — so the
+    # aggregated weight is exactly 2x the coarse weight.
+    au = _seed_assign_expr("u", moved)
+    av = _seed_assign_expr("v", moved)
     g = {}
     for row in (
-        _attach_seeded_cid(
-            _attach_seeded_cid(edges, "a", kepts, "ca"), "b", kepts, "cb"
-        )
-        .select(
-            F.least("ca", "cb").alias("a"),
-            F.greatest("ca", "cb").alias("b"),
-            "w",
-        )
-        .groupBy("a", "b")
-        .agg(F.sum("w").cast("long").alias("w"))
-        .collect()  # bounded-collect: <=_K(_K+1)/2+_K rows by construction (cid domain = seed set; moves never mint ids)
+        ud.groupBy(F.least(au, av).alias("a"), F.greatest(au, av).alias("b"))
+        .agg(F.sum("w").cast("long").alias("w2"))
+        .collect()  # bounded-collect: <=_K(_K+1)/2 rows by construction (cid domain = seed set; moves never mint ids)
     ):
-        g[(int(row["a"]), int(row["b"]))] = int(row["w"])
-    if last_kept is not None:
-        # materialized by the coarsen job above; this reads its cached
-        # <=_K-row blocks, not a plan re-execution
-        total_moves += last_kept.count()
-    # weight is conserved through coarsening, so 2m's edge total is the
-    # coarse weight sum — no extra count job for the replay's m.
-    m_val = sum(g.values())
+        g[(int(row["a"]), int(row["b"]))] = int(row["w2"]) // 2
 
     # ---- levels >= 1: exact driver-side replay (singleton start) ----
     q_tabs = [_py_ident_rows(g)]  # level-0 composed Q off the coarse graph
@@ -771,32 +662,49 @@ def graph_louvain_multilevel(spark, sf_dir):
         g = _py_coarsen(g, c_l)
         q_tabs.append(_py_ident_rows(g))
 
-    map_df = spark.createDataFrame(
-        sorted((int(k), int(v)) for k, v in fmap.items()),
-        schema="cid long, nc long",
-    )
-    # level-0 composed assignment, attached map-side from the kept chain
-    comp = _attach_seeded_cid(deg0.select("node"), "node", kepts, "cid")
-    comp = comp.join(F.broadcast(map_df), "cid").select(
-        "node", F.col("nc").alias("cid")
-    )
+    # ---- final output: all inputs are bounded driver-side integers ----
+    # sizes are COMPOSED on the driver: a node's final community is
+    # fmap[assignment(node)], and assignment differs from the arithmetic
+    # seed only on the <=2*_K moved nodes — so per final community,
+    # count = sum of unmoved seed counts + moved-node corrections. The
+    # q tables are the bounded integer rows collected above; the
+    # nano-quantized double arithmetic stays in Spark (_q_term) so q
+    # values are bit-identical to the all-Spark hierarchy; m is the
+    # collected integer. The output plan is local-relation-only: the
+    # |E|-scale work ended at the coarsen job.
+    moved_from: dict = {}
+    for n in moved:
+        c = n % _K
+        moved_from[c] = moved_from.get(c, 0) + 1
+    sizes_d: dict = {}
+    for c, cnt in seedcount.items():
+        unmoved = cnt - moved_from.get(c, 0)
+        if unmoved:
+            f = fmap[c]
+            sizes_d[f] = sizes_d.get(f, 0) + unmoved
+    for n, b in moved.items():
+        f = fmap[b]
+        sizes_d[f] = sizes_d.get(f, 0) + 1
+    m_df = spark.createDataFrame([(int(m_val),)], schema="m long")
     qs = [
         _q_term(
             spark.createDataFrame(rows, schema="cid long, l long, dc long"),
-            m,
+            m_df,
         )
         for rows in q_tabs
     ]
-
-    q_seed = _q_seed(e, deg0, m).select(F.col("q").alias("q_seed_nano"))
-    sizes = comp.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes")
-    )
-    tot = sizes.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n_communities")
+    q_seed = _q_term(
+        spark.createDataFrame(seed_rows, schema="cid long, l long, dc long"),
+        m_df,
+    ).select(F.col("q").alias("q_seed_nano"))
+    sizes = spark.createDataFrame(
+        sorted((int(c), int(n)) for c, n in sizes_d.items()),
+        schema="cid long, n_nodes long",
     )
     out = (
-        sizes.crossJoin(F.broadcast(tot))
+        sizes.withColumn(
+            "n_communities", F.lit(len(sizes_d)).cast("long")
+        )
         .withColumn("n_moves", F.lit(total_moves).cast("long"))
         .crossJoin(F.broadcast(q_seed))
     )
@@ -867,32 +775,6 @@ LIMIT 15
 """
 
 
-def _q_ident_dist(edges, m):
-    """Identity-partition modularity of a weighted graph whose node
-    count may be O(|V|) — the DISTRIBUTED twin of ``_py_ident_rows``
-    (plain joins, nothing broadcast or collected): per node, ``l`` is
-    its self-loop weight and ``dc`` its weighted degree, fed to the
-    shared ``_q_term`` nano-quantization."""
-    nonself = edges.where(F.col("a") != F.col("b"))
-    deg = (
-        nonself.select(F.col("a").alias("node"), F.col("w").alias("kc"))
-        .unionByName(
-            nonself.select(F.col("b").alias("node"), F.col("w").alias("kc"))
-        )
-        .unionByName(
-            edges.where(F.col("a") == F.col("b")).select(
-                F.col("a").alias("node"), (2 * F.col("w")).alias("kc")
-            )
-        )
-        .groupBy("node")
-        .agg(F.sum("kc").cast("long").alias("dc"))
-    )
-    sl = edges.where(F.col("a") == F.col("b")).select(
-        F.col("a").alias("node"), F.col("w").cast("long").alias("l")
-    )
-    return _q_term(deg.join(sl, "node", "left"), m)
-
-
 @register(
     "graph_louvain_singleton",
     oracle=_singleton_oracle(),
@@ -905,94 +787,237 @@ def graph_louvain_singleton(spark, sf_dir):
     """Canonical singleton-start Louvain level-0 pass: final community
     sizes (top 15), total communities, kept moves, and the exact
     nano-quantized modularity before (singleton partition) and after
-    the sweeps — all community tables O(|V|), all joins hash joins
-    (``bounded=False``)."""
+    the sweeps — all community tables O(|V|), nothing community-sided is
+    broadcast-HINTED or collected (AQE may still choose broadcast at toy
+    scale and flips to shuffle joins when the tables outgrow the
+    threshold; the only scalars on the driver are m and the kept-move
+    counts, single values either way).
+
+    r16 optimization round (guide §1.2, §2.4) — same arithmetic, leaner
+    plan, measured job-count-bound at local scale:
+
+    * sweep 0 is SPECIALIZED to the singleton identity: the neighbor-
+      community table IS the adjacency (b = v, kub = w), the community
+      degree-sum table IS the degree table (dcb = deg(v)), kua = 0 and
+      dca = deg(node), so gain = 2m*kub - k*dcb with no assignment join
+      at all;
+    * the winner matching uses two windows over the move table
+      (partition by source / destination community) instead of the
+      groupBy + join-back pair, which re-ran the whole |E|-scale move
+      pipeline inside the broadcast build of the winner table;
+    * sweep 1 attaches the post-sweep-0 assignment as
+      coalesce(kept_0[x], x) via joins against the O(kept) move table
+      instead of materializing a |V|-row assignment table;
+    * the adjacency is deduped INSIDE its single repartition("u")
+      exchange and cached, so every aggregation keyed on u downstream is
+      exchange-free on the persisted partitioning; the degree table is
+      cached off it; both kept tables are cached EAGERLY (their counts
+      are the n_moves output anyway) so the final assembly's many
+      subtrees read blocks instead of racing to recompute lineage.
+    """
     li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
-    e = (
-        li.select(
-            (F.col("l_suppkey") * 2).alias("u"),
-            (F.col("l_partkey") * 2 + 1).alias("v"),
+    pairs = li.select(
+        (F.col("l_suppkey") * 2).alias("u"),
+        (F.col("l_partkey") * 2 + 1).alias("v"),
+    )
+    w1 = F.lit(1).cast("long")
+    ud = (
+        pairs.select("u", "v", w1.alias("w"))
+        .unionByName(
+            pairs.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), w1.alias("w")
+            )
         )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    m = e.groupBy().agg(F.count(F.lit(1)).cast("long").alias("m"))
-    edges = e.select(
-        F.col("u").alias("a"),
-        F.col("v").alias("b"),
-        F.lit(1).cast("long").alias("w"),
-    )
-    ud = edges.select(
-        F.col("a").alias("u"), F.col("b").alias("v"), "w"
-    ).unionByName(
-        edges.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+        .repartition("u")
+        .dropDuplicates(["u", "v"])
+        .persist()
     )
     deg0 = (
         ud.groupBy(F.col("u").alias("node"))
         .agg(F.sum("w").cast("long").alias("k"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    c = deg0.select("node", F.col("node").alias("cid"))
-    total_moves = 0
-    last_kept = None
-    for s in range(_SINGLETON_SWEEPS):
-        last = s == _SINGLETON_SWEEPS - 1
-        c, n_kept = _wsweep(ud, deg0, m, c, probe=not last, bounded=False)
-        if last:
-            # the LAST sweep's convergence count can save nothing (no
-            # sweep follows), so its checkpoint+count barrier is
-            # deferred into the final job: n_kept is the kept DataFrame
-            # and its count lands in the n_moves column in-plan (the
-            # multilevel probe=False discipline, O(|V|)-sized here)
-            last_kept = n_kept
-        else:
-            total_moves += n_kept
-            if n_kept == 0:
-                break  # converged: remaining sweeps are exact no-ops
+    # one job: materializes the ud + deg0 caches and returns the scalar
+    # modularity denominator (sum of degrees = 2m — one row collected)
+    m_val = int(
+        deg0.groupBy().agg(F.sum("k").cast("long").alias("s")).collect()[0]["s"]
+        // 2
+    )
+    m_lit = F.lit(m_val).cast("long")
+    m_df = spark.createDataFrame([(m_val,)], schema="m long")
+
+    def _kept_by_windows(moves):
+        """Matching identical to the oracle: a move survives iff it is
+        the (gain DESC, node DESC) winner of BOTH its source and its
+        destination community, where a community's winner ranges over
+        ALL its incident moves (source- or destination-side). Explode
+        each move into its two incidences, take one window max per
+        community, and keep the moves that win both of their rows —
+        one linear pipeline (the groupBy + join-back pair re-ran the
+        whole |E|-scale move pipeline inside the winner broadcast
+        build)."""
+        inc = moves.select(
+            "node", "b", "gain", F.explode(F.array("a", "b")).alias("c")
+        )
+        win = F.max(F.struct("gain", "node")).over(Window.partitionBy("c"))
+        return (
+            inc.withColumn("w", win)
+            .where(F.struct("gain", "node") == F.col("w"))
+            .groupBy("node")
+            .agg(F.first("b").alias("b"), F.count(F.lit(1)).alias("nw"))
+            .where(F.col("nw") == 2)
+            .select("node", "b")
+        )
+
+    # ---- sweep 0, singleton-specialized ----
+    g0 = ud.join(
+        deg0.select(F.col("node").alias("v"), F.col("k").alias("dcb")), "v"
+    ).join(deg0.select(F.col("node").alias("u"), "k"), "u")
+    ns0 = -(2 * m_lit * F.col("w") - F.col("k") * F.col("dcb"))
+    agg0 = g0.groupBy(F.col("u").alias("node")).agg(
+        F.first("k").alias("k"),
+        F.min(
+            F.struct(
+                ns0.alias("ns"),
+                F.col("v").alias("b"),
+                F.col("w").alias("kub"),
+                F.col("dcb").alias("dcb"),
+            )
+        ).alias("mv"),
+    )
+    moves0 = agg0.select(
+        "node",
+        F.col("node").alias("a"),
+        F.col("mv.b").alias("b"),
+        (2 * m_lit * F.col("mv.kub") - F.col("k") * F.col("mv.dcb")).alias(
+            "gain"
+        ),
+    ).where(F.col("gain") > 0)
+    kept0 = _kept_by_windows(moves0).persist()
+    n0 = int(kept0.count())
+
+    # ---- sweep 1, assignment attached as coalesce(kept_0[x], x) ----
+    k0v = kept0.select(F.col("node").alias("v"), F.col("b").alias("nb"))
+    nbr1 = (
+        ud.join(k0v, "v", "left")
+        .groupBy(
+            F.col("u").alias("node"),
+            F.coalesce("nb", F.col("v")).alias("b"),
+        )
+        .agg(F.sum("w").cast("long").alias("kub"))
+    )
+    dsum1 = (
+        deg0.join(kept0, "node", "left")
+        .groupBy(F.coalesce("b", F.col("node")).alias("cid"))
+        .agg(F.sum("k").cast("long").alias("dc"))
+    )
+    g1 = (
+        nbr1.join(
+            dsum1.select(F.col("cid").alias("b"), F.col("dc").alias("dcb")),
+            "b",
+        )
+        .join(deg0, "node")
+        .join(kept0.select("node", F.col("b").alias("a0")), "node", "left")
+        .withColumn("a", F.coalesce("a0", F.col("node")))
+    )
+    ns1 = -(2 * m_lit * F.col("kub") - F.col("k") * F.col("dcb"))
+    agg1 = g1.groupBy("node").agg(
+        F.first("a").alias("a"),
+        F.first("k").alias("k"),
+        F.max(F.when(F.col("b") == F.col("a"), F.col("kub"))).alias("kua_n"),
+        F.min(
+            F.when(
+                F.col("b") != F.col("a"),
+                F.struct(
+                    ns1.alias("ns"),
+                    F.col("b").alias("b"),
+                    F.col("kub").alias("kub"),
+                    F.col("dcb").alias("dcb"),
+                ),
+            )
+        ).alias("mv"),
+    )
+    moves1 = (
+        agg1.where(F.col("mv").isNotNull())
+        .join(
+            dsum1.select(F.col("cid").alias("a"), F.col("dc").alias("dca")),
+            "a",
+        )
+        .select(
+            "node",
+            "a",
+            F.col("mv.b").alias("b"),
+            (
+                2 * m_lit * (F.col("mv.kub") - F.coalesce("kua_n", F.lit(0)))
+                - F.col("k")
+                * (F.col("mv.dcb") - F.col("dca") + F.col("k"))
+            ).alias("gain"),
+        )
+        .where(F.col("gain") > 0)
+    )
+    kept1 = _kept_by_windows(moves1).persist()
+    n1 = int(kept1.count())  # eager: the final assembly reads blocks
+
+    # ---- final assembly: ONE action over cached tables ----
+    # composed final assignment coalesce(kept_1[x], kept_0[x], x),
+    # attached by joins wherever needed (sizes + q_pass dc off the node
+    # table; q_pass l off the adjacency — intra weight summed over both
+    # directions = 2l, exact halving).
+    cfin = (
+        deg0.join(kept0.select("node", F.col("b").alias("b0")), "node", "left")
+        .join(kept1.select("node", F.col("b").alias("b1")), "node", "left")
+        .select(
+            "node", "k", F.coalesce("b1", "b0", F.col("node")).alias("cid")
+        )
+    )
+    szdc = cfin.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("k").cast("long").alias("dc"),
+    )
+    lpass = (
+        ud.join(k0v, "v", "left")
+        .join(
+            kept1.select(F.col("node").alias("v"), F.col("b").alias("nb1")),
+            "v",
+            "left",
+        )
+        .join(
+            kept0.select(F.col("node").alias("u"), F.col("b").alias("ub0")),
+            "u",
+            "left",
+        )
+        .join(
+            kept1.select(F.col("node").alias("u"), F.col("b").alias("ub1")),
+            "u",
+            "left",
+        )
+        .select(
+            F.coalesce("ub1", "ub0", F.col("u")).alias("cu"),
+            F.coalesce("nb1", "nb", F.col("v")).alias("cv"),
+            "w",
+        )
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("cid"))
+        .agg((F.sum("w").cast("long") / F.lit(2)).cast("long").alias("l"))
+    )
+    q_pass = _q_term(
+        szdc.join(lpass, "cid", "left").select("cid", "l", "dc"), m_df
+    ).select(F.col("q").alias("q_pass_nano"))
     # q_init: the singleton partition IS the identity partition of the
     # original graph — per node l = 0 (simple graph), dc = its degree
     q_init = _q_term(
         deg0.select(
             F.lit(None).cast("long").alias("l"), F.col("k").alias("dc")
         ),
-        m,
+        m_df,
     ).select(F.col("q").alias("q_init_nano"))
-    # q_pass: identity modularity of the graph coarsened by the final
-    # assignment == composed modularity on the original graph; the
-    # coarse graph here is O(|V|) nodes, so it STAYS DISTRIBUTED
-    pa = c.select(F.col("node").alias("a"), F.col("cid").alias("ca"))
-    pb = c.select(F.col("node").alias("b"), F.col("cid").alias("cb"))
-    coarse = (
-        edges.join(pa, "a")
-        .join(pb, "b")
-        .select(
-            F.least("ca", "cb").alias("a"),
-            F.greatest("ca", "cb").alias("b"),
-            "w",
-        )
-        .groupBy("a", "b")
-        .agg(F.sum("w").cast("long").alias("w"))
-    )
-    q_pass = _q_ident_dist(coarse, m).select(F.col("q").alias("q_pass_nano"))
-    sizes = c.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes")
-    )
+    sizes = szdc.select("cid", "n_nodes")
     tot = sizes.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_communities")
     )
-    if last_kept is not None:
-        nmv = last_kept.groupBy().agg(
-            (F.count(F.lit(1)) + F.lit(total_moves))
-            .cast("long")
-            .alias("n_moves")
-        )
-    else:
-        nmv = spark.range(1).select(
-            F.lit(total_moves).cast("long").alias("n_moves")
-        )
     return (
         sizes.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(nmv))
+        .withColumn("n_moves", F.lit(n0 + n1).cast("long"))
         .crossJoin(F.broadcast(q_init))
         .crossJoin(F.broadcast(q_pass))
         .orderBy(F.desc("n_nodes"), "cid")
