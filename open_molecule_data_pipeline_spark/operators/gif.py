@@ -1299,8 +1299,24 @@ def stream_aspect_batch_twin(spark, sf_dir):
             .option("pathGlobFilter", "*.parquet")
             .parquet(stage)
         )
+        # Each microbatch is ONE staged file = one scan partition, so
+        # without a redistribution the whole band's GIF encode+decode
+        # runs serially in a single Python task (r16 profile: ~9 s of
+        # wall inside the stream run, ~0.4 s everywhere else). One tiny
+        # hash exchange of the doc_id column fans the decode out to the
+        # session's full parallelism (guide §2.5: deterministic key, not
+        # round-robin, so microbatch retries re-place rows identically;
+        # the batch former sorts within (key, microbatch), so in-band
+        # arrival order is irrelevant — same oracle).
+        try:
+            width = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: keep source partitioning
+            width = None
+        spread_stream = (
+            stream.repartition(width, "doc_id") if width else stream
+        )
         keyed = (
-            stream.mapInPandas(_dims_run, schema=_DIMS_SCHEMA)
+            spread_stream.mapInPandas(_dims_run, schema=_DIMS_SCHEMA)
             .select("doc_id", _bucket_key().alias("best"))
             .select(
                 "doc_id",

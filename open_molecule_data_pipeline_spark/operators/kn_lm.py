@@ -39,6 +39,7 @@ truncate; the numerator is a sum of positives).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -1157,38 +1158,89 @@ def text_kn_fivegram_ppl(spark, sf_dir):
     """Per-doc mean NLL under the interpolated 5-gram KN model (four
     continuation levels), worst docs first — KenLM's default order."""
     pg = _fivegram_stream(spark, sf_dir)
-    five = pg.groupBy("w1", "w2", "w3", "w4", "w5").agg(
-        F.count(F.lit(1)).cast("long").alias("c12345")
+    # r16 optimization round (guide §2.4, §7.2): the r15 form built each
+    # of the eight model-stat tables (h1234, cont2345, mid234, n345,
+    # mid34, n45, mid4, cw5) as its own aggregation branch and attached
+    # them with eight broadcast joins — every broadcast BUILD re-executed
+    # the scan→split→explode→five pipeline (88 Exchange nodes, ~55 s of
+    # concurrent in-job CPU at sf0.1 for a 5.9 s wall). Every one of
+    # those tables is a per-group constant over a NESTED-suffix key of
+    # the fivegram, so they all attach as window aggregates over ONE
+    # linear pass chain instead: each pass repartitions by the COARSEST
+    # key of its level, which also satisfies the finer windows of the
+    # same pass (hash clustering on a subset key co-locates the superset
+    # key), and "count of distinct finer groups" becomes sum of a
+    # first-row flag. Integer stats are byte-identical to the join form;
+    # the cost formula below is untouched.
+    # every grouping/window key below except (w5) CONTAINS w4, so one
+    # exchange clustered on w4 serves the five aggregation AND all four
+    # window levels (hash clustering on a subset key co-locates every
+    # superset key); parallelism = |vocab(w4)|, and the per-w4 fan-in is
+    # inherent to the algorithm (ndot4/nm4 ARE per-w4 statistics — the
+    # r15 join form aggregated mid4 by w4 too, so no new skew exposure)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    five = (
+        pg.repartition(width, "w4")
+        .groupBy("w1", "w2", "w3", "w4", "w5")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12345"))
     )
-    h1234 = five.groupBy("w1", "w2", "w3", "w4").agg(
-        F.sum("c12345").cast("long").alias("c1234"),
-        F.count(F.lit(1)).cast("long").alias("n1234"),
+    w1234 = Window.partitionBy("w1", "w2", "w3", "w4")
+    w2345 = Window.partitionBy("w2", "w3", "w4", "w5")
+    w234 = Window.partitionBy("w2", "w3", "w4")
+    w345 = Window.partitionBy("w3", "w4", "w5")
+    w34 = Window.partitionBy("w3", "w4")
+    w45 = Window.partitionBy("w4", "w5")
+    w4 = Window.partitionBy("w4")
+    w5 = Window.partitionBy("w5")
+    one = F.count(F.lit(1))
+    stats = (
+        # levels A-D all ride the single w4-clustered exchange; each
+        # level re-sorts within the task (cheap) instead of re-exchanging.
+        # f2345 / f345 / f45 mark one row per distinct finer group (the
+        # remaining key columns are unique within each partition-ordered
+        # group, so row_number is deterministic).
+        five.withColumn("c1234", F.sum("c12345").over(w1234))
+        .withColumn("n1234", one.over(w1234))
+        .withColumn("n1p2345", one.over(w2345))
+        .withColumn(
+            "f2345",
+            (F.row_number().over(w2345.orderBy("w1")) == 1).cast("long"),
+        )
+        .withColumn("ndot234", one.over(w234))
+        .withColumn("nm234", F.sum("f2345").over(w234))
+        .withColumn(
+            "f345",
+            (F.row_number().over(w345.orderBy("w2", "w1")) == 1).cast(
+                "long"
+            ),
+        )
+        .withColumn("n1p345", F.sum("f2345").over(w345))
+        .withColumn("ndot34", F.sum("f2345").over(w34))
+        .withColumn("nm34", F.sum("f345").over(w34))
+        .drop("f2345")
+        .withColumn(
+            "f45",
+            (F.row_number().over(w45.orderBy("w3", "w2", "w1")) == 1).cast(
+                "long"
+            ),
+        )
+        .withColumn("n1p45", F.sum("f345").over(w45))
+        .withColumn("ndot4", F.sum("f345").over(w4))
+        .withColumn("nm4", F.sum("f45").over(w4))
+        .drop("f345")
+        # the (w5) level is the one key not clustered by w4
+        .repartition(width, "w5")
+        .withColumn("npre5", F.sum("f45").over(w5))
+        .drop("f45")
     )
-    cont2345 = five.groupBy("w2", "w3", "w4", "w5").agg(
-        F.count(F.lit(1)).cast("long").alias("n1p2345")
+    # nbig = |distinct (w4, w5)| — a tiny branch off the shared five
+    # subtree (ReuseExchange dedups the repartition exchange), cheaper
+    # than a single-partition global window over the stream
+    nbt5 = (
+        five.select("w4", "w5")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("nbig"))
     )
-    mid234 = cont2345.groupBy("w2", "w3", "w4").agg(
-        F.sum("n1p2345").cast("long").alias("ndot234"),
-        F.count(F.lit(1)).cast("long").alias("nm234"),
-    )
-    n345 = cont2345.groupBy("w3", "w4", "w5").agg(
-        F.count(F.lit(1)).cast("long").alias("n1p345")
-    )
-    mid34 = n345.groupBy("w3", "w4").agg(
-        F.sum("n1p345").cast("long").alias("ndot34"),
-        F.count(F.lit(1)).cast("long").alias("nm34"),
-    )
-    n45 = n345.groupBy("w4", "w5").agg(
-        F.count(F.lit(1)).cast("long").alias("n1p45")
-    )
-    mid4 = n45.groupBy("w4").agg(
-        F.sum("n1p45").cast("long").alias("ndot4"),
-        F.count(F.lit(1)).cast("long").alias("nm4"),
-    )
-    cw5 = n45.groupBy("w5").agg(
-        F.count(F.lit(1)).cast("long").alias("npre5")
-    )
-    nbt5 = n45.agg(F.count(F.lit(1)).cast("long").alias("nbig"))
     pc = F.col("npre5") / F.col("nbig")
     p2 = (F.col("n1p45").cast("double") - F.lit(_D)) / F.col("ndot4") + F.lit(
         _D
@@ -1200,15 +1252,7 @@ def text_kn_fivegram_ppl(spark, sf_dir):
         "ndot234"
     ) + F.lit(_D) * F.col("nm234") / F.col("ndot234") * p3
     cost5 = (
-        five.join(h1234, ["w1", "w2", "w3", "w4"])
-        .join(cont2345, ["w2", "w3", "w4", "w5"])
-        .join(mid234, ["w2", "w3", "w4"])
-        .join(n345, ["w3", "w4", "w5"])
-        .join(mid34, ["w3", "w4"])
-        .join(n45, ["w4", "w5"])
-        .join(mid4, "w4")
-        .join(cw5, "w5")
-        .crossJoin(F.broadcast(nbt5))
+        stats.crossJoin(F.broadcast(nbt5))
         .withColumn(
             "cost_micro",
             F.round(
