@@ -14,7 +14,7 @@ algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -84,6 +84,10 @@ def connected_components(
     # edge table every round (guide §2.4: two operations keyed the same way
     # share one exchange; the union would otherwise persist 2x
     # shuffle.partitions blocks that AQE re-shuffles per iteration).
+    # r16 note: a `.persist()` variant (keeps InMemoryRelation partitioning
+    # + stats) was measured and REJECTED — dedup_clusters 3.1→3.8 s in a
+    # 3-round alternating A/B at sf0.1; the un-truncated LSH lineage makes
+    # each iteration's plan (and its optimizer pass) heavier.
     undirected = persist(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
@@ -227,34 +231,40 @@ def connected_components_twostar(
 
                 shutil.rmtree(path, ignore_errors=True)
 
+    # r16 optimization round (guide §2.4): both star steps attached the
+    # per-u minimum with a groupBy + self-join — two exchanges of the
+    # edge stream per step, and the join re-executed the neighborhood
+    # subtree inside the aggregate branch. min over (partition by u) is a
+    # window aggregate, so each step is now ONE exchange + one window
+    # pass; small_star's self-edge rides the same pass as a first-row
+    # flag instead of a second aggregation branch.
+    _wu = Window.partitionBy("u")
+
     def large_star(e: DataFrame) -> DataFrame:
         # neighborhoods in both directions; m = min(neighbors + self)
         nbrs = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = (
-            nbrs.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", F.col("u")).alias("m"))
-        )
         # no intermediate distinct: duplicates are bounded by the (already
         # distinct) input neighborhood size and collapse in small_star's
         # terminal distinct — one fewer exchange per round
         return (
-            nbrs.join(mins, "u")
+            nbrs.withColumn("m", F.least(F.min("v").over(_wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
 
     def small_star(e: DataFrame) -> DataFrame:
-        # edges arrive canonically (u > v); m = min of u's smaller nbrs
-        mins = e.groupBy("u").agg(F.min("v").alias("m"))
-        via_nbr = (
-            e.join(mins, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        # edges arrive canonically (u > v); m = min of u's smaller nbrs;
+        # exactly one self-edge (u, m) per u is emitted via the first-row
+        # flag (input is distinct, so row_number is deterministic per u)
+        x = e.withColumn("m", F.min("v").over(_wu)).withColumn(
+            "first", F.row_number().over(_wu.orderBy("v")) == 1
         )
-        self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+        via_nbr = x.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = x.filter("first").select("u", F.col("m").alias("v"))
         return via_nbr.unionByName(self_edge).distinct()
 
     # nodes whose only edges are self-loops still deserve a (node, node)
@@ -271,7 +281,8 @@ def connected_components_twostar(
             F.least(F.col(src), F.col(dst)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        .distinct(),
+        eager=False,  # the initial fixpoint probe below materializes it
     )
     cur_gen = generation - 1
 
@@ -300,23 +311,22 @@ def connected_components_twostar(
         )
         return violations.isEmpty()
 
-    converged = False
     # max_iter + 1 probes: the result of round max_iter still deserves its
     # fixpoint check (probe-then-compute would otherwise discard a
-    # successful final round as "not converged")
-    for round_no in range(max_iter + 1):
-        if is_star_forest(cur):
-            converged = True
-            break
-        if round_no == max_iter:
-            break
+    # successful final round as "not converged"). Each probe doubles as
+    # the lazy checkpoint's materializer (r16: the separate count job per
+    # round is gone): the violations aggregation's map side scans every
+    # partition of its input before isEmpty can return, so truncation is
+    # complete before the superseded generation is freed.
+    converged = is_star_forest(cur)
+    rounds_run = 0
+    while not converged and rounds_run < max_iter:
         nxt = persist(small_star(large_star(cur)), eager=False)
         nxt_gen = generation - 1
-        # a full count materializes the lazy checkpoint (touches every
-        # partition) before the superseded generation is freed
-        nxt.count()
+        converged = is_star_forest(nxt)
         release(cur, cur_gen)
         cur, cur_gen = nxt, nxt_gen
+        rounds_run += 1
     if not converged:
         raise RuntimeError(
             f"connected_components_twostar did not converge within "

@@ -407,6 +407,18 @@ def _sweep_seeded_driver(ud, m_val, moved, dsum):
     return kept
 
 
+def _local_df(spark, rows, schema):
+    """<=_K-row driver-side table as a SINGLE-slice DataFrame: the default
+    ``createDataFrame`` parallelizes even 1-row data into
+    defaultParallelism slices, so every broadcast build over these tiny
+    tables ran a 32-near-empty-task job at local core counts (r16
+    profile: five such concurrent jobs, ~2.5 s, all over <=64-row
+    inputs)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema=schema
+    )
+
+
 def _q_term(df, m):
     """Shared nano-quantization: ``df`` has one row per community with
     BIGINT columns ``l`` (original intra-edge count, nullable) and
@@ -685,21 +697,22 @@ def graph_louvain_multilevel(spark, sf_dir):
     for n, b in moved.items():
         f = fmap[b]
         sizes_d[f] = sizes_d.get(f, 0) + 1
-    m_df = spark.createDataFrame([(int(m_val),)], schema="m long")
+    m_df = _local_df(spark, [(int(m_val),)], "m long")
     qs = [
         _q_term(
-            spark.createDataFrame(rows, schema="cid long, l long, dc long"),
+            _local_df(spark, rows, "cid long, l long, dc long"),
             m_df,
         )
         for rows in q_tabs
     ]
     q_seed = _q_term(
-        spark.createDataFrame(seed_rows, schema="cid long, l long, dc long"),
+        _local_df(spark, seed_rows, "cid long, l long, dc long"),
         m_df,
     ).select(F.col("q").alias("q_seed_nano"))
-    sizes = spark.createDataFrame(
+    sizes = _local_df(
+        spark,
         sorted((int(c), int(n)) for c, n in sizes_d.items()),
-        schema="cid long, n_nodes long",
+        "cid long, n_nodes long",
     )
     out = (
         sizes.withColumn(
@@ -844,7 +857,7 @@ def graph_louvain_singleton(spark, sf_dir):
         // 2
     )
     m_lit = F.lit(m_val).cast("long")
-    m_df = spark.createDataFrame([(m_val,)], schema="m long")
+    m_df = _local_df(spark, [(m_val,)], "m long")
 
     def _kept_by_windows(moves):
         """Matching identical to the oracle: a move survives iff it is
