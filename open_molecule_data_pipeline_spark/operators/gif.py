@@ -1281,10 +1281,12 @@ def stream_aspect_batch_twin(spark, sf_dir):
             .parquet(part_root)
         )
         present = []
+        staged_bytes = 0
         for band in (0, 1, 2):
             parts = _glob.glob(f"{part_root}/band={band}/part-*.parquet")
             if parts:
                 shutil.move(parts[0], f"{stage}/band{band}.parquet")
+                staged_bytes += os.path.getsize(f"{stage}/band{band}.parquet")
                 present.append(band)
         shutil.rmtree(part_root, ignore_errors=True)
         now = _time.time()
@@ -1333,7 +1335,14 @@ def stream_aspect_batch_twin(spark, sf_dir):
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        sunk = _run_to_memory(spark, formed, output_mode="update")
+        # state width input-sized from the staged band files (the stream's
+        # exact input): the (bucket, shard) key space is bounded at
+        # len(_AR_BUCKETS) * _BATCH_SHARDS, so kilobyte-scale inputs get a
+        # 1-partition store instead of a core-count fan-out of empty
+        # state commits (see _run_to_memory's sizing note).
+        sunk = _run_to_memory(
+            spark, formed, output_mode="update", input_bytes=staged_bytes
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     final = (

@@ -174,7 +174,7 @@ def stream_quality_gate_twin(spark, sf_dir):
     """Per-lang keep-rate of the hashed classifier computed by a real
     availableNow streaming run over the documents table."""
     from ..session import tune_session
-    from .streaming_twin import _run_to_memory
+    from .streaming_twin import _run_to_memory, _stream_input_bytes
 
     tune_session(spark)
     raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
@@ -208,4 +208,9 @@ def stream_quality_gate_twin(spark, sf_dir):
         .alias("n_kept"),
         F.sum("w_sum").cast("long").alias("sum_w"),
     )
-    return _run_to_memory(spark, agg, output_mode="complete")
+    return _run_to_memory(
+        spark,
+        agg,
+        output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir, "documents"),
+    )

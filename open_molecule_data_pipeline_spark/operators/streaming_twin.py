@@ -76,22 +76,46 @@ def stream_tumbling_twin(spark, sf_dir):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
-    return _run_to_memory(spark, agg, output_mode="complete")
+    return _run_to_memory(
+        spark, agg, output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
 
 
-def _run_to_memory(spark, df, output_mode: str):
+def _stream_input_bytes(sf_dir: str, name: str = "events") -> int | None:
+    """Total on-disk bytes of a twin's stream source file — the advisory
+    input size for ``_run_to_memory``'s state-store width. Driver-side
+    file metadata only (no data touches the driver); None when the
+    source is not a plain local file, which keeps the conservative
+    core-count width."""
+    try:
+        return os.path.getsize(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    except OSError:
+        return None
+
+
+def _run_to_memory(spark, df, output_mode: str, input_bytes: int | None = None):
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink and return the result table.
 
     Stateful streaming disables AQE, so the session's shuffle.partitions
     (200 on a vanilla session) becomes the state-store partition count
-    verbatim — size it to the cluster's actual parallelism for the run and
-    restore the session conf afterwards. (A literal would pin the
-    state-store width forever on a real cluster: state-store partition
-    count is fixed at the first checkpoint.) Checkpoint I/O is pure
-    overhead for an availableNow one-shot over an immutable input, so the
-    checkpoint dir goes on a RAM-backed tmpfs when the host has one and is
-    deleted after the run.
+    verbatim — size it for the run and restore the session conf
+    afterwards. (A literal would pin the state-store width forever on a
+    real cluster: state-store partition count is fixed at the first
+    checkpoint.) When the caller knows its stream's total input size,
+    the width is additionally INPUT-SIZED (guide §2.2, fewer larger
+    reduce partitions): one state partition per ~4 MB of compressed
+    stream input, clamped to [1, defaultParallelism]. Every state
+    partition costs a store open + delta commit per micro-batch
+    regardless of rows, so core-count-wide stores over kilobyte inputs
+    are pure fan-out overhead (measured on stream_aspect_batch_twin:
+    32 -> input-sized cut addBatch ~1.5 s -> ~0.75 s per micro-batch);
+    large inputs saturate at the session's real parallelism, so the
+    policy stays scale-adaptive, never a local-mode literal. Checkpoint
+    I/O is pure overhead for an availableNow one-shot over an immutable
+    input, so the checkpoint dir goes on a RAM-backed tmpfs when the
+    host has one and is deleted after the run.
     """
     name = f"stream_twin_{uuid.uuid4().hex[:8]}"
     key = "spark.sql.shuffle.partitions"
@@ -100,7 +124,10 @@ def _run_to_memory(spark, df, output_mode: str):
     except Exception:
         prev = None
     try:
-        width = str(spark.sparkContext.defaultParallelism)
+        par = spark.sparkContext.defaultParallelism
+        if input_bytes is not None:
+            par = max(1, min(par, (int(input_bytes) + (4 << 20) - 1) >> 22))
+        width = str(par)
     except Exception:  # Spark Connect: no sparkContext — keep session conf
         width = prev
     ck_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
@@ -173,7 +200,10 @@ def stream_session_twin(spark, sf_dir):
             "n_events",
         )
     )
-    return _run_to_memory(spark, agg, output_mode="complete")
+    return _run_to_memory(
+        spark, agg, output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -198,7 +228,10 @@ def stream_dedup_twin(spark, sf_dir):
     deduped = events.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return _run_to_memory(spark, deduped, output_mode="append")
+    return _run_to_memory(
+        spark, deduped, output_mode="append",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -335,7 +368,10 @@ def stream_tws_user_stats(spark, sf_dir):
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        return _run_to_memory(spark, out, output_mode="update")
+        return _run_to_memory(
+        spark, out, output_mode="update",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
     LAST_TWS_DISPATCH = "tws"
     out_schema = StructType(
         [
@@ -360,7 +396,10 @@ def stream_tws_user_stats(spark, sf_dir):
             provider_key,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-        return _run_to_memory(spark, stats, output_mode="update")
+        return _run_to_memory(
+        spark, stats, output_mode="update",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
     finally:
         if prev_provider is not None:
             spark.conf.set(provider_key, prev_provider)
@@ -411,7 +450,10 @@ def stream_sliding_twin(spark, sf_dir):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
-    return _run_to_memory(spark, agg, output_mode="complete")
+    return _run_to_memory(
+        spark, agg, output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -461,7 +503,10 @@ def stream_stateful_count_twin(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(spark, out, output_mode="update")
+    return _run_to_memory(
+        spark, out, output_mode="update",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -519,7 +564,10 @@ def stream_join_twin(spark, sf_dir):
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
     )
-    sunk = _run_to_memory(spark, pairs, output_mode="append")
+    sunk = _run_to_memory(
+        spark, pairs, output_mode="append",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
     return sunk.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("min_gap_us"),
@@ -787,7 +835,10 @@ def stream_late_drop_twin(spark, sf_dir):
                 / F.lit(100).cast("double")
             ).alias("sum_value"),
         )
-        sunk = _run_to_memory(spark, agg, output_mode="update")
+        sunk = _run_to_memory(
+        spark, agg, output_mode="update",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
         # per window: the last emission is the one with the largest n
         final = (
             sunk.select(
@@ -859,7 +910,10 @@ def stream_static_join_twin(spark, sf_dir):
             "sum_value",
         )
     )
-    return _run_to_memory(spark, agg, output_mode="complete")
+    return _run_to_memory(
+        spark, agg, output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -958,7 +1012,10 @@ def stream_chained_agg_twin(spark, sf_dir):
                 F.sum("sv").cast("long").alias("sv"),
             )
         )
-        sunk = _run_to_memory(spark, rollup, output_mode="append")
+        sunk = _run_to_memory(
+        spark, rollup, output_mode="append",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
         final = sunk.select(
             F.col("w2.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
@@ -1011,7 +1068,10 @@ def stream_union_twin(spark, sf_dir):
             ).alias("sum_value"),
         )
     )
-    return _run_to_memory(spark, agg, output_mode="complete")
+    return _run_to_memory(
+        spark, agg, output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1052,7 +1112,10 @@ def stream_ohlc_twin(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
-    return _run_to_memory(spark, agg, output_mode="complete")
+    return _run_to_memory(
+        spark, agg, output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1085,7 +1148,10 @@ def stream_vwap_twin(spark, sf_dir):
         ),
         F.sum(vol).alias("volume"),
     )
-    done = _run_to_memory(spark, agg, output_mode="complete")
+    done = _run_to_memory(
+        spark, agg, output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
     return done.select(
         "bucket",
         "turnover_e2",
@@ -1137,7 +1203,10 @@ def stream_ttest_twin(spark, sf_dir):
         ]
 
     agg = events.groupBy().agg(*moments(_TT_A, "1"), *moments(_TT_B, "2"))
-    done = _run_to_memory(spark, agg, output_mode="complete")
+    done = _run_to_memory(
+        spark, agg, output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
 
     def mean(tag: str):
         return (
@@ -1218,5 +1287,8 @@ def stream_neyman_twin(spark, sf_dir):
         F.sum(v).cast("long").alias("s"),
         F.sum(v * v).cast("long").alias("q"),
     )
-    done = _run_to_memory(spark, agg, output_mode="complete")
+    done = _run_to_memory(
+        spark, agg, output_mode="complete",
+        input_bytes=_stream_input_bytes(sf_dir),
+    )
     return neyman_from_moments(done)
