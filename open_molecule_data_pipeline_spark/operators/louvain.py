@@ -269,11 +269,13 @@ def _lit_map(d):
     (assignment overrides, per-community degree sums, level maps): at the
     %_K seed the community-id domain is {0.._K-1} regardless of corpus
     size, so these maps never exceed _K entries at 100 TB either."""
-    pairs = []
-    for k in sorted(d):
-        pairs.append(F.lit(int(k)).cast("long"))
-        pairs.append(F.lit(int(d[k])).cast("long"))
-    return F.create_map(*pairs)
+    # One F.expr over a SQL literal string instead of create_map over
+    # 2x|d| F.lit().cast() columns: each Column constructor is a py4j
+    # round-trip, and a 64-entry map paid ~0.7 s of driver latency PER
+    # SWEEP building 256 of them (r16 profile — the inter-job "gap" time
+    # of guide §7.3). The parsed expression tree is identical.
+    pairs = ", ".join(f"{int(k)}L, {int(d[k])}L" for k in sorted(d))
+    return F.expr(f"map({pairs})")
 
 
 def _seed_assign_expr(col, moved):
@@ -316,42 +318,53 @@ def _sweep_seeded_driver(ud, m_val, moved, dsum):
     m_lit = F.lit(int(m_val)).cast("long")
     dmap = _lit_map(dsum)
     zero = F.lit(0).cast("long")
-    per = (
+    # Window form of the per-node fold (r16): k/kua/candidate-argmin over
+    # the per-(u, b) rows via sums and a struct-min PARTITIONED BY u —
+    # same exchange-free placement as the collect_list fold (hash(u)
+    # clusters both the groupBy(u, b) and the window), but whole-stage
+    # codegen instead of interpreted array lambdas over collected lists
+    # (higher-order functions never codegen; the fold was the sweep
+    # job's per-row hot spot). Arithmetic and (ns, b) tie-break are
+    # unchanged, so kept moves are bit-identical.
+    wu = Window.partitionBy("u")
+    kub_b = (
         ud.groupBy("u", _seed_assign_expr("v", moved).alias("b"))
         .agg(F.sum("w").cast("long").alias("kub"))
-        .groupBy("u")
-        .agg(F.collect_list(F.struct("b", "kub")).alias("cl"))
         .withColumn("a", _seed_assign_expr("u", moved))
-        .withColumn(
-            "k",
-            F.aggregate("cl", zero, lambda acc, x: acc + x["kub"]),
-        )
+        .withColumn("k", F.sum("kub").over(wu))
         .withColumn(
             "kua",
-            F.aggregate(
-                "cl",
+            F.coalesce(
+                F.sum(F.when(F.col("b") == F.col("a"), F.col("kub"))).over(
+                    wu
+                ),
                 zero,
-                lambda acc, x: acc
-                + F.when(x["b"] == F.col("a"), x["kub"]).otherwise(zero),
             ),
         )
-        .withColumn(
-            "mv",
-            F.array_min(
-                F.transform(
-                    F.filter("cl", lambda x: x["b"] != F.col("a")),
-                    lambda x: F.struct(
-                        (
-                            -(
-                                2 * m_lit * x["kub"]
-                                - F.col("k") * F.try_element_at(dmap, x["b"])
-                            )
-                        ).alias("ns"),
-                        x["b"].alias("b"),
-                        x["kub"].alias("kub"),
-                    ),
-                )
+    )
+    per = (
+        kub_b.withColumn(
+            "cand",
+            F.when(
+                F.col("b") != F.col("a"),
+                F.struct(
+                    (
+                        -(
+                            2 * m_lit * F.col("kub")
+                            - F.col("k") * F.try_element_at(dmap, F.col("b"))
+                        )
+                    ).alias("ns"),
+                    F.col("b").alias("b"),
+                    F.col("kub").alias("kub"),
+                ),
             ),
+        )
+        .groupBy("u")
+        .agg(
+            F.first("a").alias("a"),
+            F.first("k").alias("k"),
+            F.first("kua").alias("kua"),
+            F.min("cand").alias("mv"),
         )
     )
     moves = (
