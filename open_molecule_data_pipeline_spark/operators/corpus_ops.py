@@ -822,7 +822,7 @@ def text_bpe_train_merges(spark, sf_dir):
         )
         cur = (
             cur.crossJoin(F.broadcast(top.select("kept")))
-            .select(_bpe_merge_fold(F.col("toks"), F.col("kept")).alias("toks"))
+            .select(_bpe_merge_fold("toks", "kept").alias("toks"))
             .localCheckpoint(eager=False)
         )
     out = results[0]
@@ -926,44 +926,35 @@ def _bpe_merge_fold(toks, kept):
       only the just-merged pair.
     State: (out tokens, pend = one uncommitted token that may start a
     match, mask = kr of the pair blocked at pend's position, 0 = none).
+
+    r16 (guide §7.3 inter-job gaps): the automaton is parsed from ONE
+    SQL string instead of assembled from nested functions.* lambda
+    Columns — the Column form cost ~1.1 s of py4j round-trips PER
+    CONSTRUCTION (built once per sweep, twice per BPE query). The parsed
+    expression tree — including the repeated ``hit`` subtree inside each
+    CASE arm — is the same tree the Column builder produced. ``toks``
+    and ``kept`` are SQL expression strings (column names).
     """
-    zero = F.struct(
-        F.lit([]).cast("array<string>").alias("out"),
-        F.lit(None).cast("string").alias("pend"),
-        F.lit(0).alias("mask"),
+    hit = (
+        f"get(filter({kept}, p -> p.a = acc.pend AND p.b = t "
+        f"AND p.kr != acc.mask), 0)"
     )
-
-    def step(acc, t):
-        hit = F.get(
-            F.filter(
-                kept,
-                lambda p: (p["a"] == acc["pend"])
-                & (p["b"] == t)
-                & (p["kr"] != acc["mask"]),
-            ),
-            0,
-        )
-        return F.struct(
-            F.when(hit.isNotNull(), F.concat(acc["out"], F.array(hit["m"])))
-            .when(acc["pend"].isNull(), acc["out"])
-            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
-            .alias("out"),
-            F.when(hit.isNotNull(), F.lit(None).cast("string"))
-            .otherwise(t)
-            .alias("pend"),
-            F.when(hit.isNotNull(), hit["kr"].cast("int"))
-            .when(acc["pend"].isNull(), acc["mask"])
-            .otherwise(F.lit(0))
-            .alias("mask"),
-        )
-
-    return F.aggregate(
-        toks,
-        zero,
-        step,
-        lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
-            F.concat(acc["out"], F.array(acc["pend"]))
-        ),
+    return F.expr(
+        f"""aggregate(
+  {toks},
+  struct(cast(array() as array<string>) as out,
+         cast(null as string) as pend, 0 as mask),
+  (acc, t) -> struct(
+    CASE WHEN {hit} IS NOT NULL THEN concat(acc.out, array({hit}.m))
+         WHEN acc.pend IS NULL THEN acc.out
+         ELSE concat(acc.out, array(acc.pend)) END AS out,
+    CASE WHEN {hit} IS NOT NULL THEN cast(null as string)
+         ELSE t END AS pend,
+    CASE WHEN {hit} IS NOT NULL THEN cast({hit}.kr as int)
+         WHEN acc.pend IS NULL THEN acc.mask
+         ELSE 0 END AS mask),
+  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+              ELSE concat(acc.out, array(acc.pend)) END)"""
     )
 
 
@@ -1082,7 +1073,7 @@ def text_bpe_train_batched(spark, sf_dir):
         )
         cur = (
             cur.crossJoin(F.broadcast(keptrow))
-            .select(_bpe_merge_fold(F.col("toks"), F.col("kept")).alias("toks"))
+            .select(_bpe_merge_fold("toks", "kept").alias("toks"))
             .localCheckpoint(eager=False)
         )
     out = results[0]
@@ -1261,7 +1252,7 @@ def text_bpe_encode_apply(spark, sf_dir):
             cur.crossJoin(F.broadcast(keptrow))
             .select(
                 "lang",
-                _bpe_merge_fold(F.col("toks"), F.col("kept")).alias("toks"),
+                _bpe_merge_fold("toks", "kept").alias("toks"),
                 "nb",
             )
             .localCheckpoint(eager=False)

@@ -336,7 +336,7 @@ def text_wordpiece_train(spark, sf_dir):
         )
         cur = (
             cur.crossJoin(F.broadcast(top.select("kept")))
-            .select(_bpe_merge_fold(F.col("toks"), F.col("kept")).alias("toks"))
+            .select(_bpe_merge_fold("toks", "kept").alias("toks"))
             .localCheckpoint(eager=False)
         )
     out = results[0]

@@ -152,7 +152,7 @@ def test_merge_fold_automaton_matches_regex_reference(spark):
         df.select(
             "id",
             "expect",
-            _bpe_merge_fold(F.col("toks"), F.col("kept")).alias("merged"),
+            _bpe_merge_fold("toks", "kept").alias("merged"),
         )
         .filter(F.col("merged") != F.col("expect"))
         .collect()
