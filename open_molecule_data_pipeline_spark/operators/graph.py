@@ -107,30 +107,50 @@ def connected_components(
     labels_gen = generation - 1
 
     changed = 0
-    for _ in range(max_iter):
-        neighbor_min = (
-            undirected.join(labels, undirected.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = persist(
-            labels.join(neighbor_min, "node", "left").select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
-                    "__changed"
+    it = 0
+    while it < max_iter:
+        # r16 (guide §2.4 / §7.3): TWO propagation rounds per convergence
+        # probe. The count on the second round's lazy checkpoint scans
+        # every partition, which materializes BOTH chained checkpoints in
+        # ONE job — halving the per-round scheduler barriers that
+        # dominate the loop at small scale (each round's work is one
+        # cached-edge join). Exit stays exact: labels only decrease, and
+        # a round after convergence is an identity pass, so "second
+        # round changed nothing" == converged (the possible extra
+        # identity round costs one join, not a wrong answer). Superseded
+        # generations are released only after the probe materializes
+        # their successors.
+        steps = min(2, max_iter - it)
+        pending: list = []
+        for _ in range(steps):
+            neighbor_min = (
+                undirected.join(labels, undirected.b == labels.node)
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            updated = persist(
+                labels.join(neighbor_min, "node", "left").select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                    (
+                        F.coalesce("nbr_label", F.col("label"))
+                        < F.col("label")
+                    ).alias("__changed"),
                 ),
-            ),
-            eager=False,
-        )
+                eager=False,
+            )
+            pending.append((labels, labels_gen))
+            labels = updated.drop("__changed")
+            labels_gen = generation - 1
+            it += 1
         # full count, not limit(1): scanning every partition is what
-        # materializes the lazy checkpoint in the same job as the check
+        # materializes the lazy checkpoint chain in the same job as the
+        # check
         changed = updated.filter(F.col("__changed")).count()
-        release(labels, labels_gen)
-        labels = updated.drop("__changed")
-        labels_gen = generation - 1
+        for prev, prev_gen in pending:
+            release(prev, prev_gen)
         if changed == 0:
             break
     if changed != 0:
