@@ -295,26 +295,35 @@ def text_unigram_lm_train(spark, sf_dir):
 # hashable).
 # --------------------------------------------------------------------------
 
-# candidate score for piece length l ending at position i (fold-local)
-_CAND2 = (
-    "element_at(acc, i - l + 1).b"
-    " + coalesce(element_at(vm2, substring(w, i - l + 1, l)),"
-    f" cast({_NEG} as bigint))"
-)
-_BEST2 = (
-    f"array_max(transform(sequence(1, least({_MAXL}, i)), l -> {_CAND2}))"
-)
+# r16 rewrite (guide §1.2 per-task work; semantics bit-identical): the
+# original fold (a) grew an O(len) accumulator with array_append — an
+# O(len^2) copy per word — and (b) re-evaluated the candidate expression
+# ~24x per position (4 for best, then 4 achiever tests each re-deriving
+# best's 4 candidates). Pieces are capped at _MAXL, so the fold only
+# ever reads the last _MAXL states: the accumulator is now a bounded
+# front-prepend window (acc[l] = state at position i-l), and the
+# longest-achiever rule collapses into ONE struct array_max — struct
+# ordering compares b first, then l, so ties on the score pick the
+# LARGEST l, exactly the original filter/max rule (np is third and
+# unreachable: l is unique). 4 vocab-map lookups per position, fixed
+# state. text_unigram_lm_apply 26.8 -> see OPTIMIZATION_r16.md; also
+# serves ppl_filter and em_convergence.
+_WIN2 = f"""array_max(transform(sequence(1, least({_MAXL}, i)), l ->
+      named_struct(
+        'b', element_at(acc, l).b
+             + coalesce(element_at(vm2, substring(w, i - l + 1, l)),
+                        cast({_NEG} as bigint)),
+        'l', l,
+        'np', element_at(acc, l).np)))"""
 _FWD2_EXPR = f"""
 aggregate(
   sequence(1, length(w)),
   array(named_struct('b', cast(0 as bigint), 'np', 0)),
-  (acc, i) -> array_append(acc, named_struct(
-    'b', {_BEST2},
-    'np', element_at(acc,
-            i - array_max(filter(transform(sequence(1, least({_MAXL}, i)),
-                                           l -> if({_CAND2} = {_BEST2}, l, -1)),
-                                 v -> v > 0)) + 1).np + 1)),
-  acc -> element_at(acc, length(w) + 1))
+  (acc, i) -> slice(
+    concat(array(transform(array({_WIN2}), x ->
+      named_struct('b', x.b, 'np', x.np + 1))[0]), acc),
+    1, {_MAXL}),
+  acc -> element_at(acc, 1))
 """
 
 _APPLY_ORACLE = f"""
