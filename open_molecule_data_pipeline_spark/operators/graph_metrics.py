@@ -739,6 +739,12 @@ def _louvain_state(spark, sf_dir):
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    # r16: a pre-checkpoint repartition(defaultParallelism, u, v) was
+    # tried here (to widen the AQE-coalesced distinct before persisting)
+    # and REJECTED on measurement: pass 9.7 -> 13.7 s, coarsen
+    # 5.3 -> 11.3 s at sf0.1. The extra exchange plus wide near-empty
+    # downstream stages cost more than the narrow persisted layout; the
+    # concurrent broadcast-side subtrees already overlap across cores.
     e = (
         li.select(
             (F.col("l_suppkey") * 2).alias("u"),
@@ -864,7 +870,17 @@ def graph_louvain_pass(spark, sf_dir):
         F.col("q").alias("q0_nano")
     )
     q1 = q_nano(c1).select(F.col("q").alias("q1_nano"))
-    nmv = kept.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_moves"))
+    # n_moves read off the CHECKPOINTED assignment instead of `kept`:
+    # a kept move always targets a different community (gain > 0 forces
+    # b != a), so moved nodes are exactly those whose c1 cid differs
+    # from the arithmetic seed. Counting `kept` re-executed the whole
+    # un-checkpointed moves/winner pipeline inside this broadcast build
+    # (r16 profile: a duplicate ~1 s single-task subtree).
+    nmv = (
+        c1.where(F.col("cid") != F.col("node") % _LOUVAIN_K)
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_moves"))
+    )
     sizes = c1.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
