@@ -866,7 +866,7 @@ def graph_louvain_singleton(spark, sf_dir):
     # one job: materializes the ud + deg0 caches and returns the scalar
     # modularity denominator (sum of degrees = 2m — one row collected)
     m_val = int(
-        deg0.groupBy().agg(F.sum("k").cast("long").alias("s")).collect()[0]["s"]
+        deg0.groupBy().agg(F.sum("k").cast("long").alias("s")).collect()[0]["s"]  # bounded-collect: one global-aggregate row (the scalar 2m)
         // 2
     )
     m_lit = F.lit(m_val).cast("long")
