@@ -11,12 +11,21 @@ precedent), and the MMR score is the pure-integer 700 * rel6 -
 selection logic. Step 1's empty selected set scores 700 * rel6 (the
 textbook MMR start).
 
-Shape: the greedy loop is 5 DRIVER-side rounds (the BPE-trainer
-pattern) over CANDIDATE-sized tables only — the corpus is touched once
-to build the top-10 lists and the 10x9-per-query pair sims; each round
-is one anti-join + one max-sim aggregation + one per-query argmax, all
-bounded by queries x 10. The oracle unrolls the same five steps as
-chained CTEs.
+Shape (r16 optimization round, guide §7.3 driver barriers / §2.4): the
+corpus is touched once to build the top-10 candidate lists (one
+|corpus|-scale scoring pass) and once more — pruned to the <=100
+candidate ids by a pushed-down IN filter — to compute the 10x9-per-query
+pair sims; BOTH tables are bounded BY CONSTRUCTION (<= N_QUERIES x _R
+and <= N_QUERIES x _R x (_R-1) rows at ANY corpus size, N_QUERIES and
+_R compile-time constants), so the 5 greedy rounds are replayed ON THE
+DRIVER over the collected integers — the louvain-multilevel precedent.
+All cosine arithmetic (rel6/sim6 micro-quantization) stays in Spark,
+identical expressions to the r13 form, so the collected ints — and
+hence the pure-integer greedy — are bit-identical to the old 5-round
+Spark loop (which paid ~53 sequential jobs / 6 localCheckpoint barriers
+for the same arithmetic; r16 profile: 3.2 s of inter-job gaps over
+2.5 s of work at sf0.1). The oracle unrolls the same five steps as
+chained CTEs and is unchanged.
 """
 
 from __future__ import annotations
@@ -114,8 +123,11 @@ s{t} AS (
 @register("sim_rerank_mmr", oracle=_mmr_oracle(), tags=("similarity",))
 def sim_rerank_mmr(spark, sf_dir):
     """Greedy MMR selection of 5 from each query's cosine top-10 with
-    integer 700/300 scoring; 5 driver-side rounds over candidate-sized
-    tables."""
+    integer 700/300 scoring; the greedy rounds replayed driver-side over
+    the bounded collected candidate/pair-sim integers (see module
+    docstring — r16 optimization)."""
+    from pyspark.sql import types as T
+
     e = spread(
         table(spark, sf_dir, "embeddings").select(
             "vec_id",
@@ -144,24 +156,55 @@ def sim_rerank_mmr(spark, sf_dir):
         .alias("rel6")
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("rel6"), "neighbor_id")
-    cand = (
+    cand_rows = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", rel6)
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _R)
         .drop("rn")
-        # the loop tables are CONSTANT-size (|Q| x 10 regardless of
-        # corpus): bound their partition count so the 5 greedy rounds
-        # schedule a handful of tasks, not shuffle.partitions' worth
-        .repartition(4, "query_id")
-        .localCheckpoint(eager=True)
+        .collect()  # bounded-collect: <= N_QUERIES x _R rows by construction (row_number <= _R over N_QUERIES query partitions)
     )
-    x = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("xe"),
-                 F.col("nn").alias("xn"))
-    y = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("ye"),
-                 F.col("nn").alias("yn"))
-    a = cand.select("query_id", F.col("neighbor_id").alias("i"))
-    b = cand.select(F.col("query_id").alias("qb"), F.col("neighbor_id").alias("j"))
+    # per-query candidate pools in (rel6 DESC, neighbor_id ASC) order —
+    # the window's exact ordering, so pool[0] is the round-1 winner
+    pool: dict[int, list[tuple[int, int]]] = {}
+    for r in cand_rows:
+        pool.setdefault(int(r["query_id"]), []).append(
+            (int(r["neighbor_id"]), int(r["rel6"]))
+        )
+    for lst in pool.values():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+
+    # pair sims: the cosine arithmetic stays in Spark (identical sim6
+    # expression — driver-side doubles could round differently), but the
+    # embedding fetch is pruned to the <=N_QUERIES*_R candidate ids with
+    # a pushed-down IN filter (guide §6: the old form re-scanned the full
+    # corpus twice to fetch 100 vectors), and the bounded sides are
+    # broadcast so the scans are never shuffled.
+    ids = sorted({nid for lst in pool.values() for nid, _ in lst})
+    pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [
+                (qid, i, j)
+                for qid, lst in sorted(pool.items())
+                for i, _ in lst
+                for j, _ in lst
+                if i != j
+            ],
+            1,  # single slice: bounded table, one task, no empty-slice fan-out
+        ),
+        schema="query_id long, i long, j long",
+    )
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id").isin(ids))
+    x = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("xe"),
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("xn"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("ye"),
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("yn"),
+    )
     sim6 = (
         F.round(
             F.expr(_DOT.format(a="xe", b="ye"))
@@ -171,79 +214,57 @@ def sim_rerank_mmr(spark, sf_dir):
         .cast("long")
         .alias("sim6")
     )
-    sims = (
-        # embedding fetches are deliberately UN-hinted: the small side is
-        # the bounded candidate-pair table (|Q| x 10 x 9), the embedding
-        # side scales with the corpus — AQE broadcasts the right one
-        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("i") != F.col("j")))
-        .join(x, "i")
-        .join(y, "j")
+    simd: dict[tuple[int, int, int], int] = {}
+    for r in (
+        y.join(F.broadcast(x.join(F.broadcast(pairs), "i")), "j")
         .select("query_id", "i", "j", sim6)
-        .repartition(4, "query_id")
-        .localCheckpoint(eager=True)
-    )
-    selected = None
-    winners = []
-    for t in range(1, _K_MMR + 1):
-        if t == 1:
-            w1 = (
-                cand.withColumn("rn", F.row_number().over(wq))
-                .filter(F.col("rn") == 1)
-                .select(
-                    "query_id",
-                    "neighbor_id",
-                    "rel6",
-                    F.lit(0).cast("long").alias("maxsim6"),
-                    (F.lit(_WREL) * F.col("rel6")).alias("mmr_milli"),
-                    F.lit(1).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            winners.append(w1)
-            selected = w1.select("query_id", "neighbor_id")
+        .collect()  # bounded-collect: <= N_QUERIES x _R x (_R - 1) pair rows by construction
+    ):
+        simd[(int(r["query_id"]), int(r["i"]), int(r["j"]))] = int(r["sim6"])
+
+    # exact driver-side greedy: pure-integer scoring, identical
+    # tie-breaks (argmax by mmr_milli DESC, neighbor_id ASC), inner-join
+    # semantics mirrored (a candidate with no sim row vs the selected
+    # set drops out of the round, as in the oracle's m{t} join)
+    out_rows: list[tuple[int, int, int, int, int, int]] = []
+    for qid in sorted(pool):
+        lst = pool[qid]
+        if not lst:
             continue
-        rem = cand.join(selected, ["query_id", "neighbor_id"], "left_anti")
-        sel_j = selected.select(
-            "query_id", F.col("neighbor_id").alias("j")
-        )
-        # sims' query column is RENAMED before the join: rem and sims
-        # share checkpoint lineage, so joining on same-named columns
-        # resolves to a trivially-true predicate (self-join ambiguity) —
-        # harmless here only because sim6 is query-independent, but the
-        # explicit alias kills the ambiguity and the cross-query fanout
-        sims_t = sims.select(
-            F.col("query_id").alias("sq"), "i", "j", "sim6"
-        )
-        m = (
-            rem.join(
-                sims_t,
-                (F.col("query_id") == F.col("sq"))
-                & (F.col("neighbor_id") == F.col("i")),
-            )
-            .join(sel_j, ["query_id", "j"])
-            .groupBy("query_id", "neighbor_id", "rel6")
-            .agg(F.max("sim6").alias("maxsim6"))
-        )
-        score = F.lit(_WREL) * F.col("rel6") - F.lit(_WDIV) * F.col("maxsim6")
-        ws = W.partitionBy("query_id").orderBy(
-            F.desc(score), "neighbor_id"
-        )
-        wt = (
-            m.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "rel6",
-                "maxsim6",
-                score.alias("mmr_milli"),
-                F.lit(t).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        winners.append(wt)
-        selected = selected.unionByName(wt.select("query_id", "neighbor_id"))
-    out = winners[0]
-    for wdf in winners[1:]:
-        out = out.unionByName(wdf)
-    return out
+        nid0, rel0 = lst[0]
+        out_rows.append((qid, nid0, rel0, 0, _WREL * rel0, 1))
+        sel = [nid0]
+        for t in range(2, _K_MMR + 1):
+            best = None
+            for nid, rel in lst:
+                if nid in sel:
+                    continue
+                ms = None
+                for j in sel:
+                    s6 = simd.get((qid, nid, j))
+                    if s6 is not None and (ms is None or s6 > ms):
+                        ms = s6
+                if ms is None:
+                    continue  # no sim row vs selected: inner join drops it
+                sc = _WREL * rel - _WDIV * ms
+                if best is None or (-sc, nid) < (-best[0], best[1]):
+                    best = (sc, nid, rel, ms)
+            if best is None:
+                break  # query exhausted (< _K_MMR candidates)
+            sc, nid, rel, ms = best
+            out_rows.append((qid, nid, rel, ms, sc, t))
+            sel.append(nid)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("rel6", T.LongType()),
+            T.StructField("maxsim6", T.LongType()),
+            T.StructField("mmr_milli", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out_rows, 1), schema=out_schema
+    )
