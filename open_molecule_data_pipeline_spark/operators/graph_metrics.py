@@ -54,6 +54,20 @@ def _edges(spark, sf_dir):
     )
 
 
+def _edges_cached(spark, sf_dir):
+    """Edge table persisted and materialized EAGERLY (guide §5 caching,
+    the dedup_prefix_filter_join precedent): every metric below reads the
+    edge table from 3-4 subtrees under one action, and with a LAZY
+    persist those concurrent AQE query-stage jobs race the empty cache
+    and each re-run the full lineitem self-join (r16 adamic_adar
+    profile: seven concurrent 32-task jobs over the identical edge
+    subtree). One count barrier makes every consumer a block read — at
+    100 TB each skipped re-run is a corpus-slice scan + self-join."""
+    e = _edges(spark, sf_dir).persist()
+    e.count()
+    return e
+
+
 _CC_ORACLE = f"""
 WITH edges AS ({_EDGE_SQL}),
 deg AS (
@@ -89,7 +103,7 @@ WHERE deg.d >= 2
     "graph_clustering_coefficient", oracle=_CC_ORACLE, tags=("graph", "agg")
 )
 def graph_clustering_coefficient(spark, sf_dir):
-    edges = _edges(spark, sf_dir).persist()
+    edges = _edges_cached(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select("v"))
@@ -157,7 +171,7 @@ LIMIT 20
 
 @register("graph_jaccard_neighbors", oracle=_JACCARD_ORACLE, tags=("graph", "join"))
 def graph_jaccard_neighbors(spark, sf_dir):
-    edges = _edges(spark, sf_dir).persist()
+    edges = _edges_cached(spark, sf_dir)
     und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
@@ -248,7 +262,7 @@ LIMIT 20
 
 @register("graph_adamic_adar", oracle=_AA_ORACLE, tags=("graph", "join"))
 def graph_adamic_adar(spark, sf_dir):
-    edges = _edges(spark, sf_dir).persist()
+    edges = _edges_cached(spark, sf_dir)
     und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
@@ -330,7 +344,7 @@ FROM m, nodes
     tags=("graph", "stats"),
 )
 def graph_assortativity(spark, sf_dir):
-    edges = _edges(spark, sf_dir).persist()
+    edges = _edges_cached(spark, sf_dir)
     und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )

@@ -224,26 +224,45 @@ t{r} AS (
 def text_wordpiece_train(spark, sf_dir):
     """Three WordPiece merge rounds over the corpus: likelihood-scored
     pair selection (freq_ab / (freq_a * freq_b)) with the tokenize-once
-    array-fold rewrite shared with the BPE trainer."""
+    array-fold rewrite shared with the BPE trainer.
+
+    r16 (guide §1.2/§2.4): ONE corpus scan per round instead of two —
+    every token position emits a struct (a = toks[i], b = toks[i+1] or
+    NULL at the document's last position), so the adjacent-pair counts
+    (b IS NOT NULL) and the docs-ending-in-t counts (b IS NULL) ride the
+    same explode + one map-side-combinable groupBy. Unigram counts then
+    collapse to ONE aggregation of that table: every token occurrence
+    either starts a pair (as ``a``) or is a document's last token (the
+    sentinel row, also keyed ``a``), so freq(t) = sum(fab) grouped by a
+    — the full_outer fp/fl join is gone. The oracle counts unigrams
+    DIRECTLY from the token stream, so parity proves the identity.
+    The 1-row top is collected (bounded by construction: limit 1) and
+    re-enters the plan as a literal merge rule — no per-round broadcast
+    job, no eager-checkpoint barrier, and the 3-row result is a local
+    single-slice table, per the louvain/mmr driver-replay precedent.
+    """
     from .corpus_ops import _bpe_merge_fold
+    from .louvain import _local_df
 
     d = table(spark, sf_dir, "documents")
     cur = d.repartition(spark.sparkContext.defaultParallelism).select(
         F.split(F.trim(F.col("text")), " ").alias("toks")
     )
-    results = []
-    cached = []
+    out_rows = []
     for r in range(1, _WPT_ROUNDS + 1):
         tk = F.col("toks")
-        pairs = (
-            cur.filter(F.size(tk) >= 2)
-            .select(
+        # pair rows + last-token sentinel rows in one pass; the guarded
+        # element_at never evaluates out of bounds (CASE arms are lazy)
+        both = (
+            cur.select(
                 F.explode(
                     F.transform(
-                        F.sequence(F.lit(0), F.size(tk) - 2),
+                        F.sequence(F.lit(0), F.size(tk) - 1),
                         lambda i: F.struct(
                             F.element_at(tk, i + 1).alias("a"),
-                            F.element_at(tk, i + 2).alias("b"),
+                            F.when(
+                                i + 2 <= F.size(tk), F.element_at(tk, i + 2)
+                            ).alias("b"),
                         ),
                     )
                 ).alias("p")
@@ -251,39 +270,16 @@ def text_wordpiece_train(spark, sf_dir):
             .groupBy("p.a", "p.b")
             .agg(F.count(F.lit(1)).cast("long").alias("fab"))
             # persist, not localCheckpoint: both consumers (the unigram
-            # derivation and the score join) reuse ONE corpus-wide pair
+            # aggregation and the score join) reuse ONE corpus-wide
             # aggregation per round, and InMemoryRelation keeps stats
             # visible to AQE (a checkpointed RDD scan would force SMJ
-            # everywhere). The pair table is vocab-squared-bounded
+            # everywhere). The table is vocab-squared-bounded
             # (Heaps-sublinear), MEMORY_AND_DISK spills if not.
             .persist()
         )
-        cached.append(pairs)
-        # unigram counts DERIVED instead of re-aggregated: every token
-        # occurrence except a document's LAST starts exactly one adjacent
-        # pair, so freq(t) = sum(fab where a = t) + #docs-ending-in-t.
-        # The first term groups the already-aggregated vocab-sized pair
-        # table (corpus-independent); the second is one row per DOCUMENT,
-        # not per token — together they replace a full corpus token
-        # explode per round. The oracle counts unigrams DIRECTLY from the
-        # token stream, so parity doubles as a proof of this identity.
-        lasts = (
-            cur.filter(F.size(tk) >= 1)
-            .select(F.element_at(tk, -1).alias("tok"))
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("fl"))
-        )
-        uni = (
-            pairs.groupBy(F.col("a").alias("tok"))
-            .agg(F.sum("fab").alias("fp"))
-            .join(lasts, "tok", "full_outer")
-            .select(
-                "tok",
-                (
-                    F.coalesce(F.col("fp"), F.lit(0))
-                    + F.coalesce(F.col("fl"), F.lit(0))
-                ).alias("f"),
-            )
+        pairs = both.filter(F.col("b").isNotNull())
+        uni = both.groupBy(F.col("a").alias("tok")).agg(
+            F.sum("fab").alias("f")
         )
         # the unigram joins are NOT hint-broadcast: distinct tokens at
         # 100 TB outgrow any broadcast budget (the kn_lm.py precedent) —
@@ -311,39 +307,39 @@ def text_wordpiece_train(spark, sf_dir):
                 F.round(F.col("score") * 1_000_000_000)
                 .cast("long")
                 .alias("score_nano"),
-                F.array(
-                    F.struct(
-                        F.col("a").alias("a"),
-                        F.col("b").alias("b"),
-                        F.col("fab").cast("long").alias("freq"),
-                        F.lit(1).cast("long").alias("kr"),
-                        F.concat(F.col("a"), F.lit("_"), F.col("b")).alias("m"),
-                    )
-                ).alias("kept"),
             )
-            .localCheckpoint(eager=True)
-        )
-        results.append(
-            top.select(
-                F.lit(r).alias("round"),
-                F.col("a").alias("tok_a"),
-                F.col("b").alias("tok_b"),
-                F.col("fab").alias("freq_pair"),
-                F.col("fa").alias("freq_a"),
-                F.col("fb").alias("freq_b"),
-                "score_nano",
+            .collect()  # bounded-collect: exactly 1 row by construction (limit 1)
+        )[0]
+        both.unpersist()
+        out_rows.append(
+            (
+                r,
+                top["a"],
+                top["b"],
+                int(top["fab"]),
+                int(top["fa"]),
+                int(top["fb"]),
+                int(top["score_nano"]),
             )
         )
-        cur = (
-            cur.crossJoin(F.broadcast(top.select("kept")))
-            .select(_bpe_merge_fold("toks", "kept").alias("toks"))
-            .localCheckpoint(eager=False)
-        )
-    out = results[0]
-    for rdf in results[1:]:
-        out = out.unionByName(rdf)
-    # every per-round top is already an EAGER checkpoint, so nothing in
-    # the returned lineage still reads the cached pair tables
-    for p in cached:
-        p.unpersist()
-    return out
+        if r < _WPT_ROUNDS:
+            kept = F.array(
+                F.struct(
+                    F.lit(top["a"]).alias("a"),
+                    F.lit(top["b"]).alias("b"),
+                    F.lit(int(top["fab"])).cast("long").alias("freq"),
+                    F.lit(1).cast("long").alias("kr"),
+                    F.lit(top["a"] + "_" + top["b"]).alias("m"),
+                )
+            )
+            cur = (
+                cur.withColumn("kept", kept)
+                .select(_bpe_merge_fold("toks", "kept").alias("toks"))
+                .localCheckpoint(eager=False)
+            )
+    return _local_df(
+        spark,
+        out_rows,
+        "round int, tok_a string, tok_b string, freq_pair long,"
+        " freq_a long, freq_b long, score_nano long",
+    )

@@ -558,6 +558,43 @@ def test_wordpiece_train_brute_force_and_bpe_divergence(spark):
     ]
 
 
+def test_wordpiece_train_literal_merge_rule_special_chars(spark):
+    """r16: the winning pair re-enters the plan as a LITERAL merge rule
+    built from collected strings (the eager-checkpoint broadcast is
+    gone), so tokens carrying quote/backslash/unicode characters must
+    survive the literal path unmangled. A corpus whose round-1 winner is
+    exactly such a pair pins it: the merged token must appear verbatim
+    in round 2's pair stream."""
+    import tempfile
+
+    from open_molecule_data_pipeline_spark.operators.wordpiece import (
+        text_wordpiece_train,
+    )
+
+    # round 1 must pick (q't, b\\k): exclusive pair, score 1/(1*1) = 1.0;
+    # (u, u) is frequent but promiscuous (3/16), (é, é) scores 2/9
+    corpus = ["u u u u q't b\\k", "é é é"]
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(
+            spark, td, [(i, "en", c) for i, c in enumerate(corpus)]
+        )
+        rows = sorted(
+            text_wordpiece_train(spark, td).collect(), key=lambda r: r.round
+        )
+    assert (rows[0].tok_a, rows[0].tok_b) == ("q't", "b\\k")
+    assert rows[0].score_nano == 1_000_000_000
+    # round 2's WINNER contains the fused special-char token verbatim:
+    # doc0 is now "u u u u q't_b\k", so (u, q't_b\k) scores 1/(4*1) =
+    # 0.25, beating (u,u) 3/16 and (é,é) 2/9 — if the literal path had
+    # mangled the rule, the fold would not have merged and these counts
+    # would differ
+    by_round = {r.round: r for r in rows}
+    r2 = by_round[2]
+    assert (
+        r2.tok_a, r2.tok_b, r2.freq_pair, r2.freq_a, r2.freq_b, r2.score_nano
+    ) == ("u", "q't_b\\k", 1, 4, 1, 250_000_000)
+
+
 def test_ljung_box_hand_case(spark, tmp_path):
     """Hand-worked on 12-point hourly series (values in cents after the
     x100 quantization): the alternating series [1,2]*6 has
