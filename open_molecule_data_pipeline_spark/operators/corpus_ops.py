@@ -768,11 +768,13 @@ def text_bpe_train_merges(spark, sf_dir):
     sf1) — the per-round rewrite is _bpe_merge_fold with a single-element
     merge set (the K=1 case of the nested-regex equivalence argument).
     Oracle unchanged."""
+    from .louvain import _local_df
+
     d = table(spark, sf_dir, "documents")
     cur = d.repartition(spark.sparkContext.defaultParallelism).select(
         F.split(F.trim(F.col("text")), " ").alias("toks")
     )
-    results = []
+    out_rows = []
     for r in range(1, _BPE_ROUNDS + 1):
         tk = F.col("toks")
         pairs = (
@@ -791,44 +793,40 @@ def text_bpe_train_merges(spark, sf_dir):
             .groupBy("p.a", "p.b")
             .agg(F.count(F.lit(1)).alias("freq"))
         )
-        # eager 1-row checkpoint: both consumers (result rows + rewrite)
-        # reuse the one corpus aggregation instead of recomputing it
-        top = (
+        # r16: the 1-row winner is collected (bounded: limit 1) instead
+        # of eager-checkpointed — one corpus aggregation per round as
+        # before, but no broadcast-build job and no checkpoint reads in
+        # the final union (wordpiece/louvain/mmr driver-replay precedent)
+        rows = (
             pairs.orderBy(F.desc("freq"), "a", "b")
             .limit(1)
-            .select(
-                "a",
-                "b",
-                "freq",
-                F.array(
-                    F.struct(
-                        F.col("a").alias("a"),
-                        F.col("b").alias("b"),
-                        F.col("freq").alias("freq"),
-                        F.lit(1).cast("long").alias("kr"),
-                        F.concat(F.col("a"), F.lit("_"), F.col("b")).alias("m"),
-                    )
-                ).alias("kept"),
+            .select("a", "b", "freq")
+            .collect()  # bounded-collect: <= 1 row by construction (limit 1)
+        )
+        if not rows:  # empty corpus: no pairs left, no further rows
+            break
+        top = rows[0]
+        out_rows.append((r, top["a"], top["b"], int(top["freq"])))
+        if r < _BPE_ROUNDS:
+            kept = [
+                {
+                    "a": top["a"],
+                    "b": top["b"],
+                    "freq": int(top["freq"]),
+                    "kr": 1,
+                    "m": top["a"] + "_" + top["b"],
+                }
+            ]
+            cur = (
+                cur.withColumn("kept", _kept_literal(kept))
+                .select(_bpe_merge_fold("toks", "kept").alias("toks"))
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=True)
-        )
-        results.append(
-            top.select(
-                F.lit(r).alias("round"),
-                F.col("a").alias("tok_a"),
-                F.col("b").alias("tok_b"),
-                "freq",
-            )
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(top.select("kept")))
-            .select(_bpe_merge_fold("toks", "kept").alias("toks"))
-            .localCheckpoint(eager=False)
-        )
-    out = results[0]
-    for rdf in results[1:]:
-        out = out.unionByName(rdf)
-    return out
+    return _local_df(
+        spark,
+        out_rows,
+        "round int, tok_a string, tok_b string, freq long",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -958,6 +956,25 @@ def _bpe_merge_fold(toks, kept):
     )
 
 
+def _kept_literal(kept):
+    """Collected kept-merge rows re-entering the plan as ONE literal
+    array<struct> column for ``_bpe_merge_fold``. Values ride py4j as
+    literals — corpus tokens never pass through SQL-string parsing, so
+    quotes/backslashes/unicode survive verbatim (pinned in pytest)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k["a"]).alias("a"),
+                F.lit(k["b"]).alias("b"),
+                F.lit(int(k["freq"])).cast("long").alias("freq"),
+                F.lit(int(k["kr"])).cast("long").alias("kr"),
+                F.lit(k["m"]).alias("m"),
+            )
+            for k in kept
+        ]
+    )
+
+
 @register(
     "text_bpe_train_batched",
     oracle=_bpe_batched_oracle(),
@@ -977,6 +994,8 @@ def text_bpe_train_batched(spark, sf_dir):
     assignment are pure array expressions instead of triangular joins —
     per sweep: one corpus aggregation, one TakeOrdered(POOL), one 1-row
     map, one broadcast rewrite pass. Oracle unchanged."""
+    from .louvain import _local_df
+
     d = table(spark, sf_dir, "documents")
     # one round-robin shuffle up front: the trainer makes 2 passes per
     # sweep over the same corpus, and the source parquet's split count
@@ -985,7 +1004,7 @@ def text_bpe_train_batched(spark, sf_dir):
     cur = d.repartition(spark.sparkContext.defaultParallelism).select(
         F.split(F.trim(F.col("text")), " ").alias("toks")
     )
-    results = []
+    out_rows = []
 
     for r in range(1, _BPE_SWEEPS + 1):
         tk = F.col("toks")
@@ -1047,39 +1066,42 @@ def text_bpe_train_batched(spark, sf_dir):
             1,
             _BPE_BATCH,
         )
-        keptrow = cands.select(
-            F.transform(
-                kept_arr,
-                lambda c, i: F.struct(
-                    c["a"].alias("a"),
-                    c["b"].alias("b"),
-                    c["freq"].alias("freq"),
-                    (i + 1).cast("long").alias("kr"),
-                    c["m"].alias("m"),
-                ),
-            ).alias("kept")
-        # eager: the corpus count runs exactly once per sweep even though
-        # keptrow feeds both the result rows and the rewrite (the final
-        # union would otherwise recompute the whole upstream per branch)
-        ).localCheckpoint(eager=True)
-        results.append(
-            keptrow.select(F.explode("kept").alias("k")).select(
-                F.lit(r).alias("sweep"),
-                F.col("k.kr").alias("rank"),
-                F.col("k.a").alias("tok_a"),
-                F.col("k.b").alias("tok_b"),
-                F.col("k.freq").alias("freq"),
+        # r16: collect the 1-row kept batch (bounded by construction:
+        # <= _BPE_BATCH structs out of a limit(_BPE_POOL) top-k) instead
+        # of eager-checkpointing it — the corpus count still runs exactly
+        # once per sweep (inside the collect), but the per-sweep
+        # broadcast-build job and the final union's checkpoint reads are
+        # gone; the merge rules re-enter the plan as literals and the
+        # result is a local single-slice table (wordpiece/louvain/mmr
+        # driver-replay precedent).
+        kept = (
+            cands.select(
+                F.transform(
+                    kept_arr,
+                    lambda c, i: F.struct(
+                        c["a"].alias("a"),
+                        c["b"].alias("b"),
+                        c["freq"].alias("freq"),
+                        (i + 1).cast("long").alias("kr"),
+                        c["m"].alias("m"),
+                    ),
+                ).alias("kept")
+            ).collect()  # bounded-collect: 1 row, <= _BPE_BATCH structs (limit + slice)
+        )[0]["kept"]
+        out_rows.extend(
+            (r, int(k["kr"]), k["a"], k["b"], int(k["freq"])) for k in kept
+        )
+        if r < _BPE_SWEEPS and kept:
+            cur = (
+                cur.withColumn("kept", _kept_literal(kept))
+                .select(_bpe_merge_fold("toks", "kept").alias("toks"))
+                .localCheckpoint(eager=False)
             )
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(keptrow))
-            .select(_bpe_merge_fold("toks", "kept").alias("toks"))
-            .localCheckpoint(eager=False)
-        )
-    out = results[0]
-    for rdf in results[1:]:
-        out = out.unionByName(rdf)
-    return out
+    return _local_df(
+        spark,
+        out_rows,
+        "sweep int, rank long, tok_a string, tok_b string, freq long",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1236,27 +1258,34 @@ def text_bpe_encode_apply(spark, sf_dir):
             1,
             _BPE_BATCH,
         )
-        keptrow = cands.select(
-            F.transform(
-                kept_arr,
-                lambda c, i: F.struct(
-                    c["a"].alias("a"),
-                    c["b"].alias("b"),
-                    c["freq"].alias("freq"),
-                    (i + 1).cast("long").alias("kr"),
-                    c["m"].alias("m"),
-                ),
-            ).alias("kept")
-        ).localCheckpoint(eager=True)
-        cur = (
-            cur.crossJoin(F.broadcast(keptrow))
-            .select(
-                "lang",
-                _bpe_merge_fold("toks", "kept").alias("toks"),
-                "nb",
+        # r16: collected (bounded 1-row, <= _BPE_BATCH structs) and
+        # re-applied as a literal rule — no per-sweep eager checkpoint
+        # or broadcast-build job (same move as text_bpe_train_batched);
+        # an empty batch skips the rewrite (the fold is an identity then)
+        kept = (
+            cands.select(
+                F.transform(
+                    kept_arr,
+                    lambda c, i: F.struct(
+                        c["a"].alias("a"),
+                        c["b"].alias("b"),
+                        c["freq"].alias("freq"),
+                        (i + 1).cast("long").alias("kr"),
+                        c["m"].alias("m"),
+                    ),
+                ).alias("kept")
+            ).collect()  # bounded-collect: 1 row, <= _BPE_BATCH structs (limit + slice)
+        )[0]["kept"]
+        if kept:
+            cur = (
+                cur.withColumn("kept", _kept_literal(kept))
+                .select(
+                    "lang",
+                    _bpe_merge_fold("toks", "kept").alias("toks"),
+                    "nb",
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
 
     return cur.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -308,9 +308,12 @@ def text_wordpiece_train(spark, sf_dir):
                 .cast("long")
                 .alias("score_nano"),
             )
-            .collect()  # bounded-collect: exactly 1 row by construction (limit 1)
-        )[0]
+            .collect()  # bounded-collect: <= 1 row by construction (limit 1)
+        )
         both.unpersist()
+        if not top:  # empty corpus: no pairs left, no further rows
+            break
+        top = top[0]
         out_rows.append(
             (
                 r,
