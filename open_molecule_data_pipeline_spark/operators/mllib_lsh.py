@@ -71,6 +71,18 @@ def _mllib_minhash_found(spark, sf_dir):
 _MINHASH_DIST = 0.1
 _BRP_DIST = 1.2
 
+# r16 measured and REJECTED two rewrites of this fold (the BNLJ eval
+# twin's only per-pair cost, ~13.5 us/pair interpreted at d=64): (a) an
+# unrolled 64-term flat expression — 2.2x SLOWER in every placement
+# (interleaved min-of-3: fold 27.2 s vs flat 58.5 s per 2M pairs at
+# sf0.1; 128 GetArrayItem nodes with the diff evaluated twice beat the
+# HOF's tight internal loop nowhere, in or out of codegen); (b) a
+# non-deterministic filter barrier to lift the distance out of the
+# interpreted join condition — neutral (25.1 s), the post-join Project
+# pays the same interpreted HOF. Norm/prefix pruning is unavailable:
+# the embeddings are unit-norm, so every reverse-triangle/Cauchy-Schwarz
+# bound passes every pair. The quadratic shape itself is the documented
+# eval-harness trade (sampled slice at 100 TB — see mllib_brp_recall).
 _SQDIST = (
     "aggregate(zip_with({a}, {b}, (p, q) -> (p - q) * (p - q)),"
     " cast(0 as double), (acc, v) -> acc + v)"
