@@ -181,8 +181,15 @@ def mllib_minhash_recall(spark, sf_dir):
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
         )
+        .persist()
     )
-    exact = _exact_minhash_pairs(spark, sf_dir)
+    exact = _exact_minhash_pairs(spark, sf_dir).persist()
+    # r16: the verdict references found/exact twice each (own count + the
+    # hit join); unpersisted, the LSH self-join and the exact token twin
+    # each ran TWICE (profile: three concurrent 12-25 s jobs contending
+    # for the same cores). Same persist+count parity as the _pairs
+    # sibling below.
+    found.count(), exact.count()
     hit = found.join(exact, ["doc_a", "doc_b"]).select(F.lit(1).alias("one"))
     stats = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -304,6 +311,7 @@ def mllib_brp_recall(spark, sf_dir):
             F.col("datasetA.vec_id").alias("vec_a"),
             F.col("datasetB.vec_id").alias("vec_b"),
         )
+        .persist()
     )
     right = e.select(F.col("vec_id").alias("vec_b"), F.col("arr").alias("y"))
     exact = (
@@ -311,7 +319,12 @@ def mllib_brp_recall(spark, sf_dir):
         .join(F.broadcast(right), F.col("vec_a") < F.col("vec_b"))
         .filter(F.sqrt(F.expr(_SQDIST.format(a="x", b="y"))) <= _BRP_DIST)
         .select("vec_a", "vec_b")
+        .persist()
     )
+    # r16: persist+count parity with mllib_brp_neighbors below — the
+    # verdict reads found/exact twice each; unpersisted, the n²-pair
+    # exact twin and the LSH join each ran TWICE.
+    found.count(), exact.count()
     hit = found.join(exact, ["vec_a", "vec_b"]).select(F.lit(1).alias("one"))
     stats = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -72,8 +72,20 @@ def groupedmap_minmax_norm(spark, sf_dir):
             pdf["price_norm"] = ((pdf["o_totalprice"] - mn) / (mx - mn)).round(6)
         return pdf[["o_custkey", "o_orderkey", "price_norm"]]
 
-    return o.groupBy("o_custkey").applyInPandas(
-        norm, schema="o_custkey long, o_orderkey long, price_norm double"
+    # r16 (guide §2.2/§4.1): pin the group exchange's width. AQE coalesces
+    # this exchange by BYTES (150k 24-byte rows -> 2 partitions locally),
+    # but the stage's real cost is one Python call per GROUP — opaque to
+    # the byte heuristic — so 2 of N cores ran ~15k group calls (profile:
+    # one 20.9 s 2-task stage; 1.5 s at full width). The explicit
+    # repartition on the group key is reused by the groupBy (same key,
+    # same width — no extra exchange) and scales with the cluster, not a
+    # local constant.
+    return (
+        o.repartition(spark.sparkContext.defaultParallelism, "o_custkey")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            norm, schema="o_custkey long, o_orderkey long, price_norm double"
+        )
     )
 
 
