@@ -211,14 +211,26 @@ def text_bloom_decontaminate(spark, sf_dir):
     ).select("doc_id", "lang", "is_train", gram.alias("g"))
 
     ev = grams.filter(~F.col("is_train")).select("g").distinct()
+    # r16 (guide §3.1): the bitset used to ride as ONE broadcast sorted
+    # array probed with array_contains — an O(|bits|) LINEAR SCAN per
+    # train gram and hash function (profile: one 8.5 s 32-task stage, the
+    # whole query wall). The positions live in a 16-bit space, so the
+    # bitset is a <=65536-row table BY CONSTRUCTION at any corpus size —
+    # kept as a DataFrame (persisted+counted once: two broadcast builds
+    # would otherwise re-run the eval-gram distinct) and probed with two
+    # broadcast HASH joins instead: O(1) per gram, same
+    # p0-in-bits AND p1-in-bits semantics.
     bits = (
         ev.select(F.substring(F.md5(F.concat(F.col("g"), F.lit("|0"))), 1, 4).alias("p"))
         .union(
             ev.select(F.substring(F.md5(F.concat(F.col("g"), F.lit("|1"))), 1, 4))
         )
         .distinct()
-        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+        .persist()
     )
+    bits.count()
+    b0 = bits.select(F.col("p").alias("p0"), F.lit(1).alias("h0"))
+    b1 = bits.select(F.col("p").alias("p1"), F.lit(1).alias("h1"))
     ev_flag = ev.select("g", F.lit(1).alias("exact_hit"))
     tr = grams.filter("is_train").select(
         "lang",
@@ -227,14 +239,12 @@ def text_bloom_decontaminate(spark, sf_dir):
         F.substring(F.md5(F.concat(F.col("g"), F.lit("|1"))), 1, 4).alias("p1"),
     )
     hit = (
-        tr.crossJoin(F.broadcast(bits))
+        tr.join(F.broadcast(b0), "p0", "left")
+        .join(F.broadcast(b1), "p1", "left")
         .join(F.broadcast(ev_flag), "g", "left")
         .select(
             "lang",
-            (
-                F.array_contains("bits", F.col("p0"))
-                & F.array_contains("bits", F.col("p1"))
-            )
+            (F.col("h0").isNotNull() & F.col("h1").isNotNull())
             .cast("long")
             .alias("bloom_hit"),
             F.coalesce("exact_hit", F.lit(0)).cast("long").alias("exact_hit"),
