@@ -964,7 +964,13 @@ def graph_label_propagation(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
         )
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n_nodes"))
+    # r16: sizes is read twice (the n_communities broadcast + the top-15
+    # sort), and unpersisted each read re-ran the WHOLE 3-round LPA
+    # pipeline (profile: a duplicate multi-exchange subtree). One
+    # persist+count runs the propagation once; the cache is one row per
+    # surviving label, far smaller than the label table itself.
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n_nodes")).persist()
+    sizes.count()
     tot = sizes.agg(F.count(F.lit(1)).alias("n_communities"))
     return (
         sizes.crossJoin(F.broadcast(tot))
