@@ -795,7 +795,9 @@ def dedup_lsh_recall_vs_exact(spark, sf_dir):
     )
     # truth and lsh are each read twice (own count + the hits join);
     # persist+count so the prefix-join and band pipelines run once
-    # (the mllib *_recall parity fix, same rationale)
+    # (the mllib *_recall parity fix, same rationale). Not unpersisted
+    # here — the returned DataFrame reads these caches; bench.py drops
+    # all persistent RDDs between queries, bounding the leak.
     truth = truth.persist()
     lsh = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     truth.count(), lsh.count()

@@ -62,7 +62,10 @@ def _edges_cached(spark, sf_dir):
     and each re-run the full lineitem self-join (r16 adamic_adar
     profile: seven concurrent 32-task jobs over the identical edge
     subtree). One count barrier makes every consumer a block read — at
-    100 TB each skipped re-run is a corpus-slice scan + self-join."""
+    100 TB each skipped re-run is a corpus-slice scan + self-join.
+    Not unpersisted by the caller (its result still reads the cache);
+    bench.py drops all persistent RDDs between queries, bounding the
+    leak to one query's lifetime."""
     e = _edges(spark, sf_dir).persist()
     e.count()
     return e

@@ -188,7 +188,9 @@ def mllib_minhash_recall(spark, sf_dir):
     # hit join); unpersisted, the LSH self-join and the exact token twin
     # each ran TWICE (profile: three concurrent 12-25 s jobs contending
     # for the same cores). Same persist+count parity as the _pairs
-    # sibling below.
+    # sibling below. These caches are deliberately not unpersisted in
+    # the operator (the returned DataFrame reads them); bench.py drops
+    # all persistent RDDs between queries, bounding the leak.
     found.count(), exact.count()
     hit = found.join(exact, ["doc_a", "doc_b"]).select(F.lit(1).alias("one"))
     stats = (

@@ -241,7 +241,7 @@ def text_wordpiece_train(spark, sf_dir):
     job, no eager-checkpoint barrier, and the 3-row result is a local
     single-slice table, per the louvain/mmr driver-replay precedent.
     """
-    from .corpus_ops import _bpe_merge_fold
+    from .corpus_ops import _bpe_merge_fold, _kept_literal
     from .louvain import _local_df
 
     d = table(spark, sf_dir, "documents")
@@ -277,6 +277,12 @@ def text_wordpiece_train(spark, sf_dir):
             # (Heaps-sublinear), MEMORY_AND_DISK spills if not.
             .persist()
         )
+        # Eager materialization: the score join reads this cache from
+        # THREE subtrees (pairs, ua, ub) whose AQE stage jobs launch
+        # concurrently under the single collect — on a cold cache each
+        # would re-run the corpus-wide pair aggregation (the
+        # _edges_cached / dedup docs.count() precedent).
+        both.count()
         pairs = both.filter(F.col("b").isNotNull())
         uni = both.groupBy(F.col("a").alias("tok")).agg(
             F.sum("fab").alias("f")
@@ -326,14 +332,19 @@ def text_wordpiece_train(spark, sf_dir):
             )
         )
         if r < _WPT_ROUNDS:
-            kept = F.array(
-                F.struct(
-                    F.lit(top["a"]).alias("a"),
-                    F.lit(top["b"]).alias("b"),
-                    F.lit(int(top["fab"])).cast("long").alias("freq"),
-                    F.lit(1).cast("long").alias("kr"),
-                    F.lit(top["a"] + "_" + top["b"]).alias("m"),
-                )
+            # shared with the BPE trainer so the special-chars literal
+            # test pins BOTH paths (quotes/backslashes/unicode ride py4j
+            # as literals, never SQL-string parsing)
+            kept = _kept_literal(
+                [
+                    {
+                        "a": top["a"],
+                        "b": top["b"],
+                        "freq": int(top["fab"]),
+                        "kr": 1,
+                        "m": top["a"] + "_" + top["b"],
+                    }
+                ]
             )
             cur = (
                 cur.withColumn("kept", kept)
