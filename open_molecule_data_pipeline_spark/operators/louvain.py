@@ -985,42 +985,45 @@ def graph_louvain_singleton(spark, sf_dir):
     n1 = int(kept1.count())  # eager: the final assembly reads blocks
 
     # ---- final assembly: ONE action over cached tables ----
-    # composed final assignment coalesce(kept_1[x], kept_0[x], x),
-    # attached by joins wherever needed (sizes + q_pass dc off the node
-    # table; q_pass l off the adjacency — intra weight summed over both
-    # directions = 2l, exact halving).
+    # r17: the composed final assignment coalesce(kept_1[x], kept_0[x], x)
+    # is materialized ONCE as cfin (O(|V|) rows — its two kept joins
+    # previously re-ran inside every consumer subtree, and lpass attached
+    # the assignment with FOUR kept-table joins). Everything below
+    # derives from cfin: sizes + q_pass dc off the node table; q_pass l
+    # off the adjacency via two cfin joins (intra weight summed over
+    # both directions = 2l, exact halving). Same composition, same
+    # values. cfin is persisted AND checkpointed: the kept/ud/deg0
+    # persists embed their whole producing plans at every reference, and
+    # the final assembly references the composition 4x — the nesting
+    # compounded to a ~2.2 MB analyzed plan (r17 survey: 50x any other
+    # headliner) whose per-run re-analysis dominated the wall. The
+    # checkpoint makes every downstream reference a plan LEAF; the
+    # persist keeps cfin's canonical plan visible to the cache manager
+    # (all its inputs are persisted plans, so re-executions in the same
+    # session reuse blocks instead of recomputing the sweeps). The count
+    # materializes both in one job.
     cfin = (
         deg0.join(kept0.select("node", F.col("b").alias("b0")), "node", "left")
         .join(kept1.select("node", F.col("b").alias("b1")), "node", "left")
         .select(
             "node", "k", F.coalesce("b1", "b0", F.col("node")).alias("cid")
         )
+        .persist()
+        .localCheckpoint(eager=False)
     )
+    cfin.count()  # bounded one-pass materializer (O(|V|) rows, cached inputs)
     szdc = cfin.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("k").cast("long").alias("dc"),
     )
     lpass = (
-        ud.join(k0v, "v", "left")
+        ud.join(
+            cfin.select(F.col("node").alias("u"), F.col("cid").alias("cu")),
+            "u",
+        )
         .join(
-            kept1.select(F.col("node").alias("v"), F.col("b").alias("nb1")),
+            cfin.select(F.col("node").alias("v"), F.col("cid").alias("cv")),
             "v",
-            "left",
-        )
-        .join(
-            kept0.select(F.col("node").alias("u"), F.col("b").alias("ub0")),
-            "u",
-            "left",
-        )
-        .join(
-            kept1.select(F.col("node").alias("u"), F.col("b").alias("ub1")),
-            "u",
-            "left",
-        )
-        .select(
-            F.coalesce("ub1", "ub0", F.col("u")).alias("cu"),
-            F.coalesce("nb1", "nb", F.col("v")).alias("cv"),
-            "w",
         )
         .where(F.col("cu") == F.col("cv"))
         .groupBy(F.col("cu").alias("cid"))
