@@ -812,10 +812,24 @@ _KMEANS_FULL_ORACLE = (
     "ml_kmeans_lloyd_3iter", oracle=_KMEANS_FULL_ORACLE, tags=("ml", "iterative")
 )
 def ml_kmeans_lloyd_3iter(spark, sf_dir):
+    """r17 (guide §1.2, the louvain/mmr driver-replay precedent): the
+    single-statement form ran the whole unrolled pipeline through 15
+    scalar-subquery references whose CTE lineage re-inlined every prior
+    iteration — a 603 KB analyzed plan (registry survey: 2nd-worst) that
+    re-ran the corpus aggregation per reference. The centroid state is
+    ONE ROW by construction (k x d exact sums + k counts + in6), so each
+    Lloyd iteration now runs as one map-side-combinable aggregation over
+    km_q and its row re-enters the next iteration as exact literals
+    (DECIMAL(38,0) sums / BIGINT counts — the same types the CTE carried,
+    so every distance/argmin/inertia expression evaluates bit-identically
+    against the unchanged all-engine oracle). Per iteration at 100 TB:
+    one broadcast of k literal centroids + one aggregation — same as the
+    CTE design, minus the scalar-subquery replays."""
     from ._util import spread
 
+    d, k, q, T = _KM_D, _KM_K, _KM_Q, _KM_ITERS
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(
+    qdf = emb.select(
         "vec_id",
         *[
             F.round(F.element_at("embedding", i + 1).cast("double") * _KM_Q)
@@ -824,8 +838,86 @@ def ml_kmeans_lloyd_3iter(spark, sf_dir):
             for i in range(_KM_D)
         ],
     )
-    spread(q).createOrReplaceTempView("km_q")
-    return spark.sql(_kmeans_sql())
+    spread(qdf).createOrReplaceTempView("km_q")
+    # seed centroids: the first k vectors, one pushed-down point lookup
+    # (the CTE's k*d scalar subqueries, same NULL-when-absent semantics)
+    seeds = {
+        r["vec_id"]: r
+        for r in spark.sql(f"SELECT * FROM km_q WHERE vec_id < {k}").collect()  # bounded-collect: <= k seed rows by construction
+    }
+    sv: dict[tuple[int, int], str] = {}
+    cv: dict[int, str] = {}
+    for j in range(k):
+        r = seeds.get(j)
+        for i in range(d):
+            sv[(j, i)] = (
+                str(int(r[f"x{i}"]))
+                if r is not None
+                else "cast(NULL AS BIGINT)"
+            )
+        cv[j] = "cast(1 AS BIGINT)"
+
+    def dist_lit(j: int) -> str:
+        return " + ".join(
+            f"(x{i} - cast({sv[(j, i)]} AS DOUBLE) / {cv[j]}) *"
+            f" (x{i} - cast({sv[(j, i)]} AS DOUBLE) / {cv[j]})"
+            for i in range(d)
+        )
+
+    upd = ", ".join(
+        f"sum(cast(CASE WHEN cl = {j} THEN x{i} ELSE 0 END"
+        f" AS DECIMAL(38,0))) AS s{j}_{i}"
+        for j in range(k)
+        for i in range(d)
+    ) + ", " + ", ".join(
+        f"cast(sum(CASE WHEN cl = {j} THEN 1 ELSE 0 END) AS BIGINT) AS c{j}"
+        for j in range(k)
+    )
+    inert = " + ".join(
+        f"CASE WHEN cl = {j} THEN cast(round(d{j} / {q} / {q} * {q})"
+        f" AS BIGINT) ELSE 0 END"
+        for j in range(k)
+    )
+    conds = []
+    for j in range(k):
+        parts = [f"d{j} < d{p}" for p in range(j)] + [
+            f"d{j} <= d{p}" for p in range(j + 1, k)
+        ]
+        conds.append(f"WHEN {' AND '.join(parts)} THEN {j}")
+    argmin = "CASE " + " ".join(conds) + " END"
+
+    in6_lit: list[str] = []
+    c_lit: list[list[str]] = []
+    for _t in range(1, T + 1):
+        dists = ", ".join(f"({dist_lit(j)}) AS d{j}" for j in range(k))
+        m = spark.sql(
+            f"SELECT {upd}, sum(cast({inert} AS DECIMAL(38,0))) AS in6"
+            f" FROM (SELECT *, {argmin} AS cl FROM"
+            f" (SELECT x0, x1, x2, x3, {dists} FROM km_q) a) g"
+        ).collect()[0]  # bounded-collect: one global-aggregate row (k*d sums + k counts + inertia)
+        for j in range(k):
+            for i in range(d):
+                s = m[f"s{j}_{i}"]
+                sv[(j, i)] = (
+                    f"cast('{s}' AS DECIMAL(38,0))"
+                    if s is not None
+                    else "cast(NULL AS DECIMAL(38,0))"
+                )
+            cv[j] = f"cast({int(m[f'c{j}'])} AS BIGINT)"
+        in6_lit.append(
+            f"cast('{m['in6']}' AS DECIMAL(38,0))"
+            if m["in6"] is not None
+            else "cast(NULL AS DECIMAL(38,0))"
+        )
+        c_lit.append([f"cast({int(m[f'c{j}'])} AS BIGINT)" for j in range(k)])
+
+    finals = " UNION ALL ".join(
+        f"SELECT {t} AS iter,"
+        f" round({in6_lit[t - 1]} / cast({q} AS DOUBLE), 6) AS inertia, "
+        + ", ".join(f"{c_lit[t - 1][j]} AS n{j}" for j in range(k))
+        for t in range(1, T + 1)
+    )
+    return spark.sql(finals)
 
 
 # --------------------------------------------------------------------------
