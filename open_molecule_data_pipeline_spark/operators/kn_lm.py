@@ -693,32 +693,49 @@ def text_kn_trigram_ppl(spark, sf_dir):
     """Per-doc mean NLL under the interpolated trigram KN model (two
     continuation levels), worst docs first — the order-3 CCNet filter."""
     tg = _trigram_stream(spark, sf_dir)
-    tri = tg.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c123")
+    # r17: same w2-clustered window-ladder restructure as the 4/5-gram
+    # filters (one exchange serves every w2-containing level; unordered
+    # siblings share the row_number sorts via explicit unbounded
+    # frames). Identical integer stats, untouched cost formula.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tri = (
+        tg.repartition(width, "w2")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
     )
-    h12 = tri.groupBy("w1", "w2").agg(
-        F.sum("c123").cast("long").alias("c12"),
-        F.count(F.lit(1)).cast("long").alias("n12"),
+    w12 = Window.partitionBy("w2", "w1")
+    w23 = Window.partitionBy("w2", "w3")
+    w2 = Window.partitionBy("w2")
+    w3 = Window.partitionBy("w3")
+    one = F.count(F.lit(1))
+    unb = (Window.unboundedPreceding, Window.unboundedFollowing)
+    stats = (
+        # block 1: sorted (w2, w1)
+        tri.withColumn("c12", F.sum("c123").over(w12))
+        .withColumn("n12", one.over(w12))
+        # block 2: sorted (w2, w3, w1)
+        .withColumn(
+            "f23",
+            (F.row_number().over(w23.orderBy("w1")) == 1).cast("long"),
+        )
+        .withColumn("n1p23", one.over(w23.orderBy("w1").rowsBetween(*unb)))
+        .withColumn("ndot2", one.over(w2))
+        .withColumn("nm2", F.sum("f23").over(w2))
+        # the (w3) level is the one key not clustered by w2
+        .repartition(width, "w3")
+        .withColumn("npre3", F.sum("f23").over(w3))
+        .drop("f23")
     )
-    cont23 = tri.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("n1p23")
+    nbt = (
+        tri.select("w2", "w3")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("nbig"))
     )
-    mid2 = cont23.groupBy("w2").agg(
-        F.sum("n1p23").cast("long").alias("ndot2"),
-        F.count(F.lit(1)).cast("long").alias("nm2"),
-    )
-    bt = tg.select("w2", "w3").distinct()
-    cw3 = bt.groupBy("w3").agg(F.count(F.lit(1)).cast("long").alias("npre3"))
-    nbt = bt.agg(F.count(F.lit(1)).cast("long").alias("nbig"))
     pbo = (F.col("n1p23").cast("double") - F.lit(_D)) / F.col("ndot2") + F.lit(
         _D
     ) * F.col("nm2") / F.col("ndot2") * F.col("npre3") / F.col("nbig")
     cost3 = (
-        tri.join(h12, ["w1", "w2"])
-        .join(cont23, ["w2", "w3"])
-        .join(mid2, "w2")
-        .join(cw3, "w3")
-        .crossJoin(F.broadcast(nbt))
+        stats.crossJoin(F.broadcast(nbt))
         .withColumn(
             "cost_micro",
             F.round(
@@ -908,31 +925,67 @@ def text_kn_fourgram_ppl(spark, sf_dir):
     continuation levels), worst docs first — the KenLM-order CCNet
     filter."""
     fg = _fourgram_stream(spark, sf_dir)
-    four = fg.groupBy("w1", "w2", "w3", "w4").agg(
-        F.count(F.lit(1)).cast("long").alias("c1234")
+    # r17: the five-join model-stat assembly becomes the fivegram's
+    # w3-clustered WINDOW ladder (r16 commit 5124c1e pattern, plus the
+    # r17 sort-sharing: every partition-key list is sequenced on the
+    # shared w3/w2 prefix and the unordered siblings reuse the ordered
+    # row_number sorts via explicit unbounded frames) — every stat is a
+    # per-group constant over a nested-suffix key of the distinct
+    # 4-gram table, so the ladder runs in ONE w3-clustered exchange +
+    # one w4 re-exchange instead of re-joining seven derived tables.
+    # Identical integer stats; the cost formula is untouched.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    four = (
+        fg.repartition(width, "w3")
+        .groupBy("w1", "w2", "w3", "w4")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1234"))
     )
-    h123 = four.groupBy("w1", "w2", "w3").agg(
-        F.sum("c1234").cast("long").alias("c123"),
-        F.count(F.lit(1)).cast("long").alias("n123"),
+    w123 = Window.partitionBy("w3", "w2", "w1")
+    w234 = Window.partitionBy("w3", "w2", "w4")
+    w23 = Window.partitionBy("w3", "w2")
+    w34 = Window.partitionBy("w3", "w4")
+    w3 = Window.partitionBy("w3")
+    w4 = Window.partitionBy("w4")
+    one = F.count(F.lit(1))
+    unb = (Window.unboundedPreceding, Window.unboundedFollowing)
+    stats = (
+        # block 1: sorted (w3, w2, w1)
+        four.withColumn("c123", F.sum("c1234").over(w123))
+        .withColumn("n123", one.over(w123))
+        # block 2: sorted (w3, w2, w4, w1)
+        .withColumn(
+            "f234",
+            (F.row_number().over(w234.orderBy("w1")) == 1).cast("long"),
+        )
+        .withColumn(
+            "n1p234", one.over(w234.orderBy("w1").rowsBetween(*unb))
+        )
+        .withColumn("ndot23", one.over(w23))
+        .withColumn("nm23", F.sum("f234").over(w23))
+        # block 3: sorted (w3, w4, w2, w1)
+        .withColumn(
+            "f34",
+            (F.row_number().over(w34.orderBy("w2", "w1")) == 1).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "n1p34",
+            F.sum("f234").over(w34.orderBy("w2", "w1").rowsBetween(*unb)),
+        )
+        .withColumn("ndot3", F.sum("f234").over(w3))
+        .withColumn("nm3", F.sum("f34").over(w3))
+        .drop("f234")
+        # the (w4) level is the one key not clustered by w3
+        .repartition(width, "w4")
+        .withColumn("npre4", F.sum("f34").over(w4))
+        .drop("f34")
     )
-    cont234 = four.groupBy("w2", "w3", "w4").agg(
-        F.count(F.lit(1)).cast("long").alias("n1p234")
+    nbt4 = (
+        four.select("w3", "w4")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("nbig"))
     )
-    mid23 = cont234.groupBy("w2", "w3").agg(
-        F.sum("n1p234").cast("long").alias("ndot23"),
-        F.count(F.lit(1)).cast("long").alias("nm23"),
-    )
-    n34 = cont234.groupBy("w3", "w4").agg(
-        F.count(F.lit(1)).cast("long").alias("n1p34")
-    )
-    mid3 = n34.groupBy("w3").agg(
-        F.sum("n1p34").cast("long").alias("ndot3"),
-        F.count(F.lit(1)).cast("long").alias("nm3"),
-    )
-    cw4 = n34.groupBy("w4").agg(
-        F.count(F.lit(1)).cast("long").alias("npre4")
-    )
-    nbt4 = n34.agg(F.count(F.lit(1)).cast("long").alias("nbig"))
     p2 = (F.col("n1p34").cast("double") - F.lit(_D)) / F.col("ndot3") + F.lit(
         _D
     ) * F.col("nm3") / F.col("ndot3") * F.col("npre4") / F.col("nbig")
@@ -940,13 +993,7 @@ def text_kn_fourgram_ppl(spark, sf_dir):
         "ndot23"
     ) + F.lit(_D) * F.col("nm23") / F.col("ndot23") * p2
     cost4 = (
-        four.join(h123, ["w1", "w2", "w3"])
-        .join(cont234, ["w2", "w3", "w4"])
-        .join(mid23, ["w2", "w3"])
-        .join(n34, ["w3", "w4"])
-        .join(mid3, "w3")
-        .join(cw4, "w4")
-        .crossJoin(F.broadcast(nbt4))
+        stats.crossJoin(F.broadcast(nbt4))
         .withColumn(
             "cost_micro",
             F.round(
@@ -1184,48 +1231,85 @@ def text_kn_fivegram_ppl(spark, sf_dir):
         .groupBy("w1", "w2", "w3", "w4", "w5")
         .agg(F.count(F.lit(1)).cast("long").alias("c12345"))
     )
-    w1234 = Window.partitionBy("w1", "w2", "w3", "w4")
-    w2345 = Window.partitionBy("w2", "w3", "w4", "w5")
-    w234 = Window.partitionBy("w2", "w3", "w4")
-    w345 = Window.partitionBy("w3", "w4", "w5")
-    w34 = Window.partitionBy("w3", "w4")
+    # r17 (guide §2.4, sort elimination): a Window's required child
+    # ordering is its partition-key SEQUENCE + order keys, so every
+    # distinct sequence used to pay its own full-table sort inside the
+    # w4-clustered exchange (9 Sort nodes in the r16 plan). Partitioning
+    # is a SET property — re-sequencing every key list to start with the
+    # shared w4/w3/w2 prefix lets consecutive window blocks reuse one
+    # sort (prefix-compatible ordering passes EnsureRequirements), so
+    # the ladder runs 4 sorts instead of 9. Values are untouched: the
+    # partition groups are the same sets, and each row_number's order
+    # keys make it deterministic within its group exactly as before.
+    w1234 = Window.partitionBy("w4", "w3", "w2", "w1")
+    w2345 = Window.partitionBy("w4", "w3", "w2", "w5")
+    w234 = Window.partitionBy("w4", "w3", "w2")
+    w345 = Window.partitionBy("w4", "w3", "w5")
+    w34 = Window.partitionBy("w4", "w3")
     w45 = Window.partitionBy("w4", "w5")
     w4 = Window.partitionBy("w4")
     w5 = Window.partitionBy("w5")
     one = F.count(F.lit(1))
     stats = (
-        # levels A-D all ride the single w4-clustered exchange; each
-        # level re-sorts within the task (cheap) instead of re-exchanging.
+        # levels A-D all ride the single w4-clustered exchange; the four
+        # sort blocks below are ordered so that every coarser window
+        # rides the sort of the finest window of its block.
         # f2345 / f345 / f45 mark one row per distinct finer group (the
         # remaining key columns are unique within each partition-ordered
         # group, so row_number is deterministic).
+        # block 1: sorted (w4, w3, w2, w1)
         five.withColumn("c1234", F.sum("c12345").over(w1234))
         .withColumn("n1234", one.over(w1234))
-        .withColumn("n1p2345", one.over(w2345))
+        # block 2: sorted (w4, w3, w2, w5, w1) — the ordered row_number
+        # spec comes FIRST so the unordered sibling rides its sort
         .withColumn(
             "f2345",
             (F.row_number().over(w2345.orderBy("w1")) == 1).cast("long"),
         )
+        .withColumn(
+            "n1p2345",
+            one.over(
+                w2345.orderBy("w1").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
         .withColumn("ndot234", one.over(w234))
         .withColumn("nm234", F.sum("f2345").over(w234))
+        .withColumn("ndot34", F.sum("f2345").over(w34))
+        # block 3: sorted (w4, w3, w5, w2, w1)
         .withColumn(
             "f345",
             (F.row_number().over(w345.orderBy("w2", "w1")) == 1).cast(
                 "long"
             ),
         )
-        .withColumn("n1p345", F.sum("f2345").over(w345))
-        .withColumn("ndot34", F.sum("f2345").over(w34))
+        .withColumn(
+            "n1p345",
+            F.sum("f2345").over(
+                w345.orderBy("w2", "w1").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
         .withColumn("nm34", F.sum("f345").over(w34))
+        .withColumn("ndot4", F.sum("f345").over(w4))
         .drop("f2345")
+        # block 4: sorted (w4, w5, w3, w2, w1)
         .withColumn(
             "f45",
             (F.row_number().over(w45.orderBy("w3", "w2", "w1")) == 1).cast(
                 "long"
             ),
         )
-        .withColumn("n1p45", F.sum("f345").over(w45))
-        .withColumn("ndot4", F.sum("f345").over(w4))
+        .withColumn(
+            "n1p45",
+            F.sum("f345").over(
+                w45.orderBy("w3", "w2", "w1").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
         .withColumn("nm4", F.sum("f45").over(w4))
         .drop("f345")
         # the (w5) level is the one key not clustered by w4
