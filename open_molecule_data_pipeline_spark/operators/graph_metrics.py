@@ -854,6 +854,22 @@ def _louvain_state(spark, sf_dir):
 def graph_louvain_pass(spark, sf_dir):
     e, deg, m, c0, c1, kept = _louvain_state(spark, sf_dir)
 
+    def q_from(ds2, lc):
+        """Nano-quantized modularity from per-community degree sums and
+        intra-edge counts."""
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        half = d("dc") / (F.lit(2).cast("double") * d("m"))
+        t = F.round(
+            (F.coalesce("l", F.lit(0)).cast("double") / d("m") - half * half)
+            * 1000000000
+        ).cast("long")
+        return (
+            ds2.join(F.broadcast(lc), "cid", "left")
+            .crossJoin(F.broadcast(m))
+            .select(t.alias("t"))
+            .agg(F.sum("t").cast("long").alias("q"))
+        )
+
     def q_nano(parts):
         """Nano-quantized modularity of a (node, cid) partition."""
         ds2 = (
@@ -870,22 +886,20 @@ def graph_louvain_pass(spark, sf_dir):
             .groupBy(F.col("cu").alias("cid"))
             .agg(F.count(F.lit(1)).cast("long").alias("l"))
         )
-        d = lambda c: F.col(c).cast("double")  # noqa: E731
-        half = d("dc") / (F.lit(2).cast("double") * d("m"))
-        t = F.round(
-            (F.coalesce("l", F.lit(0)).cast("double") / d("m") - half * half)
-            * 1000000000
-        ).cast("long")
-        return (
-            ds2.join(F.broadcast(lc), "cid", "left")
-            .crossJoin(F.broadcast(m))
-            .select(t.alias("t"))
-            .agg(F.sum("t").cast("long").alias("q"))
-        )
+        return q_from(ds2, lc)
 
-    q0 = q_nano(c0.select("node", F.col("a").alias("cid"))).select(
-        F.col("q").alias("q0_nano")
-    )
+    # r17: the seed partition IS the arithmetic node % K map, so q0's
+    # three joins (parts-deg, e-pu, e-pv) collapse to map-side % K
+    # expressions over deg and e — same groups, same counts, two fewer
+    # |E|-scale joins. q1 keeps the join form (c1 is data-dependent).
+    q0 = q_from(
+        deg.groupBy((F.col("node") % _LOUVAIN_K).alias("cid")).agg(
+            F.sum("k").cast("long").alias("dc")
+        ),
+        e.where((F.col("u") % _LOUVAIN_K) == (F.col("v") % _LOUVAIN_K))
+        .groupBy((F.col("u") % _LOUVAIN_K).alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l")),
+    ).select(F.col("q").alias("q0_nano"))
     q1 = q_nano(c1).select(F.col("q").alias("q1_nano"))
     # n_moves read off the CHECKPOINTED assignment instead of `kept`:
     # a kept move always targets a different community (gain > 0 forces

@@ -514,11 +514,12 @@ def _pois_weight_sql(u: str) -> str:
     return f"(CASE {branches} ELSE 8 END)"
 
 
-def _boot_sql(str_t: str, instr_fn: str) -> str:
+def _boot_sql(str_t: str, instr_fn: str, h32: str | None = None) -> str:
     """Shared bootstrap text over ``lineitem``; engine knobs: string type
-    name and the hex-digit position function (instr vs strpos)."""
+    name, the hex-digit position function (instr vs strpos), and an
+    optional override for the whole 8-nibble hash expression."""
     hexval = f"(cast({instr_fn}('0123456789abcdef', {{d}}) AS BIGINT) - 1)"
-    h32 = " + ".join(
+    h32 = h32 or " + ".join(
         hexval.format(d=f"substr(md5(rk || '_' || cast(b AS {str_t})), {i + 1}, 1)")
         + f" * {16 ** (7 - i)}"
         for i in range(8)
@@ -580,7 +581,17 @@ _BOOT_ORACLE = _boot_sql("VARCHAR", "strpos").replace(
     f"(SELECT unnest(range({_BOOT_B})) AS b) x",
 )
 
-_BOOT_SPARK_SQL = _boot_sql("STRING", "instr").replace(
+# Spark side: ONE conv(hex, 16, 10) of the first 8 md5 digits is the
+# same integer as the 8-term nibble sum (digit i carries weight
+# 16^(7-i)) without eight substr+instr scans per draw — r17 guide §1.2
+# per-task work; the DuckDB oracle keeps the nibble-sum form and the
+# values are identical by construction.
+_BOOT_SPARK_SQL = _boot_sql(
+    "STRING",
+    "instr",
+    h32="cast(conv(substr(md5(rk || '_' || cast(b AS STRING)), 1, 8),"
+    " 16, 10) AS BIGINT)",
+).replace(
     "(SELECT explode_or_unnest AS b) x",
     f"(SELECT explode(sequence(0, {_BOOT_B - 1})) AS b) x",
 )

@@ -124,7 +124,27 @@ def text_wordpiece_apply(spark, sf_dir):
         .select("p")
     )
     vocab = chars.unionByName(top).distinct()
-    vlist = vocab.groupBy().agg(F.array_sort(F.collect_list("p")).alias("vocab"))
+    # r17 (guide §1.2 per-task work): the greedy longest-prefix match
+    # used to run an inner aggregate over the WHOLE vocab array per
+    # character position (|V| startswith + accumulator structs each).
+    # Every piece is 1-4 chars by construction (chars + 2/3/4-grams),
+    # so the longest match is decided by at most four membership probes
+    # of length-partitioned arrays — first hit in descending length
+    # order is exactly the old "longest p with startswith(rest, p)"
+    # winner (a prefix of a given length is unique), and the no-match
+    # arm advances by 1 exactly as the old empty-accumulator did.
+    vlist = (
+        vocab.groupBy()
+        .agg(F.array_sort(F.collect_list("p")).alias("vocab"))
+        .select(
+            *[
+                F.expr(f"filter(vocab, p -> length(p) = {l})").alias(
+                    f"v{l}"
+                )
+                for l in (1, 2, 3, 4)
+            ]
+        )
+    )
     seg = words.crossJoin(F.broadcast(vlist)).select(
         "lang",
         F.expr(
@@ -135,9 +155,14 @@ def text_wordpiece_apply(spark, sf_dir):
               (acc, i) -> if(length(acc.rest) = 0, acc,
                 named_struct(
                   'rest', substring(acc.rest,
-                     length(aggregate(vocab, '', (b, p) ->
-                       if(length(p) > length(b) and startswith(acc.rest, p),
-                          p, b))) + 1),
+                     CASE WHEN length(acc.rest) >= 4
+                               AND array_contains(v4, substring(acc.rest, 1, 4)) THEN 5
+                          WHEN length(acc.rest) >= 3
+                               AND array_contains(v3, substring(acc.rest, 1, 3)) THEN 4
+                          WHEN length(acc.rest) >= 2
+                               AND array_contains(v2, substring(acc.rest, 1, 2)) THEN 3
+                          WHEN array_contains(v1, substring(acc.rest, 1, 1)) THEN 2
+                          ELSE 1 END),
                   'np', acc.np + 1)),
               acc -> acc.np)
             """
