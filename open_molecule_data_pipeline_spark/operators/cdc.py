@@ -39,6 +39,8 @@ SELECT c_custkey, c_name, c_acctbal, is_updated FROM (
 
 @register("cdc_merge_upsert", oracle=_CDC_ORACLE, tags=("cdc", "merge"))
 def cdc_merge_upsert(spark, sf_dir):
+    from .louvain import _local_df
+
     current = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
     )
@@ -50,8 +52,12 @@ def cdc_merge_upsert(spark, sf_dir):
             F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
         )
         .unionByName(
-            spark.createDataFrame(
-                [(-1, "Customer#new", 0.0)], "c_custkey long, c_name string, c_acctbal double"
+            # single-slice local row (the louvain _local_df finding:
+            # default createDataFrame fans one row into 32 empty tasks)
+            _local_df(
+                spark,
+                [(-1, "Customer#new", 0.0)],
+                "c_custkey long, c_name string, c_acctbal double",
             )
         )
     )

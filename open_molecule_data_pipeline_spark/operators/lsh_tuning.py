@@ -138,6 +138,11 @@ def text_lsh_band_tuning(spark, sf_dir):
     allc = cands[0]
     for c in cands[1:]:
         allc = allc.unionByName(c)
+    # r17: persisted + counted — the true-Jaccard join reads this table
+    # from TWO subtrees (x and y) under one action, and uncached each
+    # re-ran the whole scan→split→shingle→hash pipeline (the
+    # dedup_prefix_filter_join / _edges_cached precedent; at cluster
+    # scale each re-run is a corpus scan).
     sh = (
         spread(table(spark, sf_dir, "documents"), "doc_id")
         .withColumn("toks", F.split("text", " "))
@@ -148,7 +153,9 @@ def text_lsh_band_tuning(spark, sf_dir):
                 F.transform(F.expr(_SHINGLES_SPARK), lambda s: F.xxhash64(s))
             ).alias("shingle_set"),
         )
+        .persist()
     )
+    sh.count()
     x, y = sh.alias("x"), sh.alias("y")
     inter = F.size(F.array_intersect(F.col("x.shingle_set"), F.col("y.shingle_set")))
     union = F.size(
@@ -169,7 +176,12 @@ def text_lsh_band_tuning(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
         F.expr("sum(j6) div count(1)").cast("long").alias("mean_jaccard_ppm"),
     )
-    schemes = spark.createDataFrame(
+    # single-slice local table (the louvain _local_df finding: default
+    # createDataFrame parallelizes even 3 rows into 32 near-empty tasks)
+    from .louvain import _local_df
+
+    schemes = _local_df(
+        spark,
         [(r, b, _THRESH[(r, b)]) for r, b in _SCHEMES],
         "r int, b int, threshold_ppm long",
     )

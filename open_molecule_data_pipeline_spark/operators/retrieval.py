@@ -396,7 +396,12 @@ def text_hybrid_rrf_topk(spark, sf_dir):
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
     dfreq = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    qt = spark.createDataFrame(
+    # single-slice local table (the louvain _local_df finding: default
+    # createDataFrame parallelizes a dozen rows into 32 near-empty tasks)
+    from .louvain import _local_df
+
+    qt = _local_df(
+        spark,
         [(q, w) for q, ts in sorted(_RRF_QUERY_TERMS.items()) for w in ts],
         "query_id long, w string",
     )
