@@ -777,13 +777,14 @@ def _louvain_state(spark, sf_dir):
     )
     c0 = deg.select("node", (F.col("node") % _LOUVAIN_K).alias("a"), "k")
     dsum = c0.groupBy("a").agg(F.sum("k").cast("long").alias("dc"))
-    nbr = (
-        ud.join(
-            c0.select(F.col("node").alias("v"), F.col("a").alias("b")), "v"
-        )
-        .groupBy(F.col("u").alias("node"), "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("kub"))
-    )
+    # r17: the seed assignment IS the arithmetic node % K map (and every
+    # v in ud is a node), so the neighbor-community table needs no join
+    # against c0 — group the adjacency by (u, v % K) directly, one
+    # |E|-scale join fewer for BOTH queries sharing this state (the
+    # graph_louvain_pass q0 precedent).
+    nbr = ud.groupBy(
+        F.col("u").alias("node"), (F.col("v") % _LOUVAIN_K).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("kub"))
     own = c0.join(
         nbr.select("node", F.col("b").alias("a"), F.col("kub").alias("kua")),
         ["node", "a"],
